@@ -1,13 +1,429 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.Procurement
+import graft.functions.ExactMath.{davg, dsum}
+import graft.operators.ann.{BruteForceKNN, LshKNN}
+import graft.operators.asof.AsOfJoin
+import graft.operators.dedup._
+import graft.operators.multimodal.BinaryPipeline
+import graft.operators.text.TextStats
+import graft.sources.Snapshot
+import graft.streaming.EventStreams
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
+  * entry covers. Every query is deterministic (total ORDER BY) and its
+  * money math is decimal-exact so the DuckDB oracle hash-matches.
+  */
 object SparkEntry {
+
+  private def snap(spark: SparkSession, dir: String): Snapshot = {
+    GraftSession.tune(spark)
+    Snapshot(spark, dir)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q5_region_volume")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A. reference surface -------------------------------------------
+    "q_keyword_search" -> ((s, dir) => {
+      val d = snap(s, dir).documents
+      Procurement
+        .keywordSearch(d, "text", Seq(Seq("spark", "stream"), Seq("join")))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "q_filter_range" -> ((s, dir) => {
+      Procurement
+        .filterRange(
+          snap(s, dir).orders, "o_orderdate", "1996-01-01", "1998-01-01",
+          Map("o_orderpriority" -> Seq("1-URGENT", "2-HIGH")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
+    "q_intermediary" -> ((s, dir) => {
+      val c = snap(s, dir).customer
+      Procurement.intermediary(
+        c.where(col("c_acctbal") > 1000d && col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+          .orderBy("c_custkey"))
+    }),
+    "q_schema_check" -> ((s, dir) =>
+      snap(s, dir).schemaReport.orderBy("table_name", "column_name")),
+    "q_bar_budget_by_unit" -> ((s, dir) => {
+      val sn = snap(s, dir)
+      val joined = sn.orders
+        .join(sn.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sn.nation), col("c_nationkey") === col("n_nationkey"))
+      Procurement.barAgg(joined, "n_name", "o_totalprice")
+    }),
+    "q_pie_share_by_segment" -> ((s, dir) =>
+      Procurement.pieAgg(snap(s, dir).customer, "c_mktsegment")),
+    "q_line_monthly_trend" -> ((s, dir) =>
+      Procurement.monthlyTrend(snap(s, dir).orders, "o_orderdate", "o_totalprice")),
+    "q_hist_month" -> ((s, dir) =>
+      Procurement.histogramMonth(snap(s, dir).orders, "o_orderdate")),
+    "q_hist_numeric" -> ((s, dir) =>
+      Procurement.histogramNumeric(snap(s, dir).orders, "o_totalprice", 50000d)),
+    "q_insights_summary" -> ((s, dir) =>
+      Procurement.insights(snap(s, dir).orders, "o_totalprice")),
+    "q_knn_keywords" -> ((s, dir) => {
+      val e = snap(s, dir).embeddings
+      BruteForceKNN
+        .topK(e.where(col("vec_id") < 3), e.where(col("vec_id") >= 3),
+          "vec_id", "embedding", "vec_id", "embedding", 10)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // ---- B. analytic core ------------------------------------------------
+    "q1_pricing_summary" -> ((s, dir) => {
+      snap(s, dir).lineitem
+        .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_top_unpriced" -> ((s, dir) => {
+      val sn = snap(s, dir)
+      sn.customer.where(col("c_mktsegment") === "BUILDING")
+        .join(sn.orders, col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
+        .join(sn.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate") > lit("1996-06-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q5_region_volume" -> ((s, dir) => {
+      val sn = snap(s, dir)
+      broadcast(sn.region.where(col("r_name") === "ASIA"))
+        .join(broadcast(sn.nation), col("r_regionkey") === col("n_regionkey"))
+        .join(sn.customer, col("n_nationkey") === col("c_nationkey"))
+        .join(sn.orders, col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(sn.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    "q_top_n_per_group" -> ((s, dir) => {
+      val sn = snap(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("n_name").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      sn.customer
+        .join(broadcast(sn.nation), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("n_name"), col("rnk"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy("n_name", "rnk")
+    }),
+    "q_rollup" -> ((s, dir) => {
+      val sn = snap(s, dir)
+      sn.customer
+        .join(broadcast(sn.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(sn.region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          col("n_customers"), col("total_bal"))
+        .orderBy("region_name", "nation_name")
+    }),
+    "q_distinct_exact" -> ((s, dir) => {
+      snap(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"), count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+    "q_distinct_approx" -> ((s, dir) => {
+      snap(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"), count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+    "q_asof_join" -> ((s, dir) => {
+      val e = snap(s, dir).events
+      AsOfJoin
+        .latestPriorTs(
+          e.where(col("event_type") === "purchase"),
+          e.where(col("event_type") === "signup"),
+          "user_id", "ts", "ts", "last_signup_ts")
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
+        .orderBy("event_id")
+    }),
+    "q_json_extract" -> ((s, dir) => {
+      snap(s, dir).events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .orderBy("k_bucket")
+    }),
+    "q_events_window" -> ((s, dir) =>
+      EventStreams.hourlyAggBatch(snap(s, dir).events)),
+
+    // ---- C. LLM-pipeline -------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      ExactDedup.groups(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
+    "q_dedup_minhash" -> ((s, dir) =>
+      MinHashDedup.dedupe(snap(s, dir).documents, "doc_id", "text", 0.5)
+        .select(col("doc_id")).orderBy("doc_id")),
+    "q_dedup_simhash" -> ((s, dir) =>
+      SimHashDedup.dedupe(snap(s, dir).documents, "doc_id", "text", 3)
+        .select(col("doc_id")).orderBy("doc_id")),
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      NGramJaccardDedup.stats(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
+    "q_dedup_embedding" -> ((s, dir) =>
+      EmbeddingDedup.duplicatePairs(snap(s, dir).embeddings, "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b")),
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val e = snap(s, dir).embeddings
+      BruteForceKNN
+        .topK(e.where(col("vec_id").isin(100L, 101L, 102L, 103L, 104L)), e,
+          "vec_id", "embedding", "vec_id", "embedding", 5)
+        .orderBy("query_id", "rnk")
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = snap(s, dir).embeddings
+      LshKNN
+        .topK(e.where(col("vec_id") < 5), e, "vec_id", "embedding", "vec_id", "embedding", 5)
+        .orderBy("query_id", "rnk")
+    }),
+    "q_text_langid" -> ((s, dir) => {
+      snap(s, dir).documents
+        .select(col("doc_id"), TextStats.langId(col("text")).as("pred_lang"), col("lang"))
+        .orderBy("doc_id")
+    }),
+    "q_text_quality" -> ((s, dir) =>
+      TextStats.quality(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
+    "q_text_tokens" -> ((s, dir) =>
+      TextStats.tokenCounts(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
+    "q_text_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprint(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
+    "q_multimodal_meta" -> ((s, dir) => {
+      val d = snap(s, dir).documents.withColumn("payload", encode(col("text"), "UTF-8"))
+      BinaryPipeline.manifest(d, "doc_id", "payload").orderBy("doc_id")
+    }),
+
+    // ---- D. sessionization (batch twin of the streaming op) --------------
+    "q_sessionize" -> ((s, dir) =>
+      EventStreams.sessionizeBatch(snap(s, dir).events))
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** DuckDB mirror of [[graft.functions.CosineSim]]: three sequential
+    * double folds (list_reduce == Spark's left fold: 0.0+x == x).
+    */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, len($x)+1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (u,v) -> u+v)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  private val markerHitsEn =
+    "len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','is','of','and')))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_keyword_search" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE (text LIKE '%spark%' OR text LIKE '%stream%') AND text LIKE '%join%'
+        |ORDER BY doc_id""".stripMargin,
+    "q_filter_range" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND o_orderpriority IN ('1-URGENT','2-HIGH')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_intermediary" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |WHERE c_acctbal > 1000 AND c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+    "q_bar_budget_by_unit" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_budget,
+        |  COUNT(*) AS n_packages
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY total_budget DESC, n_name""".stripMargin,
+    "q_pie_share_by_segment" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_packages,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_line_monthly_trend" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_budget,
+        |  COUNT(*) AS n_packages
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hist_month" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS month_num, COUNT(*) AS n_packages
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hist_numeric" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin, COUNT(*) AS n_packages
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_insights_summary" ->
+      """SELECT COUNT(*) AS n_packages,
+        |  CAST(MIN(o_totalprice) AS DOUBLE) AS min_budget,
+        |  CAST(MAX(o_totalprice) AS DOUBLE) AS max_budget,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_budget,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_budget
+        |FROM orders""".stripMargin,
+    "q_knn_keywords" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= 3),
+         |sc AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS sim FROM q, c
+         |       WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)
+         |SELECT query_id, rnk, neighbor_id, round(sim, 4) AS sim FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_unpriced" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-01' AND l_shipdate > TIMESTAMP '1996-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |  JOIN customer ON n_nationkey = c_nationkey
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_top_n_per_group" ->
+      """WITH ranked AS (
+        |  SELECT n_name, c_custkey, c_name, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name, rnk, c_custkey, c_name, c_acctbal FROM ranked WHERE rnk <= 3
+        |ORDER BY n_name, rnk""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region_name, COALESCE(n_name, 'ALL') AS nation_name,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY region_name, nation_name""".stripMargin,
+    "q_distinct_exact" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, s.ts AS last_signup_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_events_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(lower(text)) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id""".stripMargin,
+    "q_dedup_embedding" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 4) AS sim
+         |FROM embeddings a, embeddings b
+         |WHERE a.vec_id < b.vec_id AND ${cosSql("a.embedding", "b.embedding")} >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |           WHERE vec_id IN (100,101,102,103,104)),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |sc AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS sim FROM q, c
+         |       WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)
+         |SELECT query_id, rnk, neighbor_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+    "q_text_langid" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','is','of','and'))) AS h_en,
+        |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('der','die','und','ist','das'))) AS h_de,
+        |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('el','la','de','es','y'))) AS h_es,
+        |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('le','la','et','est','un'))) AS h_fr,
+        |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('的','是','了'))) AS h_zh
+        |FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+        |       WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+        |       WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+        |       WHEN h_fr >= h_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  lang
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+         |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  CAST($markerHitsEn AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+         |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5
+         |    + (CAST($markerHitsEn AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+         |    - (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.2
+         |    AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256,
+        |  32 + CAST(octet_length(encode(text)) AS BIGINT) % 224 AS width,
+        |  32 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 224 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin
+  )
 }

@@ -1,0 +1,106 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactMath.{davg, dsum}
+
+/** The reference's procurement-analytics surface, re-expressed as
+  * distributed DataFrame transforms.
+  *
+  * Reference mapping (all in /root/reference):
+  *  - keywordSearch        ← keyword LIKE composition, openai/basic_functions.py step 5
+  *  - filterRange          ← satuan_kerja / tanggal_umumkan_paket filters
+  *  - intermediary         ← openai/list_of_tools.py:148 intermediary_dataframe_retrieval
+  *  - barAgg / insights    ← openai/list_of_tools.py:203 bar_chart_tool
+  *  - pieAgg               ← openai/list_of_tools.py:385 pie_chart_tool
+  *  - monthlyTrend         ← openai/list_of_tools.py:271 line_chart_tool (dual series)
+  *  - histogramMonth/Numeric ← openai/list_of_tools.py:14 histogram_tool
+  *
+  * Everything is declarative (groupBy/window/filter) so Catalyst handles
+  * pushdown + partial aggregation; no collect() anywhere.
+  */
+object Procurement {
+
+  /** OR-of-synonyms AND-of-concepts keyword filter. Each inner Seq is a
+    * synonym group (OR); groups are combined with AND — exactly the
+    * reference's prompt-mandated LIKE composition.
+    */
+  def keywordFilter(textCol: Column, concepts: Seq[Seq[String]]): Column =
+    concepts
+      .map(group => group.map(kw => textCol.contains(kw)).reduce(_ || _))
+      .reduce(_ && _)
+
+  def keywordSearch(df: DataFrame, textCol: String, concepts: Seq[Seq[String]]): DataFrame =
+    df.where(keywordFilter(col(textCol), concepts))
+
+  /** Date-range + categorical filter (half-open interval [from, until)). */
+  def filterRange(
+      df: DataFrame,
+      tsCol: String,
+      from: String,
+      until: String,
+      categorical: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    val ts = col(tsCol) >= lit(from).cast("timestamp") && col(tsCol) < lit(until).cast("timestamp")
+    val cat = categorical.foldLeft(lit(true)) { case (acc, (c, vs)) => acc && col(c).isin(vs: _*) }
+    df.where(ts && cat)
+  }
+
+  /** Materializes a query result as a named temp view (the reference's
+    * intermediary table) and returns it. At scale this would be a parquet /
+    * Delta write; a temp view keeps the plan lazy and re-optimizable.
+    */
+  def intermediary(df: DataFrame, name: String = "intermediary_table"): DataFrame = {
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Bar-chart prep: total value per group, descending. */
+  def barAgg(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(dsum(col(valueCol)).as("total_budget"), count(lit(1)).as("n_packages"))
+      .orderBy(col("total_budget").desc, col(groupCol))
+
+  /** Pie-chart prep: count + share per category. */
+  def pieAgg(df: DataFrame, groupCol: String): DataFrame = {
+    val w = Window.partitionBy()
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_packages"))
+      .withColumn("share", col("n_packages").cast("double") / sum(col("n_packages")).over(w).cast("double"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Line-chart prep: month × (total value, package count) — the dual-series
+    * monthly trend of the reference's line_chart_tool.
+    */
+  def monthlyTrend(df: DataFrame, tsCol: String, valueCol: String): DataFrame =
+    df.groupBy(date_trunc("month", col(tsCol)).as("month"))
+      .agg(dsum(col(valueCol)).as("total_budget"), count(lit(1)).as("n_packages"))
+      .orderBy("month")
+
+  /** Histogram prep: count per month-of-year (the reference's datetime
+    * histogram binning).
+    */
+  def histogramMonth(df: DataFrame, tsCol: String): DataFrame =
+    df.groupBy(month(col(tsCol)).cast("long").as("month_num"))
+      .agg(count(lit(1)).as("n_packages"))
+      .orderBy("month_num")
+
+  /** Histogram prep: fixed-width numeric bins. */
+  def histogramNumeric(df: DataFrame, valueCol: String, binWidth: Double): DataFrame =
+    df.groupBy(floor(col(valueCol) / lit(binWidth)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_packages"))
+      .orderBy("bin")
+
+  /** The insight stats every reference chart tool reports:
+    * count / min / max / mean / sum.
+    */
+  def insights(df: DataFrame, valueCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_packages"),
+      min(col(valueCol)).cast("double").as("min_budget"),
+      max(col(valueCol)).cast("double").as("max_budget"),
+      dsum(col(valueCol)).as("total_budget"),
+      davg(col(valueCol)).as("mean_budget"))
+}

@@ -1,0 +1,53 @@
+package graft.operators.asof
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of join: for each left row, the greatest right timestamp ≤ the left
+  * timestamp within the same key.
+  *
+  * Spark-first formulation: no custom physical operator is needed — union
+  * both sides, sort within key by (ts, side) with the right side first on
+  * ties (so "at or before" includes equality), and carry the last non-null
+  * right timestamp forward with `last(ignoreNulls)`. One shuffle on the
+  * key, linear per partition — same asymptotics as a dedicated merge-join
+  * implementation, and AQE-managed.
+  */
+object AsOfJoin {
+
+  /** Returns `left.* + <outCol timestamp>` (null when no prior right row). */
+  def latestPriorTs(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      outCol: String): DataFrame = {
+    val payloadType = StructType(left.schema.fields)
+    val lSide = left.select(
+      col(keyCol).as("__k"),
+      col(leftTsCol).as("__ts"),
+      lit(1).as("__side"),
+      lit(null).cast("timestamp").as("__rts"),
+      struct(left.columns.map(col): _*).as("__payload"))
+    val rSide = right.select(
+      col(keyCol).as("__k"),
+      col(rightTsCol).as("__ts"),
+      lit(0).as("__side"),
+      col(rightTsCol).as("__rts"),
+      lit(null).cast(payloadType).as("__payload"))
+
+    val w = Window
+      .partitionBy("__k")
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    lSide
+      .unionByName(rSide)
+      .withColumn("__matched", last(col("__rts"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col("__payload.*"), col("__matched").as(outCol))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators for training-data pipelines: language-ID,
+  * quality scoring, token counting, content fingerprinting. All are pure
+  * column expressions (codegen-friendly, no UDFs except the native
+  * fingerprint expression), so they fuse into the scan stage at any scale.
+  */
+object TextStats {
+
+  /** Marker stopwords per language (tiny fixed lists — the n-gram heuristic
+    * degenerates to marker-hit counting, which is what's mirrorable in the
+    * SQL oracle and deterministic at any scale).
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "de", "es", "y"),
+    "fr" -> Seq("le", "la", "et", "est", "un"),
+    "zh" -> Seq("的", "是", "了"))
+
+  def markerHits(textCol: Column, markers: Seq[String]): Column =
+    size(filter(split(lower(textCol), " "), w => w.isInCollection(markers)))
+
+  /** Arg-max over marker-hit scores with fixed priority tie-break (the
+    * declaration order of [[Markers]]).
+    */
+  def langId(textCol: Column): Column = {
+    val scores = Markers.map { case (lang, ms) => lang -> markerHits(textCol, ms) }
+    scores.zipWithIndex
+      .init
+      .foldRight(lit(scores.last._1)) { case (((lang, s), i), elseCol) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        when(laterScores.map(s >= _).reduce(_ && _), lit(lang)).otherwise(elseCol)
+      }
+  }
+
+  /** Quality features + a deterministic composite score. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nWords = size(words).cast("long")
+    val nChars = length(col(textCol)).cast("long")
+    val punct = length(regexp_replace(col(textCol), "[a-z0-9 ]", "")).cast("double")
+    val stops = markerHits(col(textCol), Markers.head._2).cast("double")
+    df.select(
+        col(idCol),
+        nChars.as("n_chars"),
+        nWords.as("n_words"),
+        (nChars.cast("double") / nWords.cast("double")).as("mean_word_len"),
+        (punct / nChars.cast("double")).as("punct_ratio"),
+        (stops / nWords.cast("double")).as("stopword_ratio"))
+      .withColumn(
+        "quality_score",
+        least(col("n_words").cast("double") / 50d, lit(1.0)) * 0.5
+          + col("stopword_ratio") * 0.5
+          - col("punct_ratio") * 0.2)
+  }
+
+  /** Whitespace tokens + a BPE-ish regex token count (letter runs, digit
+    * runs, single other non-space chars).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("ws_tokens"),
+      regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("bpe_tokens"))
+
+  /** Order-sensitive rolling-hash fingerprint (native expression). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), GraftFunctions.fingerprint(split(lower(col(textCol)), " ")).as("fingerprint"))
+}

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for a database snapshot laid out as one parquet per table.
+  *
+  * Re-expresses the reference's snapshot access + schema introspection
+  * (reference: /root/reference/openai/list_of_tools.py:166 `schema_check`,
+  * /root/reference/langchain/langchain_tool.py:66 `InfoSQLDatabaseTool`,
+  * :89 `ListSQLDatabaseTool`) over distributed parquet instead of SQLite.
+  *
+  * Scale note: `table` is a bare `spark.read.parquet` so every downstream
+  * filter/projection reaches the scan (PushedFilters / ReadSchema); no
+  * eager caching or collect here.
+  */
+final case class Snapshot(spark: SparkSession, dir: String) {
+  import Snapshot._
+
+  def table(name: String): DataFrame = {
+    require(tableNames.contains(name), s"unknown snapshot table: $name")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS): surfaced as long nanos (see
+    // GraftSession's nanosAsLong), converted here to a standard micros
+    // timestamp. `div` (long division) — a double roundtrip would lose
+    // precision above 2^53 ns.
+    if (name == "events" && raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else raw
+  }
+
+  def region: DataFrame = table("region")
+  def nation: DataFrame = table("nation")
+  def customer: DataFrame = table("customer")
+  def supplier: DataFrame = table("supplier")
+  def part: DataFrame = table("part")
+  def orders: DataFrame = table("orders")
+  def lineitem: DataFrame = table("lineitem")
+  def events: DataFrame = table("events")
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+
+  /** Registers every table as a temp view so `spark.sql(...)` works —
+    * the reference's free-form SQL surface.
+    */
+  def registerAll(): Unit = tableNames.foreach(n => table(n).createOrReplaceTempView(n))
+
+  /** `schema_check` equivalent: one row per column across all tables.
+    * Reads parquet footers only (no data scan).
+    */
+  def schemaReport: DataFrame = {
+    import spark.implicits._
+    tableNames
+      .flatMap { t =>
+        table(t).schema.fields.map(f => (t, f.name, f.dataType.simpleString, f.nullable))
+      }
+      .toDF("table_name", "column_name", "data_type", "nullable")
+  }
+}
+
+object Snapshot {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.ExactMath.dsum
+
+/** Event-stream operators, each in a batch form (oracle-checkable) and a
+  * Structured Streaming form (watermarked state, the 100 TB-stream path).
+  */
+object EventStreams {
+
+  /** Batch twin of the streaming hourly window aggregation. */
+  def hourlyAggBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Streaming form: watermark bounds state; tumbling 1h windows. */
+  def hourlyAggStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"), col("total_value"))
+
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** Batch sessionization: gap > 30 min starts a new session. Window
+    * functions only — one shuffle on user_id, linear per partition.
+    */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    val isNew = when(gap.isNull || gap > SessionGapUs, 1).otherwise(0)
+    events
+      .withColumn("__new", isNew)
+      .withColumn(
+        "session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(lastTs: Long, start: Long, n: Long, sessionId: Long)
+  final case class Session(user_id: Long, session_id: Long, n_events: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
+  /** Streaming sessionization via per-key state. Emits closed sessions when
+    * the gap is exceeded within a batch; state carries the open session.
+    * (For the spec it is driven with a single final batch + timeout.)
+    */
+  def sessionizeStream(spark: SparkSession, events: Dataset[Event]): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L, 0L))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { e =>
+            val tsUs = e.ts.getTime * 1000L
+            if (st.n == 0L) {
+              st = SessionState(tsUs, tsUs, 1L, 1L)
+            } else if (tsUs - st.lastTs > SessionGapUs) {
+              closed += Session(user, st.sessionId, st.n,
+                new java.sql.Timestamp(st.start / 1000L), new java.sql.Timestamp(st.lastTs / 1000L))
+              st = SessionState(tsUs, tsUs, 1L, st.sessionId + 1L)
+            } else {
+              st = st.copy(lastTs = tsUs, n = st.n + 1L)
+            }
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+}
