@@ -130,6 +130,73 @@ case class MinHashSig(child: Expression, coeffs: Seq[(Long, Long)])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Word n-gram shingle hashes: one 64-bit hash per window of `n` adjacent
+  * tokens (xxhash64 chain over per-token hashes — no string concatenation,
+  * one pass). Inputs shorter than `n` yield a single whole-input hash.
+  * Duplicates are kept: MinHash minima are multiset-invariant, and callers
+  * needing set semantics wrap in array_distinct.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[ArrayData]
+    val m = words.numElements()
+    val wh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      wh(i) = if (words.isNullAt(i)) 0L
+        else XxHash64Function.hash(words.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val count = if (m >= n) m - n + 1 else 1
+    val width = if (m >= n) n else m
+    val out = new Array[Long](count)
+    i = 0
+    while (i < count) {
+      var s = 42L
+      var j = i
+      while (j < i + width) {
+        s = XxHash64Function.hash(wh(j), LongType, s)
+        j += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** LSH band buckets from a MinHash signature: output[k] = xxhash64-chain
+  * over slots [k*r, (k+1)*r) seeded with k. One tiny expression instead of
+  * `bands` separate hash(slice(...)) trees — keeps codegen compile time flat
+  * as band count grows.
+  */
+case class BandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val sig = v.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var k = 0
+    while (k < bands) {
+      var h = k.toLong
+      var i = k * rowsPerBand
+      val end = math.min((k + 1) * rowsPerBand, sig.numElements())
+      while (i < end) {
+        h = XxHash64Function.hash(sig.getLong(i), LongType, h)
+        i += 1
+      }
+      out(k) = h
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Order-dependent rolling (polynomial) hash over string tokens:
   * fp = fold(acc * 31 + xxhash64(token)), wrapping. A content fingerprint
   * that, unlike SimHash, is sensitive to token order.
@@ -167,6 +234,13 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_minhash_sig", es => MinHashSig(es.head, MinHashDedup.coeffs), "scala_udf")
     reg.createOrReplaceTempFunction("graft_fingerprint", es => RollingFingerprint(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_band_buckets",
+      es => BandBuckets(es.head, MinHashDedup.Bands, MinHashDedup.RowsPerBand), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_shingle3", es => ShingleHashes(es.head, 3), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_shingle5", es => ShingleHashes(es.head, 5), "scala_udf")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -174,4 +248,10 @@ object GraftFunctions {
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
   def minhashSig(elementHashes: Column): Column = call_function("graft_minhash_sig", elementHashes)
   def fingerprint(tokens: Column): Column = call_function("graft_fingerprint", tokens)
+  def bandBuckets(sig: Column): Column = call_function("graft_band_buckets", sig)
+  def shingleHashes(words: Column, n: Int): Column = n match {
+    case 3 => call_function("graft_shingle3", words)
+    case 5 => call_function("graft_shingle5", words)
+    case other => throw new IllegalArgumentException(s"register a shingle function for n=$other")
+  }
 }

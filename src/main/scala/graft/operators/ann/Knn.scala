@@ -41,12 +41,14 @@ object BruteForceKNN {
   }
 }
 
-/** Random-hyperplane LSH ANN: 16-bit sign signature; candidates share the
-  * query's bucket or any single-bit-flip neighbor bucket (17 probes).
-  * Expected candidates/query ≈ 17 · |corpus| / 2^16 — the 100 TB path.
+/** Random-hyperplane LSH ANN: sign-bit signature; candidates share the
+  * query's bucket or any bucket within hamming distance 2 (multiprobe).
+  * Expected candidates/query ≈ 37 · |corpus| / 2^8. Bits/probes trade
+  * recall for candidate count: more corpus per bucket → raise NumPlanes
+  * (the signature is cheap; the knob is load-dependent, not data-dependent).
   */
 object LshKNN {
-  val NumPlanes = 16
+  val NumPlanes = 8
   val Dim = 64
 
   /** Fixed seeded hyperplanes. */
@@ -62,9 +64,14 @@ object LshKNN {
       }
       .reduce(_ + _)
 
-  /** Buckets + single-bit-flip probe buckets for a query vector. */
-  private def probeBuckets(bucket: Column): Column =
-    array(bucket +: (0 until NumPlanes).map(i => bucket.bitwiseXOR(lit(1 << i))): _*)
+  /** Query probe set: own bucket + all buckets within hamming distance 2. */
+  private def probeBuckets(bucket: Column): Column = {
+    val flips1 = (0 until NumPlanes).map(i => bucket.bitwiseXOR(lit(1 << i)))
+    val flips2 = for {
+      i <- 0 until NumPlanes; j <- (i + 1) until NumPlanes
+    } yield bucket.bitwiseXOR(lit((1 << i) | (1 << j)))
+    array(bucket +: (flips1 ++ flips2): _*)
+  }
 
   def topK(
       queries: DataFrame,

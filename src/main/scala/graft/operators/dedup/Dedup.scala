@@ -20,20 +20,33 @@ object ExactDedup {
 }
 
 private[dedup] object Shingling {
-  /** Distinct word n-gram shingles of the lowercased text; texts shorter
-    * than the shingle size collapse to a single whole-text shingle.
+  /** Word n-gram shingles of the lowercased text as 64-bit hashes (native
+    * expression — no per-shingle string allocation). Multiset: callers
+    * needing set semantics wrap in array_distinct.
     */
-  def shingles(textCol: Column, n: Int): Column = {
-    val words = split(lower(textCol), " ")
-    when(
-      size(words) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(words) - n), i => concat_ws(" ", slice(words, i + 1, lit(n))))))
-      .otherwise(array(concat_ws(" ", words)))
-  }
+  def shingleHashes(textCol: Column, n: Int): Column =
+    GraftFunctions.shingleHashes(split(lower(textCol), " "), n)
 
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** Exact Jaccard over distinct shingle-hash sets, attached to candidate
+    * pairs. Shingles are computed only for docs that appear in a pair
+    * (semi-join first) — at 100 TB the candidate set is orders of magnitude
+    * smaller than the corpus.
+    */
+  def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val candIds = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+    val sh = df.select(col(idCol).as("id"), col(textCol))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), array_distinct(shingleHashes(col(textCol), n)).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }
 
 /** MinHash + LSH near-duplicate detection.
@@ -60,7 +73,7 @@ object MinHashDedup {
   }
 
   def signature(textCol: Column, shingle: Int = DefaultShingle): Column =
-    GraftFunctions.minhashSig(transform(Shingling.shingles(textCol, shingle), s => xxhash64(s)))
+    GraftFunctions.minhashSig(Shingling.shingleHashes(textCol, shingle))
 
   /** Candidate pairs (id_a < id_b) from banded LSH buckets, with exact
     * Jaccard over shingle sets attached.
@@ -71,17 +84,14 @@ object MinHashDedup {
       textCol: String,
       shingle: Int = DefaultShingle,
       maxBucketSize: Int = 1000): DataFrame = {
-    val base = df.select(
-      col(idCol).as("id"),
-      signature(col(textCol), shingle).as("sig"),
-      Shingling.shingles(col(textCol), shingle).as("sh"))
-
-    val bandCols = (0 until Bands).map { k =>
-      struct(lit(k).as("band"), xxhash64(lit(k), slice(col("sig"), k * RowsPerBand + 1, RowsPerBand)).as("bucket"))
-    }
-    val banded = base
-      .select(col("id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // Banded rows stay slim — (id, band, bucket) only. Shingle sets are
+    // re-attached after pair dedup; shuffling ~150-string arrays through
+    // the band explode dominates runtime otherwise.
+    val banded = df
+      .select(col(idCol).as("id"), GraftFunctions.bandBuckets(signature(col(textCol), shingle)).as("bs"))
+      .select(col("id"), posexplode(col("bs")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
 
     // Cap degenerate buckets before the self-join (skew guard).
     val sized = banded.withColumn(
@@ -89,14 +99,14 @@ object MinHashDedup {
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
     val bounded = sized.where(col("bsz") <= maxBucketSize).drop("bsz")
 
-    val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bucket"))
+    val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", Shingling.jaccard(col("sh_a"), col("sh_b")))
-      .drop("sh_a", "sh_b")
+
+    Shingling.verifyJaccard(pairs, df, idCol, textCol, shingle)
   }
 
   def duplicatePairs(df: DataFrame, idCol: String, textCol: String, threshold: Double = 0.5): DataFrame =
@@ -159,19 +169,21 @@ object NGramJaccardDedup {
       textCol: String,
       shingle: Int = 5,
       maxShingleFreq: Int = 100): DataFrame = {
-    val base = df.select(col(idCol).as("id"), Shingling.shingles(col(textCol), shingle).as("sh"))
-    val exploded = base.select(col("id"), col("sh"), explode(col("sh")).as("s"))
+    // Slim (shingle-hash, id) rows through the shuffle; shingle sets are
+    // re-attached to candidates only (same reasoning as MinHash).
+    val exploded = df.select(
+      col(idCol).as("id"),
+      explode(array_distinct(Shingling.shingleHashes(col(textCol), shingle))).as("s"))
     val bounded = exploded
       .withColumn("freq", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
       .where(col("freq") <= maxShingleFreq)
-    val l = bounded.select(col("s"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = bounded.select(col("s"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("s"))
+    val pairs = bounded.select(col("s"), col("id").as("id_a"))
+      .join(bounded.select(col("s"), col("id").as("id_b")), Seq("s"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", Shingling.jaccard(col("sh_a"), col("sh_b")))
-      .drop("sh_a", "sh_b")
+
+    Shingling.verifyJaccard(pairs, df, idCol, textCol, shingle)
   }
 
   /** Per-doc candidate stats (total, always one row per doc). */

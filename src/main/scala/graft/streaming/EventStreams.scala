@@ -48,13 +48,20 @@ object EventStreams {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
-  final case class SessionState(lastTs: Long, start: Long, n: Long, sessionId: Long)
+  final case class SessionState(lastTs: java.sql.Timestamp, start: java.sql.Timestamp,
+      n: Long, sessionId: Long)
   final case class Session(user_id: Long, session_id: Long, n_events: Long,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
 
+  /** Microseconds since epoch — Timestamp.getTime alone is ms and would
+    * truncate the sub-ms part the batch twin keeps.
+    */
+  private def us(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Streaming sessionization via per-key state. Emits closed sessions when
     * the gap is exceeded within a batch; state carries the open session.
-    * (For the spec it is driven with a single final batch + timeout.)
+    * (For the spec it is driven with a single final batch.)
     */
   def sessionizeStream(spark: SparkSession, events: Dataset[Event]): Dataset[Session] = {
     import spark.implicits._
@@ -63,19 +70,17 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L, 0L))
+          val sorted = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var st = state.getOption.orNull
           val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
           sorted.foreach { e =>
-            val tsUs = e.ts.getTime * 1000L
-            if (st.n == 0L) {
-              st = SessionState(tsUs, tsUs, 1L, 1L)
-            } else if (tsUs - st.lastTs > SessionGapUs) {
-              closed += Session(user, st.sessionId, st.n,
-                new java.sql.Timestamp(st.start / 1000L), new java.sql.Timestamp(st.lastTs / 1000L))
-              st = SessionState(tsUs, tsUs, 1L, st.sessionId + 1L)
+            if (st == null) {
+              st = SessionState(e.ts, e.ts, 1L, 1L)
+            } else if (us(e.ts) - us(st.lastTs) > SessionGapUs) {
+              closed += Session(user, st.sessionId, st.n, st.start, st.lastTs)
+              st = SessionState(e.ts, e.ts, 1L, st.sessionId + 1L)
             } else {
-              st = st.copy(lastTs = tsUs, n = st.n + 1L)
+              st = st.copy(lastTs = e.ts, n = st.n + 1L)
             }
           }
           state.update(st)

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.dedup._
+
+/** Semantic checks on synthetic corpora with known duplicates — the oracle
+  * covers the no-dup real data; these cover the dup-positive paths.
+  */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+    (4L, "completely different content about spark partitions and shuffle behavior entirely"),
+    (5L, "another unrelated document mentioning joins aggregations and window functions only")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps first id per content group") {
+    val groups = ExactDedup.groups(corpus, "doc_id", "text").collect()
+    assert(groups.length == 4)
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("doc_id") == 1L)
+    val survivors = ExactDedup.dedupe(corpus, "doc_id", "text").select("doc_id")
+      .as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash finds exact and near dup, keeps lower ids") {
+    val pairs = MinHashDedup.duplicatePairs(corpus, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    val survivors = MinHashDedup.dedupe(corpus, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors.head == 1L)
+    assert(!survivors.contains(2L))
+    assert(survivors.containsSlice(Seq(4L, 5L)))
+  }
+
+  test("minhash jaccard is exact on candidates") {
+    val p = MinHashDedup.candidatePairs(corpus, "doc_id", "text")
+      .where($"id_a" === 1L && $"id_b" === 2L).select("jaccard").as[Double].collect()
+    assert(p.nonEmpty && p.head == 1.0)
+  }
+
+  test("simhash: identical docs collide, near dups within hamming 3") {
+    val pairs = SimHashDedup.duplicatePairs(corpus, "doc_id", "text", 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    val survivors = SimHashDedup.dedupe(corpus, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!survivors.contains(2L) && survivors.contains(1L))
+  }
+
+  test("ngram jaccard stats cover every doc") {
+    val stats = NGramJaccardDedup.stats(corpus, "doc_id", "text")
+    assert(stats.count() == 5)
+    val m = stats.where($"doc_id" === 1L).select("max_jaccard").as[Double].head()
+    assert(m == 1.0) // exact dup present
+  }
+
+  test("embedding dedup finds the planted near-identical vector") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f)), // near dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = EmbeddingDedup.duplicatePairs(vecs, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

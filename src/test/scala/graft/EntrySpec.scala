@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Contract checks on the driver surface: every query runs, is non-empty,
+  * and every oracle-declared key exists in queries.
+  */
+class EntrySpec extends SparkSpecBase {
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("all queries run non-empty on sf0.001") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try {
+        if (fn(spark, sf()).count() > 0) None else Some(s"$name: empty")
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("deterministic: q5 twice gives identical rows") {
+    val a = SparkEntry.queries("q5_region_volume")(spark, sf()).collect().toSeq
+    val b = SparkEntry.queries("q5_region_volume")(spark, sf()).collect().toSeq
+    assert(a == b)
+  }
+}

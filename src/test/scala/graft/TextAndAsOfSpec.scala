@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.asof.AsOfJoin
+import graft.operators.text.TextStats
+
+class TextAndAsOfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("langid picks the marker-dominant language with priority tiebreak") {
+    val df = Seq(
+      (1L, "the cat is on a mat of straw and hay"),
+      (2L, "der hund ist und das haus die tur"),
+      (3L, "xyzzy plugh") // no markers anywhere -> ties -> first priority: en
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextStats.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "en")
+  }
+
+  test("quality features compute known values") {
+    val df = Seq((1L, "the fox! runs")).toDF("doc_id", "text")
+    val r = TextStats.quality(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_chars") == 13L)
+    assert(r.getAs[Long]("n_words") == 3L)
+    assert(r.getAs[Double]("punct_ratio") == 1.0 / 13)
+    assert(r.getAs[Double]("stopword_ratio") == 1.0 / 3)
+  }
+
+  test("token counts: ws vs bpe-ish") {
+    val df = Seq((1L, "ab 12 c!")).toDF("doc_id", "text")
+    val r = TextStats.tokenCounts(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("ws_tokens") == 3L)
+    assert(r.getAs[Long]("bpe_tokens") == 4L) // ab, 12, c, !
+  }
+
+  test("fingerprint is order-sensitive") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fps = TextStats.fingerprint(df, "doc_id", "text")
+      .select("fingerprint").as[Long].collect()
+    assert(fps(0) != fps(1))
+  }
+
+  test("asof join picks latest prior ts per key, inclusive on ties") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (10L, 1L, ts("2024-01-01 12:00:00")),
+      (11L, 1L, ts("2024-01-01 09:00:00")),
+      (12L, 2L, ts("2024-01-01 12:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 12:00:00")), // tie with event 10 -> included
+      (2L, ts("2024-01-01 13:00:00"))  // after event 12 -> no match
+    ).toDF("user_id", "rts")
+    val got = AsOfJoin.latestPriorTs(left, right, "user_id", "ts", "rts", "matched")
+      .select("event_id", "matched").as[(Long, Option[Timestamp])].collect().toMap
+    assert(got(10L).contains(ts("2024-01-01 12:00:00"))) // tie included
+    assert(got(11L).isEmpty) // earliest signup is after 09:00
+    assert(got(12L).isEmpty)
+  }
+}
