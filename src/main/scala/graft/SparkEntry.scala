@@ -223,8 +223,67 @@ object SparkEntry {
 
     // ---- D. sessionization (batch twin of the streaming op) --------------
     "q_sessionize" -> ((s, dir) =>
-      EventStreams.sessionizeBatch(snap(s, dir).events))
+      EventStreams.sessionizeBatch(snap(s, dir).events)),
+
+    // ---- E. round-1 widening: SQL surface, more dims, windows, sampling --
+    "q_sql_freeform" -> ((s, dir) =>
+      // same SQL text runs in Spark and DuckDB — the free-form surface
+      graft.api.SqlTools.run(snap(s, dir), SqlFreeform)),
+    "q_part_revenue_by_brand" -> ((s, dir) => {
+      val sn = snap(s, dir)
+      sn.lineitem
+        .join(broadcast(sn.part.where(
+          Procurement.keywordFilter(col("p_name"), Seq(Seq("bolt", "gear"))))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("p_brand"))
+    }),
+    "q_moving_avg" -> ((s, dir) => {
+      val monthly = snap(s, dir).orders
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_packages"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("month").rowsBetween(-2, 0)
+      monthly
+        .withColumn("ma3", avg(col("n_packages")).over(w))
+        .orderBy("month")
+    }),
+    "q_percentiles" -> ((s, dir) => {
+      snap(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_sample_hash" -> ((s, dir) => {
+      // deterministic ~10% sample via md5 prefix — portable across engines,
+      // stable across runs/cluster sizes (unlike rand() or TABLESAMPLE)
+      snap(s, dir).orders
+        .where(md5(col("o_orderkey").cast("string")) < "1a")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+    "q_stratified_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      snap(s, dir).documents
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 20)
+        .select(col("doc_id"), col("lang"), col("rnk"))
+        .orderBy("lang", "rnk")
+    })
   )
+
+  /** Identical text in Spark SQL and DuckDB dialects. */
+  private val SqlFreeform: String =
+    """SELECT n_name, COUNT(*) AS n_suppliers,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -424,6 +483,37 @@ object SparkEntry {
         |  FROM x)
         |SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
-        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
+    "q_sql_freeform" -> SqlFreeform,
+    "q_part_revenue_by_brand" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_name LIKE '%bolt%' OR p_name LIKE '%gear%'
+        |GROUP BY p_brand ORDER BY revenue DESC, p_brand""".stripMargin,
+    "q_moving_avg" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, COUNT(*) AS n_packages
+        |  FROM orders GROUP BY 1)
+        |SELECT month, n_packages,
+        |  AVG(n_packages) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3
+        |FROM m ORDER BY month""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1a'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, lang, rnk FROM r WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin
   )
 }
