@@ -103,4 +103,24 @@ object Procurement {
       max(col(valueCol)).cast("double").as("max_budget"),
       dsum(col(valueCol)).as("total_budget"),
       davg(col(valueCol)).as("mean_budget"))
+
+  /** Reference-style insight text for a grouped value metric (the prose
+    * block each chart tool returns, e.g. bar_chart_tool's "Data Insights").
+    * The aggregation is distributed; only the ≤`groups`-row summary is
+    * collected for formatting.
+    */
+  def insightsText(df: DataFrame, groupCol: String, valueCol: String): String = {
+    val agg = barAgg(df, groupCol, valueCol)
+    val rows = agg.collect()
+    if (rows.isEmpty) return "Data Insights: no rows."
+    val totals = rows.map(_.getAs[Double]("total_budget"))
+    val top = rows.head
+    val bottom = rows.last
+    f"""Data Insights:
+       |- Total number of groups: ${rows.length}
+       |- Highest total: ${top.getAs[Double]("total_budget")}%.2f (${top.getAs[String](groupCol)})
+       |- Lowest total: ${bottom.getAs[Double]("total_budget")}%.2f (${bottom.getAs[String](groupCol)})
+       |- Average total: ${totals.sum / totals.length}%.2f
+       |- Grand total: ${totals.sum}%.2f""".stripMargin
+  }
 }

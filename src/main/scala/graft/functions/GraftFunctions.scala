@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -29,11 +29,22 @@ private[graft] trait VectorReader {
     case IntegerType => a.getInt(i).toDouble
     case other => throw new IllegalArgumentException(s"unsupported vector element type $other")
   }
+
+  /** Java accessor snippet for element i of an ArrayData of type t. */
+  protected def readJava(arr: String, i: String, t: DataType): String = t match {
+    case FloatType   => s"(double) $arr.getFloat($i)"
+    case DoubleType  => s"$arr.getDouble($i)"
+    case LongType    => s"(double) $arr.getLong($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case other => throw new IllegalArgumentException(s"unsupported vector element type $other")
+  }
 }
 
-/** Sequential-fold dot product of two numeric arrays, in double. */
+/** Sequential-fold dot product of two numeric arrays, in double.
+  * Generates a tight primitive loop inside whole-stage codegen.
+  */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with VectorReader {
+    extends BinaryExpression with VectorReader {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(l: Any, r: Any): Any = {
     val x = l.asInstanceOf[ArrayData]; val y = r.asInstanceOf[ArrayData]
@@ -43,16 +54,29 @@ case class DotProduct(left: Expression, right: Expression)
     while (i < n) { s += read(x, i, tx) * read(y, i, ty); i += 1 }
     s
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (${readJava(a, i, elemType(left))}) * (${readJava(b, i, elemType(right))});
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 /** Cosine similarity = dot/(||a||*||b||), all folds sequential in double.
-  * Returns null on zero-norm input.
+  * Returns null on zero-norm input. Codegen: one fused primitive loop.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with VectorReader {
+    extends BinaryExpression with VectorReader {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullSafeEval(l: Any, r: Any): Any = {
     val x = l.asInstanceOf[ArrayData]; val y = r.asInstanceOf[ArrayData]
     val (tx, ty) = (elemType(left), elemType(right))
@@ -66,6 +90,26 @@ case class CosineSim(left: Expression, right: Expression)
     if (nx == 0.0 || ny == 0.0) null
     else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val va = ctx.freshName("va"); val vb = ctx.freshName("vb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $va = ${readJava(a, i, elemType(left))};
+         |  double $vb = ${readJava(b, i, elemType(right))};
+         |  $dot += $va * $vb; $nx += $va * $va; $ny += $vb * $vb;
+         |}
+         |if ($nx == 0.0 || $ny == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.Procurement
+import graft.operators.join.SkewTools
+import graft.sources.{Bucketing, Snapshot}
+
+class ScaleToolsSpec extends SparkSpecBase {
+
+  test("salted join equals plain join") {
+    val sn = Snapshot(spark, sf())
+    val li = sn.lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
+    val o = sn.orders.select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, "l_orderkey")
+      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    val salted = SkewTools.saltedJoin(li, o, "l_orderkey", 8, "l_linenumber")
+      .select(plain.headOption.map(_ => li.join(o, "l_orderkey").columns).getOrElse(Array[String]()).map(col): _*)
+      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("bucketed join plans without a shuffle exchange") {
+    val sn = Snapshot(spark, sf())
+    Bucketing.writeBucketed(sn.orders, "orders_b", "o_orderkey", 8)
+    Bucketing.writeBucketed(
+      sn.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", "o_orderkey", 8)
+    val joined = Bucketing.bucketedJoin(spark, "orders_b", "lineitem_b", "o_orderkey")
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(joined.count() == sn.lineitem.count())
+  }
+
+  test("cosine expression runs inside whole-stage codegen (no fallback)") {
+    val e = Snapshot(spark, sf()).embeddings
+    val df = e.limit(50).crossJoin(e.limit(50).select(col("vec_id").as("v2"), col("embedding").as("e2")))
+      .select(graft.functions.GraftFunctions.cosine(col("embedding"), col("e2")).as("sim"))
+      .agg(sum("sim"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p.take(1500)) // codegen stage present
+  }
+
+  test("codegen and interpreted cosine agree bit-exactly") {
+    val e = Snapshot(spark, sf()).embeddings.limit(20)
+    val pairs = e.crossJoin(e.select(col("vec_id").as("v2"), col("embedding").as("e2")))
+    val viaCodegen = pairs
+      .select(graft.functions.GraftFunctions.cosine(col("embedding"), col("e2")).as("sim"))
+      .collect().map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    // interpreted path: expression evaluated row-by-row via eval
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    val rows = pairs.select("embedding", "e2").collect()
+    val conv = CatalystTypeConverters.createToCatalystConverter(
+      pairs.select("embedding").schema.head.dataType)
+    val viaEval = rows.map { r =>
+      val a = Literal.create(conv(r.getSeq[Float](0)),
+        pairs.schema("embedding").dataType)
+      val b = Literal.create(conv(r.getSeq[Float](1)),
+        pairs.schema("embedding").dataType)
+      val res = graft.functions.CosineSim(a, b).eval(null)
+      if (res == null) Double.NaN else res.asInstanceOf[Double]
+    }
+    assert(viaCodegen.length == viaEval.length)
+    viaCodegen.zip(viaEval).foreach { case (c, i) =>
+      assert(c == i || (c.isNaN && i.isNaN), s"codegen $c != interpreted $i")
+    }
+  }
+
+  test("insights text formats the reference-style summary") {
+    val sn = Snapshot(spark, sf())
+    val joined = sn.orders
+      .join(sn.customer, col("o_custkey") === col("c_custkey"))
+      .join(sn.nation, col("c_nationkey") === col("n_nationkey"))
+    val text = Procurement.insightsText(joined, "n_name", "o_totalprice")
+    assert(text.contains("Data Insights:"))
+    assert(text.contains("Total number of groups: 25"))
+    assert(text.contains("Grand total:"))
+  }
+}
