@@ -124,12 +124,17 @@ object SparkEntry {
     }),
     "q_top_n_per_group" -> ((s, dir) => {
       val sn = snap(s, dir)
+      val joined = sn.customer
+        .join(broadcast(sn.nation), col("c_nationkey") === col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_name", "c_acctbal")
+      // custom bounded-heap operator: the full input is never sorted; the
+      // rank window below only sees <=3 rows per key
+      val top = graft.plans.TopKPerKey(
+        joined, Seq("n_name"), Seq(col("c_acctbal").desc, col("c_custkey").asc), 3)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("n_name").orderBy(col("c_acctbal").desc, col("c_custkey"))
-      sn.customer
-        .join(broadcast(sn.nation), col("c_nationkey") === col("n_nationkey"))
+      top
         .withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= 3)
         .select(col("n_name"), col("rnk"), col("c_custkey"), col("c_name"), col("c_acctbal"))
         .orderBy("n_name", "rnk")
     }),
@@ -267,6 +272,9 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy("o_orderkey")
     }),
+    "q_tfidf_top_terms" -> ((s, dir) =>
+      TextStats.tfidfTopTerms(snap(s, dir).documents, "doc_id", "text", 3)
+        .orderBy("doc_id", "rnk")),
     "q_stratified_sample" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
@@ -509,6 +517,18 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1a'
         |ORDER BY o_orderkey""".stripMargin,
+    "q_tfidf_top_terms" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        CAST(tf.tf AS DOUBLE) * (ln((nn.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS tfidf
+        |      FROM tf CROSS JOIN nn JOIN dfreq ON tf.term = dfreq.term),
+        |r AS (SELECT doc_id, term, tfidf,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM s)
+        |SELECT doc_id, rnk, term, round(tfidf, 6) AS tfidf FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "q_stratified_sample" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

@@ -1,0 +1,57 @@
+package graft.operators.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over duplicate-pair edges, for transitive dedup
+  * clusters (A~B, B~C ⇒ {A,B,C} one cluster even without an A~C edge).
+  *
+  * Iterative min-label propagation: each round every node takes the
+  * minimum label among itself and its neighbors — one hop per round, so
+  * convergence is O(diameter); near-dup clusters have tiny diameters in
+  * practice (hitting maxIter leaves distant chain ends unmerged). Each
+  * round is one shuffle on node id; `localCheckpoint` cuts lineage so
+  * plans don't grow with iterations (the classic iterative-Spark failure
+  * mode).
+  */
+object TransitiveDedup {
+
+  /** (id, component) for every id appearing in `pairs` (id_a/id_b). */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("component")).as("nbr_min"))
+      val updated = labels
+        .join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+          (col("nbr_min") < col("component")).as("changed"))
+        .localCheckpoint(true)
+      converged = updated.where(col("changed")).isEmpty
+      labels = updated.select("id", "component")
+      iter += 1
+    }
+    labels
+  }
+
+  /** Survivors after transitive dedup: the minimum id of each component
+    * plus every id with no duplicate edge at all.
+    */
+  def dedupe(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = components(pairs)
+    val losers = comp.where(col("id") =!= col("component")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}

@@ -72,4 +72,26 @@ object TextStats {
   /** Order-sensitive rolling-hash fingerprint (native expression). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), GraftFunctions.fingerprint(split(lower(col(textCol)), " ")).as("fingerprint"))
+
+  /** Top-k TF-IDF terms per document. Term/doc frequencies are two
+    * hash-partitioned aggregations; the corpus size joins in as a broadcast
+    * scalar; ranking is a per-doc window. idf = ln((N+1)/(df+1)) + 1.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val terms = df.select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(docFreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), round(col("tfidf"), 6).as("tfidf"))
+  }
 }

@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Top-k rows per key as a first-class physical operator.
+  *
+  * The window formulation (`row_number().over(partitionBy(k).orderBy(o))`
+  * + filter) must fully sort every partition's rows before it can rank —
+  * O(n log n) per key and the whole input flows through the sort. This
+  * operator keeps a bounded k-heap per key instead: O(n log k), memory
+  * O(keys·k), and rows beyond the heap are dropped on the spot. At 100 TB
+  * with small k that is the difference between sorting the corpus and
+  * streaming over it once after one clustering shuffle.
+  *
+  * Wiring: logical node → strategy (injected via
+  * `spark.experimental.extraStrategies`, no session rebuild needed) →
+  * exec node that declares `ClusteredDistribution` so Spark plans the
+  * single shuffle.
+  */
+final case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+final case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val sortOrder = order
+    val childOutput = child.output
+    val limit = k
+    child.execute().mapPartitions({ rows =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val rowOrdering: Ordering[InternalRow] =
+        new org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering(
+          sortOrder, childOutput)
+      // per key: bounded heap holding the current top-k (max of kept set at
+      // the root so the worst kept row is evicted first)
+      val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]
+      val reverse = rowOrdering.reverse.asInstanceOf[java.util.Comparator[InternalRow]]
+      rows.foreach { r =>
+        val key = keyProj(r)
+        val heap = heaps.getOrElseUpdate(
+          key.copy(), new java.util.PriorityQueue[UnsafeRow](limit + 1, reverse.asInstanceOf[java.util.Comparator[UnsafeRow]]))
+        if (heap.size < limit) {
+          heap.add(r.copy().asInstanceOf[UnsafeRow])
+        } else if (rowOrdering.compare(r, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(r.copy().asInstanceOf[UnsafeRow])
+        }
+      }
+      heaps.iterator.flatMap { case (_, heap) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+        while (!heap.isEmpty) buf += heap.poll()
+        buf.sortInPlace()(rowOrdering.asInstanceOf[Ordering[UnsafeRow]]).iterator
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  /** Registers the strategy on the session (idempotent) and returns the
+    * top-k rows per key, ordered within each key by `order`.
+    */
+  def apply(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    register(spark)
+    val plan = df.queryExecution.analyzed
+    val keyExprs = keyCols.map(n => plan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"key column $n not in ${plan.output.map(_.name)}")))
+    val orderExprs = orderBy.map { c =>
+      GraftPlanBridge.expression(c) match {
+        case so: SortOrder => so
+        case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+      }
+    }
+    GraftPlanBridge.ofRows(spark, TopKPerKeyNode(keyExprs, orderExprs, k, plan))
+  }
+
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+}

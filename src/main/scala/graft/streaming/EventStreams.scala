@@ -27,6 +27,31 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup by id: watermark bounds the dedup state the
+    * same way it bounds window state — unbounded-state dedup is the classic
+    * streaming-pipeline OOM at scale.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /** Stream-stream join: each purchase joined to signups of the same user
+    * within the preceding hour. Watermarks on both sides + a time-range
+    * condition bound both join states.
+    */
+  def purchaseAttributionStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    purchases.join(
+      signups,
+      col("p_user") === col("s_user") &&
+        expr("s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR"))
+  }
+
   val SessionGapUs: Long = 30L * 60 * 1000 * 1000
 
   /** Batch sessionization: gap > 30 min starts a new session. Window

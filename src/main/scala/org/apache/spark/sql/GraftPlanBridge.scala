@@ -1,0 +1,19 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `Dataset.ofRows` (private[sql]) so graft can materialize
+  * DataFrames from custom logical plans — the documented pattern for
+  * libraries extending Catalyst (cf. the public Qbeast `DatasetFactory`).
+  */
+object GraftPlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Eagerly converts a Column's node tree to a catalyst Expression — the
+    * lazy `ColumnNodeExpression` wrapper keeps non-serializable internal
+    * nodes alive inside closures.
+    */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+}

@@ -22,6 +22,16 @@ class ScaleToolsSpec extends SparkSpecBase {
 
   test("bucketed join plans without a shuffle exchange") {
     val sn = Snapshot(spark, sf())
+    // in-memory catalog is fresh each JVM but the warehouse dir persists:
+    // clear both before re-creating the managed tables
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     Bucketing.writeBucketed(sn.orders, "orders_b", "o_orderkey", 8)
     Bucketing.writeBucketed(
       sn.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", "o_orderkey", 8)

@@ -36,6 +36,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops reprocessed event ids") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val stream = spark.readStream.schema(batchDf.schema).parquet(eventsDir)
+    val q = EventStreams.dedupStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("deduped").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() ==
+        batchDf.select("event_id").distinct().count())
+    } finally q.stop()
+  }
+
+  test("stream-stream purchase attribution matches batch join") {
+    val batchDf = spark.read.parquet(eventsDir)
+    val stream = spark.readStream.schema(batchDf.schema).parquet(eventsDir)
+    val q = EventStreams.purchaseAttributionStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("attrib").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attrib").count()
+      val exp = EventStreams.purchaseAttributionStream(batchDf).count()
+      assert(got == exp, s"stream $got != batch $exp")
+      assert(exp > 0, "attribution join should match at least one pair in testdata")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closed sessions match batch (single batch + gap flush)") {
     val batch = EventStreams.sessionizeBatch(spark.read.parquet(eventsDir))
     // closed = all batch sessions except each user's last (still open in state)

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopKPerKey
+import graft.sources.Snapshot
+
+class TopKPerKeySpec extends SparkSpecBase {
+
+  test("matches the window row_number formulation") {
+    val sn = Snapshot(spark, sf())
+    val c = sn.customer.join(broadcast(sn.nation), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_custkey", "c_acctbal")
+
+    val viaWindow = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("n_name").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      c.withColumn("rn", row_number().over(w)).where(col("rn") <= 3).drop("rn")
+        .orderBy("n_name", "c_custkey").collect().toSeq
+    }
+    val viaTopK = TopKPerKey(c, Seq("n_name"), Seq(col("c_acctbal").desc, col("c_custkey").asc), 3)
+      .orderBy("n_name", "c_custkey").collect().toSeq
+    assert(viaTopK == viaWindow)
+  }
+
+  test("plans one clustering exchange and no sort of the full input") {
+    val sn = Snapshot(spark, sf())
+    val df = TopKPerKey(
+      sn.customer.select("c_nationkey", "c_custkey", "c_acctbal"),
+      Seq("c_nationkey"), Seq(col("c_acctbal").desc), 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), p.take(1500)) // nodeName strips "Exec"
+    assert(!p.contains("Sort "), s"full-input sort should be absent:\n${p.take(1500)}")
+  }
+
+  test("k larger than group size returns whole groups") {
+    val sn = Snapshot(spark, sf())
+    val small = sn.region // 5 rows, distinct keys
+    val got = TopKPerKey(small, Seq("r_regionkey"), Seq(col("r_name").asc), 10).count()
+    assert(got == 5)
+  }
+}
