@@ -272,6 +272,18 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy("o_orderkey")
     }),
+    "q_running_total" -> ((s, dir) => {
+      import graft.functions.ExactMath.ValueDecimal
+      val monthly = snap(s, dir).orders
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(col("o_totalprice").cast(ValueDecimal)).as("t_dec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("month").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      monthly
+        .withColumn("running_total", sum(col("t_dec")).over(w).cast("double"))
+        .select(col("month"), col("t_dec").cast("double").as("total_budget"), col("running_total"))
+        .orderBy("month")
+    }),
     "q_tfidf_top_terms" -> ((s, dir) =>
       TextStats.tfidfTopTerms(snap(s, dir).documents, "doc_id", "text", 3)
         .orderBy("doc_id", "rnk")),
@@ -517,6 +529,14 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1a'
         |ORDER BY o_orderkey""".stripMargin,
+    "q_running_total" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS t
+        |  FROM orders GROUP BY 1)
+        |SELECT month, CAST(t AS DOUBLE) AS total_budget,
+        |  CAST(SUM(t) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM m ORDER BY month""".stripMargin,
     "q_tfidf_top_terms" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),

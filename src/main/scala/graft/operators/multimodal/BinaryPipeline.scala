@@ -54,4 +54,45 @@ object BinaryPipeline {
         }
       }
   }
+
+  final case class ResizedMeta(doc_id: Long, width: Long, height: Long,
+      out_width: Long, out_height: Long)
+
+  /** Aspect-preserving resize plan (shorter side → `target`). STUB: only
+    * the geometry is computed; the pixel op would sit in the same
+    * mapPartitions batch as the decode.
+    */
+  def resizePlan(meta: Dataset[MediaMeta], target: Long): Dataset[ResizedMeta] = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.map { m =>
+      val short = math.min(m.width, m.height)
+      val scaleNum = target
+      ResizedMeta(m.doc_id, m.width, m.height,
+        m.width * scaleNum / short, m.height * scaleNum / short)
+    }
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_sha: String)
+
+  /** Frame sampling for video-like binaries: every `stride`-th frame of a
+    * deterministic fake frame count derived from the bytes. STUB: real
+    * demux/decode would produce the frame payloads in the same flatMap.
+    */
+  def sampleFramesStub(df: DataFrame, idCol: String, binCol: String, stride: Long): Dataset[Frame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(stride > 0)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = 1L + bytes.length.toLong % 64L
+        (0L until nFrames by stride).map { i =>
+          val digest = java.security.MessageDigest.getInstance("SHA-256")
+          digest.update(bytes)
+          digest.update(java.nio.ByteBuffer.allocate(8).putLong(i).array())
+          Frame(id, i, digest.digest().take(8).map("%02x".format(_)).mkString)
+        }
+      }
+  }
 }

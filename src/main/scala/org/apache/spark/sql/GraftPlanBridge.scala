@@ -16,4 +16,8 @@ object GraftPlanBridge {
     */
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Test hook: materialize the strategies an extensions object injects. */
+  def plannerStrategies(e: SparkSessionExtensions, spark: SparkSession) =
+    e.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
 }

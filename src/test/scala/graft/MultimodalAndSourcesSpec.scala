@@ -21,6 +21,36 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     assert(viaSql == viaMap)
   }
 
+  test("resize plan preserves aspect ratio; frame sampling strides deterministically") {
+    val d = Snapshot(spark, sf()).documents.limit(20)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val meta = BinaryPipeline.decodeImagesStub(d, "doc_id", "payload")
+    val resized = BinaryPipeline.resizePlan(meta, 256).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(math.min(r.out_width, r.out_height) >= 256)
+      assert(math.min(r.out_width, r.out_height) < 256 + 256) // shorter side ~target
+    }
+    val frames = BinaryPipeline.sampleFramesStub(d, "doc_id", "payload", 8)
+    val byDoc = frames.collect().groupBy(_.doc_id)
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { fs =>
+      assert(fs.map(_.frame_idx).forall(_ % 8 == 0))
+      assert(fs.map(_.frame_sha).distinct.length == fs.length) // per-frame digests differ
+    }
+    // determinism: same input -> same frames
+    val again = BinaryPipeline.sampleFramesStub(d, "doc_id", "payload", 8).collect()
+    assert(again.sortBy(f => (f.doc_id, f.frame_idx)).toSeq ==
+      frames.collect().sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
+  }
+
+  test("GraftExtensions injects the planner strategy") {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(e)
+    val strategies = org.apache.spark.sql.GraftPlanBridge.plannerStrategies(e, spark)
+    assert(strategies.contains(graft.plans.TopKPerKeyStrategy))
+  }
+
   test("csv and json round-trip through the engine") {
     val tmp = Files.createTempDirectory("graft_io").toFile
     tmp.deleteOnExit()
