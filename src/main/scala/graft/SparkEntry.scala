@@ -272,6 +272,16 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy("o_orderkey")
     }),
+    "q_customers_no_urgent" -> ((s, dir) => {
+      val sn = snap(s, dir)
+      sn.customer
+        .join(
+          sn.orders.where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
     "q_running_total" -> ((s, dir) => {
       import graft.functions.ExactMath.ValueDecimal
       val monthly = snap(s, dir).orders
@@ -529,6 +539,11 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1a'
         |ORDER BY o_orderkey""".stripMargin,
+    "q_customers_no_urgent" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
     "q_running_total" ->
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,

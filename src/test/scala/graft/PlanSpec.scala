@@ -48,4 +48,17 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("q_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("partitioned writes enable partition pruning at the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toFile
+    dir.deleteOnExit()
+    val orders = Snapshot(spark, sf()).orders
+      .withColumn("order_year", year(col("o_orderdate")))
+    orders.write.mode("overwrite").partitionBy("order_year").parquet(dir.getAbsolutePath)
+    val read = spark.read.parquet(dir.getAbsolutePath).where(col("order_year") === 1996)
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(order_year"), p.take(2000))
+    assert(read.count() == orders.where(col("order_year") === 1996).count())
+  }
 }

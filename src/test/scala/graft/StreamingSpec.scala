@@ -21,6 +21,24 @@ class StreamingSpec extends SparkSpecBase {
     dir.getAbsolutePath
   }
 
+  test("streaming writes to a parquet sink with checkpointing") {
+    val outDir = Files.createTempDirectory("graft_sink").toFile
+    val ckDir = Files.createTempDirectory("graft_ck").toFile
+    outDir.deleteOnExit(); ckDir.deleteOnExit()
+    val batchDf = spark.read.parquet(eventsDir)
+    val stream = spark.readStream.schema(batchDf.schema).parquet(eventsDir)
+    val q = stream.where($"event_type" === "purchase")
+      .writeStream.format("parquet")
+      .option("path", outDir.getAbsolutePath)
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val written = spark.read.parquet(outDir.getAbsolutePath)
+      assert(written.count() == batchDf.where($"event_type" === "purchase").count())
+    } finally q.stop()
+  }
+
   test("streaming hourly agg equals batch twin") {
     val batchDf = spark.read.parquet(eventsDir)
     val stream = spark.readStream.schema(batchDf.schema).parquet(eventsDir)
