@@ -93,11 +93,15 @@ object MinHashDedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
-    // Cap degenerate buckets before the self-join (skew guard).
-    val sized = banded.withColumn(
-      "bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-    val bounded = sized.where(col("bsz") <= maxBucketSize).drop("bsz")
+    // Keep only buckets shared by >=2 docs (others can't produce pairs) and
+    // cap degenerate buckets (skew guard). Aggregate+join instead of a
+    // window: no sort, and the filter shrinks the self-join input to the
+    // shared-bucket minority.
+    val usable = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") >= 2 && col("bsz") <= maxBucketSize)
+      .select("band", "bucket")
+    val bounded = banded.join(usable, Seq("band", "bucket"))
 
     val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
@@ -174,9 +178,11 @@ object NGramJaccardDedup {
     val exploded = df.select(
       col(idCol).as("id"),
       explode(array_distinct(Shingling.shingleHashes(col(textCol), shingle))).as("s"))
-    val bounded = exploded
-      .withColumn("freq", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
-      .where(col("freq") <= maxShingleFreq)
+    val usable = exploded.groupBy("s")
+      .agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= 2 && col("freq") <= maxShingleFreq)
+      .select("s")
+    val bounded = exploded.join(usable, Seq("s"))
     val pairs = bounded.select(col("s"), col("id").as("id_a"))
       .join(bounded.select(col("s"), col("id").as("id_b")), Seq("s"))
       .where(col("id_a") < col("id_b"))
