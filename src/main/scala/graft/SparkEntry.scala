@@ -272,6 +272,24 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy("o_orderkey")
     }),
+    "q_pivot_status" -> ((s, dir) => {
+      // conditional-agg pivot form (engine-portable, no null cells);
+      // Procurement.pivotTable is the .pivot() API twin (spec-matched)
+      snap(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("count_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("count_o"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("count_p"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_trend_gapfill" -> ((s, dir) =>
+      Procurement.monthlyTrendGapFilled(snap(s, dir).orders, "o_orderdate", "o_totalprice")),
+    "q_latest_event_per_user" -> ((s, dir) => {
+      val e = snap(s, dir).events.select("user_id", "event_id", "ts")
+      graft.plans.TopKPerKey(e, Seq("user_id"), Seq(col("ts").desc, col("event_id").asc), 1)
+        .orderBy("user_id")
+    }),
     "q_customers_no_urgent" -> ((s, dir) => {
       val sn = snap(s, dir)
       sn.customer
@@ -539,6 +557,30 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1a'
         |ORDER BY o_orderkey""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS count_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS count_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS count_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_trend_gapfill" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_budget,
+        |    COUNT(*) AS n_packages
+        |  FROM orders GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month
+        |  FROM (SELECT MIN(month) AS mn, MAX(month) AS mx FROM m))
+        |SELECT spine.month, COALESCE(m.total_budget, 0.0) AS total_budget,
+        |  COALESCE(m.n_packages, 0) AS n_packages
+        |FROM spine LEFT JOIN m ON spine.month = m.month ORDER BY spine.month""".stripMargin,
+    "q_latest_event_per_user" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rnk
+        |  FROM events)
+        |SELECT user_id, event_id, ts FROM r WHERE rnk = 1 ORDER BY user_id""".stripMargin,
     "q_customers_no_urgent" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders

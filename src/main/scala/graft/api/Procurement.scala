@@ -104,6 +104,33 @@ object Procurement {
       dsum(col(valueCol)).as("total_budget"),
       davg(col(valueCol)).as("mean_budget"))
 
+  /** Cross-tab counts (pivot). `pivotValues` passed explicitly: at scale an
+    * unlisted pivot triggers a distinct-scan of the whole column first.
+    */
+  def pivotTable(df: DataFrame, rowCol: String, pivotCol: String, pivotValues: Seq[String]): DataFrame =
+    df.groupBy(col(rowCol))
+      .pivot(pivotCol, pivotValues)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(rowCol)
+
+  /** Month spine + zero fill for gap-free trend lines (the reference's
+    * line charts assume contiguous months).
+    */
+  def monthlyTrendGapFilled(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val monthly = monthlyTrend(df, tsCol, valueCol)
+    val spine = monthly
+      .agg(min(col("month")).as("mn"), max(col("month")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 MONTH"))).as("month"))
+    spine
+      .join(monthly, Seq("month"), "left")
+      .select(
+        col("month"),
+        coalesce(col("total_budget"), lit(0.0)).as("total_budget"),
+        coalesce(col("n_packages"), lit(0L)).as("n_packages"))
+      .orderBy("month")
+  }
+
   /** Reference-style insight text for a grouped value metric (the prose
     * block each chart tool returns, e.g. bar_chart_tool's "Data Insights").
     * The aggregation is distributed; only the ≤`groups`-row summary is
