@@ -210,6 +210,13 @@ object SparkEntry {
         .topK(e.where(col("vec_id") < 5), e, "vec_id", "embedding", "vec_id", "embedding", 5)
         .orderBy("query_id", "rnk")
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = snap(s, dir).embeddings
+      graft.operators.ann.IvfKNN
+        .topK(e.where(col("vec_id") < 5), e, "vec_id", "embedding", "vec_id", "embedding", 5,
+          nLists = 16, nProbe = 4, iters = 3)
+        .orderBy("query_id", "rnk")
+    }),
     "q_text_langid" -> ((s, dir) => {
       snap(s, dir).documents
         .select(col("doc_id"), TextStats.langId(col("text")).as("pred_lang"), col("lang"))

@@ -41,6 +41,108 @@ object BruteForceKNN {
   }
 }
 
+/** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+  * corpus into `nLists` cells; queries score only the `nProbe` nearest
+  * cells. Candidates/query ≈ nProbe/nLists of the corpus.
+  *
+  * Training is distributed Lloyd's: assignment is a broadcast join against
+  * the (tiny) centroid set, the update is one groupBy — per iteration one
+  * shuffle of (cell, vector) pairs. Centroid init is a deterministic
+  * hash-sample of the corpus. At 100 TB: train on a sample, assign the
+  * full corpus once, store cell ids alongside the vectors (partition by
+  * cell) so queries touch nProbe partitions only.
+  */
+object IvfKNN {
+  import graft.functions.GraftFunctions.cosine
+
+  /** Assigns each row its nearest centroid: broadcast join + per-row
+    * argmin window. Output = df columns + `cell_id`.
+    */
+  def assign(df: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__rid").orderBy(col("__sim").desc, col("cell_id"))
+    df.withColumn("__rid", monotonically_increasing_id())
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col(vecCol), col("centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__sim", "__rn", "centroid", "__rid")
+  }
+
+  /** Trains the coarse quantizer: deterministic hash-sample init, then
+    * `iters` Lloyd's rounds (assign = broadcast join; update = elementwise
+    * mean via posexplode + groupBy). Returns (cell_id, centroid:
+    * array<double>) for non-empty cells.
+    */
+  def train(corpus: DataFrame, vecCol: String, nLists: Int, iters: Int = 5): DataFrame = {
+    val asDouble = transform(col(vecCol), v => v.cast("double"))
+    val initW = org.apache.spark.sql.expressions.Window.orderBy("__h")
+    var centroids = corpus
+      .select(asDouble.as("centroid"))
+      .withColumn("__h", xxhash64(col("centroid").cast("array<string>")))
+      .withColumn("cell_id", row_number().over(initW).cast("long") - 1L)
+      .where(col("cell_id") < nLists)
+      .select(col("cell_id"), col("centroid"))
+      .localCheckpoint(true)
+
+    val vectors = corpus.select(asDouble.as("__v"))
+    var i = 0
+    while (i < iters) {
+      val assigned = assign(vectors, "__v", centroids)
+      val updated = assigned
+        .select(col("cell_id"), posexplode(col("__v")))
+        .groupBy("cell_id", "pos")
+        .agg(avg(col("col")).as("m"))
+        .groupBy("cell_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell_id"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+      centroids = updated.localCheckpoint(true)
+      i += 1
+    }
+    centroids
+  }
+
+  /** Approximate top-k: queries probe their `nProbe` nearest cells and
+    * score only vectors assigned there.
+    */
+  def topK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val centroids = train(corpus, corpusVecCol, nLists, iters)
+    val assigned = assign(
+      corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv")),
+      "__cv", centroids)
+
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__sim").desc, col("cell_id"))
+    val probes = queries
+      .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col("__qv"), col("centroid")))
+      .withColumn("__rn", row_number().over(qw))
+      .where(col("__rn") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("cell_id"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    assigned
+      .join(broadcast(probes), Seq("cell_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+  }
+}
+
 /** Random-hyperplane LSH ANN: sign-bit signature; candidates share the
   * query's bucket or any bucket within hamming distance 2 (multiprobe).
   * Expected candidates/query ≈ 37 · |corpus| / 2^8. Bits/probes trade

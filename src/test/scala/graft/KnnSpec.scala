@@ -37,6 +37,26 @@ class KnnSpec extends SparkSpecBase {
     assert(recall >= 0.3, s"recall $recall too low for 17-probe 16-bit LSH")
   }
 
+  test("ivf recall@5 vs bruteforce is usable and beats cell fraction") {
+    val e = Snapshot(spark, sf()).embeddings
+    val q = e.where($"vec_id" < 20)
+    val exact = BruteForceKNN.topK(q, e, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = graft.operators.ann.IvfKNN.topK(
+      q, e, "vec_id", "embedding", "vec_id", "embedding", 5, nLists = 16, nProbe = 4, iters = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"ivf recall@5 = $recall")
+    assert(recall >= 0.3, s"recall $recall too low for 4/16-probe IVF")
+  }
+
+  test("ivf training produces <= nLists centroids of the right dimension") {
+    val e = Snapshot(spark, sf()).embeddings
+    val c = graft.operators.ann.IvfKNN.train(e, "embedding", 8, iters = 2).collect()
+    assert(c.length <= 8 && c.nonEmpty)
+    assert(c.forall(_.getAs[Seq[Double]]("centroid").length == 64))
+  }
+
   test("lsh probes include own bucket so close vectors are found") {
     val vecs = Seq(
       (1L, Array.fill(64)(0.5f)),
