@@ -31,7 +31,7 @@ object AsOfJoin {
       col(leftTsCol).as("__ts"),
       lit(1).as("__side"),
       lit(null).cast("timestamp").as("__rts"),
-      struct(left.columns.map(col): _*).as("__payload"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__payload"))
     val rSide = right.select(
       col(keyCol).as("__k"),
       col(rightTsCol).as("__ts"),
