@@ -228,6 +228,14 @@ object SparkEntry {
       TextStats.tokenCounts(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_text_fingerprint" -> ((s, dir) =>
       TextStats.fingerprint(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
+    "q_text_redact" -> ((s, dir) => {
+      TextStats.redactPii(snap(s, dir).documents, "doc_id", "text")
+        .select(col("doc_id"), md5(col("cleaned")).as("cleaned_hash"), col("n_redactions"))
+        .orderBy("doc_id")
+    }),
+    "q_quality_filter" -> ((s, dir) =>
+      TextStats.qualityFilter(snap(s, dir).documents, "doc_id", "text", 0.5, 20L)
+        .orderBy("doc_id")),
     "q_multimodal_meta" -> ((s, dir) => {
       val d = snap(s, dir).documents.withColumn("payload", encode(col("text"), "UTF-8"))
       BinaryPipeline.manifest(d, "doc_id", "payload").orderBy("doc_id")
@@ -519,6 +527,24 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+        |                     'https?://[^ ]+', '<URL>', 'g')) AS cleaned_hash,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+'))
+        |     + len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_redactions
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5
+         |      + (CAST($markerHitsEn AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+         |      - (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.2
+         |      AS quality_score
+         |  FROM documents)
+         |SELECT doc_id, n_words, quality_score FROM q
+         |WHERE quality_score >= 0.5 AND n_words >= 20 ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -73,6 +73,30 @@ object TextStats {
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), GraftFunctions.fingerprint(split(lower(col(textCol)), " ")).as("fingerprint"))
 
+  /** PII scrubbing: email/URL redaction with per-doc counts. Patterns are
+    * deliberately restricted to syntax with identical semantics in Java
+    * regex and RE2 (character classes + bounded quantifiers) so the
+    * operator is oracle-checkable; production would extend the list.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  val UrlRe = "https?://[^ ]+"
+
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"), UrlRe, "<URL>").as("cleaned"),
+      (regexp_count(col(textCol), lit(EmailRe)) + regexp_count(col(textCol), lit(UrlRe)))
+        .cast("long").as("n_redactions"))
+
+  /** Quality gate: keep docs passing the score/length thresholds — the
+    * filter stage of a training-data pipeline, composed from [[quality]].
+    */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+      minScore: Double, minWords: Long): DataFrame =
+    quality(df, idCol, textCol)
+      .where(col("quality_score") >= minScore && col("n_words") >= minWords)
+      .select(col(idCol), col("n_words"), col("quality_score"))
+
   /** Top-k TF-IDF terms per document. Term/doc frequencies are two
     * hash-partitioned aggregations; the corpus size joins in as a broadcast
     * scalar; ranking is a per-doc window. idf = ln((N+1)/(df+1)) + 1.

@@ -39,6 +39,29 @@ class TextAndAsOfSpec extends SparkSpecBase {
     assert(r.getAs[Long]("bpe_tokens") == 4L) // ab, 12, c, !
   }
 
+  test("pii redaction replaces emails and urls, counts them") {
+    val df = Seq(
+      (1L, "contact bob.smith@example.com or https://example.com/page now"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val r = TextStats.redactPii(df, "doc_id", "text")
+      .as[(Long, String, Long)].collect()
+      .map { case (k, v, n) => k -> ((v, n)) }.toMap
+    assert(r(1L)._1 == "contact <EMAIL> or <URL> now")
+    assert(r(1L)._2 == 2L)
+    assert(r(2L)._1 == "no pii here at all" && r(2L)._2 == 0L)
+  }
+
+  test("quality filter keeps only passing docs") {
+    val df = Seq(
+      (1L, ("the a is of and " * 10).trim), // 50 words, high stopword ratio
+      (2L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val kept = TextStats.qualityFilter(df, "doc_id", "text", 0.5, 20L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("fingerprint is order-sensitive") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
     val fps = TextStats.fingerprint(df, "doc_id", "text")
