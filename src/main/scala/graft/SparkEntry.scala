@@ -305,6 +305,22 @@ object SparkEntry {
       graft.plans.TopKPerKey(e, Seq("user_id"), Seq(col("ts").desc, col("event_id").asc), 1)
         .orderBy("user_id")
     }),
+    "q_range_join" -> ((s, dir) => {
+      val s2 = s
+      import s2.implicits._
+      // non-equi join against a broadcast tier table: each order lands in
+      // its [lo, hi) price tier (BroadcastNestedLoopJoin — the right plan
+      // when the range side is tiny and the fact side is 100 TB)
+      val tiers = Seq(
+        ("T1_low", 0.0, 100000.0), ("T2_mid", 100000.0, 250000.0),
+        ("T3_high", 250000.0, 400000.0), ("T4_top", 400000.0, 1e18)
+      ).toDF("tier", "lo", "hi")
+      snap(s, dir).orders
+        .join(broadcast(tiers), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("tier")
+    }),
     "q_customers_no_urgent" -> ((s, dir) => {
       val sn = snap(s, dir)
       sn.customer
@@ -614,6 +630,14 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rnk
         |  FROM events)
         |SELECT user_id, event_id, ts FROM r WHERE rnk = 1 ORDER BY user_id""".stripMargin,
+    "q_range_join" ->
+      """WITH tiers(tier, lo, hi) AS (VALUES
+        |  ('T1_low', 0.0, 100000.0), ('T2_mid', 100000.0, 250000.0),
+        |  ('T3_high', 250000.0, 400000.0), ('T4_top', 400000.0, 1e18))
+        |SELECT tier, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
     "q_customers_no_urgent" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
