@@ -213,6 +213,61 @@ case class ShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused shingle→MinHash→band pipeline: words in, band buckets out, one
+  * pass, no intermediate arrays. Semantically equal to
+  * `BandBuckets(MinHashSig(ShingleHashes(words, n)))` (spec-checked) but
+  * one expression call per row instead of three with materialized
+  * ArrayData between them — the per-row cost that dominates dedup of a
+  * 100 TB corpus.
+  */
+case class MinHashBands(child: Expression, coeffs: Seq[(Long, Long)],
+    bands: Int, rowsPerBand: Int, shingle: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val as: Array[Long] = coeffs.map(_._1).toArray
+  private lazy val bs: Array[Long] = coeffs.map(_._2).toArray
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[ArrayData]
+    val m = words.numElements()
+    val wh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      wh(i) = if (words.isNullAt(i)) 0L
+        else XxHash64Function.hash(words.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val nSig = coeffs.length
+    val sig = Array.fill(nSig)(Long.MaxValue)
+    val count = if (m >= shingle) m - shingle + 1 else 1
+    val width = if (m >= shingle) shingle else m
+    i = 0
+    while (i < count) {
+      var h = 42L
+      var j = i
+      while (j < i + width) { h = XxHash64Function.hash(wh(j), LongType, h); j += 1 }
+      var k = 0
+      while (k < nSig) {
+        val g = (as(k) * h + bs(k)) >>> 1
+        if (g < sig(k)) sig(k) = g
+        k += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong
+      var s = b * rowsPerBand
+      val end = math.min((b + 1) * rowsPerBand, nSig)
+      while (s < end) { h = XxHash64Function.hash(sig(s), LongType, h); s += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** LSH band buckets from a MinHash signature: output[k] = xxhash64-chain
   * over slots [k*r, (k+1)*r) seeded with k. One tiny expression instead of
   * `bands` separate hash(slice(...)) trees — keeps codegen compile time flat
@@ -285,6 +340,10 @@ object GraftFunctions {
       "graft_shingle3", es => ShingleHashes(es.head, 3), "scala_udf")
     reg.createOrReplaceTempFunction(
       "graft_shingle5", es => ShingleHashes(es.head, 5), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash_bands",
+      es => MinHashBands(es.head, MinHashDedup.coeffs,
+        MinHashDedup.Bands, MinHashDedup.RowsPerBand, MinHashDedup.DefaultShingle), "scala_udf")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
@@ -293,6 +352,7 @@ object GraftFunctions {
   def minhashSig(elementHashes: Column): Column = call_function("graft_minhash_sig", elementHashes)
   def fingerprint(tokens: Column): Column = call_function("graft_fingerprint", tokens)
   def bandBuckets(sig: Column): Column = call_function("graft_band_buckets", sig)
+  def minhashBands(words: Column): Column = call_function("graft_minhash_bands", words)
   def shingleHashes(words: Column, n: Int): Column = n match {
     case 3 => call_function("graft_shingle3", words)
     case 5 => call_function("graft_shingle5", words)

@@ -86,9 +86,13 @@ object MinHashDedup {
       maxBucketSize: Int = 1000): DataFrame = {
     // Banded rows stay slim — (id, band, bucket) only. Shingle sets are
     // re-attached after pair dedup; shuffling ~150-string arrays through
-    // the band explode dominates runtime otherwise.
+    // the band explode dominates runtime otherwise. The fused expression
+    // goes words→buckets in one call (default shingle size only).
+    val bucketsCol =
+      if (shingle == DefaultShingle) GraftFunctions.minhashBands(split(lower(col(textCol)), " "))
+      else GraftFunctions.bandBuckets(signature(col(textCol), shingle))
     val banded = df
-      .select(col(idCol).as("id"), GraftFunctions.bandBuckets(signature(col(textCol), shingle)).as("bs"))
+      .select(col(idCol).as("id"), bucketsCol.as("bs"))
       .select(col("id"), posexplode(col("bs")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")

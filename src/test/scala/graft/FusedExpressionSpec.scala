@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.dedup.MinHashDedup
+import graft.sources.Snapshot
+
+class FusedExpressionSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("fused MinHashBands equals the three-stage pipeline") {
+    val docs = Snapshot(spark, sf()).documents.limit(100)
+    val words = split(lower(col("text")), " ")
+    val fused = docs.select(col("doc_id"), GraftFunctions.minhashBands(words).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val staged = docs.select(col("doc_id"),
+      GraftFunctions.bandBuckets(
+        GraftFunctions.minhashSig(GraftFunctions.shingleHashes(words, 3))).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused == staged)
+  }
+
+  test("dedupe results unchanged by fusion (known dup corpus)") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "completely different content about spark partitions and shuffle behavior")
+    ).toDF("doc_id", "text")
+    val survivors = MinHashDedup.dedupe(corpus, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(1L, 3L))
+  }
+}
