@@ -55,18 +55,24 @@ object BruteForceKNN {
 object IvfKNN {
   import graft.functions.GraftFunctions.cosine
 
-  /** Assigns each row its nearest centroid: broadcast join + per-row
-    * argmin window. Output = df columns + `cell_id`.
+  /** Assigns each row its nearest centroid: broadcast join + argmax via
+    * partial-aggregating min(struct) — each map task reduces the nLists
+    * candidate rows per input row before any shuffle (a per-row window
+    * would shuffle and sort corpus×nLists rows instead). Output = df
+    * columns + `cell_id`; ties go to the lowest cell id.
     */
   def assign(df: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__rid").orderBy(col("__sim").desc, col("cell_id"))
-    df.withColumn("__rid", monotonically_increasing_id())
+    val payload = df.columns.toIndexedSeq
+    val scored = df
+      .withColumn("__rid", monotonically_increasing_id())
       .crossJoin(broadcast(centroids))
       .withColumn("__sim", cosine(col(vecCol), col("centroid")))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__sim", "__rn", "centroid", "__rid")
+    scored
+      .groupBy("__rid")
+      .agg(
+        min(struct((-col("__sim")).as("negSim"), col("cell_id"))).as("__best"),
+        payload.map(c => first(col(c)).as(c)): _*)
+      .select(payload.map(col) :+ col("__best.cell_id").as("cell_id"): _*)
   }
 
   /** Trains the coarse quantizer: deterministic hash-sample init, then
@@ -76,12 +82,17 @@ object IvfKNN {
     */
   def train(corpus: DataFrame, vecCol: String, nLists: Int, iters: Int = 5): DataFrame = {
     val asDouble = transform(col(vecCol), v => v.cast("double"))
-    val initW = org.apache.spark.sql.expressions.Window.orderBy("__h")
-    var centroids = corpus
+    // distributed TakeOrdered for the seed sample (a global row_number
+    // window would drag the whole corpus into one partition); the window
+    // below ranks only the nLists sampled rows
+    val seed = corpus
       .select(asDouble.as("centroid"))
       .withColumn("__h", xxhash64(col("centroid").cast("array<string>")))
+      .orderBy("__h")
+      .limit(nLists)
+    val initW = org.apache.spark.sql.expressions.Window.orderBy("__h")
+    var centroids = seed
       .withColumn("cell_id", row_number().over(initW).cast("long") - 1L)
-      .where(col("cell_id") < nLists)
       .select(col("cell_id"), col("centroid"))
       .localCheckpoint(true)
 

@@ -138,7 +138,8 @@ object SimHashDedup {
   def signature(textCol: Column): Column =
     GraftFunctions.simhash(split(lower(textCol), " "))
 
-  def candidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+      maxBucketSize: Int = 1000): DataFrame = {
     val base = df.select(col(idCol).as("id"), signature(col(textCol)).as("sig"))
     val chunkCols = (0 until Chunks).map { c =>
       struct(lit(c).as("band"), shiftrightunsigned(col("sig"), c * ChunkBits).bitwiseAND(lit(0xFFFFL)).as("bucket"))
@@ -146,8 +147,15 @@ object SimHashDedup {
     val banded = base
       .select(col("id"), col("sig"), explode(array(chunkCols: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // same skew guard as MinHash: only buckets with 2..max members can
+    // produce pairs without blowing up the self-join
+    val usable = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") >= 2 && col("bsz") <= maxBucketSize)
+      .select("band", "bucket")
+    val bounded = banded.join(usable, Seq("band", "bucket"))
+    val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))

@@ -59,8 +59,14 @@ final case class TopKPerKeyExec(
       val reverse = rowOrdering.reverse.asInstanceOf[java.util.Comparator[InternalRow]]
       rows.foreach { r =>
         val key = keyProj(r)
-        val heap = heaps.getOrElseUpdate(
-          key.copy(), new java.util.PriorityQueue[UnsafeRow](limit + 1, reverse.asInstanceOf[java.util.Comparator[UnsafeRow]]))
+        // copy the key only on first insertion — getOrElseUpdate's by-value
+        // key argument would copy once per input row
+        var heap = heaps.getOrElse(key, null)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](
+            limit + 1, reverse.asInstanceOf[java.util.Comparator[UnsafeRow]])
+          heaps.put(key.copy(), heap)
+        }
         if (heap.size < limit) {
           heap.add(r.copy().asInstanceOf[UnsafeRow])
         } else if (rowOrdering.compare(r, heap.peek()) < 0) {

@@ -27,12 +27,13 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"), col("total_value"))
 
-  /** Streaming exact dedup by id: watermark bounds the dedup state the
-    * same way it bounds window state — unbounded-state dedup is the classic
-    * streaming-pipeline OOM at scale.
+  /** Streaming exact dedup by id. `dropDuplicatesWithinWatermark` is the
+    * state-bounded form: plain dropDuplicates(id) would keep every id ever
+    * seen (the watermark only evicts when the event-time column is part of
+    * the key) — the classic streaming-pipeline OOM at scale.
     */
   def dedupStream(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream join: each purchase joined to signups of the same user
     * within the preceding hour. Watermarks on both sides + a time-range

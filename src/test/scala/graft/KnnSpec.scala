@@ -34,7 +34,7 @@ class KnnSpec extends SparkSpecBase {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     info(s"lsh recall@5 = $recall")
-    assert(recall >= 0.3, s"recall $recall too low for 17-probe 16-bit LSH")
+    assert(recall >= 0.3, s"recall $recall too low for 37-probe 8-plane LSH")
   }
 
   test("ivf recall@5 vs bruteforce is usable and beats cell fraction") {

@@ -15,12 +15,16 @@ object ProfileMinhash {
     // force signature evaluation (count() alone would prune the column)
     val sh = docs.select(col("doc_id"), MinHashDedup.signature(col("text")).as("sig"))
     time("signatures (forced)")(sh.agg(max(element_at(col("sig"), 1))).count())
+    def force(df: org.apache.spark.sql.DataFrame): Long = {
+      df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h")).agg(sum("h")).head()
+      df.count()
+    }
     val cand = MinHashDedup.candidatePairs(docs, "doc_id", "text")
-    time("candidatePairs")(cand.count())
-    val dup = MinHashDedup.duplicatePairs(docs, "doc_id", "text", 0.5)
-    time("duplicatePairs")(dup.count())
-    time("dedupe")(MinHashDedup.dedupe(docs, "doc_id", "text", 0.5).count())
-    time("ngram stats")(NGramJaccardDedup.stats(docs, "doc_id", "text").count())
+    time("candidatePairs")(force(cand))
+    time("dedupe")(force(MinHashDedup.dedupe(docs, "doc_id", "text", 0.5)))
+    val np = NGramJaccardDedup.candidatePairs(docs, "doc_id", "text")
+    time("ngram candidatePairs")(force(np))
+    time("ngram stats")(force(NGramJaccardDedup.stats(docs, "doc_id", "text")))
     spark.stop()
   }
 }
