@@ -53,6 +53,18 @@ object EventStreams {
         expr("s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 1 HOUR"))
   }
 
+  /** Sliding-window event rates (1h windows every 15min) — each event lands
+    * in 4 overlapping windows. Same code shape works batch and streaming.
+    */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  def slidingRatesStream(events: DataFrame): DataFrame =
+    slidingRates(events.withWatermark("ts", "10 minutes"))
+
   val SessionGapUs: Long = 30L * 60 * 1000 * 1000
 
   /** Batch sessionization: gap > 30 min starts a new session. Window
