@@ -19,13 +19,17 @@ object Bench {
     // prune the projections and benchmark only the scan
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
+      val ok = try {
         val df = fn(spark, sfDir)
         import org.apache.spark.sql.functions.{sum, xxhash64, col}
         df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("__h"))
           .agg(sum("__h")).head()
-      } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: " + e.getMessage); false
+      }
+      // failed queries are reported as -1, never as a fast timing
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -174,8 +174,11 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "q_json_extract" -> ((s, dir) => {
+      // drop missing/non-numeric k rows explicitly: Spark's lenient cast
+      // and DuckDB's strict CAST diverge on them otherwise
       snap(s, dir).events
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .where(col("k").isNotNull)
         .groupBy((col("k") % 10).as("k_bucket"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
         .orderBy("k_bucket")
@@ -482,10 +485,11 @@ object SparkEntry {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
     "q_json_extract" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-        |  COUNT(*) AS n_events,
+      """WITH e AS (SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+        |           FROM events)
+        |SELECT k % 10 AS k_bucket, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM e WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         |  COUNT(*) AS n_events,
@@ -531,11 +535,11 @@ object SparkEntry {
          |  CAST(length(text) AS BIGINT) AS n_chars,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
          |  CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
-         |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0.0) AS punct_ratio,
          |  CAST($markerHitsEn AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
          |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5
          |    + (CAST($markerHitsEn AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
-         |    - (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.2
+         |    - (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) * 0.2
          |    AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_tokens" ->
@@ -556,7 +560,7 @@ object SparkEntry {
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
          |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5
          |      + (CAST($markerHitsEn AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
-         |      - (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.2
+         |      - (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) * 0.2
          |      AS quality_score
          |  FROM documents)
          |SELECT doc_id, n_words, quality_score FROM q

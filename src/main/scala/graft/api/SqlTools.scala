@@ -22,11 +22,15 @@ object SqlTools {
   }
 
   /** Parses and analyzes (resolves columns/tables/types) without executing.
-    * `spark.sql` analyzes eagerly; only actions execute.
+    * NOTE: `spark.sql` would be wrong here — it eagerly EXECUTES command
+    * statements (DDL/DML), so validating `DROP TABLE t` would drop the
+    * table. Going through `executePlan(...).assertAnalyzed()` stops at
+    * analysis for queries and commands alike.
     */
   def validate(spark: SparkSession, sql: String): ValidationResult =
     try {
-      spark.sql(sql)
+      val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+      spark.sessionState.executePlan(parsed).assertAnalyzed()
       ValidationResult(valid = true, None)
     } catch {
       case e: Exception => ValidationResult(valid = false, Some(e.getMessage))

@@ -353,9 +353,12 @@ object GraftFunctions {
   def fingerprint(tokens: Column): Column = call_function("graft_fingerprint", tokens)
   def bandBuckets(sig: Column): Column = call_function("graft_band_buckets", sig)
   def minhashBands(words: Column): Column = call_function("graft_minhash_bands", words)
-  def shingleHashes(words: Column, n: Int): Column = n match {
-    case 3 => call_function("graft_shingle3", words)
-    case 5 => call_function("graft_shingle5", words)
-    case other => throw new IllegalArgumentException(s"register a shingle function for n=$other")
-  }
+
+  /** Any shingle size: built directly from the expression via the plan
+    * bridge (the SQL-registered graft_shingle3/5 cover the common sizes
+    * for SQL users).
+    */
+  def shingleHashes(words: Column, n: Int): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      ShingleHashes(org.apache.spark.sql.GraftPlanBridge.expression(words), n))
 }

@@ -26,12 +26,15 @@ object BruteForceKNN {
       queryVecCol: String,
       corpusIdCol: String,
       corpusVecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    // excludeSelf only makes sense when queries and corpus share an id
+    // space (queries drawn from the corpus); pass false for cross-table KNN
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv")))
     val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
     val scored = c
       .crossJoin(q)
-      .where(col("query_id") =!= col("neighbor_id"))
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("sim", GraftFunctions.cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored
@@ -67,6 +70,9 @@ object IvfKNN {
       .withColumn("__rid", monotonically_increasing_id())
       .crossJoin(broadcast(centroids))
       .withColumn("__sim", cosine(col(vecCol), col("centroid")))
+      // cosine is null for zero-norm input; a null negSim would win min()
+      // and collapse the whole corpus into one cell
+      .where(col("__sim").isNotNull)
     scored
       .groupBy("__rid")
       .agg(
@@ -126,7 +132,8 @@ object IvfKNN {
       k: Int,
       nLists: Int = 16,
       nProbe: Int = 4,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5,
+      excludeSelf: Boolean = true): DataFrame = {
     val centroids = train(corpus, corpusVecCol, nLists, iters)
     val assigned = assign(
       corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv")),
@@ -146,7 +153,7 @@ object IvfKNN {
       .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     assigned
       .join(broadcast(probes), Seq("cell_id"))
-      .where(col("query_id") =!= col("neighbor_id"))
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
@@ -193,7 +200,8 @@ object LshKNN {
       queryVecCol: String,
       corpusIdCol: String,
       corpusVecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(
       col(corpusIdCol).as("neighbor_id"),
       col(corpusVecCol).as("__cv"),
@@ -203,7 +211,7 @@ object LshKNN {
       .select(col("query_id"), col("__qv"), explode(probeBuckets(col("qb"))).as("bucket"))
     val scored = c
       .join(broadcast(q), Seq("bucket"))
-      .where(col("query_id") =!= col("neighbor_id"))
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("sim", GraftFunctions.cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored

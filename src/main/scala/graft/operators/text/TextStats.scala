@@ -46,12 +46,14 @@ object TextStats {
     val nChars = length(col(textCol)).cast("long")
     val punct = length(regexp_replace(col(textCol), "[a-z0-9 ]", "")).cast("double")
     val stops = markerHits(col(textCol), Markers.head._2).cast("double")
+    // NULLIF on the char-count denominator: empty text would otherwise be
+    // engine-dependent (Spark non-ANSI x/0 = NULL, DuckDB IEEE = NaN)
     df.select(
         col(idCol),
         nChars.as("n_chars"),
         nWords.as("n_words"),
         (nChars.cast("double") / nWords.cast("double")).as("mean_word_len"),
-        (punct / nChars.cast("double")).as("punct_ratio"),
+        (punct / nullif(nChars.cast("double"), lit(0.0))).as("punct_ratio"),
         (stops / nWords.cast("double")).as("stopword_ratio"))
       .withColumn(
         "quality_score",

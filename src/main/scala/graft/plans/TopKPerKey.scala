@@ -55,7 +55,7 @@ final case class TopKPerKeyExec(
           sortOrder, childOutput)
       // per key: bounded heap holding the current top-k (max of kept set at
       // the root so the worst kept row is evicted first)
-      val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]
+      val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
       val reverse = rowOrdering.reverse.asInstanceOf[java.util.Comparator[InternalRow]]
       rows.foreach { r =>
         val key = keyProj(r)
@@ -63,21 +63,21 @@ final case class TopKPerKeyExec(
         // key argument would copy once per input row
         var heap = heaps.getOrElse(key, null)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](
-            limit + 1, reverse.asInstanceOf[java.util.Comparator[UnsafeRow]])
+          heap = new java.util.PriorityQueue[InternalRow](limit + 1, reverse)
           heaps.put(key.copy(), heap)
         }
+        // SparkPlan contract is InternalRow, not UnsafeRow — no cast
         if (heap.size < limit) {
-          heap.add(r.copy().asInstanceOf[UnsafeRow])
+          heap.add(r.copy())
         } else if (rowOrdering.compare(r, heap.peek()) < 0) {
           heap.poll()
-          heap.add(r.copy().asInstanceOf[UnsafeRow])
+          heap.add(r.copy())
         }
       }
       heaps.iterator.flatMap { case (_, heap) =>
-        val buf = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+        val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
         while (!heap.isEmpty) buf += heap.poll()
-        buf.sortInPlace()(rowOrdering.asInstanceOf[Ordering[UnsafeRow]]).iterator
+        buf.sortInPlace()(rowOrdering).iterator
       }
     }, preservesPartitioning = true)
   }

@@ -97,32 +97,46 @@ object EventStreams {
   private def us(t: java.sql.Timestamp): Long =
     (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
 
-  /** Streaming sessionization via per-key state. Emits closed sessions when
-    * the gap is exceeded within a batch; state carries the open session.
-    * (For the spec it is driven with a single final batch.)
+  /** Streaming sessionization via per-key state. Sessions close when the
+    * gap is exceeded within a batch, or — via event-time timeout — when
+    * the watermark passes the open session's gap horizon, which both
+    * flushes the final session and EVICTS the key's state (unbounded
+    * per-user state is the alternative, and it leaks).
     */
-  def sessionizeStream(spark: SparkSession, events: Dataset[Event]): Dataset[Session] = {
+  def sessionizeStream(spark: SparkSession, events: Dataset[Event],
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import spark.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
-          var st = state.getOption.orNull
-          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-          sorted.foreach { e =>
-            if (st == null) {
-              st = SessionState(e.ts, e.ts, 1L, 1L)
-            } else if (us(e.ts) - us(st.lastTs) > SessionGapUs) {
-              closed += Session(user, st.sessionId, st.n, st.start, st.lastTs)
-              st = SessionState(e.ts, e.ts, 1L, st.sessionId + 1L)
-            } else {
-              st = st.copy(lastTs = e.ts, n = st.n + 1L)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(user, st.sessionId, st.n, st.start, st.lastTs))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var st = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { e =>
+              if (st == null) {
+                st = SessionState(e.ts, e.ts, 1L, 1L)
+              } else if (us(e.ts) - us(st.lastTs) > SessionGapUs) {
+                closed += Session(user, st.sessionId, st.n, st.start, st.lastTs)
+                st = SessionState(e.ts, e.ts, 1L, st.sessionId + 1L)
+              } else {
+                st = st.copy(lastTs = e.ts, n = st.n + 1L)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // close the open session once the watermark passes its gap
+              state.setTimeoutTimestamp(st.lastTs.getTime + SessionGapUs / 1000L)
+            }
+            closed.iterator
           }
-          state.update(st)
-          closed.iterator
       }
   }
 }

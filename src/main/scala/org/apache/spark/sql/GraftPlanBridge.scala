@@ -17,6 +17,10 @@ object GraftPlanBridge {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Wraps a catalyst Expression as a Column (private[sql] constructor). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** Test hook: materialize the strategies an extensions object injects. */
   def plannerStrategies(e: SparkSessionExtensions, spark: SparkSession) =
     e.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])

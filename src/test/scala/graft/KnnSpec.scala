@@ -57,6 +57,23 @@ class KnnSpec extends SparkSpecBase {
     assert(c.forall(_.getAs[Seq[Double]]("centroid").length == 64))
   }
 
+  test("cross-table KNN with excludeSelf=false keeps coinciding ids") {
+    val q = Seq((7L, Array(1.0f, 0.0f))).toDF("kw_id", "vec")
+    val c = Seq((7L, Array(1.0f, 0.01f)), (8L, Array(0.0f, 1.0f))).toDF("doc_id", "vec")
+    val got = BruteForceKNN.topK(q, c, "kw_id", "vec", "doc_id", "vec", 1, excludeSelf = false)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(7L)) // doc 7 IS the nearest — unrelated id space
+  }
+
+  test("shingle sizes other than 3/5 work through the expression bridge") {
+    val df = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val n4 = df.select(org.apache.spark.sql.functions.size(
+      graft.functions.GraftFunctions.shingleHashes(
+        org.apache.spark.sql.functions.split($"text", " "), 4)).as("n"))
+      .as[Int].head()
+    assert(n4 == 3) // 6 words -> 3 windows of 4
+  }
+
   test("lsh probes include own bucket so close vectors are found") {
     val vecs = Seq(
       (1L, Array.fill(64)(0.5f)),

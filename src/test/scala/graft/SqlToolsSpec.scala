@@ -28,4 +28,12 @@ class SqlToolsSpec extends SparkSpecBase {
     val r = SqlTools.validate(spark, "SELEC broken FROM")
     assert(!r.valid)
   }
+
+  test("validator does NOT execute DDL side effects") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW validate_probe AS SELECT 1 AS x")
+    val r = SqlTools.validate(spark, "DROP VIEW validate_probe")
+    assert(r.valid) // analyzes fine...
+    // ...but the view must still exist (nothing was executed)
+    assert(spark.sql("SELECT * FROM validate_probe").count() == 1)
+  }
 }

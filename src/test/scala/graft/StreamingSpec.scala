@@ -114,25 +114,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
-  test("streaming sessionization closed sessions match batch (single batch + gap flush)") {
-    val batch = EventStreams.sessionizeBatch(spark.read.parquet(eventsDir))
-    // closed = all batch sessions except each user's last (still open in state)
-    val lastPerUser = batch.groupBy("user_id").agg(max("session_id").as("session_id"))
-    val expectedClosed = batch.join(lastPerUser, Seq("user_id", "session_id"), "left_anti")
+  test("streaming sessionization: gap closes mid-batch, timeout flushes the rest") {
+    // stage a private copy of the events dir so we can append a late file
+    val dir = Files.createTempDirectory("graft_sess").toFile
+    dir.deleteOnExit()
+    val src = spark.read.parquet(eventsDir)
+    src.write.mode("overwrite").parquet(dir.getAbsolutePath)
+
+    val expectedAll = EventStreams.sessionizeBatch(spark.read.parquet(dir.getAbsolutePath))
       .select("user_id", "session_id", "n_events", "session_start", "session_end")
       .orderBy("user_id", "session_id").collect().toSeq
 
-    val stream = spark.readStream.schema(spark.read.parquet(eventsDir).schema).parquet(eventsDir)
+    val stream = spark.readStream.schema(src.schema).parquet(dir.getAbsolutePath)
     val typed = stream.select("event_id", "ts", "user_id", "event_type", "value")
       .as[EventStreams.Event]
     val q = EventStreams.sessionizeStream(spark, typed)
       .writeStream.outputMode("append").format("memory").queryName("sessions").start()
     try {
       q.processAllAvailable()
+      // advance the watermark far past every open session's gap horizon:
+      // event-time timeout then flushes + evicts all prior users' state
+      val farFuture = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+      Seq(EventStreams.Event(999999L, farFuture, 999999L, "view", 0.0))
+        .toDF().write.mode("append").parquet(dir.getAbsolutePath)
+      q.processAllAvailable()
       val got = spark.table("sessions")
+        .where($"user_id" =!= 999999L)
         .select("user_id", "session_id", "n_events", "session_start", "session_end")
         .orderBy("user_id", "session_id").collect().toSeq
-      assert(got == expectedClosed)
+      assert(got == expectedAll)
     } finally q.stop()
   }
 }
