@@ -346,6 +346,13 @@ object SparkEntry {
         .select(col("month"), col("t_dec").cast("double").as("total_budget"), col("running_total"))
         .orderBy("month")
     }),
+    "q_weighted_sample" -> ((s, dir) => {
+      val scored = TextStats.quality(snap(s, dir).documents, "doc_id", "text")
+      graft.operators.sample.Sampling
+        .weightedSample(scored, "doc_id", col("quality_score"))
+        .select(col("doc_id"), col("quality_score"))
+        .orderBy("doc_id")
+    }),
     "q_tfidf_top_terms" -> ((s, dir) =>
       TextStats.tfidfTopTerms(snap(s, dir).documents, "doc_id", "text", 3)
         .orderBy("doc_id", "rnk")),
@@ -655,6 +662,18 @@ object SparkEntry {
         |SELECT month, CAST(t AS DOUBLE) AS total_budget,
         |  CAST(SUM(t) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         |FROM m ORDER BY month""".stripMargin,
+    "q_weighted_sample" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5
+         |      + (CAST($markerHitsEn AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+         |      - (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) * 0.2
+         |      AS quality_score
+         |  FROM documents)
+         |SELECT doc_id, quality_score FROM q
+         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) / 16777216.0
+         |      < least(greatest(quality_score, 0.0), 1.0)
+         |ORDER BY doc_id""".stripMargin,
     "q_tfidf_top_terms" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
