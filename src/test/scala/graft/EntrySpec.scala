@@ -25,6 +25,20 @@ class EntrySpec extends SparkSpecBase {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("SURVEY §2 inventory and SparkEntry.queries stay in sync") {
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val table = survey.substring(
+      survey.indexOf("## §2"), survey.indexOf("### E. Sources"))
+    val surveyKeys = "`(q_[a-z0-9_]+|q1_[a-z_]+|q3_[a-z_]+|q5_[a-z_]+)`".r
+      .findAllMatchIn(table).map(_.group(1)).toSet
+    val queryKeys = SparkEntry.queries.keySet
+    assert((surveyKeys -- queryKeys).isEmpty,
+      s"SURVEY names queries that don't exist: ${surveyKeys -- queryKeys}")
+    assert((queryKeys -- surveyKeys).isEmpty,
+      s"queries missing from SURVEY §2: ${queryKeys -- surveyKeys}")
+  }
+
   test("deterministic: q5 twice gives identical rows") {
     val a = SparkEntry.queries("q5_region_volume")(spark, sf()).collect().toSeq
     val b = SparkEntry.queries("q5_region_volume")(spark, sf()).collect().toSeq
