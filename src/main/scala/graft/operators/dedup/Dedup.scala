@@ -206,7 +206,10 @@ object NGramJaccardDedup {
 
   /** Per-doc candidate stats (total, always one row per doc). */
   def stats(df: DataFrame, idCol: String, textCol: String, shingle: Int = 5): DataFrame = {
-    val pairs = candidatePairs(df, idCol, textCol, shingle)
+    // the pairs set is tiny (bounded by the frequency cap) but its plan is
+    // the widest in the library and feeds three consumers below —
+    // materialize once instead of recomputing per consumer
+    val pairs = candidatePairs(df, idCol, textCol, shingle).localCheckpoint(true)
     val perDoc = pairs
       .select(col("id_a").as("id"), col("jaccard"))
       .unionAll(pairs.select(col("id_b").as("id"), col("jaccard")))
