@@ -104,6 +104,75 @@ object Procurement {
       dsum(col(valueCol)).as("total_budget"),
       davg(col(valueCol)).as("mean_budget"))
 
+  /** Chart-suitability validation — the deterministic core of the
+    * reference's VisualizationValidatorTool
+    * (/root/reference/langchain/my_toolkit.py:119), which executes the
+    * query, samples it, and judges fitness for a chart type. The LLM
+    * judgment is replaced by structural rules; the expensive part
+    * (cardinality) is one bounded aggregation, never a collect of data.
+    */
+  sealed trait ChartType
+  object ChartType {
+    case object Bar extends ChartType
+    case object Pie extends ChartType
+    case object Line extends ChartType
+    case object Histogram extends ChartType
+  }
+
+  final case class ChartValidation(suitable: Boolean, issues: Seq[String])
+
+  def validateForChart(df: DataFrame, chart: ChartType, xCol: String, yCol: Option[String]): ChartValidation = {
+    import org.apache.spark.sql.types._
+    val issues = scala.collection.mutable.ArrayBuffer.empty[String]
+    val schema = df.schema
+    def fieldType(c: String): Option[DataType] =
+      schema.fields.find(_.name == c).map(_.dataType)
+    def isNumeric(t: DataType) = t.isInstanceOf[NumericType]
+    def isTemporal(t: DataType) = t == DateType || t == TimestampType
+
+    fieldType(xCol) match {
+      case None => issues += s"x column '$xCol' not in result"
+      case Some(t) =>
+        chart match {
+          case ChartType.Line if !isTemporal(t) =>
+            issues += s"line chart needs a temporal x axis, got ${t.simpleString}"
+          case ChartType.Histogram if !isNumeric(t) && !isTemporal(t) =>
+            issues += s"histogram needs numeric/temporal x, got ${t.simpleString}"
+          case _ => ()
+        }
+    }
+    yCol.foreach { y =>
+      fieldType(y) match {
+        case None => issues += s"y column '$y' not in result"
+        case Some(t) if !isNumeric(t) => issues += s"y column '$y' must be numeric, got ${t.simpleString}"
+        case _ => ()
+      }
+    }
+    val maxCategories = chart match {
+      case ChartType.Pie => Some(12L)
+      case ChartType.Bar => Some(50L)
+      case _ => None
+    }
+    maxCategories.foreach { cap =>
+      if (issues.isEmpty) {
+        val n = df.agg(countDistinct(col(xCol))).head().getLong(0)
+        if (n == 0) issues += "result is empty"
+        else if (n > cap) issues += s"$n categories exceed the $cap readable for this chart"
+      }
+    }
+    ChartValidation(issues.isEmpty, issues.toSeq)
+  }
+
+  /** Bounded result preview — the reference's intermediary tool returns
+    * `{schema, first_rows(5)}` (openai/list_of_tools.py:148). Only `n`
+    * rows ever reach the driver.
+    */
+  def preview(df: DataFrame, n: Int = 5): String = {
+    val cols = df.columns.mkString("[", ", ", "]")
+    val rows = df.limit(n).collect().map(_.toSeq.map(String.valueOf).mkString("(", ", ", ")"))
+    s"schema: $cols\n" + rows.mkString("\n")
+  }
+
   /** Cross-tab counts (pivot). `pivotValues` passed explicitly: at scale an
     * unlisted pivot triggers a distinct-scan of the whole column first.
     */

@@ -33,6 +33,32 @@ class ProcurementSpec extends SparkSpecBase {
     assert(feb.getAs[Long]("n_packages") == 0L)
   }
 
+  test("chart validation: structural rules replace the reference's LLM judge") {
+    import Procurement.{ChartType, validateForChart}
+    val sn = Snapshot(spark, sf())
+    val barData = Procurement.barAgg(
+      sn.orders.join(sn.customer, col("o_custkey") === col("c_custkey"))
+        .join(sn.nation, col("c_nationkey") === col("n_nationkey")),
+      "n_name", "o_totalprice")
+    assert(validateForChart(barData, ChartType.Bar, "n_name", Some("total_budget")).suitable)
+    // 25 nations > 12 slices
+    val pie = validateForChart(barData, ChartType.Pie, "n_name", Some("total_budget"))
+    assert(!pie.suitable && pie.issues.exists(_.contains("12")))
+    // line chart on a non-temporal axis
+    val line = validateForChart(barData, ChartType.Line, "n_name", Some("total_budget"))
+    assert(!line.suitable)
+    val trend = Procurement.monthlyTrend(sn.orders, "o_orderdate", "o_totalprice")
+    assert(validateForChart(trend, ChartType.Line, "month", Some("total_budget")).suitable)
+    // missing column
+    assert(!validateForChart(trend, ChartType.Bar, "nope", None).suitable)
+  }
+
+  test("preview returns bounded schema + rows") {
+    val p = Procurement.preview(Snapshot(spark, sf()).nation, 3)
+    assert(p.startsWith("schema: [n_nationkey, n_name, n_regionkey]"))
+    assert(p.linesIterator.size == 4) // header + 3 rows
+  }
+
   test("keyword filter composes OR within groups, AND across groups") {
     val df = Seq(
       (1L, "spark shuffle join"), (2L, "stream join"), (3L, "spark only"), (4L, "join only")
