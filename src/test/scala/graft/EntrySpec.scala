@@ -39,9 +39,14 @@ class EntrySpec extends SparkSpecBase {
       s"queries missing from SURVEY §2: ${queryKeys -- surveyKeys}")
   }
 
-  test("deterministic: q5 twice gives identical rows") {
-    val a = SparkEntry.queries("q5_region_volume")(spark, sf()).collect().toSeq
-    val b = SparkEntry.queries("q5_region_volume")(spark, sf()).collect().toSeq
-    assert(a == b)
+  test("deterministic: representative queries give identical rows across runs") {
+    // one per family with internal state: star join, window sessionize,
+    // TF-IDF (iterative-ish), custom TopKPerKey, IVF (trained quantizer)
+    Seq("q5_region_volume", "q_sessionize", "q_tfidf_top_terms",
+        "q_top_n_per_group", "q_ann_ivf").foreach { name =>
+      val a = SparkEntry.queries(name)(spark, sf()).collect().toSeq
+      val b = SparkEntry.queries(name)(spark, sf()).collect().toSeq
+      assert(a == b, s"$name differs across runs")
+    }
   }
 }
