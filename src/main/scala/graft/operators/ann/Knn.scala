@@ -119,8 +119,31 @@ object IvfKNN {
     centroids
   }
 
+  /** A built IVF index: the trained quantizer plus the cell-assigned
+    * corpus. Build once, search many — at 100 TB the assigned corpus is
+    * what you persist, partitioned by cell_id, so each query touches only
+    * its probed cells' partitions.
+    */
+  final case class Index(centroids: DataFrame, assigned: DataFrame)
+
+  def buildIndex(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      nLists: Int = 16,
+      iters: Int = 5): Index = {
+    val centroids = train(corpus, corpusVecCol, nLists, iters)
+    val assigned = assign(
+      corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv")),
+      "__cv", centroids)
+      .localCheckpoint(true)
+    Index(centroids, assigned)
+  }
+
   /** Approximate top-k: queries probe their `nProbe` nearest cells and
-    * score only vectors assigned there.
+    * score only vectors assigned there. Builds a throwaway index; use
+    * [[buildIndex]] + [[search]] to amortize training over many query
+    * batches.
     */
   def topK(
       queries: DataFrame,
@@ -133,11 +156,20 @@ object IvfKNN {
       nLists: Int = 16,
       nProbe: Int = 4,
       iters: Int = 5,
+      excludeSelf: Boolean = true): DataFrame =
+    search(buildIndex(corpus, corpusIdCol, corpusVecCol, nLists, iters),
+      queries, queryIdCol, queryVecCol, k, nProbe, excludeSelf)
+
+  def search(
+      index: Index,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nProbe: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
-    val centroids = train(corpus, corpusVecCol, nLists, iters)
-    val assigned = assign(
-      corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv")),
-      "__cv", centroids)
+    val centroids = index.centroids
+    val assigned = index.assigned
 
     val qw = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("__sim").desc, col("cell_id"))

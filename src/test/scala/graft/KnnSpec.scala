@@ -50,6 +50,18 @@ class KnnSpec extends SparkSpecBase {
     assert(recall >= 0.3, s"recall $recall too low for 4/16-probe IVF")
   }
 
+  test("ivf prebuilt index gives identical results to throwaway topK") {
+    val e = Snapshot(spark, sf()).embeddings
+    val q = e.where($"vec_id" < 10)
+    val direct = graft.operators.ann.IvfKNN.topK(
+      q, e, "vec_id", "embedding", "vec_id", "embedding", 5, nLists = 8, iters = 2)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    val index = graft.operators.ann.IvfKNN.buildIndex(e, "vec_id", "embedding", nLists = 8, iters = 2)
+    val viaIndex = graft.operators.ann.IvfKNN.search(index, q, "vec_id", "embedding", 5)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    assert(direct == viaIndex)
+  }
+
   test("ivf training produces <= nLists centroids of the right dimension") {
     val e = Snapshot(spark, sf()).embeddings
     val c = graft.operators.ann.IvfKNN.train(e, "embedding", 8, iters = 2).collect()
