@@ -200,6 +200,9 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, dir) =>
       EmbeddingDedup.duplicatePairs(snap(s, dir).embeddings, "vec_id", "embedding", 0.4)
         .orderBy("id_a", "id_b")),
+    "q_dedup_embedding_approx" -> ((s, dir) =>
+      EmbeddingDedup.duplicatePairsApprox(snap(s, dir).embeddings, "vec_id", "embedding", 0.4, nLists = 8)
+        .orderBy("id_a", "id_b")),
     "q_ann_bruteforce" -> ((s, dir) => {
       val e = snap(s, dir).embeddings
       BruteForceKNN

@@ -224,15 +224,34 @@ object NGramJaccardDedup {
   }
 }
 
-/** Embedding-cosine near-dup: exact pairwise above a threshold. At test SF
-  * this is a (broadcast) self-join; the 100 TB path routes candidates
-  * through [[graft.operators.ann.LshKNN]] buckets first — same verify.
+/** Embedding-cosine near-dup. `duplicatePairs` is exact all-pairs — the
+  * correctness baseline, quadratic. `duplicatePairsApprox` is the 100 TB
+  * path: an IVF coarse quantizer buckets the corpus and pairs are scored
+  * within cells only (cost Σ|cell|² ≈ n²/nLists for balanced cells);
+  * near-identical vectors land in the same cell with high probability.
   */
 object EmbeddingDedup {
   def duplicatePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", GraftFunctions.cosine(col("v_a"), col("v_b")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  def duplicatePairsApprox(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nLists: Int = 16,
+      iters: Int = 3): DataFrame = {
+    val index = graft.operators.ann.IvfKNN.buildIndex(df, idCol, vecCol, nLists, iters)
+    val a = index.assigned.select(col("cell_id"), col("neighbor_id").as("id_a"), col("__cv").as("v_a"))
+    val b = index.assigned.select(col("cell_id"), col("neighbor_id").as("id_b"), col("__cv").as("v_b"))
+    a.join(b, Seq("cell_id"))
+      .where(col("id_a") < col("id_b"))
       .withColumn("sim", GraftFunctions.cosine(col("v_a"), col("v_b")))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))

@@ -62,6 +62,18 @@ class DedupSpec extends SparkSpecBase {
     assert(m == 1.0) // exact dup present
   }
 
+  test("approx embedding dedup: subset of exact pairs with usable recall") {
+    val e = graft.sources.Snapshot(spark, sf()).embeddings
+    val exact = EmbeddingDedup.duplicatePairs(e, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = EmbeddingDedup.duplicatePairsApprox(e, "vec_id", "embedding", 0.4, nLists = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((approx -- exact).isEmpty, "approx must never invent pairs")
+    val recall = if (exact.isEmpty) 1.0 else (approx & exact).size.toDouble / exact.size
+    info(s"cell-bucketed dedup recall = $recall (${approx.size}/${exact.size})")
+    assert(recall >= 0.2, s"recall $recall too low for 8-cell bucketing")
+  }
+
   test("embedding dedup finds the planted near-identical vector") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
