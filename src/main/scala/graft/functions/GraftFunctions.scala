@@ -116,11 +116,37 @@ case class CosineSim(left: Expression, right: Expression)
 
 /** 64-bit SimHash over an array of string tokens (per-occurrence weight 1).
   * Bit j of the result is 1 iff the sum over tokens of ±1 (sign = bit j of
-  * xxhash64(token, seed=42)) is positive.
+  * xxhash64(token, seed=42)) is positive. Codegen emits the same loop over
+  * `XXH64.hashUnsafeBytes` the interpreted path uses — bit-identical.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val counts = ctx.freshName("counts"); val h = ctx.freshName("h")
+      val s = ctx.freshName("s"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $arr.numElements();
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    for (int $j = 0; $j < 64; $j++) {
+         |      if ((($h >>> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($counts[$j] > 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val counts = new Array[Int](64)

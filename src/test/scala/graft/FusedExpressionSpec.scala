@@ -21,6 +21,27 @@ class FusedExpressionSpec extends SparkSpecBase {
     assert(fused == staged)
   }
 
+  test("simhash codegen equals interpreted eval") {
+    val docs = Snapshot(spark, sf()).documents.limit(100)
+    val words = split(lower(col("text")), " ")
+    // codegen path (whole-stage)
+    val viaCodegen = docs.select(col("doc_id"), GraftFunctions.simhash(words).as("s"))
+      .as[(Long, Long)].collect().toMap
+    // interpreted path: eval() on the expression directly
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val viaEval = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect().map {
+      case (id, text) =>
+        val arr = new GenericArrayData(
+          text.toLowerCase.split(" ", -1).map(w => UTF8String.fromString(w)).toArray[Any])
+        id -> graft.functions.SimHash64(Literal.create(arr, ArrayType(StringType)))
+          .eval(null).asInstanceOf[Long]
+    }.toMap
+    assert(viaCodegen == viaEval)
+  }
+
   test("dedupe results unchanged by fusion (known dup corpus)") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
