@@ -201,7 +201,10 @@ object SparkEntry {
       EmbeddingDedup.duplicatePairs(snap(s, dir).embeddings, "vec_id", "embedding", 0.4)
         .orderBy("id_a", "id_b")),
     "q_dedup_embedding_approx" -> ((s, dir) =>
-      EmbeddingDedup.duplicatePairsApprox(snap(s, dir).embeddings, "vec_id", "embedding", 0.4, nLists = 8)
+      // iters=2: dedup recall is insensitive to quantizer polish — near-
+      // identical vectors co-bucket under any reasonable centroid set
+      EmbeddingDedup.duplicatePairsApprox(snap(s, dir).embeddings, "vec_id", "embedding", 0.4,
+        nLists = 8, iters = 2)
         .orderBy("id_a", "id_b")),
     "q_ann_bruteforce" -> ((s, dir) => {
       val e = snap(s, dir).embeddings
