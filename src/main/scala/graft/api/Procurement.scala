@@ -125,8 +125,9 @@ object Procurement {
     import org.apache.spark.sql.types._
     val issues = scala.collection.mutable.ArrayBuffer.empty[String]
     val schema = df.schema
+    // case-insensitive lookup to match Spark's default column resolution
     def fieldType(c: String): Option[DataType] =
-      schema.fields.find(_.name == c).map(_.dataType)
+      schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
     def isNumeric(t: DataType) = t.isInstanceOf[NumericType]
     def isTemporal(t: DataType) = t == DateType || t == TimestampType
 
@@ -148,6 +149,7 @@ object Procurement {
         case _ => ()
       }
     }
+    if (issues.isEmpty && df.isEmpty) issues += "result is empty"
     val maxCategories = chart match {
       case ChartType.Pie => Some(12L)
       case ChartType.Bar => Some(50L)
@@ -156,8 +158,7 @@ object Procurement {
     maxCategories.foreach { cap =>
       if (issues.isEmpty) {
         val n = df.agg(countDistinct(col(xCol))).head().getLong(0)
-        if (n == 0) issues += "result is empty"
-        else if (n > cap) issues += s"$n categories exceed the $cap readable for this chart"
+        if (n > cap) issues += s"$n categories exceed the $cap readable for this chart"
       }
     }
     ChartValidation(issues.isEmpty, issues.toSeq)

@@ -246,10 +246,20 @@ object EmbeddingDedup {
       vecCol: String,
       threshold: Double,
       nLists: Int = 16,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      maxCellSize: Int = 10000): DataFrame = {
     val index = graft.operators.ann.IvfKNN.buildIndex(df, idCol, vecCol, nLists, iters)
-    val a = index.assigned.select(col("cell_id"), col("neighbor_id").as("id_a"), col("__cv").as("v_a"))
-    val b = index.assigned.select(col("cell_id"), col("neighbor_id").as("id_b"), col("__cv").as("v_b"))
+    // cell-size cap: one degenerate cell would make the self-join quadratic
+    // (the same skew guard as the banded dedups). At scale, capped cells
+    // get re-quantized with a finer quantizer rather than dropped silently;
+    // here they are excluded and the cap is the operator's contract.
+    val usable = index.assigned.groupBy("cell_id")
+      .agg(count(lit(1)).as("csz"))
+      .where(col("csz") >= 2 && col("csz") <= maxCellSize)
+      .select("cell_id")
+    val bounded = index.assigned.join(usable, Seq("cell_id"))
+    val a = bounded.select(col("cell_id"), col("neighbor_id").as("id_a"), col("__cv").as("v_a"))
+    val b = bounded.select(col("cell_id"), col("neighbor_id").as("id_b"), col("__cv").as("v_b"))
     a.join(b, Seq("cell_id"))
       .where(col("id_a") < col("id_b"))
       .withColumn("sim", GraftFunctions.cosine(col("v_a"), col("v_b")))

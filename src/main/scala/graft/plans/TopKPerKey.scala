@@ -99,6 +99,7 @@ object TopKPerKey {
     * top-k rows per key, ordered within each key by `order`.
     */
   def apply(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k (the exec would NPE on an empty heap)")
     val spark = df.sparkSession
     register(spark)
     val plan = df.queryExecution.analyzed

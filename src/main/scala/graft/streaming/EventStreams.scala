@@ -102,6 +102,12 @@ object EventStreams {
     * the watermark passes the open session's gap horizon, which both
     * flushes the final session and EVICTS the key's state (unbounded
     * per-user state is the alternative, and it leaks).
+    *
+    * Session identity: `session_id` is the session-start time in epoch
+    * micros — stable under state eviction (an ordinal counter would
+    * restart at 1 when an evicted user returns, colliding with their
+    * earlier sessions). The batch form keeps ordinal ids; key downstream
+    * joins on (user_id, session_start).
     */
   def sessionizeStream(spark: SparkSession, events: Dataset[Event],
       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
@@ -115,17 +121,17 @@ object EventStreams {
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
-            Iterator.single(Session(user, st.sessionId, st.n, st.start, st.lastTs))
+            Iterator.single(Session(user, us(st.start), st.n, st.start, st.lastTs))
           } else {
             val sorted = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
             var st = state.getOption.orNull
             val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
             sorted.foreach { e =>
               if (st == null) {
-                st = SessionState(e.ts, e.ts, 1L, 1L)
+                st = SessionState(e.ts, e.ts, 1L, 0L)
               } else if (us(e.ts) - us(st.lastTs) > SessionGapUs) {
-                closed += Session(user, st.sessionId, st.n, st.start, st.lastTs)
-                st = SessionState(e.ts, e.ts, 1L, st.sessionId + 1L)
+                closed += Session(user, us(st.start), st.n, st.start, st.lastTs)
+                st = SessionState(e.ts, e.ts, 1L, 0L)
               } else {
                 st = st.copy(lastTs = e.ts, n = st.n + 1L)
               }

@@ -15,9 +15,10 @@ object ProfileMinhash {
     // force signature evaluation (count() alone would prune the column)
     val sh = docs.select(col("doc_id"), MinHashDedup.signature(col("text")).as("sig"))
     time("signatures (forced)")(sh.agg(max(element_at(col("sig"), 1))).count())
+    // one execution only: the hash-agg head() already forces every column
     def force(df: org.apache.spark.sql.DataFrame): Long = {
-      df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h")).agg(sum("h")).head()
-      df.count()
+      df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
+        .agg(sum("h"), count(lit(1))).head().getLong(1)
     }
     val cand = MinHashDedup.candidatePairs(docs, "doc_id", "text")
     time("candidatePairs")(force(cand))

@@ -121,8 +121,11 @@ class StreamingSpec extends SparkSpecBase {
     val src = spark.read.parquet(eventsDir)
     src.write.mode("overwrite").parquet(dir.getAbsolutePath)
 
+    // streaming session_id is the start time in epoch micros (stable under
+    // state eviction) — derive the expectation from the batch twin
     val expectedAll = EventStreams.sessionizeBatch(spark.read.parquet(dir.getAbsolutePath))
-      .select("user_id", "session_id", "n_events", "session_start", "session_end")
+      .select($"user_id", unix_micros($"session_start").as("session_id"),
+        $"n_events", $"session_start", $"session_end")
       .orderBy("user_id", "session_id").collect().toSeq
 
     val stream = spark.readStream.schema(src.schema).parquet(dir.getAbsolutePath)
