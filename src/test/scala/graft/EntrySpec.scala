@@ -39,6 +39,15 @@ class EntrySpec extends SparkSpecBase {
       s"queries missing from SURVEY §2: ${queryKeys -- surveyKeys}")
   }
 
+  test("every oracle has a total ORDER BY (or is a single-row aggregate)") {
+    // hash compare is row-order sensitive; CLAUDE.md determinism rule
+    val singleRow = Set("q_insights_summary")
+    val missing = SparkEntry.oracleSql.collect {
+      case (name, sql) if !singleRow(name) && !sql.toUpperCase.contains("ORDER BY") => name
+    }
+    assert(missing.isEmpty, s"oracles without ORDER BY: $missing")
+  }
+
   test("deterministic: representative queries give identical rows across runs") {
     // one per family with internal state: star join, window sessionize,
     // TF-IDF (iterative-ish), custom TopKPerKey, IVF (trained quantizer)
