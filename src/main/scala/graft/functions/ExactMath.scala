@@ -20,4 +20,16 @@ object ExactMath {
 
   /** Exact mean: decimal-exact sum divided by count, in double. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** High-precision decimal for unit-scale components (e.g. embedding
+    * coordinates in [-1, 1]): 16 integer digits of headroom for the sum.
+    */
+  val ComponentDecimal: DecimalType = DecimalType(28, 12)
+
+  /** Order-independent mean of a unit-scale double column (decimal-exact
+    * sum, one division) — stable across partitionings/AQE re-plans, unlike
+    * `avg` over raw doubles whose partial-aggregation order varies.
+    */
+  def dmean(c: Column): Column =
+    (sum(c.cast(ComponentDecimal)) / count(lit(1))).cast("double")
 }

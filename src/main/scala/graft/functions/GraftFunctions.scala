@@ -322,6 +322,176 @@ case class BandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Shared scoring state for the centroid expressions: the (tiny) centroid
+  * set lives on the driver and ships inside the serialized expression — no
+  * join, no shuffle, no Spark broadcast machinery needed at nLists×dim
+  * doubles (a few KB).
+  */
+private[graft] trait CentroidSet extends VectorReader { self: UnaryExpression =>
+  def centroids: Seq[Seq[Double]]
+  require(centroids.nonEmpty, "centroid set must be non-empty")
+  require(centroids.forall(_.length == centroids.head.length),
+    "all centroids must share one dimension")
+
+  protected val dim: Int = centroids.head.length
+  protected val nCells: Int = centroids.length
+  @transient protected lazy val flat: Array[Double] = {
+    val a = new Array[Double](nCells * dim)
+    var c = 0
+    while (c < nCells) {
+      var j = 0
+      while (j < dim) { a(c * dim + j) = centroids(c)(j); j += 1 }
+      c += 1
+    }
+    a
+  }
+  /** Precomputed centroid L2 norms (sequential fold, like CosineSim). */
+  @transient protected lazy val cellNorms: Array[Double] = {
+    val a = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      var s = 0.0; var j = 0
+      while (j < dim) { val x = centroids(c)(j); s += x * x; j += 1 }
+      a(c) = math.sqrt(s)
+      c += 1
+    }
+    a
+  }
+
+  /** Cosine sims of `arr` against every centroid into `out` (length
+    * nCells); NegativeInfinity marks zero-norm centroids. Returns the
+    * vector's squared norm (0.0 ⇒ all sims are -inf).
+    */
+  protected def scoreAll(arr: ArrayData, out: Array[Double]): Double = {
+    val t = elemType(child)
+    val n = math.min(arr.numElements(), dim)
+    var nx = 0.0; var i = 0
+    while (i < n) { val x = read(arr, i, t); nx += x * x; i += 1 }
+    var c = 0
+    while (c < nCells) {
+      if (nx == 0.0 || cellNorms(c) == 0.0) out(c) = Double.NegativeInfinity
+      else {
+        var dot = 0.0; var j = 0; val base = c * dim
+        while (j < n) { dot += read(arr, j, t) * flat(base + j); j += 1 }
+        out(c) = dot / (math.sqrt(nx) * cellNorms(c))
+      }
+      c += 1
+    }
+    nx
+  }
+}
+
+/** Nearest-centroid cell id by cosine similarity — the map-only IVF
+  * assignment. One row in, one long out; no shuffle anywhere. Ties go to
+  * the lowest cell id (strict-greater argmax). Zero-norm vectors (cosine
+  * undefined) are deterministically routed to cell 0 rather than dropped,
+  * so the IVF index retains every non-null row like the brute-force
+  * baseline does.
+  */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression with CentroidSet {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val t = elemType(child)
+    val n = math.min(arr.numElements(), dim)
+    var nx = 0.0; var i = 0
+    while (i < n) { val x = read(arr, i, t); nx += x * x; i += 1 }
+    if (nx == 0.0) 0L
+    else {
+      var best = -1; var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < nCells) {
+        if (cellNorms(c) != 0.0) {
+          var dot = 0.0; var j = 0; val base = c * dim
+          while (j < n) { dot += read(arr, j, t) * flat(base + j); j += 1 }
+          val sim = dot / (math.sqrt(nx) * cellNorms(c))
+          if (sim > bestSim) { bestSim = sim; best = c }
+        }
+        c += 1
+      }
+      if (best < 0) 0L else best.toLong
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val flatRef = ctx.addReferenceObj("centroidsFlat", flat, "double[]")
+      val normsRef = ctx.addReferenceObj("centroidNorms", cellNorms, "double[]")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val x = ctx.freshName("x"); val nx = ctx.freshName("nx")
+      val dot = ctx.freshName("dot"); val sim = ctx.freshName("sim")
+      val best = ctx.freshName("best"); val bestSim = ctx.freshName("bestSim")
+      val base = ctx.freshName("base")
+      s"""
+         |int $n = java.lang.Math.min($arr.numElements(), $dim);
+         |double $nx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${readJava(arr, i, elemType(child))};
+         |  $nx += $x * $x;
+         |}
+         |if ($nx == 0.0) {
+         |  ${ev.value} = 0L;
+         |} else {
+         |  int $best = -1;
+         |  double $bestSim = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $nCells; $c++) {
+         |    if ($normsRef[$c] != 0.0) {
+         |      double $dot = 0.0;
+         |      int $base = $c * $dim;
+         |      for (int $j = 0; $j < $n; $j++) {
+         |        $dot += (${readJava(arr, j, elemType(child))}) * $flatRef[$base + $j];
+         |      }
+         |      double $sim = $dot / (java.lang.Math.sqrt($nx) * $normsRef[$c]);
+         |      if ($sim > $bestSim) { $bestSim = $sim; $best = $c; }
+         |    }
+         |  }
+         |  ${ev.value} = $best < 0 ? 0L : (long) $best;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The `n` nearest cell ids by cosine, best first (ties → lower id) — the
+  * query-side IVF probe list. Zero-norm queries get cells 0..n-1 so they
+  * still receive candidates deterministically. CodegenFallback is fine
+  * here: this runs once per *query*, not per corpus row.
+  */
+case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], n: Int)
+    extends UnaryExpression with CentroidSet with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sims = new Array[Double](nCells)
+    scoreAll(arr, sims)
+    val take = math.min(n, nCells)
+    val out = new Array[Long](take)
+    val used = new Array[Boolean](nCells)
+    var s = 0
+    while (s < take) {
+      var best = -1; var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < nCells) {
+        // strict > keeps ties on the lowest unused cell id; -inf slots
+        // (zero-norm) fall back to id order, covering the zero-norm query
+        if (!used(c) && (best < 0 || sims(c) > bestSim)) { bestSim = sims(c); best = c }
+        c += 1
+      }
+      used(best) = true
+      out(s) = best.toLong
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Order-dependent rolling (polynomial) hash over string tokens:
   * fp = fold(acc * 31 + xxhash64(token)), wrapping. A content fingerprint
   * that, unlike SimHash, is sensitive to token order.
@@ -387,4 +557,17 @@ object GraftFunctions {
   def shingleHashes(words: Column, n: Int): Column =
     org.apache.spark.sql.GraftPlanBridge.column(
       ShingleHashes(org.apache.spark.sql.GraftPlanBridge.expression(words), n))
+
+  /** Map-only nearest-centroid cell id (IVF assignment); the centroid set
+    * is a driver-side literal — parameterized per call, so built via the
+    * plan bridge rather than the name registry.
+    */
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      NearestCentroid(org.apache.spark.sql.GraftPlanBridge.expression(vec), centroids))
+
+  /** The n nearest cell ids, best first (IVF query probes). */
+  def nearestCells(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      NearestCells(org.apache.spark.sql.GraftPlanBridge.expression(vec), centroids, n))
 }

@@ -44,87 +44,96 @@ object BruteForceKNN {
   }
 }
 
-/** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
-  * corpus into `nLists` cells; queries score only the `nProbe` nearest
-  * cells. Candidates/query ≈ nProbe/nLists of the corpus.
+/** IVF (inverted-file) ANN — the library's DEFAULT approximate-NN path
+  * (LshKNN below is the cheap/low-recall alternative): a coarse k-means
+  * quantizer partitions the corpus into `nLists` cells; queries score only
+  * the `nProbe` nearest cells. Candidates/query ≈ nProbe/nLists of the
+  * corpus.
   *
-  * Training is distributed Lloyd's: assignment is a broadcast join against
-  * the (tiny) centroid set, the update is one groupBy — per iteration one
-  * shuffle of (cell, vector) pairs. Centroid init is a deterministic
-  * hash-sample of the corpus. At 100 TB: train on a sample, assign the
-  * full corpus once, store cell ids alongside the vectors (partition by
-  * cell) so queries touch nProbe partitions only.
+  * The centroid set is tiny (nLists×dim doubles), so it lives on the
+  * driver and ships inside a codegen'd expression: assignment is MAP-ONLY
+  * — zero shuffles over the corpus, per training round or for the final
+  * index build. The only shuffle in training is the centroid update, and
+  * partial aggregation collapses it to ≤ partitions×nLists×dim slim rows.
+  * At 100 TB: train on a sample, assign the full corpus in one map-only
+  * pass, persist the assigned corpus partitioned by cell so queries touch
+  * nProbe partitions only.
   */
 object IvfKNN {
+  import graft.functions.GraftFunctions
   import graft.functions.GraftFunctions.cosine
 
-  /** Assigns each row its nearest centroid: broadcast join + argmax via
-    * partial-aggregating min(struct) — each map task reduces the nLists
-    * candidate rows per input row before any shuffle (a per-row window
-    * would shuffle and sort corpus×nLists rows instead). Output = df
-    * columns + `cell_id`; ties go to the lowest cell id.
+  /** Map-only assignment: appends `cell_id` = nearest centroid by cosine
+    * (ties → lowest cell id) via a driver-embedded literal centroid set —
+    * no join, no shuffle, stays inside whole-stage codegen. Zero-norm
+    * vectors go to cell 0 (deterministic, never dropped); null vectors get
+    * a null cell_id.
     */
-  def assign(df: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
-    val payload = df.columns.toIndexedSeq
-    val scored = df
-      .withColumn("__rid", monotonically_increasing_id())
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col(vecCol), col("centroid")))
-      // cosine is null for zero-norm input; a null negSim would win min()
-      // and collapse the whole corpus into one cell
-      .where(col("__sim").isNotNull)
-    scored
-      .groupBy("__rid")
-      .agg(
-        min(struct((-col("__sim")).as("negSim"), col("cell_id"))).as("__best"),
-        payload.map(c => first(col(c)).as(c)): _*)
-      .select(payload.map(col) :+ col("__best.cell_id").as("cell_id"): _*)
-  }
+  def assign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame =
+    df.withColumn("cell_id", GraftFunctions.nearestCentroid(col(vecCol), centroids))
 
   /** Trains the coarse quantizer: deterministic hash-sample init, then
-    * `iters` Lloyd's rounds (assign = broadcast join; update = elementwise
-    * mean via posexplode + groupBy). Returns (cell_id, centroid:
-    * array<double>) for non-empty cells.
+    * `iters` Lloyd's rounds. Assignment is map-only; the update's
+    * posexplode+groupBy shuffles only the partially-aggregated
+    * (cell, pos, sum) triples. Means go through the decimal path so the
+    * trained centroids are bit-stable across partitionings/AQE re-plans.
+    * Cells that end a round empty keep their previous centroid, so cell
+    * ids stay dense 0..nLists-1.
     */
-  def train(corpus: DataFrame, vecCol: String, nLists: Int, iters: Int = 5): DataFrame = {
+  def trainCentroids(
+      corpus: DataFrame, vecCol: String, nLists: Int, iters: Int = 5): Seq[Seq[Double]] = {
     val asDouble = transform(col(vecCol), v => v.cast("double"))
     // distributed TakeOrdered for the seed sample (a global row_number
-    // window would drag the whole corpus into one partition); the window
-    // below ranks only the nLists sampled rows
+    // window would drag the whole corpus into one partition)
     val seed = corpus
       .select(asDouble.as("centroid"))
+      .where(col("centroid").isNotNull)
       .withColumn("__h", xxhash64(col("centroid").cast("array<string>")))
       .orderBy("__h")
       .limit(nLists)
-    val initW = org.apache.spark.sql.expressions.Window.orderBy("__h")
-    var centroids = seed
-      .withColumn("cell_id", row_number().over(initW).cast("long") - 1L)
-      .select(col("cell_id"), col("centroid"))
-      .localCheckpoint(true)
+      .select("centroid")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seed.nonEmpty, "cannot train IVF on an empty corpus")
 
-    val vectors = corpus.select(asDouble.as("__v"))
-    var i = 0
-    while (i < iters) {
-      val assigned = assign(vectors, "__v", centroids)
-      val updated = assigned
+    val vectors = corpus.select(asDouble.as("__v")).where(col("__v").isNotNull)
+    var cents: Array[Array[Double]] = seed
+    val dim = cents.head.length
+    var it = 0
+    while (it < iters) {
+      // collect() is nLists×dim rows — centroids are driver-sized by design
+      val updated = assign(vectors, "__v", cents.map(_.toSeq).toSeq)
         .select(col("cell_id"), posexplode(col("__v")))
         .groupBy("cell_id", "pos")
-        .agg(avg(col("col")).as("m"))
-        .groupBy("cell_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell_id"), transform(col("pm"), x => x.getField("m")).as("centroid"))
-      centroids = updated.localCheckpoint(true)
-      i += 1
+        .agg(graft.functions.ExactMath.dmean(col("col")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      updated.foreach { r =>
+        val cell = r.getLong(0).toInt; val pos = r.getInt(1)
+        if (cell < next.length && pos < dim) next(cell)(pos) = r.getDouble(2)
+      }
+      cents = next
+      it += 1
     }
-    centroids
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** DataFrame view of [[trainCentroids]]: (cell_id, centroid). */
+  def train(corpus: DataFrame, vecCol: String, nLists: Int, iters: Int = 5): DataFrame = {
+    val cents = trainCentroids(corpus, vecCol, nLists, iters)
+    corpus.sparkSession.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+      .toDF("cell_id", "centroid")
   }
 
   /** A built IVF index: the trained quantizer plus the cell-assigned
     * corpus. Build once, search many — at 100 TB the assigned corpus is
-    * what you persist, partitioned by cell_id, so each query touches only
-    * its probed cells' partitions.
+    * what you write out, partitioned by cell_id, so each query touches
+    * only its probed cells' partitions. Locally it is persisted
+    * MEMORY_AND_DISK (recomputable lineage — an executor loss re-runs the
+    * map-only assignment instead of failing the job).
     */
-  final case class Index(centroids: DataFrame, assigned: DataFrame)
+  final case class Index(centroids: Seq[Seq[Double]], assigned: DataFrame)
 
   def buildIndex(
       corpus: DataFrame,
@@ -132,12 +141,13 @@ object IvfKNN {
       corpusVecCol: String,
       nLists: Int = 16,
       iters: Int = 5): Index = {
-    val centroids = train(corpus, corpusVecCol, nLists, iters)
+    val cents = trainCentroids(corpus, corpusVecCol, nLists, iters)
     val assigned = assign(
       corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv")),
-      "__cv", centroids)
-      .localCheckpoint(true)
-    Index(centroids, assigned)
+      "__cv", cents)
+      .where(col("cell_id").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Index(cents, assigned)
   }
 
   /** Approximate top-k: queries probe their `nProbe` nearest cells and
@@ -168,22 +178,17 @@ object IvfKNN {
       k: Int,
       nProbe: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
-    val centroids = index.centroids
-    val assigned = index.assigned
-
-    val qw = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("__sim").desc, col("cell_id"))
+    // probe list is map-only too (no crossJoin/window over the query batch
+    // — it can be large at scale); ordering inside the expression matches
+    // the old (sim desc, cell_id) window tiebreak
     val probes = queries
       .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col("__qv"), col("centroid")))
-      .withColumn("__rn", row_number().over(qw))
-      .where(col("__rn") <= nProbe)
-      .select(col("query_id"), col("__qv"), col("cell_id"))
+      .select(col("query_id"), col("__qv"),
+        explode(GraftFunctions.nearestCells(col("__qv"), index.centroids, nProbe)).as("cell_id"))
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    assigned
+    index.assigned
       .join(broadcast(probes), Seq("cell_id"))
       .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
@@ -193,11 +198,15 @@ object IvfKNN {
   }
 }
 
-/** Random-hyperplane LSH ANN: sign-bit signature; candidates share the
-  * query's bucket or any bucket within hamming distance 2 (multiprobe).
-  * Expected candidates/query ≈ 37 · |corpus| / 2^8. Bits/probes trade
-  * recall for candidate count: more corpus per bucket → raise NumPlanes
-  * (the signature is cheap; the knob is load-dependent, not data-dependent).
+/** Random-hyperplane LSH ANN — the CHEAP / LOW-RECALL option (measured
+  * recall@5 ≈ 0.3 on near-uniform 64-dim data at the defaults; [[IvfKNN]]
+  * is the library's default ANN path at ≈ 0.58). Use LSH when candidate
+  * generation must be a pure projection (no training pass at all) and
+  * recall is secondary. Sign-bit signature; candidates share the query's
+  * bucket or any bucket within hamming distance 2 (multiprobe). Expected
+  * candidates/query ≈ 37 · |corpus| / 2^8. Bits/probes trade recall for
+  * candidate count: more corpus per bucket → raise NumPlanes (the
+  * signature is cheap; the knob is load-dependent, not data-dependent).
   */
 object LshKNN {
   val NumPlanes = 8

@@ -47,7 +47,23 @@ class KnnSpec extends SparkSpecBase {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
     info(s"ivf recall@5 = $recall")
-    assert(recall >= 0.3, s"recall $recall too low for 4/16-probe IVF")
+    // IVF is the default ANN path — held to the >=0.5 floor (LSH is the
+    // explicitly cheap/low-recall option with the 0.3 floor above)
+    assert(recall >= 0.5, s"recall $recall too low for 4/16-probe IVF (default ANN path)")
+  }
+
+  test("zero-norm and all vectors are retained in the IVF index") {
+    val vecs = Seq(
+      (1L, Array.fill(4)(0.0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0.9f, 0.1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val idx = graft.operators.ann.IvfKNN.buildIndex(vecs, "vec_id", "embedding", nLists = 2, iters = 1)
+    // the zero-norm row is routed to cell 0, not silently dropped
+    assert(idx.assigned.count() == 4)
+    val zeroCell = idx.assigned.where($"neighbor_id" === 1L).select("cell_id").as[Long].head()
+    assert(zeroCell == 0L)
   }
 
   test("ivf prebuilt index gives identical results to throwaway topK") {

@@ -49,6 +49,16 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("ivf assignment is map-only: no exchange, stays in codegen") {
+    val e = Snapshot(spark, sf()).embeddings
+    val cents = graft.operators.ann.IvfKNN.trainCentroids(e, "embedding", 4, iters = 1)
+    val assigned = graft.operators.ann.IvfKNN.assign(e, "embedding", cents)
+    assigned.collect()
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("*("), p.take(1500))
+  }
+
   test("partitioned writes enable partition pruning at the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toFile
