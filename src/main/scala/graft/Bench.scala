@@ -1,9 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Driver-run benchmark: every SparkEntry.query timed on SPARK_GRAFT_SF_DIR.
+  *
+  * Noise handling (this box has ±50% neighbor noise — see CLAUDE.md): each
+  * query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
+  * per-query MEDIAN; the total is the sum of successful medians only.
+  * Failed queries are listed in "failed" and carry -1.0 in "queries" —
+  * they are never summed (a -1 sentinel in the total would make a failing
+  * run look faster than a clean one).
+  *
+  * Output: ONE bare JSON line on stdout, and the same line written to
+  * SPARK_GRAFT_BENCH_OUT (default ./BENCH_LOCAL.json) so the result stays
+  * machine-readable even when sbt wraps stdout in [info] prefixes.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,26 +32,44 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
-    // hash-reduce every output column: a bare count() would let Catalyst
-    // prune the projections and benchmark only the scan
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok = try {
-        val df = fn(spark, sfDir)
-        import org.apache.spark.sql.functions.{sum, xxhash64, col}
-        df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("__h"))
-          .agg(sum("__h")).head()
-        true
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: " + e.getMessage); false
-      }
-      // failed queries are reported as -1, never as a fast timing
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val df = fn(spark, sfDir)
+      // hash-reduce every output column: a bare count() would let Catalyst
+      // prune the projections and benchmark only the scan
+      import org.apache.spark.sql.functions.{sum, xxhash64, col}
+      df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("__h"))
+        .agg(sum("__h")).head()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+
+    val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var r = 0
+      while (r < reps && !failed) {
+        try times += once(fn)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: " + e.getMessage); failed = true
+        }
+        r += 1
+      }
+      name -> (if (failed) -1.0 else median(times.toSeq))
+    }
+    val failed = results.collect { case (n, v) if v < 0 => n }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"n_failed":${failed.size},"failed":$failedJson}"""
+    println(json)
+    try Files.writeString(Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -47,13 +47,24 @@ object Procurement {
     df.where(ts && cat)
   }
 
-  /** Materializes a query result as a named temp view (the reference's
-    * intermediary table) and returns it. At scale this would be a parquet /
-    * Delta write; a temp view keeps the plan lazy and re-optimizable.
+  /** The reference's intermediary table as a pure transform: returns the
+    * DataFrame unchanged; view registration is the separate, explicit step
+    * below. At scale this would be a parquet / Delta write; a temp view
+    * keeps the plan lazy and re-optimizable.
     */
-  def intermediary(df: DataFrame, name: String = "intermediary_table"): DataFrame = {
-    df.createOrReplaceTempView(name)
-    df
+  def intermediary(df: DataFrame): DataFrame = df
+
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Registers `df` as a temp view and returns the view name. With no
+    * explicit name, a session-unique one is generated — concurrent
+    * queries in one session never overwrite each other's intermediary
+    * (temp views are session-global state).
+    */
+  def registerIntermediary(df: DataFrame, name: Option[String] = None): String = {
+    val n = name.getOrElse(s"intermediary_${viewCounter.incrementAndGet()}")
+    df.createOrReplaceTempView(n)
+    n
   }
 
   /** Bar-chart prep: total value per group, descending. */

@@ -16,7 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * left-to-right in double precision, which makes results bit-reproducible
   * and mirrorable in the DuckDB oracle (`list_reduce`).
   *
-  * CodegenFallback for round 1; `doGenCode` is a planned round-2 upgrade.
+  * Every expression here implements `doGenCode` (bit-identical to its
+  * interpreted `eval`, spec-checked in FusedExpressionSpec), so the dedup /
+  * vector projections stay inside whole-stage codegen. The one exception is
+  * the query-side `NearestCells` (bounded input, documented below).
   */
 private[graft] trait VectorReader {
   protected def elemType(e: Expression): DataType =
@@ -176,8 +179,32 @@ case class SimHash64(child: Expression)
   * hashing. Empty input yields Long.MaxValue per slot.
   */
 case class MinHashSig(child: Expression, coeffs: Seq[(Long, Long)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val as: Array[Long] = coeffs.map(_._1).toArray
+  @transient private lazy val bs: Array[Long] = coeffs.map(_._2).toArray
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
+      val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val k = ctx.freshName("k")
+      val h = ctx.freshName("h"); val g = ctx.freshName("g"); val out = ctx.freshName("out")
+      // loop order inverted vs the interpreted path (row-major over input)
+      // — min() is order-independent, results are bit-identical
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $out = new long[${coeffs.length}];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $arr.getLong($i);
+         |  for (int $k = 0; $k < ${coeffs.length}; $k++) {
+         |    long $g = ($asRef[$k] * $h + $bsRef[$k]) >>> 1;
+         |    if ($g < $out[$k]) $out[$k] = $g;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -207,9 +234,38 @@ case class MinHashSig(child: Expression, coeffs: Seq[(Long, Long)])
   * needing set semantics wrap in array_distinct.
   */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val m = ctx.freshName("m"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val wh = ctx.freshName("wh"); val s = ctx.freshName("s"); val acc = ctx.freshName("acc")
+      val count = ctx.freshName("count"); val width = ctx.freshName("width")
+      val out = ctx.freshName("out")
+      s"""
+         |int $m = $arr.numElements();
+         |long[] $wh = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if ($arr.isNullAt($i)) { $wh[$i] = 0L; } else {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+         |    $wh[$i] = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  }
+         |}
+         |int $count = ($m >= $n) ? $m - $n + 1 : 1;
+         |int $width = ($m >= $n) ? $n : $m;
+         |long[] $out = new long[$count];
+         |for (int $i = 0; $i < $count; $i++) {
+         |  long $acc = 42L;
+         |  for (int $j = $i; $j < $i + $width; $j++) {
+         |    $acc = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($wh[$j], $acc);
+         |  }
+         |  $out[$i] = $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
   override def nullSafeEval(v: Any): Any = {
     val words = v.asInstanceOf[ArrayData]
     val m = words.numElements()
@@ -248,10 +304,57 @@ case class ShingleHashes(child: Expression, n: Int)
   */
 case class MinHashBands(child: Expression, coeffs: Seq[(Long, Long)],
     bands: Int, rowsPerBand: Int, shingle: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   private lazy val as: Array[Long] = coeffs.map(_._1).toArray
   private lazy val bs: Array[Long] = coeffs.map(_._2).toArray
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val asRef = ctx.addReferenceObj("mhbAs", as, "long[]")
+      val bsRef = ctx.addReferenceObj("mhbBs", bs, "long[]")
+      val nSig = coeffs.length
+      val m = ctx.freshName("m"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val b = ctx.freshName("b"); val e = ctx.freshName("e")
+      val wh = ctx.freshName("wh"); val s = ctx.freshName("s"); val h = ctx.freshName("h")
+      val g = ctx.freshName("g"); val sig = ctx.freshName("sig")
+      val count = ctx.freshName("count"); val width = ctx.freshName("width")
+      val out = ctx.freshName("out")
+      s"""
+         |int $m = $arr.numElements();
+         |long[] $wh = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if ($arr.isNullAt($i)) { $wh[$i] = 0L; } else {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+         |    $wh[$i] = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  }
+         |}
+         |long[] $sig = new long[$nSig];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |int $count = ($m >= $shingle) ? $m - $shingle + 1 : 1;
+         |int $width = ($m >= $shingle) ? $shingle : $m;
+         |for (int $i = 0; $i < $count; $i++) {
+         |  long $h = 42L;
+         |  for (int $j = $i; $j < $i + $width; $j++) {
+         |    $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($wh[$j], $h);
+         |  }
+         |  for (int $k = 0; $k < $nSig; $k++) {
+         |    long $g = ($asRef[$k] * $h + $bsRef[$k]) >>> 1;
+         |    if ($g < $sig[$k]) $sig[$k] = $g;
+         |  }
+         |}
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $h = (long) $b;
+         |  int $e = java.lang.Math.min(($b + 1) * $rowsPerBand, $nSig);
+         |  for (int $j = $b * $rowsPerBand; $j < $e; $j++) {
+         |    $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($sig[$j], $h);
+         |  }
+         |  $out[$b] = $h;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
   override def nullSafeEval(v: Any): Any = {
     val words = v.asInstanceOf[ArrayData]
     val m = words.numElements()
@@ -300,8 +403,25 @@ case class MinHashBands(child: Expression, coeffs: Seq[(Long, Long)],
   * as band count grows.
   */
 case class BandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val k = ctx.freshName("k"); val i = ctx.freshName("i"); val e = ctx.freshName("e")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+         |long[] $out = new long[$bands];
+         |for (int $k = 0; $k < $bands; $k++) {
+         |  long $h = (long) $k;
+         |  int $e = java.lang.Math.min(($k + 1) * $rowsPerBand, $arr.numElements());
+         |  for (int $i = $k * $rowsPerBand; $i < $e; $i++) {
+         |    $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($arr.getLong($i), $h);
+         |  }
+         |  $out[$k] = $h;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
   override def nullSafeEval(v: Any): Any = {
     val sig = v.asInstanceOf[ArrayData]
     val out = new Array[Long](bands)
@@ -497,8 +617,25 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], n: Int)
   * that, unlike SimHash, is sensitive to token order.
   */
 case class RollingFingerprint(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val s = ctx.freshName("s")
+      s"""
+         |int $n = $arr.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+         |    $acc = $acc * 31L + org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     var acc = 0L

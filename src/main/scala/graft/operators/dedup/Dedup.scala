@@ -186,10 +186,14 @@ object NGramJaccardDedup {
       shingle: Int = 5,
       maxShingleFreq: Int = 100): DataFrame = {
     // Slim (shingle-hash, id) rows through the shuffle; shingle sets are
-    // re-attached to candidates only (same reasoning as MinHash).
+    // re-attached to candidates only (same reasoning as MinHash). The
+    // exploded set feeds both the frequency agg and the join-back below —
+    // persist it (spillable, lineage kept) so shingling+explode runs once,
+    // keeping the scale-safe two-pass shape
     val exploded = df.select(
       col(idCol).as("id"),
       explode(array_distinct(Shingling.shingleHashes(col(textCol), shingle))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val usable = exploded.groupBy("s")
       .agg(count(lit(1)).as("freq"))
       .where(col("freq") >= 2 && col("freq") <= maxShingleFreq)
@@ -247,8 +251,12 @@ object EmbeddingDedup {
       threshold: Double,
       nLists: Int = 16,
       iters: Int = 3,
-      maxCellSize: Int = 10000): DataFrame = {
-    val index = graft.operators.ann.IvfKNN.buildIndex(df, idCol, vecCol, nLists, iters)
+      maxCellSize: Int = 10000,
+      prebuilt: Option[graft.operators.ann.IvfKNN.Index] = None): DataFrame = {
+    // build-once/search-many: callers holding a built index (bench loops,
+    // repeated dedup passes over one corpus) skip quantizer training
+    val index = prebuilt.getOrElse(
+      graft.operators.ann.IvfKNN.buildIndex(df, idCol, vecCol, nLists, iters))
     // cell-size cap: one degenerate cell would make the self-join quadratic
     // (the same skew guard as the banded dedups). At scale, capped cells
     // get re-quantized with a finer quantizer rather than dropped silently;

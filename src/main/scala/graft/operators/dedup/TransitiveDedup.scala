@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   * round is one shuffle on node id; `localCheckpoint` cuts lineage so
   * plans don't grow with iterations (the classic iterative-Spark failure
   * mode).
+  *
+  * Fault-tolerance tradeoff (deliberate): `localCheckpoint` stores
+  * non-replicated executor-local blocks — on a real cluster a lost
+  * executor makes the truncated lineage unrecoverable and fails the job,
+  * which Spark then retries from scratch. That is the right default for
+  * an iterative job whose per-round state is small (the label table, two
+  * longs per node — NOT the corpus). For long multi-hour cluster runs
+  * where a retry-from-scratch is unacceptable, swap in a reliable
+  * `sparkContext.setCheckpointDir` + `.checkpoint()` (HDFS/S3-backed) or
+  * `persist(MEMORY_AND_DISK_2)` at ~2× the per-round I/O cost.
   */
 object TransitiveDedup {
 

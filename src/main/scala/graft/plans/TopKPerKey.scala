@@ -28,6 +28,7 @@ final case class TopKPerKeyNode(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    maxRetainedPerPartition: Long,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
@@ -38,6 +39,7 @@ final case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    maxRetainedPerPartition: Long,
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
@@ -48,6 +50,7 @@ final case class TopKPerKeyExec(
     val sortOrder = order
     val childOutput = child.output
     val limit = k
+    val maxRetained = maxRetainedPerPartition
     child.execute().mapPartitions({ rows =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrdering: Ordering[InternalRow] =
@@ -57,6 +60,11 @@ final case class TopKPerKeyExec(
       // the root so the worst kept row is evicted first)
       val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, java.util.PriorityQueue[InternalRow]]
       val reverse = rowOrdering.reverse.asInstanceOf[java.util.Comparator[InternalRow]]
+      // explicit memory contract: the operator retains at most keys·k rows
+      // per partition on heap; past the bound it fails fast with guidance
+      // instead of OOMing the executor (the sort-based window formulation
+      // spills and has no such bound)
+      var retained = 0L
       rows.foreach { r =>
         val key = keyProj(r)
         // copy the key only on first insertion — getOrElseUpdate's by-value
@@ -68,6 +76,14 @@ final case class TopKPerKeyExec(
         }
         // SparkPlan contract is InternalRow, not UnsafeRow — no cast
         if (heap.size < limit) {
+          retained += 1L
+          if (retained > maxRetained) {
+            throw new org.apache.spark.SparkException(
+              s"TopKPerKey retained more than maxRetainedPerPartition=$maxRetained rows " +
+                s"in one partition (keys x k exceeds the bounded-heap memory contract). " +
+                s"Use a row_number() window (sort-based, spillable) for unbounded key " +
+                s"cardinality, or raise maxRetainedPerPartition.")
+          }
           heap.add(r.copy())
         } else if (rowOrdering.compare(r, heap.peek()) < 0) {
           heap.poll()
@@ -88,18 +104,35 @@ final case class TopKPerKeyExec(
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case TopKPerKeyNode(keys, order, k, maxRetained, child) =>
+      TopKPerKeyExec(keys, order, k, maxRetained, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
 object TopKPerKey {
+  /** Default per-partition retained-row bound: 4M rows x (say) 100 B/row
+    * ≈ 400 MB of heap — comfortably under a typical executor's share, and
+    * far above any sane keys·k workload for this operator.
+    */
+  val DefaultMaxRetainedPerPartition: Long = 4000000L
+
   /** Registers the strategy on the session (idempotent) and returns the
     * top-k rows per key, ordered within each key by `order`.
+    *
+    * Memory contract: each partition retains at most keys·k rows on heap,
+    * hard-capped at `maxRetainedPerPartition` (clear failure, not an OOM).
+    * For key cardinalities beyond the cap, use the window formulation —
+    * sort-based and spillable — instead of this operator.
     */
-  def apply(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+  def apply(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderBy: Seq[Column],
+      k: Int,
+      maxRetainedPerPartition: Long = DefaultMaxRetainedPerPartition): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k (the exec would NPE on an empty heap)")
+    require(maxRetainedPerPartition >= 1, "maxRetainedPerPartition must be >= 1")
     val spark = df.sparkSession
     register(spark)
     val plan = df.queryExecution.analyzed
@@ -111,7 +144,8 @@ object TopKPerKey {
         case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
       }
     }
-    GraftPlanBridge.ofRows(spark, TopKPerKeyNode(keyExprs, orderExprs, k, plan))
+    GraftPlanBridge.ofRows(spark,
+      TopKPerKeyNode(keyExprs, orderExprs, k, maxRetainedPerPartition, plan))
   }
 
   def register(spark: SparkSession): Unit =

@@ -42,6 +42,42 @@ class FusedExpressionSpec extends SparkSpecBase {
     assert(viaCodegen == viaEval)
   }
 
+  test("hash-expression codegen equals interpreted eval (bands/sig/shingles/buckets/fingerprint)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{BandBuckets, MinHashBands, MinHashSig, RollingFingerprint, ShingleHashes}
+
+    val docs = Snapshot(spark, sf()).documents.limit(100)
+    val words = split(lower(col("text")), " ")
+    // codegen path (whole-stage projection)
+    val viaCodegen = docs.select(col("doc_id"),
+        GraftFunctions.minhashBands(words).as("mb"),
+        GraftFunctions.shingleHashes(words, 3).as("sh"),
+        GraftFunctions.bandBuckets(GraftFunctions.minhashSig(
+          GraftFunctions.shingleHashes(words, 3))).as("bb"),
+        GraftFunctions.fingerprint(words).as("fp"))
+      .as[(Long, Seq[Long], Seq[Long], Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    // interpreted path: eval() on the expressions directly
+    val viaEval = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect().map {
+      case (id, text) =>
+        val arr = new GenericArrayData(
+          text.toLowerCase.split(" ", -1).map(w => UTF8String.fromString(w)).toArray[Any])
+        val lit = Literal.create(arr, ArrayType(StringType))
+        def longs(a: Any): Seq[Long] = a.asInstanceOf[ArrayData].toLongArray().toSeq
+        val mb = longs(MinHashBands(lit, MinHashDedup.coeffs,
+          MinHashDedup.Bands, MinHashDedup.RowsPerBand, MinHashDedup.DefaultShingle).eval(null))
+        val shE = ShingleHashes(lit, 3)
+        val sh = longs(shE.eval(null))
+        val sig = MinHashSig(shE, MinHashDedup.coeffs)
+        val bb = longs(BandBuckets(sig, MinHashDedup.Bands, MinHashDedup.RowsPerBand).eval(null))
+        val fp = RollingFingerprint(lit).eval(null).asInstanceOf[Long]
+        (id, mb, sh, bb, fp)
+    }.toSeq.sortBy(_._1)
+    assert(viaCodegen == viaEval)
+  }
+
   test("dedupe results unchanged by fusion (known dup corpus)") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),

@@ -65,8 +65,15 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
       src.select("n_name").as[String].collect().toSet)
   }
 
-  test("intermediary view is queryable via spark.sql") {
-    SparkEntry.queries("q_intermediary")(spark, sf()).count()
+  test("intermediary registration is explicit, named or generated, and queryable") {
+    val df = SparkEntry.queries("q_intermediary")(spark, sf())
+    val named = graft.api.Procurement.registerIntermediary(df, Some("intermediary_table"))
+    assert(named == "intermediary_table")
     assert(spark.sql("SELECT COUNT(*) FROM intermediary_table").head().getLong(0) > 0)
+    // generated names are unique per call — no clobbering between queries
+    val g1 = graft.api.Procurement.registerIntermediary(df)
+    val g2 = graft.api.Procurement.registerIntermediary(df.limit(1))
+    assert(g1 != g2)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $g2").head().getLong(0) == 1)
   }
 }

@@ -49,6 +49,16 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("dedup banding projection stays in whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val docs = Snapshot(spark, sf()).documents
+    val df = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.minhashBands(split(lower(col("text")), " ")).as("bs"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p.take(1500))
+  }
+
   test("ivf assignment is map-only: no exchange, stays in codegen") {
     val e = Snapshot(spark, sf()).embeddings
     val cents = graft.operators.ann.IvfKNN.trainCentroids(e, "embedding", 4, iters = 1)

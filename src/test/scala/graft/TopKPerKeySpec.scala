@@ -40,4 +40,18 @@ class TopKPerKeySpec extends SparkSpecBase {
     val got = TopKPerKey(small, Seq("r_regionkey"), Seq(col("r_name").asc), 10).count()
     assert(got == 5)
   }
+
+  test("retained-row bound fails fast with guidance on high-cardinality keys") {
+    // every order key is distinct -> keys*k blows a tiny bound immediately
+    val orders = Snapshot(spark, sf()).orders.select("o_orderkey", "o_totalprice")
+    val df = TopKPerKey(orders, Seq("o_orderkey"), Seq(col("o_totalprice").desc), 1,
+      maxRetainedPerPartition = 10L)
+    val e = intercept[Exception](df.collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxRetainedPerPartition")), e.toString)
+    // default bound leaves the normal path untouched
+    assert(TopKPerKey(orders, Seq("o_orderkey"), Seq(col("o_totalprice").desc), 1).count() ==
+      orders.count())
+  }
 }
