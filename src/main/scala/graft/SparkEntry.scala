@@ -582,6 +582,38 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(lower(text)) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id""".stripMargin,
+    // mirrors NGramJaccardDedup.stats exactly, with shingle STRINGS in
+    // place of shingle hashes: every set cardinality (freq cap, pair
+    // candidacy, Jaccard intersect/union) is identical absent a 64-bit
+    // hash collision, and the division is one int/int IEEE double op in
+    // both engines
+    "q_dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |           FROM documents WHERE text IS NOT NULL),
+        |fullsets AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) >= 5
+        |         THEN list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))
+        |         ELSE [array_to_string(ws, ' ')] END) AS ss
+        |  FROM w),
+        |sh AS (SELECT doc_id, unnest(ss) AS s FROM fullsets),
+        |usable AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 100),
+        |b AS (SELECT sh.doc_id, sh.s FROM sh JOIN usable ON sh.s = usable.s),
+        |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |          FROM b l JOIN b r ON l.s = r.s AND l.doc_id < r.doc_id),
+        |j AS (SELECT p.id_a, p.id_b,
+        |        CAST(len(list_intersect(fa.ss, fb.ss)) AS DOUBLE)
+        |          / CAST(len(list_distinct(fa.ss || fb.ss)) AS DOUBLE) AS jaccard
+        |      FROM pairs p
+        |      JOIN fullsets fa ON p.id_a = fa.doc_id
+        |      JOIN fullsets fb ON p.id_b = fb.doc_id),
+        |per AS (SELECT doc_id, COUNT(*) AS n_candidates, MAX(jaccard) AS max_jaccard
+        |        FROM (SELECT id_a AS doc_id, jaccard FROM j
+        |              UNION ALL SELECT id_b AS doc_id, jaccard FROM j)
+        |        GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id, COALESCE(per.n_candidates, 0) AS n_candidates,
+        |  COALESCE(per.max_jaccard, 0.0) AS max_jaccard
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(${cosSql("a.embedding", "b.embedding")}, 4) AS sim
