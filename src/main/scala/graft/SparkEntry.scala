@@ -9,7 +9,7 @@ import graft.operators.ann.{BruteForceKNN, LshKNN}
 import graft.operators.asof.AsOfJoin
 import graft.operators.dedup._
 import graft.operators.multimodal.BinaryPipeline
-import graft.operators.text.TextStats
+import graft.operators.text.{Decontaminate, TextStats}
 import graft.sources.Snapshot
 import graft.streaming.EventStreams
 
@@ -258,6 +258,14 @@ object SparkEntry {
     "q_quality_filter" -> ((s, dir) =>
       TextStats.qualityFilter(snap(s, dir).documents, "doc_id", "text", 0.5, 20L)
         .orderBy("doc_id")),
+    "q_decontaminate" -> ((s, dir) => {
+      val d = snap(s, dir).documents
+      // a deterministic 5% slice of the docs stands in for the eval set
+      Decontaminate.overlap(
+        d.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        d.where(col("doc_id") % 20 === 0), "text")
+        .orderBy("doc_id")
+    }),
     "q_multimodal_meta" -> ((s, dir) => {
       val d = snap(s, dir).documents.withColumn("payload", encode(col("text"), "UTF-8"))
       BinaryPipeline.manifest(d, "doc_id", "payload").orderBy("doc_id")
@@ -582,6 +590,26 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(lower(text)) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id""".stripMargin,
+    // same shingle-string mirror trick as q_dedup_ngram_jaccard below:
+    // distinct-shingle overlap counts are identical whether computed on
+    // strings or their xxhash64 hashes, absent a 64-bit collision
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |           FROM documents WHERE text IS NOT NULL),
+        |fullsets AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) >= 5
+        |         THEN list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))
+        |         ELSE [array_to_string(ws, ' ')] END) AS ss
+        |  FROM w),
+        |bench AS (SELECT DISTINCT unnest(ss) AS s FROM fullsets WHERE doc_id % 20 = 0),
+        |corpus AS (SELECT doc_id, unnest(ss) AS s FROM fullsets WHERE doc_id % 20 <> 0),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_overlap
+        |         FROM corpus JOIN bench USING (s) GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id, COALESCE(h.n_overlap, 0) AS n_overlap,
+        |  COALESCE(h.n_overlap, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 20 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
     // mirrors NGramJaccardDedup.stats exactly, with shingle STRINGS in
     // place of shingle hashes: every set cardinality (freq cap, pair
     // candidacy, Jaccard intersect/union) is identical absent a 64-bit

@@ -19,7 +19,7 @@ object ExactDedup {
     df.join(groups(df, idCol, contentCol).select(idCol), Seq(idCol), "left_semi")
 }
 
-private[dedup] object Shingling {
+private[operators] object Shingling {
   /** Word n-gram shingles of the lowercased text as 64-bit hashes (native
     * expression — no per-shingle string allocation). Multiset: callers
     * needing set semantics wrap in array_distinct.
@@ -91,11 +91,14 @@ object MinHashDedup {
     val bucketsCol =
       if (shingle == DefaultShingle) GraftFunctions.minhashBands(split(lower(col(textCol)), " "))
       else GraftFunctions.bandBuckets(signature(col(textCol), shingle))
+    // two consumers below (bucket-size agg + join-back): persist so the
+    // shingle→minhash→band projection runs once over the corpus
     val banded = df
       .select(col(idCol).as("id"), bucketsCol.as("bs"))
       .select(col("id"), posexplode(col("bs")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Keep only buckets shared by >=2 docs (others can't produce pairs) and
     // cap degenerate buckets (skew guard). Aggregate+join instead of a
@@ -147,6 +150,8 @@ object SimHashDedup {
     val banded = base
       .select(col("id"), col("sig"), explode(array(chunkCols: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      // same two-consumer persist as MinHash: signature computed once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // same skew guard as MinHash: only buckets with 2..max members can
     // produce pairs without blowing up the self-join
     val usable = banded.groupBy("band", "bucket")

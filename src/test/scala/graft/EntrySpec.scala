@@ -48,6 +48,18 @@ class EntrySpec extends SparkSpecBase {
     assert(missing.isEmpty, s"oracles without ORDER BY: $missing")
   }
 
+  test("twin-run gate: every no-oracle query is bit-stable across runs") {
+    // the driver can only rows-check these (xxhash64/HLL-seeded outputs are
+    // not DuckDB-expressible) — identical results across two full runs is
+    // the strongest correctness signal available for them
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    noOracle.toSeq.sorted.foreach { name =>
+      val a = SparkEntry.queries(name)(spark, sf()).collect().toSeq
+      val b = SparkEntry.queries(name)(spark, sf()).collect().toSeq
+      assert(a == b, s"$name differs across runs")
+    }
+  }
+
   test("deterministic: representative queries give identical rows across runs") {
     // one per family with internal state: star join, window sessionize,
     // TF-IDF (iterative-ish), custom TopKPerKey, IVF (trained quantizer)

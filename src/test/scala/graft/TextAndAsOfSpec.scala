@@ -5,10 +5,28 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 import graft.operators.asof.AsOfJoin
-import graft.operators.text.TextStats
+import graft.operators.text.{Decontaminate, TextStats}
 
 class TextAndAsOfSpec extends SparkSpecBase {
   import spark.implicits._
+
+  test("decontaminate flags benchmark-overlapping docs; clean drops exactly those") {
+    val bench = Seq(
+      (100L, "the secret benchmark question about spark shuffles and joins today")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words the secret benchmark question about spark shuffles and joins today suffix words"),
+      (2L, "completely unrelated text with no overlap at all in any five gram window here")
+    ).toDF("doc_id", "text")
+    val rep = Decontaminate.overlap(corpus, "doc_id", "text", bench, "text")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, n, c) => id -> ((n, c)) }.toMap
+    assert(rep(1L)._2 && rep(1L)._1 > 0, s"doc 1 embeds the benchmark: $rep")
+    assert(!rep(2L)._2 && rep(2L)._1 == 0, s"doc 2 is clean: $rep")
+    val survivors = Decontaminate.clean(corpus, "doc_id", "text", bench, "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(survivors == Seq(2L))
+  }
 
   test("langid picks the marker-dominant language with priority tiebreak") {
     val df = Seq(
