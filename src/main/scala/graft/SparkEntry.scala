@@ -258,6 +258,8 @@ object SparkEntry {
     "q_quality_filter" -> ((s, dir) =>
       TextStats.qualityFilter(snap(s, dir).documents, "doc_id", "text", 0.5, 20L)
         .orderBy("doc_id")),
+    "q_text_repetition" -> ((s, dir) =>
+      TextStats.repetition(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_decontaminate" -> ((s, dir) => {
       val d = snap(s, dir).documents
       // a deterministic 5% slice of the docs stands in for the eval set
@@ -590,6 +592,19 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(lower(text)) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id""".stripMargin,
+    // shingle-string mirror (see q_dedup_ngram_jaccard): counts of total
+    // vs distinct 3-gram shingles are hash/string-identical
+    "q_text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(ws) >= 3
+        |             THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+        |             ELSE [array_to_string(ws, ' ')] END AS ss
+        |      FROM w)
+        |SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_shingles,
+        |  CAST(len(list_distinct(ss)) AS BIGINT) AS n_unique_shingles,
+        |  1.0 - CAST(len(list_distinct(ss)) AS DOUBLE) / CAST(len(ss) AS DOUBLE) AS repetition_ratio
+        |FROM s ORDER BY doc_id""".stripMargin,
     // same shingle-string mirror trick as q_dedup_ngram_jaccard below:
     // distinct-shingle overlap counts are identical whether computed on
     // strings or their xxhash64 hashes, absent a 64-bit collision

@@ -99,6 +99,23 @@ object TextStats {
       .where(col("quality_score") >= minScore && col("n_words") >= minWords)
       .select(col(idCol), col("n_words"), col("quality_score"))
 
+  /** Intra-document repetition (Gopher/RefinedWeb-style boilerplate
+    * signal): the fraction of word n-gram occurrences that repeat an
+    * earlier n-gram of the same doc. 0.0 = all shingles unique; → 1.0 =
+    * heavily repeated boilerplate. Pure column expression over the native
+    * shingle hasher — fuses into the scan.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String, shingle: Int = 3): DataFrame = {
+    val sh = GraftFunctions.shingleHashes(split(lower(col(textCol)), " "), shingle)
+    val total = size(sh).cast("long")
+    val uniq = size(array_distinct(sh)).cast("long")
+    df.select(
+      col(idCol),
+      total.as("n_shingles"),
+      uniq.as("n_unique_shingles"),
+      (lit(1.0) - uniq.cast("double") / total.cast("double")).as("repetition_ratio"))
+  }
+
   /** Top-k TF-IDF terms per document. Term/doc frequencies are two
     * hash-partitioned aggregations; the corpus size joins in as a broadcast
     * scalar; ranking is a per-doc window. idf = ln((N+1)/(df+1)) + 1.

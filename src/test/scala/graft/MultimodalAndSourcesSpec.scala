@@ -65,6 +65,17 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
       src.select("n_name").as[String].collect().toSet)
   }
 
+  test("orc round-trips through the engine with schema intact") {
+    val tmp = Files.createTempDirectory("graft_orc").toFile
+    tmp.deleteOnExit()
+    val src = Snapshot(spark, sf()).nation
+    src.write.mode("overwrite").orc(s"$tmp/orc")
+    val fromOrc = spark.read.orc(s"$tmp/orc")
+    assert(fromOrc.count() == src.count())
+    assert(fromOrc.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+  }
+
   test("intermediary registration is explicit, named or generated, and queryable") {
     val df = SparkEntry.queries("q_intermediary")(spark, sf())
     val named = graft.api.Procurement.registerIntermediary(df, Some("intermediary_table"))

@@ -28,6 +28,19 @@ class TextAndAsOfSpec extends SparkSpecBase {
     assert(survivors == Seq(2L))
   }
 
+  test("repetition ratio: boilerplate high, unique text zero") {
+    val df = Seq(
+      (1L, "x y x y x y x y"),              // 6 trigrams, 2 distinct -> 1 - 2/6
+      (2L, "one two three four five six"),  // 4 trigrams, all distinct -> 0.0
+      (3L, "hi")                            // shorter than n -> single shingle -> 0.0
+    ).toDF("doc_id", "text")
+    val got = TextStats.repetition(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 6L, 2L, 1.0 - 2.0 / 6.0)))
+    assert(got(2L) == ((2L, 4L, 4L, 0.0)))
+    assert(got(3L) == ((3L, 1L, 1L, 0.0)))
+  }
+
   test("langid picks the marker-dominant language with priority tiebreak") {
     val df = Seq(
       (1L, "the cat is on a mat of straw and hay"),
