@@ -81,7 +81,8 @@ object IvfKNN {
     * ids stay dense 0..nLists-1.
     */
   def trainCentroids(
-      corpus: DataFrame, vecCol: String, nLists: Int, iters: Int = 5): Seq[Seq[Double]] = {
+      corpus: DataFrame, vecCol: String, nLists: Int, iters: Int = 5,
+      maxTrainRows: Long = 100000L): Seq[Seq[Double]] = {
     val asDouble = transform(col(vecCol), v => v.cast("double"))
     // distributed TakeOrdered for the seed sample (a global row_number
     // window would drag the whole corpus into one partition)
@@ -96,7 +97,20 @@ object IvfKNN {
       .map(_.getSeq[Double](0).toArray)
     require(seed.nonEmpty, "cannot train IVF on an empty corpus")
 
-    val vectors = corpus.select(asDouble.as("__v")).where(col("__v").isNotNull)
+    // Lloyd's trains on a deterministic hash-sample of ~maxTrainRows (a
+    // coarse quantizer needs a sample, not the corpus): at 100 TB the
+    // training rounds scan a bounded set and only the final map-only
+    // assignment touches every row. parquet count() is metadata-only.
+    val all = corpus.select(asDouble.as("__v")).where(col("__v").isNotNull)
+    val total = all.count()
+    val vectors =
+      if (total <= maxTrainRows) all
+      else {
+        val keep = (maxTrainRows.toDouble / total * 1e6).toLong max 1L
+        all.where(pmod(xxhash64(col("__v").cast("array<string>")), lit(1000000L)) < keep)
+      }
+    if (total > maxTrainRows)
+      vectors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Array[Array[Double]] = seed
     val dim = cents.head.length
     var it = 0
@@ -148,6 +162,35 @@ object IvfKNN {
       .where(col("cell_id").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Index(cents, assigned)
+  }
+
+  /** Durable form of the index: the assigned corpus written as parquet
+    * PARTITIONED BY cell_id (plus a tiny centroids parquet). This is the
+    * 100 TB artifact — a [[search]] over a loaded index hits only the
+    * probed cells' partitions (partition pruning at the scan, PlanSpec-
+    * asserted), so each query batch reads ~nProbe/nLists of the corpus.
+    */
+  def save(index: Index, path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$path/assigned")
+    val spark = index.assigned.sparkSession
+    spark.createDataFrame(
+      index.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+      .toDF("cell_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell_id")
+      .collect()
+      .map(_.getSeq[Double](1).toSeq)
+      .toSeq
+    // partition-column type inference yields int for small cell ids; cast
+    // back to the in-memory index's long for schema parity
+    Index(cents, spark.read.parquet(s"$path/assigned")
+      .withColumn("cell_id", col("cell_id").cast("long")))
   }
 
   /** Approximate top-k: queries probe their `nProbe` nearest cells and

@@ -78,6 +78,38 @@ class KnnSpec extends SparkSpecBase {
     assert(direct == viaIndex)
   }
 
+  test("saved ivf index loads with identical results and prunes by cell at the scan") {
+    import graft.operators.ann.IvfKNN
+    val e = Snapshot(spark, sf()).embeddings
+    val q = e.where($"vec_id" < 5)
+    val idx = IvfKNN.buildIndex(e, "vec_id", "embedding", nLists = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toFile
+    dir.deleteOnExit()
+    IvfKNN.save(idx, dir.getAbsolutePath)
+    val loaded = IvfKNN.load(spark, dir.getAbsolutePath)
+    assert(loaded.centroids == idx.centroids)
+    val a = IvfKNN.search(idx, q, "vec_id", "embedding", 5)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    val b = IvfKNN.search(loaded, q, "vec_id", "embedding", 5)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    assert(a == b)
+    // the durable artifact is partitioned by cell: a cell predicate reaches
+    // the scan as a partition filter (queries read nProbe/nLists of data)
+    val probe = loaded.assigned.where(col("cell_id") === 0L)
+    probe.collect()
+    val p = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell_id".r.findFirstIn(p).nonEmpty, p.take(2000))
+  }
+
+  test("quantizer trains on a bounded deterministic hash-sample for large corpora") {
+    import graft.operators.ann.IvfKNN
+    val e = Snapshot(spark, sf()).embeddings
+    val c1 = IvfKNN.trainCentroids(e, "embedding", 4, iters = 1, maxTrainRows = 50L)
+    val c2 = IvfKNN.trainCentroids(e, "embedding", 4, iters = 1, maxTrainRows = 50L)
+    assert(c1.length == 4 && c1.forall(_.length == 64))
+    assert(c1 == c2) // hash-sample, not rand(): reproducible across runs
+  }
+
   test("ivf training produces <= nLists centroids of the right dimension") {
     val e = Snapshot(spark, sf()).embeddings
     val c = graft.operators.ann.IvfKNN.train(e, "embedding", 8, iters = 2).collect()

@@ -49,6 +49,11 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("decontamination broadcasts the benchmark shingle set") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("dedup banding projection stays in whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val docs = Snapshot(spark, sf()).documents
