@@ -330,6 +330,40 @@ object SparkEntry {
           sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("count_p"))
         .orderBy("o_orderpriority")
     }),
+    "q_cube_status_priority" -> ((s, dir) => {
+      snap(s, dir).orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total"))
+        .orderBy("status", "priority")
+    }),
+    "q_month_over_month" -> ((s, dir) => {
+      val monthly = snap(s, dir).orders
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(dsum(col("o_totalprice")).as("total_budget"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("month")
+      monthly
+        // difference of decimal-exact doubles: bit-identical either engine
+        .withColumn("prev_budget", lag(col("total_budget"), 1).over(w))
+        .withColumn("mom_change", col("total_budget") - col("prev_budget"))
+        .orderBy("month")
+    }),
+    "q_big_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: agg-then-join-back on the fact's own key — the
+      // HAVING side shrinks before the join, so the join input is tiny
+      val sn = snap(s, dir)
+      val big = sn.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .where(col("sum_qty") > 150d)
+      sn.orders
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
     "q_trend_gapfill" -> ((s, dir) =>
       Procurement.monthlyTrendGapFilled(snap(s, dir).orders, "o_orderdate", "o_totalprice")),
     "q_latest_event_per_user" -> ((s, dir) => {
@@ -775,6 +809,30 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS count_o,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS count_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_cube_status_priority" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_month_over_month" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_budget
+        |  FROM orders GROUP BY 1)
+        |SELECT month, total_budget,
+        |  lag(total_budget, 1) OVER (ORDER BY month) AS prev_budget,
+        |  total_budget - lag(total_budget, 1) OVER (ORDER BY month) AS mom_change
+        |FROM m ORDER BY month""".stripMargin,
+    "q_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 150)
+        |SELECT o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q_trend_gapfill" ->
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,

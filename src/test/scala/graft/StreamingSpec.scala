@@ -39,6 +39,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stateless text operators run unchanged on a stream (quality filter)") {
+    // pure column expressions need no state/watermark — the same TextStats
+    // pipeline is streaming-safe as-is, which is the point of keeping the
+    // text ops declarative
+    val docsDir = Files.createTempDirectory("graft_docs").toFile
+    docsDir.deleteOnExit()
+    Snapshot(spark, sf()).documents.write.mode("overwrite").parquet(docsDir.getAbsolutePath)
+    val batchDf = spark.read.parquet(docsDir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema).parquet(docsDir.getAbsolutePath)
+    val q = graft.operators.text.TextStats.qualityFilter(stream, "doc_id", "text", 0.5, 20L)
+      .writeStream.outputMode("append").format("memory").queryName("sq").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sq").select("doc_id").as[Long].collect().toSet
+      val want = graft.operators.text.TextStats
+        .qualityFilter(batchDf, "doc_id", "text", 0.5, 20L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming hourly agg equals batch twin") {
     val batchDf = spark.read.parquet(eventsDir)
     val stream = spark.readStream.schema(batchDf.schema).parquet(eventsDir)
