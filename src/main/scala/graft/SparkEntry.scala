@@ -330,6 +330,20 @@ object SparkEntry {
           sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("count_p"))
         .orderBy("o_orderpriority")
     }),
+    "q_deciles" -> ((s, dir) => {
+      // ntile ties resolved by the unique orderkey tiebreak (CLAUDE.md
+      // determinism rule) so bucket boundaries match across engines
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      snap(s, dir).orders
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).cast("double").as("lo"),
+          max(col("o_totalprice")).cast("double").as("hi"))
+        .orderBy("decile")
+    }),
     "q_cube_status_priority" -> ((s, dir) => {
       snap(s, dir).orders
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -809,6 +823,15 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS count_o,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS count_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_deciles" ->
+      """WITH d AS (
+        |  SELECT o_totalprice,
+        |    CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+        |  FROM orders)
+        |SELECT decile, COUNT(*) AS n_orders,
+        |  CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+        |  CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
     "q_cube_status_priority" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         |  COALESCE(o_orderpriority, 'ALL') AS priority,
