@@ -74,6 +74,18 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("*("), p.take(1500))
   }
 
+  test("scale-killer sweep: no cartesian product in any query plan") {
+    // q_dedup_embedding is the documented quadratic all-pairs BASELINE
+    // (its approx twin is the scale path) — everything else must plan
+    // without a cartesian/unconditioned nested-loop join
+    val allowed = Set("q_dedup_embedding")
+    val offenders = SparkEntry.queries.keySet.diff(allowed).toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("partitioned writes enable partition pruning at the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toFile
