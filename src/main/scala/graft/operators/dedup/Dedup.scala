@@ -257,20 +257,31 @@ object EmbeddingDedup {
       nLists: Int = 16,
       iters: Int = 3,
       maxCellSize: Int = 10000,
-      prebuilt: Option[graft.operators.ann.IvfKNN.Index] = None): DataFrame = {
+      prebuilt: Option[graft.operators.ann.IvfKNN.Index] = None,
+      nAssign: Int = 1): DataFrame = {
     // build-once/search-many: callers holding a built index (bench loops,
     // repeated dedup passes over one corpus) skip quantizer training
     val index = prebuilt.getOrElse(
       graft.operators.ann.IvfKNN.buildIndex(df, idCol, vecCol, nLists, iters))
+    // nAssign > 1 = multi-probe: each vector joins its nAssign nearest
+    // cells, so near-dups straddling a cell boundary still co-bucket —
+    // recall rises at ~nAssign× candidate cost. Still map-only (the
+    // probe-list expression embeds the centroid literals).
+    val assigned =
+      if (nAssign <= 1) index.assigned
+      else df
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+        .select(col("neighbor_id"), col("__cv"),
+          explode(GraftFunctions.nearestCells(col("__cv"), index.centroids, nAssign)).as("cell_id"))
     // cell-size cap: one degenerate cell would make the self-join quadratic
     // (the same skew guard as the banded dedups). At scale, capped cells
     // get re-quantized with a finer quantizer rather than dropped silently;
     // here they are excluded and the cap is the operator's contract.
-    val usable = index.assigned.groupBy("cell_id")
+    val usable = assigned.groupBy("cell_id")
       .agg(count(lit(1)).as("csz"))
       .where(col("csz") >= 2 && col("csz") <= maxCellSize)
       .select("cell_id")
-    val bounded = index.assigned.join(usable, Seq("cell_id"))
+    val bounded = assigned.join(usable, Seq("cell_id"))
     val a = bounded.select(col("cell_id"), col("neighbor_id").as("id_a"), col("__cv").as("v_a"))
     val b = bounded.select(col("cell_id"), col("neighbor_id").as("id_b"), col("__cv").as("v_b"))
     a.join(b, Seq("cell_id"))
@@ -278,5 +289,7 @@ object EmbeddingDedup {
       .withColumn("sim", GraftFunctions.cosine(col("v_a"), col("v_b")))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      // a pair sharing two probed cells would otherwise appear twice
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -72,6 +72,17 @@ class DedupSpec extends SparkSpecBase {
     val recall = if (exact.isEmpty) 1.0 else (approx & exact).size.toDouble / exact.size
     info(s"cell-bucketed dedup recall = $recall (${approx.size}/${exact.size})")
     assert(recall >= 0.2, s"recall $recall too low for 8-cell bucketing")
+    // multi-probe assignment: near-dups straddling a cell boundary
+    // co-bucket via their shared second-nearest cell — recall must not
+    // drop and should rise
+    val multi = EmbeddingDedup.duplicatePairsApprox(
+      e, "vec_id", "embedding", 0.4, nLists = 8, nAssign = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((multi -- exact).isEmpty, "multi-probe must never invent pairs")
+    assert((multi & exact).size >= (approx & exact).size)
+    val recall2 = if (exact.isEmpty) 1.0 else (multi & exact).size.toDouble / exact.size
+    info(s"multi-probe (nAssign=2) recall = $recall2 (${multi.size}/${exact.size})")
+    assert(recall2 >= 0.4, s"multi-probe recall $recall2 below floor")
   }
 
   test("embedding dedup finds the planted near-identical vector") {
