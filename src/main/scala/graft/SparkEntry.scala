@@ -28,14 +28,21 @@ object SparkEntry {
     * quantizer params) — repeated calls (bench reps, the two IVF-backed
     * queries) reuse one trained index instead of re-running Lloyd's.
     * Results are identical by KnnSpec's prebuilt-index identity spec.
+    * Bounded: the coarse clear keeps stopped test sessions and their
+    * persisted index blocks from being pinned for the JVM lifetime.
+    * Caveat (fine for the driver's immutable testdata): keyed by path, so
+    * rewriting data under a cached dir within one session serves a stale
+    * index — call IvfKNN.buildIndex directly for mutable data.
     */
   private val ivfCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int, Int), graft.operators.ann.IvfKNN.Index]
   private def ivfIndex(
-      s: SparkSession, dir: String, nLists: Int, iters: Int): graft.operators.ann.IvfKNN.Index =
+      s: SparkSession, dir: String, nLists: Int, iters: Int): graft.operators.ann.IvfKNN.Index = {
+    if (ivfCache.size > 8) ivfCache.clear()
     ivfCache.getOrElseUpdate((s, dir, nLists, iters),
       graft.operators.ann.IvfKNN.buildIndex(
         snap(s, dir).embeddings, "vec_id", "embedding", nLists, iters))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -261,7 +268,11 @@ object SparkEntry {
       TextStats.qualityFilter(snap(s, dir).documents, "doc_id", "text", 0.5, 20L)
         .orderBy("doc_id")),
     "q_text_repetition" -> ((s, dir) =>
-      TextStats.repetition(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
+      // null-text guard on BOTH sides: Spark's size(null)=null row vs
+      // DuckDB's [NULL]-list row would diverge on the first null text
+      TextStats.repetition(
+        snap(s, dir).documents.where(col("text").isNotNull), "doc_id", "text")
+        .orderBy("doc_id")),
     "q_decontaminate" -> ((s, dir) => {
       val d = snap(s, dir).documents
       // a deterministic 5% slice of the docs stands in for the eval set
@@ -645,7 +656,8 @@ object SparkEntry {
     // shingle-string mirror (see q_dedup_ngram_jaccard): counts of total
     // vs distinct 3-gram shingles are hash/string-identical
     "q_text_repetition" ->
-      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |           FROM documents WHERE text IS NOT NULL),
         |s AS (SELECT doc_id,
         |        CASE WHEN len(ws) >= 3
         |             THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))

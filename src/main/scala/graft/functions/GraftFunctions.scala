@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -18,8 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Every expression here implements `doGenCode` (bit-identical to its
   * interpreted `eval`, spec-checked in FusedExpressionSpec), so the dedup /
-  * vector projections stay inside whole-stage codegen. The one exception is
-  * the query-side `NearestCells` (bounded input, documented below).
+  * vector projections stay inside whole-stage codegen.
   */
 private[graft] trait VectorReader {
   protected def elemType(e: Expression): DataType =
@@ -575,15 +574,64 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** The `n` nearest cell ids by cosine, best first (ties → lower id) — the
-  * query-side IVF probe list. Zero-norm queries get cells 0..n-1 so they
-  * still receive candidates deterministically. CodegenFallback is fine
-  * here: this runs once per *query*, not per corpus row.
+/** The `n` nearest cell ids by cosine, best first (ties → lower id) —
+  * the IVF probe list for queries AND the multi-probe dedup assignment
+  * (which maps it over the whole corpus, hence full codegen like
+  * NearestCentroid). Zero-norm inputs get cells 0..n-1 so they still
+  * receive candidates deterministically.
   */
 case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], n: Int)
-    extends UnaryExpression with CentroidSet with CodegenFallback {
+    extends UnaryExpression with CentroidSet {
   require(n >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val flatRef = ctx.addReferenceObj("centroidsFlat", flat, "double[]")
+      val normsRef = ctx.addReferenceObj("centroidNorms", cellNorms, "double[]")
+      val take = math.min(n, nCells)
+      val nv = ctx.freshName("nv"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val x = ctx.freshName("x"); val nx = ctx.freshName("nx")
+      val dot = ctx.freshName("dot"); val sims = ctx.freshName("sims")
+      val used = ctx.freshName("used"); val out = ctx.freshName("out")
+      val s = ctx.freshName("s"); val best = ctx.freshName("best")
+      val bestSim = ctx.freshName("bestSim"); val base = ctx.freshName("base")
+      s"""
+         |int $nv = java.lang.Math.min($arr.numElements(), $dim);
+         |double $nx = 0.0;
+         |for (int $i = 0; $i < $nv; $i++) {
+         |  double $x = ${readJava(arr, i, elemType(child))};
+         |  $nx += $x * $x;
+         |}
+         |double[] $sims = new double[$nCells];
+         |for (int $c = 0; $c < $nCells; $c++) {
+         |  if ($nx == 0.0 || $normsRef[$c] == 0.0) {
+         |    $sims[$c] = Double.NEGATIVE_INFINITY;
+         |  } else {
+         |    double $dot = 0.0;
+         |    int $base = $c * $dim;
+         |    for (int $j = 0; $j < $nv; $j++) {
+         |      $dot += (${readJava(arr, j, elemType(child))}) * $flatRef[$base + $j];
+         |    }
+         |    $sims[$c] = $dot / (java.lang.Math.sqrt($nx) * $normsRef[$c]);
+         |  }
+         |}
+         |long[] $out = new long[$take];
+         |boolean[] $used = new boolean[$nCells];
+         |for (int $s = 0; $s < $take; $s++) {
+         |  int $best = -1;
+         |  double $bestSim = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $nCells; $c++) {
+         |    if (!$used[$c] && ($best < 0 || $sims[$c] > $bestSim)) {
+         |      $bestSim = $sims[$c]; $best = $c;
+         |    }
+         |  }
+         |  $used[$best] = true;
+         |  $out[$s] = (long) $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]

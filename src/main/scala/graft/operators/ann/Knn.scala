@@ -100,9 +100,12 @@ object IvfKNN {
     // Lloyd's trains on a deterministic hash-sample of ~maxTrainRows (a
     // coarse quantizer needs a sample, not the corpus): at 100 TB the
     // training rounds scan a bounded set and only the final map-only
-    // assignment touches every row. parquet count() is metadata-only.
+    // assignment touches every row. The count is taken on the BARE input
+    // (no projection/filter) so a parquet-backed corpus answers it from
+    // footer metadata; null vectors make it an overcount, which only
+    // shrinks the sample slightly below the target.
     val all = corpus.select(asDouble.as("__v")).where(col("__v").isNotNull)
-    val total = all.count()
+    val total = corpus.count()
     val vectors =
       if (total <= maxTrainRows) all
       else {

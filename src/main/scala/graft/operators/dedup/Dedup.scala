@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
 
+// Cache lifecycle note (applies to every persist() in this file): each
+// operator invocation persists its intermediate (banded / exploded) set so
+// the two consumers (skew-guard agg + join-back) compute it once. The
+// blocks are MEMORY_AND_DISK (spillable) and are released at session stop;
+// memory blocks are LRU-evicted under pressure but disk blocks are not.
+// Long-lived interactive sessions issuing many dedup calls should run them
+// in a bounded session or unpersist via spark.catalog.clearCache(); the
+// cluster-scale pipeline shape writes these intermediates to storage
+// instead of relying on executor caches at all.
+
 /** Exact deduplication by content hash: hash-partitioned groupBy, keep the
   * lowest id per content key. One shuffle on the (high-cardinality, evenly
   * distributed) hash — the canonical 100 TB-safe exact dedup.
@@ -277,7 +287,12 @@ object EmbeddingDedup {
     // (the same skew guard as the banded dedups). At scale, capped cells
     // get re-quantized with a finer quantizer rather than dropped silently;
     // here they are excluded and the cap is the operator's contract.
-    val usable = assigned.groupBy("cell_id")
+    // The cap is computed from the FIRST-CHOICE populations (index.assigned
+    // — true cell sizes): probe overlays must not change which cells are
+    // usable, or a near-cap cell would drop under nAssign>1 and multi-probe
+    // recall could dip below single-probe. Join rows per usable cell grow
+    // at most nAssign-fold over the capped population.
+    val usable = index.assigned.groupBy("cell_id")
       .agg(count(lit(1)).as("csz"))
       .where(col("csz") >= 2 && col("csz") <= maxCellSize)
       .select("cell_id")

@@ -78,6 +78,31 @@ class FusedExpressionSpec extends SparkSpecBase {
     assert(viaCodegen == viaEval)
   }
 
+  test("centroid expressions codegen equals interpreted eval") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import graft.functions.{NearestCells, NearestCentroid}
+    import graft.operators.ann.IvfKNN
+
+    val e = Snapshot(spark, sf()).embeddings.limit(50)
+    val cents = IvfKNN.trainCentroids(e, "embedding", 4, iters = 1)
+    val viaCodegen = e.select(col("vec_id"),
+        GraftFunctions.nearestCentroid(col("embedding"), cents).as("c"),
+        GraftFunctions.nearestCells(col("embedding"), cents, 3).as("cs"))
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val viaEval = e.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect().map {
+      case (id, v) =>
+        val arr = new GenericArrayData(v.map(Float.box).toArray[Any])
+        val lit = Literal.create(arr, ArrayType(FloatType))
+        val c = NearestCentroid(lit, cents).eval(null).asInstanceOf[Long]
+        val cs = NearestCells(lit, cents, 3).eval(null)
+          .asInstanceOf[ArrayData].toLongArray().toSeq
+        (id, c, cs)
+    }.sortBy(_._1).toSeq
+    assert(viaCodegen == viaEval)
+  }
+
   test("dedupe results unchanged by fusion (known dup corpus)") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),

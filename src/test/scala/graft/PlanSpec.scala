@@ -80,7 +80,9 @@ class PlanSpec extends SparkSpecBase {
     // without a cartesian/unconditioned nested-loop join
     val allowed = Set("q_dedup_embedding")
     val offenders = SparkEntry.queries.keySet.diff(allowed).toSeq.sorted.flatMap { name =>
-      val p = SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+      val df = SparkEntry.queries(name)(spark, sf())
+      df.collect() // CLAUDE.md plan-assertion rule: AQE finalizes only after execution
+      val p = df.queryExecution.executedPlan.toString
       if (p.contains("CartesianProduct")) Some(name) else None
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
