@@ -414,6 +414,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
         .orderBy("tier")
     }),
+    "q_customers_with_urgent" -> ((s, dir) => {
+      // left_semi twin of the anti join below: EXISTS-style, never
+      // duplicates the left side however many orders match
+      val sn = snap(s, dir)
+      sn.customer
+        .join(
+          sn.orders.where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+    "q_nations_per_region" -> ((s, dir) => {
+      // ordered string agg: array_sort(collect_list) = engine-portable
+      // deterministic listagg (collect_list alone is partition-order
+      // dependent — the determinism rule CLAUDE.md mandates)
+      val sn = snap(s, dir)
+      sn.region
+        .join(broadcast(sn.nation), col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name")
+    }),
     "q_customers_no_urgent" -> ((s, dir) => {
       val sn = snap(s, dir)
       sn.customer
@@ -896,6 +921,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY tier ORDER BY tier""".stripMargin,
+    "q_customers_with_urgent" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_nations_per_region" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n_nations
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q_customers_no_urgent" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
