@@ -38,7 +38,14 @@ object SparkEntry {
     .empty[(SparkSession, String, Int, Int), graft.operators.ann.IvfKNN.Index]
   private def ivfIndex(
       s: SparkSession, dir: String, nLists: Int, iters: Int): graft.operators.ann.IvfKNN.Index = {
-    if (ivfCache.size > 8) ivfCache.clear()
+    if (ivfCache.size > 8) {
+      // release the persisted index blocks too — clearing only the map
+      // would leave them registered in still-active sessions' caches
+      ivfCache.values.foreach { i =>
+        try i.assigned.unpersist(false) catch { case _: Throwable => () }
+      }
+      ivfCache.clear()
+    }
     ivfCache.getOrElseUpdate((s, dir, nLists, iters),
       graft.operators.ann.IvfKNN.buildIndex(
         snap(s, dir).embeddings, "vec_id", "embedding", nLists, iters))

@@ -106,14 +106,18 @@ object IvfKNN {
     // shrinks the sample slightly below the target.
     val all = corpus.select(asDouble.as("__v")).where(col("__v").isNotNull)
     val total = corpus.count()
+    val sampled = total > maxTrainRows
     val vectors =
-      if (total <= maxTrainRows) all
+      if (!sampled) all
       else {
-        val keep = (maxTrainRows.toDouble / total * 1e6).toLong max 1L
-        all.where(pmod(xxhash64(col("__v").cast("array<string>")), lit(1000000L)) < keep)
+        // 2^40 buckets so the keep fraction stays proportional down to
+        // ~1e-12 — a 1e6 modulus would floor at 1e-6 and let the sample
+        // grow linearly past the bound on very large corpora
+        val buckets = 1L << 40
+        val keep = (maxTrainRows.toDouble / total * buckets).toLong max 1L
+        all.where(pmod(xxhash64(col("__v").cast("array<string>")), lit(buckets)) < keep)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
-    if (total > maxTrainRows)
-      vectors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Array[Array[Double]] = seed
     val dim = cents.head.length
     var it = 0
@@ -132,6 +136,8 @@ object IvfKNN {
       cents = next
       it += 1
     }
+    // the sample is only consumed by the loop above — release its blocks
+    if (sampled) vectors.unpersist(false)
     cents.map(_.toSeq).toSeq
   }
 

@@ -296,15 +296,22 @@ object EmbeddingDedup {
       .agg(count(lit(1)).as("csz"))
       .where(col("csz") >= 2 && col("csz") <= maxCellSize)
       .select("cell_id")
-    val bounded = assigned.join(usable, Seq("cell_id"))
+    // both self-join sides consume `bounded`; the multi-probe input is a
+    // raw corpus scan (unlike index.assigned, which buildIndex persists),
+    // so persist it per the two-consumer pattern above
+    val bounded0 = assigned.join(usable, Seq("cell_id"))
+    val bounded =
+      if (nAssign > 1) bounded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bounded0
     val a = bounded.select(col("cell_id"), col("neighbor_id").as("id_a"), col("__cv").as("v_a"))
     val b = bounded.select(col("cell_id"), col("neighbor_id").as("id_b"), col("__cv").as("v_b"))
-    a.join(b, Seq("cell_id"))
+    val pairs = a.join(b, Seq("cell_id"))
       .where(col("id_a") < col("id_b"))
       .withColumn("sim", GraftFunctions.cosine(col("v_a"), col("v_b")))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
-      // a pair sharing two probed cells would otherwise appear twice
-      .dropDuplicates("id_a", "id_b")
+    // single-assignment cannot produce duplicate pairs (one cell per
+    // vector) — only multi-probe pays the deduplicating shuffle
+    if (nAssign > 1) pairs.dropDuplicates("id_a", "id_b") else pairs
   }
 }
