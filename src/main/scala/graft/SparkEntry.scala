@@ -224,6 +224,12 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")),
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       NGramJaccardDedup.stats(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
+    "q_dedup_containment" -> ((s, dir) =>
+      // near-subset detection: short-doc-quoted-in-long-doc pairs that
+      // symmetric Jaccard misses
+      NGramJaccardDedup.containmentPairs(snap(s, dir).documents, "doc_id", "text")
+        .where(col("containment_a") >= 0.8 || col("containment_b") >= 0.8)
+        .orderBy("id_a", "id_b")),
     "q_dedup_embedding" -> ((s, dir) =>
       EmbeddingDedup.duplicatePairs(snap(s, dir).embeddings, "vec_id", "embedding", 0.4)
         .orderBy("id_a", "id_b")),
@@ -719,6 +725,36 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 20 <> 0
         |ORDER BY d.doc_id""".stripMargin,
+    // same candidate CTEs as q_dedup_ngram_jaccard's mirror, scored with
+    // containment (|A∩B|/|A|, /|B|) instead of per-doc stats
+    "q_dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |           FROM documents WHERE text IS NOT NULL),
+        |fullsets AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) >= 5
+        |         THEN list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))
+        |         ELSE [array_to_string(ws, ' ')] END) AS ss
+        |  FROM w),
+        |sh AS (SELECT doc_id, unnest(ss) AS s FROM fullsets),
+        |usable AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 100),
+        |b AS (SELECT sh.doc_id, sh.s FROM sh JOIN usable ON sh.s = usable.s),
+        |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |          FROM b l JOIN b r ON l.s = r.s AND l.doc_id < r.doc_id),
+        |sc AS (SELECT p.id_a, p.id_b,
+        |         len(list_intersect(fa.ss, fb.ss)) AS ni,
+        |         len(list_distinct(fa.ss || fb.ss)) AS nu,
+        |         len(fa.ss) AS na, len(fb.ss) AS nb
+        |       FROM pairs p
+        |       JOIN fullsets fa ON p.id_a = fa.doc_id
+        |       JOIN fullsets fb ON p.id_b = fb.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE) AS jaccard,
+        |  CAST(ni AS DOUBLE) / CAST(na AS DOUBLE) AS containment_a,
+        |  CAST(ni AS DOUBLE) / CAST(nb AS DOUBLE) AS containment_b
+        |FROM sc
+        |WHERE CAST(ni AS DOUBLE) / CAST(na AS DOUBLE) >= 0.8
+        |   OR CAST(ni AS DOUBLE) / CAST(nb AS DOUBLE) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     // mirrors NGramJaccardDedup.stats exactly, with shingle STRINGS in
     // place of shingle hashes: every set cardinality (freq cap, pair
     // candidacy, Jaccard intersect/union) is identical absent a 64-bit

@@ -199,7 +199,20 @@ object NGramJaccardDedup {
       idCol: String,
       textCol: String,
       shingle: Int = 5,
-      maxShingleFreq: Int = 100): DataFrame = {
+      maxShingleFreq: Int = 100): DataFrame =
+    Shingling.verifyJaccard(
+      sharedShinglePairs(df, idCol, textCol, shingle, maxShingleFreq),
+      df, idCol, textCol, shingle)
+
+  /** The raw candidate set: (id_a, id_b) sharing ≥1 shingle that passes
+    * the frequency cap. Shared by the Jaccard and containment verifiers.
+    */
+  private def sharedShinglePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingle: Int,
+      maxShingleFreq: Int): DataFrame = {
     // Slim (shingle-hash, id) rows through the shuffle; shingle sets are
     // re-attached to candidates only (same reasoning as MinHash). The
     // exploded set feeds both the frequency agg and the join-back below —
@@ -214,13 +227,43 @@ object NGramJaccardDedup {
       .where(col("freq") >= 2 && col("freq") <= maxShingleFreq)
       .select("s")
     val bounded = exploded.join(usable, Seq("s"))
-    val pairs = bounded.select(col("s"), col("id").as("id_a"))
+    bounded.select(col("s"), col("id").as("id_a"))
       .join(bounded.select(col("s"), col("id").as("id_b")), Seq("s"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
 
-    Shingling.verifyJaccard(pairs, df, idCol, textCol, shingle)
+  /** Candidate pairs with CONTAINMENT scores (|A∩B|/|A| and /|B|)
+    * alongside Jaccard: a short doc quoted inside a long one scores near
+    * 1.0 on containment while symmetric Jaccard stays low — the signal
+    * quote-inclusion / near-subset dedup needs. Same candidate flow
+    * (shared-shingle equi-join, frequency cap) as [[candidatePairs]];
+    * shingle sets are attached to candidates only, like verifyJaccard.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingle: Int = 5,
+      maxShingleFreq: Int = 100): DataFrame = {
+    val pairs = sharedShinglePairs(df, idCol, textCol, shingle, maxShingleFreq)
+    val candIds = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+    val sh = df.select(col(idCol).as("id"), col(textCol))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(Shingling.shingleHashes(col(textCol), shingle)).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(
+        col("id_a"), col("id_b"),
+        (col("n_inter").cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"),
+        (col("n_inter").cast("double") / size(col("sh_a")).cast("double")).as("containment_a"),
+        (col("n_inter").cast("double") / size(col("sh_b")).cast("double")).as("containment_b"))
   }
 
   /** Per-doc candidate stats (total, always one row per doc). */

@@ -85,6 +85,23 @@ class DedupSpec extends SparkSpecBase {
     assert(recall2 >= 0.4, s"multi-probe recall $recall2 below floor")
   }
 
+  test("containment flags a doc quoted inside a longer doc; jaccard alone misses it") {
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = s"intro words before the quote $short and then many more trailing words after it ends"
+    val corpus = Seq(
+      (1L, short),
+      (2L, long),
+      (3L, "entirely different content about shuffle partitions and broadcast joins here")
+    ).toDF("doc_id", "text")
+    val rows = NGramJaccardDedup.containmentPairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val (_, _, j, ca, _) = rows((1L, 2L))
+    assert(ca == 1.0, s"all of doc 1's shingles appear in doc 2: $rows")
+    assert(j < 0.5, s"symmetric jaccard must stay low for subset pairs: $j")
+    assert(!rows.contains((1L, 3L)) && !rows.contains((2L, 3L)))
+  }
+
   test("embedding dedup finds the planted near-identical vector") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -60,6 +60,23 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches events with dimension rows") {
+    // stream-static joins need no watermark/state on the static side —
+    // the standard shape for enriching a 100 TB event stream with dims
+    val batchDf = spark.read.parquet(eventsDir)
+    val users = batchDf.select($"user_id").distinct()
+      .withColumn("tier", ($"user_id" % 3).cast("long"))
+    val stream = spark.readStream.schema(batchDf.schema).parquet(eventsDir)
+    val q = stream.join(broadcast(users), Seq("user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("ss_enrich").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_enrich")
+      assert(got.count() == batchDf.count()) // every event matched its dim row
+      assert(got.where($"tier" =!= $"user_id" % 3).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming hourly agg equals batch twin") {
     val batchDf = spark.read.parquet(eventsDir)
     val stream = spark.readStream.schema(batchDf.schema).parquet(eventsDir)
