@@ -484,6 +484,15 @@ object SparkEntry {
     "q_tfidf_top_terms" -> ((s, dir) =>
       TextStats.tfidfTopTerms(snap(s, dir).documents, "doc_id", "text", 3)
         .orderBy("doc_id", "rnk")),
+    "q_dataset_split" -> ((s, dir) => {
+      val split = graft.operators.sample.Sampling.assignSplit(
+        col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      snap(s, dir).documents
+        .withColumn("split", split)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy("split")
+    }),
     "q_stratified_sample" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
@@ -1011,6 +1020,18 @@ object SparkEntry {
         |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM s)
         |SELECT doc_id, rnk, term, round(tfidf, 6) AS tfidf FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+    // exact integer bounds on the 24-bit md5 prefix: floor(0.8*2^24)=
+    // 13421772, floor(0.9*2^24)=15099494 — identical in any engine
+    "q_dataset_split" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) AS u24
+        |  FROM documents)
+        |SELECT CASE WHEN u24 < 13421772 THEN 'train'
+        |            WHEN u24 < 15099494 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM u GROUP BY 1 ORDER BY split""".stripMargin,
     "q_stratified_sample" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

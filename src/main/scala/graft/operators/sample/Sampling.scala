@@ -24,4 +24,24 @@ object Sampling {
     */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: Column): DataFrame =
     df.where(hashUniform(col(keyCol)) < least(greatest(weightCol, lit(0.0)), lit(1.0)))
+
+  /** Deterministic dataset split (train/val/test …): each row lands in the
+    * first split whose cumulative weight bound exceeds its 24-bit key
+    * hash. Pure function of the key — the split survives reruns,
+    * repartitions and engine changes, and a row never migrates between
+    * splits when other rows are added or removed. Thresholds are exact
+    * INTEGER bounds (floor(cum·2^24)), not accumulated doubles, so any
+    * engine computes the identical assignment (0.8+0.1 ≠ 0.9 in IEEE).
+    */
+  def assignSplit(keyCol: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got $splits")
+    val u24 = conv(substring(md5(keyCol.cast("string")), 1, 6), 16, 10).cast("long")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val bounds = cum.map(c => (c * 16777216.0).toLong)
+    splits.init.zip(bounds.init)
+      .foldRight(lit(splits.last._1)) { case (((name, _), hi), elseCol) =>
+        when(u24 < hi, lit(name)).otherwise(elseCol)
+      }
+  }
 }

@@ -8,6 +8,27 @@ import graft.sources.{Bucketing, Snapshot}
 
 class ScaleToolsSpec extends SparkSpecBase {
 
+  test("dataset split: exhaustive, disjoint, and stable under corpus growth") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.sample.Sampling
+    val docs = graft.sources.Snapshot(spark, sf()).documents
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = docs.select(col("doc_id"),
+      Sampling.assignSplit(col("doc_id"), splits).as("split"))
+    // every doc gets exactly one split
+    assert(assigned.where(col("split").isNull).isEmpty)
+    assert(assigned.count() == docs.count())
+    // stability: a doc's split is unchanged when assigned within a subset
+    val subset = docs.where(col("doc_id") % 2 === 0).select(col("doc_id"),
+      Sampling.assignSplit(col("doc_id"), splits).as("split2"))
+    assert(assigned.join(subset, Seq("doc_id"))
+      .where(col("split") =!= col("split2")).isEmpty)
+    // rough proportions on the full corpus
+    val n = docs.count().toDouble
+    val train = assigned.where(col("split") === "train").count().toDouble
+    assert(train / n > 0.6 && train / n < 0.95, s"train share ${train / n}")
+  }
+
   test("salted join equals plain join") {
     val sn = Snapshot(spark, sf())
     val li = sn.lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
