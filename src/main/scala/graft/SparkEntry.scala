@@ -155,9 +155,11 @@ object SparkEntry {
         .join(broadcast(sn.nation), col("c_nationkey") === col("n_nationkey"))
         .select("n_name", "c_custkey", "c_name", "c_acctbal")
       // custom bounded-heap operator: the full input is never sorted; the
-      // rank window below only sees <=3 rows per key
+      // rank window below only sees <=3 rows per key. strict: 25 nations,
+      // the auto-degrade preflight would just re-run the join
       val top = graft.plans.TopKPerKey(
-        joined, Seq("n_name"), Seq(col("c_acctbal").desc, col("c_custkey").asc), 3)
+        joined, Seq("n_name"), Seq(col("c_acctbal").desc, col("c_custkey").asc), 3,
+        strict = true)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("n_name").orderBy(col("c_acctbal").desc, col("c_custkey"))
       top
@@ -357,12 +359,12 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
     "q_deciles" -> ((s, dir) => {
-      // ntile ties resolved by the unique orderkey tiebreak (CLAUDE.md
-      // determinism rule) so bucket boundaries match across engines
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      snap(s, dir).orders
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+      // exact ntile WITHOUT the global no-partition window (which funnels
+      // the whole fact table into one task): boundary-then-broadcast via
+      // Quantiles.withNtile. Ties resolved by the unique orderkey tiebreak
+      // (CLAUDE.md determinism rule) so boundaries match across engines.
+      graft.operators.quantile.Quantiles
+        .withNtile(snap(s, dir).orders, "o_totalprice", "o_orderkey", 10, "decile")
         .groupBy("decile")
         .agg(
           count(lit(1)).as("n_orders"),
@@ -408,7 +410,9 @@ object SparkEntry {
       Procurement.monthlyTrendGapFilled(snap(s, dir).orders, "o_orderdate", "o_totalprice")),
     "q_latest_event_per_user" -> ((s, dir) => {
       val e = snap(s, dir).events.select("user_id", "event_id", "ts")
-      graft.plans.TopKPerKey(e, Seq("user_id"), Seq(col("ts").desc, col("event_id").asc), 1)
+      // strict: user cardinality is bounded well under the heap contract
+      graft.plans.TopKPerKey(e, Seq("user_id"), Seq(col("ts").desc, col("event_id").asc), 1,
+        strict = true)
         .orderBy("user_id")
     }),
     "q_range_join" -> ((s, dir) => {
@@ -494,11 +498,19 @@ object SparkEntry {
         .orderBy("split")
     }),
     "q_stratified_sample" -> ((s, dir) => {
+      // bounded-memory per-stratum sample: TopKPerKey keeps a 20-row heap
+      // per lang instead of the row_number window's full per-stratum sort
+      // (5 langs ⇒ n/5 rows per task at 100×); the rank window below only
+      // ever sees the ≤20 retained rows per stratum. strict=true: lang
+      // cardinality is known-bounded, skip the fallback preflight.
+      val d = snap(s, dir).documents
+        .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("__h"))
+      val top = graft.plans.TopKPerKey(
+        d, Seq("lang"), Seq(col("__h").asc, col("doc_id").asc), 20, strict = true)
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      snap(s, dir).documents
+        .partitionBy("lang").orderBy(col("__h"), col("doc_id"))
+      top
         .withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= 20)
         .select(col("doc_id"), col("lang"), col("rnk"))
         .orderBy("lang", "rnk")
     })

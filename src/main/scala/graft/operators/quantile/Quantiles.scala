@@ -1,0 +1,153 @@
+package graft.operators.quantile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact and approximate quantile machinery that survives 100 TB.
+  *
+  * The naive exact formulations are both single-point funnels:
+  * `ntile(n) OVER (ORDER BY v)` moves every row into ONE task, and the
+  * exact `percentile` aggregate buffers every value of a group in the
+  * aggregation state. The operators here replace them:
+  *
+  *  - [[withNtile]] — exact ntile assignment with no global window:
+  *    boundary-then-broadcast over a TeraSort-style range partitioning.
+  *  - [[approxPercentiles]] — the mergeable bounded-memory scale twin of
+  *    the exact `percentile` aggregate (Greenwald-Khanna sketch via
+  *    `approx_percentile`), with a rank-error contract.
+  *
+  * Re-expresses the reference's quantile/summary statistics surface
+  * (reference: /root/reference/openai/list_of_tools.py:204 chart binning,
+  * pandas `describe`-style summaries) as distributed operators.
+  */
+object Quantiles {
+
+  /** Exact order statistics of the composite ordering (valueCol, tieCol)
+    * at the given 1-based global ranks, computed WITHOUT a global sort
+    * funnel:
+    *
+    *  1. range-partition the slim (value, tie) projection (TeraSort
+    *     shape: the only full-data movement, and it carries two columns,
+    *     not whole rows);
+    *  2. per-partition counts → driver (numPartitions longs) → exclusive
+    *     prefix offsets;
+    *  3. each requested global rank lands in exactly one partition at a
+    *     known local rank; only THOSE partitions are sorted (a window
+    *     partitioned by partition id — each task sees one partition's
+    *     rows, never the table).
+    *
+    * Returns the (value, tie) pairs in rank order. Ranks beyond the row
+    * count are clamped to the maximum (empty-bucket degeneracy when
+    * n_rows < n_buckets).
+    *
+    * Determinism: ranks are exact, so the result is independent of how
+    * the range partitioner happened to split — the partitioning only has
+    * to be internally consistent, which the persist guarantees.
+    */
+  def orderStatistics(
+      df: DataFrame,
+      valueCol: String,
+      tieCol: String,
+      ranks: Seq[Long]): Seq[(Double, Long)] = {
+    require(ranks.nonEmpty && ranks.forall(_ >= 1L), s"ranks must be >= 1: $ranks")
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val slim = df.select(
+      col(valueCol).cast("double").as("__v"), col(tieCol).cast("long").as("__k"))
+    // persisted so the count job and the boundary-fetch job see the SAME
+    // partitioning (the range partitioner samples; two independent
+    // evaluations could split differently)
+    val ranged = slim
+      .repartitionByRange(parts, col("__v"), col("__k"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = ranged.groupBy("__pid").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+        .sortBy(_._1)
+      val total = counts.map(_._2).sum
+      require(total > 0, "orderStatistics on an empty input")
+      val clamped = ranks.map(r => math.min(r, total))
+      // exclusive prefix offsets, in partition-id (= range) order
+      val offsets = counts.scanLeft(0L)(_ + _._2)
+      // rank -> (pid, local rank) via the offsets
+      val located: Seq[(Long, Int, Long)] = clamped.map { r =>
+        val i = counts.indices.find(i => r <= offsets(i) + counts(i)._2).get
+        (r, counts(i)._1, r - offsets(i))
+      }
+      val targetPids = located.map(_._2).distinct
+      val perPid: Map[Int, Seq[Long]] =
+        located.groupBy(_._2).map { case (p, xs) => p -> xs.map(_._3).distinct }
+      val w = Window.partitionBy("__pid").orderBy("__v", "__k")
+      val hit = perPid
+        .map { case (p, lrs) => col("__pid") === p && col("__lr").isin(lrs: _*) }
+        .reduce(_ || _)
+      val fetched = ranged
+        .where(col("__pid").isin(targetPids: _*))
+        .withColumn("__lr", row_number().over(w).cast("long"))
+        .where(hit)
+        .select("__pid", "__lr", "__v", "__k")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+        .toMap
+      located.map { case (_, p, lr) => fetched((p, lr)) }
+    } finally { ranged.unpersist(false); () }
+  }
+
+  /** Exact `ntile(n) OVER (ORDER BY valueCol, tieCol)` without the
+    * single-partition window: the n-1 bucket boundaries (the last
+    * (value, tie) of each bucket, from [[orderStatistics]]) are driver
+    * literals, and each row's bucket is `1 + #(boundaries below it)` —
+    * a map-side when-chain fused into the scan. Identical output to the
+    * window formulation for any input where tieCol is unique.
+    */
+  def withNtile(
+      df: DataFrame,
+      valueCol: String,
+      tieCol: String,
+      n: Int,
+      outputCol: String): DataFrame = {
+    require(n >= 1, s"ntile buckets must be >= 1, got $n")
+    val slimCount = df.count()
+    require(slimCount > 0, "ntile on an empty input")
+    // ntile sizes: first (total % n) buckets get one extra row
+    val base = slimCount / n
+    val extra = (slimCount % n).toInt
+    val boundaryRanks = (1 until n)
+      .scanLeft(0L) { case (acc, i) => acc + base + (if (i <= extra) 1L else 0L) }
+      .tail
+      .filter(_ >= 1L)
+    if (boundaryRanks.isEmpty) return df.withColumn(outputCol, lit(1L))
+    val bounds = orderStatistics(df, valueCol, tieCol, boundaryRanks)
+    val v = col(valueCol).cast("double")
+    val k = col(tieCol).cast("long")
+    val bucket = bounds.foldLeft(lit(1L)) { case (acc, (bv, bk)) =>
+      acc + when(v > bv || (v === bv && k > bk), 1L).otherwise(0L)
+    }
+    df.withColumn(outputCol, bucket)
+  }
+
+  /** Bounded-memory percentiles per group — the 100 TB twin of the exact
+    * `percentile` aggregate (which buffers every value of a group in its
+    * aggregation buffer). `approx_percentile` keeps a fixed-size
+    * mergeable sketch per group; the returned value is an actual element
+    * of the group whose RANK error is at most 1/accuracy of the group
+    * size (so with the default 10000, a p50 lands between the true p49.99
+    * and p50.01). QuantilesSpec pins that contract against the exact path.
+    */
+  def approxPercentiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      percentiles: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 1))
+    val aggs = percentiles.zipWithIndex.map { case (p, i) =>
+      percentile_approx(col(valueCol), lit(p), lit(accuracy))
+        .as(s"p${(p * 100).round}")
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, row_number, struct}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
@@ -122,18 +123,28 @@ object TopKPerKey {
     *
     * Memory contract: each partition retains at most keys·k rows on heap,
     * hard-capped at `maxRetainedPerPartition` (clear failure, not an OOM).
-    * For key cardinalities beyond the cap, use the window formulation —
-    * sort-based and spillable — instead of this operator.
+    *
+    * Auto-degrade (default): a cheap preflight `approx_count_distinct`
+    * over the keys estimates the retained-row footprint; when the
+    * bounded-heap contract cannot hold (keys·k within skew margin of the
+    * cap), the call falls back to the equivalent `row_number` window —
+    * sort-based and spillable, same rows for any total per-key order.
+    * `strict = true` skips the preflight job and keeps the fail-fast
+    * contract — the right mode when key cardinality is known-bounded
+    * (a dimension, a language code) and an extra job per call is waste.
     */
   def apply(
       df: DataFrame,
       keyCols: Seq[String],
       orderBy: Seq[Column],
       k: Int,
-      maxRetainedPerPartition: Long = DefaultMaxRetainedPerPartition): DataFrame = {
+      maxRetainedPerPartition: Long = DefaultMaxRetainedPerPartition,
+      strict: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k (the exec would NPE on an empty heap)")
     require(maxRetainedPerPartition >= 1, "maxRetainedPerPartition must be >= 1")
     val spark = df.sparkSession
+    if (!strict && !heapFits(df, keyCols, k, maxRetainedPerPartition))
+      return windowFallback(df, keyCols, orderBy, k)
     register(spark)
     val plan = df.queryExecution.analyzed
     val keyExprs = keyCols.map(n => plan.output.find(_.name == n).getOrElse(
@@ -146,6 +157,36 @@ object TopKPerKey {
     }
     GraftPlanBridge.ofRows(spark,
       TopKPerKeyNode(keyExprs, orderExprs, k, maxRetainedPerPartition, plan))
+  }
+
+  /** Preflight estimate: does keys·k fit the per-partition bound?
+    * Keys hash-spread across shuffle partitions, so expected retained
+    * per partition is keys·k/partitions; an 8× skew margin keeps a
+    * hot-keyed partition inside the contract. approx_count_distinct is
+    * one partial-agg job over the key columns only (±2% HLL error —
+    * swamped by the 8× margin).
+    */
+  private def heapFits(
+      df: DataFrame, keyCols: Seq[String], k: Int, maxRetained: Long): Boolean = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions.toLong max 1L
+    val estKeys = df
+      .select(approx_count_distinct(struct(keyCols.map(col): _*)).as("n"))
+      .head().getLong(0)
+    val skewMargin = 8L
+    estKeys * k <= maxRetained * parts / skewMargin
+  }
+
+  /** The sort-based plan the operator degrades to: identical rows (given
+    * a total per-key order), O(n log n) per partition but spillable —
+    * no retained-row bound to violate.
+    */
+  private def windowFallback(
+      df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__graft_topk_rn", row_number().over(w))
+      .where(col("__graft_topk_rn") <= k)
+      .drop("__graft_topk_rn")
   }
 
   def register(spark: SparkSession): Unit =

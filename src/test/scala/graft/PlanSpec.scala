@@ -88,6 +88,43 @@ class PlanSpec extends SparkSpecBase {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("scale-killer sweep: no global (empty-partition) window over unaggregated base data") {
+    // `ntile/row_number OVER (ORDER BY ...)` with no PARTITION BY moves
+    // EVERY row into a single task — the one remaining plan shape that is
+    // guaranteed to straggle/OOM at 100x. A global window over an
+    // already-aggregated frame (monthly totals etc.) is fine: the
+    // aggregate bounds its input. Flag any empty-partition-spec Window
+    // whose subtree reaches a file scan without an Aggregate in between.
+    import org.apache.spark.sql.execution.SparkPlan
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    def scanWithoutAggBelow(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case other => kids(other).exists(scanWithoutAggBelow)
+    }
+    def globalWindows(p: SparkPlan): Seq[SparkPlan] = {
+      val here = p match {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty && scanWithoutAggBelow(w.child) => Seq(w)
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty && scanWithoutAggBelow(w.child) => Seq(w)
+        case _ => Nil
+      }
+      here ++ kids(p).flatMap(globalWindows)
+    }
+    val offenders = SparkEntry.queries.keySet.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf())
+      df.collect() // CLAUDE.md plan-assertion rule: AQE finalizes only after execution
+      if (globalWindows(df.queryExecution.executedPlan).nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"single-task global windows over base data in: $offenders")
+  }
+
   test("partitioned writes enable partition pruning at the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toFile

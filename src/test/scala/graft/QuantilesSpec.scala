@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.quantile.Quantiles
+import graft.sources.Snapshot
+
+class QuantilesSpec extends SparkSpecBase {
+
+  test("withNtile matches the global-window ntile exactly") {
+    val orders = Snapshot(spark, sf()).orders
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val viaWindow = orders
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .select("o_orderkey", "decile")
+      .orderBy("o_orderkey").collect().toSeq
+    val viaBounds = Quantiles
+      .withNtile(orders, "o_totalprice", "o_orderkey", 10, "decile")
+      .select("o_orderkey", "decile")
+      .orderBy("o_orderkey").collect().toSeq
+    assert(viaBounds == viaWindow)
+  }
+
+  test("withNtile handles more buckets than rows (degenerate ntile)") {
+    val region = Snapshot(spark, sf()).region // 5 rows
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("r_regionkey"), col("r_regionkey"))
+    val viaWindow = region
+      .withColumn("b", ntile(10).over(w).cast("long"))
+      .select("r_regionkey", "b").orderBy("r_regionkey").collect().toSeq
+    val viaBounds = Quantiles
+      .withNtile(region, "r_regionkey", "r_regionkey", 10, "b")
+      .select("r_regionkey", "b").orderBy("r_regionkey").collect().toSeq
+    assert(viaBounds == viaWindow)
+  }
+
+  test("withNtile plans no global (empty-partition) window over the input") {
+    val orders = Snapshot(spark, sf()).orders
+    val df = Quantiles.withNtile(orders, "o_totalprice", "o_orderkey", 10, "decile")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the assignment itself is a map-side when-chain: no Window node at all
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("approxPercentiles honors the rank-error contract vs exact") {
+    val orders = Snapshot(spark, sf()).orders
+    val approx = Quantiles
+      .approxPercentiles(orders, Seq("o_orderpriority"), "o_totalprice", Seq(0.5, 0.9))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val groups = orders
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    groups.foreach { case (prio, n) =>
+      val (a50, a90) = approx(prio)
+      Seq(0.5 -> a50, 0.9 -> a90).foreach { case (p, v) =>
+        // the sketch returns an actual element whose rank is within
+        // n/accuracy of the target; assert a generous 1% rank bound
+        val below = orders
+          .where(col("o_orderpriority") === prio && col("o_totalprice") <= v)
+          .count()
+        assert(math.abs(below.toDouble / n - p) <= 0.01 + 1.0 / n,
+          s"$prio p$p: value $v has rank ${below.toDouble / n}")
+      }
+    }
+  }
+}

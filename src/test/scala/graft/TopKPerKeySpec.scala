@@ -41,11 +41,26 @@ class TopKPerKeySpec extends SparkSpecBase {
     assert(got == 5)
   }
 
-  test("retained-row bound fails fast with guidance on high-cardinality keys") {
+  test("auto mode degrades to the window plan when keys*k exceeds the heap contract") {
+    // every order key is distinct -> the preflight estimate rejects the
+    // bounded heap and the call must return the sort-based window plan
+    // with identical rows, not fail
+    val orders = Snapshot(spark, sf()).orders.select("o_orderkey", "o_totalprice")
+    val df = TopKPerKey(orders, Seq("o_orderkey"), Seq(col("o_totalprice").desc, col("o_orderkey").asc), 1,
+      maxRetainedPerPartition = 10L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("TopKPerKey"), p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+    assert(df.count() == orders.count())
+    // strict mode keeps the fail-fast contract for the same inputs (below)
+  }
+
+  test("retained-row bound fails fast with guidance on high-cardinality keys (strict)") {
     // every order key is distinct -> keys*k blows a tiny bound immediately
     val orders = Snapshot(spark, sf()).orders.select("o_orderkey", "o_totalprice")
     val df = TopKPerKey(orders, Seq("o_orderkey"), Seq(col("o_totalprice").desc), 1,
-      maxRetainedPerPartition = 10L)
+      maxRetainedPerPartition = 10L, strict = true)
     val e = intercept[Exception](df.collect())
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
