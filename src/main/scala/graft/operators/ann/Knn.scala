@@ -222,6 +222,14 @@ object IvfKNN {
     search(buildIndex(corpus, corpusIdCol, corpusVecCol, nLists, iters),
       queries, queryIdCol, queryVecCol, k, nProbe, excludeSelf)
 
+  /** Query-batch contract: with `broadcastQueries = true` (default) the
+    * probe rows (query_id, vector, × nProbe) are broadcast — the right
+    * plan while the batch fits comfortably in driver/executor memory
+    * (interactive batches, ≲ 10^5 queries at typical dims). For bulk
+    * batches beyond that, pass false: the join becomes a shuffle hash
+    * join on cell_id, which scales with executors instead of OOMing the
+    * broadcast.
+    */
   def search(
       index: Index,
       queries: DataFrame,
@@ -229,7 +237,8 @@ object IvfKNN {
       queryVecCol: String,
       k: Int,
       nProbe: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame = {
     // probe list is map-only too (no crossJoin/window over the query batch
     // — it can be large at scale); ordering inside the expression matches
     // the old (sim desc, cell_id) window tiebreak
@@ -241,7 +250,7 @@ object IvfKNN {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     index.assigned
-      .join(broadcast(probes), Seq("cell_id"))
+      .join(if (broadcastQueries) broadcast(probes) else probes, Seq("cell_id"))
       .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
       .withColumn("rnk", row_number().over(w).cast("long"))

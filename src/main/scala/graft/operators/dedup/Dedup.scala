@@ -5,15 +5,30 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
 
-// Cache lifecycle note (applies to every persist() in this file): each
-// operator invocation persists its intermediate (banded / exploded) set so
-// the two consumers (skew-guard agg + join-back) compute it once. The
-// blocks are MEMORY_AND_DISK (spillable) and are released at session stop;
-// memory blocks are LRU-evicted under pressure but disk blocks are not.
-// Long-lived interactive sessions issuing many dedup calls should run them
-// in a bounded session or unpersist via spark.catalog.clearCache(); the
-// cluster-scale pipeline shape writes these intermediates to storage
-// instead of relying on executor caches at all.
+// Cache lifecycle (every persist() in this file goes through CacheScope):
+// corpus-scale intermediates (banded / exploded / candidate-shingle sets)
+// are persisted only for the duration of one operator call — the slim
+// result (candidate pairs) is materialized eagerly via localCheckpoint and
+// the intermediate's blocks are released before the operator returns, so a
+// long-lived interactive session issuing many dedup calls accumulates only
+// candidate-sized checkpoints, never corpus-sized caches (DedupSpec
+// asserts the release). The cluster-scale pipeline shape writes these
+// intermediates to storage instead of relying on executor caches at all.
+
+/** Persist-for-the-call scope: `body` sees `intermediate` persisted (the
+  * banded/exploded sets all have two consumers — a skew-guard aggregate
+  * and a join-back — that must not recompute the corpus projection); the
+  * body's result is materialized eagerly (localCheckpoint — slim by
+  * construction: candidate pairs, not corpus rows) and the intermediate's
+  * blocks are released before returning, error or not.
+  */
+private[dedup] object CacheScope {
+  def withPersisted(intermediate: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
+    val p = intermediate.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(p).localCheckpoint(true)
+    finally { p.unpersist(false); () }
+  }
+}
 
 /** Exact deduplication by content hash: hash-partitioned groupBy, keep the
   * lowest id per content key. One shuffle on the (high-cardinality, evenly
@@ -43,19 +58,24 @@ private[operators] object Shingling {
   /** Exact Jaccard over distinct shingle-hash sets, attached to candidate
     * pairs. Shingles are computed only for docs that appear in a pair
     * (semi-join first) — at 100 TB the candidate set is orders of magnitude
-    * smaller than the corpus.
+    * smaller than the corpus. The candidate shingle sets feed BOTH join
+    * sides (sh_a / sh_b), so they are persisted for the call and released
+    * once the verified pairs are materialized (CacheScope) — previously
+    * candidates were re-shingled once per side.
     */
   def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val candIds = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id"))).distinct()
-    val sh = df.select(col(idCol).as("id"), col(textCol))
+    val sh0 = df.select(col(idCol).as("id"), col(textCol))
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), array_distinct(shingleHashes(col(textCol), n)).as("sh"))
-    pairs
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    CacheScope.withPersisted(sh0) { sh =>
+      pairs
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
   }
 }
 
@@ -101,32 +121,33 @@ object MinHashDedup {
     val bucketsCol =
       if (shingle == DefaultShingle) GraftFunctions.minhashBands(split(lower(col(textCol)), " "))
       else GraftFunctions.bandBuckets(signature(col(textCol), shingle))
-    // two consumers below (bucket-size agg + join-back): persist so the
-    // shingle→minhash→band projection runs once over the corpus
-    val banded = df
+    // two consumers (bucket-size agg + join-back): persisted for the call
+    // so the shingle→minhash→band projection runs once over the corpus,
+    // released once the slim (id_a, id_b) pair set is materialized
+    val banded0 = df
       .select(col(idCol).as("id"), bucketsCol.as("bs"))
       .select(col("id"), posexplode(col("bs")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Keep only buckets shared by >=2 docs (others can't produce pairs) and
-    // cap degenerate buckets (skew guard). Aggregate+join instead of a
-    // window: no sort, and the filter shrinks the self-join input to the
-    // shared-bucket minority.
-    val usable = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") >= 2 && col("bsz") <= maxBucketSize)
-      .select("band", "bucket")
-    val bounded = banded.join(usable, Seq("band", "bucket"))
+    val pairs = CacheScope.withPersisted(banded0) { banded =>
+      // Keep only buckets shared by >=2 docs (others can't produce pairs)
+      // and cap degenerate buckets (skew guard). Aggregate+join instead of
+      // a window: no sort, and the filter shrinks the self-join input to
+      // the shared-bucket minority.
+      val usable = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") >= 2 && col("bsz") <= maxBucketSize)
+        .select("band", "bucket")
+      val bounded = banded.join(usable, Seq("band", "bucket"))
 
-    val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairs = l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-
+      val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"))
+      l.join(r, Seq("band", "bucket"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+    }
     Shingling.verifyJaccard(pairs, df, idCol, textCol, shingle)
   }
 
@@ -157,26 +178,28 @@ object SimHashDedup {
     val chunkCols = (0 until Chunks).map { c =>
       struct(lit(c).as("band"), shiftrightunsigned(col("sig"), c * ChunkBits).bitwiseAND(lit(0xFFFFL)).as("bucket"))
     }
-    val banded = base
+    val banded0 = base
       .select(col("id"), col("sig"), explode(array(chunkCols: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      // same two-consumer persist as MinHash: signature computed once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // same skew guard as MinHash: only buckets with 2..max members can
-    // produce pairs without blowing up the self-join
-    val usable = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") >= 2 && col("bsz") <= maxBucketSize)
-      .select("band", "bucket")
-    val bounded = banded.join(usable, Seq("band", "bucket"))
-    val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .drop("sig_a", "sig_b")
+    // same two-consumer call-scoped persist as MinHash: signature computed
+    // once, blocks released once the slim pair set is materialized
+    CacheScope.withPersisted(banded0) { banded =>
+      // same skew guard as MinHash: only buckets with 2..max members can
+      // produce pairs without blowing up the self-join
+      val usable = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") >= 2 && col("bsz") <= maxBucketSize)
+        .select("band", "bucket")
+      val bounded = banded.join(usable, Seq("band", "bucket"))
+      val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+      val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+      l.join(r, Seq("band", "bucket"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+        .drop("sig_a", "sig_b")
+    }
   }
 
   def duplicatePairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
@@ -215,23 +238,24 @@ object NGramJaccardDedup {
       maxShingleFreq: Int): DataFrame = {
     // Slim (shingle-hash, id) rows through the shuffle; shingle sets are
     // re-attached to candidates only (same reasoning as MinHash). The
-    // exploded set feeds both the frequency agg and the join-back below —
-    // persist it (spillable, lineage kept) so shingling+explode runs once,
-    // keeping the scale-safe two-pass shape
-    val exploded = df.select(
+    // exploded set feeds both the frequency agg and the join-back —
+    // persisted for the call so shingling+explode runs once, released
+    // when the slim pair set is materialized
+    val exploded0 = df.select(
       col(idCol).as("id"),
       explode(array_distinct(Shingling.shingleHashes(col(textCol), shingle))).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val usable = exploded.groupBy("s")
-      .agg(count(lit(1)).as("freq"))
-      .where(col("freq") >= 2 && col("freq") <= maxShingleFreq)
-      .select("s")
-    val bounded = exploded.join(usable, Seq("s"))
-    bounded.select(col("s"), col("id").as("id_a"))
-      .join(bounded.select(col("s"), col("id").as("id_b")), Seq("s"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    CacheScope.withPersisted(exploded0) { exploded =>
+      val usable = exploded.groupBy("s")
+        .agg(count(lit(1)).as("freq"))
+        .where(col("freq") >= 2 && col("freq") <= maxShingleFreq)
+        .select("s")
+      val bounded = exploded.join(usable, Seq("s"))
+      bounded.select(col("s"), col("id").as("id_a"))
+        .join(bounded.select(col("s"), col("id").as("id_b")), Seq("s"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+    }
   }
 
   /** Candidate pairs with CONTAINMENT scores (|A∩B|/|A| and /|B|)
@@ -250,28 +274,31 @@ object NGramJaccardDedup {
     val pairs = sharedShinglePairs(df, idCol, textCol, shingle, maxShingleFreq)
     val candIds = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id"))).distinct()
-    val sh = df.select(col(idCol).as("id"), col(textCol))
+    val sh0 = df.select(col(idCol).as("id"), col(textCol))
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"),
         array_distinct(Shingling.shingleHashes(col(textCol), shingle)).as("sh"))
-    pairs
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .select(
-        col("id_a"), col("id_b"),
-        (col("n_inter").cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"),
-        (col("n_inter").cast("double") / size(col("sh_a")).cast("double")).as("containment_a"),
-        (col("n_inter").cast("double") / size(col("sh_b")).cast("double")).as("containment_b"))
+    // candidate shingle sets feed both join sides — call-scoped persist,
+    // like verifyJaccard
+    CacheScope.withPersisted(sh0) { sh =>
+      pairs
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .select(
+          col("id_a"), col("id_b"),
+          (col("n_inter").cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"),
+          (col("n_inter").cast("double") / size(col("sh_a")).cast("double")).as("containment_a"),
+          (col("n_inter").cast("double") / size(col("sh_b")).cast("double")).as("containment_b"))
+    }
   }
 
   /** Per-doc candidate stats (total, always one row per doc). */
   def stats(df: DataFrame, idCol: String, textCol: String, shingle: Int = 5): DataFrame = {
-    // the pairs set is tiny (bounded by the frequency cap) but its plan is
-    // the widest in the library and feeds three consumers below —
-    // materialize once instead of recomputing per consumer
-    val pairs = candidatePairs(df, idCol, textCol, shingle).localCheckpoint(true)
+    // candidatePairs already returns an eagerly-materialized checkpoint
+    // (CacheScope), so the three consumers below reuse it directly
+    val pairs = candidatePairs(df, idCol, textCol, shingle)
     val perDoc = pairs
       .select(col("id_a").as("id"), col("jaccard"))
       .unionAll(pairs.select(col("id_b").as("id"), col("jaccard")))
@@ -341,20 +368,21 @@ object EmbeddingDedup {
       .select("cell_id")
     // both self-join sides consume `bounded`; the multi-probe input is a
     // raw corpus scan (unlike index.assigned, which buildIndex persists),
-    // so persist it per the two-consumer pattern above
+    // so it gets the call-scoped persist. Single-assignment cannot produce
+    // duplicate pairs (one cell per vector) — only multi-probe pays the
+    // deduplicating shuffle.
     val bounded0 = assigned.join(usable, Seq("cell_id"))
-    val bounded =
-      if (nAssign > 1) bounded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else bounded0
-    val a = bounded.select(col("cell_id"), col("neighbor_id").as("id_a"), col("__cv").as("v_a"))
-    val b = bounded.select(col("cell_id"), col("neighbor_id").as("id_b"), col("__cv").as("v_b"))
-    val pairs = a.join(b, Seq("cell_id"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("sim", GraftFunctions.cosine(col("v_a"), col("v_b")))
-      .where(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
-    // single-assignment cannot produce duplicate pairs (one cell per
-    // vector) — only multi-probe pays the deduplicating shuffle
-    if (nAssign > 1) pairs.dropDuplicates("id_a", "id_b") else pairs
+    def pairsOf(bounded: DataFrame): DataFrame = {
+      val a = bounded.select(col("cell_id"), col("neighbor_id").as("id_a"), col("__cv").as("v_a"))
+      val b = bounded.select(col("cell_id"), col("neighbor_id").as("id_b"), col("__cv").as("v_b"))
+      a.join(b, Seq("cell_id"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("sim", GraftFunctions.cosine(col("v_a"), col("v_b")))
+        .where(col("sim") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+    }
+    if (nAssign > 1)
+      CacheScope.withPersisted(bounded0)(b => pairsOf(b).dropDuplicates("id_a", "id_b"))
+    else pairsOf(bounded0)
   }
 }

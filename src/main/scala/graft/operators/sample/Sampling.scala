@@ -29,9 +29,17 @@ object Sampling {
     * first split whose cumulative weight bound exceeds its 24-bit key
     * hash. Pure function of the key — the split survives reruns,
     * repartitions and engine changes, and a row never migrates between
-    * splits when other rows are added or removed. Thresholds are exact
-    * INTEGER bounds (floor(cum·2^24)), not accumulated doubles, so any
-    * engine computes the identical assignment (0.8+0.1 ≠ 0.9 in IEEE).
+    * splits when other rows are added or removed.
+    *
+    * Threshold contract: bounds are `floor(2^24 · cum_i)` where `cum_i`
+    * is the IEEE-double LEFT-FOLD of the weights in declaration order.
+    * They are computed once here on the driver and embedded as integer
+    * literals in the returned Column — the row-assignment path never
+    * re-accumulates doubles, so every engine evaluating the expression
+    * agrees bit-for-bit. An engine deriving bounds independently must
+    * mirror the same left-fold (a different summation order, or exact
+    * rational weights, can shift a bound by one ulp's worth of rows);
+    * the canonical bounds for (0.8, 0.1, 0.1) are 13421772 and 15099494.
     */
   def assignSplit(keyCol: Column, splits: Seq[(String, Double)]): Column = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,

@@ -11,22 +11,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Scale note: `table` is a bare `spark.read.parquet` so every downstream
   * filter/projection reaches the scan (PushedFilters / ReadSchema); no
-  * eager caching or collect here.
+  * eager caching or collect here. The returned DataFrame (an immutable
+  * logical plan — file listing + footer schema) is memoized per
+  * (session, dir, name): repeated query invocations over one snapshot
+  * skip the driver-side listing/footer re-read that `spark.read.parquet`
+  * performs on every call. Caveat (fine for immutable snapshot layouts):
+  * files added under a dir within one session are invisible to that
+  * session's memoized plan.
   */
 final case class Snapshot(spark: SparkSession, dir: String) {
   import Snapshot._
 
   def table(name: String): DataFrame = {
     require(tableNames.contains(name), s"unknown snapshot table: $name")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): surfaced as long nanos (see
-    // GraftSession's nanosAsLong), converted here to a standard micros
-    // timestamp. `div` (long division) — a double roundtrip would lose
-    // precision above 2^53 ns.
-    if (name == "events" && raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    if (tableCache.size > MaxCachedPlans) tableCache.clear() // stopped test sessions
+    tableCache.getOrElseUpdate((spark, dir, name), {
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      // events.ts is parquet TIMESTAMP(NANOS): surfaced as long nanos (see
+      // GraftSession's nanosAsLong), converted here to a standard micros
+      // timestamp. `div` (long division) — a double roundtrip would lose
+      // precision above 2^53 ns.
+      if (name == "events" && raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      else raw
+    })
   }
 
   def region: DataFrame = table("region")
@@ -41,9 +50,16 @@ final case class Snapshot(spark: SparkSession, dir: String) {
   def embeddings: DataFrame = table("embeddings")
 
   /** Registers every table as a temp view so `spark.sql(...)` works —
-    * the reference's free-form SQL surface.
+    * the reference's free-form SQL surface. Idempotent per (session, dir):
+    * repeated free-form-SQL calls don't re-register ten views (and
+    * re-resolve ten plans) each time; registering a DIFFERENT dir on the
+    * same session re-points the views and the memo.
     */
-  def registerAll(): Unit = tableNames.foreach(n => table(n).createOrReplaceTempView(n))
+  def registerAll(): Unit =
+    if (!registeredDir.get(spark).contains(dir)) {
+      tableNames.foreach(n => table(n).createOrReplaceTempView(n))
+      registeredDir.put(spark, dir)
+    }
 
   /** `schema_check` equivalent: one row per column across all tables.
     * Reads parquet footers only (no data scan).
@@ -62,4 +78,12 @@ object Snapshot {
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  // memoized logical plans are tiny; the bound only guards against a
+  // pathological many-sessions/many-dirs test harness pinning sessions
+  private val MaxCachedPlans = 256
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val registeredDir =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
 }

@@ -102,6 +102,25 @@ class DedupSpec extends SparkSpecBase {
     assert(!rows.contains((1L, 3L)) && !rows.contains((2L, 3L)))
   }
 
+  test("operators release corpus-scale caches before returning") {
+    // CacheScope contract: the banded/exploded/candidate-shingle persists
+    // live only inside one operator call; what survives the call is at
+    // most the slim localCheckpoint'd candidate outputs (2 per call:
+    // the raw pair set and the verified/scored set)
+    val docs = graft.sources.Snapshot(spark, sf()).documents
+    def persisted = spark.sparkContext.getPersistentRDDs.keySet
+    val before = persisted
+    MinHashDedup.candidatePairs(docs, "doc_id", "text")
+    val afterMinhash = persisted -- before
+    assert(afterMinhash.size <= 2,
+      s"minhash retained ${afterMinhash.size} persisted RDDs — corpus-scale cache leaked")
+    val before2 = persisted
+    NGramJaccardDedup.stats(docs, "doc_id", "text")
+    val afterNgram = persisted -- before2
+    assert(afterNgram.size <= 2,
+      s"ngram retained ${afterNgram.size} persisted RDDs — corpus-scale cache leaked")
+  }
+
   test("embedding dedup finds the planted near-identical vector") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

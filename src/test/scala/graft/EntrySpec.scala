@@ -51,7 +51,11 @@ class EntrySpec extends SparkSpecBase {
   test("twin-run gate: every no-oracle query is bit-stable across runs") {
     // the driver can only rows-check these (xxhash64/HLL-seeded outputs are
     // not DuckDB-expressible) — identical results across two full runs is
-    // the strongest correctness signal available for them
+    // the strongest correctness signal available for them.
+    // Caveat: the IVF-backed entries share SparkEntry's cached index, so
+    // this in-process gate does NOT re-exercise quantizer training; the
+    // cross-JVM double-Verify sweep (SURVEY §5) covers training
+    // determinism end to end.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     noOracle.toSeq.sorted.foreach { name =>
       val a = SparkEntry.queries(name)(spark, sf()).collect().toSeq
