@@ -508,6 +508,58 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy("split")
     }),
+    "q_heavy_hitters" -> ((s, dir) => {
+      // vocabulary heavy hitters per language: the (lang, term) agg
+      // shrinks the exploded terms before the bounded-heap top-k — the
+      // same two-stage shape a 100 TB vocab audit needs (terms per lang
+      // is bounded by vocabulary, not corpus, after the agg)
+      val terms = snap(s, dir).documents
+        .where(col("text").isNotNull)
+        .select(col("lang"), explode(split(lower(col("text")), " ")).as("term"))
+      val counts = terms.groupBy("lang", "term").agg(count(lit(1)).as("n"))
+      val top = graft.plans.TopKPerKey(
+        counts, Seq("lang"), Seq(col("n").desc, col("term").asc), 10, strict = true)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("term"))
+      top
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("lang"), col("rnk"), col("term"), col("n"))
+        .orderBy("lang", "rnk")
+    }),
+    "q_events_funnel" -> ((s, dir) => {
+      // funnel staging by conditional-min timestamps: one agg pass over
+      // the event stream, map-side combinable; stage classification is a
+      // pure projection. Strict min-ordering semantics (documented): a
+      // user reaches stage i only if the FIRST occurrences are in order.
+      val per = snap(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      val stage = when(col("t_signup").isNull, 0L)
+        .when(col("t_view").isNull || col("t_view") <= col("t_signup"), 1L)
+        .when(col("t_purchase").isNull || col("t_purchase") <= col("t_view"), 2L)
+        .otherwise(3L)
+      per
+        .withColumn("funnel_stage", stage)
+        .groupBy("funnel_stage")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("funnel_stage")
+    }),
+    "q_null_audit" -> ((s, dir) => {
+      // data-quality audit: null/blank/distinct profile in ONE pass
+      // (conditional sums fuse into a single partial agg — no per-column
+      // jobs, no collect)
+      snap(s, dir).documents
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+          sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("empty_text"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("null_lang"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"))
+    }),
     "q_stratified_sample" -> ((s, dir) => {
       // bounded-memory per-stratum sample: TopKPerKey keeps a 20-row heap
       // per lang instead of the row_number window's full per-stratum sort
@@ -1055,6 +1107,35 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         |FROM u GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+        |           FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT lang, term, COUNT(*) AS n FROM t GROUP BY 1, 2),
+        |r AS (SELECT lang, term, n,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk FROM c)
+        |SELECT lang, rnk, term, n FROM r WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin,
+    "q_events_funnel" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(CASE WHEN t_signup IS NULL THEN 0
+        |            WHEN t_view IS NULL OR t_view <= t_signup THEN 1
+        |            WHEN t_purchase IS NULL OR t_purchase <= t_view THEN 2
+        |            ELSE 3 END AS BIGINT) AS funnel_stage,
+        |  COUNT(*) AS n_users
+        |FROM p GROUP BY 1 ORDER BY funnel_stage""".stripMargin,
+    "q_null_audit" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+        |  CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+        |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents""".stripMargin,
     "q_stratified_sample" ->
       """WITH r AS (
         |  SELECT doc_id, lang,
