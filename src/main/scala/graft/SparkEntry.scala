@@ -560,6 +560,18 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_langs"),
           countDistinct(col("source")).as("n_sources"))
     }),
+    "q_token_packing" -> ((s, dir) => {
+      // fixed-token training-shard packing: distributed exclusive prefix
+      // sum over the deterministic (md5, id) layout order — no global
+      // running-total window (see Packing). Null-text rows carry no
+      // tokens, so they are excluded from the layout on both sides.
+      val d = snap(s, dir).documents.where(col("text").isNotNull)
+      graft.operators.sample.Packing
+        .assignShards(d, "doc_id", size(split(col("text"), " ")), 4096L)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("shard_id")
+    }),
     "q_stratified_sample" -> ((s, dir) => {
       // bounded-memory per-stratum sample: TopKPerKey keeps a 20-row heap
       // per lang instead of the row_number window's full per-stratum sort
@@ -1107,6 +1119,19 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         |FROM u GROUP BY 1 ORDER BY split""".stripMargin,
+    // the window here is the ORACLE's formulation only (DuckDB, sf-scale
+    // data); the Spark side computes the identical prefix via the
+    // distributed range-partition + offset pass in Packing
+    "q_token_packing" ->
+      """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS prefix
+        |      FROM t)
+        |SELECT CAST(FLOOR(prefix / 4096.0) AS BIGINT) AS shard_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin,
     "q_heavy_hitters" ->
       """WITH t AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS term
         |           FROM documents WHERE text IS NOT NULL),
