@@ -17,26 +17,41 @@ import duckdb
 
 
 def norm(v):
+    # recurse into nested values: an array<double> holding NaN must still
+    # compare equal to itself
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else float(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
     return v
+
+
+def query_dirs(d):
+    return {n for n in os.listdir(d) if os.path.isdir(os.path.join(d, n))}
 
 
 def main(dir_a, dir_b):
     con = duckdb.connect()
-    names = sorted(
-        d for d in os.listdir(dir_a)
-        if os.path.isdir(os.path.join(dir_a, d)))
+    # union of both sides: a query written by only one run is a DIFF, not
+    # a silent coverage gap
+    names = sorted(query_dirs(dir_a) | query_dirs(dir_b))
     n_pass = n_fail = 0
     for name in names:
-        rows = []
-        for d in (dir_a, dir_b):
-            r = con.sql(f"SELECT * FROM '{d}/{name}/*.parquet'")
-            cols = sorted(r.columns)
-            vals = [tuple(norm(v) for v in row)
-                    for row in con.sql(
-                        f"SELECT {', '.join(cols)} FROM '{d}/{name}/*.parquet'").fetchall()]
-            rows.append(vals)
+        try:
+            rows = []
+            for d in (dir_a, dir_b):
+                r = con.sql(f"SELECT * FROM '{d}/{name}/*.parquet'")
+                cols = sorted(r.columns)
+                vals = [tuple(norm(v) for v in row)
+                        for row in con.sql(
+                            f"SELECT {', '.join(cols)} FROM '{d}/{name}/*.parquet'").fetchall()]
+                rows.append(vals)
+        except Exception as e:  # missing dir, unreadable parquet, ...
+            n_fail += 1
+            print(f"DIFF {name}: error reading one side ({e})")
+            continue
         if rows[0] == rows[1]:
             n_pass += 1
             print(f"SAME {name} ({len(rows[0])} rows)")

@@ -24,9 +24,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object Quantiles {
 
+  /** Input contract shared by [[orderStatistics]] and [[withNtile]]:
+    * `valueCol` must be numeric and non-null (the map-side bucket
+    * predicate and the boundary fetch cannot represent SQL null ordering
+    * — filter nulls first; null presence is detected and rejected, not
+    * silently misbucketed), `tieCol` must be an integral unique key (the
+    * total-order tiebreak). Wider orderings (strings, decimals beyond
+    * double precision) would need a generic-row variant.
+    */
+  private def checkTypes(df: DataFrame, valueCol: String, tieCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val vt = df.schema(valueCol).dataType
+    require(vt.isInstanceOf[NumericType],
+      s"valueCol $valueCol must be numeric (got $vt)")
+    val kt = df.schema(tieCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(kt),
+      s"tieCol $tieCol must be an integral unique key (got $kt)")
+  }
+
   /** Exact order statistics of the composite ordering (valueCol, tieCol)
-    * at the given 1-based global ranks, computed WITHOUT a global sort
-    * funnel:
+    * at 1-based global ranks, computed WITHOUT a global sort funnel:
     *
     *  1. range-partition the slim (value, tie) projection (TeraSort
     *     shape: the only full-data movement, and it carries two columns,
@@ -38,20 +55,21 @@ object Quantiles {
     *     partitioned by partition id — each task sees one partition's
     *     rows, never the table).
     *
-    * Returns the (value, tie) pairs in rank order. Ranks beyond the row
-    * count are clamped to the maximum (empty-bucket degeneracy when
-    * n_rows < n_buckets).
+    * `ranksOf` receives the exact total row count (already known from
+    * step 2 — callers never need a separate count() pass) and returns
+    * the ranks to fetch. Returns the (value, tie) pairs in rank order;
+    * ranks beyond the row count are clamped to the maximum (empty-bucket
+    * degeneracy when n_rows < n_buckets).
     *
     * Determinism: ranks are exact, so the result is independent of how
     * the range partitioner happened to split — the partitioning only has
     * to be internally consistent, which the persist guarantees.
     */
-  def orderStatistics(
+  def orderStatisticsBy(
       df: DataFrame,
       valueCol: String,
-      tieCol: String,
-      ranks: Seq[Long]): Seq[(Double, Long)] = {
-    require(ranks.nonEmpty && ranks.forall(_ >= 1L), s"ranks must be >= 1: $ranks")
+      tieCol: String)(ranksOf: Long => Seq[Long]): Seq[(Double, Long)] = {
+    checkTypes(df, valueCol, tieCol)
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val slim = df.select(
@@ -64,11 +82,21 @@ object Quantiles {
       .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val counts = ranged.groupBy("__pid").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1))
+      // null detection piggybacks on the counts job — no extra pass
+      val counts0 = ranged.groupBy("__pid")
+        .agg(count(lit(1)).as("c"),
+          sum(when(col("__v").isNull || col("__k").isNull, 1L).otherwise(0L)).as("nulls"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
         .sortBy(_._1)
+      require(counts0.map(_._3).sum == 0L,
+        s"$valueCol/$tieCol contain NULLs — filter them before calling " +
+          "(the boundary-broadcast formulation cannot represent null ordering)")
+      val counts = counts0.map(t => t._1 -> t._2)
       val total = counts.map(_._2).sum
       require(total > 0, "orderStatistics on an empty input")
+      val ranks = ranksOf(total)
+      require(ranks.nonEmpty && ranks.forall(_ >= 1L), s"ranks must be >= 1: $ranks")
       val clamped = ranks.map(r => math.min(r, total))
       // exclusive prefix offsets, in partition-id (= range) order
       val offsets = counts.scanLeft(0L)(_ + _._2)
@@ -96,12 +124,21 @@ object Quantiles {
     } finally { ranged.unpersist(false); () }
   }
 
+  /** Fixed-rank convenience form of [[orderStatisticsBy]]. */
+  def orderStatistics(
+      df: DataFrame,
+      valueCol: String,
+      tieCol: String,
+      ranks: Seq[Long]): Seq[(Double, Long)] =
+    orderStatisticsBy(df, valueCol, tieCol)(_ => ranks)
+
   /** Exact `ntile(n) OVER (ORDER BY valueCol, tieCol)` without the
     * single-partition window: the n-1 bucket boundaries (the last
-    * (value, tie) of each bucket, from [[orderStatistics]]) are driver
+    * (value, tie) of each bucket, from [[orderStatisticsBy]]) are driver
     * literals, and each row's bucket is `1 + #(boundaries below it)` —
     * a map-side when-chain fused into the scan. Identical output to the
-    * window formulation for any input where tieCol is unique.
+    * window formulation for any non-null input with a unique integral
+    * tieCol (see [[checkTypes]] for the contract).
     */
   def withNtile(
       df: DataFrame,
@@ -110,17 +147,18 @@ object Quantiles {
       n: Int,
       outputCol: String): DataFrame = {
     require(n >= 1, s"ntile buckets must be >= 1, got $n")
-    val slimCount = df.count()
-    require(slimCount > 0, "ntile on an empty input")
-    // ntile sizes: first (total % n) buckets get one extra row
-    val base = slimCount / n
-    val extra = (slimCount % n).toInt
-    val boundaryRanks = (1 until n)
-      .scanLeft(0L) { case (acc, i) => acc + base + (if (i <= extra) 1L else 0L) }
-      .tail
-      .filter(_ >= 1L)
-    if (boundaryRanks.isEmpty) return df.withColumn(outputCol, lit(1L))
-    val bounds = orderStatistics(df, valueCol, tieCol, boundaryRanks)
+    if (n == 1) return df.withColumn(outputCol, lit(1L))
+    // boundary ranks derive from the exact total the counts pass already
+    // produces — no separate count() scan
+    val bounds = orderStatisticsBy(df, valueCol, tieCol) { total =>
+      // ntile sizes: first (total % n) buckets get one extra row
+      val base = total / n
+      val extra = (total % n).toInt
+      (1 until n)
+        .scanLeft(0L) { case (acc, i) => acc + base + (if (i <= extra) 1L else 0L) }
+        .tail
+        .filter(_ >= 1L)
+    }
     val v = col(valueCol).cast("double")
     val k = col(tieCol).cast("long")
     val bucket = bounds.foldLeft(lit(1L)) { case (acc, (bv, bk)) =>

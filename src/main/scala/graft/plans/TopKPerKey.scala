@@ -160,20 +160,20 @@ object TopKPerKey {
   }
 
   /** Preflight estimate: does keys·k fit the per-partition bound?
-    * Keys hash-spread across shuffle partitions, so expected retained
-    * per partition is keys·k/partitions; an 8× skew margin keeps a
-    * hot-keyed partition inside the contract. approx_count_distinct is
-    * one partial-agg job over the key columns only (±2% HLL error —
-    * swamped by the 8× margin).
+    * Deliberately assumes the WORST-CASE placement — every key in one
+    * partition — so the answer stays valid however AQE coalesces the
+    * clustering shuffle or however skewed the key distribution is (a
+    * partitions-divided estimate would pass preflight and then hit the
+    * runtime cap the fallback exists to avoid). approx_count_distinct is
+    * one partial-agg job over the key columns only; its ±2% HLL error is
+    * absorbed by the worst-case assumption.
     */
   private def heapFits(
       df: DataFrame, keyCols: Seq[String], k: Int, maxRetained: Long): Boolean = {
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions.toLong max 1L
     val estKeys = df
       .select(approx_count_distinct(struct(keyCols.map(col): _*)).as("n"))
       .head().getLong(0)
-    val skewMargin = 8L
-    estKeys * k <= maxRetained * parts / skewMargin
+    estKeys * k <= maxRetained
   }
 
   /** The sort-based plan the operator degrades to: identical rows (given

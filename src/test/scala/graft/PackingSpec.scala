@@ -51,9 +51,26 @@ class PackingSpec extends SparkSpecBase {
     val docs = Snapshot(spark, sf()).documents.where(col("text").isNotNull)
     val df = Packing.assignShards(docs, "doc_id", size(split(col("text"), " ")), budget)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    // the only Window is partitioned by the range-partition id
-    assert(p.contains("partitionBy") || !p.contains("Window") || p.contains("__pid"),
-      p.take(2000))
+    // every Window node must carry a partition spec (the __pid clustering)
+    // — an empty one would be the single-task global running total this
+    // operator exists to avoid
+    import org.apache.spark.sql.execution.SparkPlan
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    def hasGlobalWindow(p: SparkPlan): Boolean = {
+      val here = p match {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.isEmpty
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+          w.partitionSpec.isEmpty
+        case _ => false
+      }
+      here || kids(p).exists(hasGlobalWindow)
+    }
+    assert(!hasGlobalWindow(df.queryExecution.executedPlan),
+      df.queryExecution.executedPlan.toString.take(2000))
   }
 }
