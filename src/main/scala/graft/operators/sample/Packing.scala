@@ -61,4 +61,23 @@ object Packing {
       .withColumn("shard_id", floor(col("__prefix") / lit(budgetTokens.toDouble)).cast("long"))
       .select(col("id").as(idCol), col("n_tokens"), col("shard_id"))
   }
+
+  /** Durable form: the full rows written as parquet PARTITIONED BY
+    * shard_id — the training-shard artifact a 100 TB run produces once
+    * and trainers then read shard by shard (a shard predicate reaches the
+    * scan as a PartitionFilter; PackingSpec asserts it). The slim
+    * assignment re-attaches to the full rows by key, so wide columns
+    * never pass through the prefix-sum shuffle.
+    */
+  def writeShards(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: Column,
+      budgetTokens: Long,
+      path: String): Unit = {
+    val assigned = assignShards(df, idCol, tokensCol, budgetTokens)
+      .select(col(idCol), col("shard_id"))
+    df.join(assigned, Seq(idCol))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+  }
 }

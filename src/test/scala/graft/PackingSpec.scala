@@ -47,6 +47,21 @@ class PackingSpec extends SparkSpecBase {
     assert(shards.map(_.getLong(1)).sum == total)
   }
 
+  test("written shards are readable per shard with partition pruning at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toFile
+    dir.deleteOnExit()
+    val docs = Snapshot(spark, sf()).documents.where(col("text").isNotNull)
+    val toks = size(split(col("text"), " "))
+    Packing.writeShards(docs, "doc_id", toks, budget, dir.getAbsolutePath)
+    val assigned = Packing.assignShards(docs, "doc_id", toks, budget)
+    val shard0 = spark.read.parquet(dir.getAbsolutePath).where(col("shard_id") === 0)
+    val p = shard0.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(shard_id"), p.take(2000))
+    assert(shard0.count() == assigned.where(col("shard_id") === 0).count())
+    // the artifact is a partition of the corpus: nothing lost or doubled
+    assert(spark.read.parquet(dir.getAbsolutePath).count() == docs.count())
+  }
+
   test("packing plans no global (empty-partition) window") {
     val docs = Snapshot(spark, sf()).documents.where(col("text").isNotNull)
     val df = Packing.assignShards(docs, "doc_id", size(split(col("text"), " ")), budget)

@@ -152,6 +152,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
+    // the production ingestion shape: a document stream anti-joined
+    // against the static content-hash index of the existing corpus —
+    // stateless on the stream side (no watermark/state store), the index
+    // is the only thing that grows. Docs whose content already exists
+    // (even under a different id) never reach the sink.
+    val allDocs = Snapshot(spark, sf()).documents
+    val existing = allDocs.where($"doc_id" % 2 === 0)
+    val index = existing.select(md5(lower($"text")).as("content_hash")).distinct()
+    val incomingDir = Files.createTempDirectory("graft_ingest").toFile
+    incomingDir.deleteOnExit()
+    // incoming batch = the other half PLUS re-ingested copies of indexed docs
+    allDocs.where($"doc_id" % 2 === 1)
+      .unionAll(existing.limit(50).withColumn("doc_id", $"doc_id" + 1000000L))
+      .write.mode("overwrite").parquet(incomingDir.getAbsolutePath)
+    val batchDf = spark.read.parquet(incomingDir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema).parquet(incomingDir.getAbsolutePath)
+    val novel = stream
+      .withColumn("content_hash", md5(lower($"text")))
+      .join(index, Seq("content_hash"), "left_anti")
+    val q = novel.writeStream.outputMode("append").format("memory")
+      .queryName("ingest_novel").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ingest_novel").select("doc_id").as[Long].collect().toSet
+      val want = batchDf
+        .withColumn("content_hash", md5(lower($"text")))
+        .join(index, Seq("content_hash"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want && got.nonEmpty)
+      // every re-ingested copy of indexed content was dropped
+      assert(!got.exists(_ >= 1000000L))
+    } finally q.stop()
+  }
+
   test("streaming sessionization: gap closes mid-batch, timeout flushes the rest") {
     // stage a private copy of the events dir so we can append a late file
     val dir = Files.createTempDirectory("graft_sess").toFile
