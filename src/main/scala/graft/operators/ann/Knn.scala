@@ -190,6 +190,32 @@ object IvfKNN {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incremental index growth for continuous ingestion: new vectors are
+    * assigned with the EXISTING quantizer (map-only — the new batch is
+    * the only thing scanned) and appended to the durable index's
+    * cell-partitioned parquet; the already-indexed corpus is never
+    * touched or rewritten. The quantizer itself is frozen — the standard
+    * IVF operational contract: append while the data distribution holds,
+    * retrain + rebuild when recall degrades.
+    */
+  def appendToSaved(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newRows: DataFrame,
+      idCol: String,
+      vecCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell_id")
+      .collect()
+      .map(_.getSeq[Double](1).toSeq)
+      .toSeq
+    assign(
+      newRows.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "__cv", cents)
+      .where(col("cell_id").isNotNull)
+      .write.mode("append").partitionBy("cell_id").parquet(s"$path/assigned")
+  }
+
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
     val cents = spark.read.parquet(s"$path/centroids")
       .orderBy("cell_id")

@@ -64,4 +64,31 @@ object TransitiveDedup {
     val losers = comp.where(col("id") =!= col("component")).select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Quality-aware survivor selection: within each duplicate component
+    * keep the row with the HIGHEST `scoreCol` (ties → lowest id) instead
+    * of the lowest id — the "keep the best copy" policy a training-data
+    * pipeline actually wants (e.g. `TextStats.quality`'s score). Rows
+    * with no duplicate edge are untouched. Winner selection is a
+    * bounded-heap `TopKPerKey(k=1)` over only the component members —
+    * never a component-wide sort; auto mode because component
+    * cardinality is data-dependent.
+    */
+  def dedupeKeepBest(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      scoreCol: org.apache.spark.sql.Column): DataFrame = {
+    val comp = components(pairs)
+    val scored = df
+      .select(col(idCol).as("id"), scoreCol.as("__score"))
+      .join(comp, Seq("id"))
+    val winners = graft.plans.TopKPerKey(
+      scored, Seq("component"), Seq(col("__score").desc, col("id").asc), 1)
+      .select("id")
+    val losers = comp.select("id")
+      .join(winners, Seq("id"), "left_anti")
+      .withColumnRenamed("id", idCol)
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

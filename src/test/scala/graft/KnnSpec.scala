@@ -101,6 +101,33 @@ class KnnSpec extends SparkSpecBase {
     assert("PartitionFilters: \\[[^\\]]*cell_id".r.findFirstIn(p).nonEmpty, p.take(2000))
   }
 
+  test("appendToSaved grows the durable index without retraining or rewrites") {
+    import graft.operators.ann.IvfKNN
+    val e = Snapshot(spark, sf()).embeddings
+    val half1 = e.where($"vec_id" % 2 === 0)
+    val half2 = e.where($"vec_id" % 2 === 1)
+    val idx = IvfKNN.buildIndex(half1, "vec_id", "embedding", nLists = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toFile
+    dir.deleteOnExit()
+    IvfKNN.save(idx, dir.getAbsolutePath)
+    IvfKNN.appendToSaved(spark, dir.getAbsolutePath, half2, "vec_id", "embedding")
+    val grown = IvfKNN.load(spark, dir.getAbsolutePath)
+    assert(grown.centroids == idx.centroids) // quantizer frozen
+    assert(grown.assigned.count() == e.count())
+    // search over the grown index == search over a one-shot full assign
+    // with the same centroids (append must not change any assignment)
+    val q = e.where($"vec_id" < 5)
+    val full = IvfKNN.Index(idx.centroids,
+      IvfKNN.assign(
+        e.select($"vec_id".as("neighbor_id"), $"embedding".as("__cv")), "__cv", idx.centroids)
+        .where(col("cell_id").isNotNull))
+    val a = IvfKNN.search(grown, q, "vec_id", "embedding", 5)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    val b = IvfKNN.search(full, q, "vec_id", "embedding", 5)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    assert(a == b)
+  }
+
   test("quantizer trains on a bounded deterministic hash-sample for large corpora") {
     import graft.operators.ann.IvfKNN
     val e = Snapshot(spark, sf()).embeddings

@@ -35,6 +35,25 @@ class QuantilesSpec extends SparkSpecBase {
     assert(viaBounds == viaWindow)
   }
 
+  test("withNtile equals the window ntile on randomized inputs (property sweep)") {
+    // seeded sweep over sizes, bucket counts, and HEAVY value ties (the
+    // tiebreak path) — the oracle only ever exercises one shape
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 6).foreach { i =>
+      val nRows = 1 + rnd.nextInt(400)
+      val nBuckets = 2 + rnd.nextInt(12)
+      val spread = 1 + rnd.nextInt(8)
+      val df = (1 to nRows).map(k => (k.toLong, rnd.nextInt(spread).toDouble)).toDF("k", "v")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("k"))
+      val expect = df.withColumn("b", ntile(nBuckets).over(w).cast("long"))
+        .select("k", "b").orderBy("k").collect().toSeq
+      val got = Quantiles.withNtile(df, "v", "k", nBuckets, "b")
+        .select("k", "b").orderBy("k").collect().toSeq
+      assert(got == expect, s"case $i: rows=$nRows buckets=$nBuckets spread=$spread")
+    }
+  }
+
   test("withNtile plans no global (empty-partition) window over the input") {
     val orders = Snapshot(spark, sf()).orders
     val df = Quantiles.withNtile(orders, "o_totalprice", "o_orderkey", 10, "decile")
