@@ -25,21 +25,23 @@ import org.apache.spark.storage.StorageLevel
 object Quantiles {
 
   /** Input contract shared by [[orderStatistics]] and [[withNtile]]:
-    * `valueCol` must be numeric and non-null (the map-side bucket
-    * predicate and the boundary fetch cannot represent SQL null ordering
-    * — filter nulls first; null presence is detected and rejected, not
-    * silently misbucketed), `tieCol` must be an integral unique key (the
-    * total-order tiebreak). Wider orderings (strings, decimals beyond
-    * double precision) would need a generic-row variant.
+    * both columns must be orderable ATOMIC types (numeric, string,
+    * timestamp, date, boolean — not arrays/structs/maps) and non-null
+    * (the map-side bucket predicate and the boundary fetch cannot
+    * represent SQL null ordering — filter nulls first; null presence is
+    * detected and rejected, not silently misbucketed). `tieCol` must be
+    * a unique key: it is what makes the composite ordering total.
     */
   private def checkTypes(df: DataFrame, valueCol: String, tieCol: String): Unit = {
     import org.apache.spark.sql.types._
-    val vt = df.schema(valueCol).dataType
-    require(vt.isInstanceOf[NumericType],
-      s"valueCol $valueCol must be numeric (got $vt)")
-    val kt = df.schema(tieCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(kt),
-      s"tieCol $tieCol must be an integral unique key (got $kt)")
+    def orderable(name: String): Unit = df.schema(name).dataType match {
+      case _: NumericType | StringType | TimestampType | TimestampNTZType |
+          DateType | BooleanType => ()
+      case other => throw new IllegalArgumentException(
+        s"$name must be an orderable atomic type (got $other)")
+    }
+    orderable(valueCol)
+    orderable(tieCol)
   }
 
   /** Exact order statistics of the composite ordering (valueCol, tieCol)
@@ -57,8 +59,9 @@ object Quantiles {
     *
     * `ranksOf` receives the exact total row count (already known from
     * step 2 — callers never need a separate count() pass) and returns
-    * the ranks to fetch. Returns the (value, tie) pairs in rank order;
-    * ranks beyond the row count are clamped to the maximum (empty-bucket
+    * the ranks to fetch. Returns the (value, tie) pairs in rank order,
+    * in the columns' NATIVE types (usable as comparison literals); ranks
+    * beyond the row count are clamped to the maximum (empty-bucket
     * degeneracy when n_rows < n_buckets).
     *
     * Determinism: ranks are exact, so the result is independent of how
@@ -68,12 +71,11 @@ object Quantiles {
   def orderStatisticsBy(
       df: DataFrame,
       valueCol: String,
-      tieCol: String)(ranksOf: Long => Seq[Long]): Seq[(Double, Long)] = {
+      tieCol: String)(ranksOf: Long => Seq[Long]): Seq[(Any, Any)] = {
     checkTypes(df, valueCol, tieCol)
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val slim = df.select(
-      col(valueCol).cast("double").as("__v"), col(tieCol).cast("long").as("__k"))
+    val slim = df.select(col(valueCol).as("__v"), col(tieCol).as("__k"))
     // persisted so the count job and the boundary-fetch job see the SAME
     // partitioning (the range partitioner samples; two independent
     // evaluations could split differently)
@@ -118,7 +120,7 @@ object Quantiles {
         .where(hit)
         .select("__pid", "__lr", "__v", "__k")
         .collect()
-        .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+        .map(r => (r.getInt(0), r.getLong(1)) -> ((r.get(2), r.get(3))))
         .toMap
       located.map { case (_, p, lr) => fetched((p, lr)) }
     } finally { ranged.unpersist(false); () }
@@ -129,7 +131,7 @@ object Quantiles {
       df: DataFrame,
       valueCol: String,
       tieCol: String,
-      ranks: Seq[Long]): Seq[(Double, Long)] =
+      ranks: Seq[Long]): Seq[(Any, Any)] =
     orderStatisticsBy(df, valueCol, tieCol)(_ => ranks)
 
   /** Exact `ntile(n) OVER (ORDER BY valueCol, tieCol)` without the
@@ -137,8 +139,10 @@ object Quantiles {
     * (value, tie) of each bucket, from [[orderStatisticsBy]]) are driver
     * literals, and each row's bucket is `1 + #(boundaries below it)` —
     * a map-side when-chain fused into the scan. Identical output to the
-    * window formulation for any non-null input with a unique integral
-    * tieCol (see [[checkTypes]] for the contract).
+    * window formulation for any non-null atomic-typed input with a
+    * unique tieCol (see [[checkTypes]] for the contract; comparisons use
+    * the columns' native types, so strings and timestamps order exactly
+    * as the window would).
     */
   def withNtile(
       df: DataFrame,
@@ -159,10 +163,10 @@ object Quantiles {
         .tail
         .filter(_ >= 1L)
     }
-    val v = col(valueCol).cast("double")
-    val k = col(tieCol).cast("long")
+    val v = col(valueCol)
+    val k = col(tieCol)
     val bucket = bounds.foldLeft(lit(1L)) { case (acc, (bv, bk)) =>
-      acc + when(v > bv || (v === bv && k > bk), 1L).otherwise(0L)
+      acc + when(v > lit(bv) || (v === lit(bv) && k > lit(bk)), 1L).otherwise(0L)
     }
     df.withColumn(outputCol, bucket)
   }

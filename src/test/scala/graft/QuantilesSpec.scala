@@ -54,6 +54,38 @@ class QuantilesSpec extends SparkSpecBase {
     }
   }
 
+  test("withNtile orders native string values exactly as the window would") {
+    // non-numeric ordering path: bucket documents by md5(text) — binary
+    // string comparison on both the boundary fetch and the map-side assign
+    import spark.implicits._
+    val docs = Snapshot(spark, sf()).documents
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("doc_id"))
+    val expect = docs.withColumn("b", ntile(7).over(w).cast("long"))
+      .select("doc_id", "b").orderBy("doc_id").collect().toSeq
+    val got = graft.operators.quantile.Quantiles
+      .withNtile(docs, "h", "doc_id", 7, "b")
+      .select("doc_id", "b").orderBy("doc_id").collect().toSeq
+    assert(got == expect)
+  }
+
+  test("contract violations fail fast: nulls, non-orderable types, empty input") {
+    import spark.implicits._
+    val withNulls = Seq((1L, Some(2.0)), (2L, None), (3L, Some(1.0)))
+      .toDF("k", "v")
+    val eNull = intercept[Exception](
+      Quantiles.withNtile(withNulls, "v", "k", 2, "b").collect())
+    assert(eNull.getMessage.contains("NULL"), eNull.getMessage)
+    val arrayCol = Seq((1L, Seq(1.0))).toDF("k", "v")
+    val eType = intercept[IllegalArgumentException](
+      Quantiles.withNtile(arrayCol, "v", "k", 2, "b"))
+    assert(eType.getMessage.contains("orderable"), eType.getMessage)
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    val eEmpty = intercept[Exception](
+      Quantiles.withNtile(empty, "v", "k", 2, "b"))
+    assert(eEmpty.getMessage.contains("empty"), eEmpty.getMessage)
+  }
+
   test("withNtile plans no global (empty-partition) window over the input") {
     val orders = Snapshot(spark, sf()).orders
     val df = Quantiles.withNtile(orders, "o_totalprice", "o_orderkey", 10, "decile")
