@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal (image/audio/video) columns as opaque binaries with typed
   * metadata.
   *
-  * The Spark-side plumbing — binary schema, partition-wise batched
-  * processing, deterministic output schema — is real and tested; the
-  * actual media decode is STUBBED (the decode libraries are not in this
-  * container): `decodeImagesStub` derives deterministic fake dimensions
-  * from the bytes, in batches, exactly where a JNI/FFmpeg call would sit.
+  * IMAGE decode and resize are REAL — `javax.imageio` ships with the JDK
+  * (PNG/JPEG/GIF/BMP, headless-safe), so [[decodeImages]] /
+  * [[resizeImages]] actually decode pixels, no external libraries
+  * needed. Audio/video demux remains STUBBED (no codec libraries in
+  * this container): `decodeImagesStub`/`sampleFramesStub` keep the
+  * batched partition-wise shape with deterministic fakes exactly where
+  * a JNI/FFmpeg call would sit.
   */
 object BinaryPipeline {
 
@@ -54,6 +56,116 @@ object BinaryPipeline {
         }
       }
   }
+
+  final case class ImageMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      sha256: String,
+      format: String,
+      width: Long,
+      height: Long,
+      mean_luma: Double)
+
+  /** REAL image decode over a binary column (pure-JDK `javax.imageio`:
+    * PNG/JPEG/GIF/BMP). mapPartitions is the honest shape for an
+    * imperative pixel decoder — rows stream through one task-local
+    * decoder, never a driver loop. Undecodable/corrupt bytes yield
+    * format "unknown" with -1 dimensions instead of failing the task (a
+    * corrupt file must not kill a 100 TB scan). `mean_luma` is a
+    * Rec.601 luma average over a bounded ≤64×64 sample grid (a
+    * brightness/quality signal without scanning megapixel images fully),
+    * rounded to 4 digits for cross-run stability.
+    */
+  def decodeImages(df: DataFrame, idCol: String, binCol: String): Dataset[ImageMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val digest = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+          val hex = digest.map("%02x".format(_)).mkString
+          val n = bytes.length.toLong
+          decodeOne(bytes) match {
+            case Some((fmt, img)) =>
+              val w = img.getWidth; val h = img.getHeight
+              val stepX = math.max(1, w / 64); val stepY = math.max(1, h / 64)
+              var sum = 0.0; var cnt = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                    0.114 * (rgb & 0xFF)
+                  cnt += 1; x += stepX
+                }
+                y += stepY
+              }
+              val luma = math.rint(sum / cnt / 255.0 * 10000) / 10000
+              ImageMeta(id, n, hex, fmt, w.toLong, h.toLong, luma)
+            case None =>
+              ImageMeta(id, n, hex, "unknown", -1L, -1L, -1.0)
+          }
+        }
+      }
+  }
+
+  /** REAL aspect-preserving resize (shorter side → `target`), PNG-encoded
+    * output bytes — the thumbnail/normalization step of an image corpus
+    * pipeline. Undecodable rows are dropped (they carry no pixels to
+    * resize); pair with [[decodeImages]] to audit them.
+    */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String, target: Int): DataFrame = {
+    require(target >= 1, s"target must be >= 1, got $target")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          decodeOne(bytes).map { case (_, img) =>
+            val w = img.getWidth; val h = img.getHeight
+            val scale = target.toDouble / math.min(w, h)
+            val ow = math.max(1, math.round(w * scale).toInt)
+            val oh = math.max(1, math.round(h * scale).toInt)
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, ow, oh, null)
+            g.dispose()
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", baos)
+            (id, baos.toByteArray, ow.toLong, oh.toLong)
+          }
+        }
+      }
+      .toDF("doc_id", "png_bytes", "out_width", "out_height")
+  }
+
+  /** Task-local decode helper: (formatName, image) or None for
+    * undecodable bytes. Never throws.
+    */
+  private def decodeOne(bytes: Array[Byte])
+      : Option[(String, java.awt.image.BufferedImage)] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val fmt = reader.getFormatName.toLowerCase
+          val img = reader.read(0)
+          if (img == null) None else Some((fmt, img))
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   final case class ResizedMeta(doc_id: Long, width: Long, height: Long,
       out_width: Long, out_height: Long)

@@ -44,6 +44,55 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
       frames.collect().sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
   }
 
+  // real images for the REAL decode path: tiny solid/gradient PNGs+JPEGs
+  // generated with the same pure-JDK imageio the operator uses
+  private def makeImage(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+
+  test("real image decode: dimensions, format, and luma from actual pixels") {
+    val rows = Seq(
+      (1L, makeImage(40, 30, 0xFFFFFF, "png")),  // white png
+      (2L, makeImage(16, 64, 0x000000, "jpg")),  // black jpeg
+      (3L, makeImage(20, 20, 0x808080, "png")),  // mid gray
+      (4L, "not an image at all".getBytes("UTF-8")) // corrupt row
+    ).toDF("doc_id", "payload")
+    val meta = BinaryPipeline.decodeImages(rows, "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width == 40L && meta(1L).height == 30L)
+    assert(meta(1L).format == "png" && meta(1L).mean_luma > 0.99)
+    assert(meta(2L).width == 16L && meta(2L).height == 64L)
+    assert(meta(2L).format.startsWith("jp") && meta(2L).mean_luma < 0.05)
+    assert(math.abs(meta(3L).mean_luma - 0x80 / 255.0) < 0.02)
+    // corrupt bytes degrade gracefully instead of failing the task
+    assert(meta(4L).format == "unknown" && meta(4L).width == -1L)
+    assert(meta(4L).n_bytes == "not an image at all".getBytes("UTF-8").length)
+  }
+
+  test("real image resize: shorter side hits the target, output decodes back") {
+    val rows = Seq(
+      (1L, makeImage(100, 40, 0x336699, "png")),
+      (2L, makeImage(30, 90, 0x996633, "png")),
+      (3L, "corrupt".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val out = BinaryPipeline.resizeImages(rows, "doc_id", "payload", 20)
+    val got = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(3L)) // undecodable rows dropped, not failed
+    assert(got(1L).getLong(2) == 50L && got(1L).getLong(3) == 20L) // 100x40 -> 50x20
+    assert(got(2L).getLong(2) == 20L && got(2L).getLong(3) == 60L) // 30x90 -> 20x60
+    // the emitted PNG bytes are themselves decodable at the new dims
+    val redecoded = BinaryPipeline.decodeImages(
+      out.select(col("doc_id"), col("png_bytes")), "doc_id", "png_bytes")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(redecoded(1L).width == 50L && redecoded(1L).height == 20L)
+    assert(redecoded(1L).format == "png")
+  }
+
   test("GraftExtensions injects the planner strategy") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e)
