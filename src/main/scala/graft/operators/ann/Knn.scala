@@ -190,13 +190,27 @@ object IvfKNN {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** The centroid parquet layout (cell_id, centroid) decoded in ONE
+    * place — load and appendToSaved must always agree on it.
+    */
+  private def readCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell_id")
+      .collect()
+      .map(_.getSeq[Double](1).toSeq)
+      .toSeq
+
   /** Incremental index growth for continuous ingestion: new vectors are
     * assigned with the EXISTING quantizer (map-only — the new batch is
     * the only thing scanned) and appended to the durable index's
     * cell-partitioned parquet; the already-indexed corpus is never
     * touched or rewritten. The quantizer itself is frozen — the standard
     * IVF operational contract: append while the data distribution holds,
-    * retrain + rebuild when recall degrades.
+    * retrain + rebuild when recall degrades. Fails fast on a batch whose
+    * vector dimension differs from the quantizer's (the nearest-centroid
+    * expression would otherwise silently prefix-truncate and corrupt the
+    * durable index with garbage assignments).
     */
   def appendToSaved(
       spark: org.apache.spark.sql.SparkSession,
@@ -204,11 +218,14 @@ object IvfKNN {
       newRows: DataFrame,
       idCol: String,
       vecCol: String): Unit = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell_id")
-      .collect()
-      .map(_.getSeq[Double](1).toSeq)
-      .toSeq
+    val cents = readCentroids(spark, path)
+    val dim = cents.head.length
+    val badDim = newRows
+      .where(col(vecCol).isNotNull && size(col(vecCol)) =!= dim)
+      .limit(1).count()
+    require(badDim == 0L,
+      s"appendToSaved: batch contains vectors whose dimension != $dim " +
+        s"(the saved quantizer's) — rebuild the index or fix the batch")
     assign(
       newRows.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
       "__cv", cents)
@@ -217,14 +234,9 @@ object IvfKNN {
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell_id")
-      .collect()
-      .map(_.getSeq[Double](1).toSeq)
-      .toSeq
     // partition-column type inference yields int for small cell ids; cast
     // back to the in-memory index's long for schema parity
-    Index(cents, spark.read.parquet(s"$path/assigned")
+    Index(readCentroids(spark, path), spark.read.parquet(s"$path/assigned")
       .withColumn("cell_id", col("cell_id").cast("long")))
   }
 

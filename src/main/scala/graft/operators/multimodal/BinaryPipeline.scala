@@ -69,43 +69,46 @@ object BinaryPipeline {
   /** REAL image decode over a binary column (pure-JDK `javax.imageio`:
     * PNG/JPEG/GIF/BMP). mapPartitions is the honest shape for an
     * imperative pixel decoder — rows stream through one task-local
-    * decoder, never a driver loop. Undecodable/corrupt bytes yield
+    * decoder, never a driver loop. Undecodable/corrupt/NULL bytes yield
     * format "unknown" with -1 dimensions instead of failing the task (a
-    * corrupt file must not kill a 100 TB scan). `mean_luma` is a
-    * Rec.601 luma average over a bounded ≤64×64 sample grid (a
-    * brightness/quality signal without scanning megapixel images fully),
-    * rounded to 4 digits for cross-run stability.
+    * corrupt file must not kill a 100 TB scan); NULL-id rows carry no
+    * identity and are dropped. `mean_luma` is a Rec.601 luma average
+    * over a ≤64×64 SUBSAMPLED read (`setSourceSubsampling` — the decoder
+    * materializes only the sampled grid, megapixel images are never
+    * fully decoded here), rounded to 4 digits for cross-run stability.
     */
   def decodeImages(df: DataFrame, idCol: String, binCol: String): Dataset[ImageMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol))
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val digest = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
-          val hex = digest.map("%02x".format(_)).mkString
-          val n = bytes.length.toLong
-          decodeOne(bytes) match {
-            case Some((fmt, img)) =>
-              val w = img.getWidth; val h = img.getHeight
-              val stepX = math.max(1, w / 64); val stepY = math.max(1, h / 64)
-              var sum = 0.0; var cnt = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
-                    0.114 * (rgb & 0xFF)
-                  cnt += 1; x += stepX
+          if (bytes == null) ImageMeta(id, 0L, "", "unknown", -1L, -1L, -1.0)
+          else {
+            val digest = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+            val hex = digest.map("%02x".format(_)).mkString
+            val n = bytes.length.toLong
+            readImage(bytes, maxSamples = 64) match {
+              case Some((fmt, w, h, img)) =>
+                var sum = 0.0; var cnt = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val rgb = img.getRGB(x, y)
+                    sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                      0.114 * (rgb & 0xFF)
+                    cnt += 1; x += 1
+                  }
+                  y += 1
                 }
-                y += stepY
-              }
-              val luma = math.rint(sum / cnt / 255.0 * 10000) / 10000
-              ImageMeta(id, n, hex, fmt, w.toLong, h.toLong, luma)
-            case None =>
-              ImageMeta(id, n, hex, "unknown", -1L, -1L, -1.0)
+                val luma = math.rint(sum / cnt / 255.0 * 10000) / 10000
+                ImageMeta(id, n, hex, fmt, w.toLong, h.toLong, luma)
+              case None =>
+                ImageMeta(id, n, hex, "unknown", -1L, -1L, -1.0)
+            }
           }
         }
       }
@@ -113,18 +116,19 @@ object BinaryPipeline {
 
   /** REAL aspect-preserving resize (shorter side → `target`), PNG-encoded
     * output bytes — the thumbnail/normalization step of an image corpus
-    * pipeline. Undecodable rows are dropped (they carry no pixels to
-    * resize); pair with [[decodeImages]] to audit them.
+    * pipeline. Undecodable/NULL rows are dropped (they carry no pixels
+    * to resize); pair with [[decodeImages]] to audit them.
     */
   def resizeImages(df: DataFrame, idCol: String, binCol: String, target: Int): DataFrame = {
     require(target >= 1, s"target must be >= 1, got $target")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol))
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          decodeOne(bytes).map { case (_, img) =>
+          readImage(bytes, maxSamples = 0).map { case (_, _, _, img) =>
             val w = img.getWidth; val h = img.getHeight
             val scale = target.toDouble / math.min(w, h)
             val ow = math.max(1, math.round(w * scale).toInt)
@@ -146,13 +150,18 @@ object BinaryPipeline {
       .toDF("doc_id", "png_bytes", "out_width", "out_height")
   }
 
-  /** Task-local decode helper: (formatName, image) or None for
-    * undecodable bytes. Never throws.
+  /** Task-local decode helper: (formatName, origWidth, origHeight,
+    * image) or None for undecodable/NULL bytes. Never throws. Uses a
+    * MemoryCacheImageInputStream — the bytes are already in memory, and
+    * the default ImageIO file cache would create+delete a temp file per
+    * ROW on the scan's hot path. `maxSamples > 0` subsamples the read to
+    * at most maxSamples pixels per axis (the decoder materializes only
+    * the grid); `maxSamples <= 0` reads full pixels (the resize path).
     */
-  private def decodeOne(bytes: Array[Byte])
-      : Option[(String, java.awt.image.BufferedImage)] =
+  private def readImage(bytes: Array[Byte], maxSamples: Int)
+      : Option[(String, Int, Int, java.awt.image.BufferedImage)] =
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) { iis.close(); None }
@@ -161,8 +170,17 @@ object BinaryPipeline {
         try {
           reader.setInput(iis)
           val fmt = reader.getFormatName.toLowerCase
-          val img = reader.read(0)
-          if (img == null) None else Some((fmt, img))
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          val param = reader.getDefaultReadParam
+          if (maxSamples > 0) {
+            // ceil-division steps keep samples-per-axis <= maxSamples
+            val stepX = math.max(1, (w + maxSamples - 1) / maxSamples)
+            val stepY = math.max(1, (h + maxSamples - 1) / maxSamples)
+            param.setSourceSubsampling(stepX, stepY, 0, 0)
+          }
+          val img = reader.read(0, param)
+          if (img == null) None else Some((fmt, w, h, img))
         } finally { reader.dispose(); iis.close() }
       }
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -27,6 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** `idCol` contract: a unique non-null key — it IS the layout order
+    * (with its md5) and the join-back key for [[writeShards]]. NULL-id
+    * rows are excluded from the layout here so the assignment and the
+    * written artifact always agree (a NULL key would consume shard
+    * budget in the prefix sum yet never match the write-side join).
+    */
   def assignShards(
       df: DataFrame,
       idCol: String,
@@ -35,10 +41,12 @@ object Packing {
     require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val slim = df.select(
-      col(idCol).as("id"),
-      md5(col(idCol).cast("string")).as("__h"),
-      tokensCol.cast("long").as("n_tokens"))
+    val slim = df
+      .where(col(idCol).isNotNull)
+      .select(
+        col(idCol).as("id"),
+        md5(col(idCol).cast("string")).as("__h"),
+        tokensCol.cast("long").as("n_tokens"))
     // pins the partitioning: the offsets below are only valid against the
     // exact partitions they were computed from (a recomputation could
     // re-sample different range boundaries)

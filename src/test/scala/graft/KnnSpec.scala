@@ -126,6 +126,12 @@ class KnnSpec extends SparkSpecBase {
     val b = IvfKNN.search(full, q, "vec_id", "embedding", 5)
       .collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
     assert(a == b)
+    // a mis-dimensioned batch must fail fast, never corrupt the index
+    val badBatch = half2.withColumn("embedding",
+      org.apache.spark.sql.functions.slice($"embedding", 1, 8))
+    val err = intercept[IllegalArgumentException](
+      IvfKNN.appendToSaved(spark, dir.getAbsolutePath, badBatch, "vec_id", "embedding"))
+    assert(err.getMessage.contains("dimension"), err.getMessage)
   }
 
   test("quantizer trains on a bounded deterministic hash-sample for large corpora") {

@@ -60,7 +60,8 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
       (1L, makeImage(40, 30, 0xFFFFFF, "png")),  // white png
       (2L, makeImage(16, 64, 0x000000, "jpg")),  // black jpeg
       (3L, makeImage(20, 20, 0x808080, "png")),  // mid gray
-      (4L, "not an image at all".getBytes("UTF-8")) // corrupt row
+      (4L, "not an image at all".getBytes("UTF-8")), // corrupt row
+      (5L, null: Array[Byte]) // NULL payload: degrade, don't NPE the task
     ).toDF("doc_id", "payload")
     val meta = BinaryPipeline.decodeImages(rows, "doc_id", "payload")
       .collect().map(m => m.doc_id -> m).toMap
@@ -72,6 +73,7 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     // corrupt bytes degrade gracefully instead of failing the task
     assert(meta(4L).format == "unknown" && meta(4L).width == -1L)
     assert(meta(4L).n_bytes == "not an image at all".getBytes("UTF-8").length)
+    assert(meta(5L).format == "unknown" && meta(5L).n_bytes == 0L)
   }
 
   test("real image resize: shorter side hits the target, output decodes back") {

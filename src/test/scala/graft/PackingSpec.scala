@@ -55,6 +55,7 @@ class PackingSpec extends SparkSpecBase {
     Packing.writeShards(docs, "doc_id", toks, budget, dir.getAbsolutePath)
     val assigned = Packing.assignShards(docs, "doc_id", toks, budget)
     val shard0 = spark.read.parquet(dir.getAbsolutePath).where(col("shard_id") === 0)
+    shard0.collect() // CLAUDE.md plan-assertion rule: AQE finalizes after execution
     val p = shard0.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters: [isnotnull(shard_id"), p.take(2000))
     assert(shard0.count() == assigned.where(col("shard_id") === 0).count())
