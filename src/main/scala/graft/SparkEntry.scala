@@ -576,6 +576,23 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_langs"),
           countDistinct(col("source")).as("n_sources"))
     }),
+    "q_salted_join" -> ((s, dir) => {
+      // the explicit hot-key pattern under the hard gate: the fact side
+      // carries a deterministic salt, the dim side replicates saltFactor
+      // times, result == the plain equi-join (oracle is exactly that).
+      // AQE skew-join covers runtime skew; salting is the contract for
+      // keys too hot even for split partitions.
+      val sn = snap(s, dir)
+      val large = sn.lineitem.select(
+        col("l_partkey").as("pk"), col("l_extendedprice"), col("l_discount"), col("l_orderkey"))
+      val small = sn.part.select(col("p_partkey").as("pk"), col("p_brand"))
+      graft.operators.join.SkewTools.saltedJoin(large, small, "pk", 8, "l_orderkey")
+        .groupBy(col("p_brand"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
     "q_token_packing" -> ((s, dir) => {
       // fixed-token training-shard packing: distributed exclusive prefix
       // sum over the deterministic (md5, id) layout order — no global
@@ -1135,6 +1152,12 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         |FROM u GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_salted_join" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // the window here is the ORACLE's formulation only (DuckDB, sf-scale
     // data); the Spark side computes the identical prefix via the
     // distributed range-partition + offset pass in Packing
