@@ -240,6 +240,8 @@ object SparkEntry {
     // ---- C. LLM-pipeline -------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       ExactDedup.groups(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
+    "q_dedup_normalized" -> ((s, dir) =>
+      ExactDedup.groupsNormalized(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_dedup_minhash" -> ((s, dir) =>
       MinHashDedup.dedupe(snap(s, dir).documents, "doc_id", "text", 0.5)
         .select(col("doc_id")).orderBy("doc_id")),
@@ -820,6 +822,11 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(lower(text)) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(lower(text)) ORDER BY doc_id""".stripMargin,
+    "q_dedup_normalized" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                               ' +', ' ', 'g'))) AS content_hash,
+        |  MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // shingle-string mirror (see q_dedup_ngram_jaccard): counts of total
     // vs distinct 3-gram shingles are hash/string-identical
     "q_text_repetition" ->

@@ -42,6 +42,20 @@ object ExactDedup {
   /** Survivors only (keep-first). */
   def dedupe(df: DataFrame, idCol: String, contentCol: String): DataFrame =
     df.join(groups(df, idCol, contentCol).select(idCol), Seq(idCol), "left_semi")
+
+  /** Normalization-insensitive content key — the standard preprocessing
+    * ahead of exact dedup in web-corpus pipelines: lowercase, strip
+    * non-alphanumerics, collapse whitespace. Catches trivially
+    * reformatted copies (punctuation/casing/spacing variants) that raw
+    * hashing misses, at the same one-shuffle cost.
+    */
+  def normalizedKey(contentCol: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(contentCol), "[^a-z0-9 ]", " "), " +", " ")))
+
+  def groupsNormalized(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(normalizedKey(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 }
 
 private[operators] object Shingling {

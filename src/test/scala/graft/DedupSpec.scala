@@ -28,6 +28,21 @@ class DedupSpec extends SparkSpecBase {
     assert(survivors.toSeq == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("normalized exact dedup co-groups reformatted copies raw hashing misses") {
+    val variants = Seq(
+      (1L, "The quick  brown fox!"),
+      (2L, "the quick brown fox"),     // casing/spacing/punct variant of 1
+      (3L, "THE QUICK BROWN FOX."),    // another variant
+      (4L, "a different document")
+    ).toDF("doc_id", "text")
+    val raw = ExactDedup.groups(variants, "doc_id", "text")
+    assert(raw.count() == 4) // raw hashing sees four distinct contents
+    val norm = ExactDedup.groupsNormalized(variants, "doc_id", "text").collect()
+    assert(norm.length == 2)
+    val grp = norm.find(_.getAs[Long]("n_copies") == 3L).get
+    assert(grp.getAs[Long]("doc_id") == 1L)
+  }
+
   test("minhash finds exact and near dup, keeps lower ids") {
     val pairs = MinHashDedup.duplicatePairs(corpus, "doc_id", "text", 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
