@@ -1,0 +1,58 @@
+package graft
+
+// Scale-up smoke profiler (test scope, not shipped):
+//   sbt "Test/runMain graft.ProfileScaleUp [factor]"
+// Amplifies the sf0.1 documents/orders tables FACTOR× in /tmp (shifted
+// ids, planted exact duplicates) and times the operators whose plans
+// were rewritten for scale this round — evidence that their costs grow
+// ~linearly with input instead of hitting a single-task wall.
+object ProfileScaleUp {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val factor = args.headOption.map(_.toInt).getOrElse(8)
+    val spark = GraftSession.local(32)
+    val sn = graft.sources.Snapshot(spark, "/root/testdata/sf0.1")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scaleup").toFile
+    tmp.deleteOnExit()
+    // each copy shifts ids into its own range; text unchanged -> every doc
+    // has factor-1 planted exact duplicates (worst-ish case for dedup)
+    val docs0 = sn.documents
+    val amplifiedDocs = (0 until factor)
+      .map(i => docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+      .reduce(_ unionAll _)
+    amplifiedDocs.write.mode("overwrite").parquet(s"$tmp/documents")
+    val orders0 = sn.orders
+    val amplifiedOrders = (0 until factor)
+      .map(i => orders0.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L)))
+      .reduce(_ unionAll _)
+    amplifiedOrders.write.mode("overwrite").parquet(s"$tmp/orders")
+    val docs = spark.read.parquet(s"$tmp/documents")
+    val orders = spark.read.parquet(s"$tmp/orders")
+
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h"))
+        .agg(sum("h"), count(lit(1))).head().getLong(1)
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[scaleup x$factor] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    time("docs count")(docs.count())
+    time("exact dedup")(force(graft.operators.dedup.ExactDedup.groups(docs, "doc_id", "text")))
+    time("minhash candidatePairs")(
+      force(graft.operators.dedup.MinHashDedup.candidatePairs(docs, "doc_id", "text")))
+    time("ngram stats")(
+      force(graft.operators.dedup.NGramJaccardDedup.stats(docs, "doc_id", "text")))
+    time("deciles (boundary bcast)")(
+      force(graft.operators.quantile.Quantiles
+        .withNtile(orders, "o_totalprice", "o_orderkey", 10, "decile")
+        .groupBy("decile").agg(count(lit(1)).as("n"))))
+    time("token packing")(
+      force(graft.operators.sample.Packing
+        .assignShards(docs.where(col("text").isNotNull), "doc_id",
+          size(split(col("text"), " ")), 4096L)
+        .groupBy("shard_id").agg(count(lit(1)).as("n"))))
+    spark.stop()
+  }
+}
