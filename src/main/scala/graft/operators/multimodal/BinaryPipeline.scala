@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * IMAGE decode and resize are REAL — `javax.imageio` ships with the JDK
   * (PNG/JPEG/GIF/BMP, headless-safe), so [[decodeImages]] /
   * [[resizeImages]] actually decode pixels, no external libraries
-  * needed. Audio/video demux remains STUBBED (no codec libraries in
-  * this container): `decodeImagesStub`/`sampleFramesStub` keep the
-  * batched partition-wise shape with deterministic fakes exactly where
-  * a JNI/FFmpeg call would sit.
+  * needed. AUDIO decode and resample are REAL too — `javax.sound.sampled`
+  * parses WAV/AIFF/AU PCM out of the box, so [[decodeAudio]] /
+  * [[resampleAudio]] read actual samples (compressed codecs like MP3/AAC
+  * would need external libs and degrade to "unknown"). Only VIDEO demux
+  * remains STUBBED (no container/codec libraries in this image):
+  * `sampleFramesStub` keeps the batched partition-wise shape with a
+  * deterministic fake exactly where a JNI/FFmpeg call would sit.
   */
 object BinaryPipeline {
 
@@ -202,6 +205,181 @@ object BinaryPipeline {
         m.width * scaleNum / short, m.height * scaleNum / short)
     }
   }
+
+  final case class AudioMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      sha256: String,
+      format: String,
+      sample_rate: Double,
+      channels: Long,
+      bits: Long,
+      frames: Long,
+      duration_s: Double,
+      rms: Double,
+      peak: Double)
+
+  /** REAL audio decode over a binary column (pure-JDK
+    * `javax.sound.sampled`: WAV/AIFF/AU, any PCM layout the JDK's
+    * PCM-to-PCM codec can reach — u8/s16, either endianness).
+    * Compressed codecs (MP3/AAC) have no decoder in this image and
+    * degrade to format "unknown" instead of failing the task, same
+    * contract as [[decodeImages]]. `rms`/`peak` are normalized [0,1]
+    * amplitudes over at most 2^20 frames (the audio twin of the image
+    * path's subsampled luma — an hour-long file is never fully pulled
+    * through the stats loop; `frames`/`duration_s` still report the
+    * header-declared full length), rounded to 4 digits for cross-run
+    * stability.
+    */
+  def decodeAudio(df: DataFrame, idCol: String, binCol: String): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          if (bytes == null) AudioMeta(id, 0L, "", "unknown", -1.0, -1L, -1L, -1L, -1.0, -1.0, -1.0)
+          else {
+            val digest = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+            val hex = digest.map("%02x".format(_)).mkString
+            val n = bytes.length.toLong
+            readAudio(bytes, maxFrames = 1 << 20) match {
+              case Some(a) =>
+                var sumSq = 0.0; var peak = 0.0; var i = 0
+                while (i < a.samples.length) {
+                  val v = math.abs(a.samples(i) / 32768.0)
+                  sumSq += v * v; if (v > peak) peak = v; i += 1
+                }
+                val rms =
+                  if (a.samples.length == 0) 0.0
+                  else math.rint(math.sqrt(sumSq / a.samples.length) * 10000) / 10000
+                AudioMeta(id, n, hex, a.format, a.sampleRate, a.channels.toLong,
+                  a.bits.toLong, a.totalFrames,
+                  math.rint(a.totalFrames / a.sampleRate * 10000) / 10000,
+                  rms, math.rint(peak * 10000) / 10000)
+              case None =>
+                AudioMeta(id, n, hex, "unknown", -1.0, -1L, -1L, -1L, -1.0, -1.0, -1.0)
+            }
+          }
+        }
+      }
+  }
+
+  /** REAL resample + mono downmix to `targetRate` Hz, 16-bit WAV bytes
+    * out — the audio twin of [[resizeImages]] (a training pipeline
+    * normalizes every clip to one rate/channel layout before
+    * featurization). Decode is the JDK parser; the rate conversion is an
+    * explicit linear interpolation (the JDK's default providers don't
+    * guarantee rate conversion), deterministic by construction.
+    * Undecodable/NULL rows are dropped; pair with [[decodeAudio]] to
+    * audit them.
+    */
+  def resampleAudio(df: DataFrame, idCol: String, binCol: String, targetRate: Int): DataFrame = {
+    require(targetRate >= 1, s"targetRate must be >= 1, got $targetRate")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          readAudio(bytes, maxFrames = Int.MaxValue).map { a =>
+            val ch = a.channels
+            val inFrames = a.samples.length / math.max(1, ch)
+            // mono downmix: mean of channels per frame
+            val mono = new Array[Double](inFrames)
+            var f = 0
+            while (f < inFrames) {
+              var s = 0.0; var c = 0
+              while (c < ch) { s += a.samples(f * ch + c); c += 1 }
+              mono(f) = s / ch; f += 1
+            }
+            val outFrames = math.max(1, math.round(inFrames.toDouble * targetRate / a.sampleRate).toInt)
+            val out = new Array[Short](outFrames)
+            val step = a.sampleRate / targetRate
+            var o = 0
+            while (o < outFrames) {
+              val pos = o * step
+              val i0 = math.min(inFrames - 1, pos.toInt)
+              val i1 = math.min(inFrames - 1, i0 + 1)
+              val frac = pos - i0
+              val v = mono(i0) * (1 - frac) + mono(i1) * frac
+              out(o) = math.max(-32768.0, math.min(32767.0, math.rint(v))).toShort
+              o += 1
+            }
+            val pcm = new Array[Byte](out.length * 2)
+            var j = 0
+            while (j < out.length) { // little-endian s16
+              pcm(j * 2) = (out(j) & 0xFF).toByte
+              pcm(j * 2 + 1) = ((out(j) >> 8) & 0xFF).toByte
+              j += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(targetRate.toFloat, 16, 1, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, out.length.toLong)
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+            (id, baos.toByteArray, targetRate.toLong, out.length.toLong)
+          }
+        }
+      }
+      .toDF("doc_id", "wav_bytes", "out_rate", "out_frames")
+  }
+
+  private final case class DecodedAudio(
+      format: String,
+      sampleRate: Double,
+      channels: Int,
+      bits: Int,
+      totalFrames: Long,
+      samples: Array[Short]) // interleaved s16, at most maxFrames frames
+
+  /** Task-local audio decode helper. Parses the container header for
+    * (format, rate, channels, bits, declared frame count), then pulls at
+    * most `maxFrames` frames through the JDK's PCM-to-PCM codec into
+    * interleaved signed-16 samples. Never throws: corrupt/unsupported
+    * bytes → None.
+    */
+  private def readAudio(bytes: Array[Byte], maxFrames: Int): Option[DecodedAudio] =
+    try {
+      if (bytes == null) None
+      else {
+        import javax.sound.sampled._
+        val ff = AudioSystem.getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+        val src = ff.getFormat
+        val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val s16 = new AudioFormat(
+            AudioFormat.Encoding.PCM_SIGNED, src.getSampleRate, 16,
+            src.getChannels, src.getChannels * 2, src.getSampleRate, false)
+          val pcm = AudioSystem.getAudioInputStream(s16, ais)
+          val declared = pcm.getFrameLength // may be NOT_SPECIFIED (-1)
+          val toRead = math.min(
+            math.min(
+              maxFrames.toLong,
+              if (declared < 0) maxFrames.toLong else declared),
+            (Int.MaxValue - 8).toLong / s16.getFrameSize).toInt
+          val buf = new Array[Byte](toRead * s16.getFrameSize)
+          var off = 0
+          var r = pcm.read(buf, off, buf.length - off)
+          while (r > 0 && off + r < buf.length) { off += r; r = pcm.read(buf, off, buf.length - off) }
+          if (r > 0) off += r
+          val nSamples = off / 2
+          val samples = new Array[Short](nSamples)
+          var i = 0
+          while (i < nSamples) { // little-endian s16
+            samples(i) = ((buf(i * 2) & 0xFF) | (buf(i * 2 + 1) << 8)).toShort
+            i += 1
+          }
+          val total = if (declared >= 0) declared else (nSamples / math.max(1, src.getChannels)).toLong
+          Some(DecodedAudio(
+            ff.getType.toString.toLowerCase, src.getSampleRate.toDouble,
+            src.getChannels, src.getSampleSizeInBits, total, samples))
+        } finally ais.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   final case class Frame(doc_id: Long, frame_idx: Long, frame_sha: String)
 

@@ -95,6 +95,75 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     assert(redecoded(1L).format == "png")
   }
 
+  // real WAV bytes for the REAL audio path: sine-wave PCM written with
+  // the same pure-JDK javax.sound.sampled the operator uses
+  private def makeWav(rate: Float, channels: Int, seconds: Double, freq: Double,
+      amp: Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val frames = math.round(rate * seconds).toInt
+    val pcm = new Array[Byte](frames * channels * 2)
+    (0 until frames).foreach { f =>
+      val v = math.round(amp * 32767.0 * math.sin(2 * math.Pi * freq * f / rate)).toShort
+      (0 until channels).foreach { c =>
+        val i = (f * channels + c) * 2
+        pcm(i) = (v & 0xFF).toByte; pcm(i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+    }
+    val fmt = new AudioFormat(rate, 16, channels, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("real audio decode: rate, channels, duration, and amplitude from actual samples") {
+    val rows = Seq(
+      (1L, makeWav(44100f, 2, 0.5, 440.0, 0.5)),  // stereo A4 at half amplitude
+      (2L, makeWav(8000f, 1, 2.0, 100.0, 1.0)),   // mono, full scale
+      (3L, "definitely not audio".getBytes("UTF-8")), // corrupt row
+      (4L, null: Array[Byte]) // NULL payload: degrade, don't NPE the task
+    ).toDF("doc_id", "payload")
+    val meta = BinaryPipeline.decodeAudio(rows, "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).format == "wave" && meta(1L).sample_rate == 44100.0)
+    assert(meta(1L).channels == 2L && meta(1L).bits == 16L)
+    assert(meta(1L).frames == 22050L && math.abs(meta(1L).duration_s - 0.5) < 1e-9)
+    // sine RMS = amp/sqrt(2); peak = amp
+    assert(math.abs(meta(1L).rms - 0.5 / math.sqrt(2)) < 0.01)
+    assert(math.abs(meta(1L).peak - 0.5) < 0.01)
+    assert(meta(2L).sample_rate == 8000.0 && meta(2L).channels == 1L)
+    assert(math.abs(meta(2L).duration_s - 2.0) < 1e-9)
+    assert(math.abs(meta(2L).rms - 1.0 / math.sqrt(2)) < 0.01)
+    assert(meta(3L).format == "unknown" && meta(3L).frames == -1L)
+    assert(meta(4L).format == "unknown" && meta(4L).n_bytes == 0L)
+  }
+
+  test("real audio resample: mono downmix at the target rate, output decodes back") {
+    val rows = Seq(
+      (1L, makeWav(44100f, 2, 1.0, 440.0, 0.8)),
+      (2L, "corrupt".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val out = BinaryPipeline.resampleAudio(rows, "doc_id", "payload", 16000)
+    val got = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(2L)) // undecodable rows dropped, not failed
+    assert(got(1L).getLong(2) == 16000L)
+    assert(math.abs(got(1L).getLong(3) - 16000L) <= 1L) // ~1s of frames
+    // the emitted WAV bytes are themselves decodable at the new layout,
+    // and a 440 Hz tone survives 44.1k->16k resampling with its RMS intact
+    val redecoded = BinaryPipeline.decodeAudio(
+      out.select(col("doc_id"), col("wav_bytes")), "doc_id", "wav_bytes")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(redecoded(1L).format == "wave" && redecoded(1L).sample_rate == 16000.0)
+    assert(redecoded(1L).channels == 1L)
+    assert(math.abs(redecoded(1L).duration_s - 1.0) < 0.001)
+    assert(math.abs(redecoded(1L).rms - 0.8 / math.sqrt(2)) < 0.02)
+    // determinism: two runs emit byte-identical WAVs
+    val again = BinaryPipeline.resampleAudio(rows, "doc_id", "payload", 16000)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(java.util.Arrays.equals(
+      got(1L).getAs[Array[Byte]](1), again(1L).getAs[Array[Byte]](1)))
+  }
+
   test("GraftExtensions injects the planner strategy") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e)
