@@ -242,6 +242,17 @@ object SparkEntry {
       ExactDedup.groups(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_dedup_normalized" -> ((s, dir) =>
       ExactDedup.groupsNormalized(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // ingestion-time dedup: a 10% "daily batch" against the other 90%
+      // as the standing corpus. The corpus is consumed as ONE fixed-size
+      // bloom sketch; only bloom-positive batch rows take the exact
+      // anti-join. Result == the plain anti-join, which is the oracle.
+      val d = snap(s, dir).documents.where(col("text").isNotNull)
+      IncrementalDedup.newDocs(
+        d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", expectedCorpusKeys = 1 << 16)
+        .select("doc_id", "content_hash").orderBy("doc_id")
+    }),
     "q_dedup_minhash" -> ((s, dir) =>
       MinHashDedup.dedupe(snap(s, dir).documents, "doc_id", "text", 0.5)
         .select(col("doc_id")).orderBy("doc_id")),
@@ -311,6 +322,9 @@ object SparkEntry {
       // DuckDB's [NULL]-list row would diverge on the first null text
       TextStats.repetition(
         snap(s, dir).documents.where(col("text").isNotNull), "doc_id", "text")
+        .orderBy("doc_id")),
+    "q_boilerplate" -> ((s, dir) =>
+      TextStats.boilerplate(snap(s, dir).documents, "doc_id", "text", "source")
         .orderBy("doc_id")),
     "q_decontaminate" -> ((s, dir) => {
       val d = snap(s, dir).documents
@@ -578,6 +592,22 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_langs"),
           countDistinct(col("source")).as("n_sources"))
     }),
+    "q_bloom_prefilter" -> ((s, dir) => {
+      // explicit bloom semi-join reduction: the planner can't see how
+      // selective the brand filter makes the dim, so the operator builds
+      // the bloom itself and sheds non-joining lineitem rows at the scan,
+      // before any exchange. Result == the plain join (the oracle).
+      val sn = snap(s, dir)
+      val dim = sn.part.where(col("p_brand") === "Brand#11")
+      graft.operators.join.BloomJoin
+        .prefilteredJoin(sn.lineitem, dim, "l_partkey", "p_partkey",
+          expectedItems = 1024)
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_partkey")
+    }),
     "q_salted_join" -> ((s, dir) => {
       // the explicit hot-key pattern under the hard gate: the fact side
       // carries a deterministic salt, the dim side replicates saltFactor
@@ -841,6 +871,38 @@ object SparkEntry {
         |  CAST(len(list_distinct(ss)) AS BIGINT) AS n_unique_shingles,
         |  1.0 - CAST(len(list_distinct(ss)) AS DOUBLE) / CAST(len(ss) AS DOUBLE) AS repetition_ratio
         |FROM s ORDER BY doc_id""".stripMargin,
+    // the bloom is a pure short-circuit (no false negatives; positives
+    // re-checked exactly), so the plain anti-join IS the oracle
+    "q_dedup_incremental" ->
+      """WITH c AS (SELECT md5(lower(text)) AS k FROM documents
+        |           WHERE doc_id % 10 <> 0 AND text IS NOT NULL),
+        |b AS (SELECT doc_id, md5(lower(text)) AS content_hash FROM documents
+        |      WHERE doc_id % 10 = 0 AND text IS NOT NULL)
+        |SELECT doc_id, content_hash FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.k = b.content_hash)
+        |ORDER BY doc_id""".stripMargin,
+    // shingle-string mirror again: per-source common-shingle membership
+    // and counts are identical on strings vs xxhash64 hashes
+    "q_boilerplate" ->
+      """WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+        |           FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT doc_id, source, list_distinct(
+        |        CASE WHEN len(ws) >= 3
+        |             THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+        |             ELSE [array_to_string(ws, ' ')] END) AS ss
+        |      FROM w),
+        |ex AS (SELECT doc_id, source, unnest(ss) AS h FROM s),
+        |common AS (SELECT source, h FROM ex GROUP BY source, h HAVING COUNT(*) >= 5),
+        |hits AS (SELECT ex.doc_id, COUNT(*) AS n_common
+        |         FROM ex JOIN common ON ex.source = common.source AND ex.h = common.h
+        |         GROUP BY ex.doc_id)
+        |SELECT s.doc_id AS doc_id, s.source AS source,
+        |  CAST(len(s.ss) AS BIGINT) AS n_distinct_shingles,
+        |  CAST(COALESCE(hits.n_common, 0) AS BIGINT) AS n_boilerplate_shingles,
+        |  CAST(COALESCE(hits.n_common, 0) AS DOUBLE) / CAST(len(s.ss) AS DOUBLE)
+        |    AS boilerplate_ratio
+        |FROM s LEFT JOIN hits ON s.doc_id = hits.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // same shingle-string mirror trick as q_dedup_ngram_jaccard below:
     // distinct-shingle overlap counts are identical whether computed on
     // strings or their xxhash64 hashes, absent a 64-bit collision
@@ -1159,6 +1221,15 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         |FROM u GROUP BY 1 ORDER BY split""".stripMargin,
+    // the bloom probe is a pure prefilter — false positives die in the
+    // exact join, so the plain join IS the oracle
+    "q_bloom_prefilter" ->
+      """SELECT p_partkey, p_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#11'
+        |GROUP BY p_partkey, p_name ORDER BY p_partkey""".stripMargin,
     "q_salted_join" ->
       """SELECT p_brand,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

@@ -58,6 +58,48 @@ object ExactDedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 }
 
+/** Ingestion-time dedup: drop NEW-batch rows whose content already exists
+  * in a (much larger) corpus, without ever shuffling the corpus per batch.
+  *
+  * The batch form of the D9 streaming spec, built on the same insight as
+  * `BloomJoin`: a bloom filter proves ABSENCE exactly. The corpus is
+  * consumed once as a fixed-size sketch over its content keys; batch rows
+  * the bloom rejects are provably new and BYPASS the join entirely, so
+  * the exact anti-join runs only on true duplicates plus an fpp-fraction
+  * of the batch. At 100 TB the corpus side of that residual check is a
+  * slim one-column key projection (or a pre-bucketed key table — then the
+  * residual join is shuffle-free), and the sketch is reusable across
+  * batches until the corpus grows past its sizing.
+  */
+object IncrementalDedup {
+
+  /** Batch rows whose `normalizedKey`-style content hash (here: plain
+    * md5(lower(text)), matching [[ExactDedup.groups]]) is absent from the
+    * corpus. Bit-identical to the plain anti-join on the key: the bloom
+    * never drops a row (no false negatives), and its false positives are
+    * re-checked exactly. `expectedCorpusKeys` sizes the sketch; an
+    * undersized sketch only degrades fpp (more rows take the exact
+    * check), never correctness.
+    */
+  def newDocs(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      contentCol: String,
+      expectedCorpusKeys: Long,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.operators.join.BloomJoin
+    val corpusKeys = corpus.select(md5(lower(col(contentCol))).as("__ck"))
+    val bloom = BloomJoin.buildKeyBloom(corpusKeys, "__ck", expectedCorpusKeys, fpp)
+    val keyed = batch.withColumn("content_hash", md5(lower(col(contentCol))))
+    val probe = coalesce(BloomJoin.mightContain(bloom, col("content_hash")), lit(false))
+    val definitelyNew = keyed.where(!probe)
+    val maybeDup = keyed.where(probe)
+      .join(corpusKeys, col("content_hash") === col("__ck"), "left_anti")
+    definitelyNew.union(maybeDup)
+  }
+}
+
 private[operators] object Shingling {
   /** Word n-gram shingles of the lowercased text as 64-bit hashes (native
     * expression — no per-shingle string allocation). Multiset: callers

@@ -116,6 +116,40 @@ object TextStats {
       (lit(1.0) - uniq.cast("double") / total.cast("double")).as("repetition_ratio"))
   }
 
+  /** Cross-document boilerplate detection (CCNet/RefinedWeb-style): the
+    * fraction of a doc's DISTINCT word n-gram shingles that appear in at
+    * least `minDocs` distinct documents of the same source — headers,
+    * footers, navigation and license blocks shared across one site's
+    * pages. Complements [[repetition]] (intra-doc) with the cross-doc
+    * signal.
+    *
+    * Scale shape: only slim (doc_id, source, hash) rows ever shuffle
+    * (shingle text never leaves the scan); the common-shingle set is
+    * frequency-bounded by construction (a shingle must recur `minDocs`
+    * times within one source), and the per-doc counts come back via a
+    * doc_id join — no per-doc windows, no wide arrays through exchanges.
+    */
+  def boilerplate(df: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      shingle: Int = 3, minDocs: Int = 5): DataFrame = {
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        array_distinct(
+          GraftFunctions.shingleHashes(split(lower(col(textCol)), " "), shingle)).as("ss"))
+    val ex = base.select(col("doc_id"), col("source"), explode(col("ss")).as("h"))
+    // rows are distinct per doc already, so count(*) = distinct docs
+    val common = ex.groupBy("source", "h").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs).select("source", "h")
+    val hits = ex.join(common, Seq("source", "h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    base
+      .select(col("doc_id"), col("source"), size(col("ss")).cast("long").as("n_distinct_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_distinct_shingles"),
+        coalesce(col("n_common"), lit(0L)).as("n_boilerplate_shingles"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          col("n_distinct_shingles").cast("double")).as("boilerplate_ratio"))
+  }
+
   /** Top-k TF-IDF terms per document. Term/doc frequencies are two
     * hash-partitioned aggregations; the corpus size joins in as a broadcast
     * scalar; ranking is a per-doc window. idf = ln((N+1)/(df+1)) + 1.

@@ -43,6 +43,29 @@ class DedupSpec extends SparkSpecBase {
     assert(grp.getAs[Long]("doc_id") == 1L)
   }
 
+  test("incremental dedup equals the plain anti-join and survives an empty corpus") {
+    // corpus holds docs 1-3; the batch re-ingests 1's content under a new
+    // id (6, must drop), plus genuinely new docs (7, 8)
+    val standing = corpus.where(col("doc_id") <= 3)
+    val batch = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (7L, "a brand new document that the corpus has never seen before at all"),
+      (8L, "completely different content about spark partitions and shuffle behavior entirely")
+    ).toDF("doc_id", "text")
+    val got = IncrementalDedup.newDocs(standing, batch, "doc_id", "text", 1024)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(7L, 8L)) // 6 is a content dup of 1; 8 was never in the corpus
+    // bit-identical to the plain anti-join on the content key
+    val plain = batch.withColumn("k", md5(lower(col("text"))))
+      .join(standing.select(md5(lower(col("text"))).as("k")), Seq("k"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == plain)
+    // empty corpus: everything is new, no crash on the null bloom
+    val all = IncrementalDedup.newDocs(standing.where(lit(false)), batch, "doc_id", "text", 1024)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(all == Seq(6L, 7L, 8L))
+  }
+
   test("minhash finds exact and near dup, keeps lower ids") {
     val pairs = MinHashDedup.duplicatePairs(corpus, "doc_id", "text", 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -41,6 +41,37 @@ class ScaleToolsSpec extends SparkSpecBase {
     assert(salted == plain)
   }
 
+  test("bloom-prefiltered join equals plain join and sheds rows at the scan") {
+    import graft.operators.join.BloomJoin
+    val sn = Snapshot(spark, sf())
+    val dim = sn.part.where(col("p_brand") === "Brand#11")
+      .select(col("p_partkey"), col("p_name"))
+    val plain = sn.lineitem.join(dim, col("l_partkey") === col("p_partkey"))
+      .select("l_orderkey", "l_linenumber", "p_partkey")
+      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    val viaBloom = BloomJoin.prefilteredJoin(
+      sn.lineitem, dim, "l_partkey", "p_partkey", expectedItems = 1024)
+      .select("l_orderkey", "l_linenumber", "p_partkey")
+      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    assert(viaBloom == plain)
+    assert(plain.nonEmpty)
+    // the probe itself is selective: far fewer fact rows survive than exist
+    val bloom = BloomJoin.buildKeyBloom(dim, "p_partkey", 1024, 0.01)
+    val kept = sn.lineitem.where(BloomJoin.mightContain(bloom, col("l_partkey"))).count()
+    val total = sn.lineitem.count()
+    assert(kept < total / 2, s"bloom kept $kept of $total")
+    assert(kept >= plain.size.toLong) // never sheds a true match
+    // and it is applied at the scan, below the join
+    val q = BloomJoin.prefilteredJoin(
+      sn.lineitem, dim, "l_partkey", "p_partkey", expectedItems = 1024)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p.take(2000))
+    // empty build side -> empty result, not a crash
+    assert(BloomJoin.prefilteredJoin(
+      sn.lineitem, dim.where(lit(false)), "l_partkey", "p_partkey", 1024).isEmpty)
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val sn = Snapshot(spark, sf())
     // in-memory catalog is fresh each JVM but the warehouse dir persists:
