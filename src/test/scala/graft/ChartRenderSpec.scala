@@ -1,0 +1,96 @@
+package graft
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{ChartRender, Procurement}
+import graft.sources.Snapshot
+
+/** Pixel-level checks on the pure-JDK chart renderer: the PNGs decode
+  * back at the requested size and actually contain the marks (bars /
+  * lines / slices) at positions implied by the data.
+  */
+class ChartRenderSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def decode(bytes: Array[Byte]) =
+    ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+  private def countColor(img: java.awt.image.BufferedImage, rgb: Int): Int = {
+    var n = 0
+    (0 until img.getHeight).foreach { y =>
+      (0 until img.getWidth).foreach { x =>
+        if ((img.getRGB(x, y) & 0xFFFFFF) == rgb) n += 1
+      }
+    }
+    n
+  }
+
+  private val Blue = 31 << 16 | 119 << 8 | 180   // palette(0)
+  private val Orange = 255 << 16 | 127 << 8 | 14 // palette(1)
+
+  test("bar chart: a 2x value draws ~2x the bar pixels, left-to-right order kept") {
+    val df = Seq(("alpha", 200.0), ("beta", 100.0)).toDF("unit", "total")
+    val img = decode(ChartRender.barChartPng(df, "unit", "total", 400, 300, "t"))
+    assert(img.getWidth == 400 && img.getHeight == 300)
+    // alpha's bar lives in the left half, beta's in the right
+    val left = (70 until 235).map(x => (30 until 240).count(
+      y => (img.getRGB(x, y) & 0xFFFFFF) == Blue)).sum
+    val right = (235 until 380).map(x => (30 until 240).count(
+      y => (img.getRGB(x, y) & 0xFFFFFF) == Blue)).sum
+    assert(left > 0 && right > 0)
+    val ratio = left.toDouble / right
+    assert(ratio > 1.6 && ratio < 2.4, s"bar area ratio $ratio, want ~2")
+  }
+
+  test("bar chart renders the real barAgg output end-to-end") {
+    val sn = Snapshot(spark, sf())
+    val joined = sn.orders.join(sn.customer, col("o_custkey") === col("c_custkey"))
+      .join(sn.nation, col("c_nationkey") === col("n_nationkey"))
+    val bytes = ChartRender.barChartPng(
+      Procurement.barAgg(joined, "n_name", "o_totalprice"),
+      "n_name", "total_budget", title = "budget by nation")
+    val img = decode(bytes)
+    assert(img.getWidth == 800 && img.getHeight == 500)
+    assert(countColor(img, Blue) > 1000) // 25 real bars worth of pixels
+  }
+
+  test("line chart: every series gets its palette color on canvas") {
+    val df = Seq(("2024-01", 10.0, 5.0), ("2024-02", 30.0, 2.0), ("2024-03", 20.0, 9.0))
+      .toDF("month", "total_budget", "n_packages")
+    val img = decode(ChartRender.lineChartPng(
+      df, "month", Seq("total_budget", "n_packages"), 400, 300))
+    assert(countColor(img, Blue) > 50)   // series 1 polyline + markers + legend
+    assert(countColor(img, Orange) > 50) // series 2
+  }
+
+  test("pie chart: slice pixel areas track the shares") {
+    val df = Seq(("a", 3L), ("b", 1L)).toDF("seg", "n")
+    val img = decode(ChartRender.pieChartPng(df, "seg", "n", 400, 300))
+    val blue = countColor(img, Blue); val orange = countColor(img, Orange)
+    assert(blue > 0 && orange > 0)
+    val ratio = blue.toDouble / orange
+    assert(ratio > 2.0 && ratio < 4.0, s"slice area ratio $ratio, want ~3")
+  }
+
+  test("renderer refuses unaggregated input past the row cap") {
+    val big = Snapshot(spark, sf()).orders
+      .select(col("o_orderkey").cast("string").as("k"), col("o_totalprice").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      ChartRender.barChartPng(big, "k", "v")
+    }
+    assert(e.getMessage.contains("aggregate before rendering"))
+  }
+
+  test("empty and non-numeric inputs fail loudly, not with a blank chart") {
+    val empty = Seq.empty[(String, Double)].toDF("k", "v")
+    assert(intercept[IllegalArgumentException] {
+      ChartRender.barChartPng(empty, "k", "v")
+    }.getMessage.contains("empty"))
+    val text = Seq(("a", "not a number")).toDF("k", "v")
+    assert(intercept[IllegalArgumentException] {
+      ChartRender.pieChartPng(text, "k", "v")
+    }.getMessage.contains("not numeric"))
+  }
+}
