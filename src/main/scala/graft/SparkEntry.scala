@@ -324,7 +324,11 @@ object SparkEntry {
         snap(s, dir).documents.where(col("text").isNotNull), "doc_id", "text")
         .orderBy("doc_id")),
     "q_boilerplate" -> ((s, dir) =>
-      TextStats.boilerplate(snap(s, dir).documents, "doc_id", "text", "source")
+      // minDocs=3: the synthetic corpus has no verbatim site boilerplate,
+      // so the ≥3-docs-per-source band is where the shared-shingle signal
+      // lives at every SF (the operator default 5 targets real corpora —
+      // at 5 this testdata yields all-zero ratios: a vacuous query)
+      TextStats.boilerplate(snap(s, dir).documents, "doc_id", "text", "source", minDocs = 3)
         .orderBy("doc_id")),
     "q_decontaminate" -> ((s, dir) => {
       val d = snap(s, dir).documents
@@ -892,7 +896,7 @@ object SparkEntry {
         |             ELSE [array_to_string(ws, ' ')] END) AS ss
         |      FROM w),
         |ex AS (SELECT doc_id, source, unnest(ss) AS h FROM s),
-        |common AS (SELECT source, h FROM ex GROUP BY source, h HAVING COUNT(*) >= 5),
+        |common AS (SELECT source, h FROM ex GROUP BY source, h HAVING COUNT(*) >= 3),
         |hits AS (SELECT ex.doc_id, COUNT(*) AS n_common
         |         FROM ex JOIN common ON ex.source = common.source AND ex.h = common.h
         |         GROUP BY ex.doc_id)

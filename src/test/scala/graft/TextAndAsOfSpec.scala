@@ -41,6 +41,32 @@ class TextAndAsOfSpec extends SparkSpecBase {
     assert(got(3L) == ((3L, 1L, 1L, 0.0)))
   }
 
+  test("cross-doc boilerplate: shared per-source footer flagged, other sources untouched") {
+    import spark.implicits._
+    val footer = "copyright acme corp all rights reserved terms of use apply here"
+    val docs = Seq(
+      (1L, s"unique article about spark shuffles and joins $footer", "siteA"),
+      (2L, s"another story on watermarks and state stores $footer", "siteA"),
+      (3L, s"third piece concerning codegen stages and exchanges $footer", "siteA"),
+      (4L, "clean document with no shared chrome at all in it", "siteA"),
+      // same footer text, DIFFERENT source: must not count toward siteA's
+      // threshold nor be flagged for siteB (only one siteB doc has it)
+      (5L, s"unrelated site reusing the words $footer", "siteB")
+    ).toDF("doc_id", "text", "source")
+    val out = TextStats.boilerplate(docs, "doc_id", "text", "source", minDocs = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // docs 1-3 share the footer's shingles (>= 3 docs of siteA) -> flagged
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id).getAs[Long]("n_boilerplate_shingles") > 0, s"doc $id")
+      assert(out(id).getAs[Double]("boilerplate_ratio") > 0.3, s"doc $id")
+    }
+    // the clean doc and the other-source doc carry zero boilerplate
+    Seq(4L, 5L).foreach { id =>
+      assert(out(id).getAs[Long]("n_boilerplate_shingles") == 0L, s"doc $id")
+      assert(out(id).getAs[Double]("boilerplate_ratio") == 0.0, s"doc $id")
+    }
+  }
+
   test("langid picks the marker-dominant language with priority tiebreak") {
     val df = Seq(
       (1L, "the cat is on a mat of straw and hay"),
