@@ -109,6 +109,10 @@ object ChartRender {
   def barChartPng(df: DataFrame, labelCol: String, valueCol: String,
       width: Int = 800, height: Int = 500, title: String = ""): Array[Byte] = {
     val data = frame(df, Seq(labelCol, valueCol))
+    // a negative bar would silently render as nothing (negative-height
+    // fillRect is a no-op) — fail loudly like the pie renderer does
+    require(data.forall(_._2.head >= 0),
+      "bar values must be non-negative — shift or transform signed series first")
     val (img, g) = canvas(width, height)
     drawTitle(g, title, width)
     val (x0, y0, y1, x1) = (70, 30, height - 60, width - 20)
@@ -179,8 +183,10 @@ object ChartRender {
   }
 
   /** Pie chart over a (label, value) frame — the reference's
-    * `pie_chart_tool` (category shares). Slices sweep clockwise from
-    * noon with a ≥1° floor so hairline categories stay visible.
+    * `pie_chart_tool` (category shares). Slice boundaries come from the
+    * ROUNDED CUMULATIVE angle, so sweeps sum to exactly 360° and later
+    * slices never overdraw earlier ones (hairline categories may round
+    * to an invisible 0° slice — the legend still lists them).
     */
   def pieChartPng(df: DataFrame, labelCol: String, valueCol: String,
       width: Int = 600, height: Int = 500, title: String = ""): Array[Byte] = {
@@ -192,14 +198,13 @@ object ChartRender {
     drawTitle(g, title, width)
     val d = math.min(width - 200, height - 80)
     val (cx, cy) = (40, (height - d) / 2 + 10)
-    var startAngle = 90.0 // noon, clockwise — matplotlib-style
+    // cumulative degrees clockwise from noon (matplotlib-style)
+    val cums = data.map(_._2.head).scanLeft(0.0)(_ + _)
     data.zipWithIndex.foreach { case ((label, vs), i) =>
-      val sweep = vs.head / total * 360.0
+      val a0 = math.round(cums(i) / total * 360.0).toInt
+      val a1 = math.round(cums(i + 1) / total * 360.0).toInt
       g.setColor(Palette(i % Palette.length))
-      // negative sweep = clockwise from noon
-      g.fillArc(cx, cy, d, d, math.round(startAngle).toInt,
-        -math.max(1, math.round(sweep).toInt))
-      startAngle -= sweep
+      g.fillArc(cx, cy, d, d, 90 - a0, -(a1 - a0))
       // legend: swatch + label + share
       val ly = 40 + i * 16
       if (ly < height - 10) {

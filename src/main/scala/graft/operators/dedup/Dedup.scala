@@ -22,7 +22,7 @@ import graft.functions.GraftFunctions
   * construction: candidate pairs, not corpus rows) and the intermediate's
   * blocks are released before returning, error or not.
   */
-private[dedup] object CacheScope {
+private[operators] object CacheScope {
   def withPersisted(intermediate: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val p = intermediate.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try body(p).localCheckpoint(true)
@@ -73,6 +73,16 @@ object ExactDedup {
   */
 object IncrementalDedup {
 
+  /** Builds the reusable corpus sketch ONCE (one corpus-key scan);
+    * callers ingesting many batches pass it to [[newDocs]] via
+    * `prebuiltBloom` so the standing corpus is not re-aggregated per
+    * batch. Rebuild only when the corpus outgrows `expectedKeys`.
+    */
+  def buildContentBloom(corpus: DataFrame, contentCol: String,
+      expectedKeys: Long, fpp: Double = 0.01): Array[Byte] =
+    graft.operators.join.BloomJoin.buildKeyBloom(
+      corpus.select(md5(lower(col(contentCol))).as("__ck")), "__ck", expectedKeys, fpp)
+
   /** Batch rows whose `normalizedKey`-style content hash (here: plain
     * md5(lower(text)), matching [[ExactDedup.groups]]) is absent from the
     * corpus. Bit-identical to the plain anti-join on the key: the bloom
@@ -80,6 +90,14 @@ object IncrementalDedup {
     * re-checked exactly. `expectedCorpusKeys` sizes the sketch; an
     * undersized sketch only degrades fpp (more rows take the exact
     * check), never correctness.
+    *
+    * Corpus access per call: the sketch build (skipped when
+    * `prebuiltBloom` from [[buildContentBloom]] is supplied — the
+    * steady-state multi-batch shape) plus the residual anti-join over
+    * the slim one-column key projection; document text never shuffles.
+    * At scale, materialize the md5-key projection as its own table once
+    * and call [[newDocsAgainstKeys]] — bucketed on the key it makes the
+    * residual join shuffle-free too.
     */
   def newDocs(
       corpus: DataFrame,
@@ -87,15 +105,37 @@ object IncrementalDedup {
       idCol: String,
       contentCol: String,
       expectedCorpusKeys: Long,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      prebuiltBloom: Option[Array[Byte]] = None): DataFrame =
+    newDocsAgainstKeys(
+      corpus.select(md5(lower(col(contentCol))).as("__ck")), "__ck",
+      batch, idCol, contentCol, expectedCorpusKeys, fpp, prebuiltBloom)
+
+  /** [[newDocs]] against an already-materialized corpus content-key
+    * column (md5 of lowercased content, as [[buildContentBloom]] and
+    * [[ExactDedup.groups]] compute it) — the steady-state ingestion
+    * shape: the standing corpus is represented ONLY by its key table
+    * and its prebuilt sketch; per batch, nothing corpus-sized is
+    * recomputed.
+    */
+  def newDocsAgainstKeys(
+      corpusKeys: DataFrame,
+      keyCol: String,
+      batch: DataFrame,
+      idCol: String,
+      contentCol: String,
+      expectedCorpusKeys: Long,
+      fpp: Double = 0.01,
+      prebuiltBloom: Option[Array[Byte]] = None): DataFrame = {
     import graft.operators.join.BloomJoin
-    val corpusKeys = corpus.select(md5(lower(col(contentCol))).as("__ck"))
-    val bloom = BloomJoin.buildKeyBloom(corpusKeys, "__ck", expectedCorpusKeys, fpp)
+    val keys = corpusKeys.select(col(keyCol).cast("string").as("__ck"))
+    val bloom = prebuiltBloom.getOrElse(
+      BloomJoin.buildKeyBloom(keys, "__ck", expectedCorpusKeys, fpp))
     val keyed = batch.withColumn("content_hash", md5(lower(col(contentCol))))
     val probe = coalesce(BloomJoin.mightContain(bloom, col("content_hash")), lit(false))
     val definitelyNew = keyed.where(!probe)
     val maybeDup = keyed.where(probe)
-      .join(corpusKeys, col("content_hash") === col("__ck"), "left_anti")
+      .join(keys, col("content_hash") === col("__ck"), "left_anti")
     definitelyNew.union(maybeDup)
   }
 }

@@ -27,11 +27,36 @@ object BloomJoin {
     * driver receives one fixed-size byte array — driver-sized by
     * construction, like a broadcast relation's key set but far smaller).
     * Returns null iff `keys` is empty.
+    *
+    * Sizing contract: optimal bits ≈ 1.44·log2(1/fpp) bits/key, so at
+    * fpp=0.01 the sketch is ~1.2 bytes/key — 1M keys ≈ 1.2 MB, 100M ≈
+    * 120 MB, 10^9 keys ≈ 1.2 GB and this single sketch stops being the
+    * right shape: raise fpp (the exact join downstream absorbs extra
+    * false positives linearly) or range-partition the key space into
+    * per-range sketches before reaching for one giant filter. NOTE
+    * `BloomFilterAggregate` silently `Math.min`-clamps its bit count to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default 2^26
+    * bits = 8 MB ≈ 56M keys at fpp 0.01) — a clamped sketch still never
+    * loses rows, it just sheds fewer, so this method raises the conf to
+    * the requested size rather than let the filter silently degrade to
+    * fpp ≈ 1. The sketch is then embedded as a plan literal (shipped in
+    * each stage's task binary, like Spark's own runtime filters after
+    * subquery evaluation); for sketches near the GB range prefer the
+    * per-range decomposition above.
     */
   def buildKeyBloom(keys: DataFrame, keyCol: String, expectedItems: Long, fpp: Double): Array[Byte] = {
     require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    // the aggregate Math.min-clamps BOTH sizing inputs against session
+    // confs (bits -> 8 MB, items -> 4M by default); raise them so the
+    // sketch the caller sized is the sketch they get
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (keys.sparkSession.conf.get(bitsKey).toLong < numBits)
+      keys.sparkSession.conf.set(bitsKey, numBits.toString)
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    if (keys.sparkSession.conf.get(itemsKey).toLong < expectedItems)
+      keys.sparkSession.conf.set(itemsKey, expectedItems.toString)
     val agg = new BloomFilterAggregate(
       GraftPlanBridge.expression(xxhash64(col(keyCol))),
       CatalystLiteral(expectedItems), CatalystLiteral(numBits)).toAggregateExpression()
@@ -39,8 +64,17 @@ object BloomJoin {
   }
 
   /** Probe column: true when `keyCol`'s hash might be in the bloom.
-    * Null-safe: a null bloom (empty build side) or null key yields null,
-    * which `where` treats as drop — exactly the inner-join semantics.
+    * A null bloom (empty build side) yields null, which `where` treats
+    * as drop. A null KEY is not null-propagated: `xxhash64` folds null
+    * to its seed, so null-key rows probe like any value and may return
+    * true — harmless under [[prefilteredJoin]] (the exact join drops
+    * null keys anyway), but do not use a bare probe to COUNT joinable
+    * rows when keys can be null.
+    *
+    * Probe and build must hash the SAME key type: Spark's xxhash64 of
+    * `1` (int) and `1L` differ, so a type mismatch silently sheds true
+    * matches. [[prefilteredJoin]] enforces this; direct callers pairing
+    * this with [[buildKeyBloom]] must cast both sides to one type.
     */
   def mightContain(bloom: Array[Byte], keyCol: Column): Column =
     GraftPlanBridge.column(BloomFilterMightContain(
@@ -59,6 +93,14 @@ object BloomJoin {
       dimKey: String,
       expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
+    // xxhash64(1: int) != xxhash64(1L): a type mismatch would make the
+    // bloom shed TRUE matches (the exact join up-casts and would have
+    // matched them) — fail loudly instead of silently losing rows
+    val ft = fact.schema(factKey).dataType
+    val dt = dim.schema(dimKey).dataType
+    require(ft == dt,
+      s"fact key $factKey: $ft and dim key $dimKey: $dt must have the same type " +
+        "(xxhash64 hashes types differently — cast one side first)")
     val bloom = buildKeyBloom(dim, dimKey, expectedItems, fpp)
     fact.where(mightContain(bloom, col(factKey)))
       .join(dim, col(factKey) === col(dimKey))

@@ -284,7 +284,9 @@ object BinaryPipeline {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          readAudio(bytes, maxFrames = Int.MaxValue).map { a =>
+          // zero-frame clips carry no samples to resample: drop like
+          // undecodable rows (decodeAudio still reports them)
+          readAudio(bytes, maxFrames = Int.MaxValue).filter(_.samples.nonEmpty).map { a =>
             val ch = a.channels
             val inFrames = a.samples.length / math.max(1, ch)
             // mono downmix: mean of channels per frame
@@ -356,11 +358,20 @@ object BinaryPipeline {
             src.getChannels, src.getChannels * 2, src.getSampleRate, false)
           val pcm = AudioSystem.getAudioInputStream(s16, ais)
           val declared = pcm.getFrameLength // may be NOT_SPECIFIED (-1)
-          val toRead = math.min(
-            math.min(
-              maxFrames.toLong,
-              if (declared < 0) maxFrames.toLong else declared),
-            (Int.MaxValue - 8).toLong / s16.getFrameSize).toInt
+          // the header-declared frame count is UNTRUSTED (a corrupt
+          // few-hundred-byte file can declare 5e8 frames and provoke a
+          // multi-GB allocation that OOMs the task before any read
+          // fails): a PCM container cannot hold more frames than its
+          // actual payload bytes / source frame size, so bound the
+          // buffer by what the bytes could possibly contain
+          val srcBound =
+            if (src.getFrameSize > 0) bytes.length.toLong / src.getFrameSize + 1
+            else maxFrames.toLong
+          val toRead = Seq(
+            maxFrames.toLong,
+            if (declared < 0) maxFrames.toLong else declared,
+            srcBound,
+            (Int.MaxValue - 8).toLong / s16.getFrameSize).min.toInt
           val buf = new Array[Byte](toRead * s16.getFrameSize)
           var off = 0
           var r = pcm.read(buf, off, buf.length - off)

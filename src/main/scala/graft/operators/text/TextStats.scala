@@ -128,26 +128,36 @@ object TextStats {
     * frequency-bounded by construction (a shingle must recur `minDocs`
     * times within one source), and the per-doc counts come back via a
     * doc_id join — no per-doc windows, no wide arrays through exchanges.
+    * The corpus is scanned and shingle-hashed ONCE: the exploded slim
+    * set is persisted for the call and feeds all three consumers
+    * (per-doc totals, the common-shingle aggregate, the hit counts);
+    * its blocks are released before returning (the checkpointed result
+    * is one stats row per doc — output-sized, not corpus-text-sized).
     */
   def boilerplate(df: DataFrame, idCol: String, textCol: String, sourceCol: String,
       shingle: Int = 3, minDocs: Int = 5): DataFrame = {
-    val base = df.where(col(textCol).isNotNull)
+    val exploded = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
-        array_distinct(
-          GraftFunctions.shingleHashes(split(lower(col(textCol)), " "), shingle)).as("ss"))
-    val ex = base.select(col("doc_id"), col("source"), explode(col("ss")).as("h"))
-    // rows are distinct per doc already, so count(*) = distinct docs
-    val common = ex.groupBy("source", "h").agg(count(lit(1)).as("nd"))
-      .where(col("nd") >= minDocs).select("source", "h")
-    val hits = ex.join(common, Seq("source", "h"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
-    base
-      .select(col("doc_id"), col("source"), size(col("ss")).cast("long").as("n_distinct_shingles"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("n_distinct_shingles"),
-        coalesce(col("n_common"), lit(0L)).as("n_boilerplate_shingles"),
-        (coalesce(col("n_common"), lit(0L)).cast("double") /
-          col("n_distinct_shingles").cast("double")).as("boilerplate_ratio"))
+        explode(array_distinct(
+          GraftFunctions.shingleHashes(split(lower(col(textCol)), " "), shingle))).as("h"))
+    graft.operators.dedup.CacheScope.withPersisted(exploded) { ex =>
+      // every non-null text yields >= 1 shingle (short docs collapse to a
+      // single whole-text shingle), so ex covers every doc: per-doc
+      // totals can come from the slim set, no second corpus scan
+      val perDoc = ex.groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_distinct_shingles"))
+      // rows are distinct per doc already, so count(*) = distinct docs
+      val common = ex.groupBy("source", "h").agg(count(lit(1)).as("nd"))
+        .where(col("nd") >= minDocs).select("source", "h")
+      val hits = ex.join(common, Seq("source", "h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+      perDoc
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("n_distinct_shingles"),
+          coalesce(col("n_common"), lit(0L)).as("n_boilerplate_shingles"),
+          (coalesce(col("n_common"), lit(0L)).cast("double") /
+            col("n_distinct_shingles").cast("double")).as("boilerplate_ratio"))
+    }
   }
 
   /** Top-k TF-IDF terms per document. Term/doc frequencies are two

@@ -83,6 +83,35 @@ class ChartRenderSpec extends SparkSpecBase {
     assert(e.getMessage.contains("aggregate before rendering"))
   }
 
+  test("negative bar values fail loudly instead of rendering a blank bar") {
+    val df = Seq(("jan", 50.0), ("feb", -30.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      ChartRender.barChartPng(df, "k", "v")
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
+
+  test("pie with one dominant and many hairline slices never overdraws the dominant one") {
+    // 40 hairline slices used to get a 1-degree floor each while the
+    // start angle advanced by the true sweep — cumulative overdraw ate
+    // the first slice's area. Boundaries now come from rounded
+    // cumulative angles: dominant share must survive pixel-accurately.
+    val rows = ("big", 900L) +: (1 to 40).map(i => (s"s$i", 2L))
+    val df = rows.toDF("seg", "n")
+    val img = decode(ChartRender.pieChartPng(df, "seg", "n", 400, 300))
+    val blue = countColor(img, Blue) // dominant slice, palette(0)
+    // total colored pie pixels across the palette
+    val all = (0 until 10).map(i => ChartRenderSpecPalette(i)).map(countColor(img, _)).sum
+    val share = blue.toDouble / all
+    assert(share > 0.8 && share < 0.98, s"dominant share $share, want ~0.9")
+  }
+
+  private val ChartRenderSpecPalette = Array(
+    31 << 16 | 119 << 8 | 180, 255 << 16 | 127 << 8 | 14, 44 << 16 | 160 << 8 | 44,
+    214 << 16 | 39 << 8 | 40, 148 << 16 | 103 << 8 | 189, 140 << 16 | 86 << 8 | 75,
+    227 << 16 | 119 << 8 | 194, 127 << 16 | 127 << 8 | 127, 188 << 16 | 189 << 8 | 34,
+    23 << 16 | 190 << 8 | 207)
+
   test("empty and non-numeric inputs fail loudly, not with a blank chart") {
     val empty = Seq.empty[(String, Double)].toDF("k", "v")
     assert(intercept[IllegalArgumentException] {

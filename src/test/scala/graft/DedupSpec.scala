@@ -64,6 +64,14 @@ class DedupSpec extends SparkSpecBase {
     val all = IncrementalDedup.newDocs(standing.where(lit(false)), batch, "doc_id", "text", 1024)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(all == Seq(6L, 7L, 8L))
+    // steady-state shape: prebuilt sketch + materialized key table give
+    // the same answer without re-aggregating the corpus per batch
+    val bloom = IncrementalDedup.buildContentBloom(standing, "text", 1024)
+    val keyTable = standing.select(md5(lower(col("text"))).as("k"))
+    val viaKeys = IncrementalDedup.newDocsAgainstKeys(
+      keyTable, "k", batch, "doc_id", "text", 1024, prebuiltBloom = Some(bloom))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaKeys == got)
   }
 
   test("minhash finds exact and near dup, keeps lower ids") {

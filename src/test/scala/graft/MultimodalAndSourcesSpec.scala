@@ -164,6 +164,28 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
       got(1L).getAs[Array[Byte]](1), again(1L).getAs[Array[Byte]](1)))
   }
 
+  test("audio decode survives a forged header declaring ~2^31 frames (no multi-GB buffer)") {
+    // take a real 1s WAV and forge the RIFF + data chunk sizes to huge
+    // values: the declared frame count is untrusted input and must not
+    // size an allocation (a few-hundred-byte file declaring 5e8 frames
+    // would otherwise OOM the task)
+    val wav = makeWav(8000f, 1, 0.01, 100.0, 0.5) // 80 frames, 160 PCM bytes
+    val forged = wav.clone()
+    def putLE(off: Int, v: Long): Unit = (0 until 4).foreach { i =>
+      forged(off + i) = ((v >> (8 * i)) & 0xFF).toByte
+    }
+    putLE(4, 0x7FFFFFF0L)  // RIFF chunk size
+    putLE(40, 0x7FFFFFF0L) // data chunk size (canonical PCM header layout)
+    val rows = Seq((1L, forged)).toDF("doc_id", "payload")
+    // both paths must stay bounded: decode stats and the full-read resample
+    val meta = BinaryPipeline.decodeAudio(rows, "doc_id", "payload").collect()
+    assert(meta.length == 1) // completed without OOM
+    val out = BinaryPipeline.resampleAudio(rows, "doc_id", "payload", 4000).collect()
+    // either dropped as undecodable or resampled from the REAL ~80 frames —
+    // never a 2^31-frame buffer
+    out.foreach(r => assert(r.getLong(3) < 1000L, s"out_frames ${r.getLong(3)}"))
+  }
+
   test("GraftExtensions injects the planner strategy") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e)

@@ -70,6 +70,12 @@ class ScaleToolsSpec extends SparkSpecBase {
     // empty build side -> empty result, not a crash
     assert(BloomJoin.prefilteredJoin(
       sn.lineitem, dim.where(lit(false)), "l_partkey", "p_partkey", 1024).isEmpty)
+    // key-type mismatch would make xxhash64 shed TRUE matches -> loud failure
+    val intDim = dim.select(col("p_partkey").cast("int").as("p_partkey"), col("p_name"))
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.prefilteredJoin(sn.lineitem, intDim, "l_partkey", "p_partkey", 1024)
+    }
+    assert(e.getMessage.contains("same type"))
   }
 
   test("bucketed join plans without a shuffle exchange") {
