@@ -657,8 +657,48 @@ object SparkEntry {
         .withColumn("rnk", row_number().over(w).cast("long"))
         .select(col("doc_id"), col("lang"), col("rnk"))
         .orderBy("lang", "rnk")
-    })
+    }),
+    "q_token_chunks" -> ((s, dir) =>
+      // fixed-token overlapping training windows: pure per-row generator
+      // (tokenize → integer start offsets → posexplode → slice), zero
+      // shuffles; the oracle hash-compares each chunk's text via md5
+      graft.operators.text.Chunking
+        .chunkByTokens(snap(s, dir).documents, "doc_id", "text", 32, 8)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")),
+    "q_embedding_quantize" -> ((s, dir) =>
+      // int8 fidelity audit before switching an ANN index to quantized
+      // vectors: per-vector scale, worst elementwise reconstruction error,
+      // cosine(original, reconstructed) — all elementwise higher-order
+      // functions fused into the scan, no shuffle
+      graft.operators.ann.Quantize
+        .fidelity(snap(s, dir).embeddings, "vec_id", "embedding")
+        .orderBy("vec_id")),
+    "q_balanced_mix" -> ((s, dir) =>
+      // balanced training mix: every lang downsampled (deterministic
+      // md5-rate filter, map-side) to the smallest lang's size; the
+      // per-group bounds come from a slim count agg, never a collect
+      graft.operators.sample.Mixing
+        .balancedSample(snap(s, dir).documents, "doc_id", "lang")
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")),
+    "q_target_mix" -> ((s, dir) =>
+      // weighted target composition: largest feasible sample hitting the
+      // declared lang shares; binding group (de at these weights) keeps
+      // everything, the rest thin deterministically
+      graft.operators.sample.Mixing
+        .targetMix(snap(s, dir).documents, "doc_id", "lang", MixWeights)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+        .orderBy("lang"))
   )
+
+  /** Target lang shares for q_target_mix — deliberately uneven so every
+    * non-binding group gets a real (non-1.0) keep rate on this testdata.
+    */
+  private val MixWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.05)
 
   /** Identical text in Spark SQL and DuckDB dialects. */
   private val SqlFreeform: String =
@@ -1287,6 +1327,59 @@ object SparkEntry {
         |  SELECT doc_id, lang,
         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
         |  FROM documents)
-        |SELECT doc_id, lang, rnk FROM r WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin
+        |SELECT doc_id, lang, rnk FROM r WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
+    // chunk boundaries are integer arithmetic mirrored exactly; chunk text
+    // round-trips through md5 so the compare stays output-sized
+    "q_token_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, toks,
+        |        GREATEST(1, CAST(FLOOR(CAST(len(toks) - 8 + 23 AS DOUBLE) / 24.0) AS INTEGER)) AS nc
+        |      FROM t),
+        |u AS (SELECT doc_id, toks, unnest(generate_series(0, (nc - 1) * 24, 24)) AS s FROM n)
+        |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(toks, s + 1, s + 32)) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, s + 1, s + 32), ' ')) AS chunk_hash
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+    // elementwise mirror of Quantize: same float→double widenings, same
+    // round-half-away-from-zero on identical doubles, same clamp; cosine
+    // via the sequential-fold list_reduce mirror
+    "q_embedding_quantize" ->
+      s"""WITH t AS (SELECT vec_id, embedding AS e,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+         |  FROM embeddings),
+         |q AS (SELECT vec_id, e, sc,
+         |    list_transform(e, x -> least(greatest(round(CAST(x AS DOUBLE) /
+         |      (CASE WHEN sc = 0 THEN 1.0 ELSE sc END)), -127.0), 127.0)) AS qv
+         |  FROM t),
+         |r AS (SELECT vec_id, e, sc, list_transform(qv, v -> v * sc) AS recon FROM q)
+         |SELECT vec_id, round(sc, 8) AS q_scale,
+         |  round(list_max(list_transform(range(1, len(e) + 1),
+         |    i -> abs(recon[i] - CAST(e[i] AS DOUBLE)))), 8) AS max_abs_err,
+         |  round(${cosSql("e", "recon")}, 4) AS cos_fidelity
+         |FROM r ORDER BY vec_id""".stripMargin,
+    // bound contract (Mixing scaladoc): floor of the left-associated IEEE
+    // double product/quotient, mirrored verbatim
+    "q_balanced_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(n) AS nmin FROM c),
+        |b AS (SELECT lang, FLOOR(16777216.0 * nmin / n) AS bound FROM c, m)
+        |SELECT d.lang, d.doc_id
+        |FROM documents d JOIN b USING (lang)
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < bound
+        |ORDER BY lang, doc_id""".stripMargin,
+    "q_target_mix" ->
+      """WITH w AS (SELECT * FROM (VALUES
+        |    ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+        |    ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+        |    ('zh', CAST(0.05 AS DOUBLE))) AS t(lang, wt)),
+        |c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |cw AS (SELECT c.lang, n, wt FROM c JOIN w USING (lang)),
+        |tm AS (SELECT MIN(n / wt) AS t FROM cw),
+        |b AS (SELECT lang, FLOOR(16777216.0 * wt * t / n) AS bound FROM cw, tm)
+        |SELECT d.lang, COUNT(*) AS n_kept, MIN(d.doc_id) AS first_doc
+        |FROM documents d JOIN b USING (lang)
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < bound
+        |GROUP BY d.lang ORDER BY lang""".stripMargin
   )
 }

@@ -1,0 +1,63 @@
+package graft.operators.sample
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic training-mix construction: downsample groups (source,
+  * language, domain …) to hit a target composition. The per-group keep
+  * rates derive from distributed group counts — never a driver-side
+  * collect — and each row's keep/drop decision is a pure function of its
+  * key (the same 24-bit md5 uniform [[Sampling]] uses), so the mix is
+  * reproducible across runs, cluster sizes and engines.
+  *
+  * Scale shape: one slim groupBy(count) over the corpus (group-cardinality
+  * sized output), the per-group integer bounds broadcast back, and the
+  * keep decision evaluated map-side at the scan — the corpus itself is
+  * never shuffled. Bound contract (mirrors [[Sampling.assignSplit]]):
+  * a row is kept iff `u24 < floor(2^24 · rate)` where the floor is taken
+  * over the IEEE-double product/quotient written below, left-associated —
+  * an engine re-deriving bounds must evaluate the same expression shape.
+  */
+object Mixing {
+
+  private def u24(keyCol: String) =
+    conv(substring(md5(col(keyCol).cast("string")), 1, 6), 16, 10).cast("long")
+
+  /** Downsample every group to (in expectation) the size of the smallest
+    * group — the balanced mix. The smallest group's bound is exactly 2^24,
+    * so it is kept in full (deterministically, not just in expectation).
+    */
+  def balancedSample(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val bounds = counts.crossJoin(broadcast(nmin))
+      .select(col(groupCol), floor(lit(16777216.0) * col("__nmin") / col("__n")).as("__bound"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .where(u24(keyCol) < col("__bound"))
+      .drop("__bound")
+  }
+
+  /** Downsample to target composition `weights` (shares summing to ~1),
+    * keeping as many rows as possible: the largest feasible total is
+    * `T = min_g(n_g / w_g)` and each group keeps `rate_g = w_g · T / n_g`
+    * (the binding group keeps everything). Groups absent from `weights`
+    * are dropped — an explicit zero share.
+    */
+  def targetMix(df: DataFrame, keyCol: String, groupCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive shares, got $weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(groupCol, "__w")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val cw = counts.join(broadcast(w), Seq(groupCol))
+    val t = cw.agg(min(col("__n") / col("__w")).as("__t"))
+    val bounds = cw.crossJoin(broadcast(t))
+      .select(col(groupCol),
+        floor(lit(16777216.0) * col("__w") * col("__t") / col("__n")).as("__bound"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .where(u24(keyCol) < col("__bound"))
+      .drop("__bound")
+  }
+}
