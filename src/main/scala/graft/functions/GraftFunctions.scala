@@ -700,6 +700,92 @@ case class RollingFingerprint(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Z-order (Morton) value over k numeric columns. Each input is range-
+  * bucketed against its driver-computed boundary set (binary search over
+  * `2^bits - 1` sorted boundaries, typically approx-quantiles so skewed
+  * columns still spread over all buckets), and the k bucket indices are
+  * bit-interleaved into one long. Rows close in z-value are close in
+  * EVERY input column, so files written in z order carry tight min/max
+  * parquet stats on all of them — the multi-column file-pruning layout.
+  *
+  * One tight loop per row, fully codegen'd; the boundary table rides
+  * along as a reference object like [[NearestCentroid]]'s centroids.
+  * Null (and NaN) inputs deterministically land in bucket 0. Output is
+  * never null.
+  */
+case class ZValue(children: Seq[Expression], boundaries: Seq[Seq[Double]])
+    extends Expression {
+  private val k = children.length
+  private val m = boundaries.head.length
+  private val bits = 63 - java.lang.Long.numberOfLeadingZeros(m + 1L)
+  require(k >= 1 && boundaries.length == k, s"need one boundary set per child, got $k/${boundaries.length}")
+  require(m >= 1 && (m + 1 & m) == 0, s"boundary count must be 2^bits - 1, got $m")
+  require(boundaries.forall(_.length == m), "all boundary sets must be the same length")
+  require(bits * k <= 63, s"bits($bits) * cols($k) must fit a long")
+  private val flat: Array[Double] = boundaries.flatten.toArray
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  private def bucket(off: Int, v: Double): Int = {
+    var lo = 0; var hi = m
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (v > flat(off + mid)) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    var z = 0L
+    var j = 0
+    while (j < k) {
+      val v = children(j).eval(input)
+      val b = if (v == null) 0 else bucket(j * m, v.asInstanceOf[Double])
+      var i = 0
+      while (i < bits) { z |= ((b >> i) & 1L) << (i * k + j); i += 1 }
+      j += 1
+    }
+    z
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val flatRef = ctx.addReferenceObj("zBoundaries", flat, "double[]")
+    val parts = children.zipWithIndex.map { case (c, j) =>
+      val g = c.genCode(ctx)
+      val b = ctx.freshName("b"); val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid"); val v = ctx.freshName("v"); val i = ctx.freshName("i")
+      s"""
+         |${g.code}
+         |int $b = 0;
+         |if (!${g.isNull}) {
+         |  double $v = ${g.value};
+         |  int $lo = 0; int $hi = $m;
+         |  while ($lo < $hi) {
+         |    int $mid = ($lo + $hi) >>> 1;
+         |    if ($v > $flatRef[${j * m} + $mid]) { $lo = $mid + 1; } else { $hi = $mid; }
+         |  }
+         |  $b = $lo;
+         |}
+         |for (int $i = 0; $i < $bits; $i++) {
+         |  ${ev.value} |= ((long) (($b >> $i) & 1)) << ($i * $k + $j);
+         |}
+       """.stripMargin
+    }.mkString("\n")
+    ev.copy(
+      code = code"""
+        |long ${ev.value} = 0L;
+        |$parts
+        |""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 /** Column-API entry points; registration makes them usable both from SQL and
   * via `call_function` (avoiding any private Column constructors).
   */
@@ -750,6 +836,11 @@ object GraftFunctions {
   def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
     org.apache.spark.sql.GraftPlanBridge.column(
       NearestCentroid(org.apache.spark.sql.GraftPlanBridge.expression(vec), centroids))
+
+  /** Morton code of k DOUBLE columns against per-column boundary sets. */
+  def zvalue(cols: Seq[Column], boundaries: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      ZValue(cols.map(c => org.apache.spark.sql.GraftPlanBridge.expression(c)), boundaries))
 
   /** The n nearest cell ids, best first (IVF query probes). */
   def nearestCells(vec: Column, centroids: Seq[Seq[Double]], n: Int): Column =
