@@ -182,6 +182,10 @@ object IvfKNN {
   def save(index: Index, path: String): Unit = {
     index.assigned.write.mode("overwrite").partitionBy("cell_id")
       .parquet(s"$path/assigned")
+    writeCentroids(index, path)
+  }
+
+  private def writeCentroids(index: Index, path: String): Unit = {
     val spark = index.assigned.sparkSession
     spark.createDataFrame(
       index.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) })
@@ -239,6 +243,32 @@ object IvfKNN {
     Index(readCentroids(spark, path), spark.read.parquet(s"$path/assigned")
       .withColumn("cell_id", col("cell_id").cast("long")))
   }
+
+  /** [[save]] with the vectors int8-quantized ([[Quantize]]): the durable
+    * index artifact shrinks ~4x — at 100 TB that is 4x more of each probed
+    * cell in page cache and 4x less IO per query batch, for a bounded,
+    * spec-measured recall cost. Cell assignments are computed on the FULL-
+    * precision vectors before quantization, so cell membership is
+    * identical to [[save]]'s; only in-cell scoring sees quantized data.
+    */
+  def saveQuantized(index: Index, path: String): Unit = {
+    index.assigned
+      .withColumn("__qs", Quantize.scaleOf(col("__cv")))
+      .withColumn("__qv", Quantize.quantizeVec(col("__cv"), col("__qs")))
+      .drop("__cv")
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/assigned_q")
+    writeCentroids(index, path)
+  }
+
+  /** Loads a [[saveQuantized]] index. Dequantization is lazy — a transform
+    * at the scan — so [[search]] plans (partition pruning included) are
+    * byte-identical in shape to the float path's.
+    */
+  def loadQuantized(spark: org.apache.spark.sql.SparkSession, path: String): Index =
+    Index(readCentroids(spark, path), spark.read.parquet(s"$path/assigned_q")
+      .withColumn("cell_id", col("cell_id").cast("long"))
+      .withColumn("__cv", Quantize.dequantizeVec(col("__qv"), col("__qs")))
+      .drop("__qv", "__qs"))
 
   /** Approximate top-k: queries probe their `nProbe` nearest cells and
     * score only vectors assigned there. Builds a throwaway index; use

@@ -28,7 +28,10 @@ object Mixing {
     * so it is kept in full (deterministically, not just in expectation).
     */
   def balancedSample(df: DataFrame, keyCol: String, groupCol: String): DataFrame = {
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // materialize the group-cardinality-sized counts once: both consumers
+    // (per-group bounds, global min) would otherwise re-run the corpus
+    // count scan — plan-audited, the two agg subtrees don't share a stage
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n")).localCheckpoint(true)
     val nmin = counts.agg(min(col("__n")).as("__nmin"))
     val bounds = counts.crossJoin(broadcast(nmin))
       .select(col(groupCol), floor(lit(16777216.0) * col("__nmin") / col("__n")).as("__bound"))
@@ -50,7 +53,8 @@ object Mixing {
     val spark = df.sparkSession
     import spark.implicits._
     val w = weights.toDF(groupCol, "__w")
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // materialized once for the same two-consumer reason as balancedSample
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n")).localCheckpoint(true)
     val cw = counts.join(broadcast(w), Seq(groupCol))
     val t = cw.agg(min(col("__n") / col("__w")).as("__t"))
     val bounds = cw.crossJoin(broadcast(t))

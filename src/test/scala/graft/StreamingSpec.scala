@@ -60,6 +60,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("token chunking runs unchanged on a stream (stateless generator)") {
+    // posexplode is stateless per row, so the chunker is streaming-safe
+    // as-is: the ingestion pipeline can chunk documents into training
+    // windows at arrival time, no batch rewrite
+    val docsDir = Files.createTempDirectory("graft_chunk").toFile
+    docsDir.deleteOnExit()
+    Snapshot(spark, sf()).documents.write.mode("overwrite").parquet(docsDir.getAbsolutePath)
+    val batchDf = spark.read.parquet(docsDir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema).parquet(docsDir.getAbsolutePath)
+    val q = graft.operators.text.Chunking.chunkByTokens(stream, "doc_id", "text", 32, 8)
+      .writeStream.outputMode("append").format("memory").queryName("ck").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ck").select("doc_id", "chunk_idx", "chunk_text")
+        .as[(Long, Long, String)].collect().toSet
+      val want = graft.operators.text.Chunking.chunkByTokens(batchDf, "doc_id", "text", 32, 8)
+        .select("doc_id", "chunk_idx", "chunk_text")
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches events with dimension rows") {
     // stream-static joins need no watermark/state on the static side —
     // the standard shape for enriching a 100 TB event stream with dims
