@@ -691,7 +691,25 @@ object SparkEntry {
         .targetMix(snap(s, dir).documents, "doc_id", "lang", MixWeights)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+    "q_chunk_packing" -> ((s, dir) => {
+      // the full corpus→training-shards pipeline in ONE composed plan:
+      // chunk documents into 64-token windows (stateless generator),
+      // then pack the chunks into 2048-token shards (distributed
+      // exclusive prefix sum) — generator output feeds the range
+      // partitioner directly, nothing materializes in between
+      val chunks = graft.operators.text.Chunking
+        .chunkByTokens(snap(s, dir).documents, "doc_id", "text", 64)
+        .select(
+          concat(col("doc_id").cast("string"), lit("_"),
+            col("chunk_idx").cast("string")).as("chunk_key"),
+          col("n_chunk_tokens"))
+      graft.operators.sample.Packing
+        .assignShards(chunks, "chunk_key", col("n_chunk_tokens"), 2048L)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("shard_id")
+    })
   )
 
   /** Target lang shares for q_target_mix — deliberately uneven so every
@@ -1380,6 +1398,26 @@ object SparkEntry {
         |SELECT d.lang, COUNT(*) AS n_kept, MIN(d.doc_id) AS first_doc
         |FROM documents d JOIN b USING (lang)
         |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < bound
-        |GROUP BY d.lang ORDER BY lang""".stripMargin
+        |GROUP BY d.lang ORDER BY lang""".stripMargin,
+    // chunking mirror (64/0) feeding the q_token_packing window mirror —
+    // the window is the ORACLE formulation only; Spark runs the
+    // distributed prefix sum
+    "q_chunk_packing" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, toks,
+        |        GREATEST(1, CAST(FLOOR(CAST(len(toks) + 63 AS DOUBLE) / 64.0) AS INTEGER)) AS nc
+        |      FROM t),
+        |u AS (SELECT doc_id, toks, unnest(generate_series(0, (nc - 1) * 64, 64)) AS s FROM n),
+        |c AS (SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(s // 64 AS VARCHAR) AS chunk_key,
+        |        CAST(len(list_slice(toks, s + 1, s + 64)) AS BIGINT) AS n_tokens
+        |      FROM u),
+        |p AS (SELECT chunk_key, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY md5(chunk_key), chunk_key ROWS UNBOUNDED PRECEDING)
+        |          - n_tokens AS prefix
+        |      FROM c)
+        |SELECT CAST(FLOOR(prefix / 2048.0) AS BIGINT) AS shard_id,
+        |  COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin
   )
 }

@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: one slim groupBy(count) over the corpus (group-cardinality
   * sized output), the per-group integer bounds broadcast back, and the
   * keep decision evaluated map-side at the scan — the corpus itself is
-  * never shuffled. Bound contract (mirrors [[Sampling.assignSplit]]):
+  * never shuffled. Rows with a NULL group are DROPPED (a null group has
+  * no share in any mix; tag unknowns with a sentinel group first to keep
+  * them). Bound contract (mirrors [[Sampling.assignSplit]]):
   * a row is kept iff `u24 < floor(2^24 · rate)` where the floor is taken
   * over the IEEE-double product/quotient written below, left-associated —
   * an engine re-deriving bounds must evaluate the same expression shape.

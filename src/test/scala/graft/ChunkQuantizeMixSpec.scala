@@ -141,6 +141,16 @@ class ChunkQuantizeMixSpec extends SparkSpecBase {
     assert(again == kept.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("mix samplers drop null-group rows (documented contract)") {
+    val d = Seq((1L, "en"), (2L, null), (3L, "en"), (4L, "de"))
+      .toDF("doc_id", "lang")
+    val bal = Mixing.balancedSample(d, "doc_id", "lang").select("doc_id").as[Long].collect()
+    assert(!bal.contains(2L))
+    val tgt = Mixing.targetMix(d, "doc_id", "lang", Seq("en" -> 0.5, "de" -> 0.5))
+      .select("doc_id").as[Long].collect()
+    assert(!tgt.contains(2L))
+  }
+
   test("target mix hits declared shares and drops unweighted groups") {
     val d = Snapshot(spark, sf()).documents
     val kept = Mixing.targetMix(d, "doc_id", "lang", Seq("en" -> 0.7, "de" -> 0.3))
