@@ -21,9 +21,10 @@ import org.apache.spark.sql.DataFrame
 object ChartRender {
 
   /** matplotlib's default ("tab10") categorical palette — public knowledge,
-    * used so output reads like the reference's charts.
+    * used so output reads like the reference's charts. Package-visible so
+    * pixel specs count exactly the colors the renderer draws.
     */
-  private val Palette: Array[Color] = Array(
+  private[graft] val Palette: Array[Color] = Array(
     new Color(31, 119, 180), new Color(255, 127, 14), new Color(44, 160, 44),
     new Color(214, 39, 40), new Color(148, 103, 189), new Color(140, 86, 75),
     new Color(227, 119, 194), new Color(127, 127, 127), new Color(188, 189, 34),

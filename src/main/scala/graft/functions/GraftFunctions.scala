@@ -727,6 +727,20 @@ case class ZValue(children: Seq[Expression], boundaries: Seq[Seq[Double]])
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
 
+  // resolved-time check: restrict to types whose codegen value is a Java
+  // primitive, so the interpreted widening below and codegen's `(double)`
+  // cast can never diverge (a DecimalType child would codegen an object
+  // cast that does not compile — cast decimals to double first)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = children.forall(_.dataType match {
+      case DoubleType | FloatType | LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "zvalue inputs must be non-decimal numeric — cast to double first")
+  }
+
   private def bucket(off: Int, v: Double): Int = {
     var lo = 0; var hi = m
     while (lo < hi) {
@@ -740,7 +754,16 @@ case class ZValue(children: Seq[Expression], boundaries: Seq[Seq[Double]])
     var z = 0L
     var j = 0
     while (j < k) {
-      val v = children(j).eval(input)
+      val v = children(j).eval(input) match {
+        case null       => null
+        case d: Double  => d
+        case f: Float   => f.toDouble
+        case l: Long    => l.toDouble
+        case i: Int     => i.toDouble
+        case s: Short   => s.toDouble
+        case b: Byte    => b.toDouble
+        case other => throw new IllegalArgumentException(s"unsupported zvalue input $other")
+      }
       val b = if (v == null) 0 else bucket(j * m, v.asInstanceOf[Double])
       var i = 0
       while (i < bits) { z |= ((b >> i) & 1L) << (i * k + j); i += 1 }
@@ -761,7 +784,7 @@ case class ZValue(children: Seq[Expression], boundaries: Seq[Seq[Double]])
          |${g.code}
          |int $b = 0;
          |if (!${g.isNull}) {
-         |  double $v = ${g.value};
+         |  double $v = (double) ${g.value};
          |  int $lo = 0; int $hi = $m;
          |  while ($lo < $hi) {
          |    int $mid = ($lo + $hi) >>> 1;

@@ -230,11 +230,28 @@ object IvfKNN {
     require(badDim == 0L,
       s"appendToSaved: batch contains vectors whose dimension != $dim " +
         s"(the saved quantizer's) — rebuild the index or fix the batch")
-    assign(
+    // append to every representation that exists — a saveQuantized-only
+    // index must not silently grow an unread float directory (the appended
+    // vectors would be invisible to loadQuantized searches)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def exists(sub: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      p.getFileSystem(hconf).exists(p)
+    }
+    val (hasFloat, hasQ) = (exists("assigned"), exists("assigned_q"))
+    require(hasFloat || hasQ, s"appendToSaved: no index artifact under $path")
+    val assigned = assign(
       newRows.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
       "__cv", cents)
       .where(col("cell_id").isNotNull)
-      .write.mode("append").partitionBy("cell_id").parquet(s"$path/assigned")
+    if (hasFloat)
+      assigned.write.mode("append").partitionBy("cell_id").parquet(s"$path/assigned")
+    if (hasQ)
+      assigned
+        .withColumn("__qs", Quantize.scaleOf(col("__cv")))
+        .withColumn("__qv", Quantize.quantizeVec(col("__cv"), col("__qs")))
+        .drop("__cv")
+        .write.mode("append").partitionBy("cell_id").parquet(s"$path/assigned_q")
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {

@@ -49,18 +49,27 @@ object BloomJoin {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
     // the aggregate Math.min-clamps BOTH sizing inputs against session
-    // confs (bits -> 8 MB, items -> 4M by default); raise them so the
-    // sketch the caller sized is the sketch they get
+    // confs (bits -> 8 MB, items -> 4M by default); raise them for the
+    // duration of THIS build only and restore after — a permanently
+    // ratcheted cap would also let Spark's own AQE runtime-filter
+    // injection build oversized blooms in unrelated joins. (The swap is
+    // not atomic w.r.t. other threads planning queries on this session;
+    // concurrent builders should size via a dedicated session.)
+    val conf = keys.sparkSession.conf
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    if (keys.sparkSession.conf.get(bitsKey).toLong < numBits)
-      keys.sparkSession.conf.set(bitsKey, numBits.toString)
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    if (keys.sparkSession.conf.get(itemsKey).toLong < expectedItems)
-      keys.sparkSession.conf.set(itemsKey, expectedItems.toString)
-    val agg = new BloomFilterAggregate(
-      GraftPlanBridge.expression(xxhash64(col(keyCol))),
-      CatalystLiteral(expectedItems), CatalystLiteral(numBits)).toAggregateExpression()
-    keys.select(GraftPlanBridge.column(agg).as("bloom")).head().getAs[Array[Byte]](0)
+    val (oldBits, oldItems) = (conf.get(bitsKey), conf.get(itemsKey))
+    try {
+      if (oldBits.toLong < numBits) conf.set(bitsKey, numBits.toString)
+      if (oldItems.toLong < expectedItems) conf.set(itemsKey, expectedItems.toString)
+      val agg = new BloomFilterAggregate(
+        GraftPlanBridge.expression(xxhash64(col(keyCol))),
+        CatalystLiteral(expectedItems), CatalystLiteral(numBits)).toAggregateExpression()
+      keys.select(GraftPlanBridge.column(agg).as("bloom")).head().getAs[Array[Byte]](0)
+    } finally {
+      conf.set(bitsKey, oldBits)
+      conf.set(itemsKey, oldItems)
+    }
   }
 
   /** Probe column: true when `keyCol`'s hash might be in the bloom.

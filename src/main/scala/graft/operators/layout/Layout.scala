@@ -82,10 +82,18 @@ object Layout {
       outDir: String,
       targetFileBytes: Long = 128L << 20): Unit = {
     require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
-    require(new java.io.File(inDir).getCanonicalPath != new java.io.File(outDir).getCanonicalPath,
-      "compact never rewrites in place — write to a new directory and swap")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // in-place guard must compare FS-resolved qualified paths: java.io.File
+    // canonicalization would treat "file:///t" and "/t" (or an hdfs path
+    // and its default-FS spelling) as different, and the overwrite would
+    // delete the directory the lazy read is about to scan
+    def qualified(p: String) = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(hconf).makeQualified(path)
+    }
+    require(qualified(inDir) != qualified(outDir),
+      s"compact never rewrites in place (${qualified(inDir)}) — write to a new directory and swap")
+    val fs = qualified(inDir).getFileSystem(hconf)
     val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inDir)).getLength
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read.parquet(inDir).repartition(nFiles).write.mode("overwrite").parquet(outDir)

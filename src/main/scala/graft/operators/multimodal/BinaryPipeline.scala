@@ -364,9 +364,13 @@ object BinaryPipeline {
           // fails): a PCM container cannot hold more frames than its
           // actual payload bytes / source frame size, so bound the
           // buffer by what the bytes could possibly contain
+          // a forged blockAlign of 0 makes getFrameSize non-positive — the
+          // fallback must STILL be payload-derived (one byte per frame is
+          // the most pessimistic PCM framing), never the caller's
+          // maxFrames, or the forged-header allocation reopens
           val srcBound =
             if (src.getFrameSize > 0) bytes.length.toLong / src.getFrameSize + 1
-            else maxFrames.toLong
+            else bytes.length.toLong + 1
           val toRead = Seq(
             maxFrames.toLong,
             if (declared < 0) maxFrames.toLong else declared,

@@ -52,6 +52,10 @@ object Mixing {
       weights: Seq[(String, Double)]): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       s"weights must be positive shares, got $weights")
+    // a duplicate key would fan out the bounds join and emit every kept
+    // row of that group once per duplicate — silent row duplication
+    require(weights.map(_._1).distinct.length == weights.length,
+      s"duplicate group keys in weights: ${weights.map(_._1)}")
     val spark = df.sparkSession
     import spark.implicits._
     val w = weights.toDF(groupCol, "__w")

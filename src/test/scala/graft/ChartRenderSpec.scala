@@ -100,17 +100,13 @@ class ChartRenderSpec extends SparkSpecBase {
     val df = rows.toDF("seg", "n")
     val img = decode(ChartRender.pieChartPng(df, "seg", "n", 400, 300))
     val blue = countColor(img, Blue) // dominant slice, palette(0)
-    // total colored pie pixels across the palette
-    val all = (0 until 10).map(i => ChartRenderSpecPalette(i)).map(countColor(img, _)).sum
+    // total colored pie pixels across the RENDERER'S palette — reuse it so
+    // a palette edit can never silently skew this denominator
+    val all = ChartRender.Palette
+      .map(c => countColor(img, c.getRGB & 0xFFFFFF)).sum
     val share = blue.toDouble / all
     assert(share > 0.8 && share < 0.98, s"dominant share $share, want ~0.9")
   }
-
-  private val ChartRenderSpecPalette = Array(
-    31 << 16 | 119 << 8 | 180, 255 << 16 | 127 << 8 | 14, 44 << 16 | 160 << 8 | 44,
-    214 << 16 | 39 << 8 | 40, 148 << 16 | 103 << 8 | 189, 140 << 16 | 86 << 8 | 75,
-    227 << 16 | 119 << 8 | 194, 127 << 16 | 127 << 8 | 127, 188 << 16 | 189 << 8 | 34,
-    23 << 16 | 190 << 8 | 207)
 
   test("empty and non-numeric inputs fail loudly, not with a blank chart") {
     val empty = Seq.empty[(String, Double)].toDF("k", "v")

@@ -120,6 +120,14 @@ class ChunkQuantizeMixSpec extends SparkSpecBase {
     // only in-cell similarity sees quantized vectors
     val recall = f32.intersect(i8).size.toDouble / f32.size
     assert(recall >= 0.9, s"recall $recall")
+
+    // appended batches must reach EVERY stored representation — a
+    // quantized index silently losing appends would be a recall leak
+    val extra = e.where(col("vec_id") < 5).withColumn("vec_id", col("vec_id") + 100000L)
+    IvfKNN.appendToSaved(spark, dir, extra, "vec_id", "embedding")
+    val nF = IvfKNN.load(spark, dir).assigned.where(col("neighbor_id") >= 100000L).count()
+    val nQ = IvfKNN.loadQuantized(spark, dir).assigned.where(col("neighbor_id") >= 100000L).count()
+    assert(nF == 5L && nQ == 5L, s"float $nF quantized $nQ")
   }
 
   // ----------------------------------------------------------------- mixing

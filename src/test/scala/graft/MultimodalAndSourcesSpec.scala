@@ -186,6 +186,19 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     out.foreach(r => assert(r.getLong(3) < 1000L, s"out_frames ${r.getLong(3)}"))
   }
 
+  test("audio decode survives a forged zero blockAlign (fallback stays payload-bounded)") {
+    // getFrameSize <= 0 must fall back to a payload-derived bound, not the
+    // caller's maxFrames — otherwise the forged-header allocation reopens
+    val wav = makeWav(8000f, 1, 0.01, 100.0, 0.5)
+    val forged = wav.clone()
+    forged(32) = 0; forged(33) = 0 // fmt-chunk blockAlign = 0
+    val rows = Seq((1L, forged)).toDF("doc_id", "payload")
+    val meta = BinaryPipeline.decodeAudio(rows, "doc_id", "payload").collect()
+    assert(meta.length == 1) // completed without OOM (decoded or "unknown")
+    val out = BinaryPipeline.resampleAudio(rows, "doc_id", "payload", 4000).collect()
+    out.foreach(r => assert(r.getLong(3) < 1000L, s"out_frames ${r.getLong(3)}"))
+  }
+
   test("GraftExtensions injects the planner strategy") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e)
