@@ -399,8 +399,9 @@ object BinaryPipeline {
   final case class Frame(doc_id: Long, frame_idx: Long, frame_sha: String)
 
   /** Frame sampling for video-like binaries: every `stride`-th frame of a
-    * deterministic fake frame count derived from the bytes. STUB: real
-    * demux/decode would produce the frame payloads in the same flatMap.
+    * deterministic fake frame count derived from the bytes. STUB seam for
+    * containers the JDK cannot parse (mp4/mkv need external demuxers);
+    * AVI/MJPEG demux is REAL — see [[sampleAviFrames]].
     */
   def sampleFramesStub(df: DataFrame, idCol: String, binCol: String, stride: Long): Dataset[Frame] = {
     val spark = df.sparkSession
@@ -415,6 +416,93 @@ object BinaryPipeline {
           digest.update(bytes)
           digest.update(java.nio.ByteBuffer.allocate(8).putLong(i).array())
           Frame(id, i, digest.digest().take(8).map("%02x".format(_)).mkString)
+        }
+      }
+  }
+
+  // ------------------------------------------------------------ video (REAL)
+
+  /** RIFF/AVI MJPEG demux, pure JDK. An AVI file is a RIFF tree; the
+    * `movi` LIST holds the frame stream as `NNdc`/`NNdb` chunks whose
+    * payloads, for MJPEG, are ordinary JPEG images — which `readImage`
+    * already decodes. Every offset/size here is UNTRUSTED input: chunk
+    * sizes are clamped to the enclosing range (a forged multi-GB size
+    * cannot allocate — slices are bounded by the actual payload), and
+    * frame collection stops at `maxFrames`.
+    */
+  private[graft] def demuxAviFrames(bytes: Array[Byte], maxFrames: Int): Vector[Array[Byte]] = {
+    def cc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xFFL) | (bytes(off + 1) & 0xFFL) << 8 |
+        (bytes(off + 2) & 0xFFL) << 16 | (bytes(off + 3) & 0xFFL) << 24
+    val out = Vector.newBuilder[Array[Byte]]
+    var n = 0
+    def scan(start: Int, end: Int, inMovi: Boolean, depth: Int): Unit = {
+      var off = start
+      while (off + 8 <= end && n < maxFrames) {
+        val id = cc(off)
+        val declared = u32(off + 4)
+        val payloadStart = off + 8
+        // clamp the untrusted size to what the enclosing range can hold
+        val payloadEnd = math.min(payloadStart + math.min(declared, Int.MaxValue.toLong), end.toLong).toInt
+        if (payloadEnd < payloadStart) return
+        if (id == "RIFF" || id == "LIST") {
+          if (payloadEnd - payloadStart >= 4 && depth < 16) {
+            val listType = cc(payloadStart)
+            scan(payloadStart + 4, payloadEnd,
+              inMovi || listType == "movi" || listType == "rec ", depth + 1)
+          }
+        } else if (inMovi && id.length == 4 &&
+            (id.endsWith("dc") || id.endsWith("db")) && payloadEnd > payloadStart) {
+          out += java.util.Arrays.copyOfRange(bytes, payloadStart, payloadEnd)
+          n += 1
+        }
+        // chunks are padded to even length
+        val advance = (payloadEnd - payloadStart) + ((payloadEnd - payloadStart) & 1)
+        val next = payloadStart.toLong + math.max(1L, advance.toLong)
+        if (next <= off) return
+        off = math.min(next, end.toLong).toInt
+      }
+    }
+    if (bytes.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ")
+      scan(12, bytes.length, inMovi = false, depth = 0)
+    out.result()
+  }
+
+  final case class VideoFrame(doc_id: Long, frame_idx: Long,
+      width: Long, height: Long, frame_sha: String)
+
+  /** REAL frame sampling over AVI/MJPEG binaries: demux the RIFF `movi`
+    * stream, keep every `stride`-th frame, decode each kept JPEG payload
+    * (dims via the same subsampled ImageIO reader the image path uses)
+    * and fingerprint it. Non-AVI rows and undecodable frames drop — the
+    * same degrade-don't-fail contract as image/audio decode. Per-row
+    * frame collection is capped (`maxFramesPerDoc`) so a pathological
+    * container cannot balloon a task.
+    */
+  def sampleAviFrames(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      stride: Int,
+      maxFramesPerDoc: Int = 4096): Dataset[VideoFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(stride > 0, s"stride must be > 0, got $stride")
+    require(maxFramesPerDoc > 0, s"maxFramesPerDoc must be > 0, got $maxFramesPerDoc")
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val frames = demuxAviFrames(bytes, maxFramesPerDoc)
+          (0 until frames.length by stride).iterator.flatMap { i =>
+            readImage(frames(i), 64).map { case (_, w, h, _) =>
+              val sha = java.security.MessageDigest.getInstance("SHA-256")
+                .digest(frames(i)).take(8).map("%02x".format(_)).mkString
+              VideoFrame(id, i.toLong, w.toLong, h.toLong, sha)
+            }
+          }
         }
       }
   }

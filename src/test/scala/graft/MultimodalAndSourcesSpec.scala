@@ -199,6 +199,71 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     out.foreach(r => assert(r.getLong(3) < 1000L, s"out_frames ${r.getLong(3)}"))
   }
 
+  /** Minimal valid AVI/MJPEG: RIFF(AVI ) → LIST(hdrl with an empty avih)
+    * → LIST(movi) holding each JPEG as a 00dc chunk (even-padded).
+    */
+  private def makeAvi(jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def u32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, (v >> 8 & 0xFF).toByte, (v >> 16 & 0xFF).toByte, (v >> 24 & 0xFF).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(id) ++ u32(payload.length) ++ payload ++ pad
+    }
+    def list(listType: String, payload: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ u32(payload.length + 4) ++ cc(listType) ++ payload
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi", jpegFrames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = cc("AVI ") ++ hdrl ++ movi
+    bo.write(cc("RIFF")); bo.write(u32(body.length)); bo.write(body)
+    bo.toByteArray
+  }
+
+  test("REAL AVI/MJPEG demux: strided frames decode with true dims and payload identity") {
+    val jpegs = (0 until 10).map(i => makeImage(32 + i, 24, 0x112233 * (i + 1), "jpg"))
+    val avi = makeAvi(jpegs)
+    val rows = Seq((7L, avi)).toDF("doc_id", "payload")
+    val got = BinaryPipeline.sampleAviFrames(rows, "doc_id", "payload", stride = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(got.map(_.width).toSeq == Seq(32L, 35L, 38L, 41L))
+    assert(got.forall(_.height == 24L))
+    // frame fingerprints are of the demuxed payloads, i.e. the exact JPEGs
+    val wantSha = Seq(0, 3, 6, 9).map(i => java.security.MessageDigest
+      .getInstance("SHA-256").digest(jpegs(i)).take(8).map("%02x".format(_)).mkString)
+    assert(got.map(_.frame_sha).toSeq == wantSha)
+  }
+
+  test("AVI demux degrades on garbage, truncation, and forged chunk sizes") {
+    val jpegs = (0 until 4).map(i => makeImage(16, 16, 0x00FF00 + i, "jpg"))
+    val avi = makeAvi(jpegs)
+    // non-AVI bytes -> no frames
+    assert(BinaryPipeline.demuxAviFrames("not a riff file at all".getBytes, 100).isEmpty)
+    // truncated mid-stream -> parses the frames that fit, never throws
+    val truncated = avi.take(avi.length / 2)
+    val some = BinaryPipeline.demuxAviFrames(truncated, 100)
+    assert(some.length < 4)
+    // forge the first frame chunk's size to ~2^31: the clamp bounds the
+    // slice to the real payload — no allocation from the header
+    val forged = avi.clone()
+    val moviIdx = {
+      var i = 12; var found = -1
+      while (found < 0 && i < forged.length - 8) {
+        if (new String(forged, i, 4, "US-ASCII") == "00dc") found = i else i += 1
+      }
+      found
+    }
+    assert(moviIdx > 0)
+    forged(moviIdx + 4) = 0xF0.toByte; forged(moviIdx + 5) = 0xFF.toByte
+    forged(moviIdx + 6) = 0xFF.toByte; forged(moviIdx + 7) = 0x7F.toByte
+    val bounded = BinaryPipeline.demuxAviFrames(forged, 100)
+    // the forged chunk swallows the rest of movi (clamped), so at most one
+    // oversized frame comes back — and nothing allocated beyond the file
+    assert(bounded.length <= 1)
+    assert(bounded.forall(_.length <= forged.length))
+  }
+
   test("GraftExtensions injects the planner strategy") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e)
