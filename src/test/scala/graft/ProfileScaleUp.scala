@@ -53,6 +53,39 @@ object ProfileScaleUp {
         .assignShards(docs.where(col("text").isNotNull), "doc_id",
           size(split(col("text"), " ")), 4096L)
         .groupBy("shard_id").agg(count(lit(1)).as("n"))))
+    time("token chunking")(
+      force(graft.operators.text.Chunking
+        .chunkByTokens(docs, "doc_id", "text", 32, 8)
+        .groupBy().agg(count(lit(1)).as("n"), sum("n_chunk_tokens").as("t"))))
+    time("chunk->pack composition")(
+      force {
+        val chunks = graft.operators.text.Chunking
+          .chunkByTokens(docs, "doc_id", "text", 64)
+          .select(concat(col("doc_id").cast("string"), lit("_"),
+            col("chunk_idx").cast("string")).as("ck"), col("n_chunk_tokens"))
+        graft.operators.sample.Packing
+          .assignShards(chunks, "ck", col("n_chunk_tokens"), 2048L)
+          .groupBy("shard_id").agg(count(lit(1)).as("n"))
+      })
+    time("balanced mix")(
+      force(graft.operators.sample.Mixing.balancedSample(docs, "doc_id", "lang")
+        .groupBy("lang").agg(count(lit(1)).as("n"))))
+    // embeddings scale-up: amplify in memory (vectors unchanged — the
+    // quantize path is elementwise, only row count matters)
+    val emb0 = sn.embeddings
+    val emb = (0 until factor)
+      .map(i => emb0.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+      .reduce(_ unionAll _)
+    time("int8 quantize fidelity")(
+      force(graft.operators.ann.Quantize.fidelity(emb, "vec_id", "embedding")
+        .groupBy().agg(count(lit(1)).as("n"), min("cos_fidelity").as("worst"))))
+    time("z-order (2 cols)")(
+      force {
+        val z = graft.operators.layout.Layout
+          .zOrder(orders.select(col("o_totalprice"), col("o_custkey")),
+            Seq("o_totalprice", "o_custkey"), nPartitions = 32)
+        z.groupBy().agg(count(lit(1)).as("n"))
+      })
     spark.stop()
   }
 }
