@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * needed. AUDIO decode and resample are REAL too — `javax.sound.sampled`
   * parses WAV/AIFF/AU PCM out of the box, so [[decodeAudio]] /
   * [[resampleAudio]] read actual samples (compressed codecs like MP3/AAC
-  * would need external libs and degrade to "unknown"). Only VIDEO demux
-  * remains STUBBED (no container/codec libraries in this image):
-  * `sampleFramesStub` keeps the batched partition-wise shape with a
-  * deterministic fake exactly where a JNI/FFmpeg call would sit.
+  * would need external libs and degrade to "unknown"). VIDEO demux is
+  * REAL for AVI/MJPEG — [[sampleAviFrames]] parses the RIFF tree by hand
+  * and decodes JPEG frame payloads through the image reader; containers
+  * the JDK cannot parse (mp4/mkv) keep the `sampleFramesStub` seam with
+  * a deterministic fake exactly where a JNI/FFmpeg call would sit.
   */
 object BinaryPipeline {
 
@@ -407,7 +408,8 @@ object BinaryPipeline {
     val spark = df.sparkSession
     import spark.implicits._
     require(stride > 0)
-    df.select(col(idCol).cast("long"), col(binCol))
+    df.where(col(idCol).isNotNull && col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         val nFrames = 1L + bytes.length.toLong % 64L
@@ -425,22 +427,31 @@ object BinaryPipeline {
   /** RIFF/AVI MJPEG demux, pure JDK. An AVI file is a RIFF tree; the
     * `movi` LIST holds the frame stream as `NNdc`/`NNdb` chunks whose
     * payloads, for MJPEG, are ordinary JPEG images — which `readImage`
-    * already decodes. Every offset/size here is UNTRUSTED input: chunk
-    * sizes are clamped to the enclosing range (a forged multi-GB size
-    * cannot allocate — slices are bounded by the actual payload), and
-    * frame collection stops at `maxFrames`.
+    * already decodes. Scoped to stream `00` (the video stream in a
+    * standard AVI) so frame ordinals stay temporally meaningful when a
+    * file interleaves additional streams.
+    *
+    * Every offset/size here is UNTRUSTED input: chunk sizes are clamped
+    * to the enclosing range (a forged multi-GB size cannot allocate —
+    * slices are bounded by the actual payload). Striding happens HERE,
+    * against the whole stream: only every `stride`-th frame is copied
+    * (skipped and zero-length dropped frames advance the ordinal but
+    * cost nothing), and collection stops after `maxKept` kept frames.
+    * Returns (frame ordinal, payload) pairs.
     */
-  private[graft] def demuxAviFrames(bytes: Array[Byte], maxFrames: Int): Vector[Array[Byte]] = {
+  private[graft] def demuxAviFrames(
+      bytes: Array[Byte], stride: Int, maxKept: Int): Vector[(Long, Array[Byte])] = {
     def cc(off: Int): String =
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     def u32(off: Int): Long =
       (bytes(off) & 0xFFL) | (bytes(off + 1) & 0xFFL) << 8 |
         (bytes(off + 2) & 0xFFL) << 16 | (bytes(off + 3) & 0xFFL) << 24
-    val out = Vector.newBuilder[Array[Byte]]
-    var n = 0
+    val out = Vector.newBuilder[(Long, Array[Byte])]
+    var kept = 0
+    var ordinal = 0L
     def scan(start: Int, end: Int, inMovi: Boolean, depth: Int): Unit = {
       var off = start
-      while (off + 8 <= end && n < maxFrames) {
+      while (off + 8 <= end && kept < maxKept) {
         val id = cc(off)
         val declared = u32(off + 4)
         val payloadStart = off + 8
@@ -453,16 +464,19 @@ object BinaryPipeline {
             scan(payloadStart + 4, payloadEnd,
               inMovi || listType == "movi" || listType == "rec ", depth + 1)
           }
-        } else if (inMovi && id.length == 4 &&
-            (id.endsWith("dc") || id.endsWith("db")) && payloadEnd > payloadStart) {
-          out += java.util.Arrays.copyOfRange(bytes, payloadStart, payloadEnd)
-          n += 1
+        } else if (inMovi && (id == "00dc" || id == "00db")) {
+          // zero-length chunks are dropped frames: they advance the
+          // ordinal (temporal position) but carry nothing to decode
+          if (payloadEnd > payloadStart && ordinal % stride == 0) {
+            out += ((ordinal, java.util.Arrays.copyOfRange(bytes, payloadStart, payloadEnd)))
+            kept += 1
+          }
+          ordinal += 1
         }
-        // chunks are padded to even length
+        // chunks are padded to even length; payloadStart > off always, so
+        // a zero-length chunk still makes progress (off + 8)
         val advance = (payloadEnd - payloadStart) + ((payloadEnd - payloadStart) & 1)
-        val next = payloadStart.toLong + math.max(1L, advance.toLong)
-        if (next <= off) return
-        off = math.min(next, end.toLong).toInt
+        off = math.min(payloadStart.toLong + advance.toLong, end.toLong).toInt
       }
     }
     if (bytes.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ")
@@ -474,33 +488,36 @@ object BinaryPipeline {
       width: Long, height: Long, frame_sha: String)
 
   /** REAL frame sampling over AVI/MJPEG binaries: demux the RIFF `movi`
-    * stream, keep every `stride`-th frame, decode each kept JPEG payload
-    * (dims via the same subsampled ImageIO reader the image path uses)
-    * and fingerprint it. Non-AVI rows and undecodable frames drop — the
-    * same degrade-don't-fail contract as image/audio decode. Per-row
-    * frame collection is capped (`maxFramesPerDoc`) so a pathological
-    * container cannot balloon a task.
+    * stream (stream 00), keep every `stride`-th frame ACROSS THE WHOLE
+    * video (striding happens inside the demux — skipped frames are never
+    * copied, and a long video is sampled end to end, not just its head),
+    * decode each kept JPEG payload (dims via the same subsampled ImageIO
+    * reader the image path uses) and fingerprint it. Null/non-AVI rows
+    * and undecodable frames drop — the same degrade-don't-fail contract
+    * as image/audio decode. `frame_idx` is the frame's true ordinal in
+    * the stream. KEPT frames per row are capped (`maxKeptPerDoc`) so a
+    * pathological container cannot balloon a task.
     */
   def sampleAviFrames(
       df: DataFrame,
       idCol: String,
       binCol: String,
       stride: Int,
-      maxFramesPerDoc: Int = 4096): Dataset[VideoFrame] = {
+      maxKeptPerDoc: Int = 4096): Dataset[VideoFrame] = {
     val spark = df.sparkSession
     import spark.implicits._
     require(stride > 0, s"stride must be > 0, got $stride")
-    require(maxFramesPerDoc > 0, s"maxFramesPerDoc must be > 0, got $maxFramesPerDoc")
-    df.select(col(idCol).cast("long"), col(binCol))
+    require(maxKeptPerDoc > 0, s"maxKeptPerDoc must be > 0, got $maxKeptPerDoc")
+    df.where(col(idCol).isNotNull && col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          val frames = demuxAviFrames(bytes, maxFramesPerDoc)
-          (0 until frames.length by stride).iterator.flatMap { i =>
-            readImage(frames(i), 64).map { case (_, w, h, _) =>
+          demuxAviFrames(bytes, stride, maxKeptPerDoc).iterator.flatMap { case (ord, payload) =>
+            readImage(payload, 64).map { case (_, w, h, _) =>
               val sha = java.security.MessageDigest.getInstance("SHA-256")
-                .digest(frames(i)).take(8).map("%02x".format(_)).mkString
-              VideoFrame(id, i.toLong, w.toLong, h.toLong, sha)
+                .digest(payload).take(8).map("%02x".format(_)).mkString
+              VideoFrame(id, ord, w.toLong, h.toLong, sha)
             }
           }
         }

@@ -239,10 +239,10 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     val jpegs = (0 until 4).map(i => makeImage(16, 16, 0x00FF00 + i, "jpg"))
     val avi = makeAvi(jpegs)
     // non-AVI bytes -> no frames
-    assert(BinaryPipeline.demuxAviFrames("not a riff file at all".getBytes, 100).isEmpty)
+    assert(BinaryPipeline.demuxAviFrames("not a riff file at all".getBytes, 1, 100).isEmpty)
     // truncated mid-stream -> parses the frames that fit, never throws
     val truncated = avi.take(avi.length / 2)
-    val some = BinaryPipeline.demuxAviFrames(truncated, 100)
+    val some = BinaryPipeline.demuxAviFrames(truncated, 1, 100)
     assert(some.length < 4)
     // forge the first frame chunk's size to ~2^31: the clamp bounds the
     // slice to the real payload — no allocation from the header
@@ -257,11 +257,47 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     assert(moviIdx > 0)
     forged(moviIdx + 4) = 0xF0.toByte; forged(moviIdx + 5) = 0xFF.toByte
     forged(moviIdx + 6) = 0xFF.toByte; forged(moviIdx + 7) = 0x7F.toByte
-    val bounded = BinaryPipeline.demuxAviFrames(forged, 100)
+    val bounded = BinaryPipeline.demuxAviFrames(forged, 1, 100)
     // the forged chunk swallows the rest of movi (clamped), so at most one
     // oversized frame comes back — and nothing allocated beyond the file
     assert(bounded.length <= 1)
-    assert(bounded.forall(_.length <= forged.length))
+    assert(bounded.forall(_._2.length <= forged.length))
+  }
+
+  test("AVI demux: dropped frames advance ordinals, other streams ignored, null rows degrade") {
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def u32b(v: Int) = Array((v & 0xFF).toByte, (v >> 8 & 0xFF).toByte,
+      (v >> 16 & 0xFF).toByte, (v >> 24 & 0xFF).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(id) ++ u32b(payload.length) ++ payload ++ pad
+    }
+    val jpegs = (0 until 4).map(i => makeImage(16, 16, 0xAA0000 + i, "jpg"))
+    // stream 00: frame0, DROPPED (zero-length), frame1, audio-ish 01dc
+    // interloper, frame2, frame3
+    val moviPayload = cc("movi") ++ chunk("00dc", jpegs(0)) ++
+      chunk("00dc", Array.empty[Byte]) ++ chunk("00dc", jpegs(1)) ++
+      chunk("01dc", jpegs(2).take(40)) ++ chunk("00dc", jpegs(2)) ++ chunk("00dc", jpegs(3))
+    val movi = cc("LIST") ++ u32b(moviPayload.length) ++ moviPayload
+    val body = cc("AVI ") ++ movi
+    val avi = cc("RIFF") ++ u32b(body.length) ++ body
+    // parser must resync past the zero-length chunk: ALL 4 real frames of
+    // stream 00 come back; the 01dc chunk never appears; the dropped
+    // frame holds ordinal 1
+    val frames = BinaryPipeline.demuxAviFrames(avi, 1, 100)
+    assert(frames.map(_._1) == Vector(0L, 2L, 3L, 4L))
+    assert(frames.map(_._2.toSeq) == Vector(jpegs(0), jpegs(1), jpegs(2), jpegs(3)).map(_.toSeq))
+    // striding covers the whole stream, not just the first maxKept frames:
+    // stride 2 keeps ordinals 0,2,4 even with maxKept = 2 capping to 2
+    assert(BinaryPipeline.demuxAviFrames(avi, 2, 100).map(_._1) == Vector(0L, 2L, 4L))
+    assert(BinaryPipeline.demuxAviFrames(avi, 2, 2).map(_._1) == Vector(0L, 2L))
+    // null payload / null id rows drop instead of NPEing the task
+    val rows = Seq((1L, avi), (2L, null)).toDF("doc_id", "payload")
+      .union(Seq((Option.empty[Long], Option.empty[Array[Byte]])).toDF("doc_id", "payload"))
+    val got = BinaryPipeline.sampleAviFrames(rows, "doc_id", "payload", stride = 1).collect()
+    assert(got.nonEmpty && got.forall(_.doc_id == 1L))
+    val stub = BinaryPipeline.sampleFramesStub(rows, "doc_id", "payload", 7L).collect()
+    assert(stub.nonEmpty && stub.forall(_.doc_id == 1L))
   }
 
   test("GraftExtensions injects the planner strategy") {
