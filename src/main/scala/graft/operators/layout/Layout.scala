@@ -63,6 +63,28 @@ object Layout {
       bits: Int = 8): Unit =
     zOrder(df, colNames, nFiles, bits).write.mode("overwrite").parquet(outDir)
 
+  /** Per-file min/max audit of a parquet directory: one row per data
+    * file with `file, n_rows, <col>_min, <col>_max` for each requested
+    * column — the view a footer-stats pruning reader has of the layout.
+    * Run it after [[writeZOrdered]] (or any compaction) to see how tight
+    * each file's ranges actually are, and therefore what fraction of
+    * files a given predicate would touch.
+    *
+    * One distributed pass: the scan's `input_file_name` groups the
+    * aggregate, so output is file-count-sized regardless of data size.
+    */
+  def fileStats(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      colNames: Seq[String]): DataFrame = {
+    require(colNames.nonEmpty, "need at least one column to audit")
+    val aggs = colNames.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
   /** Rewrites a parquet directory into ~`targetFileBytes` files — the
     * small-files compaction every long-lived ingestion pipeline needs
     * (a 100 TB table fed by per-batch appends decays into millions of

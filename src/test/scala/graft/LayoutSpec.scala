@@ -47,16 +47,14 @@ class LayoutSpec extends SparkSpecBase {
       Literal.create(40.0, DoubleType)), b).eval(null).asInstanceOf[Long])
   }
 
-  private def perFileSpans(dir: String, cols: Seq[String]): Seq[Map[String, (Double, Double)]] = {
-    val d = new java.io.File(dir)
-    d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
-      val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
-      val r = spark.read.parquet(f.getAbsolutePath).agg(aggs.head, aggs.tail: _*).head()
-      cols.zipWithIndex.map { case (c, i) =>
-        c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+  // dogfood the public audit operator: one distributed pass, one row per
+  // file — exactly what a footer-stats pruning reader sees
+  private def perFileSpans(dir: String, cols: Seq[String]): Seq[Map[String, (Double, Double)]] =
+    Layout.fileStats(spark, dir, cols).collect().toSeq.map { r =>
+      cols.map { c =>
+        c -> (r.getAs[Double](s"${c}_min"), r.getAs[Double](s"${c}_max"))
       }.toMap
     }
-  }
 
   test("z-ordered files carry tight min/max on BOTH columns; linear sort only on one") {
     // 200x200 grid, 40k rows: 16 z-ordered files should tile ~4x4
