@@ -692,6 +692,22 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
         .orderBy("lang")),
+    "q_curation_pipeline" -> ((s, dir) => {
+      // the full curation funnel as ONE oracle-gated plan: quality gate
+      // (semi-join against the scored ids) → exact dedup survivors
+      // (keep-first) → balanced lang mix — three existing operators
+      // composed declaratively; Catalyst plans the whole funnel together
+      val d = snap(s, dir).documents
+      val kept = d.join(
+        graft.operators.text.TextStats.qualityFilter(d, "doc_id", "text", 0.5, 20L)
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val survivors = graft.operators.dedup.ExactDedup.dedupe(kept, "doc_id", "text")
+      graft.operators.sample.Mixing.balancedSample(survivors, "doc_id", "lang")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+        .orderBy("lang")
+    }),
     "q_chunk_packing" -> ((s, dir) => {
       // the full corpus→training-shards pipeline in ONE composed plan:
       // chunk documents into 64-token windows (stateless generator),
@@ -1399,6 +1415,30 @@ object SparkEntry {
         |FROM documents d JOIN b USING (lang)
         |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < bound
         |GROUP BY d.lang ORDER BY lang""".stripMargin,
+    // the funnel chains three existing mirrors: the q_quality_filter
+    // formula, keep-first dedup (MIN id per content hash), and the
+    // q_balanced_mix floor-bound — each stage over the previous one
+    "q_curation_pipeline" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5
+         |      + (CAST($markerHitsEn AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+         |      - (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) * 0.2
+         |      AS quality_score
+         |  FROM documents),
+         |keep AS (
+         |  SELECT d.doc_id, d.text, d.lang FROM documents d JOIN q USING (doc_id)
+         |  WHERE q.quality_score >= 0.5 AND q.n_words >= 20),
+         |surv_ids AS (SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY md5(lower(text))),
+         |sd AS (SELECT k.lang, k.doc_id FROM keep k JOIN surv_ids USING (doc_id)),
+         |c AS (SELECT lang, COUNT(*) AS n FROM sd GROUP BY lang),
+         |m AS (SELECT MIN(n) AS nmin FROM c),
+         |b AS (SELECT lang, FLOOR(16777216.0 * nmin / n) AS bound FROM c, m)
+         |SELECT sd.lang, COUNT(*) AS n_kept, MIN(sd.doc_id) AS first_doc
+         |FROM sd JOIN b USING (lang)
+         |WHERE CAST(concat('0x', substr(md5(CAST(sd.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < bound
+         |GROUP BY sd.lang ORDER BY lang""".stripMargin,
     // chunking mirror (64/0) feeding the q_token_packing window mirror —
     // the window is the ORACLE formulation only; Spark runs the
     // distributed prefix sum
