@@ -699,10 +699,9 @@ object SparkEntry {
       // composed declaratively; Catalyst plans the whole funnel together
       val d = snap(s, dir).documents
       val kept = d.join(
-        graft.operators.text.TextStats.qualityFilter(d, "doc_id", "text", 0.5, 20L)
-          .select("doc_id"),
+        TextStats.qualityFilter(d, "doc_id", "text", 0.5, 20L).select("doc_id"),
         Seq("doc_id"), "left_semi")
-      val survivors = graft.operators.dedup.ExactDedup.dedupe(kept, "doc_id", "text")
+      val survivors = ExactDedup.dedupe(kept, "doc_id", "text")
       graft.operators.sample.Mixing.balancedSample(survivors, "doc_id", "lang")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
@@ -754,6 +753,17 @@ object SparkEntry {
 
   private val markerHitsEn =
     "len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','is','of','and')))"
+
+  /** The quality-score formula shared by every quality-gated oracle —
+    * ONE definition so a weight/threshold tweak cannot drift between
+    * mirrors (it appears in q_text_quality, q_quality_filter,
+    * q_weighted_sample and q_curation_pipeline).
+    */
+  private val qualityScoreSql: String =
+    s"least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5" +
+      s" + (CAST($markerHitsEn AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5" +
+      " - (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)" +
+      " / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) * 0.2"
 
   def oracleSql: Map[String, String] = Map(
     "q_keyword_search" ->
@@ -1102,9 +1112,7 @@ object SparkEntry {
          |  CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
          |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0.0) AS punct_ratio,
          |  CAST($markerHitsEn AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
-         |  least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5
-         |    + (CAST($markerHitsEn AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
-         |    - (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) * 0.2
+         |  $qualityScoreSql
          |    AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_tokens" ->
@@ -1123,9 +1131,7 @@ object SparkEntry {
       s"""WITH q AS (
          |  SELECT doc_id,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5
-         |      + (CAST($markerHitsEn AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
-         |      - (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) * 0.2
+         |    $qualityScoreSql
          |      AS quality_score
          |  FROM documents)
          |SELECT doc_id, n_words, quality_score FROM q
@@ -1266,9 +1272,7 @@ object SparkEntry {
     "q_weighted_sample" ->
       s"""WITH q AS (
          |  SELECT doc_id,
-         |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5
-         |      + (CAST($markerHitsEn AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
-         |      - (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) * 0.2
+         |    $qualityScoreSql
          |      AS quality_score
          |  FROM documents)
          |SELECT doc_id, quality_score FROM q
@@ -1422,9 +1426,7 @@ object SparkEntry {
       s"""WITH q AS (
          |  SELECT doc_id,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.5
-         |      + (CAST($markerHitsEn AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
-         |      - (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) * 0.2
+         |    $qualityScoreSql
          |      AS quality_score
          |  FROM documents),
          |keep AS (

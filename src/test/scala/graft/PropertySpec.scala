@@ -38,20 +38,47 @@ class PropertySpec extends SparkSpecBase {
         val s = i * stride
         (s, math.min(s + chunk, n)) // [start, end) clamped like slice()
       }
-      val coverage = windows.head._1 == 0 &&
-        windows.last._2 == n || windows.last._1 < n // every token reachable
+      val headTail = windows.head._1 == 0 && windows.last._1 < n
       val covered = Array.fill(n)(false)
       windows.foreach { case (s, e) => (s until math.min(e, n)).foreach(covered(_) = true) }
       val overlapOk = windows.sliding(2).forall {
         case Seq((s1, e1), (s2, _)) =>
-          // consecutive windows share exactly `overlap` tokens when full
-          s2 == s1 + stride && (e1 < n || e1 - s2 >= 0)
+          // consecutive windows share EXACTLY `overlap` tokens unless the
+          // earlier one was clamped by the document end
+          s2 == s1 + stride && (e1 == n || e1 - s2 == overlap)
         case _ => true
       }
-      val newTokenOk = windows.forall { case (s, e) => e > s } &&
-        windows.lastOption.forall { case (s, _) => s < n || n == 0 }
-      coverage && covered.forall(identity) && overlapOk && newTokenOk
+      val newTokenOk = windows.forall { case (s, e) => e > s }
+      headTail && covered.forall(identity) && overlapOk && newTokenOk
     })
+  }
+
+  test("production chunker matches the window model on an exhaustive small grid") {
+    // binds the invariants above to Chunking.chunkByTokens itself: one
+    // DataFrame of docs with 1..40 tokens, swept across (chunk, overlap)
+    // combinations, chunk boundaries compared against the model
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (1 to 40).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    for {
+      chunk <- Seq(1, 2, 3, 8, 16)
+      overlap <- Seq(0, 1, chunk / 2, chunk - 1).distinct if overlap < chunk
+    } {
+      val got = graft.operators.text.Chunking
+        .chunkByTokens(docs, "doc_id", "text", chunk, overlap)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).toSeq).toMap
+      val stride = chunk - overlap
+      (1 to 40).foreach { n =>
+        val toks = (1 to n).map(i => s"t$i")
+        val want = (0 until nChunks(n, chunk, overlap))
+          .map(i => toks.slice(i * stride, math.min(i * stride + chunk, n)).mkString(" "))
+        assert(got(n.toLong) == want, s"n=$n chunk=$chunk overlap=$overlap")
+      }
+    }
   }
 
   test("z-value bucket is the count of boundaries below the value, and interleave is invertible") {
@@ -62,8 +89,11 @@ class PropertySpec extends SparkSpecBase {
       nb = (1 << bits) - 1
       raw <- Gen.listOfN(nb, Gen.choose(-1000.0, 1000.0))
       bnds = raw.sorted
-      x <- Gen.choose(-1100.0, 1100.0)
-      y <- Gen.choose(-1100.0, 1100.0)
+      // mix boundary-EQUAL values in so the strict-> tie rule (equal goes
+      // to the lower bucket) is actually exercised, not hit with p~0
+      coord = Gen.frequency(3 -> Gen.choose(-1100.0, 1100.0), 1 -> Gen.oneOf(bnds))
+      x <- coord
+      y <- coord
     } yield (bits, bnds, x, y)
     check("zvalue", forAll(gen) { case (bits, bnds, x, y) =>
       val z = ZValue(
@@ -83,7 +113,9 @@ class PropertySpec extends SparkSpecBase {
     // nmin/n is below one part in 2^24 — the documented bound contract
     val gen = for {
       nmin <- Gen.choose(1L, 1000000L)
-      n <- Gen.choose(nmin, 2000000L)
+      // weight the binding-group case (n == nmin) so the kept-in-full
+      // clause is really tested, not hit with p ~ 1e-6
+      n <- Gen.frequency(4 -> Gen.choose(nmin, 2000000L), 1 -> Gen.const(nmin))
     } yield (nmin, n)
     check("bound", forAll(gen) { case (nmin, n) =>
       val bound = math.floor(16777216.0 * nmin / n)
