@@ -47,6 +47,10 @@ def main(dir_a, dir_b):
                 vals = [tuple(norm(v) for v in row)
                         for row in con.sql(
                             f"SELECT {', '.join(cols)} FROM '{d}/{name}/*.parquet'").fetchall()]
+                # compare as multisets: parquet glob/intra-file order is not
+                # part of any query's contract, and a benign row-order
+                # difference between the two JVMs must not report DIFF
+                vals.sort(key=repr)
                 rows.append(vals)
         except Exception as e:  # missing dir, unreadable parquet, ...
             n_fail += 1

@@ -1399,7 +1399,8 @@ object SparkEntry {
     // bound contract (Mixing scaladoc): floor of the left-associated IEEE
     // double product/quotient, mirrored verbatim
     "q_balanced_mix" ->
-      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY lang),
         |m AS (SELECT MIN(n) AS nmin FROM c),
         |b AS (SELECT lang, FLOOR(16777216.0 * nmin / n) AS bound FROM c, m)
         |SELECT d.lang, d.doc_id
@@ -1434,7 +1435,8 @@ object SparkEntry {
          |  WHERE q.quality_score >= 0.5 AND q.n_words >= 20),
          |surv_ids AS (SELECT MIN(doc_id) AS doc_id FROM keep GROUP BY md5(lower(text))),
          |sd AS (SELECT k.lang, k.doc_id FROM keep k JOIN surv_ids USING (doc_id)),
-         |c AS (SELECT lang, COUNT(*) AS n FROM sd GROUP BY lang),
+         |c AS (SELECT lang, COUNT(*) AS n FROM sd
+         |      WHERE lang IS NOT NULL GROUP BY lang),
          |m AS (SELECT MIN(n) AS nmin FROM c),
          |b AS (SELECT lang, FLOOR(16777216.0 * nmin / n) AS bound FROM c, m)
          |SELECT sd.lang, COUNT(*) AS n_kept, MIN(sd.doc_id) AS first_doc

@@ -240,10 +240,16 @@ object IvfKNN {
     }
     val (hasFloat, hasQ) = (exists("assigned"), exists("assigned_q"))
     require(hasFloat || hasQ, s"appendToSaved: no index artifact under $path")
-    val assigned = assign(
+    val assignedPlan = assign(
       newRows.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
       "__cv", cents)
       .where(col("cell_id").isNotNull)
+    // when BOTH representations exist, the two writes are two jobs; a
+    // non-deterministic batch source re-read between them would leave the
+    // float and int8 indexes disagreeing about the same append — pin ONE
+    // materialization and feed it to both writes
+    val assigned =
+      if (hasFloat && hasQ) assignedPlan.localCheckpoint(true) else assignedPlan
     if (hasFloat)
       assigned.write.mode("append").partitionBy("cell_id").parquet(s"$path/assigned")
     if (hasQ)

@@ -49,27 +49,30 @@ object BloomJoin {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp)
     // the aggregate Math.min-clamps BOTH sizing inputs against session
-    // confs (bits -> 8 MB, items -> 4M by default); raise them for the
-    // duration of THIS build only and restore after — a permanently
-    // ratcheted cap would also let Spark's own AQE runtime-filter
-    // injection build oversized blooms in unrelated joins. (The swap is
-    // not atomic w.r.t. other threads planning queries on this session;
-    // concurrent builders should size via a dedicated session.)
-    val conf = keys.sparkSession.conf
+    // confs (bits -> 8 MB, items -> 4M by default). Raise them on an
+    // ISOLATED session (own SQLConf, shared SparkContext) instead of
+    // toggling the caller's: a raise-then-restore on the shared session
+    // is not atomic w.r.t. other threads — AQE could inject oversized
+    // runtime blooms into queries planned while raised, and two
+    // concurrent builders could clobber each other's restore. The key
+    // plan is re-bound from its analyzed form; the session copies the
+    // caller's runtime SQL confs so scans (e.g. nanosAsLong parquet
+    // reads) behave identically.
+    val src = keys.sparkSession
+    val iso = src.newSession()
+    src.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("spark.sql.") && iso.conf.isModifiable(k)) iso.conf.set(k, v)
+    }
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val (oldBits, oldItems) = (conf.get(bitsKey), conf.get(itemsKey))
-    try {
-      if (oldBits.toLong < numBits) conf.set(bitsKey, numBits.toString)
-      if (oldItems.toLong < expectedItems) conf.set(itemsKey, expectedItems.toString)
-      val agg = new BloomFilterAggregate(
-        GraftPlanBridge.expression(xxhash64(col(keyCol))),
-        CatalystLiteral(expectedItems), CatalystLiteral(numBits)).toAggregateExpression()
-      keys.select(GraftPlanBridge.column(agg).as("bloom")).head().getAs[Array[Byte]](0)
-    } finally {
-      conf.set(bitsKey, oldBits)
-      conf.set(itemsKey, oldItems)
-    }
+    if (iso.conf.get(bitsKey).toLong < numBits) iso.conf.set(bitsKey, numBits.toString)
+    if (iso.conf.get(itemsKey).toLong < expectedItems)
+      iso.conf.set(itemsKey, expectedItems.toString)
+    val agg = new BloomFilterAggregate(
+      GraftPlanBridge.expression(xxhash64(col(keyCol))),
+      CatalystLiteral(expectedItems), CatalystLiteral(numBits)).toAggregateExpression()
+    GraftPlanBridge.ofRows(iso, keys.queryExecution.analyzed)
+      .select(GraftPlanBridge.column(agg).as("bloom")).head().getAs[Array[Byte]](0)
   }
 
   /** Probe column: true when `keyCol`'s hash might be in the bloom.

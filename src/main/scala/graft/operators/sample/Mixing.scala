@@ -33,7 +33,11 @@ object Mixing {
     // materialize the group-cardinality-sized counts once: both consumers
     // (per-group bounds, global min) would otherwise re-run the corpus
     // count scan — plan-audited, the two agg subtrees don't share a stage
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n")).localCheckpoint(true)
+    // NULL-group rows are out of the mix entirely: they must not reach the
+    // min() either, or a handful of stray nulls would collapse every real
+    // group to that tiny size (the bounds join below drops them anyway)
+    val counts = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n")).localCheckpoint(true)
     val nmin = counts.agg(min(col("__n")).as("__nmin"))
     val bounds = counts.crossJoin(broadcast(nmin))
       .select(col(groupCol), floor(lit(16777216.0) * col("__nmin") / col("__n")).as("__bound"))

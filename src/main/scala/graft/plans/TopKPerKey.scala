@@ -165,15 +165,19 @@ object TopKPerKey {
     * clustering shuffle or however skewed the key distribution is (a
     * partitions-divided estimate would pass preflight and then hit the
     * runtime cap the fallback exists to avoid). approx_count_distinct is
-    * one partial-agg job over the key columns only; its ±2% HLL error is
-    * absorbed by the worst-case assumption.
+    * one partial-agg job over the key columns only; worst-case placement
+    * covers DISTRIBUTION but not the estimate's direction — the HLL can
+    * UNDERcount by its relative error, so the estimate is inflated by a
+    * 5% margin (above the default rsd ≈ 2.3%) before the comparison.
+    * A borderline pass that would have hit the executor-side hard cap
+    * now degrades to the window fallback instead.
     */
   private def heapFits(
       df: DataFrame, keyCols: Seq[String], k: Int, maxRetained: Long): Boolean = {
     val estKeys = df
       .select(approx_count_distinct(struct(keyCols.map(col): _*)).as("n"))
       .head().getLong(0)
-    estKeys * k <= maxRetained
+    math.ceil(estKeys * 1.05).toLong * k <= maxRetained
   }
 
   /** The sort-based plan the operator degrades to: identical rows (given
