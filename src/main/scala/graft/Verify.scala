@@ -41,6 +41,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // planted-ground-truth gates for the queries the DuckDB oracle cannot
+    // mirror — recall-of-planted-truth, not golden files (see SelfCheck)
+    val sc = SelfCheck.run(spark, sfDir)
+    val scJson = SelfCheck.toJson(sc)
+    Files.writeString(Paths.get(s"$outDir/selfcheck.json"), scJson)
+    Files.writeString(Paths.get("SELFCHECK.json"), scJson)
+    val nPass = sc.count(_.pass)
+    sc.filterNot(_.pass).foreach(r =>
+      System.err.println(s"[selfcheck] FAIL ${r.name}: planted=${r.planted} found=${r.found} ${r.detail}"))
+    println(s"[selfcheck] $nPass pass / ${sc.size - nPass} fail")
     spark.stop()
   }
 }
