@@ -137,6 +137,65 @@ object ChartRender {
     png(img)
   }
 
+  /** Histogram over a (bin, count) frame — the final presentation step of
+    * the reference's `histogram_tool`
+    * (`/root/reference/openai/list_of_tools.py:14`,
+    * `/root/reference/langchain/my_toolkit.py:347` both end in a rendered
+    * histogram), fed by [[Procurement.histogramMonth]] /
+    * [[Procurement.histogramNumeric]]. Differs from [[barChartPng]] the
+    * way a histogram differs from a bar chart: bins are sorted by their
+    * NUMERIC key when every label parses as one (string labels sort
+    * lexically), integer bin keys are made CONTIGUOUS — absent bins
+    * render as zero-count gaps so the x axis is honest about empty
+    * ranges — and bars are drawn edge-to-edge with no slot gap.
+    */
+  def histogramPng(df: DataFrame, binCol: String, countCol: String,
+      width: Int = 800, height: Int = 500, title: String = ""): Array[Byte] = {
+    val raw = frame(df, Seq(binCol, countCol))
+    require(raw.forall(_._2.head >= 0), "histogram counts must be non-negative")
+    val asNum = (s: String) => scala.util.Try(s.trim.toDouble).toOption
+    val numeric = raw.forall(r => asNum(r._1).isDefined)
+    val sorted =
+      if (numeric) raw.sortBy(r => asNum(r._1).get) else raw.sortBy(_._1)
+    val data: Seq[(String, Seq[Double])] =
+      if (numeric && sorted.forall(r => { val v = asNum(r._1).get; v.isWhole })) {
+        // integer bins: zero-fill the gaps (bounded by the same row cap —
+        // a sparser range falls back to the observed bins only)
+        val keys = sorted.map(r => asNum(r._1).get.toLong)
+        val (lo, hi) = (keys.min, keys.max)
+        if (hi - lo + 1 <= MaxRows) {
+          val byKey = keys.zip(sorted.map(_._2)).toMap
+          (lo to hi).map(k => (k.toString, byKey.getOrElse(k, Seq(0.0))))
+        } else sorted
+      } else sorted
+    val (img, g) = canvas(width, height)
+    drawTitle(g, title, width)
+    val (x0, y0, y1, x1) = (70, 30, height - 60, width - 20)
+    val toY = valueAxis(g, data.map(_._2.head).max, x0, y0, y1, x1)
+    val n = data.length
+    val slot = (x1 - x0).toDouble / n
+    data.zipWithIndex.foreach { case ((_, vs), i) =>
+      // edge-to-edge: each bar spans exactly its slot, rounded so
+      // neighboring bars share a boundary pixel-exactly
+      val bx = x0 + math.round(i * slot).toInt
+      val bw = x0 + math.round((i + 1) * slot).toInt - bx
+      val by = toY(vs.head)
+      g.setColor(Palette(0))
+      g.fillRect(bx, by, bw, y1 - by)
+    }
+    // sparse bin labels: at most ~8, always first and last
+    g.setColor(Color.DARK_GRAY)
+    val step = math.max(1, n / 8)
+    (0 until n by step).toSet.union(Set(n - 1)).toSeq.sorted.foreach { i =>
+      val lab = data(i)._1
+      val short = if (lab.length > 10) lab.take(10) else lab
+      val lx = x0 + math.round(i * slot + slot / 2).toInt
+      g.drawString(short, lx - g.getFontMetrics.stringWidth(short) / 2, y1 + 14)
+    }
+    g.dispose()
+    png(img)
+  }
+
   /** Multi-series line chart over an (x, series...) frame — the
     * reference's dual-axis `line_chart_tool` (total budget + package
     * count per month). Each series is min-max scaled to the plot height

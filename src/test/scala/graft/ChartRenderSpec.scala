@@ -108,6 +108,53 @@ class ChartRenderSpec extends SparkSpecBase {
     assert(share > 0.8 && share < 0.98, s"dominant share $share, want ~0.9")
   }
 
+  test("histogram: bar pixel areas track bin counts, bins sorted numerically, gaps zero-filled") {
+    // bins arrive unsorted and with bin 2 missing: the renderer must sort
+    // 0,1,2,3 numerically, zero-fill bin 2, and draw contiguous bars
+    val df = Seq((3L, 6L), (0L, 2L), (1L, 4L)).toDF("bin", "n")
+    val img = decode(ChartRender.histogramPng(df, "bin", "n", 470, 300))
+    assert(img.getWidth == 470 && img.getHeight == 300)
+    // plot x range = 70..450 → 4 slots of 95px; count blue per slot
+    val perSlot = (0 until 4).map { s =>
+      (70 + s * 95 until 70 + (s + 1) * 95).map(x =>
+        (30 until 240).count(y => (img.getRGB(x, y) & 0xFFFFFF) == Blue)).sum
+    }
+    assert(perSlot(2) == 0, s"missing bin must render empty, got ${perSlot(2)} px")
+    assert(perSlot(0) > 0 && perSlot(1) > 0 && perSlot(3) > 0)
+    val r10 = perSlot(1).toDouble / perSlot(0)
+    val r30 = perSlot(3).toDouble / perSlot(0)
+    assert(r10 > 1.6 && r10 < 2.4, s"bin1/bin0 area ratio $r10, want ~2")
+    assert(r30 > 2.5 && r30 < 3.5, s"bin3/bin0 area ratio $r30, want ~3")
+  }
+
+  test("histogram bars are edge-to-edge (no slot gap), unlike bar charts") {
+    val df = Seq((0L, 5L), (1L, 5L)).toDF("bin", "n")
+    val img = decode(ChartRender.histogramPng(df, "bin", "n", 400, 300))
+    // equal counts → one solid blue band across the whole plot width: every
+    // column between the axes contains blue (a bar chart would leave the
+    // 20% slot margins white)
+    val holes = (71 until 379).count(x =>
+      !(30 until 240).exists(y => (img.getRGB(x, y) & 0xFFFFFF) == Blue))
+    assert(holes == 0, s"$holes empty columns inside the plot area")
+  }
+
+  test("histogram renders the real histogramMonth output end-to-end") {
+    val sn = Snapshot(spark, sf())
+    val bytes = ChartRender.histogramPng(
+      Procurement.histogramMonth(sn.orders, "o_orderdate"),
+      "month_num", "n_packages", title = "orders by month")
+    val img = decode(bytes)
+    assert(img.getWidth == 800 && img.getHeight == 500)
+    assert(countColor(img, Blue) > 1000) // 12 contiguous bars worth of pixels
+  }
+
+  test("histogram refuses negative counts") {
+    val df = Seq((1L, 5L), (2L, -1L)).toDF("bin", "n")
+    assert(intercept[IllegalArgumentException] {
+      ChartRender.histogramPng(df, "bin", "n")
+    }.getMessage.contains("non-negative"))
+  }
+
   test("empty and non-numeric inputs fail loudly, not with a blank chart") {
     val empty = Seq.empty[(String, Double)].toDF("k", "v")
     assert(intercept[IllegalArgumentException] {
