@@ -48,7 +48,7 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
-    val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var r = 0
@@ -59,14 +59,25 @@ object Bench {
         }
         r += 1
       }
-      name -> (if (failed) -1.0 else median(times.toSeq))
+      name -> (if (failed) Seq.empty else times.toSeq)
     }
-    val failed = results.collect { case (n, v) if v < 0 => n }
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failed = results.collect { case (n, ts) if ts.isEmpty => n }
+    val medians = results.collect { case (n, ts) if ts.nonEmpty => n -> median(ts) }
+    val total = medians.map(_._2).sum
+    val qs = results.map { case (k, ts) =>
+      s"\"" + k + "\":" + (if (ts.isEmpty) "-1.0" else median(ts).toString)
+    }.mkString("{", ",", "}")
+    // per-query [min, median, max] across the reps: the regression-vs-noise
+    // adjudication signal (a wide spread = box noise; a tight spread
+    // shifted up = a real plan change) — SURVEY §6
+    val spread = results.map { case (k, ts) =>
+      val body = if (ts.isEmpty) "[-1.0,-1.0,-1.0]"
+        else s"[${ts.min},${median(ts)},${ts.max}]"
+      s"\"" + k + "\":" + body
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"n_failed":${failed.size},"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_spread":$spread,"sf":"$sfDir","reps":$reps,"n_failed":${failed.size},"failed":$failedJson}"""
     println(json)
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }

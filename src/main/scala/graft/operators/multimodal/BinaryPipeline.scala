@@ -41,9 +41,12 @@ object BinaryPipeline {
 
   /** Batched partition-wise decode. STUB: real decode (`???` seam) replaced
     * by a deterministic fake; batch shape (64 records) mirrors how a real
-    * vectorized decoder would be fed.
+    * vectorized decoder would be fed. NOT a decode path — package-private
+    * cross-check twin for the real [[decodeImages]]; specs diff the two
+    * pipelines' plumbing (schema, batching, null handling), nothing else
+    * may call it.
     */
-  def decodeImagesStub(df: DataFrame, idCol: String, binCol: String): Dataset[MediaMeta] = {
+  private[graft] def decodeImagesStub(df: DataFrame, idCol: String, binCol: String): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
@@ -402,9 +405,10 @@ object BinaryPipeline {
   /** Frame sampling for video-like binaries: every `stride`-th frame of a
     * deterministic fake frame count derived from the bytes. STUB seam for
     * containers the JDK cannot parse (mp4/mkv need external demuxers);
-    * AVI/MJPEG demux is REAL — see [[sampleAviFrames]].
+    * AVI/MJPEG demux is REAL — see [[sampleAviFrames]]. Package-private:
+    * a spec-only plumbing twin, not a public decode path.
     */
-  def sampleFramesStub(df: DataFrame, idCol: String, binCol: String, stride: Long): Dataset[Frame] = {
+  private[graft] def sampleFramesStub(df: DataFrame, idCol: String, binCol: String, stride: Long): Dataset[Frame] = {
     val spark = df.sparkSession
     import spark.implicits._
     require(stride > 0)

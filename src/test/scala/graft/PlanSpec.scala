@@ -44,6 +44,18 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("*("), p.take(1500))
   }
 
+  test("range join keeps the tiny tier side broadcast (nested-loop, never a shuffle)") {
+    // pins the adjudicated round-3 bench flag (SURVEY §6): the plan was and
+    // remains BroadcastNestedLoopJoin with a 4-row build side — the right
+    // shape for a 100 TB fact side; any drift to a shuffled/cartesian plan
+    // fails here before it can show up as a bench mystery
+    val df = SparkEntry.queries("q_range_join")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("knn queries-side is broadcast, corpus side streams") {
     val p = plan("q_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
