@@ -86,6 +86,49 @@ object ProfileScaleUp {
             Seq("o_totalprice", "o_custkey"), nPartitions = 32)
         z.groupBy().agg(count(lit(1)).as("n"))
       })
+
+    // ---- planted-hot-key join stress (SURVEY §4) --------------------------
+    // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
+    // partkey, written to parquet so every measurement starts from a real
+    // scan. The three plans under test: plain shuffle join with AQE
+    // skew-split, plain with skew-split disabled (the straggler baseline),
+    // and SkewTools.saltedJoin. Broadcast is forced OFF — at 100 TB the dim
+    // side of a hot join is not assumed broadcastable; that path would hide
+    // the skew entirely.
+    val hotKey = 1L
+    val li0 = sn.lineitem
+    (0 until factor * 2)
+      .map(i => li0.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
+      .reduce(_ unionAll _)
+      .withColumn("l_partkey",
+        when(pmod(col("l_orderkey"), lit(2)) === 0, lit(hotKey)).otherwise(col("l_partkey")))
+      .write.mode("overwrite").parquet(s"$tmp/lineitem_skew")
+    val liSkew = spark.read.parquet(s"$tmp/lineitem_skew")
+    val partDim = sn.part.withColumnRenamed("p_partkey", "l_partkey")
+    def agg(j: org.apache.spark.sql.DataFrame): Long =
+      force(j.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("p_retailprice").as("v")))
+    def withConfs(kvs: (String, String)*)(f: => Unit): Unit = {
+      // getOption: an unset conf restores via unset, not set(null)
+      val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; f }
+      finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      time("skew: plain join + AQE split")(agg(liSkew.join(partDim, Seq("l_partkey"))))
+      withConfs("spark.sql.adaptive.skewJoin.enabled" -> "false") {
+        time("skew: plain join, no AQE")(agg(liSkew.join(partDim, Seq("l_partkey"))))
+        time("skew: saltedJoin x8")(agg(graft.operators.join.SkewTools
+          .saltedJoin(liSkew, partDim, "l_partkey", 8, "l_orderkey")))
+      }
+    }
+    // hot-key share sanity so the printed numbers are self-describing
+    val hotN = liSkew.where(col("l_partkey") === hotKey).count()
+    println(f"[scaleup x$factor] hot-key share: $hotN of ${liSkew.count()} lineitem rows")
     spark.stop()
   }
 }

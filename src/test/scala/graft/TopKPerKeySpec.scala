@@ -56,6 +56,36 @@ class TopKPerKeySpec extends SparkSpecBase {
     // strict mode keeps the fail-fast contract for the same inputs (below)
   }
 
+  test("auto mode under a planted hot key: heap path when the contract holds, window parity when it can't") {
+    // 80% of rows concentrated on ONE key among ~1000 — the skew shape a
+    // hash-partitioned clustering shuffle sends to a single partition.
+    // The preflight's worst-case-placement assumption must stay immune to
+    // WHERE the keys land, only to how many there are.
+    val skewed = spark.range(0, 50000).select(
+      when(col("id") % 5 === 0, col("id") % 997).otherwise(lit(777L)).as("k"),
+      col("id").as("v"))
+    val order = Seq(col("v").desc, col("v").asc)
+    def viaWindow(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy(col("v").desc)
+      df.withColumn("rn", row_number().over(w)).where(col("rn") <= 3).drop("rn")
+        .orderBy("k", "v").collect().toSeq
+    }
+    // (a) ~998 keys * 3 fits the default contract: heap path, despite the
+    // hot key owning 40k of 50k rows (the heap retains 3 per key, so the
+    // hot partition's footprint is keys-resident-there * 3, never 40k)
+    val heap = TopKPerKey(skewed, Seq("k"), order, 3)
+    heap.collect()
+    assert(heap.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(heap.orderBy("k", "v").collect().toSeq == viaWindow(skewed))
+    // (b) a cap under keys*k: the same skewed input degrades to the
+    // spillable window plan and still returns identical rows
+    val degraded = TopKPerKey(skewed, Seq("k"), order, 3, maxRetainedPerPartition = 1000L)
+    degraded.collect()
+    val p = degraded.queryExecution.executedPlan.toString
+    assert(!p.contains("TopKPerKey") && p.contains("Window"), p.take(1500))
+    assert(degraded.orderBy("k", "v").collect().toSeq == viaWindow(skewed))
+  }
+
   test("retained-row bound fails fast with guidance on high-cardinality keys (strict)") {
     // every order key is distinct -> keys*k blows a tiny bound immediately
     val orders = Snapshot(spark, sf()).orders.select("o_orderkey", "o_totalprice")
