@@ -414,6 +414,21 @@ object SparkEntry {
           max(col("o_totalprice")).cast("double").as("hi"))
         .orderBy("decile")
     }),
+    "q_deciles_by_group" -> ((s, dir) => {
+      // exact ntile WITHIN each order priority — the few-huge-groups shape
+      // (deciles per org unit / language) where even a per-group window
+      // funnels one group into one task; boundary-broadcast generalized
+      // to one composite-key range shuffle (Quantiles.withNtileByGroup)
+      graft.operators.quantile.Quantiles
+        .withNtileByGroup(snap(s, dir).orders,
+          "o_orderpriority", "o_totalprice", "o_orderkey", 10, "decile")
+        .groupBy(col("o_orderpriority").as("priority"), col("decile"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).cast("double").as("lo"),
+          max(col("o_totalprice")).cast("double").as("hi"))
+        .orderBy("priority", "decile")
+    }),
     "q_cube_status_priority" -> ((s, dir) => {
       snap(s, dir).orders
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -1196,6 +1211,16 @@ object SparkEntry {
         |  CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
         |  CAST(MAX(o_totalprice) AS DOUBLE) AS hi
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    "q_deciles_by_group" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+        |                         ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+        |  FROM orders)
+        |SELECT o_orderpriority AS priority, decile, COUNT(*) AS n_orders,
+        |  CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+        |  CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+        |FROM d GROUP BY priority, decile ORDER BY priority, decile""".stripMargin,
     "q_cube_status_priority" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         |  COALESCE(o_orderpriority, 'ALL') AS priority,

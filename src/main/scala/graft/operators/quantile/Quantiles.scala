@@ -171,6 +171,108 @@ object Quantiles {
     df.withColumn(outputCol, bucket)
   }
 
+  /** Exact `ntile(n) OVER (PARTITION BY groupCol ORDER BY valueCol,
+    * tieCol)` for FEW, HUGE groups — the shape a curation pipeline asks
+    * for (deciles within each org unit / language) where a plain
+    * per-group window still funnels one 4 TB group into one task.
+    *
+    * The boundary-broadcast machinery generalizes: ONE composite-key
+    * range shuffle of the slim (group, value, tie) projection, per-
+    * (partition, group) counts aggregated into per-group exclusive
+    * prefix offsets (a window over the partition×group-sized count
+    * table, never the data), boundary rows fetched by joining their
+    * (partition, local-rank) locations, and each row's bucket assigned
+    * MAP-SIDE as `1 + #(group boundaries below it)` via a broadcast
+    * join on the group plus a codegen'd higher-order filter over the
+    * group's boundary array.
+    *
+    * Contract: [[checkTypes]] applies to all three columns (orderable
+    * atomic, non-null — nulls rejected, not misbucketed; `tieCol`
+    * unique WITHIN each group). Group cardinality must be
+    * driver-modest: the boundary table is groups×(n−1) rows and is
+    * broadcast. That is the right trade — a HIGH-cardinality groupCol
+    * means small groups, where the ordinary per-group window ntile
+    * already scales (many groups = parallelism) and this operator is
+    * unnecessary.
+    */
+  def withNtileByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCol: String,
+      n: Int,
+      outputCol: String): DataFrame = {
+    require(n >= 1, s"ntile buckets must be >= 1, got $n")
+    if (n == 1) return df.withColumn(outputCol, lit(1L))
+    checkTypes(df, valueCol, tieCol)
+    checkTypes(df, groupCol, tieCol)
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val slim = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"), col(tieCol).as("__k"))
+    // persisted: counts, locations and the boundary fetch must all see the
+    // SAME range split (the partitioner samples — see orderStatisticsBy)
+    val ranged = slim
+      .repartitionByRange(parts, col("__g"), col("__v"), col("__k"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // (pid, group)-grain counts: partitions×groups rows — the ONLY
+      // thing the whole boundary computation ever aggregates or windows
+      val counts = ranged.groupBy("__pid", "__g")
+        .agg(count(lit(1)).as("__c"),
+          sum(when(col("__g").isNull || col("__v").isNull || col("__k").isNull, 1L)
+            .otherwise(0L)).as("__nulls"))
+      val nullRow = counts.agg(sum("__nulls").as("s")).head()
+      require(!nullRow.isNullAt(0), "withNtileByGroup on an empty input")
+      require(nullRow.getLong(0) == 0L,
+        s"$groupCol/$valueCol/$tieCol contain NULLs — filter them before calling " +
+          "(the boundary-broadcast formulation cannot represent null ordering)")
+      // exclusive prefix offset of each (pid, group) slice within its
+      // group, and the group total — windows over the tiny count table
+      val wOff = Window.partitionBy("__g").orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withOff = counts.select(col("__pid"), col("__g"), col("__c"),
+        coalesce(sum("__c").over(wOff), lit(0L)).as("__off"))
+      // per-group boundary ranks b=1..n-1: cumulative ntile bucket sizes
+      // b·(tot/n) + min(b, tot%n) — duplicate ranks in the tot<n
+      // degenerate case are harmless (nothing orders strictly above the
+      // max-rank row, same as withNtile's clamping)
+      val bounds = counts.groupBy("__g").agg(sum("__c").as("__tot"))
+        .select(col("__g"), col("__tot"),
+          explode(sequence(lit(1L), lit(n.toLong - 1L))).as("__b"))
+        .select(col("__g"),
+          (col("__b") * floor(col("__tot") / n).cast("long")
+            + least(col("__b"), pmod(col("__tot"), lit(n.toLong)))).as("__rank"))
+        .where(col("__rank") >= 1L)
+      // each boundary rank lives in exactly one (pid, group) slice at a
+      // known local rank; fetch those rows with a per-slice row_number
+      // over ONLY the partitions that hold a boundary
+      val locs = bounds.join(withOff, Seq("__g"))
+        .where(col("__rank") > col("__off") && col("__rank") <= col("__off") + col("__c"))
+        .select(col("__pid"), col("__g"), (col("__rank") - col("__off")).as("__lr"))
+      val targetPids = locs.select("__pid").distinct()
+      val wLr = Window.partitionBy("__pid", "__g").orderBy("__v", "__k")
+      // localCheckpoint(eager): the assign plan below must not re-derive
+      // the range split after the finally-unpersist — the boundary set is
+      // groups×(n-1) rows, materializing it is free
+      val fetched = ranged
+        .join(broadcast(targetPids), Seq("__pid"), "left_semi")
+        .withColumn("__lr", row_number().over(wLr).cast("long"))
+        .join(broadcast(locs), Seq("__pid", "__g", "__lr"))
+        .select(col("__g"), col("__v").as("__bv"), col("__k").as("__bk"))
+        .localCheckpoint(true)
+      val barr = fetched.groupBy("__g")
+        .agg(sort_array(collect_list(struct(col("__bv"), col("__bk")))).as("__bnds"))
+      val v = col(valueCol)
+      val k = col(tieCol)
+      val bucket = lit(1L) + size(filter(col("__bnds"),
+        b => v > b("__bv") || (v === b("__bv") && k > b("__bk")))).cast("long")
+      df.join(broadcast(barr), df(groupCol) === barr("__g"))
+        .withColumn(outputCol, bucket)
+        .drop("__g", "__bnds")
+    } finally { ranged.unpersist(false); () }
+  }
+
   /** Bounded-memory percentiles per group — the 100 TB twin of the exact
     * `percentile` aggregate (which buffers every value of a group in its
     * aggregation buffer). `approx_percentile` keeps a fixed-size

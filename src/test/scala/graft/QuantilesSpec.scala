@@ -95,6 +95,48 @@ class QuantilesSpec extends SparkSpecBase {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("withNtileByGroup matches the per-group window ntile exactly") {
+    val orders = Snapshot(spark, sf()).orders
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val viaWindow = orders
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .select("o_orderkey", "decile")
+      .orderBy("o_orderkey").collect().toSeq
+    val viaBounds = Quantiles
+      .withNtileByGroup(orders, "o_orderpriority", "o_totalprice", "o_orderkey", 10, "decile")
+      .select("o_orderkey", "decile")
+      .orderBy("o_orderkey").collect().toSeq
+    assert(viaBounds == viaWindow)
+  }
+
+  test("withNtileByGroup: degenerate groups (fewer rows than buckets) and heavy ties") {
+    import spark.implicits._
+    // group "tiny" has 3 rows for 10 buckets; group "tied" is one value
+    // repeated (the tiebreak column decides everything)
+    val df = (Seq(("tiny", 5.0, 1L), ("tiny", 2.0, 2L), ("tiny", 9.0, 3L)) ++
+      (1L to 40L).map(i => ("tied", 7.0, i)) ++
+      (1L to 25L).map(i => ("plain", i * 1.5, i))).toDF("g", "v", "k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("k"))
+    val viaWindow = df.withColumn("b", ntile(10).over(w).cast("long"))
+      .select("g", "k", "b").orderBy("g", "k").collect().toSeq
+    val viaBounds = Quantiles.withNtileByGroup(df, "g", "v", "k", 10, "b")
+      .select("g", "k", "b").orderBy("g", "k").collect().toSeq
+    assert(viaBounds == viaWindow)
+  }
+
+  test("withNtileByGroup rejects nulls in any contract column") {
+    import spark.implicits._
+    val df = Seq((Some("a"), Some(1.0), Some(1L)), (None, Some(2.0), Some(2L)))
+      .toDF("g", "v", "k")
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.withNtileByGroup(df, "g", "v", "k", 4, "b")
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
   test("approxPercentiles honors the rank-error contract vs exact") {
     val orders = Snapshot(spark, sf()).orders
     val approx = Quantiles
