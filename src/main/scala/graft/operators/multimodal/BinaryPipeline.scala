@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   * [[resampleAudio]] read actual samples (compressed codecs like MP3/AAC
   * would need external libs and degrade to "unknown"). VIDEO demux is
   * REAL for AVI/MJPEG — [[sampleAviFrames]] parses the RIFF tree by hand
-  * and decodes JPEG frame payloads through the image reader; containers
-  * the JDK cannot parse (mp4/mkv) keep the `sampleFramesStub` seam with
-  * a deterministic fake exactly where a JNI/FFmpeg call would sit.
+  * and decodes JPEG frame payloads through the image reader — and for
+  * MP4 — [[demuxMp4]] walks the ISO-BMFF box tree and resolves the
+  * sample tables to true byte ranges ([[mp4Tracks]] /
+  * [[sampleMp4Samples]] / [[sampleMp4Frames]]). The remaining seams:
+  * mkv (EBML) container parse, and BITSTREAM decode of codecs the JDK
+  * lacks (H.264 etc. — mp4 `jpeg`-codec tracks decode fully); the
+  * `sampleFramesStub` fake marks exactly where a JNI/FFmpeg call would
+  * sit for those.
   */
 object BinaryPipeline {
 
@@ -404,9 +409,10 @@ object BinaryPipeline {
 
   /** Frame sampling for video-like binaries: every `stride`-th frame of a
     * deterministic fake frame count derived from the bytes. STUB seam for
-    * containers the JDK cannot parse (mp4/mkv need external demuxers);
-    * AVI/MJPEG demux is REAL — see [[sampleAviFrames]]. Package-private:
-    * a spec-only plumbing twin, not a public decode path.
+    * containers the JDK cannot parse (mkv needs an EBML demuxer) and for
+    * codec bitstream decode; AVI/MJPEG and MP4 demux are REAL — see
+    * [[sampleAviFrames]] / [[demuxMp4]]. Package-private: a spec-only
+    * plumbing twin, not a public decode path.
     */
   private[graft] def sampleFramesStub(df: DataFrame, idCol: String, binCol: String, stride: Long): Dataset[Frame] = {
     val spark = df.sparkSession
@@ -486,6 +492,259 @@ object BinaryPipeline {
     if (bytes.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ")
       scan(12, bytes.length, inMovi = false, depth = 0)
     out.result()
+  }
+
+  // ------------------------------------------------------ mp4 (REAL demux)
+
+  /** One track's resolved sample table. `sampleOffsets`/`sampleSizes` are
+    * parallel (offsets may resolve shorter than the declared size list
+    * when chunk offsets run out — extraction zips them).
+    */
+  private[graft] final case class Mp4TrackInfo(
+      handler: String,
+      codec: String,
+      timescale: Long,
+      duration: Long,
+      sampleSizes: IndexedSeq[Long],
+      sampleOffsets: IndexedSeq[Long])
+
+  /** ISO-BMFF (mp4/mov) DEMUX, pure JDK — box-tree walk of
+    * `moov/trak/mdia/{mdhd,hdlr,minf/stbl/{stsd,stsz,stsc,stco,co64}}`,
+    * then the standard sample-table resolution (stsc chunk runs × stco
+    * chunk bases + stsz prefix sums) to absolute byte ranges. This
+    * closes the container half of the round-3 mp4 stub: track layout,
+    * codecs, timing and every encoded sample are REAL; only bitstream
+    * DECODE (H.264 etc.) still needs a codec the JDK lacks — `jpeg`-
+    * codec tracks decode fully via the image reader (see
+    * [[sampleMp4Frames]]).
+    *
+    * Every size/offset/count is UNTRUSTED (same contract as
+    * [[demuxAviFrames]]): box sizes clamp to the enclosing range
+    * (forged 64-bit largesize included), table counts clamp to the
+    * bytes actually present in their box (a forged billion-entry stsz
+    * cannot allocate), recursion depth is capped, and malformed boxes
+    * stop the current range instead of throwing.
+    */
+  private[graft] def demuxMp4(
+      bytes: Array[Byte], maxSamplesPerTrack: Int = 1 << 20): Vector[Mp4TrackInfo] = {
+    val n = bytes.length.toLong
+    def cc(off: Long): String =
+      new String(bytes, off.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Long): Long = // big-endian, unlike RIFF
+      (bytes(off.toInt) & 0xFFL) << 24 | (bytes(off.toInt + 1) & 0xFFL) << 16 |
+        (bytes(off.toInt + 2) & 0xFFL) << 8 | (bytes(off.toInt + 3) & 0xFFL)
+    def u64(off: Long): Long = u32(off) << 32 | u32(off + 4)
+
+    final class TrackAcc {
+      var handler = "unknown"; var codec = "unknown"
+      var timescale = 0L; var duration = 0L
+      var sizes: IndexedSeq[Long] = Vector.empty
+      var chunkOffsets: IndexedSeq[Long] = Vector.empty
+      var chunkRuns: IndexedSeq[(Long, Long)] = Vector.empty // (firstChunk, samplesPerChunk)
+    }
+    val tracks = Vector.newBuilder[Mp4TrackInfo]
+    var cur: TrackAcc = null
+
+    def resolve(t: TrackAcc): Mp4TrackInfo = {
+      // stsc runs + stco bases + stsz prefix sums -> absolute offsets
+      val offs = Vector.newBuilder[Long]
+      var sampleIdx = 0
+      var run = 0
+      var c = 1L
+      while (c <= t.chunkOffsets.length && sampleIdx < t.sizes.length
+          && sampleIdx < maxSamplesPerTrack) {
+        while (run + 1 < t.chunkRuns.length && t.chunkRuns(run + 1)._1 <= c) run += 1
+        val spc = if (t.chunkRuns.isEmpty) 0L else t.chunkRuns(run)._2
+        var i = 0L
+        var off = t.chunkOffsets((c - 1).toInt)
+        while (i < spc && sampleIdx < t.sizes.length && sampleIdx < maxSamplesPerTrack) {
+          offs += off
+          off += t.sizes(sampleIdx)
+          sampleIdx += 1
+          i += 1
+        }
+        c += 1
+      }
+      Mp4TrackInfo(t.handler, t.codec, t.timescale, t.duration, t.sizes, offs.result())
+    }
+
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val declared = u32(off)
+        val typ = cc(off + 4)
+        var payloadStart = off + 8
+        val boxEnd: Long =
+          if (declared == 0L) end // "to end of file" form
+          else if (declared == 1L) { // 64-bit largesize
+            if (off + 16 > end) return
+            payloadStart = off + 16
+            val ls = u64(off + 8)
+            if (ls < 16) return
+            val be = off + ls
+            if (be < off || be > end) end else be // overflow/forged -> clamp
+          } else if (declared < 8) return // malformed: cannot advance
+          else math.min(off + declared, end)
+        if (boxEnd < payloadStart) return
+        val ps = payloadStart
+        val room = boxEnd - ps
+        typ match {
+          case "moov" | "mdia" | "minf" | "stbl" =>
+            if (depth < 16) walk(ps, boxEnd, depth + 1)
+          case "trak" =>
+            if (depth < 16) {
+              cur = new TrackAcc
+              walk(ps, boxEnd, depth + 1)
+              tracks += resolve(cur)
+              cur = null
+            }
+          case "mdhd" if cur != null && room >= 4 =>
+            val v = bytes(ps.toInt) & 0xFF
+            if (v == 1 && room >= 32) {
+              cur.timescale = u32(ps + 20); cur.duration = u64(ps + 24)
+            } else if (v == 0 && room >= 20) {
+              cur.timescale = u32(ps + 12); cur.duration = u32(ps + 16)
+            }
+          case "hdlr" if cur != null && room >= 12 =>
+            cur.handler = cc(ps + 8)
+          case "stsd" if cur != null && room >= 16 =>
+            // first sample entry: 4-byte size then the codec fourcc
+            cur.codec = cc(ps + 12)
+          case "stsz" if cur != null && room >= 12 =>
+            val fixed = u32(ps + 4)
+            val count = math.min(u32(ps + 8), maxSamplesPerTrack.toLong)
+            if (fixed != 0L)
+              cur.sizes = Vector.fill(count.toInt)(fixed)
+            else {
+              val avail = math.min(count, (room - 12) / 4) // forged count clamps here
+              cur.sizes = (0L until avail).map(i => u32(ps + 12 + i * 4))
+            }
+          case "stco" if cur != null && room >= 8 =>
+            val avail = math.min(u32(ps + 4), (room - 8) / 4)
+            cur.chunkOffsets = (0L until avail).map(i => u32(ps + 8 + i * 4))
+          case "co64" if cur != null && room >= 8 =>
+            val avail = math.min(u32(ps + 4), (room - 8) / 8)
+            cur.chunkOffsets = (0L until avail).map(i => u64(ps + 8 + i * 8))
+          case "stsc" if cur != null && room >= 8 =>
+            val avail = math.min(u32(ps + 4), (room - 8) / 12)
+            cur.chunkRuns = (0L until avail).map(i =>
+              (u32(ps + 8 + i * 12), u32(ps + 12 + i * 12)))
+          case _ => () // unknown boxes (ftyp, mvhd, tkhd, mdat, ...) skip
+        }
+        if (boxEnd <= off) return // no progress possible
+        off = boxEnd
+      }
+    }
+
+    if (n >= 12 && cc(4) == "ftyp") walk(0L, n, 0)
+    tracks.result()
+  }
+
+  final case class Mp4Track(doc_id: Long, track_idx: Long, handler: String,
+      codec: String, timescale: Long, duration_ts: Long, n_samples: Long)
+
+  /** Track-level mp4 metadata: one row per track (handler `vide`/`soun`,
+    * codec fourcc, media timescale/duration, declared sample count).
+    * Non-mp4 and corrupt rows yield no rows — the degrade-don't-fail
+    * contract of the other decoders.
+    */
+  def mp4Tracks(df: DataFrame, idCol: String, binCol: String): Dataset[Mp4Track] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull && col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        demuxMp4(bytes).zipWithIndex.map { case (t, i) =>
+          Mp4Track(id, i.toLong, t.handler, t.codec, t.timescale, t.duration,
+            t.sampleSizes.length.toLong)
+        }
+      }
+  }
+
+  final case class Mp4Sample(doc_id: Long, track_idx: Long, sample_idx: Long,
+      n_bytes: Long, sample_sha: String)
+
+  /** Every `stride`-th ENCODED sample of each `vide` track: true byte
+    * ranges out of `mdat`, size + sha256 fingerprint. The payload stays
+    * encoded — fingerprint/count/size are codec-agnostic, which is what
+    * corpus-level video dedup and integrity audits actually need; pixel
+    * decode of non-JPEG codecs is the one remaining (declared) seam.
+    * Samples whose resolved range escapes the payload are dropped, not
+    * clamped — a truncated file yields fewer samples, never garbage.
+    */
+  def sampleMp4Samples(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      stride: Int,
+      maxKeptPerDoc: Int = 4096): Dataset[Mp4Sample] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(stride > 0, s"stride must be > 0, got $stride")
+    require(maxKeptPerDoc > 0, s"maxKeptPerDoc must be > 0, got $maxKeptPerDoc")
+    df.where(col(idCol).isNotNull && col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        demuxMp4(bytes).zipWithIndex.iterator.flatMap {
+          case (t, ti) if t.handler == "vide" =>
+            t.sampleOffsets.zip(t.sampleSizes).zipWithIndex.iterator
+              .filter { case (_, ord) => ord % stride == 0 }
+              .take(maxKeptPerDoc)
+              .flatMap { case ((off, sz), ord) =>
+                if (off >= 0 && sz > 0 && off + sz <= bytes.length) {
+                  val payload = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+                  val sha = java.security.MessageDigest.getInstance("SHA-256")
+                    .digest(payload).take(8).map("%02x".format(_)).mkString
+                  Some(Mp4Sample(id, ti.toLong, ord.toLong, sz, sha))
+                } else None
+              }
+          case _ => Iterator.empty
+        }
+      }
+  }
+
+  /** Full pixel decode for mp4 tracks whose codec the JDK CAN decode
+    * (`jpeg` — Motion-JPEG-in-mp4): every `stride`-th sample through the
+    * same bounded image reader as [[sampleAviFrames]]. Other codecs
+    * yield no rows here (their encoded samples are still reachable via
+    * [[sampleMp4Samples]]).
+    */
+  def sampleMp4Frames(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      stride: Int,
+      maxKeptPerDoc: Int = 4096): Dataset[VideoFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(stride > 0, s"stride must be > 0, got $stride")
+    require(maxKeptPerDoc > 0, s"maxKeptPerDoc must be > 0, got $maxKeptPerDoc")
+    df.where(col(idCol).isNotNull && col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          demuxMp4(bytes).iterator.flatMap {
+            case t if t.handler == "vide" && t.codec == "jpeg" =>
+              t.sampleOffsets.zip(t.sampleSizes).zipWithIndex.iterator
+                .filter { case (_, ord) => ord % stride == 0 }
+                .take(maxKeptPerDoc)
+                .flatMap { case ((off, sz), ord) =>
+                  if (off >= 0 && sz > 0 && off + sz <= bytes.length) {
+                    val payload = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+                    readImage(payload, 64).map { case (_, w, h, _) =>
+                      val sha = java.security.MessageDigest.getInstance("SHA-256")
+                        .digest(payload).take(8).map("%02x".format(_)).mkString
+                      VideoFrame(id, ord.toLong, w.toLong, h.toLong, sha)
+                    }
+                  } else None
+                }
+            case _ => Iterator.empty
+          }
+        }
+      }
   }
 
   final case class VideoFrame(doc_id: Long, frame_idx: Long,

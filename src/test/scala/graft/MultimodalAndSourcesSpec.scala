@@ -44,6 +44,131 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
       frames.collect().sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
   }
 
+  /** Minimal valid ISO-BMFF mp4 built box by box (big-endian sizes):
+    * ftyp, then moov(trak(mdia(mdhd v0, hdlr, minf(stbl(stsd, stsz,
+    * stsc, stco))))), then mdat holding the samples. Chunking: first
+    * stsc run packs 2 samples/chunk, second run 1 — exercising the run
+    * walk, not just a flat layout. Returns (file, samplePayloads).
+    */
+  private def makeMp4(samples: Seq[Array[Byte]], codec: String,
+      timescale: Int = 1000, duration: Int = 3000): Array[Byte] = {
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def be(v: Int) = Array((v >> 24 & 0xFF).toByte, (v >> 16 & 0xFF).toByte,
+      (v >> 8 & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be(8 + payload.length) ++ cc(typ) ++ payload
+    val ftyp = box("ftyp", cc("isom") ++ be(0) ++ cc("isom"))
+    val mdhd = box("mdhd", be(0) ++ be(0) ++ be(0) ++ be(timescale) ++ be(duration))
+    val hdlr = box("hdlr", be(0) ++ be(0) ++ cc("vide") ++ new Array[Byte](12))
+    val stsd = box("stsd", be(0) ++ be(1) ++ (be(16) ++ cc(codec) ++ new Array[Byte](8)))
+    val stsz = box("stsz", be(0) ++ be(0) ++ be(samples.length) ++
+      samples.flatMap(s => be(s.length)).toArray)
+    // chunk 1 holds two samples, every later chunk holds one
+    val nChunks = if (samples.length <= 2) 1 else 1 + (samples.length - 2)
+    val stsc = box("stsc", be(0) ++ be(2) ++
+      (be(1) ++ be(2) ++ be(1)) ++ (be(2) ++ be(1) ++ be(1)))
+    // moov length is independent of the offset VALUES -> lay out with
+    // dummy offsets first, then rebuild with the real ones
+    def moovWith(chunkOffs: Seq[Int]): Array[Byte] = {
+      val stco = box("stco", be(0) ++ be(chunkOffs.length) ++ chunkOffs.flatMap(be).toArray)
+      box("moov", box("trak", box("mdia", mdhd ++ hdlr ++
+        box("minf", box("stbl", stsd ++ stsz ++ stsc ++ stco)))))
+    }
+    val moovLen = moovWith(Seq.fill(nChunks)(0)).length
+    val mdatPayloadStart = ftyp.length + moovLen + 8
+    val chunkOffs = {
+      val offs = Seq.newBuilder[Int]
+      var off = mdatPayloadStart
+      var i = 0
+      var chunk = 0
+      while (i < samples.length) {
+        offs += off
+        val inChunk = if (chunk == 0) math.min(2, samples.length) else 1
+        (0 until inChunk).foreach { j => off += samples(i + j).length }
+        i += inChunk
+        chunk += 1
+      }
+      offs.result()
+    }
+    val mdat = box("mdat", samples.flatten.toArray)
+    ftyp ++ moovWith(chunkOffs) ++ mdat
+  }
+
+  private def sha8(b: Array[Byte]): String = java.security.MessageDigest
+    .getInstance("SHA-256").digest(b).take(8).map("%02x".format(_)).mkString
+
+  test("REAL mp4 demux: track metadata and encoded samples at planted byte ranges") {
+    val payloads = Seq("FRAME_A", "FRAME_BB", "FRAME_CCC", "FRAME_DDDD")
+      .map(_.getBytes("US-ASCII"))
+    val mp4 = makeMp4(payloads, "avc1")
+    val rows = Seq((9L, mp4)).toDF("doc_id", "payload")
+    val tracks = BinaryPipeline.mp4Tracks(rows, "doc_id", "payload").collect()
+    assert(tracks.length == 1)
+    val t = tracks.head
+    assert(t.handler == "vide" && t.codec == "avc1")
+    assert(t.timescale == 1000L && t.duration_ts == 3000L && t.n_samples == 4L)
+    // every sample extracted at its true mdat byte range: sizes AND content
+    val got = BinaryPipeline.sampleMp4Samples(rows, "doc_id", "payload", stride = 1)
+      .collect().sortBy(_.sample_idx)
+    assert(got.map(_.n_bytes).toSeq == Seq(7L, 8L, 9L, 10L))
+    assert(got.map(_.sample_sha).toSeq == payloads.map(sha8))
+    // striding keeps ordinals 0, 2
+    val strided = BinaryPipeline.sampleMp4Samples(rows, "doc_id", "payload", stride = 2)
+      .collect().sortBy(_.sample_idx)
+    assert(strided.map(_.sample_idx).toSeq == Seq(0L, 2L))
+  }
+
+  test("mp4 demux degrades on garbage, truncation, and forged table counts") {
+    val payloads = (0 until 4).map(i => s"SAMPLE_$i".getBytes("US-ASCII"))
+    val mp4 = makeMp4(payloads, "avc1")
+    // non-mp4 -> no tracks
+    assert(BinaryPipeline.demuxMp4("not an mp4 file either".getBytes).isEmpty)
+    // truncated mid-mdat: moov (before mdat) still parses, but samples
+    // whose byte range escapes the remaining payload DROP — never garbage
+    val truncated = mp4.take(mp4.length - payloads.last.length - 2)
+    val rows = Seq((1L, truncated)).toDF("doc_id", "payload")
+    val got = BinaryPipeline.sampleMp4Samples(rows, "doc_id", "payload", 1).collect()
+    assert(got.length < 4 && got.nonEmpty)
+    assert(got.sortBy(_.sample_idx).map(_.sample_sha).toSeq ==
+      payloads.take(got.length).map(sha8))
+    // forge stsz's sample_count to ~2^31: the table clamps to the bytes
+    // actually inside the box — no allocation from the header, no throw
+    val forged = mp4.clone()
+    val stszIdx = {
+      var i = 0; var found = -1
+      while (found < 0 && i < forged.length - 4) {
+        if (new String(forged, i, 4, "US-ASCII") == "stsz") found = i else i += 1
+      }
+      found
+    }
+    assert(stszIdx > 0)
+    forged(stszIdx + 12) = 0x7F.toByte; forged(stszIdx + 13) = 0xFF.toByte
+    forged(stszIdx + 14) = 0xFF.toByte; forged(stszIdx + 15) = 0xFF.toByte
+    val bounded = BinaryPipeline.demuxMp4(forged)
+    assert(bounded.length == 1)
+    assert(bounded.head.sampleSizes.length <= 4)
+    // null / non-binary rows degrade like the other decoders
+    val mixed = Seq((1L, mp4), (2L, null)).toDF("doc_id", "payload")
+    val ok = BinaryPipeline.mp4Tracks(mixed, "doc_id", "payload").collect()
+    assert(ok.nonEmpty && ok.forall(_.doc_id == 1L))
+  }
+
+  test("mp4 jpeg-codec tracks decode to true pixel dimensions") {
+    // Motion-JPEG-in-mp4: the one codec the JDK can fully decode — the
+    // demux hands the reader real JPEG payloads out of mdat
+    val jpegs = (0 until 3).map(i => makeImage(20 + i, 10, 0x336699 + i, "jpg"))
+    val mp4 = makeMp4(jpegs, "jpeg")
+    val rows = Seq((5L, mp4)).toDF("doc_id", "payload")
+    val frames = BinaryPipeline.sampleMp4Frames(rows, "doc_id", "payload", stride = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.width).toSeq == Seq(20L, 21L, 22L))
+    assert(frames.forall(_.height == 10L))
+    assert(frames.map(_.frame_sha).toSeq == jpegs.map(sha8))
+    // an avc1 track never reaches the pixel decoder (no codec for it)
+    val avc = Seq((6L, makeMp4(jpegs, "avc1"))).toDF("doc_id", "payload")
+    assert(BinaryPipeline.sampleMp4Frames(avc, "doc_id", "payload", 1).collect().isEmpty)
+  }
+
   // real images for the REAL decode path: tiny solid/gradient PNGs+JPEGs
   // generated with the same pure-JDK imageio the operator uses
   private def makeImage(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
