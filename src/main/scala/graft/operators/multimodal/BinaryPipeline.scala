@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   * [[resampleAudio]] read actual samples (compressed codecs like MP3/AAC
   * would need external libs and degrade to "unknown"). VIDEO demux is
   * REAL for AVI/MJPEG — [[sampleAviFrames]] parses the RIFF tree by hand
-  * and decodes JPEG frame payloads through the image reader — and for
-  * MP4 — [[demuxMp4]] walks the ISO-BMFF box tree and resolves the
-  * sample tables to true byte ranges ([[mp4Tracks]] /
-  * [[sampleMp4Samples]] / [[sampleMp4Frames]]). The remaining seams:
-  * mkv (EBML) container parse, and BITSTREAM decode of codecs the JDK
-  * lacks (H.264 etc. — mp4 `jpeg`-codec tracks decode fully); the
+  * and decodes JPEG frame payloads through the image reader — for MP4 —
+  * [[demuxMp4]] walks the ISO-BMFF box tree and resolves the sample
+  * tables to true byte ranges ([[mp4Tracks]] / [[sampleMp4Samples]] /
+  * [[sampleMp4Frames]]) — and for MKV/WebM — [[demuxMkv]] walks the
+  * EBML element tree ([[mkvTracks]] / [[sampleMkvBlocks]] /
+  * [[sampleMkvFrames]]). Every CONTAINER the multimodal mandate names
+  * now demuxes for real; the remaining seams are laced-mkv-block
+  * splitting and BITSTREAM decode of codecs the JDK lacks (H.264 etc. —
+  * `jpeg`/MJPEG tracks decode fully in all three containers); the
   * `sampleFramesStub` fake marks exactly where a JNI/FFmpeg call would
   * sit for those.
   */
@@ -638,6 +641,219 @@ object BinaryPipeline {
 
     if (n >= 12 && cc(4) == "ftyp") walk(0L, n, 0)
     tracks.result()
+  }
+
+  // ------------------------------------------------------ mkv (REAL demux)
+
+  private[graft] final case class MkvTrackInfo(
+      number: Long, trackType: Long, codec: String, width: Long, height: Long)
+
+  /** Matroska/WebM (EBML) DEMUX, pure JDK — the other container the
+    * round-3 stub declared. EBML is a length-prefixed element tree:
+    * variable-length IDs (marker bits kept) and sizes (marker cleared,
+    * all-value-bits-set = "unknown", which extends to the enclosing
+    * range). The walk covers
+    * `Segment/Tracks/TrackEntry/{TrackNumber,TrackType,CodecID,Video/{PixelWidth,PixelHeight}}`
+    * and `Segment/Cluster/{SimpleBlock,BlockGroup/Block}`; un-laced
+    * block payloads are the encoded frames (V_MJPEG frames are plain
+    * JPEGs — decodable; laced blocks advance the ordinal but are
+    * skipped, a documented simplification). Returns (tracks, frames
+    * as (trackNumber, ordinal, payload)).
+    *
+    * Untrusted-input contract matches [[demuxMp4]]/[[demuxAviFrames]]:
+    * sizes clamp to the enclosing range, vint reads are bounds-checked,
+    * recursion depth is capped, malformed elements stop the current
+    * range, and kept frames are capped.
+    */
+  private[graft] def demuxMkv(
+      bytes: Array[Byte],
+      stride: Int = 1,
+      maxKept: Int = 4096): (Vector[MkvTrackInfo], Vector[(Long, Long, Array[Byte])]) = {
+    val n = bytes.length.toLong
+    // EBML vint: leading zero bits of the first byte give the width
+    def vint(off: Long, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (off >= n) return None
+      val first = bytes(off.toInt) & 0xFF
+      if (first == 0) return None // width > 8: not used by real files
+      val len = java.lang.Integer.numberOfLeadingZeros(first) - 23
+      if (off + len > n) return None
+      var v = (if (keepMarker) first else first & (0xFF >>> len)).toLong
+      var i = 1
+      while (i < len) { v = v << 8 | (bytes((off + i).toInt) & 0xFFL); i += 1 }
+      Some((v, len))
+    }
+    def isUnknownSize(v: Long, len: Int): Boolean =
+      v == (1L << (7 * len)) - 1 // all value bits set
+
+    final class TrackAcc {
+      var number = -1L; var trackType = -1L; var codec = "unknown"
+      var width = 0L; var height = 0L
+    }
+    val tracks = Vector.newBuilder[MkvTrackInfo]
+    val frames = Vector.newBuilder[(Long, Long, Array[Byte])]
+    var cur: TrackAcc = null
+    var kept = 0
+    var ordinal = 0L
+
+    def uintAt(ps: Long, pe: Long): Long = {
+      var v = 0L
+      var i = ps
+      while (i < pe && i - ps < 8) { v = v << 8 | (bytes(i.toInt) & 0xFFL); i += 1 }
+      v
+    }
+    def block(ps: Long, pe: Long): Unit = {
+      // payload: track vint, s16 relative time, flags, then frame data
+      vint(ps, keepMarker = false).foreach { case (trackNum, tl) =>
+        val flagsOff = ps + tl + 2
+        if (flagsOff < pe) {
+          val lacing = (bytes(flagsOff.toInt) >> 1) & 0x3
+          if (lacing == 0 && kept < maxKept) {
+            if (ordinal % stride == 0 && flagsOff + 1 < pe) {
+              frames += ((trackNum, ordinal,
+                java.util.Arrays.copyOfRange(bytes, (flagsOff + 1).toInt, pe.toInt)))
+              kept += 1
+            }
+            ordinal += 1
+          } else if (lacing != 0) ordinal += 1 // laced: counted, not split
+        }
+      }
+    }
+
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var off = start
+      while (off + 2 <= end && kept < maxKept) {
+        val idRead = vint(off, keepMarker = true)
+        if (idRead.isEmpty) return
+        val (id, idLen) = idRead.get
+        val szRead = vint(off + idLen, keepMarker = false)
+        if (szRead.isEmpty) return
+        val (szRaw, szLen) = szRead.get
+        val ps = off + idLen + szLen
+        val pe =
+          if (isUnknownSize(szRaw, szLen)) end // unknown size: to range end
+          else math.min(ps + szRaw, end) // forged size clamps
+        if (pe < ps) return
+        id match {
+          case 0x18538067L | 0x1654AE6BL | 0x1F43B675L | 0xA0L => // Segment/Tracks/Cluster/BlockGroup
+            if (depth < 16) walk(ps, pe, depth + 1)
+          case 0xAEL => // TrackEntry
+            if (depth < 16) {
+              cur = new TrackAcc
+              walk(ps, pe, depth + 1)
+              if (cur.number >= 0)
+                tracks += MkvTrackInfo(cur.number, cur.trackType, cur.codec, cur.width, cur.height)
+              cur = null
+            }
+          case 0xE0L => // Video settings inside TrackEntry
+            if (cur != null && depth < 16) walk(ps, pe, depth + 1)
+          case 0xD7L if cur != null => cur.number = uintAt(ps, pe)
+          case 0x83L if cur != null => cur.trackType = uintAt(ps, pe)
+          case 0x86L if cur != null && pe > ps =>
+            cur.codec = new String(bytes, ps.toInt, math.min(pe - ps, 64L).toInt,
+              java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != '\u0000')
+          case 0xB0L if cur != null => cur.width = uintAt(ps, pe)
+          case 0xBAL if cur != null => cur.height = uintAt(ps, pe)
+          case 0xA3L | 0xA1L => block(ps, pe) // SimpleBlock / Block
+          case _ => () // EBML header, Info, Cues, Void, ... skip
+        }
+        if (pe <= off) return // progress guarantee
+        off = pe
+      }
+    }
+
+    // 0x1A45DFA3 = EBML header magic
+    if (n >= 4 && (bytes(0) & 0xFF) == 0x1A && (bytes(1) & 0xFF) == 0x45
+        && (bytes(2) & 0xFF) == 0xDF && (bytes(3) & 0xFF) == 0xA3)
+      walk(0L, n, 0)
+    (tracks.result(), frames.result())
+  }
+
+  final case class MkvTrack(doc_id: Long, track_number: Long, track_type: String,
+      codec: String, width: Long, height: Long)
+
+  /** Track-level mkv/webm metadata: one row per TrackEntry (type
+    * video/audio/other, CodecID, pixel dims for video). Non-mkv and
+    * corrupt rows yield no rows.
+    */
+  def mkvTracks(df: DataFrame, idCol: String, binCol: String): Dataset[MkvTrack] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull && col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        demuxMkv(bytes)._1.map { t =>
+          val typ = t.trackType match {
+            case 1 => "video"; case 2 => "audio"; case _ => "other"
+          }
+          MkvTrack(id, t.number, typ, t.codec, t.width, t.height)
+        }
+      }
+  }
+
+  /** Every `stride`-th un-laced block of the given track (default: all
+    * tracks when `trackNumber` < 0): encoded frame bytes fingerprinted
+    * like [[sampleMp4Samples]] — codec-agnostic dedup/integrity grain.
+    */
+  def sampleMkvBlocks(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      stride: Int,
+      trackNumber: Long = -1L,
+      maxKeptPerDoc: Int = 4096): Dataset[Mp4Sample] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(stride > 0, s"stride must be > 0, got $stride")
+    require(maxKeptPerDoc > 0, s"maxKeptPerDoc must be > 0, got $maxKeptPerDoc")
+    df.where(col(idCol).isNotNull && col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        demuxMkv(bytes, stride, maxKeptPerDoc)._2.iterator
+          .filter { case (tn, _, _) => trackNumber < 0 || tn == trackNumber }
+          .map { case (tn, ord, payload) =>
+            val sha = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(payload).take(8).map("%02x".format(_)).mkString
+            Mp4Sample(id, tn, ord, payload.length.toLong, sha)
+          }
+      }
+  }
+
+  /** Full pixel decode for mkv V_MJPEG tracks (JPEG frames in EBML
+    * blocks) — the mkv twin of [[sampleMp4Frames]]. Other codecs yield
+    * no rows here; their encoded blocks stay reachable via
+    * [[sampleMkvBlocks]].
+    */
+  def sampleMkvFrames(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      stride: Int,
+      maxKeptPerDoc: Int = 4096): Dataset[VideoFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(stride > 0, s"stride must be > 0, got $stride")
+    require(maxKeptPerDoc > 0, s"maxKeptPerDoc must be > 0, got $maxKeptPerDoc")
+    df.where(col(idCol).isNotNull && col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val (tracks, frames) = demuxMkv(bytes, stride, maxKeptPerDoc)
+          val mjpegTracks = tracks.filter(t => t.trackType == 1L && t.codec == "V_MJPEG")
+            .map(_.number).toSet
+          frames.iterator
+            .filter { case (tn, _, _) => mjpegTracks.contains(tn) }
+            .flatMap { case (_, ord, payload) =>
+              readImage(payload, 64).map { case (_, w, h, _) =>
+                val sha = java.security.MessageDigest.getInstance("SHA-256")
+                  .digest(payload).take(8).map("%02x".format(_)).mkString
+                VideoFrame(id, ord, w.toLong, h.toLong, sha)
+              }
+            }
+        }
+      }
   }
 
   final case class Mp4Track(doc_id: Long, track_idx: Long, handler: String,

@@ -169,6 +169,91 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     assert(BinaryPipeline.sampleMp4Frames(avc, "doc_id", "payload", 1).collect().isEmpty)
   }
 
+  /** Minimal valid Matroska file built element by element: EBML header
+    * magic, then Segment(Tracks(TrackEntry(number, type=video, codec,
+    * Video(w,h))), Cluster(SimpleBlock × frames)). Sizes use 2-byte
+    * vints so payloads over 127 bytes encode correctly.
+    */
+  private def makeMkv(frames: Seq[Array[Byte]], codec: String = "V_MJPEG",
+      w: Int = 20, h: Int = 10): Array[Byte] = {
+    def sz(v: Int): Array[Byte] = { // 2-byte vint, v < 2^14
+      require(v < (1 << 14) - 1); Array((0x40 | (v >> 8)).toByte, (v & 0xFF).toByte)
+    }
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] = id ++ sz(payload.length) ++ payload
+    def id1(b: Int) = Array(b.toByte)
+    def id4(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val header = el(id4(0x1A45DFA3L), Array.empty)
+    val trackEntry = el(id1(0xAE),
+      el(id1(0xD7), Array(1.toByte)) ++            // TrackNumber = 1
+        el(id1(0x83), Array(1.toByte)) ++          // TrackType = video
+        el(id1(0x86), codec.getBytes("US-ASCII")) ++ // CodecID
+        el(id1(0xE0),                              // Video settings
+          el(id1(0xB0), Array(w.toByte)) ++ el(id1(0xBA), Array(h.toByte))))
+    val tracks = el(id4(0x1654AE6BL), trackEntry)
+    val blocks = frames.flatMap { f =>
+      // SimpleBlock payload: track vint 0x81, s16 rel. time, flags (no
+      // lacing), then the frame bytes
+      el(id1(0xA3), Array[Byte](0x81.toByte, 0, 0, 0) ++ f)
+    }.toArray
+    val cluster = el(id4(0x1F43B675L), el(id1(0xE7), Array(0.toByte)) ++ blocks)
+    header ++ el(id4(0x18538067L), tracks ++ cluster)
+  }
+
+  test("REAL mkv demux: track metadata and un-laced block frames at planted content") {
+    val payloads = Seq("BLOCK_A", "BLOCK_BB", "BLOCK_CCC").map(_.getBytes("US-ASCII"))
+    val mkv = makeMkv(payloads, codec = "V_TEST", w = 33, h = 17)
+    val rows = Seq((3L, mkv)).toDF("doc_id", "payload")
+    val tracks = BinaryPipeline.mkvTracks(rows, "doc_id", "payload").collect()
+    assert(tracks.length == 1)
+    val t = tracks.head
+    assert(t.track_number == 1L && t.track_type == "video" && t.codec == "V_TEST")
+    assert(t.width == 33L && t.height == 17L)
+    val got = BinaryPipeline.sampleMkvBlocks(rows, "doc_id", "payload", stride = 1)
+      .collect().sortBy(_.sample_idx)
+    assert(got.map(_.n_bytes).toSeq == Seq(7L, 8L, 9L))
+    assert(got.map(_.sample_sha).toSeq == payloads.map(sha8))
+    assert(BinaryPipeline.sampleMkvBlocks(rows, "doc_id", "payload", stride = 2)
+      .collect().map(_.sample_idx).sorted.toSeq == Seq(0L, 2L))
+  }
+
+  test("mkv V_MJPEG frames decode to true pixel dimensions; degrade paths hold") {
+    val jpegs = (0 until 3).map(i => makeImage(24 + i, 12, 0x884422 + i, "jpg"))
+    val mkv = makeMkv(jpegs)
+    val rows = Seq((4L, mkv)).toDF("doc_id", "payload")
+    val frames = BinaryPipeline.sampleMkvFrames(rows, "doc_id", "payload", stride = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.width).toSeq == Seq(24L, 25L, 26L))
+    assert(frames.forall(_.height == 12L))
+    assert(frames.map(_.frame_sha).toSeq == jpegs.map(sha8))
+    // non-MJPEG codec never reaches the pixel decoder
+    val other = Seq((5L, makeMkv(jpegs, codec = "V_VP9"))).toDF("doc_id", "payload")
+    assert(BinaryPipeline.sampleMkvFrames(other, "doc_id", "payload", 1).collect().isEmpty)
+    // garbage is not an mkv
+    assert(BinaryPipeline.demuxMkv("certainly not ebml".getBytes)._1.isEmpty)
+    // truncated mid-cluster: the blocks that fit come back, never a throw
+    val truncated = mkv.take(mkv.length - jpegs.last.length - 2)
+    val some = BinaryPipeline.demuxMkv(truncated)._2
+    assert(some.length < 3)
+    // forged element size beyond the file clamps to the enclosing range
+    val forged = mkv.clone()
+    // the Segment's 2-byte size vint sits right after its 4-byte id
+    val segIdx = {
+      var i = 0; var found = -1
+      while (found < 0 && i < forged.length - 4) {
+        if ((forged(i) & 0xFF) == 0x18 && (forged(i + 1) & 0xFF) == 0x53
+          && (forged(i + 2) & 0xFF) == 0x80 && (forged(i + 3) & 0xFF) == 0x67) found = i
+        else i += 1
+      }
+      found
+    }
+    assert(segIdx > 0)
+    // 0x7FFE = 16382, far beyond the file (0x7FFF would be the legal
+    // "unknown size" marker — clamping and unknown-size resolve the same)
+    forged(segIdx + 4) = 0x7F.toByte; forged(segIdx + 5) = 0xFE.toByte
+    val clamped = BinaryPipeline.demuxMkv(forged)
+    assert(clamped._1.length == 1 && clamped._2.length == 3) // still fully parsed
+  }
+
   // real images for the REAL decode path: tiny solid/gradient PNGs+JPEGs
   // generated with the same pure-JDK imageio the operator uses
   private def makeImage(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
