@@ -19,12 +19,12 @@ import org.apache.spark.sql.functions._
   * tables to true byte ranges ([[mp4Tracks]] / [[sampleMp4Samples]] /
   * [[sampleMp4Frames]]) — and for MKV/WebM — [[demuxMkv]] walks the
   * EBML element tree ([[mkvTracks]] / [[sampleMkvBlocks]] /
-  * [[sampleMkvFrames]]). Every CONTAINER the multimodal mandate names
-  * now demuxes for real; the remaining seams are laced-mkv-block
-  * splitting and BITSTREAM decode of codecs the JDK lacks (H.264 etc. —
-  * `jpeg`/MJPEG tracks decode fully in all three containers); the
-  * `sampleFramesStub` fake marks exactly where a JNI/FFmpeg call would
-  * sit for those.
+  * [[sampleMkvFrames]], incl. all four block-lacing layouts). Every
+  * CONTAINER the multimodal mandate names now demuxes for real; the one
+  * remaining seam is BITSTREAM decode of codecs the JDK lacks (H.264
+  * etc. — `jpeg`/MJPEG tracks decode fully in all three containers);
+  * the `sampleFramesStub` fake marks exactly where a JNI/FFmpeg call
+  * would sit for that.
   */
 object BinaryPipeline {
 
@@ -654,11 +654,13 @@ object BinaryPipeline {
     * all-value-bits-set = "unknown", which extends to the enclosing
     * range). The walk covers
     * `Segment/Tracks/TrackEntry/{TrackNumber,TrackType,CodecID,Video/{PixelWidth,PixelHeight}}`
-    * and `Segment/Cluster/{SimpleBlock,BlockGroup/Block}`; un-laced
-    * block payloads are the encoded frames (V_MJPEG frames are plain
-    * JPEGs — decodable; laced blocks advance the ordinal but are
-    * skipped, a documented simplification). Returns (tracks, frames
-    * as (trackNumber, ordinal, payload)).
+    * and `Segment/Cluster/{SimpleBlock,BlockGroup/Block}`; block
+    * payloads are split into their encoded frames under ALL four
+    * lacing layouts (none, Xiph running 255-sums, fixed equal split,
+    * EBML vint + signed-vint deltas; a malformed lace table drops the
+    * block, never mis-slices it). V_MJPEG frames are plain JPEGs —
+    * decodable. Returns (tracks, frames as (trackNumber, ordinal,
+    * payload)).
     *
     * Untrusted-input contract matches [[demuxMp4]]/[[demuxAviFrames]]:
     * sizes clamp to the enclosing range, vint reads are bounds-checked,
@@ -701,20 +703,79 @@ object BinaryPipeline {
       while (i < pe && i - ps < 8) { v = v << 8 | (bytes(i.toInt) & 0xFFL); i += 1 }
       v
     }
+    def emit(trackNum: Long, from: Long, to: Long): Unit = {
+      if (kept < maxKept && to > from) {
+        if (ordinal % stride == 0) {
+          frames += ((trackNum, ordinal,
+            java.util.Arrays.copyOfRange(bytes, from.toInt, to.toInt)))
+          kept += 1
+        }
+        ordinal += 1
+      }
+    }
     def block(ps: Long, pe: Long): Unit = {
-      // payload: track vint, s16 relative time, flags, then frame data
+      // payload: track vint, s16 relative time, flags, then frame data —
+      // un-laced, or one of the three lacing layouts (Xiph running
+      // 255-sums, fixed equal split, EBML vint + signed-vint deltas)
       vint(ps, keepMarker = false).foreach { case (trackNum, tl) =>
         val flagsOff = ps + tl + 2
         if (flagsOff < pe) {
           val lacing = (bytes(flagsOff.toInt) >> 1) & 0x3
-          if (lacing == 0 && kept < maxKept) {
-            if (ordinal % stride == 0 && flagsOff + 1 < pe) {
-              frames += ((trackNum, ordinal,
-                java.util.Arrays.copyOfRange(bytes, (flagsOff + 1).toInt, pe.toInt)))
-              kept += 1
+          val dataStart = flagsOff + 1
+          if (lacing == 0) emit(trackNum, dataStart, pe)
+          else if (dataStart < pe) {
+            val nFrames = (bytes(dataStart.toInt) & 0xFF) + 1
+            var off = dataStart + 1
+            val sizes = Array.ofDim[Long](nFrames)
+            var ok = true
+            lacing match {
+              case 1 => // Xiph: per-frame byte runs summing until a non-255
+                var i = 0
+                while (ok && i < nFrames - 1) {
+                  var s = 0L
+                  var b = 255
+                  while (ok && b == 255) {
+                    if (off >= pe) ok = false
+                    else { b = bytes(off.toInt) & 0xFF; s += b; off += 1 }
+                  }
+                  sizes(i) = s; i += 1
+                }
+              case 3 => // EBML: first unsigned vint, then signed deltas
+                vint(off, keepMarker = false) match {
+                  case Some((s0, l0)) if off + l0 <= pe =>
+                    sizes(0) = s0; off += l0
+                    var i = 1
+                    while (ok && i < nFrames - 1) {
+                      vint(off, keepMarker = false) match {
+                        case Some((d, dl)) if off + dl <= pe =>
+                          val signed = d - ((1L << (7 * dl - 1)) - 1)
+                          sizes(i) = sizes(i - 1) + signed; off += dl; i += 1
+                        case _ => ok = false
+                      }
+                    }
+                  case _ => ok = false
+                }
+              case _ => // fixed: equal split of the remainder
+                val rem = pe - off
+                if (nFrames > 0 && rem % nFrames == 0)
+                  java.util.Arrays.fill(sizes, rem / nFrames)
+                else ok = false
             }
-            ordinal += 1
-          } else if (lacing != 0) ordinal += 1 // laced: counted, not split
+            if (ok) {
+              // last frame (Xiph/EBML) is the remainder after the others
+              if (lacing != 2) {
+                val head = sizes.take(nFrames - 1).sum
+                sizes(nFrames - 1) = pe - off - head
+              }
+              var i = 0
+              var fo = off
+              while (ok && i < nFrames) {
+                val sz = sizes(i)
+                if (sz < 0 || fo + sz > pe) ok = false // malformed lace table
+                else { emit(trackNum, fo, fo + sz); fo += sz; i += 1 }
+              }
+            }
+          }
         }
       }
     }

@@ -254,6 +254,43 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     assert(clamped._1.length == 1 && clamped._2.length == 3) // still fully parsed
   }
 
+  test("mkv lacing: Xiph, fixed, and EBML laced blocks split into exact frames") {
+    def sz(v: Int): Array[Byte] = {
+      require(v < (1 << 14) - 1); Array((0x40 | (v >> 8)).toByte, (v & 0xFF).toByte)
+    }
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] = id ++ sz(payload.length) ++ payload
+    def id1(b: Int) = Array(b.toByte)
+    def id4(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val fA = Array.fill[Byte](7)(0x41)          // 'A' x 7
+    val fB = Array.fill[Byte](300)(0x42)        // forces a 255+45 Xiph run
+    val fC = Array.fill[Byte](5)(0x43)
+    def blockHdr(flags: Int, count: Int) =
+      Array[Byte](0x81.toByte, 0, 0, flags.toByte, (count - 1).toByte)
+    // Xiph (lacing=1, flags 0x02): sizes [7]=7, [255,45]=300; last implicit
+    val xiph = el(id1(0xA3), blockHdr(0x02, 3) ++
+      Array[Byte](7) ++ Array[Byte](255.toByte, 45) ++ fA ++ fB ++ fC)
+    // fixed (lacing=2, flags 0x04): three equal 7-byte frames
+    val fixed = el(id1(0xA3), blockHdr(0x04, 3) ++ fA ++ fA ++ fA)
+    // EBML (lacing=3, flags 0x06): first size 7 as vint 0x87, then delta
+    // +2 stored as 2 + 63 = 65 -> vint 0xC1 (frame sizes 7, 9, implicit 5)
+    val f9 = Array.fill[Byte](9)(0x44)
+    val ebml = el(id1(0xA3), blockHdr(0x06, 3) ++
+      Array[Byte](0x87.toByte, 0xC1.toByte) ++ fA ++ f9 ++ fC)
+    // malformed Xiph: size run larger than the payload -> block dropped
+    val bad = el(id1(0xA3), blockHdr(0x02, 3) ++
+      Array[Byte](255.toByte, 255.toByte, 255.toByte, 100) ++ fA)
+    val header = el(id4(0x1A45DFA3L), Array.empty)
+    val cluster = el(id4(0x1F43B675L),
+      el(id1(0xE7), Array(0.toByte)) ++ xiph ++ fixed ++ ebml ++ bad)
+    val mkv = header ++ el(id4(0x18538067L), cluster)
+    val (_, frames) = BinaryPipeline.demuxMkv(mkv)
+    // 3 + 3 + 3 frames, ordinals contiguous, exact sizes and content
+    assert(frames.map(_._3.length).toSeq == Seq(7, 300, 5, 7, 7, 7, 7, 9, 5))
+    assert(frames.map(_._2).toSeq == (0L until 9L).toSeq)
+    assert(frames(1)._3.forall(_ == 0x42) && frames(7)._3.forall(_ == 0x44))
+    assert(frames.forall(_._1 == 1L))
+  }
+
   // real images for the REAL decode path: tiny solid/gradient PNGs+JPEGs
   // generated with the same pure-JDK imageio the operator uses
   private def makeImage(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
