@@ -61,9 +61,26 @@ def main(sf_dir, out_dir):
                     if g != e:
                         print(f"FAIL {name}: row {i} differs\n  got {g}\n  exp {e}")
                         break
+    # the planted-ground-truth gate is part of the same pre-verify pipeline:
+    # a SelfCheck failure must fail THIS command's exit code, not just
+    # scroll by in sbt output (selfcheck.json is written by every Verify)
+    sc_pass = sc_fail = 0
+    try:
+        selfcheck = json.load(open(f"{out_dir}/selfcheck.json"))
+        for name, row in sorted(selfcheck.items()):
+            if row.get("pass"):
+                sc_pass += 1
+                print(f"PASS selfcheck:{name} ({row['found']}/{row['planted']} planted)")
+            else:
+                sc_fail += 1
+                print(f"FAIL selfcheck:{name}: found {row.get('found')} of "
+                      f"{row.get('planted')} planted — {row.get('detail')}")
+    except FileNotFoundError:
+        print("WARN no selfcheck.json in the verify output (old Verify build?)")
     print(f"\n{n_pass} pass / {n_fail} fail "
-          f"(+{len([k for k in json.load(open(f'{out_dir}/oracle_sql.json'))])} oracles checked)")
-    return 1 if n_fail else 0
+          f"(+{len([k for k in json.load(open(f'{out_dir}/oracle_sql.json'))])} oracles checked; "
+          f"selfcheck {sc_pass} pass / {sc_fail} fail)")
+    return 1 if (n_fail or sc_fail) else 0
 
 
 if __name__ == "__main__":

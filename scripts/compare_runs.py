@@ -37,7 +37,7 @@ def main(dir_a, dir_b):
     # union of both sides: a query written by only one run is a DIFF, not
     # a silent coverage gap
     names = sorted(query_dirs(dir_a) | query_dirs(dir_b))
-    n_pass = n_fail = 0
+    n_pass = n_warn = n_fail = 0
     for name in names:
         try:
             rows = []
@@ -47,10 +47,6 @@ def main(dir_a, dir_b):
                 vals = [tuple(norm(v) for v in row)
                         for row in con.sql(
                             f"SELECT {', '.join(cols)} FROM '{d}/{name}/*.parquet'").fetchall()]
-                # compare as multisets: parquet glob/intra-file order is not
-                # part of any query's contract, and a benign row-order
-                # difference between the two JVMs must not report DIFF
-                vals.sort(key=repr)
                 rows.append(vals)
         except Exception as e:  # missing dir, unreadable parquet, ...
             n_fail += 1
@@ -59,10 +55,18 @@ def main(dir_a, dir_b):
         if rows[0] == rows[1]:
             n_pass += 1
             print(f"SAME {name} ({len(rows[0])} rows)")
+        elif sorted(rows[0], key=repr) == sorted(rows[1], key=repr):
+            # same multiset, different row order: values are deterministic
+            # (no DIFF — parquet glob order is not a contract), but flag it
+            # loudly — a query whose ORDER BY is not total surfaces exactly
+            # here first, and as a driver hash flake at a larger SF later
+            n_warn += 1
+            print(f"WARN {name}: identical rows in DIFFERENT ORDER "
+                  f"({len(rows[0])} rows) — is the ORDER BY total (unique tiebreak)?")
         else:
             n_fail += 1
             print(f"DIFF {name}: {len(rows[0])} vs {len(rows[1])} rows")
-    print(f"\n{n_pass} identical / {n_fail} different")
+    print(f"\n{n_pass} identical / {n_warn} order-warnings / {n_fail} different")
     return 1 if n_fail else 0
 
 

@@ -148,8 +148,22 @@ object SelfCheck {
     }
   }
 
+  // same escape contract as Verify's oracle_sql dump: quotes, backslashes
+  // and ALL control chars — exception messages in the "threw:" path carry
+  // quotes/newlines, and the artifact must stay parseable exactly when a
+  // check fails
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def toJson(rs: Seq[Result]): String =
     rs.map { r =>
-      s""""${r.name}": {"pass": ${r.pass}, "planted": ${r.planted}, "found": ${r.found}, "detail": "${r.detail}"}"""
+      s""""${esc(r.name)}": {"pass": ${r.pass}, "planted": ${r.planted}, "found": ${r.found}, "detail": "${esc(r.detail)}"}"""
     }.mkString("{", ", ", "}")
 }

@@ -163,7 +163,9 @@ object ChartRender {
         // a sparser range falls back to the observed bins only)
         val keys = sorted.map(r => asNum(r._1).get.toLong)
         val (lo, hi) = (keys.min, keys.max)
-        if (hi - lo + 1 <= MaxRows) {
+        // BigInt span: extreme bin keys must take the fallback, not wrap
+        // Long and crash materializing a 2^63-element range
+        if (BigInt(hi) - BigInt(lo) + 1 <= MaxRows) {
           val byKey = keys.zip(sorted.map(_._2)).toMap
           (lo to hi).map(k => (k.toString, byKey.getOrElse(k, Seq(0.0))))
         } else sorted

@@ -658,9 +658,13 @@ object BinaryPipeline {
     * payloads are split into their encoded frames under ALL four
     * lacing layouts (none, Xiph running 255-sums, fixed equal split,
     * EBML vint + signed-vint deltas; a malformed lace table drops the
-    * block, never mis-slices it). V_MJPEG frames are plain JPEGs —
-    * decodable. Returns (tracks, frames as (trackNumber, ordinal,
-    * payload)).
+    * block, never mis-slices it — all sizes validate BEFORE any frame
+    * is emitted). V_MJPEG frames are plain JPEGs — decodable.
+    * `stride` and `maxKept` apply PER TRACK (ordinals are per-track
+    * positions), so a busy audio track can neither phase-shift nor
+    * starve a video track's sampling; `maxKept = 0` walks the tree for
+    * metadata only, copying no frame bytes. Returns (tracks, frames as
+    * (trackNumber, ordinal, payload)).
     *
     * Untrusted-input contract matches [[demuxMp4]]/[[demuxAviFrames]]:
     * sizes clamp to the enclosing range, vint reads are bounds-checked,
@@ -694,8 +698,10 @@ object BinaryPipeline {
     val tracks = Vector.newBuilder[MkvTrackInfo]
     val frames = Vector.newBuilder[(Long, Long, Array[Byte])]
     var cur: TrackAcc = null
-    var kept = 0
-    var ordinal = 0L
+    // per-track ordinal/kept state: stride phase and the kept cap belong
+    // to each track, or an interleaved audio track would starve video
+    val ordinals = scala.collection.mutable.Map.empty[Long, Long]
+    val kepts = scala.collection.mutable.Map.empty[Long, Int]
 
     def uintAt(ps: Long, pe: Long): Long = {
       var v = 0L
@@ -704,13 +710,15 @@ object BinaryPipeline {
       v
     }
     def emit(trackNum: Long, from: Long, to: Long): Unit = {
-      if (kept < maxKept && to > from) {
-        if (ordinal % stride == 0) {
+      if (to > from) {
+        val ordinal = ordinals.getOrElse(trackNum, 0L)
+        val kept = kepts.getOrElse(trackNum, 0)
+        if (kept < maxKept && ordinal % stride == 0) {
           frames += ((trackNum, ordinal,
             java.util.Arrays.copyOfRange(bytes, from.toInt, to.toInt)))
-          kept += 1
+          kepts(trackNum) = kept + 1
         }
-        ordinal += 1
+        ordinals(trackNum) = ordinal + 1
       }
     }
     def block(ps: Long, pe: Long): Unit = {
@@ -767,12 +775,19 @@ object BinaryPipeline {
                 val head = sizes.take(nFrames - 1).sum
                 sizes(nFrames - 1) = pe - off - head
               }
+              // validate the WHOLE table first: a malformed lace table
+              // must drop the block, not emit a partial prefix (which
+              // would also phase-shift every later ordinal)
               var i = 0
               var fo = off
               while (ok && i < nFrames) {
                 val sz = sizes(i)
-                if (sz < 0 || fo + sz > pe) ok = false // malformed lace table
-                else { emit(trackNum, fo, fo + sz); fo += sz; i += 1 }
+                if (sz < 0 || fo + sz > pe) ok = false
+                else { fo += sz; i += 1 }
+              }
+              if (ok) {
+                i = 0; fo = off
+                while (i < nFrames) { emit(trackNum, fo, fo + sizes(i)); fo += sizes(i); i += 1 }
               }
             }
           }
@@ -782,7 +797,9 @@ object BinaryPipeline {
 
     def walk(start: Long, end: Long, depth: Int): Unit = {
       var off = start
-      while (off + 2 <= end && kept < maxKept) {
+      // no global early-stop: kept caps are per track, and the walk cost
+      // is bounded by the file length regardless
+      while (off + 2 <= end) {
         val idRead = vint(off, keepMarker = true)
         if (idRead.isEmpty) return
         val (id, idLen) = idRead.get
@@ -843,7 +860,8 @@ object BinaryPipeline {
       .select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        demuxMkv(bytes)._1.map { t =>
+        // maxKept = 0: metadata-only walk, no frame bytes are copied
+        demuxMkv(bytes, maxKept = 0)._1.map { t =>
           val typ = t.trackType match {
             case 1 => "video"; case 2 => "audio"; case _ => "other"
           }

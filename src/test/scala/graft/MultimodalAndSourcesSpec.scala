@@ -291,6 +291,38 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     assert(frames.forall(_._1 == 1L))
   }
 
+  test("mkv multi-track interleave: stride and caps are per track, never global") {
+    def sz(v: Int): Array[Byte] = {
+      require(v < (1 << 14) - 1); Array((0x40 | (v >> 8)).toByte, (v & 0xFF).toByte)
+    }
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] = id ++ sz(payload.length) ++ payload
+    def id1(b: Int) = Array(b.toByte)
+    def id4(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def sb(track: Int, tag: Byte, len: Int) = el(id1(0xA3),
+      Array[Byte]((0x80 | track).toByte, 0, 0, 0) ++ Array.fill[Byte](len)(tag))
+    // interleaved: a1 v1 a2 v2 a3 v3 a4 v4 (audio=track1, video=track2)
+    val blocks = (0 until 4).flatMap(i =>
+      sb(1, 'a'.toByte, 4 + i) ++ sb(2, 'v'.toByte, 10 + i)).toArray
+    val header = el(id4(0x1A45DFA3L), Array.empty)
+    val cluster = el(id4(0x1F43B675L), el(id1(0xE7), Array(0.toByte)) ++ blocks)
+    val mkv = header ++ el(id4(0x18538067L), cluster)
+    // stride 2 must keep each track's ordinals 0 and 2 — a global ordinal
+    // would sample alternate TRACKS instead of alternate frames
+    val strided = BinaryPipeline.demuxMkv(mkv, stride = 2)._2
+    assert(strided.map(t => (t._1, t._2)).toSet == Set((1L, 0L), (1L, 2L), (2L, 0L), (2L, 2L)))
+    // a kept-cap of 2 bounds EACH track; the busy first track cannot
+    // starve the second
+    val capped = BinaryPipeline.demuxMkv(mkv, stride = 1, maxKept = 2)._2
+    assert(capped.count(_._1 == 1L) == 2 && capped.count(_._1 == 2L) == 2)
+    assert(capped.filter(_._1 == 2L).map(_._3.length).sorted.toSeq == Seq(10, 11))
+    // track filter + per-track stride compose in the public sampler
+    val rows = Seq((8L, mkv)).toDF("doc_id", "payload")
+    val t2 = BinaryPipeline.sampleMkvBlocks(rows, "doc_id", "payload", stride = 2, trackNumber = 2L)
+      .collect().sortBy(_.sample_idx)
+    assert(t2.map(_.sample_idx).toSeq == Seq(0L, 2L))
+    assert(t2.map(_.n_bytes).toSeq == Seq(10L, 12L))
+  }
+
   // real images for the REAL decode path: tiny solid/gradient PNGs+JPEGs
   // generated with the same pure-JDK imageio the operator uses
   private def makeImage(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
