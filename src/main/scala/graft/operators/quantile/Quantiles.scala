@@ -217,11 +217,14 @@ object Quantiles {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // (pid, group)-grain counts: partitions×groups rows — the ONLY
-      // thing the whole boundary computation ever aggregates or windows
+      // thing the whole boundary computation ever aggregates or windows.
+      // Materialized once (tiny): three consumers (null check, offsets,
+      // totals) would otherwise each re-aggregate the persisted corpus
       val counts = ranged.groupBy("__pid", "__g")
         .agg(count(lit(1)).as("__c"),
           sum(when(col("__g").isNull || col("__v").isNull || col("__k").isNull, 1L)
             .otherwise(0L)).as("__nulls"))
+        .localCheckpoint(true)
       val nullRow = counts.agg(sum("__nulls").as("s")).head()
       require(!nullRow.isNullAt(0), "withNtileByGroup on an empty input")
       require(nullRow.getLong(0) == 0L,

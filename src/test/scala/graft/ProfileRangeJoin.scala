@@ -20,7 +20,7 @@ object ProfileRangeJoin {
       (System.nanoTime() - t0) / 1e9
     }
 
-    Seq("q_range_join", "q_big_orders").foreach { name =>
+    Seq("q_range_join", "q_big_orders", "q_deciles", "q_deciles_by_group").foreach { name =>
       val ts = (1 to reps).map(_ => once(name))
       println(f"[rangejoin] $name%-14s reps=${ts.map(t => f"$t%.3f").mkString(", ")}")
       println(f"[rangejoin] $name%-14s first=${ts.head}%.3f steady-median=${
