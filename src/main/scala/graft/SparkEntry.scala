@@ -242,6 +242,17 @@ object SparkEntry {
       ExactDedup.groups(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_dedup_normalized" -> ((s, dir) =>
       ExactDedup.groupsNormalized(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
+    "q_dedup_spans" -> ((s, dir) =>
+      // C4-style corpus-level span dedup: aligned 8-word spans keep only
+      // their first (doc, position) occurrence corpus-wide — the form
+      // that bites on single-line corpora (near-dup docs share word
+      // runs); hash of the rebuilt text so the gate compares content
+      // without shipping it. LineDedup.clean is the newline-mode twin
+      // (spec-verified on planted multi-line docs).
+      graft.operators.dedup.LineDedup.cleanSpans(snap(s, dir).documents, "doc_id", "text")
+        .select(col("doc_id"), md5(col("cleaned")).as("cleaned_hash"),
+          col("n_total"), col("n_kept"))
+        .orderBy("doc_id")),
     "q_dedup_incremental" -> ((s, dir) => {
       // ingestion-time dedup: a 10% "daily batch" against the other 90%
       // as the standing corpus. The corpus is consumed as ONE fixed-size
@@ -960,6 +971,35 @@ object SparkEntry {
         |                               ' +', ' ', 'g'))) AS content_hash,
         |  MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // first-occurrence = min(doc_id*1e6 + idx) — the scalar expression the
+    // Spark side uses verbatim (span positions are 1-based in both
+    // engines; aligned 8-word spans, remainder span included)
+    "q_dedup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, GREATEST(CAST(ceil(len(ws) / 8.0) AS BIGINT), 1)),
+        |      i -> array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' '))) AS line,
+        |    unnest(range(1, GREATEST(CAST(ceil(len(ws) / 8.0) AS BIGINT), 1) + 1)) AS idx
+        |  FROM w),
+        |h AS (SELECT doc_id, idx, line,
+        |        md5(lower(trim(line))) AS lh,
+        |        length(trim(line)) >= 30 AS dedupable,
+        |        doc_id * 1000000 + idx AS ord
+        |      FROM l),
+        |k AS (SELECT lh, MIN(ord) AS keep FROM h WHERE dedupable GROUP BY lh),
+        |kept AS (
+        |  SELECT h.doc_id, h.idx, h.line
+        |  FROM h LEFT JOIN k ON h.lh = k.lh
+        |  WHERE NOT h.dedupable OR h.ord = k.keep),
+        |t AS (SELECT doc_id, COUNT(*) AS n_total FROM h GROUP BY doc_id)
+        |SELECT kept.doc_id,
+        |  md5(string_agg(kept.line, ' ' ORDER BY kept.idx)) AS cleaned_hash,
+        |  n_total, COUNT(*) AS n_kept
+        |FROM kept JOIN t ON kept.doc_id = t.doc_id
+        |GROUP BY kept.doc_id, n_total ORDER BY kept.doc_id""".stripMargin,
     // shingle-string mirror (see q_dedup_ngram_jaccard): counts of total
     // vs distinct 3-gram shingles are hash/string-identical
     "q_text_repetition" ->

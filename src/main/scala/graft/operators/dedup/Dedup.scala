@@ -482,3 +482,88 @@ object EmbeddingDedup {
     else pairsOf(bounded0)
   }
 }
+
+/** Corpus-level LINE/SPAN deduplication — the C4-style preprocessing
+  * step: any sufficiently long unit (a newline-delimited line, or an
+  * aligned fixed-width word span) that occurs more than once ACROSS
+  * THE WHOLE CORPUS is kept only at its first occurrence (lowest
+  * (doc, position)) and removed everywhere else; short units (headers,
+  * list markers, blanks) always survive, since removing every
+  * duplicated "Introduction" would butcher the documents.
+  *
+  * Scale shape: documents explode to unit grain once; the keep
+  * decision is a hash-partitioned groupBy on the normalized unit hash
+  * (uniform keys) joined back at the same partitioning (AQE reuses the
+  * exchange), and reassembly is one shuffle of the KEPT units by doc.
+  * Nothing collects to the driver and no window sorts unit groups —
+  * the same agg+join-beats-window rule the banded dedups follow.
+  *
+  * Determinism contract (oracle-mirrored): the first occurrence is
+  * `min(doc_id * 1000000 + position)` — a scalar, not a struct, so the
+  * DuckDB oracle can reproduce the exact expression; positions are
+  * 1-based and bounded far below the multiplier by any real document.
+  */
+object LineDedup {
+
+  /** Core: dedupe a (id, idx, unit) frame and rebuild per-doc text by
+    * joining surviving units with `sep` in original order. Docs whose
+    * every unit was removed disappear (nothing to rebuild).
+    */
+  private def dedupeUnits(units: DataFrame, sep: String, minChars: Int): DataFrame = {
+    val keyed = units
+      .withColumn("__lh", md5(lower(trim(col("__unit")))))
+      .withColumn("__dedupable", length(trim(col("__unit"))) >= minChars)
+      .withColumn("__ord", col("__id").cast("long") * 1000000L + col("__idx"))
+    val keepers = keyed.where(col("__dedupable"))
+      .groupBy("__lh").agg(min(col("__ord")).as("__keep"))
+    val kept = keyed
+      .join(keepers, Seq("__lh"), "left")
+      .where(!col("__dedupable") || col("__ord") === col("__keep"))
+    val totals = keyed.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_total"))
+    kept
+      .groupBy(col("__id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("__idx"), col("__unit")))),
+          s => s("__unit")), sep).as("cleaned"),
+        count(lit(1)).as("n_kept"))
+      .join(totals, Seq("__id"))
+      .select(col("__id").as("__out_id"), col("cleaned"), col("n_total"), col("n_kept"))
+  }
+
+  /** Newline-delimited line dedup — returns (idCol, cleaned, n_total,
+    * n_kept). NULL-text rows are dropped up front.
+    */
+  def clean(df: DataFrame, idCol: String, textCol: String, minChars: Int = 30): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    val units = df
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), posexplode(split(col(textCol), "\n")))
+      .select(col("__id"), (col("pos") + 1).cast("long").as("__idx"), col("col").as("__unit"))
+    dedupeUnits(units, "\n", minChars)
+      .withColumnRenamed("__out_id", idCol)
+  }
+
+  /** Aligned `spanWords`-word span dedup — the form that bites on
+    * single-line corpora (near-duplicate documents share long word
+    * runs; their aligned spans collide corpus-wide even when no
+    * newline structure exists). The final short span of each doc is a
+    * unit too. Returns the same shape as [[clean]].
+    */
+  def cleanSpans(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 8, minChars: Int = 30): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    val ws = split(col(textCol), " ")
+    val nSpans = ceil(size(ws).cast("double") / spanWords).cast("long")
+    val spans = transform(
+      sequence(lit(0L), greatest(nSpans - 1L, lit(0L))),
+      i => array_join(slice(ws, (i * spanWords + 1).cast("int"), lit(spanWords)), " "))
+    val units = df
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), posexplode(spans))
+      .select(col("__id"), (col("pos") + 1).cast("long").as("__idx"), col("col").as("__unit"))
+    dedupeUnits(units, " ", minChars)
+      .withColumnRenamed("__out_id", idCol)
+  }
+}

@@ -177,4 +177,45 @@ class DedupSpec extends SparkSpecBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("line dedup: repeated long lines keep only their first (doc, position) occurrence") {
+    import spark.implicits._
+    val boiler = "this exact boilerplate footer line is well over thirty characters long"
+    val other = "a second long duplicated paragraph that also exceeds the char threshold"
+    val docs = Seq(
+      (1L, s"unique opening line that is long enough to be dedupable ok\nhdr\n$boiler"),
+      (2L, s"$boiler\nshort\n$other"),
+      (3L, s"$other\nhdr\n$boiler")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.dedup.LineDedup.clean(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1 holds the first boiler occurrence (lowest doc) -> keeps all 3
+    assert(got(0).getString(1).endsWith(boiler) && got(0).getLong(3) == 3L)
+    // doc 2: boiler removed (doc 1 owns it), "short" kept (under minChars),
+    // first `other` occurrence kept
+    assert(got(1).getString(1) == s"short\n$other")
+    assert(got(1).getLong(2) == 3L && got(1).getLong(3) == 2L)
+    // doc 3: both long lines owned elsewhere -> only the short header left
+    assert(got(2).getString(1) == "hdr")
+    // within-doc repeats dedupe too: position orders the survivors
+    val self = Seq((9L, s"$boiler\nmid line that is clearly above threshold\n$boiler"))
+      .toDF("doc_id", "text")
+    val s9 = graft.operators.dedup.LineDedup.clean(self, "doc_id", "text").head()
+    assert(s9.getLong(3) == 2L && s9.getString(1).startsWith(boiler))
+  }
+
+  test("span dedup: aligned word spans dedupe corpus-wide; rebuilt text preserves order") {
+    import spark.implicits._
+    val run = (1 to 8).map(i => s"sharedword$i").mkString(" ") // one aligned span
+    val docs = Seq(
+      (1L, s"$run alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$run iota kappa lambda mu nu xi omicron pi")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.dedup.LineDedup.cleanSpans(docs, "doc_id", "text", spanWords = 8)
+      .orderBy("doc_id").collect()
+    // doc 1 keeps both spans; doc 2 loses the shared first span
+    assert(got(0).getLong(3) == 2L && got(0).getString(1).startsWith(run))
+    assert(got(1).getLong(2) == 2L && got(1).getLong(3) == 1L)
+    assert(got(1).getString(1) == "iota kappa lambda mu nu xi omicron pi")
+  }
 }
