@@ -79,6 +79,14 @@ object ProfileScaleUp {
     time("int8 quantize fidelity")(
       force(graft.operators.ann.Quantize.fidelity(emb, "vec_id", "embedding")
         .groupBy().agg(count(lit(1)).as("n"), min("cos_fidelity").as("worst"))))
+    time("deciles by group")(
+      force(graft.operators.quantile.Quantiles
+        .withNtileByGroup(orders, "o_orderpriority", "o_totalprice", "o_orderkey", 10, "d")
+        .groupBy("o_orderpriority", "d").agg(count(lit(1)).as("n"))))
+    time("span dedup (C4 lines)")(
+      force(graft.operators.dedup.LineDedup
+        .cleanSpans(docs, "doc_id", "text")
+        .select(col("doc_id"), length(col("cleaned")).as("len"), col("n_kept"))))
     time("z-order (2 cols)")(
       force {
         val z = graft.operators.layout.Layout
