@@ -505,29 +505,53 @@ object EmbeddingDedup {
   */
 object LineDedup {
 
-  /** Core: dedupe a (id, idx, unit) frame and rebuild per-doc text by
-    * joining surviving units with `sep` in original order. Docs whose
-    * every unit was removed disappear (nothing to rebuild).
+  /** Integral id contract: `__ord = id * 10^6 + pos` requires an id that
+    * casts to Long losslessly. A string/UUID id would cast to NULL, NULL
+    * ords would equality-filter every dedupable unit away, and the
+    * operator would silently empty the corpus — fail fast instead.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$idCol must be an integral type (the (doc, position) ordinal " +
+          s"encodes as id*1e6+pos), got $other — hash or zip a surrogate id first")
+    }
+  }
+
+  /** Core: dedupe a (id, idx, unit, n_total) frame and rebuild per-doc
+    * text by joining surviving units with `sep` in original order.
+    * `__n` (units per doc) arrives precomputed from the pre-explode
+    * expression, so the corpus is scanned and exploded exactly ONCE:
+    * the keeper aggregation and the join probe share one __lh exchange
+    * (ReusedExchange), and no second totals scan exists. Positions
+    * beyond the 10^6 ordinal bound raise at evaluation time — a
+    * colliding ordinal would silently hand a span to the wrong doc,
+    * and the oracle mirrors the same formula so it could never catch
+    * that.
     */
   private def dedupeUnits(units: DataFrame, sep: String, minChars: Int): DataFrame = {
     val keyed = units
       .withColumn("__lh", md5(lower(trim(col("__unit")))))
       .withColumn("__dedupable", length(trim(col("__unit"))) >= minChars)
-      .withColumn("__ord", col("__id").cast("long") * 1000000L + col("__idx"))
+      .withColumn("__ord",
+        when(col("__idx") < 1000000L, col("__id").cast("long") * 1000000L + col("__idx"))
+          .otherwise(raise_error(concat(
+            lit("LineDedup: unit position "), col("__idx").cast("string"),
+            lit(" exceeds the 1e6 ordinal bound - split the document first")))))
     val keepers = keyed.where(col("__dedupable"))
       .groupBy("__lh").agg(min(col("__ord")).as("__keep"))
     val kept = keyed
       .join(keepers, Seq("__lh"), "left")
       .where(!col("__dedupable") || col("__ord") === col("__keep"))
-    val totals = keyed.groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_total"))
     kept
       .groupBy(col("__id"))
       .agg(
         array_join(transform(array_sort(collect_list(struct(col("__idx"), col("__unit")))),
           s => s("__unit")), sep).as("cleaned"),
-        count(lit(1)).as("n_kept"))
-      .join(totals, Seq("__id"))
+        count(lit(1)).as("n_kept"),
+        max(col("__n")).as("n_total"))
       .select(col("__id").as("__out_id"), col("cleaned"), col("n_total"), col("n_kept"))
   }
 
@@ -536,10 +560,13 @@ object LineDedup {
     */
   def clean(df: DataFrame, idCol: String, textCol: String, minChars: Int = 30): DataFrame = {
     require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    requireIntegralId(df, idCol)
+    val parts = split(col(textCol), "\n")
     val units = df
       .where(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("__id"), posexplode(split(col(textCol), "\n")))
-      .select(col("__id"), (col("pos") + 1).cast("long").as("__idx"), col("col").as("__unit"))
+      .select(col(idCol).as("__id"), size(parts).cast("long").as("__n"), posexplode(parts))
+      .select(col("__id"), col("__n"), (col("pos") + 1).cast("long").as("__idx"),
+        col("col").as("__unit"))
     dedupeUnits(units, "\n", minChars)
       .withColumnRenamed("__out_id", idCol)
   }
@@ -554,6 +581,7 @@ object LineDedup {
       spanWords: Int = 8, minChars: Int = 30): DataFrame = {
     require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
     require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    requireIntegralId(df, idCol)
     val ws = split(col(textCol), " ")
     val nSpans = ceil(size(ws).cast("double") / spanWords).cast("long")
     val spans = transform(
@@ -561,8 +589,9 @@ object LineDedup {
       i => array_join(slice(ws, (i * spanWords + 1).cast("int"), lit(spanWords)), " "))
     val units = df
       .where(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("__id"), posexplode(spans))
-      .select(col("__id"), (col("pos") + 1).cast("long").as("__idx"), col("col").as("__unit"))
+      .select(col(idCol).as("__id"), size(spans).cast("long").as("__n"), posexplode(spans))
+      .select(col("__id"), col("__n"), (col("pos") + 1).cast("long").as("__idx"),
+        col("col").as("__unit"))
     dedupeUnits(units, " ", minChars)
       .withColumnRenamed("__out_id", idCol)
   }

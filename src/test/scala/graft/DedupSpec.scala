@@ -218,4 +218,13 @@ class DedupSpec extends SparkSpecBase {
     assert(got(1).getLong(2) == 2L && got(1).getLong(3) == 1L)
     assert(got(1).getString(1) == "iota kappa lambda mu nu xi omicron pi")
   }
+
+  test("line dedup fails fast on non-integral ids instead of silently emptying docs") {
+    import spark.implicits._
+    val df = Seq(("doc-a", "some long enough line for the threshold here")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.dedup.LineDedup.clean(df, "id", "text")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
