@@ -520,14 +520,24 @@ object LineDedup {
     }
   }
 
-  /** Core: dedupe a (id, idx, unit, n_total) frame and rebuild per-doc
+    /** Core: dedupe a (id, idx, unit, n_total) frame and rebuild per-doc
     * text by joining surviving units with `sep` in original order.
     * `__n` (units per doc) arrives precomputed from the pre-explode
-    * expression, so the corpus is scanned and exploded exactly ONCE:
-    * the keeper aggregation and the join probe share one __lh exchange
-    * (ReusedExchange), and no second totals scan exists. Positions
-    * beyond the 10^6 ordinal bound raise at evaluation time — a
-    * colliding ordinal would silently hand a span to the wrong doc,
+    * expression, so no separate totals scan/join exists.
+    *
+    * Plan shape (executed-plan audited): TWO streaming corpus scans and
+    * no persist — the keeper derivation reads only (id, text), explodes,
+    * and immediately aggregates to the slim (lh, min ord) table (which
+    * BROADCASTS when distinct-unit cardinality allows, leaving the probe
+    * side with zero pre-join shuffles; at corpus scale it degrades to a
+    * sort-merge join where unit rows shuffle once on the hash). Unit
+    * rows then shuffle once more for the per-doc reassembly. Persisting
+    * the exploded corpus to "scan once" would trade two cheap columnar
+    * scans for materializing the whole exploded corpus — the wrong trade
+    * at 100 TB.
+    *
+    * Positions beyond the 10^6 ordinal bound raise at evaluation time —
+    * a colliding ordinal would silently hand a span to the wrong doc,
     * and the oracle mirrors the same formula so it could never catch
     * that.
     */

@@ -56,6 +56,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("span dedup: keeper table broadcasts at this SF; pushdown reaches the corpus scans") {
+    // pins the LineDedup plan shape (see dedupeUnits scaladoc): the slim
+    // (lh, min ord) keeper table builds a broadcast join — unit rows see
+    // no pre-join shuffle — and the id/text null filters reach parquet
+    val df = SparkEntry.queries("q_dedup_spans")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), IsNotNull(text)]"), p.take(2000))
+  }
+
   test("knn queries-side is broadcast, corpus side streams") {
     val p = plan("q_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
