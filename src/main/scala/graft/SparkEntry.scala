@@ -499,6 +499,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
         .orderBy("tier")
     }),
+    "q_interval_join" -> ((s, dir) => {
+      // large-large point-in-interval join, equi-bucketed (IntervalJoin):
+      // lineitems shipped inside a sampled order's 30-day placement
+      // window. Unlike q_range_join's broadcast tiers, BOTH sides here
+      // are fact-shaped — the bucket equi-join is the plan that survives
+      // when neither side broadcasts.
+      val sn = snap(s, dir)
+      val iv = sn.orders.where(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("start_d"),
+          date_add(col("o_orderdate"), 30).as("end_d"))
+      graft.operators.join.IntervalJoin
+        .pointInInterval(
+          sn.lineitem.select(col("l_orderkey"), col("l_shipdate"), col("l_quantity")),
+          "l_shipdate", iv, "start_d", "end_d")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("total_qty"))
+        .orderBy("o_orderkey")
+    }),
     "q_customers_with_urgent" -> ((s, dir) => {
       // left_semi twin of the anti join below: EXISTS-style, never
       // duplicates the left side however many orders match
@@ -971,6 +989,18 @@ object SparkEntry {
         |                               ' +', ' ', 'g'))) AS content_hash,
         |  MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // plain non-equi join is the oracle — the bucketed plan must be
+    // row-identical to it by construction (one bucket per pair)
+    "q_interval_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey, o_orderdate AS start_d,
+        |    CAST(o_orderdate AS DATE) + 30 AS end_d
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+        |FROM lineitem l JOIN iv
+        |  ON l.l_shipdate >= iv.start_d AND l.l_shipdate < iv.end_d
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     // first-occurrence = min(doc_id*1e6 + idx) — the scalar expression the
     // Spark side uses verbatim (span positions are 1-based in both
     // engines; aligned 8-word spans, remainder span included)

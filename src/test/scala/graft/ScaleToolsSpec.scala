@@ -78,6 +78,34 @@ class ScaleToolsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("same type"))
   }
 
+  test("interval join: bucketed plan is row-identical to the plain non-equi join") {
+    import org.apache.spark.sql.functions._
+    val sn = graft.sources.Snapshot(spark, sf())
+    val points = sn.lineitem.select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+    val iv = sn.orders.where(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_orderdate").as("start_d"),
+        date_add(col("o_orderdate"), 30).as("end_d"))
+    // sweep bucket widths: result identity must not depend on the width
+    // (only the intermediate size does) — incl. width 1 and width >> span
+    Seq(1, 7, 90).foreach { w =>
+      val bucketed = graft.operators.join.IntervalJoin
+        .pointInInterval(points, "l_shipdate", iv, "start_d", "end_d", bucketDays = w)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+        .orderBy("o_orderkey").collect().toSeq
+      val plain = points.join(iv,
+          col("l_shipdate") >= col("start_d") && col("l_shipdate") < col("end_d"))
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+        .orderBy("o_orderkey").collect().toSeq
+      assert(bucketed == plain, s"bucketDays=$w")
+      assert(bucketed.nonEmpty)
+    }
+    // degenerate interval (end <= start) matches nothing, never resurrects
+    // phantom rows through a descending bucket sequence
+    val bad = iv.withColumn("end_d", date_sub(col("start_d"), 5))
+    assert(graft.operators.join.IntervalJoin
+      .pointInInterval(points, "l_shipdate", bad, "start_d", "end_d").count() == 0L)
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val sn = Snapshot(spark, sf())
     // in-memory catalog is fresh each JVM but the warehouse dir persists:
