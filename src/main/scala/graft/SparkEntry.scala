@@ -499,6 +499,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
         .orderBy("tier")
     }),
+    "q_cohort_retention" -> ((s, dir) => {
+      // classic retention matrix: users bucketed by first-seen day
+      // (cohort), counted distinct per day they were active. Two hash
+      // aggs + one join on user_id — the per-user cohort table is
+      // user-cardinality-sized, never the event log. (Day grain: the
+      // testdata event log spans one month; a production log would use
+      // week/month here, same plan.)
+      val m = snap(s, dir).events
+        .select(col("user_id"), date_trunc("day", col("ts")).as("ad"))
+        .distinct()
+      val cohort = m.groupBy("user_id").agg(min(col("ad")).as("cohort_day"))
+      m.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"), col("ad").as("activity_day"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "activity_day")
+    }),
     "q_interval_join" -> ((s, dir) => {
       // large-large point-in-interval join, equi-bucketed (IntervalJoin):
       // lineitems shipped inside a sampled order's 30-day placement
@@ -989,6 +1005,18 @@ object SparkEntry {
         |                               ' +', ' ', 'g'))) AS content_hash,
         |  MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // DuckDB date_trunc returns DATE-like; CAST TIMESTAMP per the
+    // determinism rules
+    "q_cohort_retention" ->
+      """WITH m AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS ad
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(ad) AS cohort_day FROM m GROUP BY user_id)
+        |SELECT cohort_day, ad AS activity_day,
+        |  COUNT(DISTINCT m.user_id) AS n_users
+        |FROM m JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // plain non-equi join is the oracle — the bucketed plan must be
     // row-identical to it by construction (one bucket per pair)
     "q_interval_join" ->
