@@ -517,14 +517,14 @@ object SparkEntry {
     }),
     "q_interval_join" -> ((s, dir) => {
       // large-large point-in-interval join, equi-bucketed (IntervalJoin):
-      // lineitems shipped inside a sampled order's 30-day placement
+      // lineitems shipped inside a sampled order's 7-day placement
       // window. Unlike q_range_join's broadcast tiers, BOTH sides here
       // are fact-shaped — the bucket equi-join is the plan that survives
       // when neither side broadcasts.
       val sn = snap(s, dir)
       val iv = sn.orders.where(col("o_orderkey") % 97 === 0)
         .select(col("o_orderkey"), col("o_orderdate").as("start_d"),
-          date_add(col("o_orderdate"), 30).as("end_d"))
+          date_add(col("o_orderdate"), 7).as("end_d"))
       graft.operators.join.IntervalJoin
         .pointInInterval(
           sn.lineitem.select(col("l_orderkey"), col("l_shipdate"), col("l_quantity")),
@@ -1022,7 +1022,7 @@ object SparkEntry {
     "q_interval_join" ->
       """WITH iv AS (
         |  SELECT o_orderkey, o_orderdate AS start_d,
-        |    CAST(o_orderdate AS DATE) + 30 AS end_d
+        |    CAST(o_orderdate AS DATE) + 7 AS end_d
         |  FROM orders WHERE o_orderkey % 97 = 0)
         |SELECT o_orderkey, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
