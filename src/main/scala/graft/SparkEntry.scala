@@ -499,6 +499,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
         .orderBy("tier")
     }),
+    "q_overlap_join" -> ((s, dir) => {
+      // interval x interval overlap join, equi-bucketed with the dedup-
+      // free first-common-bucket condition: two order-window samples,
+      // each pair of overlapping windows reported once
+      val sn = snap(s, dir)
+      val a = sn.orders.where(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey").as("a_key"), col("o_orderdate").as("a_start"),
+          date_add(col("o_orderdate"), 7).as("a_end"))
+      val b = sn.orders.where(col("o_orderkey") % 13 === 7)
+        .select(col("o_orderkey").as("b_key"), col("o_orderdate").as("b_start"),
+          date_add(col("o_orderdate"), 10).as("b_end"))
+      graft.operators.join.IntervalJoin
+        .overlapJoin(a, "a_start", "a_end", b, "b_start", "b_end")
+        .groupBy("a_key")
+        .agg(count(lit(1)).as("n_overlaps"), min(col("b_key")).as("first_b"))
+        .orderBy("a_key")
+    }),
     "q_cohort_retention" -> ((s, dir) => {
       // classic retention matrix: users bucketed by first-seen day
       // (cohort), counted distinct per day they were active. Two hash
@@ -1005,6 +1022,20 @@ object SparkEntry {
         |                               ' +', ' ', 'g'))) AS content_hash,
         |  MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // plain non-equi overlap join is the oracle (one row per pair by the
+    // first-common-bucket construction)
+    "q_overlap_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_key, o_orderdate AS a_start,
+        |    CAST(o_orderdate AS DATE) + 7 AS a_end
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS b_key, o_orderdate AS b_start,
+        |    CAST(o_orderdate AS DATE) + 10 AS b_end
+        |  FROM orders WHERE o_orderkey % 13 = 7)
+        |SELECT a_key, COUNT(*) AS n_overlaps, MIN(b_key) AS first_b
+        |FROM a JOIN b ON a_start < b_end AND b_start < a_end
+        |GROUP BY a_key ORDER BY a_key""".stripMargin,
     // DuckDB date_trunc returns DATE-like; CAST TIMESTAMP per the
     // determinism rules
     "q_cohort_retention" ->

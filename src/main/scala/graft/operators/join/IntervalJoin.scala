@@ -57,4 +57,39 @@ object IntervalJoin {
       .where(col(pointDateCol) >= col(startCol) && col(pointDateCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval×interval OVERLAP join (`a.start < b.end && b.start <
+    * a.end`, ends exclusive), equi-bucketed like [[pointInInterval]].
+    * Overlapping intervals can share MANY buckets; the join stays
+    * duplicate-free without a dropDuplicates pass via the textbook
+    * first-common-bucket condition: a qualifying pair is emitted only
+    * in bucket `max(bucket(a.start), bucket(b.start))` — the first
+    * bucket both cover (the later start lies inside both intervals, so
+    * its bucket is in both bucket ranges) — which identifies exactly
+    * one meeting point per pair. Column names must be disjoint across
+    * the two sides (alias before calling); degenerate intervals drop
+    * up front as in [[pointInInterval]].
+    */
+  def overlapJoin(
+      left: DataFrame,
+      lStartCol: String,
+      lEndCol: String,
+      right: DataFrame,
+      rStartCol: String,
+      rEndCol: String,
+      bucketDays: Int = 7): DataFrame = {
+    require(bucketDays >= 1, s"bucketDays must be >= 1, got $bucketDays")
+    require(Seq(lStartCol, lEndCol, rStartCol, rEndCol).distinct.size == 4,
+      "start/end column names must be disjoint across the two sides — alias first")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(unix_date(c.cast("date")) / bucketDays)
+    def explodeBuckets(df: DataFrame, s: String, e: String) = df
+      .where(col(s).isNotNull && col(e).isNotNull && col(e) > col(s))
+      .withColumn("__bucket", explode(sequence(bucketOf(col(s)), bucketOf(col(e)))))
+    explodeBuckets(left, lStartCol, lEndCol)
+      .join(explodeBuckets(right, rStartCol, rEndCol), Seq("__bucket"))
+      .where(col(lStartCol) < col(rEndCol) && col(rStartCol) < col(lEndCol)
+        && col("__bucket") === greatest(bucketOf(col(lStartCol)), bucketOf(col(rStartCol))))
+      .drop("__bucket")
+  }
 }

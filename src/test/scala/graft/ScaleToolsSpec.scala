@@ -106,6 +106,28 @@ class ScaleToolsSpec extends SparkSpecBase {
       .pointInInterval(points, "l_shipdate", bad, "start_d", "end_d").count() == 0L)
   }
 
+  test("overlap join: first-common-bucket emission is duplicate-free and matches the plain join") {
+    import org.apache.spark.sql.functions._
+    val sn = graft.sources.Snapshot(spark, sf())
+    val a = sn.orders.where(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("a_key"), col("o_orderdate").as("a_start"),
+        date_add(col("o_orderdate"), 7).as("a_end"))
+    val b = sn.orders.where(col("o_orderkey") % 13 === 7)
+      .select(col("o_orderkey").as("b_key"), col("o_orderdate").as("b_start"),
+        date_add(col("o_orderdate"), 10).as("b_end"))
+    val plain = a.join(b, col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select("a_key", "b_key").orderBy("a_key", "b_key").collect().toSeq
+    // width 1 (every pair shares many buckets — the dedup condition does
+    // all the work) and width 30 (most pairs share one bucket)
+    Seq(1, 7, 30).foreach { w =>
+      val bucketed = graft.operators.join.IntervalJoin
+        .overlapJoin(a, "a_start", "a_end", b, "b_start", "b_end", bucketDays = w)
+        .select("a_key", "b_key").orderBy("a_key", "b_key").collect().toSeq
+      assert(bucketed == plain, s"bucketDays=$w")
+    }
+    assert(plain.nonEmpty && plain.size == plain.distinct.size)
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val sn = Snapshot(spark, sf())
     // in-memory catalog is fresh each JVM but the warehouse dir persists:
