@@ -499,6 +499,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
         .orderBy("tier")
     }),
+    "q_event_transitions" -> ((s, dir) => {
+      // behavioral transition matrix: consecutive event-type pairs per
+      // user (lead over a per-user window — partitioned by user, so the
+      // sort is per-key, never global), counted corpus-wide
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      snap(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .orderBy("from_type", "to_type")
+    }),
     "q_overlap_join" -> ((s, dir) => {
       // interval x interval overlap join, equi-bucketed with the dedup-
       // free first-common-bucket condition: two order-window samples,
@@ -1022,6 +1036,16 @@ object SparkEntry {
         |                               ' +', ' ', 'g'))) AS content_hash,
         |  MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // same unique (ts, event_id) tiebreak as the funnel/asof oracles
+    "q_event_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  COUNT(*) AS n_transitions
+        |FROM t WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // plain non-equi overlap join is the oracle (one row per pair by the
     // first-common-bucket construction)
     "q_overlap_join" ->
