@@ -499,6 +499,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
         .orderBy("tier")
     }),
+    "q_asof_tolerance" -> ((s, dir) => {
+      // bounded-lookback as-of: each purchase attributed to the latest
+      // signup within ONE HOUR (the batch twin of the streaming
+      // attribution join's time bound; unbounded as-of is B8)
+      val e = snap(s, dir).events
+      AsOfJoin.latestPriorTsWithin(
+          e.where(col("event_type") === "purchase"),
+          e.where(col("event_type") === "signup"),
+          "user_id", "ts", "ts", "last_signup_ts", toleranceSec = 3600L)
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
+        .orderBy("event_id")
+    }),
     "q_event_transitions" -> ((s, dir) => {
       // behavioral transition matrix: consecutive event-type pairs per
       // user (lead over a per-user window — partitioned by user, so the
@@ -1036,6 +1048,17 @@ object SparkEntry {
         |                               ' +', ' ', 'g'))) AS content_hash,
         |  MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // plain bounded left join + MAX is the oracle (NULL when nothing in
+    // the window); the window arithmetic is exact on the µs-aligned ts
+    "q_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts AS sts FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, p.ts, MAX(s.sts) AS last_signup_ts
+        |FROM p LEFT JOIN s
+        |  ON p.user_id = s.user_id AND s.sts <= p.ts
+        |  AND s.sts >= p.ts - INTERVAL 1 HOUR
+        |GROUP BY 1, 2, 3 ORDER BY event_id""".stripMargin,
     // same unique (ts, event_id) tiebreak as the funnel/asof oracles
     "q_event_transitions" ->
       """WITH t AS (

@@ -50,4 +50,26 @@ object AsOfJoin {
       .where(col("__side") === 1)
       .select(col("__payload.*"), col("__matched").as(outCol))
   }
+
+  /** [[latestPriorTs]] with a bounded lookback: a match older than
+    * `toleranceSec` before the left timestamp comes back NULL — the
+    * batch twin of the streaming attribution join's time-range bound
+    * (an unbounded as-of would attribute a purchase to a years-old
+    * signup; production attribution never wants that). Same plan plus
+    * one map-side filter on the matched column.
+    */
+  def latestPriorTsWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      outCol: String,
+      toleranceSec: Long): DataFrame = {
+    require(toleranceSec >= 0, s"toleranceSec must be >= 0, got $toleranceSec")
+    latestPriorTs(left, right, keyCol, leftTsCol, rightTsCol, outCol)
+      .withColumn(outCol,
+        when(unix_micros(col(leftTsCol)) - unix_micros(col(outCol))
+          <= toleranceSec * 1000000L, col(outCol)))
+  }
 }
