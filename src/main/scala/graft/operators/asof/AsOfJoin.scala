@@ -17,7 +17,15 @@ import org.apache.spark.sql.types.StructType
   */
 object AsOfJoin {
 
-  /** Returns `left.* + <outCol timestamp>` (null when no prior right row). */
+  /** Returns `left.* + <outCol timestamp>` (null when no prior right row).
+    *
+    * NULL keys follow JOIN semantics, not window semantics: a NULL-key
+    * right row matches nothing (filtered before the union — a window
+    * partition would otherwise group NULL with NULL and attribute a
+    * NULL-key left row to a NULL-key right row, which no equi-join
+    * oracle would reproduce), and a NULL-key left row passes through
+    * with a NULL match.
+    */
   def latestPriorTs(
       left: DataFrame,
       right: DataFrame,
@@ -32,7 +40,7 @@ object AsOfJoin {
       lit(1).as("__side"),
       lit(null).cast("timestamp").as("__rts"),
       struct(left.columns.toIndexedSeq.map(col): _*).as("__payload"))
-    val rSide = right.select(
+    val rSide = right.where(col(keyCol).isNotNull).select(
       col(keyCol).as("__k"),
       col(rightTsCol).as("__ts"),
       lit(0).as("__side"),
@@ -66,7 +74,11 @@ object AsOfJoin {
       rightTsCol: String,
       outCol: String,
       toleranceSec: Long): DataFrame = {
-    require(toleranceSec >= 0, s"toleranceSec must be >= 0, got $toleranceSec")
+    // upper bound keeps toleranceSec * 1e6 inside Long — an "effectively
+    // unbounded" Long.MaxValue would wrap negative and null EVERY match
+    require(toleranceSec >= 0 && toleranceSec <= Long.MaxValue / 1000000L,
+      s"toleranceSec must be in [0, ${Long.MaxValue / 1000000L}], got $toleranceSec " +
+        "(use latestPriorTs for an unbounded lookback)")
     latestPriorTs(left, right, keyCol, leftTsCol, rightTsCol, outCol)
       .withColumn(outCol,
         when(unix_micros(col(leftTsCol)) - unix_micros(col(outCol))

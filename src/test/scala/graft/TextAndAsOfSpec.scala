@@ -144,4 +144,35 @@ class TextAndAsOfSpec extends SparkSpecBase {
     assert(got(11L).isEmpty) // earliest signup is after 09:00
     assert(got(12L).isEmpty)
   }
+
+  test("tolerance asof: boundary inclusive, beyond null, zero tolerance, null keys never match") {
+    def ts(x: String) = Timestamp.valueOf(x)
+    val left = Seq(
+      (20L, Option(1L), ts("2024-01-01 12:00:00")), // signup exactly 1h before -> kept
+      (21L, Option(1L), ts("2024-01-01 12:00:01")), // 1h+1s -> nulled
+      (22L, Option(2L), ts("2024-01-01 12:00:00")), // tie at tolerance 0 -> kept
+      (23L, Option.empty[Long], ts("2024-01-01 12:00:00")) // null key -> null, never matches null-key right
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Option(1L), ts("2024-01-01 11:00:00")),
+      (Option(2L), ts("2024-01-01 12:00:00")),
+      (Option.empty[Long], ts("2024-01-01 11:59:00")) // null-key right row: invisible
+    ).toDF("user_id", "rts")
+    val oneHour = AsOfJoin
+      .latestPriorTsWithin(left, right, "user_id", "ts", "rts", "m", toleranceSec = 3600L)
+      .select("event_id", "m").as[(Long, Option[Timestamp])].collect().toMap
+    assert(oneHour(20L).contains(ts("2024-01-01 11:00:00"))) // exactly at the bound: inclusive
+    assert(oneHour(21L).isEmpty) // one second past the bound
+    assert(oneHour(23L).isEmpty) // null key passes through unmatched
+    val zero = AsOfJoin
+      .latestPriorTsWithin(left, right, "user_id", "ts", "rts", "m", toleranceSec = 0L)
+      .select("event_id", "m").as[(Long, Option[Timestamp])].collect().toMap
+    assert(zero(22L).contains(ts("2024-01-01 12:00:00"))) // equal ts survives tolerance 0
+    assert(zero(20L).isEmpty)
+    // an "effectively unbounded" tolerance is a contract error, not a
+    // silently-wrapped negative bound that nulls everything
+    assert(intercept[IllegalArgumentException] {
+      AsOfJoin.latestPriorTsWithin(left, right, "user_id", "ts", "rts", "m", Long.MaxValue)
+    }.getMessage.contains("toleranceSec"))
+  }
 }
