@@ -87,6 +87,28 @@ object ProfileScaleUp {
       force(graft.operators.dedup.LineDedup
         .cleanSpans(docs, "doc_id", "text")
         .select(col("doc_id"), length(col("cleaned")).as("len"), col("n_kept"))))
+    time("interval join (pt-in-iv)")(
+      force {
+        val iv = orders.where(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey").as("iv_key"), col("o_orderdate").as("start_d"),
+            date_add(col("o_orderdate"), 7).as("end_d"))
+        graft.operators.join.IntervalJoin
+          .pointInInterval(orders.select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+            "o_orderdate", iv, "start_d", "end_d")
+          .groupBy("iv_key").agg(count(lit(1)).as("n"))
+      })
+    time("overlap join")(
+      force {
+        val a = orders.where(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey").as("a_key"), col("o_orderdate").as("a_start"),
+            date_add(col("o_orderdate"), 7).as("a_end"))
+        val b = orders.where(col("o_orderkey") % 13 === 7)
+          .select(col("o_orderkey").as("b_key"), col("o_orderdate").as("b_start"),
+            date_add(col("o_orderdate"), 10).as("b_end"))
+        graft.operators.join.IntervalJoin
+          .overlapJoin(a, "a_start", "a_end", b, "b_start", "b_end")
+          .groupBy("a_key").agg(count(lit(1)).as("n"))
+      })
     time("z-order (2 cols)")(
       force {
         val z = graft.operators.layout.Layout
