@@ -99,6 +99,36 @@ object TextStats {
       .where(col("quality_score") >= minScore && col("n_words") >= minWords)
       .select(col(idCol), col("n_words"), col("quality_score"))
 
+  /** Per-doc word-distribution Shannon entropy — the classic
+    * "repetitive/degenerate text" quality signal complementing
+    * [[repetition]] (entropy catches skewed DISTRIBUTIONS, repetition
+    * catches repeated SEQUENCES). Computed as a deterministic
+    * sequential fold: per-doc word counts collect into an array sorted
+    * by word and fold left through `-Σ p·log2(p)` — IEEE addition is
+    * order-sensitive, so the fold order is part of the contract (the
+    * DuckDB mirror uses `list(... ORDER BY wd)` + `list_reduce`, the
+    * same [[graft.functions.GraftFunctions.cosine]] convention).
+    * Output rounds to 4 digits. Word-count grain: one shuffle on
+    * (doc, word), one on doc; per-doc state is vocabulary-sized.
+    */
+  def entropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("wd"))
+      .groupBy(col(idCol), col("wd")).agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("wd"), col("c")))).as("cs"),
+        sum(col("c")).as("n_words"))
+      .select(col(idCol), col("n_words"),
+        // + 0.0 collapses IEEE -0.0 (an all-one-word doc) to +0.0 on
+        // both engines before rounding/hashing
+        round(-aggregate(
+          transform(col("cs"), s =>
+            (s("c") / col("n_words")) * log2(s("c") / col("n_words"))),
+          lit(0.0), (acc, x) => acc + x) + lit(0.0), 4).as("word_entropy"))
+  }
+
   /** Intra-document repetition (Gopher/RefinedWeb-style boilerplate
     * signal): the fraction of word n-gram occurrences that repeat an
     * earlier n-gram of the same doc. 0.0 = all shingles unique; → 1.0 =
