@@ -321,9 +321,14 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, dir) =>
       TextStats.fingerprint(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_text_entropy" -> ((s, dir) =>
-      // word-distribution entropy quality signal; sequential-fold
-      // determinism contract mirrored by list_reduce in the oracle
+      // word-distribution entropy quality signal. Only the IEEE-exact
+      // companions are driver-hashed (n_words / n_distinct / count_sig —
+      // the word-sorted count vector determines the entropy exactly);
+      // the log2 float itself is libm-dependent and is gated by the
+      // analytic planted cases in TextStatsSpec instead (SURVEY §5).
       TextStats.entropy(snap(s, dir).documents, "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          col("count_sig"))
         .orderBy("doc_id")),
     "q_text_redact" -> ((s, dir) => {
       TextStats.redactPii(snap(s, dir).documents, "doc_id", "text")
@@ -1141,20 +1146,20 @@ object SparkEntry {
         |  n_total, COUNT(*) AS n_kept
         |FROM kept JOIN t ON kept.doc_id = t.doc_id
         |GROUP BY kept.doc_id, n_total ORDER BY kept.doc_id""".stripMargin,
-    // the fold over word counts is ORDERED BY word on both sides —
-    // IEEE addition is order-sensitive (the cosine/list_reduce rule)
+    // only IEEE-exact quantities are hashed: counts and the md5 of the
+    // word-sorted count vector (which determines the entropy exactly);
+    // the log2 float is spec-gated, not oracle-hashed (SURVEY §5).
+    // SUM is cast to BIGINT — DuckDB types bare SUM(BIGINT) as HUGEINT,
+    // which value-compares equal to Spark's LONG but typed-hash-differs.
     "q_text_entropy" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd
         |           FROM documents WHERE text IS NOT NULL),
-        |c AS (SELECT doc_id, wd, COUNT(*) AS c FROM w GROUP BY 1, 2),
-        |g AS (SELECT doc_id, list(c ORDER BY wd) AS cs, SUM(c) AS n_words
-        |      FROM c GROUP BY doc_id)
-        |SELECT doc_id, n_words,
-        |  round(-list_reduce(
-        |    list_transform(cs, x -> (x / CAST(n_words AS DOUBLE))
-        |      * log2(x / CAST(n_words AS DOUBLE))),
-        |    (a, b) -> a + b) + 0.0, 4) AS word_entropy
-        |FROM g ORDER BY doc_id""".stripMargin,
+        |c AS (SELECT doc_id, wd, COUNT(*) AS c FROM w GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  md5(array_to_string(list(c ORDER BY wd), ',')) AS count_sig
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // shingle-string mirror (see q_dedup_ngram_jaccard): counts of total
     // vs distinct 3-gram shingles are hash/string-identical
     "q_text_repetition" ->

@@ -108,8 +108,16 @@ object TextStats {
     * order-sensitive, so the fold order is part of the contract (the
     * DuckDB mirror uses `list(... ORDER BY wd)` + `list_reduce`, the
     * same [[graft.functions.GraftFunctions.cosine]] convention).
-    * Output rounds to 4 digits. Word-count grain: one shuffle on
-    * (doc, word), one on doc; per-doc state is vocabulary-sized.
+    *
+    * `word_entropy` is a `log2` transcendental — libm-dependent, so it
+    * is NOT oracle-hashable (SURVEY §5): the driver-checked query
+    * hashes only the IEEE-exact companions emitted here — `n_words`,
+    * `n_distinct`, and `count_sig` (md5 of the word-sorted count
+    * vector, which determines the entropy value exactly) — and the
+    * entropy float itself is gated by analytic planted cases in
+    * TextStatsSpec (2^k equally-frequent words ⇒ entropy exactly k).
+    * Word-count grain: one shuffle on (doc, word), one on doc; per-doc
+    * state is vocabulary-sized.
     */
   def entropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = df
@@ -121,6 +129,11 @@ object TextStats {
       .agg(sort_array(collect_list(struct(col("wd"), col("c")))).as("cs"),
         sum(col("c")).as("n_words"))
       .select(col(idCol), col("n_words"),
+        size(col("cs")).cast("long").as("n_distinct"),
+        // the count vector (sorted by word) determines the entropy
+        // exactly; its md5 is the IEEE-exact hashable witness
+        md5(concat_ws(",", transform(col("cs"), s => s("c").cast("string"))))
+          .as("count_sig"),
         // + 0.0 collapses IEEE -0.0 (an all-one-word doc) to +0.0 on
         // both engines before rounding/hashing
         round(-aggregate(

@@ -119,6 +119,42 @@ class TextAndAsOfSpec extends SparkSpecBase {
     assert(kept == Seq(1L))
   }
 
+  test("entropy: analytic planted cases gate the log2 float (2^k equal words => exactly k)") {
+    // the driver hashes only the IEEE-exact columns (n_words/n_distinct/
+    // count_sig); the transcendental word_entropy is gated HERE with
+    // cases whose values are exact in IEEE arithmetic: p is a dyadic
+    // rational and log2(p) an integer, so no libm rounding is involved.
+    val df = Seq(
+      (1L, "a b c d"),                  // 4 = 2^2 equal words -> exactly 2.0
+      (2L, "a a b b c c d d e e f f g g h h"), // 8 = 2^3 equal -> exactly 3.0
+      (3L, "same same same same"),      // single word -> 0.0 (and not -0.0)
+      (4L, "a a b c")                   // counts (2,1,1), n=4: 0.5*1 + 2*(0.25*2) = 1.5
+    ).toDF("doc_id", "text")
+    val got = TextStats.entropy(df, "doc_id", "text")
+      .select("doc_id", "n_words", "n_distinct", "word_entropy")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 4L, 2.0)))
+    assert(got(2L) == ((2L, 16L, 8L, 3.0)))
+    assert(got(3L) == ((3L, 4L, 1L, 0.0)))
+    assert(got(3L)._4.compareTo(0.0) == 0, "-0.0 must collapse to +0.0")
+    assert(got(4L) == ((4L, 4L, 3L, 1.5)))
+  }
+
+  test("entropy: count_sig is the word-sorted count vector and distinguishes distributions") {
+    // same n_words and n_distinct, different distribution -> different sig;
+    // permuted words with the same sorted count vector -> same sig only
+    // when the per-word counts (in word order) agree.
+    val df = Seq(
+      (1L, "a a a b"),   // counts by word: a=3,b=1 -> "3,1"
+      (2L, "a b b b"),   // a=1,b=3 -> "1,3" (different sig than doc 1)
+      (3L, "b a a a")    // a=3,b=1 -> identical sig to doc 1 (order in text irrelevant)
+    ).toDF("doc_id", "text")
+    val sig = TextStats.entropy(df, "doc_id", "text")
+      .select("doc_id", "count_sig").as[(Long, String)].collect().toMap
+    assert(sig(1L) != sig(2L), "skew direction must change the sig")
+    assert(sig(1L) == sig(3L), "text order must not change the sig")
+  }
+
   test("fingerprint is order-sensitive") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
     val fps = TextStats.fingerprint(df, "doc_id", "text")
