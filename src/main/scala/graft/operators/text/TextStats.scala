@@ -203,11 +203,13 @@ object TextStats {
     }
   }
 
-  /** Top-k TF-IDF terms per document. Term/doc frequencies are two
-    * hash-partitioned aggregations; the corpus size joins in as a broadcast
-    * scalar; ranking is a per-doc window. idf = ln((N+1)/(df+1)) + 1.
+  /** Unrounded, unfiltered TF-IDF ranking — the shared pipeline behind
+    * [[tfidfTopTerms]] and MarginAuditSpec's transcendental audit (the
+    * audit must see the SAME doubles the query rounds/ranks, so it
+    * consumes this codepath rather than recomputing the formula).
+    * Emits (doc_id, term, tfidf, rnk) for EVERY term.
     */
-  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def tfidfScored(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = df.select(col(idCol).as("doc_id"), explode(split(lower(col(textCol)), " ")).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val docFreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
@@ -221,7 +223,18 @@ object TextStats {
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+  }
+
+  /** Top-k TF-IDF terms per document. Term/doc frequencies are two
+    * hash-partitioned aggregations; the corpus size joins in as a broadcast
+    * scalar; ranking is a per-doc window. idf = ln((N+1)/(df+1)) + 1.
+    * The rounded `tfidf` is a `ln` transcendental hashed by the oracle —
+    * admissible only under MarginAuditSpec's standing boundary/rank-gap
+    * audit (SURVEY §5).
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    tfidfScored(df, idCol, textCol)
       .where(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"), round(col("tfidf"), 6).as("tfidf"))
-  }
 }

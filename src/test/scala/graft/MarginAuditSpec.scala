@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.text.TextStats
+import graft.sources.Snapshot
+
+/** Standing guard for the one class of oracle-hashed value that is NOT
+  * IEEE-exact: transcendentals (libm-dependent `ln`/`log2`/`exp`/...).
+  * SURVEY §5's cosine rule admits +,−,×,÷,sqrt as exactly reproducible
+  * across engines; a rounded transcendental passes the hash only while
+  * the unrounded double stays clear of its rounding boundary on every
+  * libm the two engines link. This spec makes that condition an
+  * asserted invariant instead of luck:
+  *
+  *  1. An automated scan of `SparkEntry.oracleSql` pins the set of
+  *     oracles that reference a transcendental function. A NEW oracle
+  *     using one fails here until its hashed columns get a margin audit
+  *     below (the "no new transcendental without an audit" rule).
+  *  2. For each audited query, at ALL THREE SFs, every value that the
+  *     oracle rounds-then-hashes must sit > ε from its nearest
+  *     round-half boundary, and every windowed rank decided by the
+  *     transcendental must be separated by > ε (or be an exact IEEE
+  *     tie, which the deterministic term tiebreak then owns).
+  *
+  * ε calibration: libm revisions disagree by a few ulps — ~1e-15 at
+  * these magnitudes. ε = 1e-9 in value units gives ≥10^6 ulps of
+  * headroom while sitting 3+ decades below today's measured minima
+  * (tfidf boundary margin 1.5e-8, rank gap 2e-3 at sf0.01), so a
+  * testdata change that drifts a value onto a boundary fails loudly
+  * here before it flakes the driver's hash gate.
+  */
+class MarginAuditSpec extends SparkSpecBase {
+
+  private val TranscendentalRe =
+    raw"(?i)\b(ln|log|log2|log10|log1p|exp|expm1|pow|power|sin|cos|tan|asin|acos|atan|atan2|sinh|cosh|tanh)\s*\(".r
+
+  /** Queries allowed to hash a transcendental — each MUST have a margin
+    * audit test in this spec. Everything else in the catalog must stay
+    * IEEE-exact (ints, decimal-exact sums, md5 witnesses, rounded
+    * +,−,×,÷,sqrt compositions).
+    */
+  private val audited = Set("q_tfidf_top_terms")
+
+  test("oracle scan: no oracle hashes a transcendental without a margin audit") {
+    val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
+      TranscendentalRe.findFirstIn(sql).isDefined
+    }.keySet
+    assert(offenders == audited,
+      s"oracles referencing transcendentals changed: $offenders vs audited $audited — " +
+        "add a margin audit to MarginAuditSpec (and SURVEY §5) before hashing a new one")
+  }
+
+  /** Distance from x to its nearest round-half boundary at `digits`
+    * decimal places, in value units. round() is half-away-from-zero on
+    * both engines, so the boundary lattice for positive x is
+    * (m + 0.5) / 10^digits.
+    */
+  private def boundaryMargin(digits: Int) = {
+    val scale = math.pow(10, digits)
+    (x: Double) => {
+      val frac = x * scale - math.floor(x * scale)
+      math.abs(frac - 0.5) / scale
+    }
+  }
+
+  private def auditTfidf(sfDir: String): Unit = {
+    val docs = Snapshot(spark, sfDir).documents
+    val scored = TextStats.tfidfScored(docs, "doc_id", "text")
+    // hashed rows are rnk <= 3; rank gaps up to 4 decide both the hashed
+    // rnk values and top-k membership (the 3rd-vs-4th cut)
+    val audit = scored.where(col("rnk") <= 4)
+      .withColumn("next_tfidf",
+        lead(col("tfidf"), 1).over(Window.partitionBy("doc_id").orderBy(col("rnk"))))
+      .select(col("doc_id"), col("rnk"), col("tfidf"), col("next_tfidf"))
+      .collect()
+
+    val margin = boundaryMargin(6)
+    val minBoundary = audit.iterator.filter(_.getLong(1) <= 3)
+      .map(r => margin(r.getDouble(2))).min
+    assert(minBoundary > 1e-9,
+      f"$sfDir: a hashed tfidf value sits $minBoundary%.3e from its 6-digit " +
+        "rounding boundary — libm drift could flip the hash")
+
+    val gaps = audit.iterator.filter(r => !r.isNullAt(3))
+      .map(r => r.getDouble(2) - r.getDouble(3))
+      .filter(_ != 0.0) // exact IEEE ties -> deterministic term tiebreak
+      .toSeq
+    assert(gaps.forall(_ > 0), s"$sfDir: rank order must be non-increasing in tfidf")
+    assert(gaps.min > 1e-6,
+      f"$sfDir: adjacent tfidf ranks separated by only ${gaps.min}%.3e — " +
+        "rank assignment could flip under libm drift")
+  }
+
+  for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    test(s"tfidf margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
+      auditTfidf(sf(dir))
+    }
+  }
+}
