@@ -54,6 +54,60 @@ object SelfCheck {
     val vecs = baseVecs.unionByName(vecTwins).localCheckpoint(true)
     val nVecPairs = vecTwins.count()
 
+    // ---- near-dup plants at KNOWN similarity (round-5 gate) ----
+    // Texts: a doc of m distinct synthetic words and a twin sharing its
+    // t-word prefix each carry n = m-2 distinct 3-shingles, t-2 shared,
+    // so shingle Jaccard = (t-2)/(2n-(t-2)) EXACTLY by construction.
+    // Vocab is flavor+pair-scoped ("zq<flavor><j>w<i>"), so plants never
+    // share a shingle with the corpus or another plant pair. Three
+    // flavors: near J = 36/40 = 0.9 (above the 0.5 minhash threshold),
+    // tight J = 38/40 = 0.95 (1-word tail edit, the simhash regime),
+    // far J = 12/60 = 0.2 (below every threshold — must be excluded).
+    val NearPairs = 40
+    val PairGap = 100000000L // id_b = id_a + PairGap within a flavor
+    def plantPair(flavor: String, j: Int, m: Int, t: Int): (String, String) = {
+      val w = (1 to m).map(i => s"zq$flavor${j}w$i")
+      val twin = w.take(t) ++ ((t + 1) to m).map(i => s"zq$flavor${j}f$i")
+      (w.mkString(" "), twin.mkString(" "))
+    }
+    def plantDocs(flavor: String, aBase: Long, m: Int, t: Int): Seq[(Long, String)] =
+      (0 until NearPairs).flatMap { j =>
+        val (a, b) = plantPair(flavor, j, m, t)
+        Seq((aBase + j, a), (aBase + PairGap + j, b))
+      }
+    val NearA  = 2000000000L // J = 0.9
+    val TightA = 2400000000L // J = 0.95
+    val FarA   = 2800000000L // J = 0.2
+    import spark.implicits._
+    val nearPlants =
+      (plantDocs("n", NearA, m = 40, t = 38) ++
+        plantDocs("t", TightA, m = 41, t = 40) ++
+        plantDocs("f", FarA, m = 38, t = 14)).toDF("doc_id", "text")
+    val docsNear = baseDocs.select(col("doc_id"), col("text"))
+      .unionByName(nearPlants).localCheckpoint(true)
+    // the planted-pair shape: id_a in a flavor's orig range, id_b its twin
+    def plantedPairsOf(pairs: DataFrame, aBase: Long): DataFrame =
+      pairs.where(col("id_a") >= aBase && col("id_a") < aBase + NearPairs &&
+        col("id_b") === col("id_a") + PairGap)
+
+    // Vectors: sign-flips preserve the norm EXACTLY ((-x)^2 == x^2 in
+    // IEEE), so cos(v, flipped v) = (S_keep - S_flip) / S_total over the
+    // same squares — deterministic, and computed below with the operator's
+    // own cosine as per-pair ground truth. One flipped coordinate => sim
+    // near 1 (must be found); first half flipped => sim near 0 (must be
+    // excluded by the 0.4 threshold's exact verify stage).
+    val FlipNearOff = 2000000000L
+    val FlipFarOff = 3000000000L
+    def flipped(off: Long, mod: Int, nFlip: Int): DataFrame = baseVecs
+      .where(col("vec_id") % mod === 0)
+      .select((col("vec_id") + lit(off)).as("vec_id"),
+        transform(col("embedding"), (x, i) => when(i < nFlip, negate(x)).otherwise(x))
+          .as("embedding"))
+    val vecsNear = baseVecs.select("vec_id", "embedding")
+      .unionByName(flipped(FlipNearOff, 5, 1))
+      .unionByName(flipped(FlipFarOff, 7, 32))
+      .localCheckpoint(true)
+
     def pairRecall(name: String, pairs: DataFrame, planted: Long, idA: String, idB: String,
         detail: String): Result = {
       // a planted pair is (orig, orig + Offset) with orig < orig + Offset,
@@ -137,6 +191,87 @@ object SelfCheck {
         Result("q_text_fingerprint", twinEq == nDocPairs && nTexts == nPrints,
           nDocPairs, twinEq,
           s"planted twins fingerprint equal; $nPrints distinct prints for $nTexts distinct texts (no collisions)")
+      }),
+
+      // ---- near-dup gates: thresholds behave, not just exact twins ----
+      "q_dedup_minhash_neardup" -> (() => {
+        val mh = graft.operators.dedup.MinHashDedup
+          .duplicatePairs(docsNear, "doc_id", "text", 0.5).localCheckpoint(true)
+        // the verify stage computes EXACT shingle Jaccard, so a found
+        // planted pair must carry exactly the analytic value; the far
+        // pairs sit below threshold and must be filtered even when a
+        // band collides (the verify stage is a hard guarantee)
+        val exact = plantedPairsOf(mh, NearA)
+          .where(col("jaccard") === lit(36.0 / 40.0)).count()
+        val far = plantedPairsOf(mh, FarA).count()
+        Result("q_dedup_minhash_neardup", exact == NearPairs && far == 0,
+          NearPairs, exact,
+          s"perturbed twins at analytic J=36/40 all banded+verified at exactly 0.9 " +
+            s"(16x4 banding recall at J=0.9: 1-(1-0.9^4)^16 ~ 1-4e-8); " +
+            s"far J=12/60 pairs emitted: $far (must be 0)")
+      }),
+
+      "q_dedup_simhash_neardup" -> (() => {
+        // per-pair ground truth with the operator's own signature: a
+        // 1-word edit on a ~40-feature doc lands on EITHER side of the
+        // hamming-3 bar (the bar is tight by design), so the gate is the
+        // exact partition: every planted pair whose true hamming <= 3
+        // MUST be emitted (4x16-bit chunk pigeonhole makes candidacy a
+        // structural guarantee, then the popcount verify keeps it) and
+        // every planted pair beyond 3 must NOT be.
+        val sig = graft.operators.dedup.SimHashDedup.signature(col("text"))
+        val plantSigs = nearPlants.select(col("doc_id"), sig.as("sig"))
+        val truth = plantSigs.where(
+            (col("doc_id") >= TightA && col("doc_id") < TightA + NearPairs) ||
+            (col("doc_id") >= FarA && col("doc_id") < FarA + NearPairs))
+          .select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+          .join(plantSigs.select((col("doc_id") - PairGap).as("id_a"), col("sig").as("sig_b")),
+            Seq("id_a"))
+          .select(col("id_a"), (col("id_a") + PairGap).as("id_b"),
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("true_hamming"))
+        val sh = graft.operators.dedup.SimHashDedup
+          .duplicatePairs(docsNear, "doc_id", "text", 3)
+        val joined = truth.join(sh, Seq("id_a", "id_b"), "left").localCheckpoint(true)
+        val nWithin = joined.where(col("true_hamming") <= 3).count()
+        val found = joined.where(col("true_hamming") <= 3 &&
+          col("hamming") === col("true_hamming")).count()
+        val leaked = joined.where(col("true_hamming") > 3 && col("hamming").isNotNull).count()
+        val nontrivial = nWithin >= 10 && nWithin <= 2 * NearPairs - 10
+        Result("q_dedup_simhash_neardup",
+          found == nWithin && leaked == 0 && nontrivial, nWithin, found,
+          s"planted 1-word-edit + far twins partitioned exactly at the hamming-3 bar: " +
+            s"$found/$nWithin within-bar pairs emitted with hamming == truth, " +
+            s"$leaked beyond-bar pairs leaked (must be 0); split non-trivial: $nontrivial")
+      }),
+
+      "q_dedup_embedding_approx_neardup" -> (() => {
+        val twins = vecsNear.where(col("vec_id") >= lit(FlipNearOff))
+          .select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+          .withColumn("id_a",
+            when(col("id_b") >= FlipFarOff, col("id_b") - FlipFarOff)
+              .otherwise(col("id_b") - FlipNearOff))
+        // per-pair ground truth with the operator's own cosine over the
+        // same vectors: identical expression => identical double, so a
+        // found pair's rounded sim must EQUAL round(truth, 4)
+        val truth = baseVecs.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+          .join(twins, Seq("id_a"))
+          .select(col("id_a"), col("id_b"),
+            graft.functions.GraftFunctions.cosine(col("v_a"), col("v_b")).as("truth"))
+        val ap = graft.operators.dedup.EmbeddingDedup
+          .duplicatePairsApprox(vecsNear, "vec_id", "embedding", 0.4,
+            nLists = 8, iters = 2, nAssign = 2)
+        val joined = truth.join(ap, Seq("id_a", "id_b"), "left").localCheckpoint(true)
+        // >= 0.7: the co-bucket regime an IVF with nAssign=2 must catch;
+        // [0.4, 0.7): approx recall is the operator's documented trade,
+        // not asserted; < 0.4: the exact verify stage must exclude
+        val nMust = joined.where(col("truth") >= 0.7).count()
+        val found = joined.where(col("truth") >= 0.7 &&
+          col("sim").isNotNull && col("sim") === round(col("truth"), 4)).count()
+        val leaked = joined.where(col("truth") < 0.4 && col("sim").isNotNull).count()
+        Result("q_dedup_embedding_approx_neardup", found == nMust && leaked == 0,
+          nMust, found,
+          s"sign-flip twins (norm preserved exactly): all pairs at known cos >= 0.7 " +
+            s"found with sim == round(truth, 4); below-0.4 pairs emitted: $leaked (must be 0)")
       })
     )
 
