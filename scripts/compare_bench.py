@@ -24,29 +24,42 @@ def load(path):
 def main(old_path, new_path, ratio=1.5):
     old_q, old_s = load(old_path)
     new_q, new_s = load(new_path)
-    flagged = noisy = 0
+    # only regressions (and unadjudicated deltas) fail the gate; a genuine
+    # improvement with disjoint intervals is reported informationally.
+    # Per-query ratios are normalized by the catalog-median ratio (the
+    # "global shift"): a uniformly loaded box moves every query together,
+    # which is contention, not 85 simultaneous plan changes.
+    ratios = sorted(new_q[n] / old_q[n] for n in set(old_q) & set(new_q)
+                    if old_q[n] > 0 and new_q[n] > 0)
+    global_shift = ratios[len(ratios) // 2] if ratios else 1.0
+    regressed = improved = noisy = unadjudicated = 0
     for name in sorted(set(old_q) & set(new_q)):
         om, nm = old_q[name], new_q[name]
         if om <= 0 or nm <= 0:
             continue
-        r = nm / om
+        r = (nm / om) / global_shift
         if r <= ratio and r >= 1 / ratio:
             continue
         direction = "REGRESSED" if r > 1 else "improved"
         osp, nsp = old_s.get(name), new_s.get(name)
         if osp and nsp and min(osp[2], nsp[2]) >= max(osp[0], nsp[0]):
             noisy += 1
-            print(f"noise     {name}: {om:.3f} -> {nm:.3f} ({r:.2f}x) — rep intervals overlap "
+            print(f"noise     {name}: {om:.3f} -> {nm:.3f} ({nm/om:.2f}x raw, {r:.2f}x norm) — rep intervals overlap "
                   f"[{osp[0]:.2f},{osp[2]:.2f}] vs [{nsp[0]:.2f},{nsp[2]:.2f}]")
         elif osp and nsp:
-            flagged += 1
-            print(f"{direction} {name}: {om:.3f} -> {nm:.3f} ({r:.2f}x) — disjoint intervals "
+            if r > 1:
+                regressed += 1
+            else:
+                improved += 1
+            print(f"{direction} {name}: {om:.3f} -> {nm:.3f} ({nm/om:.2f}x raw, {r:.2f}x norm) — disjoint intervals "
                   f"[{osp[0]:.2f},{osp[2]:.2f}] vs [{nsp[0]:.2f},{nsp[2]:.2f}]")
         else:
-            flagged += 1
-            print(f"{direction} {name}: {om:.3f} -> {nm:.3f} ({r:.2f}x) — no spread data, unadjudicated")
-    print(f"\n{flagged} real deltas / {noisy} noise-band deltas (ratio > {ratio}x)")
-    return 1 if flagged else 0
+            unadjudicated += 1
+            print(f"{direction} {name}: {om:.3f} -> {nm:.3f} ({nm/om:.2f}x raw, {r:.2f}x norm) — no spread data, unadjudicated")
+    print(f"\n{regressed} regressed / {improved} improved / {noisy} noise-band / "
+          f"{unadjudicated} unadjudicated (normalized ratio > {ratio}x, "
+          f"global shift {global_shift:.2f}x)")
+    return 1 if (regressed or unadjudicated) else 0
 
 
 if __name__ == "__main__":

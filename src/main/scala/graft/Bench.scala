@@ -4,12 +4,26 @@ import java.nio.file.{Files, Paths}
 
 /** Driver-run benchmark: every SparkEntry.query timed on SPARK_GRAFT_SF_DIR.
   *
-  * Noise handling (this box has ±50% neighbor noise — see CLAUDE.md): each
-  * query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
-  * per-query MEDIAN; the total is the sum of successful medians only.
+  * Noise handling (this box has ±50% neighbor noise — see CLAUDE.md):
+  * each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+  * the per-query MEDIAN; the total is the sum of successful medians only.
   * Failed queries are listed in "failed" and carry -1.0 in "queries" —
   * they are never summed (a -1 sentinel in the total would make a failing
   * run look faster than a clean one).
+  *
+  * Reps are INTERLEAVED round-robin across the catalog (rep r of every
+  * query runs before rep r+1 of any): one query's reps are separated by a
+  * full catalog pass, so a contended window shorter than a pass degrades
+  * at most ONE rep of each query it overlaps — recoverable by the
+  * per-query median — instead of every rep of the few queries unlucky
+  * enough to run inside it. This is what makes the artifact comparable
+  * across driver rounds on a shared box.
+  *
+  * The artifact also embeds its own committed-vs-current adjudication
+  * (the scripts/compare_bench.py logic): the previous artifact at
+  * SPARK_GRAFT_BENCH_OUT is read before being overwritten and every
+  * median delta beyond 1.5x is classified as real (disjoint [min,max]
+  * rep intervals) or noise (overlapping intervals).
   *
   * Output: ONE bare JSON line on stdout, and the same line written to
   * SPARK_GRAFT_BENCH_OUT (default ./BENCH_LOCAL.json) so the result stays
@@ -21,6 +35,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // read the previous artifact BEFORE the run (it is overwritten below)
+    val prevArtifact: Option[String] =
+      try { if (Files.exists(Paths.get(outPath))) Some(Files.readString(Paths.get(outPath))) else None }
+      catch { case _: Throwable => None }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,19 +66,19 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
-    val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var failed = false
-      var r = 0
-      while (r < reps && !failed) {
-        try times += once(fn)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: " + e.getMessage); failed = true
-        }
-        r += 1
+    val entries = SparkEntry.queries.toSeq
+    val times = scala.collection.mutable.LinkedHashMap(
+      entries.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    val failedSet = scala.collection.mutable.Set.empty[String]
+    for (r <- 0 until reps; (name, fn) <- entries if !failedSet(name)) {
+      try times(name) += once(fn)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed (rep $r): " + e.getMessage)
+        failedSet += name
+        times(name).clear()
       }
-      name -> (if (failed) Seq.empty else times.toSeq)
     }
+    val results: Seq[(String, Seq[Double])] = entries.map { case (n, _) => n -> times(n).toSeq }
     val failed = results.collect { case (n, ts) if ts.isEmpty => n }
     val medians = results.collect { case (n, ts) if ts.nonEmpty => n -> median(ts) }
     val total = medians.map(_._2).sum
@@ -76,8 +94,66 @@ object Bench {
       s"\"" + k + "\":" + body
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    // committed-vs-current adjudication, embedded in the artifact itself:
+    // a >1.5x median delta with DISJOINT [min,max] rep intervals is real;
+    // overlapping intervals put it inside the documented noise band.
+    val medMap = medians.toMap
+    val spreadMap = results.collect { case (n, ts) if ts.nonEmpty => n -> ((ts.min, ts.max)) }.toMap
+    val adjudication: String = prevArtifact.flatMap { text =>
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(text)
+        val oldQ = root.path("queries")
+        val oldS = root.path("queries_spread")
+        // global shift = catalog-median of per-query ratios. A uniformly
+        // loaded box moves EVERY query together (a run at 1.4x across
+        // footer-only reads and 2M-row joins alike is contention, not 85
+        // simultaneous plan changes); a real regression is a query that
+        // moved >1.5x BEYOND the shift, with disjoint rep intervals.
+        val allRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val it0 = oldQ.fieldNames()
+        while (it0.hasNext) {
+          val name = it0.next()
+          val o = oldQ.path(name).asDouble(-1.0)
+          medMap.get(name).foreach(n => if (o > 0 && n > 0) allRatios += n / o)
+        }
+        val globalShift = if (allRatios.isEmpty) 1.0 else median(allRatios.toSeq)
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+        var real = 0; var noise = 0; var improved = 0
+        val it = oldQ.fieldNames()
+        while (it.hasNext) {
+          val name = it.next()
+          val om0 = oldQ.path(name).asDouble(-1.0)
+          medMap.get(name).foreach { nm =>
+            if (om0 > 0 && nm > 0) {
+              val ratio = nm / om0
+              val norm = ratio / globalShift
+              if (norm > 1.5 || norm < 1 / 1.5) {
+                val os = oldS.path(name)
+                val overlap = os.isArray && spreadMap.contains(name) && {
+                  val (nMin, nMax) = spreadMap(name)
+                  math.min(os.get(2).asDouble, nMax) >= math.max(os.get(0).asDouble, nMin)
+                }
+                val verdict =
+                  if (overlap) { noise += 1; "noise" }
+                  else if (norm > 1) { real += 1; "regressed" }
+                  else { improved += 1; "improved" }
+                rows += ((name, verdict,
+                  f"""{"old":$om0,"new":$nm,"ratio":${ratio}%.3f,"norm_ratio":${norm}%.3f,"verdict":"$verdict"}"""))
+              }
+            }
+          }
+        }
+        val deltas = rows.map { case (n, _, body) => s"\"$n\":$body" }.mkString("{", ",", "}")
+        Some(f"""{"vs":"$outPath","global_shift":${globalShift}%.3f,"regressed":$real,"improved":$improved,"noise":$noise,"deltas":$deltas}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] adjudication skipped: ${e.getMessage}"); None
+      }
+    }.getOrElse("null")
+
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_spread":$spread,"sf":"$sfDir","reps":$reps,"n_failed":${failed.size},"failed":$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_spread":$spread,"sf":"$sfDir","reps":$reps,"interleaved":true,"n_failed":${failed.size},"failed":$failedJson,"adjudication":$adjudication}"""
     println(json)
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
