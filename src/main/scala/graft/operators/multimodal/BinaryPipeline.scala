@@ -548,6 +548,12 @@ object BinaryPipeline {
     val tracks = Vector.newBuilder[Mp4TrackInfo]
     var cur: TrackAcc = null
 
+    // invalid chunk bases map to the file end: chunk indexing is
+    // preserved (dropping would shift later chunks onto wrong offsets)
+    // and any sample resolved there fails the emit-site range check
+    def clampOff(v: Long): Long =
+      if (v < 0L || v > bytes.length.toLong) bytes.length.toLong else v
+
     def resolve(t: TrackAcc): Mp4TrackInfo = {
       // stsc runs + stco bases + stsz prefix sums -> absolute offsets
       val offs = Vector.newBuilder[Long]
@@ -616,18 +622,28 @@ object BinaryPipeline {
           case "stsz" if cur != null && room >= 12 =>
             val fixed = u32(ps + 4)
             val count = math.min(u32(ps + 8), maxSamplesPerTrack.toLong)
-            if (fixed != 0L)
-              cur.sizes = Vector.fill(count.toInt)(fixed)
-            else {
+            if (fixed != 0L) {
+              // same forged-count discipline as the variable path: real
+              // samples of size `fixed` cannot outnumber the file's bytes,
+              // so a tiny file packed with forged stsz boxes cannot
+              // amplify into megabytes of size-vector allocation
+              val cap = math.min(count, bytes.length.toLong / fixed + 1L)
+              cur.sizes = Vector.fill(cap.toInt)(fixed)
+            } else {
               val avail = math.min(count, (room - 12) / 4) // forged count clamps here
               cur.sizes = (0L until avail).map(i => u32(ps + 12 + i * 4))
             }
           case "stco" if cur != null && room >= 8 =>
             val avail = math.min(u32(ps + 4), (room - 8) / 4)
-            cur.chunkOffsets = (0L until avail).map(i => u32(ps + 8 + i * 4))
+            cur.chunkOffsets = (0L until avail).map(i => clampOff(u32(ps + 8 + i * 4)))
           case "co64" if cur != null && room >= 8 =>
+            // clamped at parse: a forged 2^63-ish co64 base would otherwise
+            // overflow resolve()'s `off += size` accumulation and could
+            // wrap into range, emitting wrong bytes as a "real" sample.
+            // With every base <= file length, base + maxSamplesPerTrack
+            // u32 sizes stays far below Long.MaxValue.
             val avail = math.min(u32(ps + 4), (room - 8) / 8)
-            cur.chunkOffsets = (0L until avail).map(i => u64(ps + 8 + i * 8))
+            cur.chunkOffsets = (0L until avail).map(i => clampOff(u64(ps + 8 + i * 8)))
           case "stsc" if cur != null && room >= 8 =>
             val avail = math.min(u32(ps + 4), (room - 8) / 12)
             cur.chunkRuns = (0L until avail).map(i =>
@@ -710,16 +726,19 @@ object BinaryPipeline {
       v
     }
     def emit(trackNum: Long, from: Long, to: Long): Unit = {
-      if (to > from) {
-        val ordinal = ordinals.getOrElse(trackNum, 0L)
-        val kept = kepts.getOrElse(trackNum, 0)
-        if (kept < maxKept && ordinal % stride == 0) {
-          frames += ((trackNum, ordinal,
-            java.util.Arrays.copyOfRange(bytes, from.toInt, to.toInt)))
-          kepts(trackNum) = kept + 1
-        }
-        ordinals(trackNum) = ordinal + 1
+      // every parsed frame advances the track ordinal — including a legal
+      // zero-length laced frame. Skipping the increment for empty frames
+      // would phase-shift every later ordinal of the track, making stride
+      // sampling and frame_idx disagree with true container indices (the
+      // exact drift the whole-table lace validation exists to prevent).
+      val ordinal = ordinals.getOrElse(trackNum, 0L)
+      val kept = kepts.getOrElse(trackNum, 0)
+      if (to > from && kept < maxKept && ordinal % stride == 0) {
+        frames += ((trackNum, ordinal,
+          java.util.Arrays.copyOfRange(bytes, from.toInt, to.toInt)))
+        kepts(trackNum) = kept + 1
       }
+      ordinals(trackNum) = ordinal + 1
     }
     def block(ps: Long, pe: Long): Unit = {
       // payload: track vint, s16 relative time, flags, then frame data —
@@ -988,7 +1007,9 @@ object BinaryPipeline {
               .filter { case (_, ord) => ord % stride == 0 }
               .take(maxKeptPerDoc)
               .flatMap { case ((off, sz), ord) =>
-                if (off >= 0 && sz > 0 && off + sz <= bytes.length) {
+                // overflow-safe form: `off + sz` on forged near-Long.Max
+                // offsets wraps negative and would pass a naive `<=` check
+                if (off >= 0 && sz > 0 && sz <= bytes.length && off <= bytes.length - sz) {
                   val payload = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
                   val sha = java.security.MessageDigest.getInstance("SHA-256")
                     .digest(payload).take(8).map("%02x".format(_)).mkString
@@ -1027,7 +1048,9 @@ object BinaryPipeline {
                 .filter { case (_, ord) => ord % stride == 0 }
                 .take(maxKeptPerDoc)
                 .flatMap { case ((off, sz), ord) =>
-                  if (off >= 0 && sz > 0 && off + sz <= bytes.length) {
+                  // overflow-safe form: `off + sz` on forged near-Long.Max
+                // offsets wraps negative and would pass a naive `<=` check
+                if (off >= 0 && sz > 0 && sz <= bytes.length && off <= bytes.length - sz) {
                     val payload = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
                     readImage(payload, 64).map { case (_, w, h, _) =>
                       val sha = java.security.MessageDigest.getInstance("SHA-256")

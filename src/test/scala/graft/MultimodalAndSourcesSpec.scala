@@ -291,6 +291,72 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     assert(frames.forall(_._1 == 1L))
   }
 
+  test("mp4 forged co64/fixed-stsz: near-Long.Max offsets and amplified counts degrade, never throw") {
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def be(v: Int) = Array((v >> 24 & 0xFF).toByte, (v >> 16 & 0xFF).toByte,
+      (v >> 8 & 0xFF).toByte, (v & 0xFF).toByte)
+    def be8(v: Long) = be((v >> 32).toInt) ++ be(v.toInt)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be(8 + payload.length) ++ cc(typ) ++ payload
+    val ftyp = box("ftyp", cc("isom") ++ be(0) ++ cc("isom"))
+    val mdhd = box("mdhd", be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(3000))
+    val hdlr = box("hdlr", be(0) ++ be(0) ++ cc("vide") ++ new Array[Byte](12))
+    val stsd = box("stsd", be(0) ++ be(1) ++ (be(16) ++ cc("avc1") ++ new Array[Byte](8)))
+    def mp4With(stbl: Array[Byte]) =
+      ftyp ++ box("moov", box("trak", box("mdia", mdhd ++ hdlr ++
+        box("minf", box("stbl", stbl)))))
+
+    // (a) co64 base near Long.MaxValue: resolve()'s `off += size` would
+    // wrap negative-then-positive and the naive `off + sz <= len` guard
+    // would pass on the wrap — the parse-time clamp must keep the walk
+    // alive (metadata intact) and the sample extractor empty
+    val stszTwo = box("stsz", be(0) ++ be(0) ++ be(2) ++ be(40) ++ be(40))
+    val stsc = box("stsc", be(0) ++ be(1) ++ (be(1) ++ be(2) ++ be(1)))
+    val co64 = box("co64", be(0) ++ be(1) ++ be8(Long.MaxValue - 20))
+    val forged = mp4With(stsd ++ stszTwo ++ stsc ++ co64)
+    val tracks = BinaryPipeline.demuxMp4(forged)
+    assert(tracks.length == 1 && tracks.head.handler == "vide")
+    val rows = Seq((1L, forged)).toDF("doc_id", "payload")
+    assert(BinaryPipeline.sampleMp4Samples(rows, "doc_id", "payload", 1).collect().isEmpty)
+
+    // (b) fixed-size stsz with a forged million-sample count: the size
+    // vector must stay bounded by the file's own byte budget, like the
+    // variable path's room clamp
+    val stszFixed = box("stsz", be(0) ++ be(50) ++ be(1000000))
+    val stco1 = box("stco", be(0) ++ be(1) ++ be(0))
+    val amplified = mp4With(stsd ++ stszFixed ++ stsc ++ stco1)
+    val t2 = BinaryPipeline.demuxMp4(amplified)
+    assert(t2.length == 1)
+    assert(t2.head.sampleSizes.length <= amplified.length / 50 + 1,
+      s"forged fixed-stsz count amplified to ${t2.head.sampleSizes.length} sizes")
+  }
+
+  test("mkv zero-length laced frame advances the ordinal (no phase shift)") {
+    def sz(v: Int): Array[Byte] = {
+      require(v < (1 << 14) - 1); Array((0x40 | (v >> 8)).toByte, (v & 0xFF).toByte)
+    }
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] = id ++ sz(payload.length) ++ payload
+    def id1(b: Int) = Array(b.toByte)
+    def id4(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val fA = Array.fill[Byte](7)(0x41)
+    val fC = Array.fill[Byte](5)(0x43)
+    // Xiph lace [7, 0, implicit 5]: the empty middle frame is LEGAL and
+    // must consume ordinal 1 — otherwise every later frame's ordinal and
+    // stride phase drift from the true container index
+    val xiph = el(id1(0xA3), Array[Byte](0x81.toByte, 0, 0, 0x02, 2) ++
+      Array[Byte](7, 0) ++ fA ++ fC)
+    val header = el(id4(0x1A45DFA3L), Array.empty)
+    val cluster = el(id4(0x1F43B675L), el(id1(0xE7), Array(0.toByte)) ++ xiph)
+    val mkv = header ++ el(id4(0x18538067L), cluster)
+    val (_, frames) = BinaryPipeline.demuxMkv(mkv)
+    assert(frames.map(f => (f._2, f._3.length)).toSeq == Seq((0L, 7), (2L, 5)),
+      s"got ${frames.map(f => (f._2, f._3.length))}")
+    // stride 2 keeps ordinals 0 and 2 — both real frames, because the
+    // empty frame holds the odd slot
+    val strided = BinaryPipeline.demuxMkv(mkv, stride = 2)._2
+    assert(strided.map(_._2).toSeq == Seq(0L, 2L))
+  }
+
   test("mkv multi-track interleave: stride and caps are per track, never global") {
     def sz(v: Int): Array[Byte] = {
       require(v < (1 << 14) - 1); Array((0x40 | (v >> 8)).toByte, (v & 0xFF).toByte)
