@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.Procurement
@@ -309,6 +309,20 @@ object SparkEntry {
           "vec_id", "embedding", 5, nProbe = 4)
         .orderBy("query_id", "rnk")
     }),
+    "q_ann_quantized" -> ((s, dir) => {
+      // int8-quantized-corpus ANN made driver-visible (topKQuantized,
+      // C28's scale path): quantize the corpus, dequantize inside the
+      // scan, exact top-5. Every step is elementwise IEEE-exact
+      // (round-half-away parity, cosine fold), so the DuckDB mirror
+      // reproduces the ranking bit-for-bit.
+      val e = snap(s, dir).embeddings
+      val qc = graft.operators.ann.Quantize.quantize(e, "embedding")
+        .select(col("vec_id"), col("q_vec"), col("q_scale"))
+      graft.operators.ann.Quantize
+        .topKQuantized(e.where(col("vec_id") < 5), qc,
+          "vec_id", "embedding", "vec_id", "q_vec", "q_scale", 5)
+        .orderBy("query_id", "rnk")
+    }),
     "q_text_langid" -> ((s, dir) => {
       snap(s, dir).documents
         .select(col("doc_id"), TextStats.langId(col("text")).as("pred_lang"), col("lang"))
@@ -400,6 +414,35 @@ object SparkEntry {
           round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
           round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_percentiles_approx" -> ((s, dir) => {
+      // The GK-sketch scale path (Quantiles.approxPercentiles, B28) made
+      // driver-visible. The sketch VALUES are merge-order-sensitive in
+      // their last ulps, so the hashed output is the exact-rank AUDIT of
+      // the approx values instead: each returned percentile's occupied
+      // rank interval [lo+1, hi] must overlap the GK guarantee window
+      // p·n ± (2ε·n + 1). The oracle mirrors the always-true verdict —
+      // a sketch that drifts out of its error bound turns the row red.
+      val o = snap(s, dir).orders
+      val accuracy = 10000
+      val eps = 2.0 / accuracy
+      val ap = graft.operators.quantile.Quantiles
+        .approxPercentiles(o, Seq("o_orderpriority"), "o_totalprice", Seq(0.5, 0.9), accuracy)
+      def inBounds(p: Double, lo: Column, hi: Column, n: Column): Column =
+        ((lo + lit(1)).cast("double") <= (lit(p) + lit(eps)) * n + lit(1.0)) &&
+          (hi.cast("double") >= (lit(p) - lit(eps)) * n - lit(1.0))
+      o.join(ap, "o_orderpriority")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") < col("p50"), 1L).otherwise(0L)).as("lo50"),
+          sum(when(col("o_totalprice") <= col("p50"), 1L).otherwise(0L)).as("hi50"),
+          sum(when(col("o_totalprice") < col("p90"), 1L).otherwise(0L)).as("lo90"),
+          sum(when(col("o_totalprice") <= col("p90"), 1L).otherwise(0L)).as("hi90"))
+        .select(col("o_orderpriority"), col("n"),
+          inBounds(0.5, col("lo50"), col("hi50"), col("n")).as("p50_in_bounds"),
+          inBounds(0.9, col("lo90"), col("hi90"), col("n")).as("p90_in_bounds"))
         .orderBy("o_orderpriority")
     }),
     "q_sample_hash" -> ((s, dir) => {
@@ -1304,6 +1347,25 @@ object SparkEntry {
          |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)
          |SELECT query_id, rnk, neighbor_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
+    // q_embedding_quantize's elementwise quantization mirror composed
+    // with the brute-force cosine/rank mirror: the int8-dequantized
+    // corpus ranking reproduces bit-for-bit (round-half-away parity on
+    // identical doubles, sequential-fold cosine, unique neighbor tiebreak)
+    "q_ann_quantized" ->
+      s"""WITH t AS (SELECT vec_id, embedding AS e,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS neighbor_id,
+         |    list_transform(list_transform(e, x -> least(greatest(round(CAST(x AS DOUBLE) /
+         |      (CASE WHEN sc = 0 THEN 1.0 ELSE sc END)), -127.0), 127.0)), v -> v * sc) AS ce
+         |  FROM t),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |sc2 AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS sim FROM q, c
+         |        WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sc2)
+         |SELECT query_id, rnk, neighbor_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
     "q_text_langid" ->
       """WITH h AS (SELECT doc_id, lang,
         |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','is','of','and'))) AS h_en,
@@ -1391,6 +1453,15 @@ object SparkEntry {
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
         |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the Spark side computes the GK rank-error audit for REAL (exact
+    // occupied-rank interval of each approx value vs the guarantee
+    // window); the oracle encodes the expected verdict, so a sketch
+    // drifting out of bounds turns the row red (same static-verdict
+    // pattern as q_schema_check's VALUES oracle)
+    "q_percentiles_approx" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  TRUE AS p50_in_bounds, TRUE AS p90_in_bounds
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_sample_hash" ->
       """SELECT o_orderkey, o_totalprice FROM orders
