@@ -224,6 +224,19 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
         .orderBy("event_id")
     }),
+    "q_asof_bucketed" -> ((s, dir) => {
+      // the hot-key scale path (segmented scan across time buckets) made
+      // driver-visible: result is defined to equal latestPriorTs, which is
+      // exactly the ASOF oracle — same gate pattern as q_salted_join
+      val e = snap(s, dir).events
+      AsOfJoin
+        .latestPriorTsBucketed(
+          e.where(col("event_type") === "purchase"),
+          e.where(col("event_type") === "signup"),
+          "user_id", "ts", "ts", "last_signup_ts", nBuckets = 32)
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
+        .orderBy("event_id")
+    }),
     "q_json_extract" -> ((s, dir) => {
       // drop missing/non-numeric k rows explicitly: Spark's lenient cast
       // and DuckDB's strict CAST diverge on them otherwise
@@ -1077,6 +1090,14 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, s.ts AS last_signup_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // identical oracle to q_asof_join: the bucketed rewrite's contract is
+    // bit-identical output to the plain per-key window
+    "q_asof_bucketed" ->
       """SELECT p.event_id, p.user_id, p.ts, s.ts AS last_signup_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s

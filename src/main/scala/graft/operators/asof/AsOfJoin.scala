@@ -59,6 +59,101 @@ object AsOfJoin {
       .select(col("__payload.*"), col("__matched").as(outCol))
   }
 
+  /** Hot-key scale path for [[latestPriorTs]]: identical result, but a
+    * single key's rows parallelize across `nBuckets` time ranges instead
+    * of funneling into one window task.
+    *
+    * [[latestPriorTs]]'s per-key window is the right plan when keys are
+    * many and individually bounded (it parallelizes across keys with one
+    * shuffle and no join). Its documented bound is that ONE key's entire
+    * history sorts in ONE task — a hot key (one symbol carrying half the
+    * quote stream) becomes a single-task wall at scale. This variant is
+    * the segmented-scan rewrite of the same running-`last`:
+    *
+    *  1. bucket every row by time range (global µs bounds from one slim
+    *     agg — a 2-value driver collect, same pattern as the quantile
+    *     boundary collect);
+    *  2. the running last-right-ts within each (key, bucket) window —
+    *     the hot key now sorts as `nBuckets` independent tasks;
+    *  3. a slim (key, bucket, max right ts) table, prefix-maxed over
+    *     strictly-earlier buckets per key — right timestamps equal the
+    *     rows' own order key, so the carry into a bucket is exactly the
+    *     max right ts before it;
+    *  4. broadcast the carry back and `coalesce(local, carry)`.
+    *
+    * Contract (mirrors `Quantiles.withNtileByGroup`): intended for the
+    * FEW/HOT-key regime — the carry table is ≤ keys×nBuckets rows and is
+    * broadcast. High-cardinality keys should stay on [[latestPriorTs]],
+    * which already parallelizes. Tie semantics, NULL-key and NULL-ts
+    * behavior are identical to [[latestPriorTs]] (a right row at the
+    * same ts as a left row shares its bucket, so equality still matches
+    * locally; the carry covers strictly-earlier buckets only).
+    */
+  def latestPriorTsBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      outCol: String,
+      nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val payloadType = StructType(left.schema.fields)
+    val lSide = left.select(
+      col(keyCol).as("__k"),
+      col(leftTsCol).as("__ts"),
+      lit(1).as("__side"),
+      lit(null).cast("timestamp").as("__rts"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__payload"))
+    val rSide = right.where(col(keyCol).isNotNull).select(
+      col(keyCol).as("__k"),
+      col(rightTsCol).as("__ts"),
+      lit(0).as("__side"),
+      col(rightTsCol).as("__rts"),
+      lit(null).cast(payloadType).as("__payload"))
+    val unioned = lSide.unionByName(rSide)
+
+    val bounds = unioned
+      .agg(min(unix_micros(col("__ts"))).as("lo"), max(unix_micros(col("__ts"))).as("hi"))
+      .head()
+    if (bounds.isNullAt(0)) {
+      // no non-null timestamp anywhere: every match is NULL by definition
+      lSide.select(col("__payload.*"), lit(null).cast("timestamp").as(outCol))
+    } else {
+      val lo = bounds.getLong(0)
+      val width = math.max(1L, (bounds.getLong(1) - lo) / nBuckets + 1L)
+      // NULL ts stays NULL: those rows form their own (k, NULL) window,
+      // exactly as they sort together first in the unbucketed window
+      val bucketed = unioned.withColumn(
+        "__b", ((unix_micros(col("__ts")) - lit(lo)) / lit(width)).cast("long"))
+
+      val wLocal = Window
+        .partitionBy("__k", "__b")
+        .orderBy(col("__ts"), col("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val localized =
+        bucketed.withColumn("__local", last(col("__rts"), ignoreNulls = true).over(wLocal))
+
+      val wCarry = Window
+        .partitionBy("__k")
+        .orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // over BOTH sides: a bucket occupied only by left rows still needs
+      // its carry row (its __bmax is NULL and prefix-max skips it)
+      val carry = bucketed
+        .groupBy(col("__k"), col("__b"))
+        .agg(max(col("__rts")).as("__bmax"))
+        .withColumn("__carry", max(col("__bmax")).over(wCarry))
+        .select(col("__k"), col("__b"), col("__carry"))
+
+      localized
+        .join(broadcast(carry), Seq("__k", "__b"), "left")
+        .where(col("__side") === 1)
+        .select(col("__payload.*"),
+          coalesce(col("__local"), col("__carry")).as(outCol))
+    }
+  }
+
   /** [[latestPriorTs]] with a bounded lookback: a match older than
     * `toleranceSec` before the left timestamp comes back NULL — the
     * batch twin of the streaming attribution join's time-range bound

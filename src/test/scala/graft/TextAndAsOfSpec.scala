@@ -211,4 +211,60 @@ class TextAndAsOfSpec extends SparkSpecBase {
       AsOfJoin.latestPriorTsWithin(left, right, "user_id", "ts", "rts", "m", Long.MaxValue)
     }.getMessage.contains("toleranceSec"))
   }
+
+  test("bucketed asof equals plain asof under a planted hot key, every bucket width") {
+    // 80% of rows on one key, deterministic but irregular timestamps so
+    // matches cross bucket boundaries in both directions; includes ties
+    // (same ts on both sides), right-empty buckets (key 2 has a single
+    // early signup), and a left row before every right row
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000L)
+    val left = (0 until 400).map { i =>
+      val key = if (i % 5 == 4) 2L else 1L
+      (i.toLong, key, ts((i.toLong * 37) % 9001))
+    }.toDF("event_id", "user_id", "ts")
+    val right = (0 until 60).map { i =>
+      val key = if (i == 0) 2L else 1L
+      (key, ts(if (i == 0) 3L else (i.toLong * 211) % 9001))
+    }.toDF("user_id", "rts")
+    val plain = AsOfJoin.latestPriorTs(left, right, "user_id", "ts", "rts", "m")
+      .select("event_id", "m").as[(Long, Option[Timestamp])].collect().toMap
+    for (nBuckets <- Seq(1, 3, 16, 64, 1000)) {
+      val bucketed = AsOfJoin
+        .latestPriorTsBucketed(left, right, "user_id", "ts", "rts", "m", nBuckets)
+        .select("event_id", "m").as[(Long, Option[Timestamp])].collect().toMap
+      assert(bucketed == plain, s"nBuckets=$nBuckets diverges from plain")
+    }
+  }
+
+  test("bucketed asof edge cases: null keys, ties, empty right, all-null ts") {
+    def ts(x: String) = Timestamp.valueOf(x)
+    val left = Seq(
+      (10L, Option(1L), ts("2024-01-01 12:00:00")), // tie with right -> included
+      (11L, Option(1L), ts("2024-01-01 09:00:00")), // before every right -> null
+      (12L, Option.empty[Long], ts("2024-01-01 12:00:00")) // null key -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Option(1L), ts("2024-01-01 12:00:00")),
+      (Option.empty[Long], ts("2024-01-01 11:00:00")) // invisible, as in plain
+    ).toDF("user_id", "rts")
+    val got = AsOfJoin.latestPriorTsBucketed(left, right, "user_id", "ts", "rts", "m", 4)
+      .select("event_id", "m").as[(Long, Option[Timestamp])].collect().toMap
+    assert(got(10L).contains(ts("2024-01-01 12:00:00")))
+    assert(got(11L).isEmpty)
+    assert(got(12L).isEmpty)
+
+    val gotEmpty = AsOfJoin
+      .latestPriorTsBucketed(left, right.where(lit(false)), "user_id", "ts", "rts", "m", 4)
+      .select("event_id", "m").as[(Long, Option[Timestamp])].collect().toMap
+    assert(gotEmpty.size == 3 && gotEmpty.values.forall(_.isEmpty),
+      s"empty right must pass every left row through unmatched: $gotEmpty")
+
+    val nullTsLeft = Seq((1L, 1L, Option.empty[Timestamp])).toDF("event_id", "user_id", "ts")
+    val nullTsRight = Seq((1L, Option.empty[Timestamp])).toDF("user_id", "rts")
+    val gotNull = AsOfJoin
+      .latestPriorTsBucketed(nullTsLeft, nullTsRight, "user_id", "ts", "rts", "m", 4)
+      .select("event_id", "m").as[(Long, Option[Timestamp])].collect().toMap
+    assert(gotNull(1L).isEmpty, "all-NULL timestamps degrade to no matches, not a crash")
+  }
 }
