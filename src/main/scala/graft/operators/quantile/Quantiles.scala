@@ -176,15 +176,26 @@ object Quantiles {
     * for (deciles within each org unit / language) where a plain
     * per-group window still funnels one 4 TB group into one task.
     *
-    * The boundary-broadcast machinery generalizes: ONE composite-key
-    * range shuffle of the slim (group, value, tie) projection, per-
-    * (partition, group) counts aggregated into per-group exclusive
-    * prefix offsets (a window over the partition×group-sized count
-    * table, never the data), boundary rows fetched by joining their
-    * (partition, local-rank) locations, and each row's bucket assigned
-    * MAP-SIDE as `1 + #(group boundaries below it)` via a broadcast
-    * join on the group plus a codegen'd higher-order filter over the
-    * group's boundary array.
+    * The boundary-broadcast machinery generalizes, in the same THREE
+    * jobs as [[withNtile]] (round 5 — the previous shape paid ~2× in
+    * serialized tiny jobs: two broadcast-plan evaluations, a checkpoint
+    * and a rank-window exchange):
+    *
+    *  1. ONE composite-key range shuffle of the slim (group, value,
+    *     tie) projection, persisted; (partition, group) counts + null
+    *     piggyback collected — range partitioning by (group, …) makes
+    *     group slices CONTIGUOUS, so the count table is at most
+    *     partitions + groups − 1 rows, the same driver-size class as
+    *     [[orderStatisticsBy]]'s per-partition longs;
+    *  2. boundary ranks per group located on the driver (exclusive
+    *     prefix offsets over each group's slices), then fetched with
+    *     `sortWithinPartitions` + a LINEAR per-partition rank scan over
+    *     only the partitions holding a boundary — no exchange, no
+    *     window, ranks read off the already-range-partitioned cache;
+    *  3. each row's bucket assigned MAP-SIDE as `1 + #(group boundaries
+    *     below it)`: the groups×(n−1) boundary rows become a driver-built
+    *     LocalRelation broadcast-joined on the group, with a codegen'd
+    *     higher-order filter over the group's boundary array.
     *
     * Contract: [[checkTypes]] applies to all three columns (orderable
     * atomic, non-null — nulls rejected, not misbucketed; `tieCol`
@@ -216,56 +227,100 @@ object Quantiles {
       .withColumn("__pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // (pid, group)-grain counts: partitions×groups rows — the ONLY
-      // thing the whole boundary computation ever aggregates or windows.
-      // Materialized once (tiny): three consumers (null check, offsets,
-      // totals) would otherwise each re-aggregate the persisted corpus
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      // job 1: (pid, group) counts + null piggyback, collected. Group
+      // slices are CONTIGUOUS under the (group, …) range partitioning,
+      // so this is at most partitions + groups − 1 rows — the same
+      // driver-size class as orderStatisticsBy's per-partition longs
       val counts = ranged.groupBy("__pid", "__g")
         .agg(count(lit(1)).as("__c"),
           sum(when(col("__g").isNull || col("__v").isNull || col("__k").isNull, 1L)
             .otherwise(0L)).as("__nulls"))
-        .localCheckpoint(true)
-      val nullRow = counts.agg(sum("__nulls").as("s")).head()
-      require(!nullRow.isNullAt(0), "withNtileByGroup on an empty input")
-      require(nullRow.getLong(0) == 0L,
+        .collect()
+      require(counts.nonEmpty, "withNtileByGroup on an empty input")
+      require(counts.map(_.getLong(3)).sum == 0L,
         s"$groupCol/$valueCol/$tieCol contain NULLs — filter them before calling " +
           "(the boundary-broadcast formulation cannot represent null ordering)")
-      // exclusive prefix offset of each (pid, group) slice within its
-      // group, and the group total — windows over the tiny count table
-      val wOff = Window.partitionBy("__g").orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val withOff = counts.select(col("__pid"), col("__g"), col("__c"),
-        coalesce(sum("__c").over(wOff), lit(0L)).as("__off"))
-      // per-group boundary ranks b=1..n-1: cumulative ntile bucket sizes
-      // b·(tot/n) + min(b, tot%n) — duplicate ranks in the tot<n
-      // degenerate case are harmless (nothing orders strictly above the
-      // max-rank row, same as withNtile's clamping)
-      val bounds = counts.groupBy("__g").agg(sum("__c").as("__tot"))
-        .select(col("__g"), col("__tot"),
-          explode(sequence(lit(1L), lit(n.toLong - 1L))).as("__b"))
-        .select(col("__g"),
-          (col("__b") * floor(col("__tot") / n).cast("long")
-            + least(col("__b"), pmod(col("__tot"), lit(n.toLong)))).as("__rank"))
-        .where(col("__rank") >= 1L)
-      // each boundary rank lives in exactly one (pid, group) slice at a
-      // known local rank; fetch those rows with a per-slice row_number
-      // over ONLY the partitions that hold a boundary
-      val locs = bounds.join(withOff, Seq("__g"))
-        .where(col("__rank") > col("__off") && col("__rank") <= col("__off") + col("__c"))
-        .select(col("__pid"), col("__g"), (col("__rank") - col("__off")).as("__lr"))
-      val targetPids = locs.select("__pid").distinct()
-      val wLr = Window.partitionBy("__pid", "__g").orderBy("__v", "__k")
-      // localCheckpoint(eager): the assign plan below must not re-derive
-      // the range split after the finally-unpersist — the boundary set is
-      // groups×(n-1) rows, materializing it is free
-      val fetched = ranged
-        .join(broadcast(targetPids), Seq("__pid"), "left_semi")
-        .withColumn("__lr", row_number().over(wLr).cast("long"))
-        .join(broadcast(locs), Seq("__pid", "__g", "__lr"))
-        .select(col("__g"), col("__v").as("__bv"), col("__k").as("__bk"))
-        .localCheckpoint(true)
-      val barr = fetched.groupBy("__g")
-        .agg(sort_array(collect_list(struct(col("__bv"), col("__bk")))).as("__bnds"))
+      // driver: per-group slices in pid (= range) order with exclusive
+      // prefix offsets; boundary ranks b·(tot/n) + min(b, tot%n) for
+      // b=1..n-1 located to (pid, local rank). Duplicate ranks in the
+      // tot<n degenerate case stay duplicated — the boundary list is a
+      // MULTISET whose duplicates are always the group maximum, and
+      // nothing orders strictly above it (same clamping as withNtile)
+      val slicesByGroup: Seq[(Any, Seq[(Int, Long, Long)])] = counts
+        .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+        .groupBy(_._2).toSeq
+        .map { case (g, arr) =>
+          val sorted = arr.sortBy(_._1).toSeq
+          val offs = sorted.scanLeft(0L)(_ + _._3)
+          g -> sorted.zip(offs).map { case ((p, _, c), o) => (p, c, o) }
+        }
+      val locsByGroup: Seq[(Any, Seq[(Int, Long)])] = slicesByGroup.map {
+        case (g, slices) =>
+          val tot = slices.map(_._2).sum
+          val base = tot / n
+          val extra = tot % n
+          g -> (1 until n).map(b => b * base + math.min(b.toLong, extra))
+            .filter(_ >= 1L)
+            .map { r =>
+              val (p, _, o) = slices.find(s => r > s._3 && r <= s._3 + s._2).get
+              (p, r - o)
+            }
+      }
+      // job 2: fetch the boundary rows with an in-partition sort + one
+      // linear rank scan over only the partitions holding a boundary.
+      // The cache is already range-partitioned, so there is no exchange
+      // and no window; the filter is partition-grain, so every retained
+      // partition's slices stay intact and local ranks are exact
+      val wanted: Map[Int, Map[Any, Set[Long]]] = locsByGroup
+        .flatMap { case (g, ls) => ls.map { case (p, lr) => (p, g, lr) } }
+        .groupBy(_._1)
+        .map { case (p, xs) =>
+          p -> xs.groupBy(_._2).map { case (g, ys) => g -> ys.map(_._3).toSet }
+        }
+      val bWanted = spark.sparkContext.broadcast(wanted)
+      val outSchema = StructType(ranged.schema.fields :+ StructField("__lr", LongType))
+      val fetched: Map[(Int, Any, Long), (Any, Any)] = ranged
+        .where(col("__pid").isin(wanted.keys.toSeq: _*))
+        .sortWithinPartitions("__g", "__v", "__k")
+        .mapPartitions { it =>
+          val w = bWanted.value
+          var curG: Any = null
+          var started = false
+          var rank = 0L
+          it.flatMap { row =>
+            w.get(row.getInt(3)) match {
+              case None => Iterator.empty
+              case Some(byG) =>
+                val g = row.get(0)
+                if (!started || g != curG) { curG = g; started = true; rank = 1L }
+                else rank += 1L
+                if (byG.get(g).exists(_.contains(rank)))
+                  Iterator.single(Row.fromSeq(row.toSeq :+ rank))
+                else Iterator.empty
+            }
+          }
+        }(Encoders.row(outSchema))
+        .collect()
+        .map(r => ((r.getInt(3), r.get(0), r.getLong(4)), (r.get(1), r.get(2))))
+        .toMap
+      // job 3: assign map-side. The groups×(n−1) boundary multiset (in
+      // rank = ascending (value, tie) order) becomes a driver-built
+      // LocalRelation — broadcasting it launches no cluster job
+      val barrSchema = StructType(Seq(
+        StructField("__g", df.schema(groupCol).dataType),
+        StructField("__bnds", ArrayType(StructType(Seq(
+          StructField("__bv", df.schema(valueCol).dataType),
+          StructField("__bk", df.schema(tieCol).dataType)))))))
+      val barrRows: java.util.List[Row] = locsByGroup.map { case (g, ls) =>
+        Row(g, ls.map { case (p, lr) =>
+          val (bv, bk) = fetched((p, g, lr))
+          Row(bv, bk)
+        })
+      }.asJava
+      val barr = spark.createDataFrame(barrRows, barrSchema)
       val v = col(valueCol)
       val k = col(tieCol)
       val bucket = lit(1L) + size(filter(col("__bnds"),
