@@ -111,6 +111,36 @@ class QuantilesSpec extends SparkSpecBase {
     assert(viaBounds == viaWindow)
   }
 
+  test("withNtileByGroup equals the per-group window ntile on randomized inputs (property sweep)") {
+    // seeded sweep over group counts, sizes, buckets, heavy ties AND
+    // shuffle-partition counts — the round-5 driver-side boundary
+    // location leans on slice contiguity under the range split, which
+    // must hold at every partitioning the session might configure
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      (1 to 5).foreach { i =>
+        spark.conf.set("spark.sql.shuffle.partitions", Seq("1", "3", "17", "32", "64")(i - 1))
+        val nGroups = 1 + rnd.nextInt(9)
+        val nRows = 1 + rnd.nextInt(600)
+        val nBuckets = 2 + rnd.nextInt(12)
+        val spread = 1 + rnd.nextInt(6)
+        val df = (1 to nRows).map { k =>
+          (s"g${rnd.nextInt(nGroups)}", rnd.nextInt(spread).toDouble, k.toLong)
+        }.toDF("g", "v", "k")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("v"), col("k"))
+        val expect = df.withColumn("b", ntile(nBuckets).over(w).cast("long"))
+          .select("k", "b").orderBy("k").collect().toSeq
+        val got = Quantiles.withNtileByGroup(df, "g", "v", "k", nBuckets, "b")
+          .select("k", "b").orderBy("k").collect().toSeq
+        assert(got == expect,
+          s"case $i: groups=$nGroups rows=$nRows buckets=$nBuckets spread=$spread")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
+  }
+
   test("withNtileByGroup: degenerate groups (fewer rows than buckets) and heavy ties") {
     import spark.implicits._
     // group "tiny" has 3 rows for 10 buckets; group "tied" is one value
