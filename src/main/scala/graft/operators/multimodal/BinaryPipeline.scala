@@ -497,6 +497,119 @@ object BinaryPipeline {
     out.result()
   }
 
+  /** Stream-00 video format from the AVI header tree (round 5): the
+    * FIRST `strl` LIST's `strh`/`strf` pair — stream ids are assigned in
+    * `strl` order, so the first one is the `00dc`/`00db` stream
+    * [[demuxAviFrames]] samples. Returns (biCompression, biBitCount,
+    * biWidth, |biHeight|, bottomUp) from the BITMAPINFOHEADER when the
+    * stream is video ('vids'); None otherwise. Same untrusted-input
+    * clamping as the frame walk.
+    */
+  private[graft] final case class AviVideoFormat(
+      compression: Long, bitCount: Int, width: Int, height: Int, bottomUp: Boolean)
+
+  private[graft] def parseAviVideoFormat(bytes: Array[Byte]): Option[AviVideoFormat] = {
+    def cc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Int): Long =
+      (bytes(off) & 0xFFL) | (bytes(off + 1) & 0xFFL) << 8 |
+        (bytes(off + 2) & 0xFFL) << 16 | (bytes(off + 3) & 0xFFL) << 24
+    def i32(off: Int): Int = u32(off).toInt
+    def u16(off: Int): Int = (bytes(off) & 0xFF) | (bytes(off + 1) & 0xFF) << 8
+    var result: Option[AviVideoFormat] = None
+    var firstStrlSeen = false
+    def scan(start: Int, end: Int, depth: Int): Unit = {
+      var off = start
+      while (off + 8 <= end && result.isEmpty) {
+        val id = cc(off)
+        val declared = u32(off + 4)
+        val payloadStart = off + 8
+        val payloadEnd =
+          math.min(payloadStart + math.min(declared, Int.MaxValue.toLong), end.toLong).toInt
+        if (payloadEnd < payloadStart) return
+        if (id == "RIFF" || id == "LIST") {
+          if (payloadEnd - payloadStart >= 4 && depth < 16) {
+            val listType = cc(payloadStart)
+            if (listType == "strl" && !firstStrlSeen) {
+              firstStrlSeen = true
+              // strh: fccType @0; strf (video): BITMAPINFOHEADER with
+              // biWidth @4, biHeight @8, biBitCount @14, biCompression @16
+              var o = payloadStart + 4
+              var isVideo = false
+              while (o + 8 <= payloadEnd) {
+                val cid = cc(o)
+                val clen = math.min(u32(o + 4), (payloadEnd - o - 8).toLong).toInt
+                if (cid == "strh" && clen >= 4) isVideo = cc(o + 8) == "vids"
+                if (cid == "strf" && isVideo && clen >= 20) {
+                  val w = i32(o + 8 + 4)
+                  val rawH = i32(o + 8 + 8)
+                  if (w > 0 && rawH != 0)
+                    result = Some(AviVideoFormat(u32(o + 8 + 16), u16(o + 8 + 14),
+                      w, math.abs(rawH), bottomUp = rawH > 0))
+                }
+                o += 8 + clen + (clen & 1)
+              }
+            } else if (listType == "hdrl" || id == "RIFF") {
+              scan(payloadStart + 4, payloadEnd, depth + 1)
+            }
+          }
+        }
+        val advance = (payloadEnd - payloadStart) + ((payloadEnd - payloadStart) & 1)
+        off = math.min(payloadStart.toLong + advance.toLong, end.toLong).toInt
+      }
+    }
+    if (bytes.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ")
+      scan(12, bytes.length, depth = 0)
+    result
+  }
+
+  /** REAL decode of an uncompressed DIB frame (BI_RGB): validates the
+    * payload against the header geometry (4-byte-aligned rows — a
+    * forged header cannot over-read: the row math is checked against
+    * the actual payload length before any copy) and materializes the
+    * pixels into a BufferedImage, un-flipping bottom-up rows. Supports
+    * the DIB layouts the format actually uses uncompressed: 8 (gray/
+    * palette index), 24 (BGR), 32 (BGRX) bits. Returns the image so
+    * callers can assert true pixel values, plus the true dims.
+    */
+  private[graft] def decodeRawDib(
+      payload: Array[Byte],
+      fmt: AviVideoFormat): Option[(java.awt.image.BufferedImage, Int, Int)] =
+    try {
+      if (fmt.compression != 0L || !Set(8, 24, 32).contains(fmt.bitCount)) None
+      else {
+        val w = fmt.width
+        val h = fmt.height
+        val rowBytes = ((w.toLong * fmt.bitCount / 8 + 3) / 4) * 4
+        if (w <= 0 || h <= 0 || rowBytes * h > payload.length) None
+        else {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            val srcRow = if (fmt.bottomUp) h - 1 - y else y
+            val base = srcRow.toLong * rowBytes
+            var x = 0
+            while (x < w) {
+              val rgb = fmt.bitCount match {
+                case 8 =>
+                  val v = payload((base + x).toInt) & 0xFF
+                  (v << 16) | (v << 8) | v
+                case bc =>
+                  val p = (base + x.toLong * bc / 8).toInt
+                  (payload(p) & 0xFF) | (payload(p + 1) & 0xFF) << 8 |
+                    (payload(p + 2) & 0xFF) << 16
+              }
+              img.setRGB(x, y, rgb)
+              x += 1
+            }
+            y += 1
+          }
+          Some((img, w, h))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   // ------------------------------------------------------ mp4 (REAL demux)
 
   /** One track's resolved sample table. `sampleOffsets`/`sampleSizes` are
@@ -918,10 +1031,50 @@ object BinaryPipeline {
       }
   }
 
+  /** REAL decode of a Matroska V_UNCOMPRESSED frame: packed pixels,
+    * top-down, no row padding (unlike DIB). The only layout accepted is
+    * the one the track geometry proves: payload length must EQUAL
+    * w·h·3 (24-bit packed) or w·h (8-bit gray) — anything else drops.
+    * Channel order (the optional ColourSpace fourcc) is not
+    * interpreted; dims and fingerprints are order-invariant.
+    */
+  private[graft] def decodeRawPacked(
+      payload: Array[Byte], w: Long, h: Long): Option[(java.awt.image.BufferedImage, Int, Int)] =
+    try {
+      if (w <= 0 || h <= 0 || w > Int.MaxValue / 4 || h > Int.MaxValue / 4) None
+      else if (payload.length.toLong != w * h * 3 && payload.length.toLong != w * h) None
+      else {
+        val gray = payload.length.toLong == w * h
+        val img = new java.awt.image.BufferedImage(
+          w.toInt, h.toInt, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h.toInt) {
+          var x = 0
+          while (x < w.toInt) {
+            val rgb =
+              if (gray) {
+                val v = payload(y * w.toInt + x) & 0xFF
+                (v << 16) | (v << 8) | v
+              } else {
+                val p = (y * w.toInt + x) * 3
+                (payload(p) & 0xFF) << 16 | (payload(p + 1) & 0xFF) << 8 |
+                  (payload(p + 2) & 0xFF)
+              }
+            img.setRGB(x, y, rgb)
+            x += 1
+          }
+          y += 1
+        }
+        Some((img, w.toInt, h.toInt))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Full pixel decode for mkv V_MJPEG tracks (JPEG frames in EBML
-    * blocks) — the mkv twin of [[sampleMp4Frames]]. Other codecs yield
-    * no rows here; their encoded blocks stay reachable via
-    * [[sampleMkvBlocks]].
+    * blocks) — the mkv twin of [[sampleMp4Frames]]. Since round 5,
+    * V_UNCOMPRESSED tracks decode too (geometry from the track header,
+    * payload validated to exactly w·h·3 / w·h bytes — see
+    * [[decodeRawPacked]]). Other codecs yield no rows here; their
+    * encoded blocks stay reachable via [[sampleMkvBlocks]].
     */
   def sampleMkvFrames(
       df: DataFrame,
@@ -941,10 +1094,19 @@ object BinaryPipeline {
           val (tracks, frames) = demuxMkv(bytes, stride, maxKeptPerDoc)
           val mjpegTracks = tracks.filter(t => t.trackType == 1L && t.codec == "V_MJPEG")
             .map(_.number).toSet
+          val rawTracks: Map[Long, (Long, Long)] = tracks
+            .filter(t => t.trackType == 1L && t.codec == "V_UNCOMPRESSED" &&
+              t.width > 0 && t.height > 0)
+            .map(t => t.number -> ((t.width, t.height))).toMap
           frames.iterator
-            .filter { case (tn, _, _) => mjpegTracks.contains(tn) }
-            .flatMap { case (_, ord, payload) =>
-              readImage(payload, 64).map { case (_, w, h, _) =>
+            .flatMap { case (tn, ord, payload) =>
+              val decoded =
+                if (mjpegTracks.contains(tn))
+                  readImage(payload, 64).map { case (_, w, h, _) => (w, h) }
+                else rawTracks.get(tn).flatMap { case (tw, th) =>
+                  decodeRawPacked(payload, tw, th).map { case (_, w, h) => (w, h) }
+                }
+              decoded.map { case (w, h) =>
                 val sha = java.security.MessageDigest.getInstance("SHA-256")
                   .digest(payload).take(8).map("%02x".format(_)).mkString
                 VideoFrame(id, ord, w.toLong, h.toLong, sha)
@@ -1094,8 +1256,17 @@ object BinaryPipeline {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
+          // round 5: uncompressed streams (BI_RGB 'DIB ' frames) decode
+          // too — geometry from the stream-00 BITMAPINFOHEADER, pixels
+          // materialized and validated against the payload. JPEG is
+          // tried first (an MJPEG payload is self-describing; a raw
+          // payload is claimed by no ImageIO reader, so the fallback
+          // order cannot misclassify)
+          val rawFmt = parseAviVideoFormat(bytes).filter(_.compression == 0L)
           demuxAviFrames(bytes, stride, maxKeptPerDoc).iterator.flatMap { case (ord, payload) =>
-            readImage(payload, 64).map { case (_, w, h, _) =>
+            val decoded = readImage(payload, 64).map { case (_, w, h, _) => (w, h) }
+              .orElse(rawFmt.flatMap(f => decodeRawDib(payload, f).map { case (_, w, h) => (w, h) }))
+            decoded.map { case (w, h) =>
               val sha = java.security.MessageDigest.getInstance("SHA-256")
                 .digest(payload).take(8).map("%02x".format(_)).mkString
               VideoFrame(id, ord, w.toLong, h.toLong, sha)

@@ -544,22 +544,58 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     out.foreach(r => assert(r.getLong(3) < 1000L, s"out_frames ${r.getLong(3)}"))
   }
 
-  /** Minimal valid AVI/MJPEG: RIFF(AVI ) → LIST(hdrl with an empty avih)
-    * → LIST(movi) holding each JPEG as a 00dc chunk (even-padded).
+  test("mkv V_UNCOMPRESSED frames decode via track geometry; wrong-size payloads drop") {
+    val (w, h) = (4, 2)
+    // packed top-down RGB, marker at (x=2, y=1)
+    val rgb = new Array[Byte](w * h * 3)
+    val p = (1 * w + 2) * 3
+    rgb(p) = 0x12.toByte; rgb(p + 1) = 0x34.toByte; rgb(p + 2) = 0x56.toByte
+    val gray = Array.tabulate[Byte](w * h)(i => (i * 10).toByte)
+    val wrong = new Array[Byte](w * h * 3 - 1) // fails the exact-length check
+    val mkv = makeMkv(Seq(rgb, wrong, gray), codec = "V_UNCOMPRESSED", w = w, h = h)
+    val img = BinaryPipeline.decodeRawPacked(rgb, w, h).get._1
+    assert((img.getRGB(2, 1) & 0xFFFFFF) == 0x123456)
+    assert((img.getRGB(0, 0) & 0xFFFFFF) == 0)
+    val rows = Seq((11L, mkv)).toDF("doc_id", "payload")
+    val got = BinaryPipeline.sampleMkvFrames(rows, "doc_id", "payload", stride = 1)
+      .collect().sortBy(_.frame_idx)
+    // frames 0 (rgb) and 2 (gray) decode; frame 1 drops but keeps its ordinal
+    assert(got.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    assert(got.forall(f => f.width == w.toLong && f.height == h.toLong))
+    // a V_UNCOMPRESSED track with NO geometry never decodes (0x0 declared)
+    val noGeo = makeMkv(Seq(rgb), codec = "V_UNCOMPRESSED", w = 0, h = 0)
+    val none = Seq((12L, noGeo)).toDF("doc_id", "payload")
+    assert(BinaryPipeline.sampleMkvFrames(none, "doc_id", "payload", 1).collect().isEmpty)
+  }
+
+  /** Minimal valid AVI: RIFF(AVI ) → LIST(hdrl with an empty avih, and —
+    * when `rawFmt` is given — a stream-00 strl with a 'vids' strh and a
+    * BITMAPINFOHEADER strf) → LIST(movi) holding each frame as a 00dc
+    * chunk (even-padded). `rawFmt` = (width, height, bitCount); height
+    * is signed exactly as in the real header (positive = bottom-up).
     */
-  private def makeAvi(jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+  private def makeAvi(
+      frames: Seq[Array[Byte]],
+      rawFmt: Option[(Int, Int, Int)] = None): Array[Byte] = {
     val bo = new java.io.ByteArrayOutputStream()
     def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
     def u32(v: Int): Array[Byte] =
       Array((v & 0xFF).toByte, (v >> 8 & 0xFF).toByte, (v >> 16 & 0xFF).toByte, (v >> 24 & 0xFF).toByte)
+    def u16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, (v >> 8 & 0xFF).toByte)
     def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
       val pad = if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
       cc(id) ++ u32(payload.length) ++ payload ++ pad
     }
     def list(listType: String, payload: Array[Byte]): Array[Byte] =
       cc("LIST") ++ u32(payload.length + 4) ++ cc(listType) ++ payload
-    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
-    val movi = list("movi", jpegFrames.flatMap(f => chunk("00dc", f)).toArray)
+    val strl = rawFmt.map { case (w, h, bpp) =>
+      val strh = cc("vids") ++ cc("DIB ") ++ new Array[Byte](48)
+      val strf = u32(40) ++ u32(w) ++ u32(h) ++ u16(1) ++ u16(bpp) ++
+        u32(0) ++ new Array[Byte](20) // biCompression = 0 (BI_RGB)
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf))
+    }.getOrElse(Array.empty[Byte])
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)) ++ strl)
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
     val body = cc("AVI ") ++ hdrl ++ movi
     bo.write(cc("RIFF")); bo.write(u32(body.length)); bo.write(body)
     bo.toByteArray
@@ -578,6 +614,46 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     val wantSha = Seq(0, 3, 6, 9).map(i => java.security.MessageDigest
       .getInstance("SHA-256").digest(jpegs(i)).take(8).map("%02x".format(_)).mkString)
     assert(got.map(_.frame_sha).toSeq == wantSha)
+  }
+
+  test("uncompressed AVI (BI_RGB 'DIB ') frames decode: true dims, un-flipped pixels") {
+    // 5x3, 24bpp, bottom-up: rows pad to 4 bytes (15 -> 16). Paint one
+    // marker pixel at image (x=1, y=0 top-down) = raw row (h-1-0)=2
+    val (w, h) = (5, 3)
+    val rowBytes = 16
+    def rawFrame(marker: Int): Array[Byte] = {
+      val f = new Array[Byte](rowBytes * h)
+      val p = 2 * rowBytes + 1 * 3 // bottom row in the buffer = top row on screen
+      f(p) = (marker & 0xFF).toByte         // B
+      f(p + 1) = ((marker >> 8) & 0xFF).toByte  // G
+      f(p + 2) = ((marker >> 16) & 0xFF).toByte // R
+      f
+    }
+    val frames = Seq(rawFrame(0xAA1122), rawFrame(0x0BB330))
+    val avi = makeAvi(frames, rawFmt = Some((w, h, 24)))
+    // format parse sees the stream-00 header
+    val fmt = BinaryPipeline.parseAviVideoFormat(avi)
+    assert(fmt.contains(BinaryPipeline.AviVideoFormat(0L, 24, w, h, bottomUp = true)))
+    // pixel-level: the decoder un-flips, so the marker lands at (1, 0)
+    val img = BinaryPipeline.decodeRawDib(frames.head, fmt.get).get._1
+    assert((img.getRGB(1, 0) & 0xFFFFFF) == 0xAA1122)
+    assert((img.getRGB(0, 0) & 0xFFFFFF) == 0)
+    // end-to-end through the demux
+    val rows = Seq((9L, avi)).toDF("doc_id", "payload")
+    val got = BinaryPipeline.sampleAviFrames(rows, "doc_id", "payload", stride = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(got.length == 2)
+    assert(got.forall(f => f.width == w.toLong && f.height == h.toLong))
+    val wantSha = frames.map(f => java.security.MessageDigest
+      .getInstance("SHA-256").digest(f).take(8).map("%02x".format(_)).mkString)
+    assert(got.map(_.frame_sha).toSeq == wantSha)
+    // a truncated raw frame fails the geometry check and drops; the
+    // intact frame still comes back
+    val aviShort = makeAvi(Seq(frames.head.take(rowBytes * h - 1), frames(1)),
+      rawFmt = Some((w, h, 24)))
+    val short = Seq((10L, aviShort)).toDF("doc_id", "payload")
+    val kept = BinaryPipeline.sampleAviFrames(short, "doc_id", "payload", 1).collect()
+    assert(kept.map(_.frame_idx).toSeq == Seq(1L))
   }
 
   test("AVI demux degrades on garbage, truncation, and forged chunk sizes") {
