@@ -336,6 +336,17 @@ object SparkEntry {
           "vec_id", "embedding", "vec_id", "q_vec", "q_scale", 5)
         .orderBy("query_id", "rnk")
     }),
+    "q_embedding_project" -> ((s, dir) => {
+      // seeded sparse sign random projection (JL): 64 -> 16 dims, one
+      // codegen'd literal-matrix dot per component, zero shuffles. Every
+      // step is IEEE-exact and the sign matrix is md5-derived, so the
+      // DuckDB oracle re-derives the ENTIRE operator independently —
+      // matrix included — and the hash must match bit for bit
+      val e = snap(s, dir).embeddings
+      graft.operators.ann.Projection.project(e, "embedding", 64, 16, "graft5")
+        .select(col("vec_id") +: (0 until 16).map(j => col(s"p$j")): _*)
+        .orderBy("vec_id")
+    }),
     "q_text_langid" -> ((s, dir) => {
       snap(s, dir).documents
         .select(col("doc_id"), TextStats.langId(col("text")).as("pred_lang"), col("lang"))
@@ -1387,6 +1398,29 @@ object SparkEntry {
          |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sc2)
          |SELECT query_id, rnk, neighbor_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
+    // the oracle re-derives the sign matrix itself from md5 (same seed
+    // scheme, lexicographic '<8' nibble test), then mirrors the
+    // sequential-fold dot and the one correctly-rounded sqrt — full
+    // bit-for-bit parity on unrounded doubles, per the §5 IEEE-exact rule
+    "q_embedding_project" -> {
+      val pivots = (0 until 16)
+        .map(j => s"max(CASE WHEN j = $j THEN p END) AS p$j").mkString(",\n  ")
+      s"""WITH m AS (
+         |  SELECT j, list(CASE WHEN md5('graft5:' || CAST(i AS VARCHAR) || ':' ||
+         |                               CAST(j AS VARCHAR)) < '8'
+         |                 THEN 1.0 ELSE -1.0 END ORDER BY i) AS s
+         |  FROM range(0, 64) t(i) CROSS JOIN range(0, 16) u(j)
+         |  GROUP BY j),
+         |p AS (
+         |  SELECT vec_id, j,
+         |    list_reduce(list_transform(range(1, 65),
+         |      idx -> CAST(embedding[idx] AS DOUBLE) * s[idx]), (u,v) -> u + v)
+         |      / sqrt(16.0) AS p
+         |  FROM embeddings CROSS JOIN m)
+         |SELECT vec_id,
+         |  $pivots
+         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
     "q_text_langid" ->
       """WITH h AS (SELECT doc_id, lang,
         |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','is','of','and'))) AS h_en,
