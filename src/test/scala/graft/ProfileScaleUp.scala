@@ -116,6 +116,21 @@ object ProfileScaleUp {
             Seq("o_totalprice", "o_custkey"), nPartitions = 32)
         z.groupBy().agg(count(lit(1)).as("n"))
       })
+    time("sign projection 64->16")(
+      force(graft.operators.ann.Projection
+        .project(emb, "embedding", 64, 16, "graft5")
+        .groupBy().agg(count(lit(1)).as("n"), sum("p0").as("s0"))))
+    time("asof bucketed(64)")(
+      force {
+        // amplified orders as the event stream: key = custkey mod small
+        // (few huge keys — the operator's contract regime)
+        val ev = orders.select((col("o_custkey") % 8).as("k"),
+          col("o_orderdate").cast("timestamp").as("ts"), col("o_orderkey"))
+        graft.operators.asof.AsOfJoin
+          .latestPriorTsBucketed(ev.where(col("o_orderkey") % 3 =!= 0),
+            ev.where(col("o_orderkey") % 3 === 0), "k", "ts", "ts", "m", 64)
+          .groupBy("k").agg(count(lit(1)).as("n"), count(col("m")).as("matched"))
+      })
 
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
