@@ -347,6 +347,24 @@ object SparkEntry {
         .select(col("vec_id") +: (0 until 16).map(j => col(s"p$j")): _*)
         .orderBy("vec_id")
     }),
+    "q_embedding_pipeline" -> ((s, dir) => {
+      // the embedding curation chain as ONE composed plan (the vector
+      // twin of q_curation_pipeline): JL sign projection 64->16 ->
+      // int8 quantization of the projected corpus -> exact top-5 over
+      // the dequantized vectors. No stage materializes between steps;
+      // every step is IEEE-exact, so the chained DuckDB mirror
+      // reproduces the final ranking bit for bit
+      val e = snap(s, dir).embeddings
+      val proj = graft.operators.ann.Projection
+        .projectToVector(e, "embedding", 64, 16, "graft5", "proj")
+        .select(col("vec_id"), col("proj"))
+      val qc = graft.operators.ann.Quantize.quantize(proj, "proj")
+        .select(col("vec_id"), col("q_vec"), col("q_scale"))
+      graft.operators.ann.Quantize
+        .topKQuantized(proj.where(col("vec_id") < 5), qc,
+          "vec_id", "proj", "vec_id", "q_vec", "q_scale", 5)
+        .orderBy("query_id", "rnk")
+    }),
     "q_text_langid" -> ((s, dir) => {
       snap(s, dir).documents
         .select(col("doc_id"), TextStats.langId(col("text")).as("pred_lang"), col("lang"))
@@ -1420,6 +1438,38 @@ object SparkEntry {
          |SELECT vec_id,
          |  $pivots
          |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+    // chained mirror: the q_embedding_project CTEs (matrix re-derived
+    // from md5) feed the q_ann_quantized CTEs (quantize/dequantize/rank)
+    // — stage boundaries identical to the Spark composition
+    "q_embedding_pipeline" -> {
+      s"""WITH m AS (
+         |  SELECT j, list(CASE WHEN md5('graft5:' || CAST(i AS VARCHAR) || ':' ||
+         |                               CAST(j AS VARCHAR)) < '8'
+         |                 THEN 1.0 ELSE -1.0 END ORDER BY i) AS s
+         |  FROM range(0, 64) t0(i) CROSS JOIN range(0, 16) u(j)
+         |  GROUP BY j),
+         |pj AS (
+         |  SELECT vec_id, j,
+         |    list_reduce(list_transform(range(1, 65),
+         |      idx -> CAST(embedding[idx] AS DOUBLE) * s[idx]), (u,v) -> u + v)
+         |      / sqrt(16.0) AS p
+         |  FROM embeddings CROSS JOIN m),
+         |pv AS (SELECT vec_id, list(p ORDER BY j) AS proj FROM pj GROUP BY vec_id),
+         |t AS (SELECT vec_id, proj AS e,
+         |    list_max(list_transform(proj, x -> abs(x))) / 127.0 AS sc
+         |  FROM pv),
+         |c AS (SELECT vec_id AS neighbor_id,
+         |    list_transform(list_transform(e, x -> least(greatest(round(x /
+         |      (CASE WHEN sc = 0 THEN 1.0 ELSE sc END)), -127.0), 127.0)), v -> v * sc) AS ce
+         |  FROM t),
+         |q AS (SELECT vec_id AS query_id, proj AS qe FROM pv WHERE vec_id < 5),
+         |sc2 AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS sim FROM q, c
+         |        WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sc2)
+         |SELECT query_id, rnk, neighbor_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
     },
     "q_text_langid" ->
       """WITH h AS (SELECT doc_id, lang,
