@@ -97,6 +97,15 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("*("), p.take(1500))
   }
 
+  test("sign projection fuses into the scan: zero shuffles, codegen'd dots") {
+    val e = Snapshot(spark, sf()).embeddings
+    val p = graft.operators.ann.Projection.project(e, "embedding", 64, 16, "graft5")
+    p.collect()
+    val plan = p.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.contains("*("), plan.take(1500))
+  }
+
   test("scale-killer sweep: no cartesian product in any query plan") {
     // q_dedup_embedding is the documented quadratic all-pairs BASELINE
     // (its approx twin is the scale path) — everything else must plan
