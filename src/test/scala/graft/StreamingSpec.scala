@@ -82,6 +82,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stateless vector operators run unchanged on a stream (project + quantize)") {
+    // the round-5 embedding ops are pure scan-fused expressions (literal
+    // sign-matrix dots, elementwise int8 HOFs) — an ingestion pipeline
+    // can project+quantize arriving embeddings with the batch code
+    // verbatim, values bit-identical to the batch run
+    val vecDir = Files.createTempDirectory("graft_vec").toFile
+    vecDir.deleteOnExit()
+    Snapshot(spark, sf()).embeddings.write.mode("overwrite").parquet(vecDir.getAbsolutePath)
+    val batchDf = spark.read.parquet(vecDir.getAbsolutePath)
+    def chain(df: org.apache.spark.sql.DataFrame) = {
+      val p = graft.operators.ann.Projection
+        .projectToVector(df, "embedding", 64, 16, "graft5", "proj")
+      graft.operators.ann.Quantize.quantize(p, "proj")
+        .select(col("vec_id"), col("q_scale"), col("q_vec"))
+    }
+    val stream = spark.readStream.schema(batchDf.schema).parquet(vecDir.getAbsolutePath)
+    val q = chain(stream)
+      .writeStream.outputMode("append").format("memory").queryName("vq").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("vq")
+        .as[(Long, Double, Seq[Byte])].collect().map(r => (r._1, r._2, r._3.toList)).toSet
+      val want = chain(batchDf)
+        .as[(Long, Double, Seq[Byte])].collect().map(r => (r._1, r._2, r._3.toList)).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches events with dimension rows") {
     // stream-static joins need no watermark/state on the static side —
     // the standard shape for enriching a 100 TB event stream with dims
