@@ -775,7 +775,8 @@ object BinaryPipeline {
   // ------------------------------------------------------ mkv (REAL demux)
 
   private[graft] final case class MkvTrackInfo(
-      number: Long, trackType: Long, codec: String, width: Long, height: Long)
+      number: Long, trackType: Long, codec: String, width: Long, height: Long,
+      colourSpace: String)
 
   /** Matroska/WebM (EBML) DEMUX, pure JDK — the other container the
     * round-3 stub declared. EBML is a length-prefixed element tree:
@@ -822,7 +823,7 @@ object BinaryPipeline {
 
     final class TrackAcc {
       var number = -1L; var trackType = -1L; var codec = "unknown"
-      var width = 0L; var height = 0L
+      var width = 0L; var height = 0L; var colourSpace = ""
     }
     val tracks = Vector.newBuilder[MkvTrackInfo]
     val frames = Vector.newBuilder[(Long, Long, Array[Byte])]
@@ -951,7 +952,8 @@ object BinaryPipeline {
               cur = new TrackAcc
               walk(ps, pe, depth + 1)
               if (cur.number >= 0)
-                tracks += MkvTrackInfo(cur.number, cur.trackType, cur.codec, cur.width, cur.height)
+                tracks += MkvTrackInfo(cur.number, cur.trackType, cur.codec,
+                  cur.width, cur.height, cur.colourSpace)
               cur = null
             }
           case 0xE0L => // Video settings inside TrackEntry
@@ -963,6 +965,9 @@ object BinaryPipeline {
               java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != '\u0000')
           case 0xB0L if cur != null => cur.width = uintAt(ps, pe)
           case 0xBAL if cur != null => cur.height = uintAt(ps, pe)
+          case 0x2EB524L if cur != null && pe > ps => // ColourSpace fourcc
+            cur.colourSpace = new String(bytes, ps.toInt, math.min(pe - ps, 8L).toInt,
+              java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != '\u0000')
           case 0xA3L | 0xA1L => block(ps, pe) // SimpleBlock / Block
           case _ => () // EBML header, Info, Cues, Void, ... skip
         }
@@ -979,7 +984,7 @@ object BinaryPipeline {
   }
 
   final case class MkvTrack(doc_id: Long, track_number: Long, track_type: String,
-      codec: String, width: Long, height: Long)
+      codec: String, width: Long, height: Long, colour_space: String)
 
   /** Track-level mkv/webm metadata: one row per TrackEntry (type
     * video/audio/other, CodecID, pixel dims for video). Non-mkv and
@@ -997,7 +1002,7 @@ object BinaryPipeline {
           val typ = t.trackType match {
             case 1 => "video"; case 2 => "audio"; case _ => "other"
           }
-          MkvTrack(id, t.number, typ, t.codec, t.width, t.height)
+          MkvTrack(id, t.number, typ, t.codec, t.width, t.height, t.colourSpace)
         }
       }
   }
@@ -1035,11 +1040,13 @@ object BinaryPipeline {
     * top-down, no row padding (unlike DIB). The only layout accepted is
     * the one the track geometry proves: payload length must EQUAL
     * w·h·3 (24-bit packed) or w·h (8-bit gray) — anything else drops.
-    * Channel order (the optional ColourSpace fourcc) is not
-    * interpreted; dims and fingerprints are order-invariant.
+    * Channel order honors the track's ColourSpace fourcc: 'BGR*' swaps
+    * the outer channels, anything else reads as RGB (dims and payload
+    * fingerprints are order-invariant either way).
     */
   private[graft] def decodeRawPacked(
-      payload: Array[Byte], w: Long, h: Long): Option[(java.awt.image.BufferedImage, Int, Int)] =
+      payload: Array[Byte], w: Long, h: Long,
+      bgr: Boolean = false): Option[(java.awt.image.BufferedImage, Int, Int)] =
     try {
       if (w <= 0 || h <= 0 || w > Int.MaxValue / 4 || h > Int.MaxValue / 4) None
       else if (payload.length.toLong != w * h * 3 && payload.length.toLong != w * h) None
@@ -1057,8 +1064,11 @@ object BinaryPipeline {
                 (v << 16) | (v << 8) | v
               } else {
                 val p = (y * w.toInt + x) * 3
-                (payload(p) & 0xFF) << 16 | (payload(p + 1) & 0xFF) << 8 |
-                  (payload(p + 2) & 0xFF)
+                // channel order from the track's ColourSpace fourcc:
+                // 'BGR*' swaps the outer channels, default/RGB keeps them
+                val (c0, c2) = if (bgr) (payload(p + 2), payload(p))
+                  else (payload(p), payload(p + 2))
+                (c0 & 0xFF) << 16 | (payload(p + 1) & 0xFF) << 8 | (c2 & 0xFF)
               }
             img.setRGB(x, y, rgb)
             x += 1
@@ -1094,17 +1104,18 @@ object BinaryPipeline {
           val (tracks, frames) = demuxMkv(bytes, stride, maxKeptPerDoc)
           val mjpegTracks = tracks.filter(t => t.trackType == 1L && t.codec == "V_MJPEG")
             .map(_.number).toSet
-          val rawTracks: Map[Long, (Long, Long)] = tracks
+          val rawTracks: Map[Long, (Long, Long, Boolean)] = tracks
             .filter(t => t.trackType == 1L && t.codec == "V_UNCOMPRESSED" &&
               t.width > 0 && t.height > 0)
-            .map(t => t.number -> ((t.width, t.height))).toMap
+            .map(t => t.number ->
+              ((t.width, t.height, t.colourSpace.startsWith("BGR")))).toMap
           frames.iterator
             .flatMap { case (tn, ord, payload) =>
               val decoded =
                 if (mjpegTracks.contains(tn))
                   readImage(payload, 64).map { case (_, w, h, _) => (w, h) }
-                else rawTracks.get(tn).flatMap { case (tw, th) =>
-                  decodeRawPacked(payload, tw, th).map { case (_, w, h) => (w, h) }
+                else rawTracks.get(tn).flatMap { case (tw, th, bgr) =>
+                  decodeRawPacked(payload, tw, th, bgr).map { case (_, w, h) => (w, h) }
                 }
               decoded.map { case (w, h) =>
                 val sha = java.security.MessageDigest.getInstance("SHA-256")

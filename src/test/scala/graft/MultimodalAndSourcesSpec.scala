@@ -175,7 +175,7 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     * vints so payloads over 127 bytes encode correctly.
     */
   private def makeMkv(frames: Seq[Array[Byte]], codec: String = "V_MJPEG",
-      w: Int = 20, h: Int = 10): Array[Byte] = {
+      w: Int = 20, h: Int = 10, colourSpace: String = ""): Array[Byte] = {
     def sz(v: Int): Array[Byte] = { // 2-byte vint, v < 2^14
       require(v < (1 << 14) - 1); Array((0x40 | (v >> 8)).toByte, (v & 0xFF).toByte)
     }
@@ -183,12 +183,15 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     def id1(b: Int) = Array(b.toByte)
     def id4(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     val header = el(id4(0x1A45DFA3L), Array.empty)
+    def id3(v: Int) = Array((v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val colour = if (colourSpace.isEmpty) Array.empty[Byte]
+      else el(id3(0x2EB524), colourSpace.getBytes("US-ASCII")) // ColourSpace fourcc
     val trackEntry = el(id1(0xAE),
       el(id1(0xD7), Array(1.toByte)) ++            // TrackNumber = 1
         el(id1(0x83), Array(1.toByte)) ++          // TrackType = video
         el(id1(0x86), codec.getBytes("US-ASCII")) ++ // CodecID
         el(id1(0xE0),                              // Video settings
-          el(id1(0xB0), Array(w.toByte)) ++ el(id1(0xBA), Array(h.toByte))))
+          el(id1(0xB0), Array(w.toByte)) ++ el(id1(0xBA), Array(h.toByte)) ++ colour))
     val tracks = el(id4(0x1654AE6BL), trackEntry)
     val blocks = frames.flatMap { f =>
       // SimpleBlock payload: track vint 0x81, s16 rel. time, flags (no
@@ -566,6 +569,16 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     val noGeo = makeMkv(Seq(rgb), codec = "V_UNCOMPRESSED", w = 0, h = 0)
     val none = Seq((12L, noGeo)).toDF("doc_id", "payload")
     assert(BinaryPipeline.sampleMkvFrames(none, "doc_id", "payload", 1).collect().isEmpty)
+    // ColourSpace fourcc surfaces on the track row and flips channel order
+    val bgrMkv = makeMkv(Seq(rgb), codec = "V_UNCOMPRESSED", w = w, h = h,
+      colourSpace = "BGR")
+    val bgrRows = Seq((13L, bgrMkv)).toDF("doc_id", "payload")
+    val bgrTrack = BinaryPipeline.mkvTracks(bgrRows, "doc_id", "payload").collect().head
+    assert(bgrTrack.colour_space == "BGR")
+    val bgrImg = BinaryPipeline.decodeRawPacked(rgb, w, h, bgr = true).get._1
+    assert((bgrImg.getRGB(2, 1) & 0xFFFFFF) == 0x563412) // outer channels swapped
+    assert(BinaryPipeline.sampleMkvFrames(bgrRows, "doc_id", "payload", 1)
+      .collect().map(_.frame_idx).toSeq == Seq(0L))
   }
 
   /** Minimal valid AVI: RIFF(AVI ) → LIST(hdrl with an empty avih, and —
