@@ -922,6 +922,83 @@ object SparkEntry {
         .groupBy("shard_id")
         .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("total_tokens"))
         .orderBy("shard_id")
+    }),
+
+    // ---- round 5 widening: CDC, outlier audit, mergeable heavy hitters --
+    "q_scd2" -> ((s, dir) =>
+      // SCD-2 versioned history from the event changelog: consecutive
+      // equal states collapse, each surviving run carries
+      // [effective_from, effective_to) and is_current — the immutable-log
+      // derivation of what the reference mutates in place (see Scd)
+      graft.operators.cdc.Scd
+        .history(snap(s, dir).events, "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("version"), col("event_type").as("state"),
+          col("effective_from"), col("effective_to"), col("is_current"))
+        .orderBy("user_id", "version")),
+    "q_cdc_apply" -> ((s, dir) => {
+      // snapshot + changelog → next snapshot: latest version per key wins
+      // via TopKPerKey(k=1) on the union (never a full sort), a winning
+      // tombstone ('error' here) deletes the key. Equal by construction
+      // to latest-overall-minus-tombstones, which is exactly the oracle.
+      val ev = snap(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          col("value"), (col("event_type") === "error").as("is_delete"))
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      val base = graft.plans.TopKPerKey(
+        ev.where(col("ts") < cutoff), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc), 1, strict = true)
+      graft.operators.cdc.CdcApply.applyChanges(
+        base, ev.where(col("ts") >= cutoff), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc), "is_delete", strict = true)
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_type").as("last_state"), col("value").as("last_value"))
+        .orderBy("user_id")
+    }),
+    "q_outliers_iqr" -> ((s, dir) =>
+      // Tukey-fence outlier audit per returnflag: slim quantile agg
+      // broadcast back + one conditional agg — the fact table never
+      // sorts globally (see Outliers; fences rounded to 4 digits in
+      // BOTH engines so the flag compares a contract value)
+      graft.operators.quantile.Outliers
+        .iqrAudit(snap(s, dir).lineitem, "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")),
+    "q_heavy_hitters_sketch" -> ((s, dir) => {
+      // Misra–Gries bounded-memory heavy hitters — the mergeable 100 TB
+      // twin of q_heavy_hitters' exact vocab agg. The surviving counter
+      // SET is merge-order-sensitive, so (B28 pattern) the hashed output
+      // is the exact-count AUDIT of the sketch's mathematical guarantees:
+      // every true heavy hitter (count > n/(k+1)) present, no counter
+      // over true, every undercount ≤ floor(n/(k+1)). The oracle mirrors
+      // the exact side + always-true verdicts — a sketch that drops a
+      // heavy hitter or breaks a bound turns the row red.
+      val k = 256
+      val terms = snap(s, dir).documents
+        .where(col("text").isNotNull)
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+      val sketch = terms.as(org.apache.spark.sql.Encoders.STRING)
+        .select(new graft.operators.sketch.MisraGries(k).toColumn)
+        .select(explode(col("entries")).as(Seq("term", "est")))
+      val exact = terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      val joined = exact.join(sketch, Seq("term"), "left")
+      // 1-row totals attached by broadcast (the Mixing scalar pattern);
+      // floor-of-IEEE-quotient threshold mirrored verbatim in DuckDB
+      val totals = exact
+        .agg(sum(col("n_exact")).as("n_terms"), count(lit(1)).as("n_distinct"))
+        .withColumn("hh_threshold", floor(col("n_terms") / lit((k + 1).toDouble)))
+      joined.crossJoin(broadcast(totals))
+        .groupBy(col("n_terms"), col("n_distinct"), col("hh_threshold"))
+        .agg(
+          sum(when(col("n_exact") > col("hh_threshold"), 1L).otherwise(0L)).as("n_true_hh"),
+          sum(when(col("n_exact") > col("hh_threshold") && col("est").isNull, 1L)
+            .otherwise(0L)).as("__missed"),
+          sum(when(col("est").isNotNull && (col("est") > col("n_exact") ||
+            col("n_exact") - col("est") > col("hh_threshold")), 1L)
+            .otherwise(0L)).as("__bad"))
+        .select(col("n_terms"), col("n_distinct"), lit(k.toLong).as("k"),
+          col("hh_threshold"), col("n_true_hh"),
+          (col("__missed") === 0L).as("all_found"),
+          (col("__bad") === 0L).as("bounds_ok"))
+        .orderBy("n_terms")
     })
   )
 
@@ -1863,6 +1940,74 @@ object SparkEntry {
         |      FROM c)
         |SELECT CAST(FLOOR(prefix / 2048.0) AS BIGINT) AS shard_id,
         |  COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-        |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin
+        |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    // ts comparisons: Spark micros vs DuckDB raw nanos — safe because
+    // every testdata ts is µs-aligned (the q_asof_join/q_events_funnel
+    // precedent); event_id is the unique in-key tiebreak
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER w AS prev,
+        |    ROW_NUMBER() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM o
+        |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |  event_type AS state, ts AS effective_from,
+        |  lead(ts) OVER w AS effective_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    // snapshot+changelog apply ≡ latest-overall minus tombstones — the
+    // equality IS the operator's contract (the q_salted_join gate shape)
+    "q_cdc_apply" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts AS last_ts, event_type AS last_state,
+        |  value AS last_value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+    // fences rounded to 4 digits in BOTH engines before the flag compare
+    // (the rounded value is the contract — SURVEY §5)
+    "q_outliers_iqr" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.25)
+        |      - 1.5 * (quantile_cont(l_extendedprice, 0.75)
+        |               - quantile_cont(l_extendedprice, 0.25)), 4) AS lo,
+        |    round(quantile_cont(l_extendedprice, 0.75)
+        |      + 1.5 * (quantile_cont(l_extendedprice, 0.75)
+        |               - quantile_cont(l_extendedprice, 0.25)), 4) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  b.lo, b.hi,
+        |  MIN(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+        |           THEN l_extendedprice END) AS min_outlier,
+        |  MAX(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+        |           THEN l_extendedprice END) AS max_outlier
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY l.l_returnflag, b.lo, b.hi
+        |ORDER BY l_returnflag""".stripMargin,
+    // exact side + always-true verdicts (the B28 static-verdict pattern):
+    // the sketch's guarantees are order-independent even though its
+    // surviving counter set is not, so the audit row is deterministic
+    "q_heavy_hitters_sketch" ->
+      """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+        |           FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT term, COUNT(*) AS n FROM t GROUP BY 1),
+        |s AS (SELECT CAST(SUM(n) AS BIGINT) AS n_terms,
+        |             COUNT(*) AS n_distinct FROM c),
+        |hh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_hh
+        |       FROM c, s WHERE c.n > CAST(FLOOR(s.n_terms / 257.0) AS BIGINT))
+        |SELECT s.n_terms, s.n_distinct, CAST(256 AS BIGINT) AS k,
+        |  CAST(FLOOR(s.n_terms / 257.0) AS BIGINT) AS hh_threshold,
+        |  hh.n_true_hh, TRUE AS all_found, TRUE AS bounds_ok
+        |FROM s, hh ORDER BY n_terms""".stripMargin
   )
 }
