@@ -157,6 +157,54 @@ class PlanSpec extends SparkSpecBase {
     assert(offenders.isEmpty, s"single-task global windows over base data in: $offenders")
   }
 
+  test("scd2: both windows ride ONE clustering exchange (shared sort)") {
+    // the history builder's change-detect window and version/lead window
+    // use the same (key, ord, tie) sort, so Catalyst must plan a single
+    // hash exchange on the key — a second one would double the shuffle
+    // at 100 TB for nothing. (The trailing orderBy adds range exchanges,
+    // not hash ones.)
+    val df = SparkEntry.queries("q_scd2")(spark, sf())
+    df.collect()
+    // AdaptiveSparkPlan.toString repeats nodes under "== Initial Plan ==" —
+    // count in the final section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n${p.take(3000)}")
+  }
+
+  test("cdc apply: latest-per-key runs on TopKPerKeyExec, never a per-key sort") {
+    val df = SparkEntry.queries("q_cdc_apply")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // base snapshot + the apply itself — two bounded-heap top-k nodes
+    assert("TopKPerKey".r.findAllIn(p).size == 2, p.take(3000))
+    assert(!p.contains("Window"), s"window fallback leaked in:\n${p.take(3000)}")
+  }
+
+  test("outlier audit: fences broadcast back; the fact scan reads only 2 columns") {
+    val df = SparkEntry.queries("q_outliers_iqr")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // ReadSchema must prune to the group + value columns — a full-width
+    // lineitem scan would read 11 columns for a 2-column audit
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.nonEmpty &&
+      reads.forall(r => r.split(",").length <= 2), s"unpruned scans: $reads")
+  }
+
+  test("mg sketch: partial sketches merge via ObjectHashAggregate; totals attach broadcast") {
+    val df = SparkEntry.queries("q_heavy_hitters_sketch")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // typed Aggregator → object hash agg, partial per partition then merge
+    // (k entries cross the wire per partition, not the term stream)
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    // the 1-row totals cross-join must be broadcast, never cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("partitioned writes enable partition pruning at the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toFile
