@@ -999,6 +999,35 @@ object SparkEntry {
           (col("__missed") === 0L).as("all_found"),
           (col("__bad") === 0L).as("bounds_ok"))
         .orderBy("n_terms")
+    }),
+
+    // ---- round 5 continuation: islands, fuzzy names, BFS distances ----
+    "q_gaps_islands" -> ((s, dir) =>
+      // gaps-and-islands: maximal runs of consecutive active days per
+      // user — the calendar-grain twin of sessionize; raw events
+      // collapse to (user, day) grain BEFORE the window (see Islands)
+      graft.operators.temporal.Islands
+        .activityIslands(snap(s, dir).events, "user_id", "ts")
+        .orderBy("user_id", "island_start")),
+    "q_fuzzy_match" -> ((s, dir) =>
+      // typo-level near-dup part names via PassJoin segment signatures —
+      // lossless blocking, so the plain quadratic DuckDB join IS the
+      // oracle (equality proves no pair escapes the scheme)
+      graft.operators.dedup.FuzzyMatch
+        .nearNames(snap(s, dir).part, "p_name", 2)
+        .orderBy("name_a", "name_b")),
+    "q_graph_bfs" -> ((s, dir) => {
+      // min-hop BFS over the co-purchase graph (parts sharing an order)
+      // from the smallest partkey: frontier joins + visited anti-join —
+      // first discovery IS the distance, no path enumeration (see Graph;
+      // the recursive-CTE oracle enumerates 2M paths for the same 20k
+      // answers at sf0.1, exactly the blowup the frontier design avoids)
+      val li = snap(s, dir).lineitem
+      val edges = graft.operators.graph.Graph
+        .coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val src = li.agg(min(col("l_partkey")).as("node"))
+      graft.operators.graph.Graph.bfsHops(edges, "node_a", "node_b", src, 3)
+        .orderBy("node")
     })
   )
 
@@ -2008,6 +2037,51 @@ object SparkEntry {
         |SELECT s.n_terms, s.n_distinct, CAST(256 AS BIGINT) AS k,
         |  CAST(FLOOR(s.n_terms / 257.0) AS BIGINT) AS hh_threshold,
         |  hh.n_true_hh, TRUE AS all_found, TRUE AS bounds_ok
-        |FROM s, hh ORDER BY n_terms""".stripMargin
+        |FROM s, hh ORDER BY n_terms""".stripMargin,
+    // day grain: Spark to_date(ts) == DuckDB CAST(ts AS DATE) (UTC
+    // session, naive timestamps — the q_cohort_retention precedent);
+    // anchor arithmetic is pure integer/date math, exact in both engines
+    "q_gaps_islands" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS ev
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |i AS (
+        |  SELECT user_id, day, ev,
+        |    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                  ORDER BY day) AS INT) AS anchor
+        |  FROM d)
+        |SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(ev) AS BIGINT) AS n_events
+        |FROM i GROUP BY user_id, anchor
+        |ORDER BY user_id, island_start""".stripMargin,
+    // the PLAIN quadratic join — equality with the segment-signature
+    // plan proves the blocking lossless (the q_salted_join gate shape)
+    "q_fuzzy_match" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part
+        |           WHERE p_name IS NOT NULL AND length(p_name) >= 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM n a, n b
+        |WHERE (length(a.name) < length(b.name)
+        |       OR (length(a.name) = length(b.name) AND a.name < b.name))
+        |  AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    // recursive path enumeration + MIN == first-discovery BFS level;
+    // the hops < 3 bound keeps the CTE finite on the cyclic graph
+    "q_graph_bfs" ->
+      """WITH RECURSIVE
+        |eh AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+        |       FROM lineitem a JOIN lineitem b
+        |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT s, d FROM eh UNION ALL SELECT d, s FROM eh),
+        |src AS (SELECT MIN(l_partkey) AS v FROM lineitem),
+        |bfs(node, hops) AS (
+        |  SELECT v, 0 FROM src
+        |  UNION ALL
+        |  SELECT e.d, bfs.hops + 1 FROM bfs JOIN e ON e.s = bfs.node
+        |  WHERE bfs.hops < 3)
+        |SELECT node, CAST(MIN(hops) AS INT) AS hops
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin
   )
 }

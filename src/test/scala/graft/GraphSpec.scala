@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.graph.Graph
+
+class GraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def src(v: Long) = spark.range(1).select(lit(v).as("node"))
+
+  private def hops(edges: Seq[(Long, Long)], from: Long, maxHops: Int) =
+    Graph.bfsHops(edges.toDF("a", "b"), "a", "b", src(from), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("chain graph: hops count up; beyond maxHops is absent") {
+    val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    assert(hops(chain, 1L, 3) == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("first discovery wins: diamond graph yields min-hop, not path-dependent values") {
+    // 1-2, 1-3, 2-4, 3-4, 4-5 plus a long detour 2-6, 6-5: node 5 is
+    // reachable in 3 via the diamond and in 3 via the detour; node 4 must
+    // be 2 (never 3 via 1-2-6-...), node 6 must be 2
+    val g = Seq(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 5L, 2L -> 6L, 6L -> 5L)
+    assert(hops(g, 1L, 4) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3, 6L -> 2))
+  }
+
+  test("edges are undirected regardless of stored orientation") {
+    // all edges stored pointing AT the source; traversal must still leave it
+    assert(hops(Seq(2L -> 1L, 3L -> 2L), 1L, 2) == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("maxHops 0 returns just the source; disconnected components stay absent") {
+    val g = Seq(1L -> 2L, 8L -> 9L)
+    assert(hops(g, 1L, 0) == Map(1L -> 0))
+    assert(hops(g, 1L, 5) == Map(1L -> 0, 2L -> 1))
+  }
+
+  test("cycles terminate: BFS on a ring visits each node once at min distance") {
+    val ring = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+    assert(hops(ring, 1L, 10) == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1))
+  }
+
+  test("coOccurrenceEdges: one deduped a<b edge per node pair sharing a group") {
+    val df = Seq(
+      ("g1", 1L), ("g1", 2L), ("g1", 3L),
+      ("g2", 2L), ("g2", 3L), // duplicate pair (2,3) across groups
+      ("g3", 5L), // singleton group: no edges
+      (null.asInstanceOf[String], 7L) // null group dropped
+    ).toDF("g", "n")
+    val got = Graph.coOccurrenceEdges(df, "g", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("co-purchase hop 1 equals the directly computed neighbor set (sf0.001)") {
+    val li = sources.Snapshot(spark, sf()).lineitem
+    val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val s = li.agg(min(col("l_partkey")).as("node"))
+    val got = Graph.bfsHops(edges, "node_a", "node_b", s, 1)
+    val srcKey = s.collect().head.getLong(0)
+    // independent derivation: partners of any order containing srcKey
+    val orders = li.where(col("l_partkey") === srcKey)
+      .select(col("l_orderkey")).distinct()
+    val expected = li.join(orders, "l_orderkey")
+      .where(col("l_partkey") =!= srcKey)
+      .select(col("l_partkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val gotHop1 = got.where(col("hops") === 1).collect().map(_.getLong(0)).toSet
+    assert(gotHop1 == expected)
+    assert(got.where(col("hops") === 0).collect().map(_.getLong(0)).toSeq == Seq(srcKey))
+  }
+}

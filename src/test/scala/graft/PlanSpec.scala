@@ -205,6 +205,34 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("gaps-islands: window runs over the day-grain aggregate on TWO hash exchanges") {
+    // the scale claim (SURVEY B36): raw events collapse to (key, day)
+    // grain via one partial-aggregated shuffle BEFORE the window; the
+    // island groupBy reuses the window's key clustering — so exactly two
+    // hash exchanges (day-grain agg + key window), never an event-grain
+    // window. The trailing orderBy adds range exchanges, not hash ones.
+    val df = SparkEntry.queries("q_gaps_islands")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("hashpartitioning".r.findAllIn(p).size == 2, p.take(3000))
+    // and the window sees aggregated day rows, not the raw event scan
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
+  test("fuzzy match: candidates meet on a shuffled EQUI key; no cartesian anywhere") {
+    // the PassJoin claim (SURVEY C35): the segment path is an ordinary
+    // equi-join on (la, i, sub) — high-cardinality keys, no length-band
+    // giant keys; the only nested-loop join is the tiny short-string
+    // broadcast regime
+    val df = SparkEntry.queries("q_fuzzy_match")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+  }
+
   test("partitioned writes enable partition pruning at the scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toFile
