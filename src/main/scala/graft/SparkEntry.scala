@@ -1016,6 +1016,22 @@ object SparkEntry {
       graft.operators.dedup.FuzzyMatch
         .nearNames(snap(s, dir).part, "p_name", 2)
         .orderBy("name_a", "name_b")),
+    "q_dedup_components" -> ((s, dir) => {
+      // transitive dup clusters (A~B, B~C => one cluster): min-label
+      // propagation over the verified J>=0.5 ngram pairs — makes the
+      // TransitiveDedup API driver-visible (C16). Components here are
+      // tiny (<=4 docs, diameter <=3 on this corpus), so the recursive
+      // path-enumeration CTE stays finite in the oracle
+      val pairs = NGramJaccardDedup
+        .candidatePairs(snap(s, dir).documents, "doc_id", "text")
+        .where(col("jaccard") >= 0.5)
+      val comp = graft.operators.dedup.TransitiveDedup.components(pairs)
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+      comp.join(sizes, "component")
+        .select(col("id").as("doc_id"), col("component"), col("n_members"),
+          (col("id") === col("component")).as("is_survivor"))
+        .orderBy("doc_id")
+    }),
     "q_graph_bfs" -> ((s, dir) => {
       // min-hop BFS over the co-purchase graph (parts sharing an order)
       // from the smallest partkey: frontier joins + visited anti-join —
@@ -2067,6 +2083,43 @@ object SparkEntry {
         |       OR (length(a.name) = length(b.name) AND a.name < b.name))
         |  AND levenshtein(a.name, b.name) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
+    // same candidate+verify CTEs as q_dedup_ngram_jaccard's mirror, then
+    // min-label reachability: r holds (node, every component member label
+    // reachable from it) — finite because J>=0.5 components are tiny —
+    // and MIN(lab) == the converged min-label propagation fixpoint
+    "q_dedup_components" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |      FROM documents WHERE text IS NOT NULL),
+        |fullsets AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) >= 5
+        |         THEN list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))
+        |         ELSE [array_to_string(ws, ' ')] END) AS ss
+        |  FROM w),
+        |sh AS (SELECT doc_id, unnest(ss) AS s FROM fullsets),
+        |usable AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 100),
+        |b AS (SELECT sh.doc_id, sh.s FROM sh JOIN usable ON sh.s = usable.s),
+        |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |          FROM b l JOIN b r ON l.s = r.s AND l.doc_id < r.doc_id),
+        |j AS (SELECT p.id_a, p.id_b
+        |      FROM pairs p
+        |      JOIN fullsets fa ON p.id_a = fa.doc_id
+        |      JOIN fullsets fb ON p.id_b = fb.doc_id
+        |      WHERE CAST(len(list_intersect(fa.ss, fb.ss)) AS DOUBLE)
+        |          / CAST(len(list_distinct(fa.ss || fb.ss)) AS DOUBLE) >= 0.5),
+        |e AS (SELECT id_a AS s, id_b AS d FROM j
+        |      UNION SELECT id_b, id_a FROM j),
+        |r(node, lab) AS (
+        |  SELECT DISTINCT s, s FROM e
+        |  UNION
+        |  SELECT e.d, r.lab FROM r JOIN e ON e.s = r.node),
+        |c AS (SELECT node, MIN(lab) AS component FROM r GROUP BY node),
+        |sz AS (SELECT component, COUNT(*) AS n_members FROM c GROUP BY component)
+        |SELECT c.node AS doc_id, c.component,
+        |  CAST(sz.n_members AS BIGINT) AS n_members,
+        |  c.node = c.component AS is_survivor
+        |FROM c JOIN sz ON c.component = sz.component
+        |ORDER BY doc_id""".stripMargin,
     // recursive path enumeration + MIN == first-discovery BFS level;
     // the hops < 3 bound keeps the CTE finite on the cyclic graph
     "q_graph_bfs" ->
