@@ -1042,7 +1042,10 @@ object SparkEntry {
       val edges = graft.operators.graph.Graph
         .coOccurrenceEdges(li, "l_orderkey", "l_partkey")
       val src = li.agg(min(col("l_partkey")).as("node"))
-      graft.operators.graph.Graph.bfsHops(edges, "node_a", "node_b", src, 3)
+      // coOccurrenceEdges emits deduped a<b half-edges, so the
+      // symmetrized union is dup-free — skip bfsHops' re-dedupe
+      graft.operators.graph.Graph
+        .bfsHops(edges, "node_a", "node_b", src, 3, dedupEdges = false)
         .orderBy("node")
     })
   )

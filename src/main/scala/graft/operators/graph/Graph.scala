@@ -34,18 +34,30 @@ object Graph {
     * `df.agg(min(key).as("node"))` or a literal via `spark.range(1)
     * .select(lit(v).as("node"))`). Returns (`node`, `hops`) including
     * the source at hops 0; unreachable-within-maxHops nodes are absent.
+    *
+    * Duplicate edges NEVER affect the result (each hop's frontier is
+    * `distinct` before the visited anti-join) — the symmetrized-edge
+    * dedupe below is purely a size optimization for the per-hop join
+    * input. When the caller's edge table is already deduped undirected
+    * half-edges (one row per pair, `src < dst` — what
+    * [[coOccurrenceEdges]] emits), the symmetrized union is dup-free by
+    * construction and that dedupe is a wasted full-table exchange of
+    * the query's largest intermediate: pass `dedupEdges = false` to
+    * skip it (measured at sf0.1: removes a 2.4M-row shuffle+agg, ~10%
+    * of q_graph_bfs end to end, bit-identical result).
     */
   def bfsHops(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       source: DataFrame,
-      maxHops: Int): DataFrame = {
+      maxHops: Int,
+      dedupEdges: Boolean = true): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .where(col("s").isNotNull && col("d").isNotNull)
-    val sym = e.unionAll(e.select(col("d").as("s"), col("s").as("d")))
-      .distinct()
+    val symRaw = e.unionAll(e.select(col("d").as("s"), col("s").as("d")))
+    val sym = (if (dedupEdges) symRaw.distinct() else symRaw)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var frontier = source.select(col("node")).distinct()

@@ -54,6 +54,21 @@ class GraphSpec extends SparkSpecBase {
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("dedupEdges=false is result-identical, even on inputs WITH duplicate edges") {
+    // duplicates + both orientations of the same pair: the per-hop
+    // frontier distinct must absorb them, so skipping the symmetrized
+    // dedupe can never change the answer — only the join input size
+    val noisy = Seq(1L -> 2L, 1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L, 3L -> 4L)
+    val clean = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L)
+    val expected = Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3)
+    for (edges <- Seq(noisy, clean)) {
+      val got = Graph
+        .bfsHops(edges.toDF("a", "b"), "a", "b", src(1L), 3, dedupEdges = false)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expected)
+    }
+  }
+
   test("co-purchase hop 1 equals the directly computed neighbor set (sf0.001)") {
     val li = sources.Snapshot(spark, sf()).lineitem
     val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
