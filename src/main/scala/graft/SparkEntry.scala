@@ -1032,6 +1032,31 @@ object SparkEntry {
           (col("id") === col("component")).as("is_survivor"))
         .orderBy("doc_id")
     }),
+    "q_regression" -> ((s, dir) =>
+      // grouped OLS + Pearson corr from exact decimal sufficient stats
+      // (see Stats: the shuffle moves 6 decimals per group, never rows;
+      // derived with one fixed IEEE op sequence mirrored in the oracle,
+      // so the unrounded doubles hash-match)
+      graft.operators.stats.Stats
+        .regression(snap(s, dir).lineitem, "l_quantity", "l_extendedprice",
+          Seq("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_column_profile" -> ((s, dir) =>
+      // one-pass per-column snapshot profile (rows/nulls/exact distinct
+      // + typed min/max families) — single Expand-backed aggregation,
+      // shuffle-free unpivot (see Profiling)
+      graft.operators.stats.Profiling
+        .columnProfile(snap(s, dir).orders,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .orderBy("column_name")),
+    "q_skyline" -> ((s, dir) =>
+      // 2-D Pareto frontier, maximize (size, price): per-x max groupBy
+      // then one running-max sweep — no quadratic join (see Skyline;
+      // the oracle derives the same frontier via NOT EXISTS)
+      graft.operators.stats.Skyline
+        .frontier2D(snap(s, dir).part, "p_size", "p_retailprice")
+        .orderBy("p_size")),
     "q_graph_bfs" -> ((s, dir) => {
       // min-hop BFS over the co-purchase graph (parts sharing an order)
       // from the smallest partkey: frontier joins + visited anti-join —
@@ -2123,6 +2148,81 @@ object SparkEntry {
         |  c.node = c.component AS is_survivor
         |FROM c JOIN sz ON c.component = sz.component
         |ORDER BY doc_id""".stripMargin,
+    // same sufficient statistics (exact decimal sums, per-row-rounded
+    // products) then the IDENTICAL IEEE op sequence as Stats.regression —
+    // fixed mul/sub/div/sqrt order makes unrounded doubles hash-safe
+    "q_regression" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n_pairs,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS syy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, n_pairs,
+        |  ROUND(sx / CAST(n_pairs AS DOUBLE), 4) + 0.0 AS x_mean,
+        |  ROUND(sy / CAST(n_pairs AS DOUBLE), 4) + 0.0 AS y_mean,
+        |  ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0 THEN
+        |    (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) END, 6) + 0.0 AS slope,
+        |  ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0 THEN
+        |    (sy - ((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx)) * sx)
+        |      / CAST(n_pairs AS DOUBLE) END, 4) + 0.0 AS intercept,
+        |  ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0
+        |        AND CAST(n_pairs AS DOUBLE) * syy - sy * sy > 0 THEN
+        |    (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |      / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+        |         * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END, 8) + 0.0 AS corr
+        |FROM a ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // per-column UNION ALL of the same statistics; min/max emitted in
+    // typed families (ints/epoch-micros, raw doubles, strings) because
+    // only those render identically across engines
+    "q_column_profile" -> {
+      def prof(c: String, kind: String): String = {
+        val mnI = kind match {
+          case "int" => s"CAST(MIN($c) AS BIGINT), CAST(MAX($c) AS BIGINT)"
+          case "ts"  => s"MIN(epoch_us($c)), MAX(epoch_us($c))"
+          case _     => "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)"
+        }
+        val mnD =
+          if (kind == "dbl") s"MIN($c), MAX($c)"
+          else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+        val mnS =
+          if (kind == "str") s"MIN($c), MAX($c)"
+          else "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)"
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  $mnI, $mnD, $mnS
+           |FROM orders""".stripMargin
+      }
+      Seq("o_orderkey" -> "int", "o_custkey" -> "int",
+        "o_orderstatus" -> "str", "o_totalprice" -> "dbl",
+        "o_orderdate" -> "ts", "o_orderpriority" -> "str")
+        .map { case (c, k) => prof(c, k) }
+        .mkString("SELECT column_name, n_rows, n_nulls, n_distinct,\n" +
+          "  c5 AS min_int, c6 AS max_int, c7 AS min_dbl, c8 AS max_dbl,\n" +
+          "  c9 AS min_str, c10 AS max_str FROM (\n",
+          "\nUNION ALL\n",
+          "\n) t(column_name, n_rows, n_nulls, n_distinct, c5, c6, c7, c8, c9, c10)" +
+            "\nORDER BY column_name")
+    },
+    // independent quadratic derivation of the frontier over the per-x
+    // maxima: a candidate survives iff nothing beats it on both axes
+    "q_skyline" ->
+      """WITH m AS (
+        |  SELECT p_size, MAX(p_retailprice) AS best_y FROM part
+        |  WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+        |  GROUP BY p_size)
+        |SELECT a.p_size, a.best_y FROM m a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM m b
+        |  WHERE b.p_size > a.p_size AND b.best_y >= a.best_y)
+        |ORDER BY p_size""".stripMargin,
     // recursive path enumeration + MIN == first-discovery BFS level;
     // the hops < 3 bound keeps the CTE finite on the cyclic graph
     "q_graph_bfs" ->

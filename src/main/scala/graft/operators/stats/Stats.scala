@@ -1,0 +1,90 @@
+package graft.operators.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactMath
+
+/** Grouped least-squares / correlation over exact sufficient statistics.
+  *
+  * Spark's builtin `corr`/`regr_slope` aggregate raw doubles, so their
+  * results depend on partial-aggregation order — two runs (or two
+  * engines) can disagree in the last ulp, which an oracle hash compare
+  * treats as failure. This operator instead reduces each group to the
+  * five classical sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+  * summed EXACTLY in decimal ([[ExactMath]] — associative, so
+  * partial aggregation and AQE re-plans cannot change them), then
+  * derives slope/intercept/corr with one fixed sequence of IEEE double
+  * ops (mul/sub/div and correctly-rounded sqrt — each deterministic
+  * given identical operands). The whole pipeline is therefore
+  * bit-reproducible across partitionings AND re-derivable verbatim by
+  * any engine with exact decimal sums (the DuckDB oracle mirrors the
+  * same formula on unrounded doubles).
+  *
+  * Scale shape: one partial-aggregated `groupBy` — the only shuffle
+  * moves ≤ (groups × 6 decimals), never rows. Degenerate groups
+  * (variance 0 after the double conversion) yield NULL slope/corr
+  * rather than NaN/Inf so results stay hash-comparable.
+  *
+  * Reference behavior: the reference's pandas-agg surface
+  * (`openai/my_toolkit.py` summary blocks) exposes means only; grouped
+  * OLS/corr is the natural next analytics grain over the same tables.
+  */
+object Stats {
+
+  /** Per-group simple linear regression of `y` on `x` plus Pearson
+    * correlation. Rows with a NULL in either column are dropped (the
+    * standard pairwise-complete contract). Output columns:
+    * group cols, `n_pairs`, `x_mean`, `y_mean`, `slope`, `intercept`,
+    * `corr` — unrounded doubles, deterministic as documented above.
+    */
+  def regression(df: DataFrame, xCol: String, yCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "regression needs at least one group column")
+    val x = col(xCol)
+    val y = col(yCol)
+    val base = df.where(x.isNotNull && y.isNotNull)
+    // per-row product: exact decimal mul (scale 12), rounded ONCE per
+    // row back to the ValueDecimal scale — keeps every aggregate on the
+    // proven scale-6 decimal→double conversion path (SURVEY §5); the
+    // round is deterministic (exact operand, half-away-from-zero in
+    // both engines) and the sum of rounded products stays exact
+    def dsumProd(a: Column, b: Column): Column =
+      sum((a.cast(ExactMath.ValueDecimal) * b.cast(ExactMath.ValueDecimal))
+        .cast(ExactMath.ValueDecimal)).cast("double")
+    val agg = base.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_pairs"),
+      ExactMath.dsum(x).as("sx"),
+      ExactMath.dsum(y).as("sy"),
+      dsumProd(x, y).as("sxy"),
+      dsumProd(x, x).as("sxx"),
+      dsumProd(y, y).as("syy")
+    )
+    // fixed IEEE op order below — the DuckDB oracle repeats it verbatim.
+    // Sum-of-squares magnitudes can leave the 2^53 exact decimal→double
+    // conversion envelope (unscaled syy > 2^53 already at sf0.001, where
+    // DuckDB's hugeint→double→/10^scale double-rounds vs Java's single
+    // correct rounding — measured: 1-ulp corr divergence), so every
+    // derived ratio is rounded before hashing. Digits scale with the
+    // column's magnitude so the rounding margin stays decades above the
+    // conversion drift (≤ ~|v|·1e-14): means/intercept (up to ~1e5) → 4
+    // digits, slope (O(1..10)) → 6, corr (|corr| ≤ 1) → 8. StatsSpec's
+    // boundary-margin sweep asserts the headroom at all three SFs (the
+    // MarginAuditSpec convention — an 8-digit uniform choice FAILED that
+    // audit: a ~5e4-magnitude mean landed 9e-11 from a boundary).
+    // `+ 0.0` collapses IEEE -0.0 identically in both engines.
+    val n = col("n_pairs").cast("double")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val denx = n * col("sxx") - col("sx") * col("sx")
+    val deny = n * col("syy") - col("sy") * col("sy")
+    def out(c: Column, digits: Int): Column = round(c, digits) + lit(0.0)
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        col("n_pairs"),
+        out(col("sx") / n, 4).as("x_mean"),
+        out(col("sy") / n, 4).as("y_mean"),
+        out(when(denx > 0d, num / denx), 6).as("slope"),
+        out(when(denx > 0d, (col("sy") - (num / denx) * col("sx")) / n), 4).as("intercept"),
+        out(when(denx > 0d && deny > 0d, num / (sqrt(denx) * sqrt(deny))), 8).as("corr")
+      ): _*)
+  }
+}

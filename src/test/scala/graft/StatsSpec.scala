@@ -1,0 +1,192 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.stats.{Profiling, Skyline, Stats}
+
+class StatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- regression
+
+  test("regression matches the closed form on a hand-checked group") {
+    // y = 3x + 2 exactly: slope 3, intercept 2, corr 1
+    val df = Seq(("g", 1.0, 5.0), ("g", 2.0, 8.0), ("g", 3.0, 11.0), ("g", 4.0, 14.0))
+      .toDF("k", "x", "y")
+    val r = Stats.regression(df, "x", "y", Seq("k")).collect().head
+    assert(r.getAs[Long]("n_pairs") == 4L)
+    assert(math.abs(r.getAs[Double]("slope") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("corr") - 1.0) < 1e-9)
+    assert(r.getAs[Double]("x_mean") == 2.5 && r.getAs[Double]("y_mean") == 9.5)
+  }
+
+  test("regression: anti-correlated group, null pairs dropped, constant-x yields NULLs") {
+    val df = Seq(
+      ("dn", 1.0, 9.0), ("dn", 2.0, 7.0), ("dn", 3.0, 5.0),
+      ("dn", null.asInstanceOf[Any], 99.0), ("dn", 4.0, null.asInstanceOf[Any]),
+      ("const", 5.0, 1.0), ("const", 5.0, 2.0)
+    ).map { case (k, x, y) =>
+      (k, Option(x).map(_.asInstanceOf[Double]), Option(y).map(_.asInstanceOf[Double]))
+    }.toDF("k", "x", "y")
+    val rows = Stats.regression(df, "x", "y", Seq("k"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val dn = rows("dn")
+    assert(dn.getAs[Long]("n_pairs") == 3L) // null-bearing pairs dropped
+    assert(math.abs(dn.getAs[Double]("slope") + 2.0) < 1e-9)
+    assert(math.abs(dn.getAs[Double]("corr") + 1.0) < 1e-9)
+    val const = rows("const")
+    assert(const.getAs[Long]("n_pairs") == 2L)
+    assert(const.isNullAt(const.fieldIndex("slope")))
+    assert(const.isNullAt(const.fieldIndex("intercept")))
+    assert(const.isNullAt(const.fieldIndex("corr")))
+  }
+
+  test("regression is bit-identical across partitionings (exact sufficient stats)") {
+    val li = sources.Snapshot(spark, sf()).lineitem
+    def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      Stats.regression(df, "l_quantity", "l_extendedprice", Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+        .collect().map(_.mkString("|")).toSeq
+    val a = run(li)
+    val b = run(li.repartition(37, col("l_orderkey")))
+    val c = run(li.coalesce(1))
+    assert(a == b && a == c)
+  }
+
+  // MarginAuditSpec convention, applied to q_regression's rounded
+  // ratios: cross-engine drift comes from decimal→double conversions
+  // whose unscaled sums exceed 2^53 (≤ ~|v|·1e-14), so every rounded
+  // hashed value must sit far from its round-half boundary at ITS
+  // column's digit count (4/6/8 scaled to magnitude — see Stats).
+  // Threshold: margin > 1e3 × the per-value drift bound.
+  for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    test(s"regression margin audit at $dir: rounded values clear of boundaries") {
+      val li = sources.Snapshot(spark, sf(dir)).lineitem
+      val rows = Stats
+        .regression(li, "l_quantity", "l_extendedprice", Seq("l_returnflag", "l_linestatus"))
+        .collect()
+      assert(rows.nonEmpty)
+      val hashed = for {
+        r <- rows
+        f <- Seq("x_mean", "y_mean", "slope", "intercept", "corr")
+        if !r.isNullAt(r.fieldIndex(f))
+      } yield r.getAs[Double](f)
+      // the operator output is already rounded — the margin must be
+      // measured on the PRE-rounding doubles, re-derived here from the
+      // same sufficient statistics with plain double math
+      val agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("n"),
+        graft.functions.ExactMath.dsum(col("l_quantity")).as("sx"),
+        graft.functions.ExactMath.dsum(col("l_extendedprice")).as("sy"),
+        sum((col("l_quantity").cast("decimal(18,6)") * col("l_extendedprice").cast("decimal(18,6)"))
+          .cast("decimal(18,6)")).cast("double").as("sxy"),
+        sum((col("l_quantity").cast("decimal(18,6)") * col("l_quantity").cast("decimal(18,6)"))
+          .cast("decimal(18,6)")).cast("double").as("sxx"),
+        sum((col("l_extendedprice").cast("decimal(18,6)") * col("l_extendedprice").cast("decimal(18,6)"))
+          .cast("decimal(18,6)")).cast("double").as("syy")).collect()
+      def margin(x: Double, digits: Int): Double = {
+        val scale = math.pow(10, digits)
+        val frac = x * scale - math.floor(x * scale)
+        math.abs(frac - 0.5) / scale
+      }
+      val unrounded: Seq[(Double, Int)] = agg.toSeq.flatMap { r =>
+        val n = r.getAs[Long]("n").toDouble
+        val (sx, sy) = (r.getAs[Double]("sx"), r.getAs[Double]("sy"))
+        val (sxy, sxx, syy) =
+          (r.getAs[Double]("sxy"), r.getAs[Double]("sxx"), r.getAs[Double]("syy"))
+        val num = n * sxy - sx * sy
+        val denx = n * sxx - sx * sx
+        val deny = n * syy - sy * sy
+        Seq(sx / n -> 4, sy / n -> 4) ++
+          (if (denx > 0) Seq(num / denx -> 6, (sy - (num / denx) * sx) / n -> 4) else Nil) ++
+          (if (denx > 0 && deny > 0)
+            Seq(num / (math.sqrt(denx) * math.sqrt(deny)) -> 8) else Nil)
+      }
+      assert(unrounded.nonEmpty && hashed.nonEmpty)
+      unrounded.foreach { case (v, digits) =>
+        val m = margin(v, digits)
+        val driftBound = (math.abs(v) + 1.0) * 1e-14
+        assert(m > 1e3 * driftBound,
+          f"$dir: unrounded value $v%.10g sits $m%.3e from its $digits-digit " +
+            f"round-half boundary (drift bound $driftBound%.3e) — could flip the hash")
+      }
+    }
+  }
+
+  // ------------------------------------------------------- columnProfile
+
+  private val profDf = Seq(
+    (1L, Some("b"), Some(2.5), Some(Timestamp.valueOf("2024-01-02 03:04:05"))),
+    (2L, Some("a"), Some(-1.5), Some(Timestamp.valueOf("2024-01-01 00:00:00"))),
+    (3L, None, None, None),
+    (4L, Some("a"), Some(7.25), Some(Timestamp.valueOf("2024-02-01 00:00:00")))
+  ).toDF("id", "s", "d", "ts")
+
+  test("columnProfile: counts, nulls, distincts and typed min/max families") {
+    val rows = Profiling.columnProfile(profDf, Seq("id", "s", "d", "ts"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("id", "s", "d", "ts"))
+    val id = rows("id")
+    assert(id.getAs[Long]("n_rows") == 4 && id.getAs[Long]("n_nulls") == 0)
+    assert(id.getAs[Long]("n_distinct") == 4)
+    assert(id.getAs[Long]("min_int") == 1L && id.getAs[Long]("max_int") == 4L)
+    assert(id.isNullAt(id.fieldIndex("min_dbl")) && id.isNullAt(id.fieldIndex("min_str")))
+    val s = rows("s")
+    assert(s.getAs[Long]("n_nulls") == 1 && s.getAs[Long]("n_distinct") == 2)
+    assert(s.getAs[String]("min_str") == "a" && s.getAs[String]("max_str") == "b")
+    val d = rows("d")
+    assert(d.getAs[Double]("min_dbl") == -1.5 && d.getAs[Double]("max_dbl") == 7.25)
+    val ts = rows("ts")
+    assert(ts.getAs[Long]("n_nulls") == 1 && ts.getAs[Long]("n_distinct") == 3)
+    // epoch micros, UTC session
+    assert(ts.getAs[Long]("min_int") == Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L)
+  }
+
+  test("columnProfile approx path agrees with exact within HLL tolerance") {
+    val orders = sources.Snapshot(spark, sf()).orders
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+    def distincts(approx: Boolean): Map[String, Long] =
+      Profiling.columnProfile(orders, cols, approx = approx)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    val exact = distincts(approx = false)
+    val est = distincts(approx = true)
+    cols.foreach { c =>
+      assert(math.abs(est(c) - exact(c)).toDouble / exact(c).max(1L) < 0.15,
+        s"$c: est ${est(c)} vs exact ${exact(c)}")
+    }
+  }
+
+  test("columnProfile rejects unsupported column types") {
+    val df = Seq((1L, Array(1.0))).toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      Profiling.columnProfile(df, Seq("vec"))
+    }
+  }
+
+  // ------------------------------------------------------------- skyline
+
+  test("skyline equals the quadratic dominance definition on random data") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 500).map(_ => (rnd.nextInt(30), (rnd.nextInt(1000) / 4.0)))
+    val df = pts.toDF("x", "y")
+    val got = Skyline.frontier2D(df, "x", "y")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    val perX = pts.groupBy(_._1).map { case (x, ps) => (x, ps.map(_._2).max) }
+    val brute = perX.filter { case (x, y) =>
+      !perX.exists { case (x2, y2) => x2 > x && y2 >= y }
+    }.toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
+  test("skyline: dominated same-x rows collapse; the max-x point always survives") {
+    val df = Seq((1, 10.0), (1, 50.0), (2, 40.0), (3, 20.0), (3, 5.0)).toDF("x", "y")
+    val got = Skyline.frontier2D(df, "x", "y")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    // x=3 survives (max x); x=2 (40 > 20) survives; x=1 (50 > 40) survives
+    assert(got == Set((1, 50.0), (2, 40.0), (3, 20.0)))
+  }
+}
