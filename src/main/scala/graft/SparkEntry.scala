@@ -1057,6 +1057,43 @@ object SparkEntry {
       graft.operators.stats.Skyline
         .frontier2D(snap(s, dir).part, "p_size", "p_retailprice")
         .orderBy("p_size")),
+    "q_mode" -> ((s, dir) => {
+      // modal event type per user: partial-aggregated counts then
+      // TopKPerKey(k=1) — bounded heaps on the clustering shuffle, no
+      // per-key sort; deterministic count-desc + type-asc tiebreak
+      // (strict: per-user candidates bounded by the event-type domain)
+      val counts = snap(s, dir).events
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.plans.TopKPerKey(counts, Seq("user_id"),
+        Seq(col("n_events").desc, col("event_type").asc), 1, strict = true)
+        .select(col("user_id"), col("event_type").as("modal_type"), col("n_events"))
+        .orderBy("user_id")
+    }),
+    "q_string_agg" -> ((s, dir) =>
+      // listagg with a total order: collect_set is order-nondeterministic,
+      // so array_sort pins the contract before join — bounded-domain
+      // values per group (p_type domain), the safe collect_set regime
+      snap(s, dir).part
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          array_join(array_sort(collect_set(col("p_type"))), "|").as("types_csv"))
+        .orderBy("p_brand")),
+    "q_grouping_sets" -> ((s, dir) =>
+      // explicit GROUPING SETS (beyond rollup/cube's fixed lattices):
+      // (status, priority) + (status) + grand total in ONE Expand-backed
+      // aggregation pass; COALESCE sentinel per the q_rollup convention
+      snap(s, dir).orders
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total_price"))
+        .orderBy("status", "priority")),
     "q_graph_bfs" -> ((s, dir) => {
       // min-hop BFS over the co-purchase graph (parts sharing an order)
       // from the smallest partkey: frontier joins + visited anti-join —
@@ -2211,6 +2248,32 @@ object SparkEntry {
           "\n) t(column_name, n_rows, n_nulls, n_distinct, c5, c6, c7, c8, c9, c10)" +
             "\nORDER BY column_name")
     },
+    // the window formulation is the independent derivation of the
+    // TopKPerKey(k=1) heap result (q_top_n_per_group gate shape)
+    "q_mode" ->
+      """SELECT user_id, event_type AS modal_type, n_events FROM (
+        |  SELECT user_id, event_type, COUNT(*) AS n_events,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY COUNT(*) DESC, event_type) AS rn
+        |  FROM events GROUP BY user_id, event_type) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // string_agg with an explicit ORDER BY over the pre-distincted
+    // grain mirrors array_sort(collect_set(...)) exactly
+    "q_string_agg" ->
+      """WITH d AS (SELECT DISTINCT p_brand, p_type FROM part),
+        |a AS (SELECT p_brand, string_agg(p_type, '|' ORDER BY p_type) AS types_csv
+        |      FROM d GROUP BY p_brand),
+        |c AS (SELECT p_brand, COUNT(*) AS n_parts FROM part GROUP BY p_brand)
+        |SELECT c.p_brand, c.n_parts, a.types_csv
+        |FROM c JOIN a USING (p_brand) ORDER BY p_brand""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin,
     // independent quadratic derivation of the frontier over the per-x
     // maxima: a candidate survives iff nothing beats it on both axes
     "q_skyline" ->
