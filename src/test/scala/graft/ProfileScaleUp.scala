@@ -132,6 +132,23 @@ object ProfileScaleUp {
           .groupBy("k").agg(count(lit(1)).as("n"), count(col("m")).as("matched"))
       })
 
+    time("regression (exact stats)")(
+      force(graft.operators.stats.Stats
+        .regression(orders.withColumn("b", pmod(col("o_custkey"), lit(16))),
+          "o_totalprice", "o_custkey", Seq("b"))))
+    time("column profile (exact)")(
+      force(graft.operators.stats.Profiling
+        .columnProfile(orders, Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority"))))
+    time("column profile (approx)")(
+      force(graft.operators.stats.Profiling
+        .columnProfile(orders, Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority"), approx = true)))
+    time("skyline (bucketed x)")(
+      force(graft.operators.stats.Skyline
+        .frontier2D(orders.withColumn("b", pmod(col("o_custkey"), lit(1000))),
+          "b", "o_totalprice")))
+
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
     // partkey, written to parquet so every measurement starts from a real
