@@ -1109,6 +1109,23 @@ object SparkEntry {
       graft.operators.graph.Graph
         .bfsHops(edges, "node_a", "node_b", src, 3, dedupEdges = false)
         .orderBy("node")
+    }),
+    "q_pagerank" -> ((s, dir) => {
+      // 3 power-method iterations over a co-purchase subgraph (parts
+      // with partkey % 4 == 0 sharing an order — the filter bounds the
+      // quadratic co-occurrence build, not the operator). Contributions
+      // quantize to the 1e-15 grid as floor(c*1e15 + 0.5) BIGINT before
+      // the neighbor sum (order-free exact integer add), so every double
+      // is bit-reproducible and the oracle re-derives the whole
+      // recurrence with unrolled CTEs (the Projection precedent:
+      // unrounded doubles hash-match)
+      val li = snap(s, dir).lineitem
+        .where(pmod(col("l_partkey"), lit(4)) === 0)
+      val edges = graft.operators.graph.Graph
+        .coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      graft.operators.graph.Graph
+        .pageRank(edges, "node_a", "node_b", iterations = 3)
+        .orderBy("node")
     })
   )
 
@@ -2301,6 +2318,52 @@ object SparkEntry {
         |  SELECT e.d, bfs.hops + 1 FROM bfs JOIN e ON e.s = bfs.node
         |  WHERE bfs.hops < 3)
         |SELECT node, CAST(MIN(hops) AS INT) AS hops
-        |FROM bfs GROUP BY node ORDER BY node""".stripMargin
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+    // re-derives the full quantized power method: contributions land on
+    // the 1e-15 grid via floor(c*1e15 + 0.5) BIGINT (order-free exact
+    // integer sum; double->decimal casts are NOT cross-engine-safe at
+    // fine scales), teleport and damping explicit double literals, every
+    // other op IEEE-exact — unrounded rank doubles hash-match bit for bit
+    "q_pagerank" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),
+        |eh AS (SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+        |       FROM li a JOIN li b
+        |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT s, d FROM eh UNION ALL SELECT d, s FROM eh),
+        |deg AS (SELECT s AS node, COUNT(*) AS deg FROM e GROUP BY s),
+        |nn AS (SELECT COUNT(*) AS n FROM deg),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank, deg FROM deg, nn),
+        |it1 AS (
+        |  SELECT d0.node,
+        |         CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+        |           (CAST(COALESCE(c.sc, 0) AS DOUBLE) / 1e15) AS rank,
+        |         d0.deg
+        |  FROM deg d0
+        |  LEFT JOIN (SELECT e.d AS node,
+        |               SUM(CAST(FLOOR(r.rank / r.deg * 1e15 + 0.5) AS BIGINT)) AS sc
+        |             FROM e JOIN r0 r ON r.node = e.s GROUP BY e.d) c
+        |    ON c.node = d0.node, nn),
+        |it2 AS (
+        |  SELECT d0.node,
+        |         CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+        |           (CAST(COALESCE(c.sc, 0) AS DOUBLE) / 1e15) AS rank,
+        |         d0.deg
+        |  FROM deg d0
+        |  LEFT JOIN (SELECT e.d AS node,
+        |               SUM(CAST(FLOOR(r.rank / r.deg * 1e15 + 0.5) AS BIGINT)) AS sc
+        |             FROM e JOIN it1 r ON r.node = e.s GROUP BY e.d) c
+        |    ON c.node = d0.node, nn),
+        |it3 AS (
+        |  SELECT d0.node,
+        |         CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+        |           (CAST(COALESCE(c.sc, 0) AS DOUBLE) / 1e15) AS rank,
+        |         d0.deg
+        |  FROM deg d0
+        |  LEFT JOIN (SELECT e.d AS node,
+        |               SUM(CAST(FLOOR(r.rank / r.deg * 1e15 + 0.5) AS BIGINT)) AS sc
+        |             FROM e JOIN it2 r ON r.node = e.s GROUP BY e.d) c
+        |    ON c.node = d0.node, nn)
+        |SELECT node, rank FROM it3 ORDER BY node""".stripMargin
   )
 }

@@ -63,6 +63,14 @@ object Graph {
       var frontier = source.select(col("node")).distinct()
         .withColumn("hops", lit(0))
         .localCheckpoint(true)
+      // On an UNDIRECTED graph a neighbor of a hop-(h-1) node is at
+      // distance h-2, h-1, or h, so excluding the last TWO frontiers
+      // excludes everything visited. The anti-join right side stays
+      // bounded by frontier width instead of growing with the whole
+      // reachable set — the difference between a broadcastable exclusion
+      // table and a full visited shuffle on a 100 TB graph. (BfsSpec
+      // pins parity against a full-visited reference implementation.)
+      var prev = frontier.limit(0)
       var visited = frontier
       var h = 1
       var exhausted = false
@@ -71,15 +79,91 @@ object Graph {
           .join(sym, frontier("node") === sym("s"))
           .select(sym("d").as("node"))
           .distinct()
-          .join(visited, Seq("node"), "left_anti")
+          .join(frontier.unionAll(prev).select("node"), Seq("node"), "left_anti")
           .withColumn("hops", lit(h))
           .localCheckpoint(true)
         exhausted = next.isEmpty
         if (!exhausted) visited = visited.unionAll(next)
+        prev = frontier
         frontier = next
         h += 1
       }
       visited
+    } finally sym.unpersist()
+  }
+
+  /** PageRank over the UNDIRECTED multigraph given by `edges(srcCol,
+    * dstCol)` — the classic "which nodes matter" centrality every
+    * catalog/lineage/co-purchase analysis wants next to BFS distances
+    * and components. Fixed `iterations` of the power method:
+    *
+    *   rank'(v) = teleport/N + damping · Σ_{u∈nbr(v)} rank(u)/deg(u)
+    *
+    * Duplicate edges weight the walk (multigraph semantics: `deg` counts
+    * edge multiplicity); no dangling-node mass correction is needed
+    * because symmetrization gives every node deg ≥ 1.
+    *
+    * Determinism (SURVEY §5): the neighbor sum is the ONLY reduction,
+    * and float sums are order-dependent — so each contribution
+    * `rank(u)/deg(u)` (an IEEE-exact double ÷) is quantized onto the
+    * 1e-15 grid as `floor(c·1e15 + 0.5)` LONG and summed exactly
+    * (order-independent integers), then divided back. Every op in that
+    * chain (×, +, floor, integral-long→double, ÷) is IEEE-exact and
+    * identical across engines, so the whole iteration is
+    * bit-reproducible and a DuckDB oracle re-derives it verbatim with
+    * unrolled CTEs — unrounded doubles hash-match (the Projection
+    * precedent). NOT decimal quantization: DuckDB's double→DECIMAL(38,18)
+    * cast rounds a double×10¹⁸ PRODUCT while Spark rounds the exact
+    * binary expansion — measured 1–2 ulp drift; the scaled-integer
+    * floor form is the cross-engine-safe quantizer. `teleport` and
+    * `damping` are BOTH explicit (never compute 1−d: 1−0.85 ≠ 0.15 in
+    * binary).
+    *
+    * Plan shape: edges symmetrize + persist once; per iteration ONE
+    * map-side join of the slim (node, rank, deg) table against the
+    * cached edges (rank table is node-cardinality — AQE broadcasts it
+    * while it fits; at graphs where it doesn't, the same plan degrades
+    * to a co-partitioned shuffle join, the standard Pregel shape) and
+    * ONE partial-aggregated shuffle of (dst, decimal) pairs. Rank
+    * tables are localCheckpointed so plans don't grow with iterations.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      damping: Double = 0.85,
+      teleport: Double = 0.15): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull)
+    val sym = e.unionAll(e.select(col("d").as("s"), col("s").as("d")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = sym.groupBy(col("s").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val n = deg.agg(count(lit(1)).as("n"))
+      // 1-row N attaches via broadcast (the Mixing bound pattern)
+      var ranks = deg.crossJoin(broadcast(n))
+        .select(col("node"), (lit(1.0) / col("n")).as("rank"), col("deg"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iterations) {
+        val contribs = sym
+          .join(ranks, sym("s") === ranks("node"))
+          .select(sym("d").as("node"),
+            floor(col("rank") / col("deg") * lit(1.0e15) + lit(0.5)).as("c"))
+          .groupBy("node").agg(sum(col("c")).as("sc"))
+        ranks = ranks.select(col("node"), col("deg"))
+          .join(contribs, Seq("node"), "left")
+          .crossJoin(broadcast(n))
+          .select(col("node"),
+            (lit(teleport) / col("n") +
+              lit(damping) * (coalesce(col("sc"), lit(0L)).cast("double") / lit(1.0e15)))
+              .as("rank"),
+            col("deg"))
+          .localCheckpoint(true)
+      }
+      ranks.select(col("node"), col("rank"))
     } finally sym.unpersist()
   }
 

@@ -69,6 +69,82 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("two-frontier exclusion parity: random graphs match an in-memory reference BFS") {
+    // the per-hop anti-join excludes only the last TWO frontiers (valid
+    // on undirected graphs); parity with a classic full-visited BFS on
+    // seeded random graphs guards that bound — including re-reachable
+    // nodes via odd/even cycles, multiple components, self-loops
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(140)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val maxHops = 4
+      // reference: queue BFS with a full visited set
+      val expected = scala.collection.mutable.Map(0L -> 0)
+      var ring = Set(0L)
+      for (h <- 1 to maxHops) {
+        ring = ring.flatMap(v => adj.getOrElse(v, Set.empty))
+          .filterNot(expected.contains)
+        ring.foreach(v => expected(v) = h)
+      }
+      val got = Graph
+        .bfsHops(edges.toDF("a", "b"), "a", "b", src(0L), maxHops)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expected.toMap, s"trial $trial")
+    }
+  }
+
+  test("pageRank: bit-exact parity with an in-memory quantized reference") {
+    // reference runs the IDENTICAL recurrence (contributions quantized
+    // to the 1e-15 grid as floor(c*1e15 + 0.5) Long, IEEE double
+    // everything else) — equality is EXACT, proving the distributed sum
+    // is order-free
+    def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+      val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val n = deg.size
+      var rank: Map[Long, Double] = deg.map { case (k, _) => k -> 1.0 / n }
+      for (_ <- 1 to iters) {
+        val contribs = sym.groupBy(_._2).map { case (v, es) =>
+          v -> es.map { case (u, _) =>
+            math.floor(rank(u) / deg(u) * 1.0e15 + 0.5).toLong
+          }.sum
+        }
+        rank = deg.map { case (v, _) =>
+          v -> (0.15 / n + 0.85 * (contribs.getOrElse(v, 0L).toDouble / 1.0e15))
+        }
+      }
+      rank
+    }
+    val rnd = new scala.util.Random(7)
+    // includes duplicate edges (multigraph weights) and a self-loop
+    val edges = Seq.fill(60)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong)) ++
+      Seq(3L -> 5L, 3L -> 5L, 9L -> 9L)
+    for (iters <- Seq(1, 3)) {
+      val got = Graph.pageRank(edges.toDF("a", "b"), "a", "b", iters)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expected = ref(edges, iters)
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (k, v) =>
+        assert(v == expected(k), s"node $k iters $iters: $v != ${expected(k)}")
+      }
+    }
+  }
+
+  test("pageRank: mass conserves and degree orders centrality on a star") {
+    // star: center 0 with 8 leaves; center must outrank every leaf,
+    // leaves (structurally identical) must tie exactly; total mass ~ 1
+    val star = (1L to 8L).map(0L -> _)
+    val got = Graph.pageRank(star.toDF("a", "b"), "a", "b", 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val leafRanks = (1L to 8L).map(got)
+    assert(leafRanks.distinct.size == 1)
+    assert(got(0L) > leafRanks.head)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
   test("co-purchase hop 1 equals the directly computed neighbor set (sf0.001)") {
     val li = sources.Snapshot(spark, sf()).lineitem
     val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
