@@ -1126,6 +1126,43 @@ object SparkEntry {
       graft.operators.graph.Graph
         .pageRank(edges, "node_a", "node_b", iterations = 3)
         .orderBy("node")
+    }),
+    "q_graph_triangles" -> ((s, dir) => {
+      // per-node triangle counts on the same co-purchase subgraph as
+      // q_pagerank — degree-oriented wedge join (out-degree capped at
+      // O(sqrt m), hub-safe); pure integer counts, no float anywhere
+      val li = snap(s, dir).lineitem
+        .where(pmod(col("l_partkey"), lit(4)) === 0)
+      val edges = graft.operators.graph.Graph
+        .coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      graft.operators.graph.Graph
+        .triangleCounts(edges, "node_a", "node_b")
+        .orderBy("node")
+    }),
+    "q_assoc_rules" -> ((s, dir) => {
+      // market-basket rules at the brand grain (order = basket, brand =
+      // item): support/confidence/lift are IEEE-exact divisions of
+      // BIGINT counts — hashable unrounded (SURVEY §5)
+      val sn = snap(s, dir)
+      val baskets = sn.lineitem
+        .join(sn.part, col("p_partkey") === col("l_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      graft.operators.mining.AssocRules
+        .rules(baskets, "l_orderkey", "p_brand", minPairCount = 5L)
+        .orderBy("antecedent", "consequent")
+    }),
+    "q_ema" -> ((s, dir) => {
+      // per-customer exponentially smoothed spend level over the order
+      // series (date-ordered, orderkey tiebreak). alpha/beta explicit
+      // dyadic literals (0.25/0.75 both exact); the fold is the
+      // canonical sequential left fold — DuckDB's list(ORDER BY) +
+      // list_reduce reproduces the identical IEEE operand sequence, so
+      // unrounded doubles hash-match (the cosine precedent)
+      graft.operators.temporal.Ema
+        .perKeyEma(snap(s, dir).orders, Seq("o_custkey"),
+          "o_orderdate", "o_orderkey", "o_totalprice",
+          alpha = 0.25, beta = 0.75)
+        .orderBy("o_custkey")
     })
   )
 
@@ -2364,6 +2401,54 @@ object SparkEntry {
         |               SUM(CAST(FLOOR(r.rank / r.deg * 1e15 + 0.5) AS BIGINT)) AS sc
         |             FROM e JOIN it2 r ON r.node = e.s GROUP BY e.d) c
         |    ON c.node = d0.node, nn)
-        |SELECT node, rank FROM it3 ORDER BY node""".stripMargin
+        |SELECT node, rank FROM it3 ORDER BY node""".stripMargin,
+    // naive a<b<c triangle enumeration — result-identical to the
+    // degree-oriented wedge join (orientation only changes WHERE each
+    // triangle is discovered, never the set); integer counts
+    "q_graph_triangles" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),
+        |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |      FROM li a JOIN li b
+        |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |      FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |x AS (SELECT u AS node FROM t UNION ALL
+        |      SELECT v FROM t UNION ALL SELECT w FROM t)
+        |SELECT node, COUNT(*) AS triangles
+        |FROM x GROUP BY node ORDER BY node""".stripMargin,
+    // mirrors the rule metrics verbatim: each is ONE IEEE-exact double
+    // division of BIGINT counts (lift's products stay integral in LONG
+    // before the divide) — unrounded doubles hash-match
+    "q_assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, p_brand AS item
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |n AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM b),
+        |ic AS (SELECT item, COUNT(*) AS ic FROM b GROUP BY item),
+        |pc AS (SELECT a.item AS ia, c.item AS ib, COUNT(*) AS pc
+        |       FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |d AS (SELECT ia AS antecedent, ib AS consequent, pc FROM pc
+        |      UNION ALL SELECT ib, ia, pc FROM pc)
+        |SELECT d.antecedent, d.consequent, d.pc AS pair_count,
+        |       CAST(d.pc AS DOUBLE) / n.n_baskets AS support,
+        |       CAST(d.pc AS DOUBLE) / ca.ic AS confidence,
+        |       CAST(d.pc * n.n_baskets AS DOUBLE) / (ca.ic * cb.ic) AS lift
+        |FROM d
+        |JOIN ic ca ON ca.item = d.antecedent
+        |JOIN ic cb ON cb.item = d.consequent, n
+        |ORDER BY antecedent, consequent""".stripMargin,
+    // identical sequential left fold: list(x ORDER BY date, key) +
+    // list_reduce == array_sort(collect_list) + aggregate — same IEEE
+    // operand sequence, unrounded doubles hash-match
+    "q_ema" ->
+      """SELECT o_custkey,
+        |       CAST(COUNT(*) AS INT) AS n_points,
+        |       list_reduce(
+        |         list(CAST(o_totalprice AS DOUBLE) ORDER BY o_orderdate, o_orderkey),
+        |         (acc, x) -> 0.25 * x + 0.75 * acc) AS ema
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

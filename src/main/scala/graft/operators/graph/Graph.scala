@@ -167,6 +167,69 @@ object Graph {
     } finally sym.unpersist()
   }
 
+  /** Per-node triangle counts over the UNDIRECTED simple graph given by
+    * `edges(srcCol, dstCol)` (self-loops dropped, duplicate edges
+    * deduped) — the local clustering signal behind community detection
+    * and "tightly-bound cluster" curation. Returns (`node`, `triangles`)
+    * for every node in ≥ 1 triangle.
+    *
+    * Degree-oriented wedge join (the node-iterator bound from
+    * Schank/Wagner and Cohen's MapReduce formulation): orient each edge
+    * from its lower endpoint under the total order ≺ = (degree, id).
+    * Every triangle then has EXACTLY one node with out-edges to the
+    * other two, so wedges = pairs of out-edges joined on their apex,
+    * closed by one semi-check against the oriented edge set. The
+    * orientation caps out-degree at O(√m) — a hub with a million
+    * neighbors contributes wedges only through its ≺-smaller endpoints,
+    * never the quadratic fan of a naive `a < b` orientation (id order
+    * leaves low-id hubs quadratic; DEGREE order is the scale fix). Both
+    * joins are plain equi-joins: apex-join co-partitioned on the apex
+    * id, closure an equi-join on (lo, hi) — no broadcast of anything
+    * node-cardinality-sized required.
+    *
+    * Determinism: pure integer counts — no float anywhere.
+    */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val half = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val deg = half.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient a—b from its (deg, id)-smaller endpoint; carry the head's
+    // degree so wedge pairs can re-derive ≺ without another deg join
+    val withDegs = half
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "adeg"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "bdeg"), "b")
+    val aFirst = col("adeg") < col("bdeg") ||
+      (col("adeg") === col("bdeg") && col("a") < col("b"))
+    val oriented = withDegs.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("s"),
+      when(aFirst, col("b")).otherwise(col("a")).as("d"),
+      when(aFirst, col("bdeg")).otherwise(col("adeg")).as("ddeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val e1 = oriented.select(col("s"), col("d").as("v"), col("ddeg").as("vdeg"))
+      val e2 = oriented.select(col("s"), col("d").as("w"), col("ddeg").as("wdeg"))
+      val vFirst = col("vdeg") < col("wdeg") ||
+        (col("vdeg") === col("wdeg") && col("v") < col("w"))
+      val wedges = e1.join(e2, "s")
+        // take each unordered out-pair once, ≺-oriented to match `oriented`
+        .where(vFirst)
+        .select(col("s").as("u"),
+          col("v").as("lo"),
+          col("w").as("hi"))
+      val tri = wedges.join(
+        oriented.select(col("s").as("lo"), col("d").as("hi")),
+        Seq("lo", "hi"), "left_semi")
+      tri.select(explode(array(col("u"), col("lo"), col("hi"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("triangles"))
+    } finally oriented.unpersist()
+  }
+
   /** Undirected co-occurrence edges: nodes sharing a group (parts in the
     * same order, docs with the same shingle). One ordinary equi
     * self-join on the group key — co-partitioned, so a single exchange

@@ -133,6 +133,41 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("triangleCounts: parity with an in-memory reference on random multigraphs") {
+    // reference: per node, count adjacent neighbor pairs — dup edges and
+    // self-loops in the input must not matter (simple-graph semantics)
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val edges = Seq.fill(160)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        Seq(2L -> 2L, 5L -> 7L, 7L -> 5L, 5L -> 7L) // self-loop + dup + both orientations
+      val adj = edges.filter(e => e._1 != e._2)
+        .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val expected = adj.map { case (u, nbrs) =>
+        u -> nbrs.toSeq.combinations(2).count { case Seq(v, w) =>
+          adj.getOrElse(v, Set.empty).contains(w)
+        }.toLong
+      }.filter(_._2 > 0)
+      val got = Graph.triangleCounts(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("triangleCounts: hub graph — star alone has none, closing rim edges creates them") {
+    // star 0—{1..10}: zero triangles (no rim edges); then close 1—2 and
+    // 3—4: exactly two triangles, hub in both, rim nodes in one each.
+    // Also pins the degree orientation: the hub (max degree) is always
+    // the ≺-largest endpoint, so it emits NO wedges itself.
+    val star = (1L to 10L).map(0L -> _)
+    assert(Graph.triangleCounts(star.toDF("a", "b"), "a", "b").count() == 0)
+    val closed = star ++ Seq(1L -> 2L, 3L -> 4L)
+    val got = Graph.triangleCounts(closed.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("pageRank: mass conserves and degree orders centrality on a star") {
     // star: center 0 with 8 leaves; center must outrank every leaf,
     // leaves (structurally identical) must tie exactly; total mass ~ 1
