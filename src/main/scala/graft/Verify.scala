@@ -18,6 +18,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
+    // Shape tripwire (round-5 lesson: silent testdata regeneration only
+    // surfaced as opaque hash/analysis failures). Loud, not fatal — a
+    // drifted column should not zero the whole round's correctness.
+    graft.sources.DataShape.violations(spark, sfDir)
+      .foreach(v => System.err.println(s"[shape] DRIFT: $v"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -27,13 +27,26 @@ final case class Snapshot(spark: SparkSession, dir: String) {
     if (tableCache.size > MaxCachedPlans) tableCache.clear() // stopped test sessions
     tableCache.getOrElseUpdate((spark, dir, name), {
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      // events.ts is parquet TIMESTAMP(NANOS): surfaced as long nanos (see
-      // GraftSession's nanosAsLong), converted here to a standard micros
-      // timestamp. `div` (long division) — a double roundtrip would lose
-      // precision above 2^53 ns.
-      if (name == "events" && raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      // events.ts normalization — the snapshot writer has shipped two
+      // encodings so far and downstream code (watermarks, unix_micros)
+      // requires a session-TZ TimestampType:
+      //  - TIMESTAMP(NANOS): surfaced as long nanos (GraftSession's
+      //    nanosAsLong) → `div 1000` (long division; a double roundtrip
+      //    would lose precision above 2^53 ns) → timestamp_micros.
+      //  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+      //    TIMESTAMP_NTZ → cast to TimestampType, value-identical under
+      //    the UTC session TZ GraftSession pins.
+      if (name == "events")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            raw.withColumn("ts",
+              org.apache.spark.sql.functions.col("ts").cast(
+                org.apache.spark.sql.types.TimestampType))
+          case _ => raw
+        }
       else raw
     })
   }

@@ -110,14 +110,22 @@ class PlanSpec extends SparkSpecBase {
     // q_dedup_embedding is the documented quadratic all-pairs BASELINE
     // (its approx twin is the scale path) — everything else must plan
     // without a cartesian/unconditioned nested-loop join
+    // One broken query must not dark the whole sweep (round-5 lesson:
+    // both sweeps aborted at the first analysis exception and NO plan
+    // was checked) — errors are collected and failed separately.
     val allowed = Set("q_dedup_embedding")
-    val offenders = SparkEntry.queries.keySet.diff(allowed).toSeq.sorted.flatMap { name =>
-      val df = SparkEntry.queries(name)(spark, sf())
-      df.collect() // CLAUDE.md plan-assertion rule: AQE finalizes only after execution
-      val p = df.queryExecution.executedPlan.toString
-      if (p.contains("CartesianProduct")) Some(name) else None
+    val results = SparkEntry.queries.keySet.diff(allowed).toSeq.sorted.map { name =>
+      name -> scala.util.Try {
+        val df = SparkEntry.queries(name)(spark, sf())
+        df.collect() // CLAUDE.md plan-assertion rule: AQE finalizes only after execution
+        df.queryExecution.executedPlan.toString.contains("CartesianProduct")
+      }
     }
+    val offenders = results.collect { case (n, scala.util.Success(true)) => n }
+    val errored = results.collect { case (n, scala.util.Failure(e)) =>
+      s"$n (${e.getMessage.take(120)})" }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
+    assert(errored.isEmpty, s"queries failed during sweep (plans unchecked): $errored")
   }
 
   test("scale-killer sweep: no global (empty-partition) window over unaggregated base data") {
@@ -149,12 +157,20 @@ class PlanSpec extends SparkSpecBase {
       }
       here ++ kids(p).flatMap(globalWindows)
     }
-    val offenders = SparkEntry.queries.keySet.toSeq.sorted.flatMap { name =>
-      val df = SparkEntry.queries(name)(spark, sf())
-      df.collect() // CLAUDE.md plan-assertion rule: AQE finalizes only after execution
-      if (globalWindows(df.queryExecution.executedPlan).nonEmpty) Some(name) else None
+    // Failure-tolerant like the cartesian sweep: cover every query, then
+    // report any that errored rather than aborting coverage at the first.
+    val results = SparkEntry.queries.keySet.toSeq.sorted.map { name =>
+      name -> scala.util.Try {
+        val df = SparkEntry.queries(name)(spark, sf())
+        df.collect() // CLAUDE.md plan-assertion rule: AQE finalizes only after execution
+        globalWindows(df.queryExecution.executedPlan).nonEmpty
+      }
     }
+    val offenders = results.collect { case (n, scala.util.Success(true)) => n }
+    val errored = results.collect { case (n, scala.util.Failure(e)) =>
+      s"$n (${e.getMessage.take(120)})" }
     assert(offenders.isEmpty, s"single-task global windows over base data in: $offenders")
+    assert(errored.isEmpty, s"queries failed during sweep (plans unchecked): $errored")
   }
 
   test("scd2: both windows ride ONE clustering exchange (shared sort)") {

@@ -142,6 +142,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("watermarked pipeline runs on NTZ-sourced events after normalization (round-5 regression shape)") {
+    // The driver's regenerated testdata writes events.ts as
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark reads
+    // TIMESTAMP_NTZ, which watermarks reject outright
+    // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). This stages events in that
+    // exact encoding, applies the same cast Snapshot normalizes with,
+    // and proves the watermarked agg still equals its batch twin.
+    val ntzDir = Files.createTempDirectory("graft_events_ntz").toFile
+    ntzDir.deleteOnExit()
+    Snapshot(spark, sf()).events
+      .withColumn("ts", $"ts".cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(ntzDir.getAbsolutePath)
+    val rawBatch = spark.read.parquet(ntzDir.getAbsolutePath)
+    assert(rawBatch.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType,
+      "staging did not reproduce the NTZ encoding")
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", $"ts".cast("timestamp")) // value-identical under pinned UTC
+    val stream = spark.readStream.schema(rawBatch.schema).parquet(ntzDir.getAbsolutePath)
+    val q = EventStreams.hourlyAggStream(normalize(stream))
+      .writeStream.outputMode("complete").format("memory").queryName("hourly_ntz").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly_ntz")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val exp = EventStreams.hourlyAggBatch(normalize(rawBatch)).collect().toSeq
+      assert(got == exp && got.nonEmpty)
+      // and the normalized batch equals the Snapshot-normalized original:
+      // the cast changed encoding only, not values
+      val orig = EventStreams.hourlyAggBatch(Snapshot(spark, sf()).events).collect().toSeq
+      assert(exp == orig)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops reprocessed event ids") {
     val batchDf = spark.read.parquet(eventsDir)
     val stream = spark.readStream.schema(batchDf.schema).parquet(eventsDir)
