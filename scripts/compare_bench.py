@@ -32,10 +32,17 @@ def main(old_path, new_path, ratio=1.5):
     ratios = sorted(new_q[n] / old_q[n] for n in set(old_q) & set(new_q)
                     if old_q[n] > 0 and new_q[n] > 0)
     global_shift = ratios[len(ratios) // 2] if ratios else 1.0
-    regressed = improved = noisy = unadjudicated = 0
+    regressed = improved = noisy = unadjudicated = unbaselined = 0
     for name in sorted(set(old_q) & set(new_q)):
         om, nm = old_q[name], new_q[name]
         if om <= 0 or nm <= 0:
+            # a -1.0 sentinel (failed rep) on either side: nothing to
+            # compare, but say so loudly — a silent skip here once left
+            # three repaired queries with no adjudicated baseline.
+            unbaselined += 1
+            side = "old" if om <= 0 else "new"
+            print(f"no-baseline {name}: {side} run carries a failure sentinel "
+                  f"({om:.3f} -> {nm:.3f}) — not adjudicated, re-bench to baseline it")
             continue
         r = (nm / om) / global_shift
         if r <= ratio and r >= 1 / ratio:
@@ -57,8 +64,8 @@ def main(old_path, new_path, ratio=1.5):
             unadjudicated += 1
             print(f"{direction} {name}: {om:.3f} -> {nm:.3f} ({nm/om:.2f}x raw, {r:.2f}x norm) — no spread data, unadjudicated")
     print(f"\n{regressed} regressed / {improved} improved / {noisy} noise-band / "
-          f"{unadjudicated} unadjudicated (normalized ratio > {ratio}x, "
-          f"global shift {global_shift:.2f}x)")
+          f"{unadjudicated} unadjudicated / {unbaselined} no-baseline "
+          f"(normalized ratio > {ratio}x, global shift {global_shift:.2f}x)")
     return 1 if (regressed or unadjudicated) else 0
 
 

@@ -146,7 +146,13 @@ object Bench {
           }
         }
         val deltas = rows.map { case (n, _, body) => s"\"$n\":$body" }.mkString("{", ",", "}")
-        Some(f"""{"vs":"$outPath","global_shift":${globalShift}%.3f,"regressed":$real,"improved":$improved,"noise":$noise,"deltas":$deltas}""")
+        // provenance: the compared file's content hash + its recorded
+        // total, so the block is attributable even after the file at
+        // outPath is overwritten by this very run (ADVICE r5).
+        val oldSha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(text.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        val oldTotal = root.path("value").asDouble(-1.0)
+        Some(f"""{"vs":{"path":"$outPath","sha256_12":"$oldSha","old_total":${oldTotal}%.3f},"global_shift":${globalShift}%.3f,"regressed":$real,"improved":$improved,"noise":$noise,"deltas":$deltas}""")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] adjudication skipped: ${e.getMessage}"); None
       }
