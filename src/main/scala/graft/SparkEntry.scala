@@ -1163,6 +1163,24 @@ object SparkEntry {
           "o_orderdate", "o_orderkey", "o_totalprice",
           alpha = 0.25, beta = 0.75)
         .orderBy("o_custkey")
+    }),
+    "q_window_distinct" -> ((s, dir) => {
+      // cumulative COUNT(DISTINCT)/SUM(DISTINCT) customers per priority
+      // by month — Spark window functions reject DISTINCT outright, and
+      // the collect_set-over-running-window workaround is the canonical
+      // scale-killer (full key history on one sorted task). The
+      // first-occurrence rewrite windows only the period-grain
+      // aggregate; the DuckDB oracle uses its NATIVE DISTINCT window
+      // aggregate — an independent formulation, not a mirror.
+      val o = snap(s, dir).orders.select(
+        col("o_orderpriority").as("priority"),
+        date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_custkey"))
+      graft.operators.window.RunningDistinct
+        .cumulativeDistinct(o, Seq("priority"), "month", "o_custkey",
+          countName = "cum_distinct_customers",
+          sumName = Some("cum_custkey_sum"))
+        .orderBy("priority", "month")
     })
   )
 
@@ -2449,6 +2467,27 @@ object SparkEntry {
         |       list_reduce(
         |         list(CAST(o_totalprice AS DOUBLE) ORDER BY o_orderdate, o_orderkey),
         |         (acc, x) -> 0.25 * x + 0.75 * acc) AS ema
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // DuckDB's NATIVE window-DISTINCT aggregate (count/sum DISTINCT
+    // OVER) against the Spark first-occurrence rewrite — independent
+    // formulations of the same semantics. n_new derives from the
+    // cumulative count's first difference. custkey sums stay in BIGINT
+    // (exact, associative) on both sides.
+    "q_window_distinct" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |         o_custkey
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |c AS (
+        |  SELECT DISTINCT priority, month,
+        |    count(DISTINCT o_custkey) OVER (PARTITION BY priority ORDER BY month) AS cum_distinct_customers,
+        |    CAST(sum(DISTINCT o_custkey) OVER (PARTITION BY priority ORDER BY month) AS BIGINT) AS cum_custkey_sum
+        |  FROM m)
+        |SELECT priority, month,
+        |  cum_distinct_customers
+        |    - coalesce(lag(cum_distinct_customers) OVER (PARTITION BY priority ORDER BY month), 0) AS n_new,
+        |  cum_distinct_customers, cum_custkey_sum
+        |FROM c ORDER BY priority, month""".stripMargin
   )
 }

@@ -381,4 +381,106 @@ class StreamingSpec extends SparkSpecBase {
       assert(got == expectedAll)
     } finally q.stop()
   }
+
+  test("streaming as-of join equals the batch latestPriorTs on the real events table") {
+    // left = purchases, right = signups, per user: the streaming twin of
+    // AsOfJoin.latestPriorTs driven over the same data, final matches
+    // flushed by a far-future sentinel advancing the watermark
+    import graft.streaming.StreamingAsOf
+    val dir = Files.createTempDirectory("graft_asof_s").toFile
+    dir.deleteOnExit()
+    val src = spark.read.parquet(eventsDir)
+      .where($"user_id".isNotNull && $"ts".isNotNull)
+    src.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batch = spark.read.parquet(dir.getAbsolutePath)
+    val leftB = batch.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val rightB = batch.where($"event_type" === "signup")
+      .select($"user_id", $"ts")
+    val want = graft.operators.asof.AsOfJoin
+      .latestPriorTs(leftB, rightB, "user_id", "ts", "ts", "matched_ts")
+      .select($"event_id", $"matched_ts".cast("string"))
+      .as[(Long, String)].collect().toMap
+
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.getAbsolutePath)
+    val tagged = stream
+      .where($"event_type" === "purchase" || $"event_type" === "signup")
+      .select($"user_id".as("key"), $"ts", $"event_id".as("id"),
+        ($"event_type" === "purchase").as("is_left"))
+      .as[StreamingAsOf.AsOfEvent]
+    val q = StreamingAsOf.asOfStream(spark, tagged)
+      .writeStream.outputMode("append").format("memory").queryName("asof_s").start()
+    try {
+      q.processAllAvailable()
+      // sentinel right rows far ahead, in the EVENTS schema the stream
+      // reads (a mismatched-schema file null-fills event_type and the
+      // filter silently drops the sentinel — watermark never advances):
+      // the FIRST advances the watermark past every pending left; the
+      // SECOND makes the flush happen inside a DATA microbatch
+      // (timed-out keys are invoked in any microbatch) —
+      // processAllAvailable awaits data batches but not the no-data
+      // microbatch a watermark advance schedules
+      for (sid <- Seq(999999L, 999998L)) {
+        val base = Seq((sid, sid, "signup",
+          java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 0.0))
+          .toDF("event_id", "user_id", "event_type", "ts", "value")
+        batch.schema.fields
+          .foldLeft(base) { (df, f) =>
+            if (df.columns.contains(f.name)) df
+            else df.withColumn(f.name, lit(null).cast(f.dataType))
+          }
+          .select(batch.columns.toIndexedSeq.map(col): _*)
+          .write.mode("append").parquet(dir.getAbsolutePath)
+        q.processAllAvailable()
+      }
+      val got = spark.table("asof_s")
+        .select($"id", $"matched_ts".cast("string"))
+        .as[(Long, String)].collect().toMap
+      assert(got.size == want.size, s"want ${want.size} matches, got ${got.size}")
+      assert(got == want)
+      assert(want.valuesIterator.exists(_ != null) && want.valuesIterator.exists(_ == null),
+        "data must exercise both matched and no-prior-signup cases")
+    } finally q.stop()
+  }
+
+  test("streaming as-of: a right row arriving AFTER its left (within watermark) still matches") {
+    // arrival order ≠ event order: the left purchase lands in batch 1, its
+    // matching quote only in batch 2, both inside the watermark window —
+    // the watermark gate must hold the left row back until the match is final
+    import graft.streaming.StreamingAsOf
+    val dir = Files.createTempDirectory("graft_asof_late").toFile
+    dir.deleteOnExit()
+    def row(key: Long, t: String, id: Long, left: Boolean) =
+      StreamingAsOf.AsOfEvent(key, java.sql.Timestamp.valueOf(t), id, left)
+    val b1 = Seq(
+      row(1L, "2024-03-01 10:30:00", 100L, true), // left, match arrives later
+      row(2L, "2024-03-01 10:31:00", 200L, true)) // left, never matched
+    b1.toDF().write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+      .as[StreamingAsOf.AsOfEvent]
+    val q = StreamingAsOf.asOfStream(spark, stream, "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("asof_late").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("asof_late").isEmpty,
+        "no left may finalize while its match can still arrive")
+      // the out-of-order right (earlier event time than the buffered left),
+      // then two sentinels: one advances the watermark, the next fires the
+      // timeouts inside an awaited data microbatch
+      Seq(row(1L, "2024-03-01 10:15:00", 10L, false),
+        row(999L, "2030-01-01 00:00:00", 999L, false))
+        .toDF().write.mode("append").parquet(dir.getAbsolutePath)
+      q.processAllAvailable()
+      Seq(row(998L, "2030-01-01 00:00:00", 998L, false))
+        .toDF().write.mode("append").parquet(dir.getAbsolutePath)
+      q.processAllAvailable()
+      val got = spark.table("asof_late")
+        .select($"id", $"matched_ts".cast("string")).as[(Long, String)]
+        .collect().toMap
+      assert(got == Map(
+        100L -> "2024-03-01 10:15:00",
+        200L -> null))
+    } finally q.stop()
+  }
 }
