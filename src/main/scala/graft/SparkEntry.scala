@@ -1181,7 +1181,22 @@ object SparkEntry {
           countName = "cum_distinct_customers",
           sumName = Some("cum_custkey_sum"))
         .orderBy("priority", "month")
-    })
+    }),
+    "q_bm25" -> ((s, dir) =>
+      // keyword search upgraded to ranked retrieval: Lucene-default BM25
+      // over a literal term query. Transcendental ln in the idf — hashed
+      // only under MarginAuditSpec's standing audit (SURVEY §5); the
+      // per-doc score is a FIXED-ORDER coalesce chain, never a groupBy
+      // double sum
+      TextStats.bm25TopDocs(snap(s, dir).documents, "doc_id", "text",
+        Seq("spark", "join", "stream"), 20)
+        .orderBy("rnk")),
+    "q_ngram_counts" -> ((s, dir) =>
+      // corpus bigram statistics: pure integer counts, distributed
+      // top-k via TakeOrderedAndProject (no global window over the
+      // n-gram table)
+      TextStats.ngramCounts(snap(s, dir).documents, "doc_id", "text", 2, 50)
+        .orderBy("rnk"))
   )
 
   /** Target lang shares for q_target_mix — deliberately uneven so every
@@ -2488,6 +2503,44 @@ object SparkEntry {
         |  cum_distinct_customers
         |    - coalesce(lag(cum_distinct_customers) OVER (PARTITION BY priority ORDER BY month), 0) AS n_new,
         |  cum_distinct_customers, cum_custkey_sum
-        |FROM c ORDER BY priority, month""".stripMargin
+        |FROM c ORDER BY priority, month""".stripMargin,
+    // BM25: every non-ln step is IEEE +,−,×,÷ mirrored operand-for-
+    // operand (tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), constants folded
+    // identically); per-doc sum is the same fixed-order coalesce chain;
+    // the ln idf is margin-audited (MarginAuditSpec)
+    "q_bm25" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n,
+        |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+        |       WHERE term IN ('spark','join','stream') GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        ln(1.0 + (nn.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |          (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0) /
+        |           (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / nn.avgdl)))) AS sc
+        |      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |        JOIN dfq ON tf.term = dfq.term CROSS JOIN nn),
+        |p AS (SELECT doc_id, COUNT(*) AS n_terms_matched,
+        |        sum(CASE WHEN term = 'spark' THEN sc END) AS s0,
+        |        sum(CASE WHEN term = 'join' THEN sc END) AS s1,
+        |        sum(CASE WHEN term = 'stream' THEN sc END) AS s2
+        |      FROM s GROUP BY doc_id),
+        |f AS (SELECT doc_id, n_terms_matched,
+        |        coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS bm25 FROM p),
+        |r AS (SELECT doc_id, n_terms_matched, bm25,
+        |        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM f)
+        |SELECT rnk, doc_id, n_terms_matched, round(bm25, 4) AS bm25
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    "q_ngram_counts" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS ngram FROM t),
+        |c AS (SELECT ngram, COUNT(*) AS n_occurrences,
+        |        COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1),
+        |r AS (SELECT ngram, n_occurrences, n_docs,
+        |        ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, ngram) AS rnk FROM c)
+        |SELECT rnk, ngram, n_occurrences, n_docs
+        |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin
   )
 }
