@@ -237,6 +237,19 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
         .orderBy("event_id")
     }),
+    "q_asof_row" -> ((s, dir) => {
+      // as-of surfacing the matched ROW (ts + event_id), not just the
+      // timestamp — ties on the matched ts resolve to the greatest id in
+      // both engines (latestPriorRow's window tie rule)
+      val e = snap(s, dir).events
+      AsOfJoin
+        .latestPriorRow(
+          e.where(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          e.where(col("event_type") === "signup"),
+          "user_id", "ts", "ts", "event_id", "last_signup_ts", "last_signup_id")
+        .orderBy("event_id")
+    }),
     "q_json_extract" -> ((s, dir) => {
       // drop missing/non-numeric k rows explicitly: Spark's lenient cast
       // and DuckDB's strict CAST diverge on them otherwise
@@ -1196,8 +1209,22 @@ object SparkEntry {
       // top-k via TakeOrderedAndProject (no global window over the
       // n-gram table)
       TextStats.ngramCounts(snap(s, dir).documents, "doc_id", "text", 2, 50)
+        .orderBy("rnk")),
+    "q_bm25_synonyms" -> ((s, dir) =>
+      // the reference's concept-query shape (OR-of-synonyms,
+      // AND-of-concepts) scored: max within a synonym group, sum across
+      // concepts in literal order. 'quick' has zero corpus presence —
+      // the OR must still satisfy its concept through 'fast'
+      TextStats.bm25SynonymTopDocs(snap(s, dir).documents, "doc_id", "text",
+        bm25Concepts, 20)
         .orderBy("rnk"))
   )
+
+  /** The concept query q_bm25_synonyms runs (shared with
+    * MarginAuditSpec so the audit sweeps exactly the hashed catalog).
+    */
+  val bm25Concepts: Seq[Seq[String]] =
+    Seq(Seq("join", "merge"), Seq("stream", "batch"), Seq("fast", "quick"))
 
   /** Target lang shares for q_target_mix — deliberately uneven so every
     * non-binding group gets a real (non-1.0) keep rate on this testdata.
@@ -1405,6 +1432,20 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // bounded-per-key join + QUALIFY keeps the greatest (sts, sid) right
+    // row per purchase — the same tie rule latestPriorRow's window order
+    // pins (greatest id at the matched timestamp)
+    "q_asof_row" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |s AS (SELECT event_id AS sid, user_id, ts AS sts FROM events
+        |      WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       s.sts AS last_signup_ts, s.sid AS last_signup_id
+        |FROM p LEFT JOIN s ON p.user_id = s.user_id AND s.sts <= p.ts
+        |QUALIFY row_number() OVER (PARTITION BY p.event_id
+        |  ORDER BY s.sts DESC NULLS LAST, s.sid DESC NULLS LAST) = 1
         |ORDER BY p.event_id""".stripMargin,
     "q_json_extract" ->
       """WITH e AS (SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
@@ -2493,7 +2534,7 @@ object SparkEntry {
         |  SELECT o_orderpriority AS priority,
         |         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         |         o_custkey
-        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
         |c AS (
         |  SELECT DISTINCT priority, month,
         |    count(DISTINCT o_custkey) OVER (PARTITION BY priority ORDER BY month) AS cum_distinct_customers,
@@ -2529,6 +2570,41 @@ object SparkEntry {
         |      FROM s GROUP BY doc_id),
         |f AS (SELECT doc_id, n_terms_matched,
         |        coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS bm25 FROM p),
+        |r AS (SELECT doc_id, n_terms_matched, bm25,
+        |        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM f)
+        |SELECT rnk, doc_id, n_terms_matched, round(bm25, 4) AS bm25
+        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // concept BM25: per-term sc identical to q_bm25's; the per-concept
+    // max is greatest() — pure SELECTION, NULL-ignoring on both engines
+    // — and the cross-concept sum is the same fixed left-assoc order.
+    // ln idf → margin-audited (MarginAuditSpec)
+    "q_bm25_synonyms" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n,
+        |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+        |       WHERE term IN ('join','merge','stream','batch','fast','quick') GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        ln(1.0 + (nn.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |          (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0) /
+        |           (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / nn.avgdl)))) AS sc
+        |      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |        JOIN dfq ON tf.term = dfq.term CROSS JOIN nn),
+        |p AS (SELECT doc_id, COUNT(*) AS n_terms_matched,
+        |        max(CASE WHEN term = 'join' THEN sc END) AS s0,
+        |        max(CASE WHEN term = 'merge' THEN sc END) AS s1,
+        |        max(CASE WHEN term = 'stream' THEN sc END) AS s2,
+        |        max(CASE WHEN term = 'batch' THEN sc END) AS s3,
+        |        max(CASE WHEN term = 'fast' THEN sc END) AS s4,
+        |        max(CASE WHEN term = 'quick' THEN sc END) AS s5
+        |      FROM s GROUP BY doc_id),
+        |g AS (SELECT doc_id, n_terms_matched,
+        |        greatest(s0, s1) AS g0, greatest(s2, s3) AS g1,
+        |        greatest(s4, s5) AS g2 FROM p),
+        |f AS (SELECT doc_id, n_terms_matched, g0 + g1 + g2 AS bm25 FROM g
+        |      WHERE g0 IS NOT NULL AND g1 IS NOT NULL AND g2 IS NOT NULL),
         |r AS (SELECT doc_id, n_terms_matched, bm25,
         |        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM f)
         |SELECT rnk, doc_id, n_terms_matched, round(bm25, 4) AS bm25

@@ -59,6 +59,60 @@ object AsOfJoin {
       .select(col("__payload.*"), col("__matched").as(outCol))
   }
 
+  /** [[latestPriorTs]] that also surfaces WHICH right row matched: the
+    * matched right timestamp plus that row's `rightIdCol` value. Ties
+    * (several right rows at the matched timestamp) are broken
+    * deterministically by the GREATEST `rightIdCol` — `rightIdCol` must
+    * be unique within (key, ts) for the id to be well-defined, and the
+    * window orders by it so the result is reproducible either way.
+    *
+    * Same plan as [[latestPriorTs]] (one shuffle on the key, running
+    * `last(ignoreNulls)` per partition) — the carried value is a 2-field
+    * struct instead of a bare timestamp, so the scale contract is
+    * unchanged. NULL-key/NULL-ts semantics are identical.
+    */
+  def latestPriorRow(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightIdCol: String,
+      outTsCol: String,
+      outIdCol: String): DataFrame = {
+    val payloadType = StructType(left.schema.fields)
+    val matchType = StructType(
+      right.select(col(rightTsCol).as("ts"), col(rightIdCol).as("id")).schema.fields)
+    val lSide = left.select(
+      col(keyCol).as("__k"),
+      col(leftTsCol).as("__ts"),
+      lit(1).as("__side"),
+      lit(null).cast(matchType).as("__r"),
+      lit(null).cast(right.schema(rightIdCol).dataType).as("__rid"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__payload"))
+    val rSide = right.where(col(keyCol).isNotNull).select(
+      col(keyCol).as("__k"),
+      col(rightTsCol).as("__ts"),
+      lit(0).as("__side"),
+      struct(col(rightTsCol).as("ts"), col(rightIdCol).as("id")).as("__r"),
+      col(rightIdCol).as("__rid"),
+      lit(null).cast(payloadType).as("__payload"))
+
+    // rights before lefts on tied ts (equality matches), rights on tied
+    // ts ordered by id so `last` picks the greatest id deterministically
+    val w = Window
+      .partitionBy("__k")
+      .orderBy(col("__ts"), col("__side"), col("__rid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    lSide
+      .unionByName(rSide)
+      .withColumn("__matched", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col("__payload.*"),
+        col("__matched.ts").as(outTsCol), col("__matched.id").as(outIdCol))
+  }
+
   /** Hot-key scale path for [[latestPriorTs]]: identical result, but a
     * single key's rows parallelize across `nBuckets` time ranges instead
     * of funneling into one window task.

@@ -322,6 +322,96 @@ object TextStats {
       .select(col("rnk"), col("doc_id"), col("n_terms_matched"),
         round(col("bm25"), 4).as("bm25"))
 
+  /** BM25 over the reference's CONCEPT query shape: OR-of-synonyms
+    * within a group, AND-of-concepts across groups (reference:
+    * /root/reference/openai/basic_functions.py step 5 — each concept is
+    * a synonym list, a row must match at least one synonym of EVERY
+    * concept). Scoring choice, documented: a concept scores the MAX of
+    * its synonyms' per-term BM25 scores (a concept's evidence is its
+    * best surface form — summing would double-count one concept
+    * whenever two spellings co-occur, the classic synonym-expansion
+    * inflation; this is Lucene SynonymQuery/DisMax semantics), and the
+    * doc score SUMS the concept scores in literal group order
+    * (independent evidence accumulates across concepts, exactly as
+    * BM25 sums independent terms).
+    *
+    * Scale shape is [[bm25Scored]]'s: the flattened synonym list prunes
+    * the token explosion before any join; the AND filter runs on the
+    * pivoted per-doc row (one hash aggregation); ranking windows only
+    * the docs passing every concept.
+    *
+    * Determinism: per-term scores are [[bm25Scored]]'s; the per-concept
+    * max is SELECTION, not arithmetic (order-independent and IEEE-exact
+    * on both engines — Spark `greatest` and DuckDB `greatest` both
+    * ignore NULLs); the cross-concept sum is a fixed-order chain. The
+    * `ln` idf keeps any hashed output under MarginAuditSpec (SURVEY §5).
+    * Emits (rnk, doc_id, n_terms_matched, bm25 UNROUNDED) for docs
+    * matching every concept; rnk orders by (score desc, doc_id).
+    * A synonym absent from the corpus simply never matches (its pivot
+    * column is all-NULL); a whole concept with zero corpus presence
+    * empties the result, faithfully to AND semantics.
+    */
+  def bm25SynonymScored(df: DataFrame, idCol: String, textCol: String,
+      concepts: Seq[Seq[String]], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val flat = concepts.flatten
+    require(concepts.nonEmpty && concepts.forall(_.nonEmpty) && flat.distinct == flat,
+      "concepts must be non-empty synonym groups over globally-distinct terms")
+    val terms = df.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), " ")).as("term"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = terms.where(col("term").isin(flat: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(docFreq, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("sc",
+        col("idf") * (col("tf").cast("double") * (lit(k1) + lit(1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))))
+    // one pivot column per literal term ((doc, term) is unique after the
+    // groupBy, so max() is just "the value if matched, else NULL")
+    val pivoted = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_terms_matched"),
+      flat.zipWithIndex.map { case (t, i) =>
+        max(when(col("term") === t, col("sc"))).as(s"__s$i")
+      }: _*)
+    // concept score = greatest over its synonyms' columns (NULLs
+    // ignored, NULL iff no synonym matched — the AND filter's predicate)
+    val offsets = concepts.scanLeft(0)(_ + _.size)
+    val conceptScores = concepts.zip(offsets).map { case (g, off) =>
+      val cols = g.indices.map(j => col(s"__s${off + j}"))
+      if (cols.size == 1) cols.head else greatest(cols: _*)
+    }
+    val ranked = pivoted
+      .where(conceptScores.map(_.isNotNull).reduceLeft(_ && _))
+      .withColumn("bm25", conceptScores.reduceLeft(_ + _))
+      .select(col("doc_id"), col("n_terms_matched"), col("bm25"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id"))
+    ranked
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("n_terms_matched"), col("bm25"))
+  }
+
+  /** Top-k docs for a concept query, score rounded to 4 digits for the
+    * oracle hash (same lattice rationale as [[bm25TopDocs]]). The global
+    * window only sees docs passing EVERY concept; for corpus-scale
+    * matching sets take `orderBy.limit` instead.
+    */
+  def bm25SynonymTopDocs(df: DataFrame, idCol: String, textCol: String,
+      concepts: Seq[Seq[String]], k: Int): DataFrame =
+    bm25SynonymScored(df, idCol, textCol, concepts)
+      .where(col("rnk") <= k)
+      .select(col("rnk"), col("doc_id"), col("n_terms_matched"),
+        round(col("bm25"), 4).as("bm25"))
+
   /** Corpus n-gram counts: top-k word n-grams by occurrence with
     * document frequency — the vocabulary/LM-statistics pass of a
     * training-data pipeline, exact (pure integer counts, no

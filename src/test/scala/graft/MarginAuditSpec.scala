@@ -42,7 +42,7 @@ class MarginAuditSpec extends SparkSpecBase {
     * IEEE-exact (ints, decimal-exact sums, md5 witnesses, rounded
     * +,−,×,÷,sqrt compositions).
     */
-  private val audited = Set("q_tfidf_top_terms", "q_bm25")
+  private val audited = Set("q_tfidf_top_terms", "q_bm25", "q_bm25_synonyms")
 
   test("oracle scan: no oracle hashes a transcendental without a margin audit") {
     val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
@@ -120,12 +120,39 @@ class MarginAuditSpec extends SparkSpecBase {
         "rank assignment could flip under libm drift")
   }
 
+  private def auditBm25Synonyms(sfDir: String): Unit = {
+    val docs = Snapshot(spark, sfDir).documents
+    val scored = TextStats.bm25SynonymScored(docs, "doc_id", "text",
+      SparkEntry.bm25Concepts)
+    // hashed rows are rnk <= 20; rank 21 decides the top-k cut
+    val audit = scored.where(col("rnk") <= 21).orderBy("rnk").collect()
+
+    val margin = boundaryMargin(4)
+    val minBoundary = audit.iterator.filter(_.getLong(0) <= 20)
+      .map(r => margin(r.getDouble(3))).min
+    assert(minBoundary > 1e-9,
+      f"$sfDir: a hashed synonym-bm25 value sits $minBoundary%.3e from its " +
+        "4-digit rounding boundary — libm drift could flip the hash")
+
+    val gaps = audit.iterator.sliding(2).withPartial(false)
+      .map(p => p.head.getDouble(3) - p.last.getDouble(3))
+      .filter(_ != 0.0) // exact IEEE ties -> deterministic doc_id tiebreak
+      .toSeq
+    assert(gaps.forall(_ > 0), s"$sfDir: rank order must be non-increasing in bm25")
+    assert(gaps.min > 1e-6,
+      f"$sfDir: adjacent synonym-bm25 ranks separated by only ${gaps.min}%.3e — " +
+        "rank assignment could flip under libm drift")
+  }
+
   for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
     test(s"tfidf margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
       auditTfidf(sf(dir))
     }
     test(s"bm25 margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
       auditBm25(sf(dir))
+    }
+    test(s"synonym-bm25 margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
+      auditBm25Synonyms(sf(dir))
     }
   }
 }

@@ -396,11 +396,15 @@ class StreamingSpec extends SparkSpecBase {
     val leftB = batch.where($"event_type" === "purchase")
       .select($"event_id", $"user_id", $"ts")
     val rightB = batch.where($"event_type" === "signup")
-      .select($"user_id", $"ts")
+      .select($"event_id", $"user_id", $"ts")
+    // full-row parity: the batch operator surfaces the matched right ROW
+    // (ts + id), and the stream must agree on both fields
     val want = graft.operators.asof.AsOfJoin
-      .latestPriorTs(leftB, rightB, "user_id", "ts", "ts", "matched_ts")
-      .select($"event_id", $"matched_ts".cast("string"))
-      .as[(Long, String)].collect().toMap
+      .latestPriorRow(leftB, rightB, "user_id", "ts", "ts", "event_id",
+        "matched_ts", "matched_id")
+      .select($"event_id", $"matched_ts".cast("string"), $"matched_id")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
 
     val stream = spark.readStream.schema(batch.schema).parquet(dir.getAbsolutePath)
     val tagged = stream
@@ -434,11 +438,12 @@ class StreamingSpec extends SparkSpecBase {
         q.processAllAvailable()
       }
       val got = spark.table("asof_s")
-        .select($"id", $"matched_ts".cast("string"))
-        .as[(Long, String)].collect().toMap
+        .select($"id", $"matched_ts".cast("string"), $"matched_id")
+        .as[(Long, String, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
       assert(got.size == want.size, s"want ${want.size} matches, got ${got.size}")
       assert(got == want)
-      assert(want.valuesIterator.exists(_ != null) && want.valuesIterator.exists(_ == null),
+      assert(want.valuesIterator.exists(_._1 != null) && want.valuesIterator.exists(_._1 == null),
         "data must exercise both matched and no-prior-signup cases")
     } finally q.stop()
   }
@@ -476,11 +481,76 @@ class StreamingSpec extends SparkSpecBase {
         .toDF().write.mode("append").parquet(dir.getAbsolutePath)
       q.processAllAvailable()
       val got = spark.table("asof_late")
-        .select($"id", $"matched_ts".cast("string")).as[(Long, String)]
-        .collect().toMap
+        .select($"id", $"matched_ts".cast("string"), $"matched_id")
+        .as[(Long, String, Option[Long])]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
       assert(got == Map(
-        100L -> "2024-03-01 10:15:00",
-        200L -> null))
+        100L -> (("2024-03-01 10:15:00", Some(10L))),
+        200L -> ((null, None))))
+    } finally q.stop()
+  }
+
+  test("streaming as-of: tied right timestamps pick the greatest id; pre-epoch round-trips; idle rights compact to the carry") {
+    // three contracts: (1) two quotes at the SAME event time resolve to
+    // the greatest id — exactly latestPriorRow's window tie rule; (2) the
+    // µs codec round-trips pre-1970 timestamps (floorDiv, not
+    // truncation) — checked directly, since Spark's INITIAL watermark is
+    // epoch 0 and a pre-1970 row is dropped as late before it can ever
+    // reach the state function; (3) a key that buffered only RIGHTS is
+    // compacted by its own event-time timeout — state collapses to the
+    // single carry with no further data on that key
+    import graft.streaming.StreamingAsOf
+    for (s <- Seq("1969-06-01 00:00:00.000001", "1969-12-31 23:59:59.999999",
+        "1970-01-01 00:00:00", "2024-03-01 10:00:00.5")) {
+      val t = java.sql.Timestamp.valueOf(s)
+      assert(StreamingAsOf.toTs(StreamingAsOf.us(t)) == t, s"µs round-trip of $s")
+    }
+    val dir = Files.createTempDirectory("graft_asof_tie").toFile
+    dir.deleteOnExit()
+    def row(key: Long, t: String, id: Long, left: Boolean) =
+      StreamingAsOf.AsOfEvent(key, java.sql.Timestamp.valueOf(t), id, left)
+    val b1 = Seq(
+      row(1L, "2024-03-01 10:00:00", 11L, false), // tied quotes...
+      row(1L, "2024-03-01 10:00:00", 13L, false),
+      row(1L, "2024-03-01 10:00:00", 12L, false),
+      row(1L, "2024-03-01 10:05:00", 100L, true), // ...answered by id 13
+      row(7L, "2024-03-01 10:00:00", 71L, false), // rights-only key
+      row(7L, "2024-03-01 10:01:00", 72L, false))
+    b1.toDF().write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+      .as[StreamingAsOf.AsOfEvent]
+    val q = StreamingAsOf.asOfStream(spark, stream, "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("asof_tie").start()
+    try {
+      q.processAllAvailable()
+      for (sid <- Seq(999L, 998L)) {
+        Seq(row(sid, "2030-01-01 00:00:00", sid, false))
+          .toDF().write.mode("append").parquet(dir.getAbsolutePath)
+        q.processAllAvailable()
+      }
+      val got = spark.table("asof_tie")
+        .select($"id", $"matched_ts".cast("string"), $"matched_id")
+        .as[(Long, String, Option[Long])]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == Map(
+        100L -> (("2024-03-01 10:00:00", Some(13L)))))
+      // key 7 buffered only rights: after the watermark passed them, its
+      // timeout must have folded both into the one carry pair (and the
+      // late key-7 left below proves the carry holds the max: id 72)
+      Seq(row(7L, "2030-01-02 00:00:00", 700L, true)).toDF()
+        .write.mode("append").parquet(dir.getAbsolutePath)
+      q.processAllAvailable()
+      Seq(row(997L, "2031-01-01 00:00:00", 997L, false)).toDF()
+        .write.mode("append").parquet(dir.getAbsolutePath)
+      q.processAllAvailable()
+      Seq(row(996L, "2031-01-02 00:00:00", 996L, false)).toDF()
+        .write.mode("append").parquet(dir.getAbsolutePath)
+      q.processAllAvailable()
+      val got7 = spark.table("asof_tie").where($"id" === 700L)
+        .select($"matched_ts".cast("string"), $"matched_id")
+        .as[(String, Option[Long])].collect().toSeq
+      assert(got7 == Seq(("2024-03-01 10:01:00", Some(72L))))
     } finally q.stop()
   }
 }

@@ -181,6 +181,33 @@ class TextAndAsOfSpec extends SparkSpecBase {
     assert(got(12L).isEmpty)
   }
 
+  test("latestPriorRow surfaces the matched right row; ties resolve to the greatest id") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (10L, Option(1L), ts("2024-01-01 12:00:00")), // tied rights at 12:00 -> greatest id (7)
+      (11L, Option(1L), ts("2024-01-01 09:00:00")), // before every right -> (null, null)
+      (12L, Option(2L), ts("2024-01-01 12:00:00")), // plain single match
+      (13L, Option.empty[Long], ts("2024-01-01 12:00:00")) // null key -> (null, null)
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Option(1L), ts("2024-01-01 12:00:00"), 5L),
+      (Option(1L), ts("2024-01-01 12:00:00"), 7L), // tie winner
+      (Option(1L), ts("2024-01-01 12:00:00"), 6L),
+      (Option(1L), ts("2024-01-01 10:00:00"), 9L), // earlier ts loses to any 12:00
+      (Option(2L), ts("2024-01-01 11:00:00"), 3L),
+      (Option.empty[Long], ts("2024-01-01 11:59:00"), 4L) // null-key right: invisible
+    ).toDF("user_id", "rts", "rid")
+    val got = AsOfJoin
+      .latestPriorRow(left, right, "user_id", "ts", "rts", "rid", "mts", "mid")
+      .select("event_id", "mts", "mid")
+      .as[(Long, Option[Timestamp], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L) == ((Some(ts("2024-01-01 12:00:00")), Some(7L))))
+    assert(got(11L) == ((None, None)))
+    assert(got(12L) == ((Some(ts("2024-01-01 11:00:00")), Some(3L))))
+    assert(got(13L) == ((None, None)))
+  }
+
   test("tolerance asof: boundary inclusive, beyond null, zero tolerance, null keys never match") {
     def ts(x: String) = Timestamp.valueOf(x)
     val left = Seq(

@@ -36,6 +36,32 @@ class TextRankSpec extends SparkSpecBase {
     assert(got(1L) > got(2L), s"shorter doc must score higher at equal tf: $got")
   }
 
+  test("bm25 synonyms: AND-of-concepts filters, max-within-group scores, absent synonyms are inert") {
+    val docs = Seq(
+      (1L, "join stream pad1 pad2 pad3"), // both concepts, one synonym each
+      (2L, "merge batch pad1 pad2 pad3"), // both concepts, other synonyms
+      (3L, "join merge stream pad1 pad2"), // two synonyms of concept 1 -> MAX, not sum
+      (4L, "join pad1 pad2 pad3 pad4"), // concept 2 unmatched -> filtered out
+      (5L, "stream pad1 pad2 pad3 pad4") // concept 1 unmatched -> filtered out
+    ).toDF("doc_id", "text")
+    val concepts = Seq(Seq("join", "merge"), Seq("stream", "batch", "ghostterm"))
+    val syn = TextStats.bm25SynonymScored(docs, "doc_id", "text", concepts)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(syn.keySet == Set(1L, 2L, 3L), s"AND-of-concepts must filter docs 4 and 5: $syn")
+    assert(syn(3L)._1 == 3L, "all matched synonyms count in n_terms_matched")
+    // max-within-group: doc 3's concept-1 score is max(join, merge), not
+    // their sum — its total must stay BELOW doc 1's + the margin a sum
+    // would add (equal lengths, same concept-2 term). Per-term scores
+    // derive from the same corpus stats, so compare against the
+    // flat-query scorer which SUMS: sum(join, merge, stream) > synonym
+    // score for doc 3, while doc 1 (one synonym per concept) is equal.
+    val flat = TextStats.bm25Scored(docs, "doc_id", "text",
+      Seq("join", "merge", "stream", "batch", "ghostterm"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(syn(3L)._2 < flat(3L), "doc 3: group max must be strictly below the flat sum")
+    assert(syn(1L)._2 == flat(1L), "doc 1: one synonym per concept — max == sum == flat")
+  }
+
   test("ngram counts: exact bigrams, doc frequency, deterministic top-k ties; short docs yield none") {
     val docs = Seq(
       (1L, "a b a b"), // "a b" x2, "b a" x1
