@@ -1195,6 +1195,34 @@ object SparkEntry {
           sumName = Some("cum_custkey_sum"))
         .orderBy("priority", "month")
     }),
+    "q_window_distinct_approx" -> ((s, dir) => {
+      // B48's high-cardinality scale twin: the cumulative distinct count
+      // re-derived from per-period mergeable HLL sketches (running
+      // register-max union over the period-grain table — the data-grain
+      // aggregation never keys by the value, so "bounded by distinct
+      // values" is replaced by one 4KB sketch per (part, period)).
+      // Sketch estimates are never oracle-hashed (B28/C23b convention):
+      // the hashed row is the 3×rsd AUDIT against the exact operator,
+      // with the oracle mirroring the always-true verdict.
+      val o = snap(s, dir).orders.select(
+        col("o_orderpriority").as("priority"),
+        date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_custkey"))
+      val lgK = 12
+      val rsd = 1.04 / math.sqrt((1 << lgK).toDouble)
+      val exact = graft.operators.window.RunningDistinct
+        .cumulativeDistinct(o, Seq("priority"), "month", "o_custkey",
+          countName = "cum_exact")
+        .select(col("priority"), col("month"), col("cum_exact"))
+      val approx = graft.operators.window.RunningDistinct
+        .cumulativeDistinctApprox(o, Seq("priority"), "month", "o_custkey",
+          countName = "cum_approx", lgConfigK = lgK)
+      exact.join(approx, Seq("priority", "month"))
+        .select(col("priority"), col("month"), col("cum_exact"),
+          (abs(col("cum_approx") - col("cum_exact"))
+            <= lit(3.0 * rsd) * col("cum_exact")).as("approx_in_bounds"))
+        .orderBy("priority", "month")
+    }),
     "q_bm25" -> ((s, dir) =>
       // keyword search upgraded to ranked retrieval: Lucene-default BM25
       // over a literal term query. Transcendental ln in the idf — hashed
@@ -2544,6 +2572,23 @@ object SparkEntry {
         |  cum_distinct_customers
         |    - coalesce(lag(cum_distinct_customers) OVER (PARTITION BY priority ORDER BY month), 0) AS n_new,
         |  cum_distinct_customers, cum_custkey_sum
+        |FROM c ORDER BY priority, month""".stripMargin,
+    // HLL estimates are never hashed (sketch internals are engine-
+    // specific); the row is the 3×rsd audit vs the exact cumulative
+    // distinct, and the oracle re-derives the exact side with DuckDB's
+    // native DISTINCT window + encodes the expected verdict — a sketch
+    // drifting out of its error bound turns the row red (B28 pattern)
+    "q_window_distinct_approx" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |         o_custkey
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+        |c AS (
+        |  SELECT DISTINCT priority, month,
+        |    count(DISTINCT o_custkey) OVER (PARTITION BY priority ORDER BY month) AS cum_exact
+        |  FROM m)
+        |SELECT priority, month, cum_exact, TRUE AS approx_in_bounds
         |FROM c ORDER BY priority, month""".stripMargin,
     // BM25: every non-ln step is IEEE +,−,×,÷ mirrored operand-for-
     // operand (tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), constants folded

@@ -23,6 +23,10 @@ object Verify {
     // drifted column should not zero the whole round's correctness.
     graft.sources.DataShape.violations(spark, sfDir)
       .foreach(v => System.err.println(s"[shape] DRIFT: $v"))
+    // raw-footer tripwire (round 6 ADVICE follow-up): a NEW encoding that
+    // the normalization happens to absorb still gets NAMED here
+    graft.sources.DataShape.rawViolations(spark, sfDir)
+      .foreach(v => System.err.println(s"[shape] RAW DRIFT: $v"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -6,54 +6,105 @@ import org.apache.spark.sql.functions._
 /** Connected components over duplicate-pair edges, for transitive dedup
   * clusters (A~B, B~C ⇒ {A,B,C} one cluster even without an A~C edge).
   *
-  * Iterative min-label propagation: each round every node takes the
-  * minimum label among itself and its neighbors — one hop per round, so
-  * convergence is O(diameter); near-dup clusters have tiny diameters in
-  * practice (hitting maxIter leaves distant chain ends unmerged). Each
-  * round is one shuffle on node id; `localCheckpoint` cuts lineage so
-  * plans don't grow with iterations (the classic iterative-Spark failure
-  * mode).
+  * Alternating large-star/small-star contraction (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14): each round
+  * rewires every edge toward its neighborhood minimum —
+  *
+  *   large-star(u): for each neighbor v > u, replace (u,v) with
+  *     (m(u), v) where m(u) = min({u} ∪ Γ(u));
+  *   small-star(u): for each neighbor v < u, replace with (m(u), v),
+  *     plus (m(u), u).
+  *
+  * Both are per-node map/aggregate steps (two shuffles per round), and
+  * the alternation converges in O(log n) rounds — a pathological chain
+  * A~B~C~… that min-label propagation walks one hop per round (linear
+  * rounds in the chain length) contracts here by doubling. At the
+  * fixpoint the edge set is a union of stars rooted at each component's
+  * minimum id. `localCheckpoint` cuts lineage so plans don't grow with
+  * iterations (the classic iterative-Spark failure mode); non-
+  * convergence within `maxIter` FAILS FAST instead of silently leaving
+  * distant chain ends unmerged (the default 30 rounds covers graphs
+  * far beyond 2^30 nodes — hitting it means a logic error, not data).
   *
   * Fault-tolerance tradeoff (deliberate): `localCheckpoint` stores
   * non-replicated executor-local blocks — on a real cluster a lost
   * executor makes the truncated lineage unrecoverable and fails the job,
   * which Spark then retries from scratch. That is the right default for
-  * an iterative job whose per-round state is small (the label table, two
-  * longs per node — NOT the corpus). For long multi-hour cluster runs
-  * where a retry-from-scratch is unacceptable, swap in a reliable
+  * an iterative job whose per-round state is small (the edge table —
+  * NOT the corpus). For long multi-hour cluster runs where a
+  * retry-from-scratch is unacceptable, swap in a reliable
   * `sparkContext.setCheckpointDir` + `.checkpoint()` (HDFS/S3-backed) or
   * `persist(MEMORY_AND_DISK_2)` at ~2× the per-round I/O cost.
   */
 object TransitiveDedup {
 
   /** (id, component) for every id appearing in `pairs` (id_a/id_b). */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def components(pairs: DataFrame, maxIter: Int = 30): DataFrame =
+    componentsWithRounds(pairs, maxIter)._1
+
+  /** [[components]] plus the number of large+small rounds it took —
+    * surfaced so specs can pin the O(log n) contract (a planted k-node
+    * chain must close in ~log₂ k rounds, not k).
+    */
+  def componentsWithRounds(pairs: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    // node set up front: ids appearing ONLY in self-pairs still get a row
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    // canonical undirected edges (u < v), self-pairs dropped
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    def neighborhoods(es: DataFrame): DataFrame = {
+      val nbrs = es.unionAll(es.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u").as("mu"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("mu"), least(col("mu"), col("mv")).as("m"))
+      nbrs.join(mins, nbrs("u") === mins("mu")).select(col("u"), col("v"), col("m"))
+    }
 
-    var converged = false
     var iter = 0
+    var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id2"))
-        .agg(min(col("component")).as("nbr_min"))
-      val updated = labels
-        .join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
-          (col("nbr_min") < col("component")).as("changed"))
+      // large-star: (m(u), v) for every strictly-larger neighbor. m ≤ u < v
+      // so the emitted edge is already canonical and never a self-loop.
+      val large = neighborhoods(edges)
+        .where(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .distinct()
         .localCheckpoint(true)
-      converged = updated.where(col("changed")).isEmpty
-      labels = updated.select("id", "component")
+      // small-star: (m(u), v) for every smaller-or-self neighbor plus
+      // (m(u), u); self-loops (v == m, u == m) drop.
+      val nb = neighborhoods(large)
+      val small = nb.where(col("v") < col("u"))
+        .select(col("m").as("u"), col("v"))
+        .unionAll(nb.select(col("m").as("u"), col("u").as("v")).where(col("u") =!= col("v")))
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint: the canonical edge set reproduced itself (symmetric
+      // difference empty — counts alone could alias a swap)
+      converged = small.exceptAll(edges).isEmpty && edges.exceptAll(small).isEmpty
+      edges = small
       iter += 1
     }
-    labels
+    if (!converged && !edges.isEmpty)
+      throw new IllegalStateException(
+        s"components did not converge in $maxIter large/small-star rounds — " +
+          "O(log n) contract violated (logic error, not a data property)")
+
+    // at the fixpoint every non-root sits in exactly one star edge
+    // (root, x); roots and isolated nodes label themselves
+    val labels = nodes
+      .join(edges.select(col("v").as("id"), col("u").as("__c")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+    (labels, iter)
   }
 
   /** Survivors after transitive dedup: the minimum id of each component

@@ -79,6 +79,55 @@ object DataShape {
     }
   }
 
+  /** RAW logical types, table → (column, type) — the parquet footer as
+    * Spark surfaces it BEFORE Snapshot normalization (footer-only read).
+    *
+    * The post-normalization check above can ABSORB a new encoding: a
+    * hypothetical third events.ts representation that happens to surface
+    * as `timestamp` (e.g. adjusted-UTC micros) would sail through
+    * [[violations]] while silently skipping the NTZ branch the catalog
+    * was validated on. This report names the raw type so the spec pins
+    * WHICH encoding the normalization consumed — a regeneration shows up
+    * as a named raw-type change even when the normalized shape is
+    * unchanged. Note the raw view is still session-dependent where the
+    * session must pick a surface for exotic physical types (the pinned
+    * `legacy.parquet.nanosAsLong=true` surfaces TIMESTAMP(NANOS) as
+    * `bigint` — which is exactly the point: that surface IS the input
+    * contract the normalization branch was written against).
+    */
+  def rawEncodings(spark: SparkSession, dir: String): Map[String, Seq[(String, String)]] =
+    Snapshot.tableNames.map { t =>
+      t -> spark.read.parquet(s"$dir/$t.parquet").schema.fields
+        .toSeq.map(f => f.name -> f.dataType.simpleString)
+    }.toMap
+
+  /** The raw footer types the current normalization branches were
+    * validated against (events.ts: TIMESTAMP(MICROS, NTZ) since the
+    * round-5 regeneration — `timestamp_ntz` raw → session-TZ `timestamp`
+    * normalized; every other table reads through unchanged).
+    */
+  val expectedRaw: Map[String, Seq[(String, String)]] =
+    expected + ("events" -> expected("events").map {
+      case ("ts", _) => "ts" -> "timestamp_ntz"
+      case other => other
+    })
+
+  /** Raw-encoding violations: names any parquet footer type the
+    * normalization layer was NOT validated against, even when the
+    * normalized shape still passes. Empty when healthy. */
+  def rawViolations(spark: SparkSession, dir: String): Seq[String] = {
+    val raw = rawEncodings(spark, dir)
+    Snapshot.tableNames.flatMap { t =>
+      val actual = raw(t)
+      expectedRaw(t).flatMap { case (c, wty) =>
+        actual.collectFirst {
+          case (`c`, ty) if ty != wty =>
+            s"$t.$c RAW footer type $ty, normalization validated against $wty"
+        }
+      }
+    }
+  }
+
   /** Throws with every offending column named. */
   def assertShape(spark: SparkSession, dir: String): Unit = {
     val v = violations(spark, dir)

@@ -38,11 +38,33 @@ class TransitiveDedupSpec extends SparkSpecBase {
     assert(survivors == Seq(2L, 4L, 5L, 10L))
   }
 
-  test("long chain converges within iteration budget") {
-    // propagation is one hop per round: a 12-chain needs 11 rounds
-    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comp = TransitiveDedup.components(chain, maxIter = 20)
-      .as[(Long, Long)].collect().toMap
-    assert(comp.values.toSet == Set(1L))
+  test("100-node chain closes in O(log n) rounds, not O(n)") {
+    // the pathological shape for min-label propagation (one hop per
+    // round => 99 rounds); large/small-star contraction must close it in
+    // ~log2(100) — the round count is the pinned contract
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = TransitiveDedup.componentsWithRounds(chain)
+    val comp = labels.as[(Long, Long)].collect().toMap
+    assert(comp.size == 100 && comp.values.toSet == Set(1L))
+    assert(rounds <= 10, s"a 100-chain took $rounds rounds — the O(log n) contract is broken")
+  }
+
+  test("adversarial shapes: descending chain, star onto max id, self-pairs, duplicate edges") {
+    // descending ids (the min sits at the chain's far end), a star whose
+    // hub is the LARGEST id (every spoke must relabel the hub), a
+    // self-pair-only node (must still emit a row), duplicated +
+    // mirrored edges (must not double anything)
+    val pairs = (
+      (100L to 109L).sliding(2).map(s => (s(1), s(0))).toSeq // 109~108 … 101~100
+        ++ Seq((50L, 20L), (50L, 21L), (50L, 22L), (50L, 23L)) // hub 50 > spokes
+        ++ Seq((7L, 7L)) // self-pair only
+        ++ Seq((20L, 50L), (20L, 50L)) // mirror + duplicate
+      ).toDF("id_a", "id_b")
+    val comp = TransitiveDedup.components(pairs).as[(Long, Long)].collect()
+    assert(comp.length == comp.map(_._1).distinct.length, "one row per id")
+    val m = comp.toMap
+    assert((100L to 109L).forall(m(_) == 100L))
+    assert(Seq(50L, 20L, 21L, 22L, 23L).forall(m(_) == 20L))
+    assert(m(7L) == 7L)
   }
 }
