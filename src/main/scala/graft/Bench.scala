@@ -78,6 +78,33 @@ object Bench {
         times(name).clear()
       }
     }
+    // noisy-set densification (round 7): queries whose COMMITTED spread
+    // had max/min > 2 get two extra interleaved reps — tighter [min,max]
+    // intervals make the disjoint-interval adjudication decisive exactly
+    // where it has been indecisive, at no cost to the stable majority.
+    val noisySet: Set[String] = prevArtifact.flatMap { text =>
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val oldS = om.readTree(text).path("queries_spread")
+        val s = scala.collection.mutable.Set.empty[String]
+        val it = oldS.fieldNames()
+        while (it.hasNext) {
+          val n = it.next()
+          val arr = oldS.path(n)
+          if (arr.isArray && arr.size() == 3 && arr.get(0).asDouble > 0 &&
+            arr.get(2).asDouble / arr.get(0).asDouble > 2.0) s += n
+        }
+        Some(s.toSet)
+      } catch { case _: Throwable => None }
+    }.getOrElse(Set.empty)
+    for (_ <- 0 until 2; (name, fn) <- entries if noisySet(name) && !failedSet(name)) {
+      try times(name) += once(fn)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed (extra rep): " + e.getMessage)
+        failedSet += name
+        times(name).clear()
+      }
+    }
     val results: Seq[(String, Seq[Double])] = entries.map { case (n, _) => n -> times(n).toSeq }
     val failed = results.collect { case (n, ts) if ts.isEmpty => n }
     val medians = results.collect { case (n, ts) if ts.nonEmpty => n -> median(ts) }
@@ -159,7 +186,7 @@ object Bench {
     }.getOrElse("null")
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_spread":$spread,"sf":"$sfDir","reps":$reps,"interleaved":true,"n_failed":${failed.size},"failed":$failedJson,"adjudication":$adjudication}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_spread":$spread,"sf":"$sfDir","reps":$reps,"interleaved":true,"noisy_5rep":${noisySet.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"n_failed":${failed.size},"failed":$failedJson,"adjudication":$adjudication}"""
     println(json)
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }

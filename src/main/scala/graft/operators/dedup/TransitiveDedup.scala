@@ -88,9 +88,11 @@ object TransitiveDedup {
         .where(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
-      // fixpoint: the canonical edge set reproduced itself (symmetric
-      // difference empty — counts alone could alias a swap)
-      converged = small.exceptAll(edges).isEmpty && edges.exceptAll(small).isEmpty
+      // fixpoint: the canonical edge set reproduced itself. Both sides
+      // are distinct() outputs, so equal counts + one empty difference
+      // proves set equality — a count scan is far cheaper than the
+      // second join-shaped exceptAll would be
+      converged = small.count() == edges.count() && small.exceptAll(edges).isEmpty
       edges = small
       iter += 1
     }
