@@ -105,6 +105,12 @@ object Bench {
         times(name).clear()
       }
     }
+    // report only queries that actually received the densified reps —
+    // the raw noisySet can name renamed/removed/failed queries, and the
+    // artifact's noisy_5rep is what adjudication readers trust
+    val densified = entries.collect {
+      case (n, _) if times(n).size > reps => n
+    }
     val results: Seq[(String, Seq[Double])] = entries.map { case (n, _) => n -> times(n).toSeq }
     val failed = results.collect { case (n, ts) if ts.isEmpty => n }
     val medians = results.collect { case (n, ts) if ts.nonEmpty => n -> median(ts) }
@@ -186,7 +192,7 @@ object Bench {
     }.getOrElse("null")
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_spread":$spread,"sf":"$sfDir","reps":$reps,"interleaved":true,"noisy_5rep":${noisySet.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"n_failed":${failed.size},"failed":$failedJson,"adjudication":$adjudication}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_spread":$spread,"sf":"$sfDir","reps":$reps,"interleaved":true,"noisy_5rep":${densified.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"n_failed":${failed.size},"failed":$failedJson,"adjudication":$adjudication}"""
     println(json)
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }

@@ -69,7 +69,11 @@ object AsOfJoin {
     * Same plan as [[latestPriorTs]] (one shuffle on the key, running
     * `last(ignoreNulls)` per partition) — the carried value is a 2-field
     * struct instead of a bare timestamp, so the scale contract is
-    * unchanged. NULL-key/NULL-ts semantics are identical.
+    * unchanged. NULL-key/NULL-ts semantics are identical — NULL-ts
+    * right rows are filtered explicitly (the bare-timestamp variant
+    * gets this for free from `ignoreNulls`; here the carried struct
+    * would be non-null even with a null ts inside and would wrongly
+    * surface as a match).
     */
   def latestPriorRow(
       left: DataFrame,
@@ -90,13 +94,15 @@ object AsOfJoin {
       lit(null).cast(matchType).as("__r"),
       lit(null).cast(right.schema(rightIdCol).dataType).as("__rid"),
       struct(left.columns.toIndexedSeq.map(col): _*).as("__payload"))
-    val rSide = right.where(col(keyCol).isNotNull).select(
-      col(keyCol).as("__k"),
-      col(rightTsCol).as("__ts"),
-      lit(0).as("__side"),
-      struct(col(rightTsCol).as("ts"), col(rightIdCol).as("id")).as("__r"),
-      col(rightIdCol).as("__rid"),
-      lit(null).cast(payloadType).as("__payload"))
+    val rSide = right
+      .where(col(keyCol).isNotNull && col(rightTsCol).isNotNull)
+      .select(
+        col(keyCol).as("__k"),
+        col(rightTsCol).as("__ts"),
+        lit(0).as("__side"),
+        struct(col(rightTsCol).as("ts"), col(rightIdCol).as("id")).as("__r"),
+        col(rightIdCol).as("__rid"),
+        lit(null).cast(payloadType).as("__payload"))
 
     // rights before lefts on tied ts (equality matches), rights on tied
     // ts ordered by id so `last` picks the greatest id deterministically

@@ -93,6 +93,12 @@ object TransitiveDedup {
       // proves set equality — a count scan is far cheaper than the
       // second join-shaped exceptAll would be
       converged = small.count() == edges.count() && small.exceptAll(edges).isEmpty
+      // release superseded cached blocks: only the live edge set may
+      // survive the round, or up-to-30 rounds of checkpoints accumulate
+      // (large is consumed once small is materialized; the previous
+      // round's edges are consumed once the convergence check ran)
+      large.unpersist(false)
+      edges.unpersist(false)
       edges = small
       iter += 1
     }

@@ -262,10 +262,14 @@ object TextStats {
     * (rnk, doc_id, n_terms_matched, bm25 UNROUNDED) for every matching
     * doc; rnk orders by (score desc, doc_id).
     */
-  def bm25Scored(df: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
-      "queryTerms must be non-empty and distinct")
+  /** Shared per-term scoring stage of both BM25 surfaces: one row
+    * (doc_id, term, sc) per matching (doc, query-term). The token
+    * explode, dl/corpus-stats aggregations, tf/df tables and the
+    * idf·saturation formula live ONLY here — the flat scorer and the
+    * synonym scorer differ solely in how they pivot these rows.
+    */
+  private def bm25TermScores(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double, b: Double): DataFrame = {
     val terms = df.select(col(idCol).as("doc_id"),
       explode(split(lower(col(textCol)), " ")).as("term"))
     val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -277,7 +281,7 @@ object TextStats {
     val tf = terms.where(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf
+    tf
       .join(docFreq, Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
@@ -287,6 +291,13 @@ object TextStats {
         col("idf") * (col("tf").cast("double") * (lit(k1) + lit(1.0)) /
           (col("tf").cast("double") +
             lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))))
+  }
+
+  def bm25Scored(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be non-empty and distinct")
+    val scored = bm25TermScores(df, idCol, textCol, queryTerms, k1, b)
     // fixed-order sum: one pivoted column per literal term, added in
     // list order — bit-stable regardless of partitioning
     val pivoted = scored.groupBy("doc_id").agg(
@@ -356,25 +367,7 @@ object TextStats {
     val flat = concepts.flatten
     require(concepts.nonEmpty && concepts.forall(_.nonEmpty) && flat.distinct == flat,
       "concepts must be non-empty synonym groups over globally-distinct terms")
-    val terms = df.select(col(idCol).as("doc_id"),
-      explode(split(lower(col(textCol)), " ")).as("term"))
-    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(
-      count(lit(1)).as("n"),
-      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-    val tf = terms.where(col("term").isin(flat: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(docFreq, Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("sc",
-        col("idf") * (col("tf").cast("double") * (lit(k1) + lit(1.0)) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))))
+    val scored = bm25TermScores(df, idCol, textCol, flat, k1, b)
     // one pivot column per literal term ((doc, term) is unique after the
     // groupBy, so max() is just "the value if matched, else NULL")
     val pivoted = scored.groupBy("doc_id").agg(

@@ -59,6 +59,14 @@ object StreamingAsOf {
     * Timestamps are epoch MICROS — ms would truncate what the batch twin
     * keeps. `carryTs = Long.MinValue` means "no prior right yet"
     * (`carryId` is meaningless then).
+    *
+    * STATE SCHEMA v2 (rightsIds/carryId added for the full-row carry):
+    * a checkpoint written by the v1 four-field state does NOT restore
+    * onto this schema — Spark fails the query at state restore with a
+    * state-schema incompatibility, the standard Structured Streaming
+    * contract for stateful-operator upgrades. Restart such a pipeline
+    * with a fresh checkpoint directory (and a data replay window
+    * covering the watermark delay); there is no silent migration path.
     */
   final case class AsOfState(pendingIds: List[Long], pendingTs: List[Long],
       rightsTs: List[Long], rightsIds: List[Long], carryTs: Long, carryId: Long)

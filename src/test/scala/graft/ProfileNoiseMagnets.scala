@@ -42,8 +42,14 @@ object ProfileNoiseMagnets {
     for (_ <- 1 to reps; n <- names)
       runs(n) = runs(n) :+ once(n)
 
-    def stats(ts: Vector[Double]): (Double, Double, Double) =
-      (ts.min, ts.sorted.apply(ts.size / 2), ts.max)
+    // Bench's median definition (average of middle two on even counts)
+    // so the committed profile compares 1:1 with bench medians
+    def stats(ts: Vector[Double]): (Double, Double, Double) = {
+      val s = ts.sorted
+      val med = if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      (ts.min, med, ts.max)
+    }
 
     val json = new StringBuilder("{")
     json.append(s""""sf":"$sfDir","reps":$reps,"queries":{""")

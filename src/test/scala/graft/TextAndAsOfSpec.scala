@@ -197,6 +197,12 @@ class TextAndAsOfSpec extends SparkSpecBase {
       (Option(2L), ts("2024-01-01 11:00:00"), 3L),
       (Option.empty[Long], ts("2024-01-01 11:59:00"), 4L) // null-key right: invisible
     ).toDF("user_id", "rts", "rid")
+      // null-TS right: must also be invisible — the carried struct is
+      // non-null even with a null ts inside, so without the explicit
+      // filter this row would wrongly match every later left as
+      // (matched_ts=NULL, matched_id=8)
+      .union(Seq((Option(1L), Option.empty[Timestamp], Option(8L)))
+        .toDF("user_id", "rts", "rid"))
     val got = AsOfJoin
       .latestPriorRow(left, right, "user_id", "ts", "rts", "rid", "mts", "mid")
       .select("event_id", "mts", "mid")
