@@ -27,6 +27,44 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n_events"), col("total_value"))
 
+  /** Batch twin of [[windowedHeavyHittersStream]]: EXACT per-window term
+    * counts (the reference answer the sketch's guarantees are audited
+    * against — at 100 TB this side's shuffle is vocabulary-sized per
+    * window, which is exactly why the stream carries the sketch).
+    */
+  def windowedHeavyHittersBatch(events: DataFrame, termCol: String,
+      windowDur: String = "1 hour"): DataFrame =
+    events
+      .where(col(termCol).isNotNull)
+      .groupBy(window(col("ts"), windowDur).as("w"), col(termCol).as("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("term"), col("n"))
+
+  /** Streaming windowed heavy hitters: one Misra–Gries sketch per
+    * event-time window — the C23b mergeable summary lifted onto the
+    * stream. The `Aggregator` plugs in through `udaf`, so the per-window
+    * state is ≤ k counters however many distinct terms the window sees
+    * (a per-(window, term) count aggregation would hold vocabulary-sized
+    * state per open window); partials merge associatively across
+    * microbatches, the PODS'12 property the batch audit already pins.
+    * Append mode emits each window's sketch once, when the watermark
+    * closes it. Guarantees per window (merge-order independent): no
+    * over-count, under-count ≤ n_window/(k+1), every term with
+    * true > n_window/(k+1) present — and k ≥ window vocabulary makes the
+    * sketch EXACT (no evictions ever fire).
+    */
+  def windowedHeavyHittersStream(events: DataFrame, termCol: String, k: Int,
+      windowDur: String = "1 hour", delay: String = "10 minutes"): DataFrame = {
+    val mg = udaf(new graft.operators.sketch.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    events
+      .where(col(termCol).isNotNull)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowDur).as("w"))
+      .agg(mg(col(termCol)).as("sketch"))
+      .select(col("w.start").as("window_start"), col("sketch.entries").as("entries"))
+  }
+
   /** Streaming exact dedup by id. `dropDuplicatesWithinWatermark` is the
     * state-bounded form: plain dropDuplicates(id) would keep every id ever
     * seen (the watermark only evicts when the event-time column is part of

@@ -490,6 +490,84 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming windowed heavy hitters: exact at k >= vocab, MG bounds at small k, out-of-order rows land in their window") {
+    // D13: one Misra-Gries sketch per event-time window on the stream.
+    // Three contracts: (1) with k >= the window vocabulary no eviction
+    // ever fires, so the sketch equals the exact batch counts verbatim;
+    // (2) at small k every surviving counter obeys est <= true and
+    // true - est <= n_w/(k+1), and every true heavy hitter survives;
+    // (3) a row arriving in a later file but timestamped inside an
+    // earlier (still-open) window counts in THAT window.
+    import graft.streaming.EventStreams
+    val dir = Files.createTempDirectory("graft_whh").toFile
+    dir.deleteOnExit()
+    def ev(t: String, term: String) = (java.sql.Timestamp.valueOf(t), term)
+    // window A [10:00, 11:00): skewed vocab - "a" x6, "b" x3, "c" x1
+    // window B [11:00, 12:00): "x" x2, "y" x2
+    val b1 = (Seq.fill(5)(ev("2024-03-01 10:05:00", "a")) ++
+      Seq.fill(3)(ev("2024-03-01 10:10:00", "b")) ++
+      Seq(ev("2024-03-01 10:20:00", "c")) ++
+      Seq(ev("2024-03-01 11:05:00", "x"), ev("2024-03-01 11:06:00", "y")))
+    b1.toDF("ts", "term").write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+
+    def run(k: Int, name: String): Map[java.sql.Timestamp, Map[String, Long]] = {
+      val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+      val q = EventStreams.windowedHeavyHittersStream(stream, "term", k, "1 hour", "10 minutes")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        // out-of-order: one more "a" for window A — it arrives after B
+        // opened but sits at 10:57, ON or ABOVE the watermark (max seen
+        // 11:06 − 10 min = 10:56), so the still-open window A must count
+        // it; then sentinels to close both windows
+        Seq(ev("2024-03-01 10:57:00", "a"), ev("2024-03-01 11:07:00", "x"),
+          ev("2024-03-01 11:08:00", "y"))
+          .toDF("ts", "term").write.mode("append").parquet(dir.getAbsolutePath)
+        q.processAllAvailable()
+        for (s <- Seq("2030-01-01 00:00:00", "2030-01-01 00:00:01")) {
+          Seq(ev(s, "zz")).toDF("ts", "term").write.mode("append")
+            .parquet(dir.getAbsolutePath)
+          q.processAllAvailable()
+        }
+        spark.table(name)
+          .where($"window_start" < java.sql.Timestamp.valueOf("2029-01-01 00:00:00"))
+          .collect()
+          .map(r => r.getTimestamp(0) -> r.getMap[String, Long](1).toMap).toMap
+      } finally q.stop()
+    }
+
+    val wA = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val wB = java.sql.Timestamp.valueOf("2024-03-01 11:00:00")
+
+    // (1) k >= vocab: sketch IS the exact count map, including the
+    // out-of-order row in window A
+    val big = run(64, "whh_big")
+    assert(big(wA) == Map("a" -> 6L, "b" -> 3L, "c" -> 1L), s"window A: ${big(wA)}")
+    assert(big(wB) == Map("x" -> 2L, "y" -> 2L), s"window B: ${big(wB)}")
+
+    // the batch twin over the same (post-append) files must agree with
+    // the analytic counts the stream was checked against
+    val batchA = EventStreams
+      .windowedHeavyHittersBatch(spark.read.parquet(dir.getAbsolutePath), "term")
+      .where($"window_start" === wA)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(batchA == Map("a" -> 6L, "b" -> 3L, "c" -> 1L), s"batch twin: $batchA")
+
+    // (2) small k: Misra-Gries bounds per window against the exact counts
+    val small = run(2, "whh_small")
+    val exactA = batchA
+    val nA = exactA.values.sum
+    val boundA = nA / (2 + 1) // floor(10/3) = 3
+    small(wA).foreach { case (t, est) =>
+      assert(est <= exactA(t), s"overcount: $t $est > ${exactA(t)}")
+      assert(exactA(t) - est <= boundA, s"undercount bound broken for $t")
+    }
+    exactA.collect { case (t, n) if n > boundA => t }.foreach { hh =>
+      assert(small(wA).contains(hh), s"true heavy hitter $hh evicted at k=2")
+    }
+  }
+
   test("streaming as-of: tied right timestamps pick the greatest id; pre-epoch round-trips; idle rights compact to the carry") {
     // three contracts: (1) two quotes at the SAME event time resolve to
     // the greatest id — exactly latestPriorRow's window tie rule; (2) the
