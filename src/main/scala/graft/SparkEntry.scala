@@ -322,6 +322,21 @@ object SparkEntry {
           "vec_id", "embedding", "vec_id", "embedding", 5)
         .orderBy("query_id", "rnk")
     }),
+    "q_ann_filtered" -> ((s, dir) => {
+      // metadata-filtered vector search (the vector-DB "filtered search"
+      // workload): exact top-5 among corpus vectors with label IN (2,5)
+      // — the filter prunes the scan BEFORE ranking, never post-filters
+      // a top-k list. Queries need not pass the filter themselves. The
+      // approximate twin (IvfKNN.searchFiltered, allowed-id semi-join on
+      // the probed candidates) is spec-gated: nProbe=nLists degenerates
+      // to exactly this result.
+      val e = snap(s, dir).embeddings
+      BruteForceKNN
+        .topK(e.where(col("vec_id").isin(100L, 101L, 102L, 103L, 104L)),
+          e.where(col("label").isin(2, 5)),
+          "vec_id", "embedding", "vec_id", "embedding", 5)
+        .orderBy("query_id", "rnk")
+    }),
     "q_ann_lsh" -> ((s, dir) => {
       val e = snap(s, dir).embeddings
       LshKNN
@@ -1734,6 +1749,19 @@ object SparkEntry {
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
          |           WHERE vec_id IN (100,101,102,103,104)),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         |sc AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS sim FROM q, c
+         |       WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)
+         |SELECT query_id, rnk, neighbor_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+    // the brute-force mirror with the label filter applied to the corpus
+    // side only (queries keep their own vectors regardless of label)
+    "q_ann_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |           WHERE vec_id IN (100,101,102,103,104)),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings
+         |      WHERE label IN (2,5)),
          |sc AS (SELECT query_id, neighbor_id, ${cosSql("qe", "ce")} AS sim FROM q, c
          |       WHERE query_id <> neighbor_id),
          |r AS (SELECT query_id, neighbor_id, sim,

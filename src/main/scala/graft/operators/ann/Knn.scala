@@ -329,7 +329,53 @@ object IvfKNN {
       k: Int,
       nProbe: Int = 4,
       excludeSelf: Boolean = true,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true): DataFrame =
+    searchImpl(index, queries, queryIdCol, queryVecCol, k, nProbe,
+      excludeSelf, broadcastQueries, allowed = None)
+
+  /** Metadata-FILTERED approximate search: top-k among corpus vectors
+    * whose id appears in `allowed` — the vector-database "filtered
+    * search" workload (top-k documents of one language / one source /
+    * one tenant). Any metadata predicate reduces to an allowed-id table
+    * computed on the metadata side, so the index stays slim (no schema
+    * coupling) and the filter is a semi-join on the probed candidates
+    * BEFORE ranking — post-filtering an unfiltered top-k list would
+    * return fewer than k matching rows (or none, for selective
+    * predicates), the classic filtered-ANN bug.
+    *
+    * Recall contract: filtering shrinks each probed cell's matching
+    * population, so a selective predicate needs a HIGHER `nProbe` to
+    * keep recall (at selectivity s, the expected matching candidates
+    * per probe drop to s·|cell|). `nProbe = nLists` degenerates to
+    * EXACT filtered search (every cell probed ⇒ candidates = corpus ∩
+    * allowed, and in-cell scoring is exact) — the spec pins that
+    * equality against the filtered brute-force.
+    */
+  def searchFiltered(
+      index: Index,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      allowed: DataFrame,
+      allowedIdCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame =
+    searchImpl(index, queries, queryIdCol, queryVecCol, k, nProbe,
+      excludeSelf, broadcastQueries,
+      allowed = Some(allowed.select(col(allowedIdCol).as("neighbor_id")).distinct()))
+
+  private def searchImpl(
+      index: Index,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nProbe: Int,
+      excludeSelf: Boolean,
+      broadcastQueries: Boolean,
+      allowed: Option[DataFrame]): DataFrame = {
     // probe list is map-only too (no crossJoin/window over the query batch
     // — it can be large at scale); ordering inside the expression matches
     // the old (sim desc, cell_id) window tiebreak
@@ -338,9 +384,17 @@ object IvfKNN {
       .select(col("query_id"), col("__qv"),
         explode(GraftFunctions.nearestCells(col("__qv"), index.centroids, nProbe)).as("cell_id"))
 
+    // the allowed-id filter prunes the assigned corpus BEFORE the probe
+    // join: candidates that can never rank drop at the scan, not after
+    // paying the cosine
+    val candidates = allowed match {
+      case Some(ids) => index.assigned.join(ids, Seq("neighbor_id"), "left_semi")
+      case None => index.assigned
+    }
+
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    index.assigned
+    candidates
       .join(if (broadcastQueries) broadcast(probes) else probes, Seq("cell_id"))
       .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))

@@ -52,6 +52,46 @@ class KnnSpec extends SparkSpecBase {
     assert(recall >= 0.5, s"recall $recall too low for 4/16-probe IVF (default ANN path)")
   }
 
+  test("filtered IVF search: only allowed ids, exact at full probe, usable recall over-probed") {
+    import graft.operators.ann.IvfKNN
+    val e = Snapshot(spark, sf()).embeddings
+    val q = e.where($"vec_id" < 20)
+    val allowed = e.where($"label".isin(2, 5)).select($"vec_id")
+    val allowedSet = allowed.as[Long].collect().toSet
+    val exact = BruteForceKNN.topK(q, e.where($"label".isin(2, 5)),
+      "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "rnk", "neighbor_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val idx = IvfKNN.buildIndex(e, "vec_id", "embedding", nLists = 8, iters = 2)
+
+    // every returned neighbor passes the filter, at ANY probe depth
+    val shallow = IvfKNN.searchFiltered(idx, q, "vec_id", "embedding",
+      allowed, "vec_id", 5, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(shallow.forall(p => allowedSet(p._2)),
+      "a filtered search returned a neighbor outside the allowed set")
+
+    // nProbe = nLists degenerates to EXACT filtered search: candidates =
+    // corpus ∩ allowed, in-cell scoring is exact => identical rows to the
+    // filtered brute force (the q_ann_filtered oracle semantics)
+    val full = IvfKNN.searchFiltered(idx, q, "vec_id", "embedding",
+      allowed, "vec_id", 5, nProbe = 8)
+      .select("query_id", "rnk", "neighbor_id", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(full == exact, "full-probe filtered IVF must equal filtered brute force")
+
+    // selective filter + moderate over-probe keeps usable recall (the
+    // documented contract: selectivity shrinks per-cell candidates, so
+    // probe deeper than the unfiltered default)
+    val overProbed = IvfKNN.searchFiltered(idx, q, "vec_id", "embedding",
+      allowed, "vec_id", 5, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exactPairs = exact.map(r => (r._1, r._3))
+    val recall = (exactPairs & overProbed).size.toDouble / exactPairs.size
+    info(s"filtered ivf recall@5 at nProbe=4/8 = $recall")
+    assert(recall >= 0.5, s"filtered recall $recall below the IVF floor")
+  }
+
   test("zero-norm and all vectors are retained in the IVF index") {
     val vecs = Seq(
       (1L, Array.fill(4)(0.0f)),
