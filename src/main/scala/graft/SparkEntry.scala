@@ -1260,7 +1260,98 @@ object SparkEntry {
       // the OR must still satisfy its concept through 'fast'
       TextStats.bm25SynonymTopDocs(snap(s, dir).documents, "doc_id", "text",
         bm25Concepts, 20)
-        .orderBy("rnk"))
+        .orderBy("rnk")),
+
+    // ---- round 7 widening: quality audit, snapshot diff, robust ----------
+    // ---- outliers, SCD2 point-in-time lookup -----------------------------
+    "q_constraint_audit" -> ((s, dir) => {
+      // Deequ-shaped declarative constraint suite over the whole star
+      // schema in ONE result: uniqueness, presence, accepted values,
+      // range, referential integrity, functional dependencies. Every
+      // check is one partial-aggregated pass at its own key grain; the
+      // referential checks aggregate the fact side to (fk, count) first
+      // so the exchange carries distinct keys, never fact rows. Mixes
+      // holding constraints with violated ones (quantity range, zh lang,
+      // brand→type FD) so the audit's red path is driver-gated too.
+      import graft.operators.quality.Constraints._
+      val sn = snap(s, dir)
+      audit(Seq(
+        Unique("orders_pk_unique", sn.orders, Seq("o_orderkey")),
+        Unique("lineitem_pk_unique", sn.lineitem, Seq("l_orderkey", "l_linenumber")),
+        NotNull("documents_text_notnull", sn.documents, "text"),
+        AcceptedValues("documents_lang_accepted", sn.documents, "lang",
+          Seq("en", "de", "es", "fr")),
+        InRange("lineitem_quantity_range", sn.lineitem, "l_quantity", 1.0, 30.0),
+        Referential("lineitem_orderkey_fk", sn.lineitem, "l_orderkey",
+          sn.orders, "o_orderkey"),
+        Referential("orders_custkey_fk", sn.orders, "o_custkey",
+          sn.customer, "c_custkey"),
+        FunctionalDep("nation_name_fd", sn.nation, Seq("n_nationkey"), "n_name"),
+        FunctionalDep("part_brand_type_fd", sn.part, Seq("p_brand"), "p_type")))
+    }),
+    "q_dataset_diff" -> ((s, dir) => {
+      // snapshot reconciliation: two deterministic versions of orders
+      // (V1 drops okey%3=0; V2 drops okey%5=0 and bumps totalprice on
+      // okey%7=0) diffed by 64-bit row fingerprint — the wide payload
+      // never shuffles, only (key, hash). The oracle classifies from the
+      // RAW values (IS DISTINCT FROM), so the fingerprint path is
+      // cross-checked against a value compare every round. +1.0 on a
+      // double is IEEE-exact in both engines; the checksum is an exact
+      // BIGINT sum.
+      val o = snap(s, dir).orders
+      val v1 = o.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val v2 = o.where(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderstatus"))
+      graft.operators.quality.Reconcile
+        .diff(v1, v2, Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_keys"), sum(col("o_orderkey")).as("key_checksum"))
+        .orderBy("status")
+    }),
+    "q_outliers_mad" -> ((s, dir) =>
+      // robust-statistics twin of q_outliers_iqr: median/MAD fences
+      // (50% breakdown point — the mean/σ z-score is dragged by the very
+      // outliers it hunts). Fences rounded to 4 digits in BOTH engines
+      // (the B35 contract); the intermediate median is unrounded
+      // identical interpolation arithmetic on both sides.
+      graft.operators.quantile.Outliers
+        .madAudit(snap(s, dir).lineitem, "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")),
+    "q_scd2_lookup" -> ((s, dir) => {
+      // SCD2 + point-in-time lookup — the warehouse pattern end to end:
+      // build the versioned state history (B33's Scd over non-purchase
+      // events), then resolve each purchase to the version effective AT
+      // its timestamp via the as-of join (B8d's latestPriorRow on
+      // effective_from; version ids break effective_from ties exactly
+      // like the window). The state attaches afterwards by (user,
+      // version) equi-join — slim history, never a range join over the
+      // fact table.
+      val e = snap(s, dir).events
+      val hist = graft.operators.cdc.Scd
+        .history(e.where(col("event_type") =!= "purchase"),
+          "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("version"),
+          col("event_type").as("state"), col("effective_from"))
+      val facts = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val asof = AsOfJoin
+        .latestPriorRow(facts, hist,
+          "user_id", "ts", "effective_from", "version",
+          "state_from", "state_version")
+      val histSlim = hist.select(col("user_id").as("h_user"),
+        col("version").as("h_version"), col("state"))
+      asof
+        .join(histSlim,
+          col("state_version") === col("h_version") &&
+            col("user_id") === col("h_user"), "left")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("state_version"), col("state_from"), col("state"))
+        .orderBy("event_id")
+    })
   )
 
   /** The concept query q_bm25_synonyms runs (shared with
@@ -2690,6 +2781,134 @@ object SparkEntry {
         |r AS (SELECT ngram, n_occurrences, n_docs,
         |        ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, ngram) AS rnk FROM c)
         |SELECT rnk, ngram, n_occurrences, n_docs
-        |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin
+        |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
+    // every branch re-derives one check from first principles — pure
+    // integer counts ("check_name", not "constraint": the harness
+    // projects column names unquoted, so reserved words cannot appear)
+    "q_constraint_audit" ->
+      """SELECT 'orders_pk_unique' AS check_name,
+        |  CAST(SUM(c) AS BIGINT) AS n_checked,
+        |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem_pk_unique',
+        |  CAST(SUM(c) AS BIGINT),
+        |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |FROM (SELECT COUNT(*) AS c FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber)
+        |UNION ALL
+        |SELECT 'documents_text_notnull', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'documents_lang_accepted', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN lang IS NOT NULL
+        |                 AND lang NOT IN ('en','de','es','fr')
+        |            THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lineitem_quantity_range', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+        |                 AND (l_quantity < 1.0 OR l_quantity > 30.0)
+        |            THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_fk', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem l
+        |LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders
+        |           WHERE o_orderkey IS NOT NULL) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_orderkey IS NOT NULL
+        |UNION ALL
+        |SELECT 'orders_custkey_fk', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders o
+        |LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+        |           WHERE c_custkey IS NOT NULL) c
+        |  ON o.o_custkey = c.c_custkey
+        |WHERE o.o_custkey IS NOT NULL
+        |UNION ALL
+        |SELECT 'nation_name_fd', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM (SELECT COUNT(DISTINCT n_name) AS nd FROM nation
+        |      WHERE n_nationkey IS NOT NULL GROUP BY n_nationkey)
+        |UNION ALL
+        |SELECT 'part_brand_type_fd', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM (SELECT COUNT(DISTINCT p_type) AS nd FROM part
+        |      WHERE p_brand IS NOT NULL GROUP BY p_brand)
+        |ORDER BY check_name""".stripMargin,
+    // the oracle classifies from RAW values (IS DISTINCT FROM) while the
+    // operator compares 64-bit fingerprints — the equality cross-checks
+    // the fingerprint path against a value compare every round
+    "q_dataset_diff" ->
+      """WITH v1 AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        |            FROM orders WHERE o_orderkey % 3 <> 0),
+        |v2 AS (SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderstatus
+        |       FROM orders WHERE o_orderkey % 5 <> 0),
+        |d AS (SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+        |        CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |             WHEN b.o_orderkey IS NULL THEN 'removed'
+        |             WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |               OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |             THEN 'changed' ELSE 'unchanged' END AS status
+        |      FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+        |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(k) AS BIGINT) AS key_checksum
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
+    // median/MAD fences rounded to 4 digits in BOTH engines before the
+    // flag compare (the q_outliers_iqr contract); the inner median is
+    // unrounded — identical interpolation arithmetic on both sides
+    "q_outliers_mad" ->
+      """WITH m AS (SELECT l_returnflag,
+        |             quantile_cont(l_extendedprice, 0.5) AS med
+        |           FROM lineitem GROUP BY l_returnflag),
+        |f AS (SELECT l.l_returnflag,
+        |        round(m.med - 3.5 * 1.4826 *
+        |          quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 4) AS lo,
+        |        round(m.med + 3.5 * 1.4826 *
+        |          quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 4) AS hi
+        |      FROM lineitem l JOIN m USING (l_returnflag)
+        |      GROUP BY l.l_returnflag, m.med)
+        |SELECT l.l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  f.lo, f.hi,
+        |  MIN(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+        |           THEN l_extendedprice END) AS min_outlier,
+        |  MAX(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+        |           THEN l_extendedprice END) AS max_outlier
+        |FROM lineitem l JOIN f USING (l_returnflag)
+        |GROUP BY l.l_returnflag, f.lo, f.hi
+        |ORDER BY l_returnflag""".stripMargin,
+    // the q_scd2 history (minus purchases) + the q_asof_row lookup shape:
+    // bounded join + QUALIFY keeps the version effective at each
+    // purchase; ties on effective_from resolve by greatest version —
+    // latestPriorRow's window rule
+    "q_scd2_lookup" ->
+      """WITH h0 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER w AS prev, ROW_NUMBER() OVER w AS rn
+        |  FROM events WHERE event_type <> 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM h0
+        |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |h AS (SELECT user_id, CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |        event_type AS state, ts AS effective_from
+        |      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, h.version AS state_version,
+        |  h.effective_from AS state_from, h.state
+        |FROM p LEFT JOIN h ON p.user_id = h.user_id
+        |  AND h.effective_from <= p.ts
+        |QUALIFY row_number() OVER (PARTITION BY p.event_id
+        |  ORDER BY h.effective_from DESC NULLS LAST,
+        |           h.version DESC NULLS LAST) = 1
+        |ORDER BY p.event_id""".stripMargin
   )
 }

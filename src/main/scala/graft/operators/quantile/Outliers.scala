@@ -48,6 +48,58 @@ object Outliers {
     val flagged = df
       .join(broadcast(fences), groupCol)
       .withColumn("__out", v < col("lo") || v > col("hi"))
+    flagAgainstFences(flagged, groupCol, v)
+  }
+
+  /** Robust (median/MAD) outlier audit — the heavy-tail-safe sibling of
+    * `iqrAudit`: fences at `median ± z·1.4826·MAD` where
+    * `MAD = median(|x − median|)` and 1.4826 scales MAD to σ under
+    * normality (so `z` reads like a z-score; 3.5 is the Iglewicz–Hoaglin
+    * convention). The mean/stddev z-score is itself dragged by the
+    * outliers it hunts; median and MAD have a 50% breakdown point.
+    *
+    * Three aggregation passes, all slim: per-group median (broadcast
+    * back), per-group median of absolute deviations (broadcast back as
+    * rounded fences), one conditional agg against the fences. The fact
+    * table never sorts globally. Exact `percentile` buffers each
+    * group's values (the documented B13 parity cost — both median
+    * passes); at 100 TB swap in `Quantiles.approxPercentiles` for both
+    * medians, audit semantics unchanged.
+    *
+    * Determinism: fences are ROUNDED to 4 digits before the flag
+    * compare in every engine (the `iqrAudit` contract — SURVEY §5);
+    * the intermediate median feeding the deviations is unrounded in
+    * both engines (identical interpolation arithmetic, the proven
+    * B13/B35 pairing). A group where MAD = 0 (the majority of values
+    * equal) flags every value off the median — the documented
+    * degenerate case, matched by the oracle by construction.
+    */
+  def madAudit(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      z: Double = 3.5): DataFrame = {
+    val v = col(valueCol)
+    val med = df
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val fences = df
+      .join(broadcast(med), groupCol)
+      .withColumn("__dev", abs(v - col("__med")))
+      .groupBy(col(groupCol), col("__med"))
+      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+      .select(
+        col(groupCol),
+        round(col("__med") - lit(z) * lit(1.4826) * col("__mad"), 4).as("lo"),
+        round(col("__med") + lit(z) * lit(1.4826) * col("__mad"), 4).as("hi"))
+    val flagged = df
+      .join(broadcast(fences), groupCol)
+      .withColumn("__out", v < col("lo") || v > col("hi"))
+    flagAgainstFences(flagged, groupCol, v)
+  }
+
+  /** Shared tail: one conditional agg over rows carrying `lo`/`hi`/`__out`. */
+  private def flagAgainstFences(flagged: DataFrame, groupCol: String, v: org.apache.spark.sql.Column): DataFrame =
     flagged
       .groupBy(col(groupCol), col("lo"), col("hi"))
       .agg(
@@ -57,5 +109,4 @@ object Outliers {
         max(when(col("__out"), v)).as("max_outlier"))
       .select(col(groupCol), col("n"), col("n_outliers"),
         col("lo"), col("hi"), col("min_outlier"), col("max_outlier"))
-  }
 }
