@@ -1351,6 +1351,63 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("state_version"), col("state_from"), col("state"))
         .orderBy("event_id")
+    }),
+    "q_incremental_agg" -> ((s, dir) => {
+      // incremental aggregate maintenance: the standing rollup absorbs a
+      // delta batch by merging group-grain state rows — the corpus is
+      // never rescanned. merge(aggregate(base), delta) is defined to
+      // equal aggregate(base ∪ delta) EXACTLY (decimal sums are
+      // associative), and the oracle is that from-scratch aggregate —
+      // the q_salted_join gate shape.
+      import graft.operators.agg.IncrementalAgg
+      val o = snap(s, dir).orders
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val base = IncrementalAgg.aggregate(
+        o.where(col("o_orderdate") < cutoff), Seq("o_orderpriority"), col("o_totalprice"))
+      IncrementalAgg.merge(
+        base,
+        o.where(col("o_orderdate") >= cutoff || col("o_orderdate").isNull),
+        Seq("o_orderpriority"), col("o_totalprice"))
+        .select(col("o_orderpriority"), col("n_rows"),
+          col("sum_value").cast("double").as("total_value"),
+          col("min_value"), col("max_value"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_rolling_anomaly" -> ((s, dir) => {
+      // rolling-baseline anomaly screen: value vs the mean of the
+      // user's previous 4 values (full frames only). The frame sum is
+      // DECIMAL — associative adds make it engine/frame-order exact —
+      // and the baseline double + 2x comparison derive identically on
+      // both sides from that exact sum.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, -1)
+      snap(s, dir).events
+        .where(col("value").isNotNull && col("user_id").isNotNull)
+        .withColumn("__n", count(col("value")).over(w))
+        .withColumn("__s", sum(col("value").cast("decimal(18,6)")).over(w))
+        .where(col("__n") === 4)
+        .withColumn("__baseline", col("__s").cast("double") / col("__n"))
+        .where(col("value") > col("__baseline") * 2)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          round(col("__baseline"), 4).as("baseline"))
+        .orderBy("event_id")
+    }),
+    "q_unpivot" -> ((s, dir) => {
+      // wide→long melt of a pivoted rollup (the inverse of
+      // q_pivot_status): Dataset.unpivot is a zero-shuffle per-row
+      // expansion — variable/value pairs generated map-side over the
+      // already-aggregated wide table
+      val wide = snap(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+      wide
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")), "status", "n_raw")
+        .select(col("o_orderpriority"), col("status"),
+          coalesce(col("n_raw"), lit(0L)).as("n_orders"))
+        .orderBy("o_orderpriority", "status")
     })
   )
 
@@ -2909,6 +2966,38 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY p.event_id
         |  ORDER BY h.effective_from DESC NULLS LAST,
         |           h.version DESC NULLS LAST) = 1
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+    // the from-scratch aggregate — merged state must equal it exactly
+    // (decimal sums are associative; min/max/count trivially so)
+    "q_incremental_agg" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        |  MIN(o_totalprice) AS min_value, MAX(o_totalprice) AS max_value
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // the frame sum is DECIMAL in both engines (associative — immune to
+    // DuckDB's segment-tree evaluation order); baseline + comparison are
+    // the same IEEE ops on that exact sum
+    "q_rolling_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    COUNT(value) OVER w AS n,
+        |    SUM(CAST(value AS DECIMAL(18,6))) OVER w AS s
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts, value,
+        |  round(CAST(s AS DOUBLE) / n, 4) AS baseline
+        |FROM b WHERE n = 4 AND value > (CAST(s AS DOUBLE) / n) * 2
+        |ORDER BY event_id""".stripMargin,
+    // long-form re-derivation: pivot+melt must round-trip to the plain
+    // conditional counts (absent cells surface as 0)
+    "q_unpivot" ->
+      """SELECT o_orderpriority, s.status,
+        |  CAST(coalesce(SUM(CASE WHEN o_orderstatus = s.status
+        |                         THEN 1 END), 0) AS BIGINT) AS n_orders
+        |FROM orders CROSS JOIN (VALUES ('F'), ('O'), ('P')) AS s(status)
+        |GROUP BY o_orderpriority, s.status
+        |ORDER BY o_orderpriority, s.status""".stripMargin
   )
 }

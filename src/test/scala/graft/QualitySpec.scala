@@ -116,6 +116,33 @@ class QualitySpec extends SparkSpecBase {
     assert(c.getLong(2) == 0 && c.getDouble(3) == 7.0 && c.getDouble(4) == 7.0)
   }
 
+  test("diff plan: exchanges carry fingerprints, never the payload columns") {
+    // the 100 TB claim — the wide row reduces to (key, hash, present) AT
+    // THE SCAN, so no Exchange line may mention a compare column
+    val df = SparkEntry.queries("q_dataset_diff")(spark, sf())
+    df.collect() // AQE finalizes only after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("xxhash64"), p.take(2000))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, p.take(2000))
+    exchanges.foreach { l =>
+      assert(!l.contains("o_totalprice") && !l.contains("o_orderstatus"),
+        s"payload column shuffled: $l")
+    }
+  }
+
+  test("referential check plan: child scan prunes to the fk column only") {
+    // the fact side contributes one pre-aggregated slim column — the
+    // parquet scan must read nothing but l_orderkey
+    val sn = graft.sources.Snapshot(spark, sf())
+    val df = Constraints.audit(Seq(
+      Referential("fk", sn.lineitem, "l_orderkey", sn.orders, "o_orderkey")))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p.take(3000))
+    assert(p.contains("partial"), p.take(3000))
+  }
+
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -312,6 +312,47 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("incremental rollup via foreachBatch: merged state equals the batch aggregate") {
+    // B51 lifted onto the stream — the lambda-free rollup seam: each
+    // microbatch MERGES into the standing group-grain state
+    // (IncrementalAgg.merge), so the corpus is never rescanned and the
+    // state after the last batch must equal the from-scratch aggregate
+    // over everything. foreachBatch runs on the driver; the state
+    // var stands in for the table a real sink would MERGE INTO.
+    // localCheckpoint caps lineage growth across batches (the
+    // TransitiveDedup iteration rule).
+    import graft.operators.agg.IncrementalAgg
+    // stage a MULTI-file copy: maxFilesPerTrigger=1 then yields one
+    // microbatch per file, so the merge path actually runs
+    val multiDir = Files.createTempDirectory("graft_rollup").toFile
+    multiDir.deleteOnExit()
+    Snapshot(spark, sf()).events.repartition(4)
+      .write.mode("overwrite").parquet(multiDir.getAbsolutePath)
+    val batchDf = spark.read.parquet(multiDir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(multiDir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val next = state match {
+          case None => IncrementalAgg.aggregate(batch, Seq("event_type"), col("value"))
+          case Some(st) => IncrementalAgg.merge(st, batch, Seq("event_type"), col("value"))
+        }
+        state = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches to exercise merge, got ${nBatches.get()}")
+    val scratch = IncrementalAgg.aggregate(batchDf, Seq("event_type"), col("value"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select($"event_type", $"n_rows", $"sum_value".cast("double"),
+        $"min_value", $"max_value").collect().map(_.toString).toSeq.sorted
+    assert(canon(state.get) == canon(scratch))
+  }
+
   test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
     // the production ingestion shape: a document stream anti-joined
     // against the static content-hash index of the existing corpus —
