@@ -1373,6 +1373,37 @@ object SparkEntry {
           col("min_value"), col("max_value"))
         .orderBy("o_orderpriority")
     }),
+    "q_drift_psi" -> ((s, dir) => {
+      // distribution-drift audit between two snapshots: PSI over
+      // equal-width bins from the BASELINE's min/max; out-of-range
+      // current values clamp to edge bins, Laplace smoothing keeps ln
+      // finite on empty bins. ln is transcendental — psi_contrib is
+      // margin-audited (MarginAuditSpec), counts are exact BIGINTs.
+      val o = snap(s, dir).orders
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      graft.operators.stats.Drift
+        .psiByBins(
+          o.where(col("o_orderdate") < cutoff),
+          o.where(col("o_orderdate") >= cutoff),
+          "o_totalprice", 10)
+        .orderBy("bin")
+    }),
+    "q_interval_merge" -> ((s, dir) => {
+      // overlap-or-touch interval coalescing per key (sparse 3-day
+      // order windows): the sweep construction — running max of
+      // preceding ends opens groups, running sum numbers them — one
+      // clustering exchange, no self-join
+      val o = snap(s, dir).orders
+        .where(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("w_start"),
+          date_add(to_date(col("o_orderdate")), 3).as("w_end"))
+      graft.operators.temporal.Islands
+        .mergeIntervals(o, Seq("o_orderpriority"), "w_start", "w_end", "o_orderkey")
+        .select(col("o_orderpriority"), col("merged_start"),
+          col("merged_end"), col("n_intervals"))
+        .orderBy("o_orderpriority", "merged_start")
+    }),
     "q_rolling_anomaly" -> ((s, dir) => {
       // rolling-baseline anomaly screen: value vs the mean of the
       // user's previous 4 values (full frames only). The frame sum is
@@ -2975,6 +3006,70 @@ object SparkEntry {
         |  MIN(o_totalprice) AS min_value, MAX(o_totalprice) AS max_value
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // full mirror: bin edges/rates/ln-argument derive through identical
+    // IEEE arithmetic; ln itself is margin-audited (the bm25 convention)
+    "q_drift_psi" ->
+      """WITH lh AS (
+        |  SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+        |         CAST(max(o_totalprice) AS DOUBLE) AS hi
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND o_totalprice IS NOT NULL),
+        |bb AS (
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE least(greatest(CAST(floor((CAST(o_totalprice AS DOUBLE) - lo)
+        |      / ((hi - lo) / 10)) AS BIGINT), 0), 9) END AS bin
+        |  FROM orders, lh
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND o_totalprice IS NOT NULL),
+        |cb AS (
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE least(greatest(CAST(floor((CAST(o_totalprice AS DOUBLE) - lo)
+        |      / ((hi - lo) / 10)) AS BIGINT), 0), 9) END AS bin
+        |  FROM orders, lh
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |    AND o_totalprice IS NOT NULL),
+        |bc AS (SELECT bin, COUNT(*) AS nb FROM bb GROUP BY 1),
+        |cc AS (SELECT bin, COUNT(*) AS nc FROM cb GROUP BY 1),
+        |sp AS (SELECT unnest(range(10)) AS bin),
+        |j AS (SELECT sp.bin, coalesce(bc.nb, 0) AS nb, coalesce(cc.nc, 0) AS nc
+        |      FROM sp LEFT JOIN bc USING (bin) LEFT JOIN cc USING (bin)),
+        |t AS (SELECT SUM(nb) AS tb, SUM(nc) AS tc FROM j)
+        |SELECT j.bin, CAST(j.nb AS BIGINT) AS n_base, CAST(j.nc AS BIGINT) AS n_cur,
+        |  round(CAST(j.nb + 1 AS DOUBLE) / CAST(t.tb + 10 AS DOUBLE), 4) AS p_base,
+        |  round(CAST(j.nc + 1 AS DOUBLE) / CAST(t.tc + 10 AS DOUBLE), 4) AS p_cur,
+        |  round((CAST(j.nb + 1 AS DOUBLE) / CAST(t.tb + 10 AS DOUBLE)
+        |       - CAST(j.nc + 1 AS DOUBLE) / CAST(t.tc + 10 AS DOUBLE))
+        |    * ln((CAST(j.nb + 1 AS DOUBLE) / CAST(t.tb + 10 AS DOUBLE))
+        |       / (CAST(j.nc + 1 AS DOUBLE) / CAST(t.tc + 10 AS DOUBLE))), 4)
+        |    AS psi_contrib
+        |FROM j, t ORDER BY j.bin""".stripMargin,
+    // same sweep re-derived: running max of preceding ends opens groups,
+    // running sum numbers them — native date comparisons, exact
+    "q_interval_merge" ->
+      """WITH i AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS ws,
+        |    CAST(o_orderdate AS DATE) + 3 AS we
+        |  FROM orders
+        |  WHERE o_orderkey % 97 = 0 AND o_orderpriority IS NOT NULL
+        |    AND o_orderdate IS NOT NULL),
+        |f AS (
+        |  SELECT *, CASE
+        |    WHEN max(we) OVER wp IS NULL THEN 1
+        |    WHEN ws > max(we) OVER wp THEN 1 ELSE 0 END AS opens
+        |  FROM i
+        |  WINDOW wp AS (PARTITION BY o_orderpriority ORDER BY ws, we, o_orderkey
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g AS (
+        |  SELECT *, SUM(opens) OVER wr AS grp
+        |  FROM f
+        |  WINDOW wr AS (PARTITION BY o_orderpriority ORDER BY ws, we, o_orderkey
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT o_orderpriority, MIN(ws) AS merged_start, MAX(we) AS merged_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_intervals
+        |FROM g GROUP BY o_orderpriority, grp
+        |ORDER BY o_orderpriority, merged_start""".stripMargin,
     // the frame sum is DECIMAL in both engines (associative — immune to
     // DuckDB's segment-tree evaluation order); baseline + comparison are
     // the same IEEE ops on that exact sum

@@ -51,4 +51,55 @@ object Islands {
         sum(col("__day_events")).as("n_events"))
       .drop("__anchor")
   }
+
+  /** Merge overlapping-or-touching intervals per key — the generic
+    * (arbitrary-endpoint) sibling of `activityIslands`' day-grain runs:
+    * coverage windows, maintenance blackouts, validity ranges collapse
+    * to their union. `[a,b]` and `[b,c]` merge (closed-interval touch);
+    * a gap strictly wider than zero splits.
+    *
+    * Sweep construction (no self-join): within a key, ordered by
+    * (start, end, tie), an interval OPENS a new merged group iff its
+    * start exceeds the running max of all PRECEDING ends; the running
+    * sum of open flags is the group id. Both windows share one (key,
+    * start, end, tie) sort — a single clustering exchange, per-key cost
+    * linear in that key's intervals (the sessionize/as-of per-key
+    * bound; interval counts per real-world key are production-bounded).
+    *
+    * Output: keyCols..., `merged_start`, `merged_end`, `n_intervals`.
+    * Endpoint comparisons are native orderings (dates, timestamps,
+    * numerics — exact in any engine). Rows with a null key, null
+    * endpoint, or end < start are dropped (no position on the line).
+    * `tieCol` must be unique within a key (§5 rule).
+    */
+  def mergeIntervals(
+      df: DataFrame,
+      keyCols: Seq[String],
+      startCol: String,
+      endCol: String,
+      tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "mergeIntervals needs at least one key column")
+    val s = col(startCol); val e = col(endCol)
+    val clean = df.where(
+      keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        s.isNotNull && e.isNotNull && e >= s)
+    val order = Seq(s.asc, e.asc, col(tieCol).asc)
+    val wPrev = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clean
+      .withColumn("__opens",
+        when(s > max(e).over(wPrev), 1L).otherwise(
+          when(max(e).over(wPrev).isNull, 1L).otherwise(0L)))
+      .withColumn("__grp", sum(col("__opens")).over(wRun))
+      .groupBy(keyCols.map(col) :+ col("__grp"): _*)
+      .agg(
+        min(s).as("merged_start"),
+        max(e).as("merged_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("__grp")
+  }
 }

@@ -75,4 +75,46 @@ class IslandsSpec extends SparkSpecBase {
     assert(sumDays == days.count())
     assert(sumEvents == ev.where(col("user_id").isNotNull && col("ts").isNotNull).count())
   }
+
+  test("mergeIntervals: overlap and touch merge, gaps split, invalid rows drop") {
+    val s2 = spark; import s2.implicits._
+    val iv = Seq(
+      // key a: [1,5] overlaps [3,8], [8,10] touches -> one group [1,10];
+      //        [12,13] gapped -> its own group
+      ("a", 1L, 1, 5), ("a", 2L, 3, 8), ("a", 3L, 8, 10), ("a", 4L, 12, 13),
+      // key b: containment [1,10] ⊇ [2,3]; later [20,21]
+      ("b", 5L, 1, 10), ("b", 6L, 2, 3), ("b", 7L, 20, 21),
+      // invalid rows: end < start, null endpoint, null key — all dropped
+      ("a", 8L, 9, 4)
+    ).toDF("k", "tie", "s", "e")
+      .unionByName(Seq(
+        (Option("a"), Option(9L), Option.empty[Int], Option(7)),
+        (Option.empty[String], Option(10L), Option(1), Option(2))
+      ).toDF("k", "tie", "s", "e"))
+    val got = Islands.mergeIntervals(iv, Seq("k"), "s", "e", "tie")
+      .orderBy("k", "merged_start")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("a", 1, 10, 3L), ("a", 12, 13, 1L),
+      ("b", 1, 10, 2L), ("b", 20, 21, 1L)), s"got $got")
+  }
+
+  test("mergeIntervals conserves coverage: merged groups are disjoint with gaps between") {
+    val s2 = spark; import s2.implicits._
+    // derived from real orders (the q_interval_merge shape): per key the
+    // merged output must be strictly ordered with a gap > 0 between
+    // consecutive groups, and interval counts must sum to the input's
+    val o = sources.Snapshot(spark, sf()).orders
+      .where(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderpriority").as("k"), col("o_orderkey").as("tie"),
+        to_date(col("o_orderdate")).as("s"),
+        date_add(to_date(col("o_orderdate")), 3).as("e"))
+    val got = Islands.mergeIntervals(o, Seq("k"), "s", "e", "tie")
+    assert(got.agg(sum("n_intervals")).head().getLong(0) == o.count())
+    val bad = got.as("x").join(got.as("y"),
+      col("x.k") === col("y.k") &&
+        col("x.merged_end") >= col("y.merged_start") &&
+        col("x.merged_start") < col("y.merged_start"))
+    assert(bad.isEmpty, "merged groups must not touch or overlap")
+  }
 }

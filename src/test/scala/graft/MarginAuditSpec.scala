@@ -42,7 +42,7 @@ class MarginAuditSpec extends SparkSpecBase {
     * IEEE-exact (ints, decimal-exact sums, md5 witnesses, rounded
     * +,−,×,÷,sqrt compositions).
     */
-  private val audited = Set("q_tfidf_top_terms", "q_bm25", "q_bm25_synonyms")
+  private val audited = Set("q_tfidf_top_terms", "q_bm25", "q_bm25_synonyms", "q_drift_psi")
 
   test("oracle scan: no oracle hashes a transcendental without a margin audit") {
     val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
@@ -155,9 +155,32 @@ class MarginAuditSpec extends SparkSpecBase {
     }
   }
 
+  private def auditDriftPsi(sfDir: String): Unit = {
+    // hashed transcendental = psi_contrib rounded to 4. Re-derive the
+    // UNROUNDED contribution from the exact bin counts (the operator's
+    // own smoothing/ln arithmetic) and check its boundary margin.
+    val rows = SparkEntry.queries("q_drift_psi")(spark, sfDir)
+      .select(col("n_base"), col("n_cur")).collect()
+    assert(rows.length == 10, s"$sfDir: expected 10 bins, got ${rows.length}")
+    val tb = rows.map(_.getLong(0)).sum.toDouble + 10
+    val tc = rows.map(_.getLong(1)).sum.toDouble + 10
+    val margin = boundaryMargin(4)
+    val minBoundary = rows.iterator.map { r =>
+      val p = (r.getLong(0) + 1).toDouble / tb
+      val q = (r.getLong(1) + 1).toDouble / tc
+      margin((p - q) * math.log(p / q))
+    }.min
+    assert(minBoundary > 1e-9,
+      f"$sfDir: a hashed psi_contrib sits $minBoundary%.3e from its 4-digit " +
+        "rounding boundary — libm drift could flip the hash")
+  }
+
   for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
     test(s"tfidf margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
       auditTfidf(sf(dir))
+    }
+    test(s"drift-psi margin audit at $dir: boundary margin > 1e-9") {
+      auditDriftPsi(sf(dir))
     }
     test(s"bm25 margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
       auditBm25(sf(dir))

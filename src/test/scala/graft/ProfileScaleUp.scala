@@ -149,6 +149,55 @@ object ProfileScaleUp {
         .frontier2D(orders.withColumn("b", pmod(col("o_custkey"), lit(1000))),
           "b", "o_totalprice")))
 
+    // ---- round-7 quality/maintenance operators ---------------------------
+    time("constraint audit (3 checks)")(
+      force(graft.operators.quality.Constraints.audit(Seq(
+        graft.operators.quality.Constraints.Unique("u", orders, Seq("o_orderkey")),
+        graft.operators.quality.Constraints.Referential(
+          "fk", orders, "o_custkey", sn.customer, "c_custkey"),
+        graft.operators.quality.Constraints.InRange(
+          "r", orders, "o_totalprice", 0.0, 1e6)))))
+    time("snapshot diff (fingerprint)")(
+      force {
+        val v1 = orders.where(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val v2 = orders.where(col("o_orderkey") % 5 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")).as("o_totalprice"),
+            col("o_orderstatus"))
+        graft.operators.quality.Reconcile
+          .diff(v1, v2, Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+          .groupBy("status").agg(count(lit(1)).as("n"))
+      })
+    time("incremental agg merge")(
+      force {
+        val cutoff = lit("1998-01-01").cast("timestamp")
+        val base = graft.operators.agg.IncrementalAgg.aggregate(
+          orders.where(col("o_orderdate") < cutoff),
+          Seq("o_orderpriority"), col("o_totalprice"))
+        graft.operators.agg.IncrementalAgg.merge(base,
+          orders.where(col("o_orderdate") >= cutoff),
+          Seq("o_orderpriority"), col("o_totalprice"))
+      })
+    time("mad audit")(
+      force(graft.operators.quantile.Outliers
+        .madAudit(orders, "o_orderpriority", "o_totalprice")))
+    time("drift psi")(
+      force {
+        val cutoff = lit("1998-01-01").cast("timestamp")
+        graft.operators.stats.Drift.psiByBins(
+          orders.where(col("o_orderdate") < cutoff),
+          orders.where(col("o_orderdate") >= cutoff), "o_totalprice", 10)
+      })
+    time("interval merge")(
+      force(graft.operators.temporal.Islands.mergeIntervals(
+        orders.where(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("ws"),
+            date_add(to_date(col("o_orderdate")), 3).as("we")),
+        Seq("o_orderpriority"), "ws", "we", "o_orderkey")))
+
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
     // partkey, written to parquet so every measurement starts from a real

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.quality.{Constraints, Reconcile}
 import graft.operators.quantile.Outliers
+import graft.operators.stats.Drift
 
 /** Round-7 quality operators: declarative constraint audit, snapshot
   * reconciliation, robust MAD outliers.
@@ -141,6 +142,32 @@ class QualitySpec extends SparkSpecBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p.take(3000))
     assert(p.contains("partial"), p.take(3000))
+  }
+
+  test("drift psi: identical snapshots score zero; a planted shift crosses 0.25") {
+    val s2 = spark; import s2.implicits._
+    val base = (1 to 1000).map(i => i % 100 * 1.0).toDF("v")
+    val same = Drift.psiByBins(base, base, "v", 10).collect()
+    assert(same.length == 10)
+    assert(same.forall(r => math.abs(r.getDouble(5)) == 0.0),
+      "identical distributions must contribute exactly zero per bin")
+    // current mass concentrated in the top decile: textbook "shifted"
+    val shifted = (1 to 1000).map(i => 90.0 + i % 10).toDF("v")
+    val psi = Drift.psiByBins(base, shifted, "v", 10)
+      .agg(sum("psi_contrib")).head().getDouble(0)
+    assert(psi > 0.25, s"planted shift must exceed the 0.25 'shifted' bar, got $psi")
+  }
+
+  test("drift psi: out-of-range current values clamp to edge bins; empty bins stay finite") {
+    val s2 = spark; import s2.implicits._
+    val base = (1 to 100).map(_.toDouble).toDF("v")
+    val cur = Seq(-500.0, -500.0, 600.0).toDF("v")
+    val rows = Drift.psiByBins(base, cur, "v", 10)
+      .orderBy("bin").collect()
+    assert(rows(0).getLong(2) == 2 && rows(9).getLong(2) == 1,
+      "range excursions must land in the edge bins, not vanish")
+    // bins 1..8 have zero current mass — smoothing keeps every contrib finite
+    assert(rows.forall(r => !r.getDouble(5).isNaN && !r.getDouble(5).isInfinite))
   }
 
   private def round4(x: Double): Double =
