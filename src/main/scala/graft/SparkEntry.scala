@@ -250,6 +250,33 @@ object SparkEntry {
           "user_id", "ts", "ts", "event_id", "last_signup_ts", "last_signup_id")
         .orderBy("event_id")
     }),
+    "q_asof_forward" -> ((s, dir) => {
+      // merge_asof direction='forward': each signup's FIRST purchase at
+      // or after it (time-to-conversion). Equality matches — a purchase
+      // at the signup instant converts instantly.
+      val e = snap(s, dir).events
+      AsOfJoin
+        .earliestFollowingTs(
+          e.where(col("event_type") === "signup")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          e.where(col("event_type") === "purchase"),
+          "user_id", "ts", "ts", "next_purchase_ts")
+        .orderBy("event_id")
+    }),
+    "q_asof_nearest" -> ((s, dir) => {
+      // merge_asof direction='nearest': the signup closest in time to
+      // each purchase, either side; distance ties resolve to the PRIOR
+      // match (so delta-0 equality is always a prior match) — the same
+      // rule the oracle's exact-µs CASE applies.
+      val e = snap(s, dir).events
+      AsOfJoin
+        .nearestTs(
+          e.where(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          e.where(col("event_type") === "signup"),
+          "user_id", "ts", "ts", "nearest_signup_ts")
+        .orderBy("event_id")
+    }),
     "q_json_extract" -> ((s, dir) => {
       // drop missing/non-numeric k rows explicitly: Spark's lenient cast
       // and DuckDB's strict CAST diverge on them otherwise
@@ -514,6 +541,31 @@ object SparkEntry {
           inBounds(0.5, col("lo50"), col("hi50"), col("n")).as("p50_in_bounds"),
           inBounds(0.9, col("lo90"), col("hi90"), col("n")).as("p90_in_bounds"))
         .orderBy("o_orderpriority")
+    }),
+    "q_weighted_median" -> ((s, dir) =>
+      // weighted quantile (B13's weighted sibling): the price at which
+      // half the shipped QUANTITY sits at-or-below — per-value decimal
+      // weight aggregation first, window over the value grain only, and
+      // a division-free decimal threshold, so the hash needs no rounding
+      graft.operators.quantile.Quantiles
+        .weightedQuantile(snap(s, dir).lineitem, Seq("l_returnflag"),
+          "l_extendedprice", "l_quantity", 50, "weighted_median")
+        .orderBy("l_returnflag")),
+    "q_gini" -> ((s, dir) => {
+      // concentration audit: Gini of per-customer order counts within
+      // each market segment — integer rank formulation, single IEEE
+      // division on exact BIGINTs (hash-safe unrounded)
+      val sn = snap(s, dir)
+      val perCust = sn.orders
+        .where(col("o_custkey").isNotNull)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val joined = sn.customer
+        .join(perCust, col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment"), col("c_custkey"), col("n_orders"))
+      graft.operators.stats.Stats
+        .giniByGroup(joined, Seq("c_mktsegment"), "n_orders", "c_custkey")
+        .orderBy("c_mktsegment")
     }),
     "q_sample_hash" -> ((s, dir) => {
       // deterministic ~10% sample via md5 prefix — portable across engines,
@@ -1247,6 +1299,39 @@ object SparkEntry {
       TextStats.bm25TopDocs(snap(s, dir).documents, "doc_id", "text",
         Seq("spark", "join", "stream"), 20)
         .orderBy("rnk")),
+    "q_rrf_fusion" -> ((s, dir) => {
+      // hybrid retrieval: keyword (BM25) and vector (cosine-to-doc-100)
+      // rankings fused by Reciprocal Rank Fusion (Cormack et al. SIGIR'09,
+      // k=60) — the modern RAG retrieval stack's default combiner. Both
+      // lists are top-50 BOUNDED before the fusion join, so the fused
+      // relation is O(K) however large the corpus; the global rank window
+      // runs over ≤ 2K rows by construction. Determinism: ranks are
+      // integers (kw ranks margin-audited through the 50/51 cut, vector
+      // sims IEEE-exact sequential folds), 1/(60+r) is one exact-rounded
+      // division each, and the two-term sum is a fixed-order chain —
+      // rrf hashes unrounded.
+      val sn = snap(s, dir)
+      val kw = TextStats.bm25TopDocs(sn.documents, "doc_id", "text",
+          Seq("spark", "join", "stream"), 50)
+        .select(col("doc_id"), col("rnk").as("kw_rnk"))
+      // excludeSelf=false: query-by-document keeps doc 100 itself (vec
+      // rank 1, sim 1) — symmetric with its keyword-list eligibility
+      val vec = BruteForceKNN.topK(
+          sn.embeddings.where(col("vec_id") === 100L), sn.embeddings,
+          "vec_id", "embedding", "vec_id", "embedding", 50, excludeSelf = false)
+        .select(col("neighbor_id").as("doc_id"), col("rnk").as("vec_rnk"))
+      val fused = kw.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (col("kw_rnk") + lit(60L)).cast("double"), lit(0.0))
+            + coalesce(lit(1.0) / (col("vec_rnk") + lit(60L)).cast("double"), lit(0.0)))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rrf").desc, col("doc_id"))
+      fused
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 10)
+        .select(col("rnk"), col("doc_id"), col("kw_rnk"), col("vec_rnk"), col("rrf"))
+        .orderBy("rnk")
+    }),
     "q_ngram_counts" -> ((s, dir) =>
       // corpus bigram statistics: pure integer counts, distributed
       // top-k via TakeOrderedAndProject (no global window over the
@@ -1668,6 +1753,40 @@ object SparkEntry {
         |FROM p LEFT JOIN s ON p.user_id = s.user_id AND s.sts <= p.ts
         |QUALIFY row_number() OVER (PARTITION BY p.event_id
         |  ORDER BY s.sts DESC NULLS LAST, s.sid DESC NULLS LAST) = 1
+        |ORDER BY p.event_id""".stripMargin,
+    // forward as-of: plain bounded join + MIN is the exact mirror of
+    // earliestFollowingTs (NULL-ts signups match nothing on both sides —
+    // pts >= NULL is never true)
+    "q_asof_forward" ->
+      """WITH sg AS (SELECT event_id, user_id, ts FROM events
+        |            WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase')
+        |SELECT sg.event_id, sg.user_id, sg.ts, MIN(p.pts) AS next_purchase_ts
+        |FROM sg LEFT JOIN p ON sg.user_id = p.user_id AND p.pts >= sg.ts
+        |GROUP BY sg.event_id, sg.user_id, sg.ts
+        |ORDER BY sg.event_id""".stripMargin,
+    // nearest as-of: prior (inclusive) and following (strict) candidates
+    // from two bounded joins, winner by exact µs distance with the tie →
+    // prior rule — identical arithmetic to nearestTs (µs-aligned ts, so
+    // epoch_us differences are exact integers in both engines)
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts AS sts FROM events
+        |      WHERE event_type = 'signup' AND ts IS NOT NULL),
+        |pr AS (SELECT p.event_id, MAX(s.sts) AS prior_ts FROM p
+        |       LEFT JOIN s ON p.user_id = s.user_id AND s.sts <= p.ts
+        |       GROUP BY p.event_id),
+        |nx AS (SELECT p.event_id, MIN(s.sts) AS next_ts FROM p
+        |       LEFT JOIN s ON p.user_id = s.user_id AND s.sts > p.ts
+        |       GROUP BY p.event_id)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  CASE WHEN prior_ts IS NULL THEN next_ts
+        |       WHEN next_ts IS NULL THEN prior_ts
+        |       WHEN epoch_us(p.ts) - epoch_us(prior_ts)
+        |            <= epoch_us(next_ts) - epoch_us(p.ts) THEN prior_ts
+        |       ELSE next_ts END AS nearest_signup_ts
+        |FROM p JOIN pr USING (event_id) JOIN nx USING (event_id)
         |ORDER BY p.event_id""".stripMargin,
     "q_json_extract" ->
       """WITH e AS (SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
@@ -2118,6 +2237,45 @@ object SparkEntry {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  TRUE AS p50_in_bounds, TRUE AS p90_in_bounds
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // weighted median: identical value-grain aggregation + running
+    // decimal weight; the threshold compare is decimal-integer (cum*2 vs
+    // tot), division-free in both engines — the returned value is a raw
+    // data element, hash-safe unrounded
+    "q_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag, l_extendedprice AS v,
+        |             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS w
+        |           FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |             AND l_quantity > 0
+        |           GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v,
+        |        SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        |      FROM g)
+        |SELECT l_returnflag, MIN(v) AS weighted_median
+        |FROM c WHERE cum * 100 >= tot * 50
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Gini rank formulation on exact integer rank/count sums; the single
+    // BIGINT/BIGINT division is one IEEE op on exactly-representable
+    // operands in both engines — no rounding step needed
+    "q_gini" ->
+      """WITH pc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |            WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |j AS (SELECT c_mktsegment, c_custkey, n_orders
+        |      FROM customer JOIN pc ON c_custkey = o_custkey),
+        |r AS (SELECT c_mktsegment, n_orders,
+        |        ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY n_orders, c_custkey) AS i
+        |      FROM j),
+        |a AS (SELECT c_mktsegment, COUNT(*) AS n_entities,
+        |        CAST(SUM(i * n_orders) AS BIGINT) AS aa,
+        |        CAST(SUM(n_orders) AS BIGINT) AS bb
+        |      FROM r GROUP BY 1)
+        |SELECT c_mktsegment, n_entities,
+        |  CASE WHEN bb > 0 THEN CAST(2 * aa - (n_entities + 1) * bb AS DOUBLE)
+        |                        / CAST(n_entities * bb AS DOUBLE) END AS gini
+        |FROM a ORDER BY c_mktsegment""".stripMargin,
     "q_sample_hash" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1a'
@@ -2826,6 +2984,46 @@ object SparkEntry {
         |        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM f)
         |SELECT rnk, doc_id, n_terms_matched, round(bm25, 4) AS bm25
         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // RRF fusion: the q_bm25 CTE chain (k=50, ln margin-audited through
+    // the 50/51 cut) + the q_ann_bruteforce cosine chain (IEEE-exact
+    // folds) fused FULL OUTER on doc_id; 1/(60+rnk) divisions and the
+    // fixed-order two-term sum are exact-rounded, so rrf hashes unrounded
+    "q_rrf_fusion" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n,
+         |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+         |       WHERE term IN ('spark','join','stream') GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id, tf.term,
+         |        ln(1.0 + (nn.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+         |          (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0) /
+         |           (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / nn.avgdl)))) AS sc
+         |      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+         |        JOIN dfq ON tf.term = dfq.term CROSS JOIN nn),
+         |p AS (SELECT doc_id,
+         |        sum(CASE WHEN term = 'spark' THEN sc END) AS s0,
+         |        sum(CASE WHEN term = 'join' THEN sc END) AS s1,
+         |        sum(CASE WHEN term = 'stream' THEN sc END) AS s2
+         |      FROM s GROUP BY doc_id),
+         |f AS (SELECT doc_id,
+         |        coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS bm25 FROM p),
+         |kr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS kw_rnk FROM f),
+         |kw AS (SELECT doc_id, kw_rnk FROM kr WHERE kw_rnk <= 50),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 100),
+         |c AS (SELECT vec_id AS doc_id, embedding AS ce FROM embeddings),
+         |sc2 AS (SELECT c.doc_id, ${cosSql("qe", "ce")} AS sim FROM c, q),
+         |vr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS vec_rnk FROM sc2),
+         |vec AS (SELECT doc_id, vec_rnk FROM vr WHERE vec_rnk <= 50),
+         |fused AS (SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id, kw.kw_rnk, vec.vec_rnk,
+         |            COALESCE(CAST(1.0 AS DOUBLE) / CAST(kw.kw_rnk + 60 AS DOUBLE), CAST(0.0 AS DOUBLE))
+         |          + COALESCE(CAST(1.0 AS DOUBLE) / CAST(vec.vec_rnk + 60 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rrf
+         |          FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id),
+         |rr AS (SELECT doc_id, kw_rnk, vec_rnk, rrf,
+         |         ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk FROM fused)
+         |SELECT rnk, doc_id, kw_rnk, vec_rnk, rrf FROM rr WHERE rnk <= 10
+         |ORDER BY rnk""".stripMargin,
     // concept BM25: per-term sc identical to q_bm25's; the per-concept
     // max is greatest() — pure SELECTION, NULL-ignoring on both engines
     // — and the cross-concept sum is the same fixed left-assoc order.

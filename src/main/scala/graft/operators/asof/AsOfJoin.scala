@@ -214,6 +214,121 @@ object AsOfJoin {
     }
   }
 
+  /** Forward as-of join: for each left row, the SMALLEST right timestamp
+    * at-or-after the left timestamp within the same key — `merge_asof
+    * direction='forward'`. The time-to-next-event primitive (signup →
+    * first purchase, quote → next trade).
+    *
+    * Mirror image of [[latestPriorTs]]: union both sides, sort within key
+    * by (ts, side) with the LEFT side first on ties (so "at or after"
+    * includes equality — a right row at the same instant sorts after the
+    * left row and lands inside its following frame), and take the first
+    * non-null right timestamp over `[currentRow, unboundedFollowing)`.
+    * Same scale contract: one shuffle on the key, linear per partition,
+    * one key's history in one task (B8c's bucketed rewrite applies
+    * symmetrically if a hot key ever needs it).
+    *
+    * NULL semantics mirror [[latestPriorTs]]: NULL-key right rows are
+    * filtered (join, not window, semantics), NULL-key left rows pass
+    * through unmatched. NULL-ts rights are filtered and NULL-ts lefts
+    * are explicitly unmatched — in ascending NULLS-FIRST order a NULL-ts
+    * left row's following frame would otherwise span the whole partition
+    * and "match" the globally earliest right.
+    */
+  def earliestFollowingTs(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      outCol: String): DataFrame = {
+    val payloadType = StructType(left.schema.fields)
+    val lSide = left.select(
+      col(keyCol).as("__k"),
+      col(leftTsCol).as("__ts"),
+      lit(0).as("__side"),
+      lit(null).cast("timestamp").as("__rts"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__payload"))
+    val rSide = right.where(col(keyCol).isNotNull && col(rightTsCol).isNotNull).select(
+      col(keyCol).as("__k"),
+      col(rightTsCol).as("__ts"),
+      lit(1).as("__side"),
+      col(rightTsCol).as("__rts"),
+      lit(null).cast(payloadType).as("__payload"))
+
+    val w = Window
+      .partitionBy("__k")
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    lSide
+      .unionByName(rSide)
+      .withColumn("__matched",
+        when(col("__ts").isNotNull, first(col("__rts"), ignoreNulls = true).over(w)))
+      .where(col("__side") === 0)
+      .select(col("__payload.*"), col("__matched").as(outCol))
+  }
+
+  /** Nearest as-of join: for each left row, the right timestamp with the
+    * smallest absolute time distance within the same key —
+    * `merge_asof direction='nearest'`. A tie in distance (prior and
+    * following equally far) resolves to the PRIOR match, so an exact-ts
+    * right row (distance 0) is always a prior match.
+    *
+    * One union, ONE shuffle and ONE sort: rights sort before lefts on
+    * tied timestamps (equality belongs to the prior side, exactly
+    * [[latestPriorTs]]'s rule), the running `last(ignoreNulls)` over the
+    * preceding frame gives the prior candidate and `first(ignoreNulls)`
+    * over the following frame gives the strictly-later candidate — both
+    * window functions share the partitioning and ordering, so Spark
+    * evaluates them in a single Window exec. The winner is picked
+    * map-side on exact µs arithmetic.
+    *
+    * NULL semantics: as [[earliestFollowingTs]] (NULL-key/NULL-ts rights
+    * filtered; NULL-key or NULL-ts lefts pass through unmatched).
+    */
+  def nearestTs(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      outCol: String): DataFrame = {
+    val payloadType = StructType(left.schema.fields)
+    val lSide = left.select(
+      col(keyCol).as("__k"),
+      col(leftTsCol).as("__ts"),
+      lit(1).as("__side"),
+      lit(null).cast("timestamp").as("__rts"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__payload"))
+    val rSide = right.where(col(keyCol).isNotNull && col(rightTsCol).isNotNull).select(
+      col(keyCol).as("__k"),
+      col(rightTsCol).as("__ts"),
+      lit(0).as("__side"),
+      col(rightTsCol).as("__rts"),
+      lit(null).cast(payloadType).as("__payload"))
+
+    val base = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"))
+    val wPrior = base.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    lSide
+      .unionByName(rSide)
+      .withColumn("__prior", last(col("__rts"), ignoreNulls = true).over(wPrior))
+      .withColumn("__next",
+        when(col("__ts").isNotNull, first(col("__rts"), ignoreNulls = true).over(wNext)))
+      .where(col("__side") === 1)
+      .withColumn("__nearest",
+        when(col("__prior").isNull, col("__next"))
+          .when(col("__next").isNull, col("__prior"))
+          .when(
+            unix_micros(col("__ts")) - unix_micros(col("__prior"))
+              <= unix_micros(col("__next")) - unix_micros(col("__ts")),
+            col("__prior"))
+          .otherwise(col("__next")))
+      .select(col("__payload.*"), col("__nearest").as(outCol))
+  }
+
   /** [[latestPriorTs]] with a bounded lookback: a match older than
     * `toleranceSec` before the left timestamp comes back NULL — the
     * batch twin of the streaming attribution join's time-range bound

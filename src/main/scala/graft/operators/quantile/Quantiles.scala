@@ -331,6 +331,55 @@ object Quantiles {
     } finally { ranged.unpersist(false); () }
   }
 
+  /** Exact weighted quantile per group: the smallest value whose running
+    * weight share reaches `qPct`% of the group's total weight (weighted
+    * median = `qPct = 50`). The inventory-skew primitive plain
+    * percentiles miss: the median ORDER is not the median UNIT when line
+    * sizes differ.
+    *
+    * Scale shape (the B48 first-occurrence trick): the data-grain shuffle
+    * aggregates to (group, value) FIRST — the per-group window then runs
+    * over the value-grain table, bounded by distinct values, never raw
+    * rows. Weights accumulate as DECIMAL(18,6): the running sum is
+    * associative-exact, and the threshold test `cum * 100 >= qPct * tot`
+    * is pure decimal integer arithmetic — no division, no float, so the
+    * same comparison is exact in any engine (hash-safe without rounding;
+    * the returned value is an actual data element).
+    *
+    * Contract: weights must be positive (non-positive or NULL weights
+    * and NULL values are dropped — a zero-weight value cannot be "the
+    * median element" and a negative weight makes the running share
+    * non-monotone); `qPct` in (0, 100]. The per-group window sorts one
+    * group's DISTINCT values in one task — for very-high-cardinality
+    * single groups use [[approxPercentiles]], the documented B13/B28
+    * split.
+    */
+  def weightedQuantile(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      qPct: Int,
+      outCol: String = "weighted_quantile"): DataFrame = {
+    require(qPct > 0 && qPct <= 100, s"qPct must be in (0, 100], got $qPct")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val grain = df
+      .where(col(valueCol).isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(sum(col(weightCol).cast("decimal(18,6)")).as("__w"))
+    val wCum = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(groupCols.map(col): _*)
+    grain
+      .withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__tot", sum(col("__w")).over(wTot))
+      .where(col("__cum") * 100 >= col("__tot") * qPct)
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col(valueCol)).as(outCol))
+  }
+
   /** Bounded-memory percentiles per group — the 100 TB twin of the exact
     * `percentile` aggregate (which buffers every value of a group in its
     * aggregation buffer). `approx_percentile` keeps a fixed-size

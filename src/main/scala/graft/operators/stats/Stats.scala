@@ -87,4 +87,50 @@ object Stats {
         out(when(denx > 0d && deny > 0d, num / (sqrt(denx) * sqrt(deny))), 8).as("corr")
       ): _*)
   }
+
+  /** Per-group Gini coefficient of a non-negative integer size measure —
+    * the concentration audit (is 80% of the workload on 2% of the
+    * suppliers?) a procurement or curation pipeline runs before trusting
+    * a "balanced" dataset. Uses the rank formulation over ascending
+    * sizes: G = (2·Σᵢ i·sᵢ − (n+1)·Σᵢ sᵢ) / (n·Σᵢ sᵢ), i = 1..n.
+    *
+    * Determinism: sizes are integers, ranks are exact (`tieCol` makes
+    * the ordering total — ties in size don't change Σ i·sᵢ, since tied
+    * sizes swap ranks with equal terms, but the total order keeps the
+    * PLAN deterministic), so both Σ terms are exact BIGINTs and the
+    * single division is one IEEE op on exactly-representable operands
+    * (< 2⁵³ for any realistic n·size) — hash-identical in any engine
+    * with no rounding step. All-equal sizes give exactly 0.0.
+    *
+    * NULL/negative sizes are dropped (a negative "size" breaks the
+    * Lorenz-curve reading); an all-dropped group disappears; a group
+    * with total size 0 yields NULL (the share curve is undefined).
+    * Scale: one data-grain shuffle to entity grain upstream of the
+    * caller, then this window sorts one group's ENTITIES in one task —
+    * the B23b/deciles-by-group contract class.
+    */
+  def giniByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sizeCol: String,
+      tieCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "giniByGroup needs at least one group column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(sizeCol), col(tieCol))
+    df.where(col(sizeCol).isNotNull && col(sizeCol) >= 0)
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_entities"),
+        sum(col("__i") * col(sizeCol).cast("long")).as("__a"),
+        sum(col(sizeCol).cast("long")).as("__b"))
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("n_entities"),
+          when(col("__b") > 0,
+            (lit(2L) * col("__a") - (col("n_entities") + lit(1L)) * col("__b")).cast("double")
+              / (col("n_entities") * col("__b")).cast("double")).as("gini")
+        ): _*)
+  }
 }

@@ -42,7 +42,8 @@ class MarginAuditSpec extends SparkSpecBase {
     * IEEE-exact (ints, decimal-exact sums, md5 witnesses, rounded
     * +,−,×,÷,sqrt compositions).
     */
-  private val audited = Set("q_tfidf_top_terms", "q_bm25", "q_bm25_synonyms", "q_drift_psi")
+  private val audited =
+    Set("q_tfidf_top_terms", "q_bm25", "q_bm25_synonyms", "q_drift_psi", "q_rrf_fusion")
 
   test("oracle scan: no oracle hashes a transcendental without a margin audit") {
     val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
@@ -155,6 +156,31 @@ class MarginAuditSpec extends SparkSpecBase {
     }
   }
 
+  private def auditRrf(sfDir: String): Unit = {
+    // q_rrf_fusion's only transcendental dependence is the kw ranks the
+    // bm25 ln produces: hashed kw_rnk values use ranks 1..50 and rank 51
+    // decides keyword-list membership. rrf itself is exact rational
+    // arithmetic on those integer ranks (no boundary audit needed), and
+    // the vector list is IEEE-exact cosine — so the audit is the bm25
+    // rank-gap check extended through the 50/51 cut.
+    val docs = Snapshot(spark, sfDir).documents
+    val scored = TextStats.bm25Scored(docs, "doc_id", "text",
+      Seq("spark", "join", "stream"))
+    val audit = scored.where(col("rnk") <= 51).orderBy("rnk").collect()
+    assert(audit.length >= 2,
+      s"$sfDir: fewer than 2 docs match the fusion terms — degenerate corpus")
+    val gaps = audit.iterator.sliding(2).withPartial(false)
+      .map(p => p.head.getDouble(3) - p.last.getDouble(3))
+      .filter(_ != 0.0) // exact IEEE ties -> deterministic doc_id tiebreak
+      .toSeq
+    assert(gaps.forall(_ > 0), s"$sfDir: rank order must be non-increasing in bm25")
+    gaps.headOption.foreach { _ =>
+      assert(gaps.min > 1e-6,
+        f"$sfDir: adjacent fusion kw ranks separated by only ${gaps.min}%.3e — " +
+          "rank assignment could flip under libm drift")
+    }
+  }
+
   private def auditDriftPsi(sfDir: String): Unit = {
     // hashed transcendental = psi_contrib rounded to 4. Re-derive the
     // UNROUNDED contribution from the exact bin counts (the operator's
@@ -187,6 +213,9 @@ class MarginAuditSpec extends SparkSpecBase {
     }
     test(s"synonym-bm25 margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
       auditBm25Synonyms(sf(dir))
+    }
+    test(s"rrf-fusion margin audit at $dir: kw rank gaps > 1e-6 through the 50/51 cut") {
+      auditRrf(sf(dir))
     }
   }
 }

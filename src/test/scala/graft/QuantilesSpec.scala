@@ -189,4 +189,52 @@ class QuantilesSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("weightedQuantile: hand case, weight dominance, null/non-positive weights dropped") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0, Option(1.0)),
+      ("a", 2.0, Option(1.0)),
+      ("a", 3.0, Option(10.0)), // dominates: weighted median is 3, plain median 2
+      ("a", 0.5, Option(0.0)),  // zero weight: invisible
+      ("a", 0.1, Option(-5.0)), // negative weight: invisible
+      ("a", 0.2, Option.empty[Double]), // null weight: invisible
+      ("b", 7.0, Option(2.0)),
+      ("b", 9.0, Option(2.0))   // tie in cumulative share at 50%: min value crossing -> 7
+    ).toDF("g", "v", "w")
+    val got = Quantiles.weightedQuantile(df, Seq("g"), "v", "w", 50, "m")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 3.0, "b" -> 7.0))
+    // qPct=100 -> max value; qPct=1 -> first value
+    val hi = Quantiles.weightedQuantile(df, Seq("g"), "v", "w", 100, "m")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(hi == Map("a" -> 3.0, "b" -> 9.0))
+    val lo = Quantiles.weightedQuantile(df, Seq("g"), "v", "w", 1, "m")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(lo == Map("a" -> 1.0, "b" -> 7.0))
+  }
+
+  test("weightedQuantile matches a brute-force reference on random weighted data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val rows = (0 until 400).map { _ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(20).toDouble, (rnd.nextInt(9) + 1).toDouble)
+    }
+    val df = rows.toDF("g", "v", "w")
+    for (q <- Seq(25, 50, 90)) {
+      val got = Quantiles.weightedQuantile(df, Seq("g"), "v", "w", q, "m")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val exp = rows.groupBy(_._1).map { case (g, rs) =>
+        // exact rational threshold: min v with 100*cum >= q*tot
+        val byV = rs.groupBy(_._2).view.mapValues(_.map(x => BigDecimal(x._3)).sum)
+          .toSeq.sortBy(_._1)
+        val tot = byV.map(_._2).sum
+        var cum = BigDecimal(0)
+        g -> byV.collectFirst {
+          case (v, w) if { cum += w; cum * 100 >= tot * q } => v
+        }.get
+      }
+      assert(got == exp, s"qPct=$q")
+    }
+  }
 }

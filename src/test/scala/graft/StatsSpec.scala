@@ -189,4 +189,50 @@ class StatsSpec extends SparkSpecBase {
     // x=3 survives (max x); x=2 (40 > 20) survives; x=1 (50 > 40) survives
     assert(got == Set((1, 50.0), (2, 40.0), (3, 20.0)))
   }
+
+  // ---------------------------------------------------------------- gini
+
+  test("gini: equality gives exactly 0, total concentration gives (n-1)/n") {
+    val eq = Seq(("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 5L), ("a", 4L, 5L))
+      .toDF("g", "id", "size")
+    val gEq = Stats.giniByGroup(eq, Seq("g"), "size", "id").collect().head
+    assert(gEq.getAs[Long]("n_entities") == 4L)
+    assert(gEq.getAs[Double]("gini") == 0.0) // exact, not approximate
+
+    val conc = Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 100L))
+      .toDF("g", "id", "size")
+    val gConc = Stats.giniByGroup(conc, Seq("g"), "size", "id").collect().head
+    assert(gConc.getAs[Double]("gini") == 3.0 / 4.0) // (n-1)/n exactly
+  }
+
+  test("gini: null/negative sizes dropped, zero-total group yields null gini") {
+    val df = Seq(
+      ("a", 1L, Option(3L)),
+      ("a", 2L, Option(-1L)), // dropped
+      ("a", 3L, Option.empty[Long]), // dropped
+      ("a", 4L, Option(1L)),
+      ("z", 9L, Option(0L)) // zero-total group -> null gini
+    ).toDF("g", "id", "size")
+    val got = Stats.giniByGroup(df, Seq("g"), "size", "id")
+      .collect().map(r => r.getString(0) -> ((r.getAs[Long]("n_entities"), Option(r.get(2))))).toMap
+    assert(got("a")._1 == 2L)
+    // two entities 1 and 3: G = (2*(1*1+2*3) - 3*4) / (2*4) = 2/8
+    assert(got("a")._2.contains(0.25))
+    assert(got("z") == ((1L, None)))
+  }
+
+  test("gini matches a brute-force rank-formula reference on random counts") {
+    val rnd = new scala.util.Random(99)
+    val rows = (0 until 300).map(i => (s"g${rnd.nextInt(3)}", i.toLong, rnd.nextInt(12).toLong))
+    val got = Stats.giniByGroup(rows.toDF("g", "id", "size"), Seq("g"), "size", "id")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.map(_._3).sorted
+      val n = sorted.size.toLong
+      val a = sorted.zipWithIndex.map { case (s, i) => (i + 1) * s }.sum
+      val b = sorted.sum
+      val exp = (2L * a - (n + 1) * b).toDouble / (n * b).toDouble
+      assert(got(g) == exp, s"group $g") // bit-exact: same integer sums, one IEEE division
+    }
+  }
 }

@@ -214,6 +214,93 @@ class TextAndAsOfSpec extends SparkSpecBase {
     assert(got(13L) == ((None, None)))
   }
 
+  test("forward asof: earliest following ts, inclusive ties, null key/ts lefts unmatched") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (10L, Option(1L), Option(ts("2024-01-01 12:00:00"))), // tie at 12:00 -> matches instantly
+      (11L, Option(1L), Option(ts("2024-01-01 13:30:00"))), // between rights -> 14:00
+      (12L, Option(1L), Option(ts("2024-01-01 15:00:00"))), // after every right -> null
+      (13L, Option(2L), Option(ts("2024-01-01 12:00:00"))), // key with no rights -> null
+      (14L, Option.empty[Long], Option(ts("2024-01-01 00:00:00"))), // null key -> null
+      (15L, Option(1L), Option.empty[Timestamp]) // null ts -> null, NOT the global min
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Option(1L), Option(ts("2024-01-01 12:00:00"))),
+      (Option(1L), Option(ts("2024-01-01 14:00:00"))),
+      (Option(1L), Option.empty[Timestamp]), // null-ts right: invisible
+      (Option.empty[Long], Option(ts("2024-01-01 00:30:00"))) // null-key right: invisible
+    ).toDF("user_id", "rts")
+    val got = AsOfJoin.earliestFollowingTs(left, right, "user_id", "ts", "rts", "m")
+      .select("event_id", "m").as[(Long, Option[Timestamp])].collect().toMap
+    assert(got(10L).contains(ts("2024-01-01 12:00:00")))
+    assert(got(11L).contains(ts("2024-01-01 14:00:00")))
+    assert(got(12L).isEmpty)
+    assert(got(13L).isEmpty)
+    assert(got(14L).isEmpty)
+    assert(got(15L).isEmpty)
+  }
+
+  test("nearest asof: exact distance picks the side, distance ties resolve to prior") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (20L, Option(1L), Option(ts("2024-01-01 12:00:00"))), // 11:00 vs 14:00 -> prior 11:00
+      (21L, Option(1L), Option(ts("2024-01-01 13:30:00"))), // 11:00 vs 14:00 -> next 14:00
+      (22L, Option(1L), Option(ts("2024-01-01 12:30:00"))), // equidistant 90min -> prior 11:00
+      (23L, Option(1L), Option(ts("2024-01-01 10:00:00"))), // before every right -> next 11:00
+      (24L, Option(1L), Option(ts("2024-01-01 23:00:00"))), // after every right -> prior 14:00
+      (25L, Option(2L), Option(ts("2024-01-01 12:00:00"))), // exact-ts right -> itself (prior)
+      (26L, Option.empty[Long], Option(ts("2024-01-01 12:00:00"))), // null key -> null
+      (27L, Option(1L), Option.empty[Timestamp]) // null ts -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Option(1L), Option(ts("2024-01-01 11:00:00"))),
+      (Option(1L), Option(ts("2024-01-01 14:00:00"))),
+      (Option(2L), Option(ts("2024-01-01 12:00:00"))),
+      (Option(1L), Option.empty[Timestamp]), // null-ts right: invisible
+      (Option.empty[Long], Option(ts("2024-01-01 12:00:01"))) // null-key right: invisible
+    ).toDF("user_id", "rts")
+    val got = AsOfJoin.nearestTs(left, right, "user_id", "ts", "rts", "m")
+      .select("event_id", "m").as[(Long, Option[Timestamp])].collect().toMap
+    assert(got(20L).contains(ts("2024-01-01 11:00:00")))
+    assert(got(21L).contains(ts("2024-01-01 14:00:00")))
+    assert(got(22L).contains(ts("2024-01-01 11:00:00"))) // tie -> prior
+    assert(got(23L).contains(ts("2024-01-01 11:00:00")))
+    assert(got(24L).contains(ts("2024-01-01 14:00:00")))
+    assert(got(25L).contains(ts("2024-01-01 12:00:00")))
+    assert(got(26L).isEmpty)
+    assert(got(27L).isEmpty)
+  }
+
+  test("forward/nearest asof match a brute-force reference on a randomized event set") {
+    // seeded sweep: dense ts collisions (21 instants, 6 keys, 300 rows)
+    // exercise every tie path of all three direction variants at once
+    val rnd = new scala.util.Random(4242)
+    def t(i: Int) = new Timestamp(1700000000000L + i * 60000L)
+    val lrows = (0 until 150).map(i => (i.toLong, rnd.nextInt(6).toLong, t(rnd.nextInt(21))))
+    val rrows = (0 until 150).map(_ => (rnd.nextInt(6).toLong, t(rnd.nextInt(21))))
+    val left = lrows.toDF("event_id", "user_id", "ts")
+    val right = rrows.toDF("user_id", "rts")
+
+    val fwd = AsOfJoin.earliestFollowingTs(left, right, "user_id", "ts", "rts", "m")
+      .select("event_id", "m").as[(Long, Option[Timestamp])].collect().toMap
+    val near = AsOfJoin.nearestTs(left, right, "user_id", "ts", "rts", "m")
+      .select("event_id", "m").as[(Long, Option[Timestamp])].collect().toMap
+    val byKey = rrows.groupBy(_._1)
+    lrows.foreach { case (id, k, lts) =>
+      val rs = byKey.getOrElse(k, Seq.empty).map(_._2.getTime)
+      val expFwd = rs.filter(_ >= lts.getTime).sorted.headOption.map(new Timestamp(_))
+      assert(fwd(id) == expFwd, s"forward mismatch for event $id")
+      val prior = rs.filter(_ <= lts.getTime).sorted.lastOption
+      val next = rs.filter(_ > lts.getTime).sorted.headOption
+      val expNear = (prior, next) match {
+        case (None, n) => n
+        case (p, None) => p
+        case (Some(p), Some(n)) => if (lts.getTime - p <= n - lts.getTime) Some(p) else Some(n)
+      }
+      assert(near(id) == expNear.map(new Timestamp(_)), s"nearest mismatch for event $id")
+    }
+  }
+
   test("tolerance asof: boundary inclusive, beyond null, zero tolerance, null keys never match") {
     def ts(x: String) = Timestamp.valueOf(x)
     val left = Seq(
