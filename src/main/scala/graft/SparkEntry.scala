@@ -567,6 +567,62 @@ object SparkEntry {
         .giniByGroup(joined, Seq("c_mktsegment"), "n_orders", "c_custkey")
         .orderBy("c_mktsegment")
     }),
+    "q_ab_test" -> ((s, dir) => {
+      // two-proportion z screen: is a segment's urgent-order rate
+      // actually different from the rest of the book? Exact counts in,
+      // one fixed IEEE div/mul/sqrt chain out (no libm — round(z,4) is
+      // hash-safe without a margin audit); flag compares the ROUNDED z
+      val sn = snap(s, dir)
+      val df = sn.orders
+        .join(sn.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"),
+          (col("o_orderpriority") === "1-URGENT").cast("int").as("is_urgent"))
+      graft.operators.stats.Stats
+        .twoProportionZ(df, "c_mktsegment", "is_urgent")
+        .orderBy("c_mktsegment")
+    }),
+    "q_benford" -> ((s, dir) =>
+      // Benford first-digit fraud screen over the money column; the
+      // digit comes from an arithmetic decade CASE (never double→string)
+      // and the expected shares are embedded literals — transcendental-
+      // free end to end
+      graft.operators.stats.Drift
+        .benfordByDigit(snap(s, dir).orders, "o_totalprice", maxDecade = 6)
+        .orderBy("digit")),
+    "q_delta_contribution" -> ((s, dir) => {
+      // "what drove the change": decompose the latest month-over-month
+      // revenue delta by order priority. Months derive from the data
+      // (two slim 1-row agg broadcasts — no literals to go stale, no
+      // collect); per-priority deltas are DECIMAL-exact, and monthly
+      // magnitudes stay below 2^53 decimal units at any plausible SF so
+      // the double casts are exact; only the share divides (round 4)
+      val o = snap(s, dir).orders
+      val m = o.where(col("o_orderdate").isNotNull)
+        .select(date_trunc("month", col("o_orderdate")).as("month"),
+          col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,6)").as("p"))
+      val m1 = m.agg(max(col("month")).as("__m1"))
+      val m0 = m.crossJoin(broadcast(m1)).where(col("month") < col("__m1"))
+        .agg(max(col("month")).as("__m0"))
+      val zero = lit(0).cast("decimal(18,6)")
+      val g = m.crossJoin(broadcast(m1)).crossJoin(broadcast(m0))
+        .where(col("month") === col("__m0") || col("month") === col("__m1"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          coalesce(sum(when(col("month") === col("__m0"), col("p"))), zero).as("prev_d"),
+          coalesce(sum(when(col("month") === col("__m1"), col("p"))), zero).as("cur_d"))
+      val t = g.agg(sum(col("cur_d") - col("prev_d")).as("__td"))
+      g.crossJoin(broadcast(t))
+        .select(
+          col("o_orderpriority"),
+          col("prev_d").cast("double").as("prev_total"),
+          col("cur_d").cast("double").as("cur_total"),
+          (col("cur_d") - col("prev_d")).cast("double").as("delta"),
+          when(col("__td") =!= 0,
+            round((col("cur_d") - col("prev_d")).cast("double")
+              / col("__td").cast("double"), 4)).as("share_of_delta"))
+        .orderBy("o_orderpriority")
+    }),
     "q_sample_hash" -> ((s, dir) => {
       // deterministic ~10% sample via md5 prefix — portable across engines,
       // stable across runs/cluster sizes (unlike rand() or TABLESAMPLE)
@@ -2276,6 +2332,103 @@ object SparkEntry {
         |  CASE WHEN bb > 0 THEN CAST(2 * aa - (n_entities + 1) * bb AS DOUBLE)
         |                        / CAST(n_entities * bb AS DOUBLE) END AS gini
         |FROM a ORDER BY c_mktsegment""".stripMargin,
+    // two-proportion z: identical IEEE association (p1-p2 over
+    // sqrt(pp*(1-pp)*(1/n1+1/n2))), exact BIGINT counts in, one
+    // correctly-rounded sqrt — no libm, so round(z,4) hashes safely;
+    // the significance flag compares the ROUNDED z in both engines
+    "q_ab_test" ->
+      """WITH j AS (SELECT c_mktsegment,
+        |             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS su
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT c_mktsegment, COUNT(*) AS n_group,
+        |        CAST(SUM(su) AS BIGINT) AS n_success FROM j GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_group) AS BIGINT) AS tn,
+        |        CAST(SUM(n_success) AS BIGINT) AS tx FROM g),
+        |z AS (SELECT g.*,
+        |        CAST(n_group AS DOUBLE) AS n1, CAST(n_success AS DOUBLE) AS x1,
+        |        CAST(tn - n_group AS DOUBLE) AS n2, CAST(tx - n_success AS DOUBLE) AS x2
+        |      FROM g CROSS JOIN t),
+        |f AS (SELECT c_mktsegment, n_group, n_success,
+        |        round(CASE WHEN n1 > 0 THEN x1 / n1 END, 4) AS p_group,
+        |        CASE WHEN n1 > 0 AND n2 > 0 AND (x1 + x2) / (n1 + n2) > 0
+        |                  AND (x1 + x2) / (n1 + n2) < 1
+        |             THEN round((x1 / n1 - x2 / n2) /
+        |                    sqrt((x1 + x2) / (n1 + n2)
+        |                         * (CAST(1 AS DOUBLE) - (x1 + x2) / (n1 + n2))
+        |                         * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)), 4)
+        |                  + CAST(0 AS DOUBLE)
+        |        END AS z_score
+        |      FROM z)
+        |SELECT c_mktsegment, n_group, n_success, p_group, z_score,
+        |  CASE WHEN z_score IS NOT NULL THEN abs(z_score) > 1.96 END AS significant
+        |FROM f ORDER BY c_mktsegment""".stripMargin,
+    // Benford: the identical arithmetic decade CASE (exact powers of
+    // ten, one IEEE division, floor) and the identical EMBEDDED literal
+    // expected shares — parsed via string→double cast, which is
+    // correctly rounded (a bare 16-digit numeric literal would go
+    // through DECIMAL and can land one ulp off). chi2 is mul/sub/div on
+    // exact counts and those literals; no transcendental is evaluated
+    "q_benford" ->
+      """WITH src AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |             WHERE o_totalprice IS NOT NULL AND CAST(o_totalprice AS DOUBLE) >= 1),
+        |m AS (SELECT CASE WHEN v >= 1000000.0 THEN v / 1000000.0
+        |                  WHEN v >= 100000.0 THEN v / 100000.0
+        |                  WHEN v >= 10000.0 THEN v / 10000.0
+        |                  WHEN v >= 1000.0 THEN v / 1000.0
+        |                  WHEN v >= 100.0 THEN v / 100.0
+        |                  WHEN v >= 10.0 THEN v / 10.0
+        |                  ELSE v END AS mant FROM src),
+        |dg AS (SELECT LEAST(CAST(FLOOR(mant) AS BIGINT), 9) AS digit, COUNT(*) AS n_obs
+        |       FROM m GROUP BY 1),
+        |sp AS (SELECT range AS digit FROM range(1, 10)),
+        |j AS (SELECT sp.digit, COALESCE(dg.n_obs, 0) AS n_obs
+        |      FROM sp LEFT JOIN dg ON sp.digit = dg.digit),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM j),
+        |e AS (SELECT digit, n_obs,
+        |        CASE digit WHEN 1 THEN CAST('0.3010299956639812' AS DOUBLE)
+        |                   WHEN 2 THEN CAST('0.17609125905568124' AS DOUBLE)
+        |                   WHEN 3 THEN CAST('0.12493873660829993' AS DOUBLE)
+        |                   WHEN 4 THEN CAST('0.09691001300805642' AS DOUBLE)
+        |                   WHEN 5 THEN CAST('0.07918124604762482' AS DOUBLE)
+        |                   WHEN 6 THEN CAST('0.06694678963061322' AS DOUBLE)
+        |                   WHEN 7 THEN CAST('0.05799194697768673' AS DOUBLE)
+        |                   WHEN 8 THEN CAST('0.05115252244738129' AS DOUBLE)
+        |                   WHEN 9 THEN CAST('0.04575749056067514' AS DOUBLE)
+        |        END AS ex FROM j)
+        |SELECT digit, n_obs,
+        |  CASE WHEN n > 0 THEN round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 4) END AS obs_share,
+        |  round(ex, 4) AS exp_share,
+        |  CASE WHEN n > 0 THEN
+        |    round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ex)
+        |          * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ex)
+        |          / (CAST(n AS DOUBLE) * ex), 4) END AS chi2_contrib
+        |FROM e CROSS JOIN t ORDER BY digit""".stripMargin,
+    // delta decomposition: months derive from the data (scalar
+    // subqueries mirror the 1-row agg broadcasts); per-priority sums
+    // stay DECIMAL-exact, monthly magnitudes < 2^53 units so the double
+    // casts are exact; only the share divides (round 4)
+    "q_delta_contribution" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |             o_orderpriority, CAST(o_totalprice AS DECIMAL(18,6)) AS p
+        |           FROM orders WHERE o_orderdate IS NOT NULL),
+        |m1 AS (SELECT MAX(month) AS mm1 FROM m),
+        |m0 AS (SELECT MAX(month) AS mm0 FROM m CROSS JOIN m1 WHERE month < mm1),
+        |g AS (SELECT o_orderpriority,
+        |        COALESCE(SUM(CASE WHEN month = (SELECT mm0 FROM m0) THEN p END),
+        |                 CAST(0 AS DECIMAL(18,6))) AS prev_d,
+        |        COALESCE(SUM(CASE WHEN month = (SELECT mm1 FROM m1) THEN p END),
+        |                 CAST(0 AS DECIMAL(18,6))) AS cur_d
+        |      FROM m
+        |      WHERE month = (SELECT mm0 FROM m0) OR month = (SELECT mm1 FROM m1)
+        |      GROUP BY 1),
+        |t AS (SELECT SUM(cur_d - prev_d) AS td FROM g)
+        |SELECT o_orderpriority,
+        |  CAST(prev_d AS DOUBLE) AS prev_total,
+        |  CAST(cur_d AS DOUBLE) AS cur_total,
+        |  CAST(cur_d - prev_d AS DOUBLE) AS delta,
+        |  CASE WHEN td <> 0 THEN round(CAST(cur_d - prev_d AS DOUBLE)
+        |                               / CAST(td AS DOUBLE), 4) END AS share_of_delta
+        |FROM g CROSS JOIN t ORDER BY o_orderpriority""".stripMargin,
     "q_sample_hash" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '1a'

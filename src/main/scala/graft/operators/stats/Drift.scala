@@ -79,4 +79,70 @@ object Drift {
         round(p, 4).as("p_base"), round(q, 4).as("p_cur"),
         round((p - q) * log(p / q), 4).as("psi_contrib"))
   }
+
+  /** Benford first-digit audit — the fabricated-figures screen auditors
+    * run on money columns (procurement budgets are a textbook target):
+    * observed leading-digit counts against Benford's law
+    * `P(d) = log10(1 + 1/d)`, with per-digit chi-square contributions.
+    *
+    * Determinism without a libm call: the nine expected shares are
+    * EMBEDDED LITERAL doubles (both engines parse the identical
+    * literal), and the leading digit is extracted arithmetically — a
+    * decade CASE chain `v ≥ 10^k → v / 10^k` (powers of ten up to 10¹⁴
+    * are exactly representable, the division is one correctly-rounded
+    * IEEE op, `floor` of the identical double matches in any engine) —
+    * never via double→string formatting, which engines disagree on.
+    * The chi-square chain is IEEE mul/sub/div on exact counts and
+    * literal shares, rounded to 4 (hash-safe, no margin audit needed —
+    * no transcendental is EVALUATED anywhere).
+    *
+    * Contract: rows with NULL or `v < 1` are dropped (sub-unit values
+    * would need a negative-decade chain; money columns start at 1 unit);
+    * values must sit below `10^(maxDecade+1)` — beyond it the chain
+    * clamps the digit to 9 (documented, deterministic) rather than
+    * failing. All nine digits always appear (zero-count digits carry
+    * their full expected mass in the contribution). One scan-fused
+    * digit pass, a (digit, count) partial agg, a 1-row total broadcast.
+    */
+  def benfordByDigit(
+      df: DataFrame,
+      valueCol: String,
+      maxDecade: Int = 14): DataFrame = {
+    require(maxDecade >= 0 && maxDecade <= 22,
+      s"maxDecade must be in [0, 22] (exact double powers of ten), got $maxDecade")
+    val spark: SparkSession = df.sparkSession
+    val v = col(valueCol).cast("double")
+    // log10(1 + 1/d), d = 1..9 — literal, never computed at runtime
+    val expected = Seq(
+      0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    val mantissa = (maxDecade to 1 by -1).foldRight(v) { (k, acc) =>
+      // foldRight builds WHEN v>=10^maxDecade ... WHEN v>=10 THEN v/10 ELSE v
+      when(v >= lit(math.pow(10, k)), v / lit(math.pow(10, k))).otherwise(acc)
+    }
+    val digits = df
+      .where(v.isNotNull && v >= 1)
+      .select(least(floor(mantissa), lit(9L)).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val spine = spark.range(1, 10).select(col("id").as("digit"))
+      .join(digits, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+    val tot = spine.agg(sum(col("n_obs")).as("__n"))
+    val expCol = expected.zipWithIndex.foldLeft(lit(Double.NaN)) { case (acc, (e, i)) =>
+      when(col("digit") === (i + 1), lit(e)).otherwise(acc)
+    }
+    val n = col("__n").cast("double")
+    val expN = n * expCol
+    spine
+      .crossJoin(broadcast(tot))
+      .select(
+        col("digit"),
+        col("n_obs"),
+        when(col("__n") > 0, round(col("n_obs").cast("double") / n, 4)).as("obs_share"),
+        round(expCol, 4).as("exp_share"),
+        when(col("__n") > 0,
+          round((col("n_obs").cast("double") - expN) * (col("n_obs").cast("double") - expN)
+            / expN, 4)).as("chi2_contrib"))
+  }
 }

@@ -88,6 +88,56 @@ object Stats {
       ): _*)
   }
 
+  /** Per-group two-proportion z-test of each group against its
+    * complement — the "is this segment's rate actually different?"
+    * screen behind every A/B readout and segment comparison. For group
+    * g with successes x₁ of n₁ vs the rest's x₂ of n₂:
+    * `z = (p₁ − p₂) / sqrt(p̂(1−p̂)(1/n₁ + 1/n₂))`, p̂ pooled.
+    *
+    * Determinism: all inputs are exact BIGINT counts from ONE partial-
+    * aggregated pass (complement counts come from the 1-row global
+    * total broadcast minus the group's own — no second scan, no
+    * self-join); the z chain is a fixed sequence of IEEE div/mul/sub/
+    * add and one correctly-rounded sqrt — bit-identical in any engine,
+    * no libm, so `round(z, 4)` is hash-safe without a margin audit
+    * (the `regression` convention). The significance flag compares the
+    * ROUNDED z against the critical value in both engines (the B35
+    * fence rule). Degenerate cases (empty group/complement, pooled
+    * rate 0 or 1 — zero variance) yield NULL z and NULL flag.
+    *
+    * `successCol` must be 0/1 (pre-derive a condition upstream).
+    */
+  def twoProportionZ(
+      df: DataFrame,
+      groupCol: String,
+      successCol: String,
+      critical: Double = 1.96): DataFrame = {
+    val agg = df
+      .where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_group"),
+        sum(col(successCol).cast("long")).as("n_success"))
+    val tot = agg.agg(sum(col("n_group")).as("__tn"), sum(col("n_success")).as("__tx"))
+    val n1 = col("n_group").cast("double")
+    val x1 = col("n_success").cast("double")
+    val n2 = (col("__tn") - col("n_group")).cast("double")
+    val x2 = (col("__tx") - col("n_success")).cast("double")
+    val p1 = x1 / n1
+    val p2 = x2 / n2
+    val pp = (x1 + x2) / (n1 + n2)
+    val z = (p1 - p2) / sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2))
+    val zOut = when(n1 > 0 && n2 > 0 && pp > 0 && pp < 1, round(z, 4) + lit(0.0))
+    agg
+      .crossJoin(broadcast(tot))
+      .select(
+        col(groupCol),
+        col("n_group"),
+        col("n_success"),
+        round(when(n1 > 0, p1), 4).as("p_group"),
+        zOut.as("z_score"),
+        when(zOut.isNotNull, abs(zOut) > critical).as("significant"))
+  }
+
   /** Per-group Gini coefficient of a non-negative integer size measure —
     * the concentration audit (is 80% of the workload on 2% of the
     * suppliers?) a procurement or curation pipeline runs before trusting

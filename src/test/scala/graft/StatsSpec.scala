@@ -221,6 +221,72 @@ class StatsSpec extends SparkSpecBase {
     assert(got("z") == ((1L, None)))
   }
 
+  // ------------------------------------------------------------- z-test
+
+  test("twoProportionZ: hand case matches the closed form, flags significance") {
+    // A: 50/100 vs rest 10/100 -> z = 0.4 / sqrt(0.3*0.7*(0.02))
+    val rows = (0 until 100).map(i => ("A", if (i < 50) 1 else 0)) ++
+      (0 until 100).map(i => ("B", if (i < 10) 1 else 0))
+    val got = Stats.twoProportionZ(rows.toDF("g", "su"), "g", "su")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val expZ = {
+      val z = (0.5 - 0.1) / math.sqrt(0.3 * (1.0 - 0.3) * (1.0 / 100 + 1.0 / 100))
+      BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("A").getAs[Long]("n_group") == 100L)
+    assert(got("A").getAs[Long]("n_success") == 50L)
+    assert(got("A").getAs[Double]("p_group") == 0.5)
+    assert(got("A").getAs[Double]("z_score") == expZ)
+    assert(got("A").getAs[Boolean]("significant"))
+    assert(got("B").getAs[Double]("z_score") == -expZ) // symmetric two-group case
+    assert(got("B").getAs[Boolean]("significant"))
+  }
+
+  test("twoProportionZ: degenerate pooled rates and missing complement yield null") {
+    // every row succeeds -> pooled rate 1 -> zero variance -> null z/flag
+    val allSucc = Seq(("A", 1), ("A", 1), ("B", 1)).toDF("g", "su")
+    Stats.twoProportionZ(allSucc, "g", "su").collect().foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("z_score")) && r.isNullAt(r.fieldIndex("significant")))
+    }
+    // single group -> empty complement (n2 = 0) -> null
+    val one = Seq(("A", 1), ("A", 0)).toDF("g", "su")
+    val r = Stats.twoProportionZ(one, "g", "su").collect().head
+    assert(r.isNullAt(r.fieldIndex("z_score")))
+    // near-balanced groups -> |z| small -> not significant
+    val even = ((0 until 50).map(i => ("A", i % 2)) ++ (0 until 50).map(i => ("B", (i + 1) % 2)))
+    val rr = Stats.twoProportionZ(even.toDF("g", "su"), "g", "su").collect().head
+    assert(!rr.getAs[Boolean]("significant"))
+  }
+
+  // ------------------------------------------------------------ benford
+
+  test("benford: arithmetic digit extraction, spine completeness, planted counts") {
+    import graft.operators.stats.Drift
+    val vals = Seq(1.0, 1.5, 19.0, 25.0, 999.0, 10.0, 1000000.0, 999999.9,
+      0.5 /* dropped: < 1 */)
+    val df = vals.map(Tuple1(_)).toDF("v")
+      .union(Seq(Tuple1(Option.empty[Double])).toDF("v")) // null dropped
+    val got = Drift.benfordByDigit(df, "v", maxDecade = 6)
+      .orderBy("digit").collect()
+    assert(got.length == 9) // all digits present even with zero counts
+    val byDigit = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // digits: 1,1,1,2,9,1(10.0/10),1(1e6/1e6),9(999999.9/1e5=9.999999) -> 8 rows kept
+    assert(byDigit == Map(1L -> 5L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 0L,
+      6L -> 0L, 7L -> 0L, 8L -> 0L, 9L -> 2L))
+    // expected shares are the Benford literals, rounded to 4
+    assert(got.head.getAs[Double]("exp_share") == 0.301)
+    assert(got.last.getAs[Double]("exp_share") == 0.0458)
+    // chi-square contribution present for every digit (n > 0), zero-count
+    // digits carry their full expected mass n*e_d
+    got.foreach(r => assert(!r.isNullAt(r.fieldIndex("chi2_contrib"))))
+    val n = vals.count(_ >= 1).toDouble
+    val e3 = 0.12493873660829993
+    val exp3 = BigDecimal((0.0 - n * e3) * (0.0 - n * e3) / (n * e3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byDigit(3L) == 0L &&
+      got(2).getAs[Double]("chi2_contrib") == exp3)
+  }
+
   test("gini matches a brute-force rank-formula reference on random counts") {
     val rnd = new scala.util.Random(99)
     val rows = (0 until 300).map(i => (s"g${rnd.nextInt(3)}", i.toLong, rnd.nextInt(12).toLong))
