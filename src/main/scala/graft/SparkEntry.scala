@@ -9,7 +9,7 @@ import graft.operators.ann.{BruteForceKNN, LshKNN}
 import graft.operators.asof.AsOfJoin
 import graft.operators.dedup._
 import graft.operators.multimodal.BinaryPipeline
-import graft.operators.text.{Decontaminate, TextStats}
+import graft.operators.text.{Decontaminate, InvertedIndex, TextStats}
 import graft.sources.Snapshot
 import graft.streaming.EventStreams
 
@@ -1387,6 +1387,20 @@ object SparkEntry {
         .where(col("rnk") <= 10)
         .select(col("rnk"), col("doc_id"), col("kw_rnk"), col("vec_rnk"), col("rrf"))
         .orderBy("rnk")
+    }),
+    "q_index_search" -> ((s, dir) => {
+      // exact-token boolean search through the inverted-index operator
+      // (AND of all terms via one count==nTerms aggregation over the
+      // postings — never an nTerms-way self-join). Verify runs the
+      // in-memory postings path; the written bucket-partitioned artifact
+      // and its PartitionFilter pruning are spec-gated (InvertedIndexSpec,
+      // the IvfKNN cell_id pattern) with result parity to this path.
+      val docs = snap(s, dir).documents
+      InvertedIndex
+        .searchAnd(InvertedIndex.build(docs, "doc_id", "text"), Seq("spark", "stream"))
+        .join(docs, Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     }),
     "q_ngram_counts" -> ((s, dir) =>
       // corpus bigram statistics: pure integer counts, distributed
@@ -3137,6 +3151,18 @@ object SparkEntry {
         |        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM f)
         |SELECT rnk, doc_id, n_terms_matched, round(bm25, 4) AS bm25
         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // exact-token AND search: identical tokenizer (lower + single-space
+    // split, empty tokens dropped), distinct postings, count == nTerms
+    "q_index_search" ->
+      """WITH w AS (SELECT DISTINCT doc_id, term FROM
+        |             (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |              FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        |           WHERE term <> ''),
+        |hits AS (SELECT doc_id FROM w WHERE term IN ('spark', 'stream')
+        |         GROUP BY doc_id HAVING COUNT(*) = 2)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM hits JOIN documents d USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // RRF fusion: the q_bm25 CTE chain (k=50, ln margin-audited through
     // the 50/51 cut) + the q_ann_bruteforce cosine chain (IEEE-exact
     // folds) fused FULL OUTER on doc_id; 1/(60+rnk) divisions and the

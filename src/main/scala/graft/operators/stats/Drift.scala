@@ -43,7 +43,6 @@ object Drift {
       valueCol: String,
       nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
-    val spark: SparkSession = base.sparkSession
     val v = col(valueCol)
     val bounds = base.where(v.isNotNull)
       .agg(min(v).cast("double").as("__lo"), max(v).cast("double").as("__hi"))
@@ -60,8 +59,52 @@ object Drift {
               lit(nBins - 1L))).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("n"))
 
-    val bc = binned(base).select(col("bin"), col("n").as("n_base"))
-    val cc = binned(cur).select(col("bin"), col("n").as("n_cur"))
+    psiFromCounts(binned(base), binned(cur), nBins)
+  }
+
+  /** `(bin, n)` counts of `df` against equal-width bins derived from
+    * `base`'s min/max — the associative MONITORING STATE of the drift
+    * audit: bin counts merge by plain addition, so a streaming monitor
+    * keeps one (bin, n) row per bin and folds each microbatch in
+    * (`merge(counts(a), counts(b)) == counts(a ∪ b)` exactly — the
+    * IncrementalAgg/D14 argument), then derives PSI on demand via
+    * [[psiFromCounts]]. Identical binning to [[psiByBins]] (clamping,
+    * degenerate-baseline bin 0, null drops).
+    */
+  def binCounts(
+      base: DataFrame,
+      df: DataFrame,
+      valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val v = col(valueCol)
+    val bounds = base.where(v.isNotNull)
+      .agg(min(v).cast("double").as("__lo"), max(v).cast("double").as("__hi"))
+    df.where(v.isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(
+        when(col("__hi") === col("__lo"), 0L)
+          .otherwise(least(
+            greatest(
+              floor((v.cast("double") - col("__lo")) /
+                ((col("__hi") - col("__lo")) / nBins)), lit(0L)),
+            lit(nBins - 1L))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** PSI report from pre-binned `(bin, n)` count relations (missing
+    * bins are zero-filled against the spine) — [[psiByBins]]'s tail,
+    * exposed so merged monitoring state ([[binCounts]]) feeds the same
+    * arithmetic the batch audit hashes.
+    */
+  def psiFromCounts(
+      baseCounts: DataFrame,
+      curCounts: DataFrame,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val spark: SparkSession = baseCounts.sparkSession
+    val bc = baseCounts.select(col("bin"), col("n").as("n_base"))
+    val cc = curCounts.select(col("bin"), col("n").as("n_cur"))
     val spine = spark.range(nBins).select(col("id").as("bin"))
     val joined = spine
       .join(bc, Seq("bin"), "left")

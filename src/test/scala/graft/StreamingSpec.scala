@@ -353,6 +353,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(canon(state.get) == canon(scratch))
   }
 
+  test("streaming drift monitor: merged bin-count state yields the exact batch PSI report") {
+    // B54 lifted onto the stream (D15): a drift monitor never keeps raw
+    // rows — it keeps (bin, n) counts against the FROZEN baseline bins
+    // and folds each microbatch in by addition (bin counts are
+    // associative state, the D14/IncrementalAgg argument). The PSI
+    // derived from the merged state must equal the batch audit over all
+    // rows BIT-EXACTLY, because psiFromCounts is the identical
+    // arithmetic psiByBins hashes.
+    import graft.operators.stats.Drift
+    val orders = Snapshot(spark, sf()).orders
+    val base = orders.where($"o_orderkey" % 2 === 0)
+    val curAll = orders.where($"o_orderkey" % 2 === 1)
+    val multiDir = Files.createTempDirectory("graft_drift").toFile
+    multiDir.deleteOnExit()
+    curAll.repartition(4).write.mode("overwrite").parquet(multiDir.getAbsolutePath)
+    val batchDf = spark.read.parquet(multiDir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(multiDir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val counts = Drift.binCounts(base, batch, "o_totalprice")
+        val next = state match {
+          case None => counts
+          case Some(st) => st.unionByName(counts).groupBy("bin").agg(sum($"n").as("n"))
+        }
+        state = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches to exercise merge, got ${nBatches.get()}")
+    val viaState = Drift
+      .psiFromCounts(Drift.binCounts(base, base, "o_totalprice"), state.get)
+    val viaBatch = Drift.psiByBins(base, spark.read.parquet(multiDir.getAbsolutePath),
+      "o_totalprice")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    assert(canon(viaState) == canon(viaBatch))
+  }
+
   test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
     // the production ingestion shape: a document stream anti-joined
     // against the static content-hash index of the existing corpus —
