@@ -567,6 +567,74 @@ object SparkEntry {
         .giniByGroup(joined, Seq("c_mktsegment"), "n_orders", "c_custkey")
         .orderBy("c_mktsegment")
     }),
+    "q_split_orders" -> ((s, dir) => {
+      // split-purchase screen (the procurement-fraud classic): same
+      // customer, same day, several orders — flag days where every
+      // order ducks the approval threshold but the day's total crosses
+      // it. Day totals stay DECIMAL for the flag compare; all groups
+      // with >= 2 orders are emitted (the audit surface), flagged or not
+      val o = snap(s, dir).orders
+      val t = lit(200000).cast("decimal(18,6)")
+      o.where(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+        .groupBy(col("o_custkey"), date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).as("__d"),
+          max(col("o_totalprice")).as("max_order"))
+        .where(col("n_orders") >= 2)
+        .select(col("o_custkey"), col("day"), col("n_orders"),
+          col("__d").cast("double").as("day_total"), col("max_order"),
+          (col("max_order") < 200000.0 && col("__d") > t).as("split_flag"))
+        .orderBy("o_custkey", "day")
+    }),
+    "q_rolling_trend" -> ((s, dir) => {
+      // rolling trend strength: Pearson corr of (value, position) over
+      // each event's trailing 20 same-type events — the monitoring
+      // sibling of B53 (is the metric trending, not just spiking?).
+      // Determinism at ANY series length: the frame x-axis is RELATIVE
+      // (j = 1..20, so Σx=210, Σx²=2870, denx=13300 are constants) —
+      // Σ(j·y) derives EXACTLY from the windowed decimal sums as
+      // sxy − (i−20)·sy, so the only doubles entering the corr chain
+      // are small exact conversions however long the partition grows
+      // (an absolute-index formulation would overflow 2^53 decimal
+      // units on long series). y quantizes at DECIMAL(18,2) — the
+      // dsum-proven double→decimal cast — making every windowed sum
+      // associative-exact (frame evaluation order cannot matter)
+      graft.operators.stats.Stats
+        .rollingTrend(snap(s, dir).events, "event_type", "ts", "event_id", "value", 20)
+        .orderBy("event_type", "event_id")
+    }),
+    "q_rfm" -> ((s, dir) => {
+      // RFM segmentation (recency / frequency / monetary quartiles) —
+      // the classic entity-scoring pass, composed from the scale-safe
+      // ntile (B23's boundary-broadcast operator, never a global
+      // window): one customer-grain aggregate, the corpus max date as a
+      // 1-row broadcast, then three chained withNtile quartiles with
+      // custkey tiebreaks
+      import graft.operators.quantile.Quantiles
+      val o = snap(s, dir).orders
+      val mx = o.agg(max(col("o_orderdate")).as("__mx"))
+      val cust = o.where(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).as("monetary_d"))
+        .crossJoin(broadcast(mx))
+        // o_orderdate surfaces as TIMESTAMP_NTZ; the UTC session cast
+        // maps the wall-clock to the same instant DuckDB's epoch_us sees
+        .withColumn("recency_days",
+          expr("(unix_micros(cast(__mx as timestamp)) - " +
+            "unix_micros(cast(last_order as timestamp))) div 86400000000"))
+      val scored = Seq(("recency_days", "r_quart"), ("frequency", "f_quart"),
+        ("monetary_d", "m_quart")).foldLeft(cust) { case (df, (v, out)) =>
+        Quantiles.withNtile(df, v, "o_custkey", 4, out)
+      }
+      scored.select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary_d").cast("double").as("monetary"),
+          col("r_quart"), col("f_quart"), col("m_quart"),
+          concat(col("r_quart").cast("string"), col("f_quart").cast("string"),
+            col("m_quart").cast("string")).as("segment"))
+        .orderBy("o_custkey")
+    }),
     "q_ab_test" -> ((s, dir) => {
       // two-proportion z screen: is a segment's urgent-order rate
       // actually different from the rest of the book? Exact counts in,
@@ -2346,6 +2414,67 @@ object SparkEntry {
         |  CASE WHEN bb > 0 THEN CAST(2 * aa - (n_entities + 1) * bb AS DOUBLE)
         |                        / CAST(n_entities * bb AS DOUBLE) END AS gini
         |FROM a ORDER BY c_mktsegment""".stripMargin,
+    // split-purchase screen: decimal-exact day totals; the flag compares
+    // the decimal sum against the literal threshold in both engines
+    "q_split_orders" ->
+      """SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS day_total,
+        |  MAX(o_totalprice) AS max_order,
+        |  (MAX(o_totalprice) < 200000.0 AND
+        |   SUM(CAST(o_totalprice AS DECIMAL(18,6))) > CAST(200000 AS DECIMAL(18,6)))
+        |    AS split_flag
+        |FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY o_custkey, day""".stripMargin,
+    // rolling trend: identical frame-relative sufficient statistics —
+    // windowed DECIMAL sums (associative-exact), sxy relativized in
+    // decimal BEFORE the double casts, constant Σx/Σx²/denx literals,
+    // the regression-convention IEEE chain with one sqrt each side
+    "q_rolling_trend" ->
+      """WITH b AS (SELECT event_type, event_id, ts, CAST(value AS DECIMAL(18,2)) AS y
+        |           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |             AND event_type IS NOT NULL),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER
+        |        (PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS i FROM b),
+        |f AS (SELECT event_type, event_id, i,
+        |        COUNT(*) OVER w AS n,
+        |        SUM(i * y) OVER w AS sxy,
+        |        SUM(y) OVER w AS sy,
+        |        SUM(y * y) OVER w AS syy
+        |      FROM r WINDOW w AS (PARTITION BY event_type ORDER BY i
+        |        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT event_type, event_id,
+        |        CAST(sxy - (i - 20) * sy AS DOUBLE) AS sxyrel,
+        |        CAST(sy AS DOUBLE) AS syd, CAST(syy AS DOUBLE) AS syyd
+        |      FROM f WHERE n = 20)
+        |SELECT event_type, event_id,
+        |  round(CASE WHEN 20.0 * syyd - syd * syd > 0 THEN
+        |          (20.0 * sxyrel - 210.0 * syd)
+        |          / (sqrt(13300.0) * sqrt(20.0 * syyd - syd * syd)) END, 6)
+        |    + CAST(0 AS DOUBLE) AS trend_corr
+        |FROM d ORDER BY event_type, event_id""".stripMargin,
+    // RFM: withNtile is spec-proven equal to the window ntile, so the
+    // oracle uses plain ntile with the identical (value, custkey) total
+    // orders; recency day arithmetic is exact integral µs division
+    "q_rfm" ->
+      """WITH mx AS (SELECT MAX(o_orderdate) AS m FROM orders),
+        |c AS (SELECT o_custkey, MAX(o_orderdate) AS last_order, COUNT(*) AS frequency,
+        |        SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary_d
+        |      FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |      GROUP BY 1),
+        |r AS (SELECT c.*, (epoch_us((SELECT m FROM mx)) - epoch_us(last_order))
+        |        // 86400000000 AS recency_days FROM c),
+        |q AS (SELECT *,
+        |        CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_quart,
+        |        CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_quart,
+        |        CAST(ntile(4) OVER (ORDER BY monetary_d, o_custkey) AS BIGINT) AS m_quart
+        |      FROM r)
+        |SELECT o_custkey, recency_days, frequency,
+        |  CAST(monetary_d AS DOUBLE) AS monetary, r_quart, f_quart, m_quart,
+        |  CAST(r_quart AS VARCHAR) || CAST(f_quart AS VARCHAR)
+        |    || CAST(m_quart AS VARCHAR) AS segment
+        |FROM q ORDER BY o_custkey""".stripMargin,
     // two-proportion z: identical IEEE association (p1-p2 over
     // sqrt(pp*(1-pp)*(1/n1+1/n2))), exact BIGINT counts in, one
     // correctly-rounded sqrt — no libm, so round(z,4) hashes safely;

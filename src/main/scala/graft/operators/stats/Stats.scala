@@ -88,6 +88,64 @@ object Stats {
       ): _*)
   }
 
+  /** Rolling trend strength: Pearson correlation of (value, position)
+    * over each row's trailing `frameLen`-row frame within its group —
+    * "is the metric trending, not just spiking?" (the monitoring sibling
+    * of a rolling-mean anomaly screen). Emits only full frames.
+    *
+    * Determinism at ANY series length: the frame x-axis is RELATIVE
+    * (j = 1..L), so Σx = L(L+1)/2, Σx² and the x-variance term are
+    * CONSTANTS, and Σ(j·y) derives EXACTLY from the windowed decimal
+    * sums as `sxy − (i−L)·sy` — the only doubles entering the corr
+    * chain are small exact conversions however long the partition grows
+    * (an absolute-index formulation overflows 2⁵³ decimal units on long
+    * series). `valueCol` quantizes at DECIMAL(18,2) (the dsum-proven
+    * double→decimal cast), making every windowed sum associative-exact:
+    * frame evaluation order cannot matter. The corr chain is the
+    * [[regression]] convention (IEEE mul/sub/div + correctly-rounded
+    * sqrt), rounded to 6.
+    *
+    * Scale: one shuffle on the group key; a key's history sorts in one
+    * task (the sessionize/as-of bound). NULL group/order/value rows are
+    * dropped. Constant-y frames yield NULL (zero variance).
+    */
+  def rollingTrend(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      frameLen: Int = 20): DataFrame = {
+    require(frameLen >= 2 && frameLen <= 10000,
+      s"frameLen must be in [2, 10000], got $frameLen")
+    val lL = frameLen.toLong
+    val sxC = lL * (lL + 1) / 2 // Σ j
+    val sxxC = lL * (lL + 1) * (2 * lL + 1) / 6 // Σ j²
+    val denxC = (lL * sxxC - sxC * sxC).toDouble // constant x-variance term
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(tsCol), col(tieCol))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__i")).rowsBetween(1 - frameLen, 0)
+    val f = df
+      .where(col(groupCol).isNotNull && col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(tieCol), col(tsCol),
+        col(valueCol).cast("decimal(18,2)").as("__y"))
+      .withColumn("__i", row_number().over(w0).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wf))
+      .withColumn("__sxy", sum(col("__i") * col("__y")).over(wf))
+      .withColumn("__sy", sum(col("__y")).over(wf))
+      .withColumn("__syy", sum(col("__y") * col("__y")).over(wf))
+      .where(col("__n") === frameLen)
+    val sxyRel = (col("__sxy") - (col("__i") - lit(lL)) * col("__sy")).cast("double")
+    val syD = col("__sy").cast("double")
+    val syyD = col("__syy").cast("double")
+    val num = lit(lL.toDouble) * sxyRel - lit(sxC.toDouble) * syD
+    val deny = lit(lL.toDouble) * syyD - syD * syD
+    f.select(col(groupCol), col(tieCol),
+      (round(when(deny > 0, num / (sqrt(lit(denxC)) * sqrt(deny))), 6) + lit(0.0))
+        .as("trend_corr"))
+  }
+
   /** Per-group two-proportion z-test of each group against its
     * complement — the "is this segment's rate actually different?"
     * screen behind every A/B readout and segment comparison. For group

@@ -258,6 +258,49 @@ class StatsSpec extends SparkSpecBase {
     assert(!rr.getAs[Boolean]("significant"))
   }
 
+  // ------------------------------------------------------- rolling trend
+
+  test("rollingTrend: linear ramps hit ±1, constants null, partial frames excluded") {
+    def ts(i: Int) = new Timestamp(1700000000000L + i * 60000L)
+    val up = (1 to 8).map(i => ("up", i.toLong, ts(i), i.toDouble))
+    val down = (1 to 8).map(i => ("down", i.toLong, ts(i), (9 - i).toDouble))
+    val flat = (1 to 8).map(i => ("flat", i.toLong, ts(i), 5.0))
+    val short = (1 to 4).map(i => ("short", i.toLong, ts(i), i.toDouble)) // < frame
+    val df = (up ++ down ++ flat ++ short).toDF("g", "id", "ts", "v")
+    val got = Stats.rollingTrend(df, "g", "ts", "id", "v", frameLen = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    // frames 5..8 emit per full-length group; 'short' emits nothing
+    assert(got.keys.map(_._1).toSet == Set("up", "down", "flat"))
+    assert(got.count(_._1._1 == "up") == 4)
+    assert(got(("up", 8L)).contains(1.0))
+    assert(got(("down", 8L)).contains(-1.0))
+    assert(got(("flat", 8L)).isEmpty) // zero variance -> null
+  }
+
+  test("rollingTrend matches a naive per-frame Pearson within rounding") {
+    def ts(i: Int) = new Timestamp(1700000000000L + i * 60000L)
+    val rnd = new scala.util.Random(1234)
+    // 2-decimal values: the operator's DECIMAL(18,2) quantization is lossless here
+    val ys = (1 to 60).map(_ => rnd.nextInt(10000) / 100.0)
+    val df = ys.zipWithIndex.map { case (y, i) => ("g", i.toLong, ts(i), y) }
+      .toDF("g", "id", "ts", "v")
+    val l = 7
+    val got = Stats.rollingTrend(df, "g", "ts", "id", "v", frameLen = l)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got.size == 60 - l + 1)
+    got.foreach { case (id, corr) =>
+      val frame = ys.slice(id.toInt - l + 1, id.toInt + 1)
+      val xs = (1 to l).map(_.toDouble)
+      val n = l.toDouble
+      val sx = xs.sum; val sy = frame.sum
+      val sxy = xs.zip(frame).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(x => x * x).sum; val syy = frame.map(y => y * y).sum
+      val exp = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      assert(math.abs(corr - exp) < 1e-6, s"id=$id got $corr expected $exp")
+    }
+  }
+
   // ------------------------------------------------------------ benford
 
   test("benford: arithmetic digit extraction, spine completeness, planted counts") {
