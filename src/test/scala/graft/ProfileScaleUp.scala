@@ -197,6 +197,37 @@ object ProfileScaleUp {
             to_date(col("o_orderdate")).as("ws"),
             date_add(to_date(col("o_orderdate")), 3).as("we")),
         Seq("o_orderpriority"), "ws", "we", "o_orderkey")))
+    time("weighted median")(
+      force(graft.operators.quantile.Quantiles.weightedQuantile(
+        orders, Seq("o_orderpriority"), "o_totalprice",
+        // synthetic positive integer weight derived from the key keeps
+        // the value-grain aggregation honest without another table
+        "o_orderkey", 50, "wm")))
+    time("gini by segment")(
+      force {
+        val perCust = orders.where(col("o_custkey").isNotNull)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        graft.operators.stats.Stats.giniByGroup(
+          perCust.withColumn("seg", col("o_custkey") % 5),
+          Seq("seg"), "n_orders", "o_custkey")
+      })
+    time("two-proportion z")(
+      force(graft.operators.stats.Stats.twoProportionZ(
+        orders.select(col("o_orderpriority"),
+          (col("o_orderstatus") === "F").cast("int").as("su")),
+        "o_orderpriority", "su")))
+    time("benford digits")(
+      force(graft.operators.stats.Drift.benfordByDigit(orders, "o_totalprice", 6)))
+    time("rolling trend (frame 20)")(
+      force(graft.operators.stats.Stats.rollingTrend(
+        orders.withColumn("g", col("o_custkey") % 64)
+          .withColumn("ts", col("o_orderdate").cast("timestamp")),
+        "g", "ts", "o_orderkey", "o_totalprice", 20)))
+    time("inverted index build+AND")(
+      force {
+        val p = graft.operators.text.InvertedIndex.build(docs, "doc_id", "text", 64)
+        graft.operators.text.InvertedIndex.searchAnd(p, Seq("spark", "stream"))
+      })
 
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
