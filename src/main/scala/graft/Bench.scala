@@ -193,9 +193,14 @@ object Bench {
 
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_spread":$spread,"sf":"$sfDir","reps":$reps,"interleaved":true,"noisy_5rep":${densified.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"n_failed":${failed.size},"failed":$failedJson,"adjudication":$adjudication}"""
-    println(json)
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // the artifact at outPath is the CANONICAL channel (the driver's stdout
+    // parse has failed on wrapped/interleaved lines two rounds running —
+    // BENCH_r06/r07 parsed:null). The stdout line is printed LAST, after
+    // spark.stop(), so no executor/shutdown logging can interleave mid-line.
     spark.stop()
+    System.out.println(json)
+    System.out.flush()
   }
 }
