@@ -176,6 +176,41 @@ object SelfCheck {
           "per-group HLL estimate within 15% (3x rsd) of exact distinct count")
       }),
 
+      "q_token_bpe" -> (() => {
+        import graft.operators.text.Bpe
+        // (a) lossless roundtrip THROUGH THE EXPRESSIONS (codegen path)
+        // over the whole corpus: byte-level base tokens make
+        // decode(encode(x)) == x a theorem — any miss is a bug, not tuning
+        val total = baseDocs.count()
+        val rt = baseDocs
+          .where(Bpe.decodeIds(Bpe.encodeIds(col("text"))) === col("text")).count()
+        // (b) planted analytic merge sequences: each expectation is "the
+        // token whose PRODUCT STRING is X" (ids defined by the literal
+        // table, independent of the merge-loop implementation), hand-
+        // derived by applying the rank order on paper
+        def pid(p: String): Int = {
+          val i = Bpe.Products.indexOf(p)
+          require(i >= 0, s"no merge product '$p'"); 256 + i
+        }
+        val plants: Seq[(String, Seq[Int])] = Seq(
+          "the" -> Seq(pid("the")),
+          " spark table" -> Seq(pid(" spark"), pid(" table")),
+          " fastest" -> Seq(pid(" fast"), pid("es"), 't'.toInt),
+          " window join" -> Seq(pid(" window"), pid(" join")),
+          "batch" -> Seq('b'.toInt, pid("at"), 'c'.toInt, 'h'.toInt))
+        val plantsOk = plants.forall { case (w, exp) => Bpe.encode(w).toSeq == exp }
+        // (c) non-triviality: merges fire corpus-wide (else the table is
+        // dead weight and every gate above passes vacuously)
+        val comp = baseDocs.agg(
+          sum(graft.operators.text.Bpe.nTokens(col("text"))).as("toks"),
+          sum(octet_length(col("text")).cast("long")).as("bytes")).head()
+        val fires = comp.getLong(0) < comp.getLong(1)
+        Result("q_token_bpe", rt == total && plantsOk && fires, total, rt,
+          s"decode(encode(x)) == x on $rt/$total docs; planted analytic merge " +
+            s"sequences ok=$plantsOk; merges fire corpus-wide " +
+            s"(${comp.getLong(0)} tokens < ${comp.getLong(1)} bytes)")
+      }),
+
       "q_text_fingerprint" -> (() => {
         val fp = graft.operators.text.TextStats.fingerprint(docs, "doc_id", "text")
         // (a) planted twins fingerprint equal

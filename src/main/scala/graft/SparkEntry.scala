@@ -429,6 +429,21 @@ object SparkEntry {
       TextStats.quality(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_text_tokens" -> ((s, dir) =>
       TextStats.tokenCounts(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
+    "q_token_bpe" -> ((s, dir) => {
+      // REAL merges-table BPE token ids (C41). no_oracle: DuckDB cannot
+      // express the rank-ordered merge loop — gated by the SelfCheck
+      // corpus-wide decode∘encode == identity + analytic planted merge
+      // sequences (BpeSpec). ids_sig is an engine-independent integer
+      // witness: md5 of the comma-joined id sequence.
+      snap(s, dir).documents.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.operators.text.Bpe.encodeIds(col("text")).as("__ids"))
+        .select(
+          col("doc_id"),
+          size(col("__ids")).cast("long").as("n_bpe"),
+          md5(concat_ws(",", col("__ids").cast("array<string>"))).as("ids_sig"))
+        .orderBy("doc_id")
+    }),
     "q_text_fingerprint" -> ((s, dir) =>
       TextStats.fingerprint(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_text_entropy" -> ((s, dir) =>
