@@ -464,6 +464,57 @@ object SparkEntry {
     "q_quality_filter" -> ((s, dir) =>
       TextStats.qualityFilter(snap(s, dir).documents, "doc_id", "text", 0.5, 20L)
         .orderBy("doc_id")),
+    "q_pii_audit" -> ((s, dir) => {
+      // PII widening (C42): phones / IPv4s / Luhn-checked card numbers
+      // over a deterministic contact blob synthesized from c_custkey
+      // IDENTICALLY in both engines (the slim testdata customer has no
+      // contact columns). Presence varies by residue classes so the
+      // per-kind counts are non-trivial; Luhn validity and octet range
+      // vary naturally with the key.
+      val k = col("c_custkey")
+      def pad(c: Column, n: Int) = lpad(c.cast("string"), n, "0")
+      val phone = concat((k % 90 + 10).cast("string"), lit("-"), pad(k * 3 % 1000, 3),
+        lit("-"), pad(k * 7 % 1000, 3), lit("-"), pad(k * 11 % 10000, 4))
+      val cc = concat(pad(k % 100000000L, 8), pad((k * 7919 + 13) % 100000000L, 8))
+      val ip = concat((k % 300).cast("string"), lit("."), (k * 7 % 256).cast("string"),
+        lit("."), (k * 13 % 256).cast("string"), lit("."), (k % 256).cast("string"))
+      val blob = concat(
+        lit("acct "), col("c_name"),
+        when(k % 5 =!= 0,
+          concat(lit(" mail user"), k.cast("string"), lit("@example.com"))).otherwise(lit("")),
+        lit(" phone "), phone,
+        when(k % 3 =!= 0, concat(lit(" card "), cc)).otherwise(lit("")),
+        when(k % 4 =!= 0, concat(lit(" ip "), ip)).otherwise(lit("")),
+        when(k % 7 === 0, lit(" see https://ex.example/page")).otherwise(lit("")))
+      TextStats.piiAudit(
+        snap(s, dir).customer.select(k, blob.as("blob")), "c_custkey", "blob")
+        .select(col("c_custkey"), col("n_emails"), col("n_urls"), col("n_phones"),
+          col("n_ipv4"), col("n_ipv4_valid"), col("n_cc"), col("n_cc_valid"),
+          col("n_redactions"), md5(col("redacted")).as("redacted_hash"))
+        .orderBy("c_custkey")
+    }),
+    "q_url_canonical" -> ((s, dir) => {
+      // URL canonicalization + dedup (C43): five deterministic messy
+      // variants per doc (case, default ports, fragments, tracking
+      // params, param order), collapsed by the canonical form. The
+      // oracle re-derives the whole canonicalization in SQL (the
+      // Projection-oracle convention).
+      val k = col("doc_id")
+      val k7 = (k % 7).cast("string"); val p = (k % 11).cast("string")
+      val i = (k % 3).cast("string")
+      val raw = when(k % 5 === 0, concat(lit("HTTP://Example"), k7, lit(".COM:80/Path"), p,
+          lit("?utm_source=news&id="), i, lit("#sec1")))
+        .when(k % 5 === 1, concat(lit("https://example"), k7, lit(".com:443/Path"), p,
+          lit("?id="), i, lit("&utm_campaign=x")))
+        .when(k % 5 === 2, concat(lit("http://EXAMPLE"), k7, lit(".com/Path"), p,
+          lit("?b=2&a=1&fbclid=zz")))
+        .when(k % 5 === 3, concat(lit("https://example"), k7, lit(".com:8443/Path"), p,
+          lit("?a=1&b=2")))
+        .otherwise(concat(lit("http://example"), k7, lit(".com:80/Path"), p))
+      graft.operators.text.UrlTools
+        .dedupByCanonical(snap(s, dir).documents.select(raw.as("url")), "url")
+        .orderBy("canonical_url")
+    }),
     "q_text_repetition" -> ((s, dir) =>
       // null-text guard on BOTH sides: Spark's size(null)=null row vs
       // DuckDB's [NULL]-list row would diverge on the first null text
@@ -1724,6 +1775,34 @@ object SparkEntry {
       " - (CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)" +
       " / NULLIF(CAST(length(text) AS DOUBLE), 0.0)) * 0.2"
 
+  /** Luhn mod-10 over the 16 fixed positions of lambda var `x` — the
+    * term-by-term mirror of [[TextStats.luhnValid16]].
+    */
+  private val luhnSqlX: String = (1 to 16).map { i =>
+    val d = s"CAST(substring(x, $i, 1) AS INTEGER)"
+    if (i % 2 == 1) s"(CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 ELSE $d * 2 END)" else d
+  }.mkString(" + ")
+
+  /** The q_pii_audit contact blob — MUST stay the byte-for-byte mirror of
+    * the Spark-side synthesis in the query.
+    */
+  private val piiBlobSql: String =
+    "'acct ' || c_name" +
+      " || CASE WHEN c_custkey % 5 <> 0 THEN ' mail user' || CAST(c_custkey AS VARCHAR) || '@example.com' ELSE '' END" +
+      " || ' phone ' || CAST(c_custkey % 90 + 10 AS VARCHAR)" +
+      " || '-' || lpad(CAST(c_custkey*3 % 1000 AS VARCHAR), 3, '0')" +
+      " || '-' || lpad(CAST(c_custkey*7 % 1000 AS VARCHAR), 3, '0')" +
+      " || '-' || lpad(CAST(c_custkey*11 % 10000 AS VARCHAR), 4, '0')" +
+      " || CASE WHEN c_custkey % 3 <> 0 THEN ' card ' || lpad(CAST(c_custkey % 100000000 AS VARCHAR), 8, '0') || lpad(CAST((c_custkey*7919 + 13) % 100000000 AS VARCHAR), 8, '0') ELSE '' END" +
+      " || CASE WHEN c_custkey % 4 <> 0 THEN ' ip ' || CAST(c_custkey % 300 AS VARCHAR) || '.' || CAST(c_custkey*7 % 256 AS VARCHAR) || '.' || CAST(c_custkey*13 % 256 AS VARCHAR) || '.' || CAST(c_custkey % 256 AS VARCHAR) ELSE '' END" +
+      " || CASE WHEN c_custkey % 7 = 0 THEN ' see https://ex.example/page' ELSE '' END"
+
+  /** The five sequential redactions of [[TextStats.piiAudit]] in SQL. */
+  private val piiRedactedSql: String =
+    Seq(TextStats.EmailRe -> "<EMAIL>", TextStats.UrlRe -> "<URL>",
+      TextStats.PhoneRe -> "<PHONE>", TextStats.CcRe -> "<CC>", TextStats.Ipv4Re -> "<IP>")
+      .foldLeft("blob") { case (acc, (re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')" }
+
   def oracleSql: Map[String, String] = Map(
     "q_keyword_search" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
@@ -2340,6 +2419,53 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, n_words, quality_score FROM q
          |WHERE quality_score >= 0.5 AND n_words >= 20 ORDER BY doc_id""".stripMargin,
+    "q_pii_audit" ->
+      s"""WITH b AS (SELECT c_custkey, $piiBlobSql AS blob FROM customer)
+         |SELECT c_custkey,
+         |  CAST(len(regexp_extract_all(blob, '${TextStats.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(blob, '${TextStats.UrlRe}')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(blob, '${TextStats.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(blob, '${TextStats.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(list_filter(regexp_extract_all(blob, '${TextStats.Ipv4Re}'),
+         |    x -> len(list_filter(string_split(x, '.'), o -> CAST(o AS INTEGER) <= 255)) = 4)) AS BIGINT) AS n_ipv4_valid,
+         |  CAST(len(regexp_extract_all(blob, '${TextStats.CcRe}')) AS BIGINT) AS n_cc,
+         |  CAST(len(list_filter(regexp_extract_all(blob, '${TextStats.CcRe}'),
+         |    x -> ($luhnSqlX) % 10 = 0)) AS BIGINT) AS n_cc_valid,
+         |  CAST(len(regexp_extract_all(blob, '${TextStats.EmailRe}'))
+         |     + len(regexp_extract_all(blob, '${TextStats.UrlRe}'))
+         |     + len(regexp_extract_all(blob, '${TextStats.PhoneRe}'))
+         |     + len(regexp_extract_all(blob, '${TextStats.Ipv4Re}'))
+         |     + len(regexp_extract_all(blob, '${TextStats.CcRe}')) AS BIGINT) AS n_redactions,
+         |  md5($piiRedactedSql) AS redacted_hash
+         |FROM b ORDER BY c_custkey""".stripMargin,
+    "q_url_canonical" ->
+      """WITH raw AS (SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'HTTP://Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM:80/Path' || CAST(doc_id % 11 AS VARCHAR) || '?utm_source=news&id=' || CAST(doc_id % 3 AS VARCHAR) || '#sec1'
+        |    WHEN 1 THEN 'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com:443/Path' || CAST(doc_id % 11 AS VARCHAR) || '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x'
+        |    WHEN 2 THEN 'http://EXAMPLE' || CAST(doc_id % 7 AS VARCHAR) || '.com/Path' || CAST(doc_id % 11 AS VARCHAR) || '?b=2&a=1&fbclid=zz'
+        |    WHEN 3 THEN 'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com:8443/Path' || CAST(doc_id % 11 AS VARCHAR) || '?a=1&b=2'
+        |    ELSE 'http://example' || CAST(doc_id % 7 AS VARCHAR) || '.com:80/Path' || CAST(doc_id % 11 AS VARCHAR)
+        |  END AS url FROM documents),
+        |s1 AS (SELECT url, split_part(url, '#', 1) AS nofrag FROM raw),
+        |s2 AS (SELECT url, nofrag, lower(split_part(nofrag, '://', 1)) AS scheme,
+        |        substring(nofrag, strpos(nofrag, '://') + 3) AS rest FROM s1),
+        |s3 AS (SELECT *, split_part(rest, '?', 1) AS restnoq,
+        |        CASE WHEN strpos(rest, '?') > 0 THEN substring(rest, length(split_part(rest, '?', 1)) + 2) ELSE '' END AS query FROM s2),
+        |s4 AS (SELECT *, split_part(restnoq, '/', 1) AS hostport,
+        |        substring(restnoq, length(split_part(restnoq, '/', 1)) + 1) AS path FROM s3),
+        |s5 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host,
+        |        CASE WHEN strpos(hostport, ':') > 0 THEN substring(hostport, strpos(hostport, ':') + 1) ELSE '' END AS port FROM s4),
+        |s6 AS (SELECT *, list_sort(list_filter(string_split(query, '&'),
+        |        p -> NOT (p = '' OR starts_with(p, 'utm_') OR split_part(p, '=', 1) IN ('fbclid', 'gclid', 'ref')))) AS kept FROM s5),
+        |canon AS (SELECT url, scheme || '://' || host
+        |  || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443')) THEN ':' || port ELSE '' END
+        |  || CASE WHEN path = '' THEN '/' ELSE path END
+        |  || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical_url
+        |  FROM s6)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -90,6 +90,64 @@ object TextStats {
       (regexp_count(col(textCol), lit(EmailRe)) + regexp_count(col(textCol), lit(UrlRe)))
         .cast("long").as("n_redactions"))
 
+  /** PII widening beyond email/URL (round-8): phones, IPv4s, and credit-
+    * card-shaped numbers with a Luhn mod-10 check done ARITHMETICALLY
+    * (16 fixed-position digit expressions — no UDF, no loop), so the
+    * DuckDB oracle mirrors it term by term. Same Java-regex/RE2 common
+    * subset as [[EmailRe]]; candidates are scanned left-to-right non-
+    * overlapping (identical in both engines), which is the documented
+    * contract for digit runs longer than a candidate.
+    */
+  val PhoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val CcRe = "[0-9]{16}"
+
+  /** Luhn mod-10 validity of an exactly-16-digit string: odd positions
+    * from the left (= every second digit from the right) double, with
+    * 9 subtracted past 9; valid iff the total ≡ 0 (mod 10). Pure integer
+    * arithmetic over fixed positions — hash-safe and oracle-mirrorable.
+    */
+  def luhnValid16(s: Column): Column =
+    (1 to 16).map { i =>
+      val d = substring(s, i, 1).cast("int")
+      if (i % 2 == 1) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2) else d
+    }.reduce(_ + _) % 10 === 0
+
+  /** All-octets-in-range validity of an IPv4-SHAPED candidate (the regex
+    * admits 0-999 octets; real validation is numeric).
+    */
+  def ipv4Valid(s: Column): Column =
+    size(filter(split(s, "\\."), o => o.cast("int") <= 255)) === 4
+
+  /** Per-document PII audit + conservative redaction. Counts are per-
+    * pattern over the RAW text; `redacted` applies the five replacements
+    * sequentially (email, URL, phone, credit card, IPv4 — the patterns
+    * are mutually non-overlapping on dash/dot/@ structure). Redaction is
+    * conservative: every CANDIDATE is masked; `n_cc_valid`/`n_ipv4_valid`
+    * report how many candidates pass the Luhn / octet-range checks.
+    * Scale shape: scan-fused column expressions, no shuffle.
+    */
+  def piiAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val ccs = regexp_extract_all(c, lit(CcRe), lit(0))
+    val ips = regexp_extract_all(c, lit(Ipv4Re), lit(0))
+    val redacted = Seq(EmailRe -> "<EMAIL>", UrlRe -> "<URL>", PhoneRe -> "<PHONE>",
+      CcRe -> "<CC>", Ipv4Re -> "<IP>")
+      .foldLeft(c) { case (acc, (re, tag)) => regexp_replace(acc, re, tag) }
+    df.select(
+        col(idCol),
+        regexp_count(c, lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(c, lit(UrlRe)).cast("long").as("n_urls"),
+        regexp_count(c, lit(PhoneRe)).cast("long").as("n_phones"),
+        size(ips).cast("long").as("n_ipv4"),
+        size(filter(ips, ipv4Valid _)).cast("long").as("n_ipv4_valid"),
+        size(ccs).cast("long").as("n_cc"),
+        size(filter(ccs, luhnValid16 _)).cast("long").as("n_cc_valid"),
+        redacted.as("redacted"))
+      .withColumn("n_redactions",
+        col("n_emails") + col("n_urls") + col("n_phones") + col("n_ipv4") + col("n_cc"))
+  }
+
   /** Quality gate: keep docs passing the score/length thresholds — the
     * filter stage of a training-data pipeline, composed from [[quality]].
     */

@@ -1,0 +1,72 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the upstream hygiene the dedup family assumes
+  * a crawl pipeline provides: distinct raw spellings of the same resource
+  * must collapse BEFORE exact/near dedup, or every variant survives as a
+  * "unique" document. Reference scope: the reference's corpus carries
+  * source URLs it never normalizes; this closes that gap Spark-first.
+  *
+  * Contract (absolute http(s) URLs `scheme://host[:port][/path][?query]
+  * [#fragment]`):
+  *  - scheme and host lowercase (RFC 3986 §6.2.2.1); path/query case kept;
+  *  - default ports dropped (http:80, https:443); other ports kept;
+  *  - fragment dropped (never sent to the server);
+  *  - tracking params dropped (`utm_*`, `fbclid`, `gclid`, `ref`);
+  *  - surviving params sorted bytewise (param order is almost never
+  *    semantic; sorting makes `?a=1&b=2` ≡ `?b=2&a=1`);
+  *  - empty path becomes "/".
+  *
+  * Everything is string/array expressions (split, substring, filter,
+  * array_sort) — scan-fused, no shuffle, and each step has an exact
+  * DuckDB mirror (string_split / list_filter / list_sort), so
+  * `q_url_canonical`'s oracle re-derives the whole operator (the
+  * Projection-oracle convention).
+  */
+object UrlTools {
+
+  /** Query-param names to strip: exact names, plus any `utm_` prefix. */
+  val TrackingParams: Seq[String] = Seq("fbclid", "gclid", "ref")
+
+  def canonicalize(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val scheme = lower(substring_index(noFrag, "://", 1))
+    // rest = after "://" (instr is 1-based; +3 skips the marker).
+    // Column.substr handles column positions; the huge fixed length means
+    // "to the end" (both engines clamp).
+    val big = lit(1 << 20)
+    val rest = noFrag.substr(instr(noFrag, "://") + lit(3), big)
+    // query first: RFC 3986 allows `scheme://host?query` with no path, so
+    // the '?' split must happen before the host/path split
+    val restNoQ = substring_index(rest, "?", 1)
+    val query = when(instr(rest, "?") > 0,
+      rest.substr(length(restNoQ) + lit(2), big)).otherwise(lit(""))
+    val hostport = substring_index(restNoQ, "/", 1)
+    val path = restNoQ.substr(length(hostport) + lit(1), big)
+    val host = lower(substring_index(hostport, ":", 1))
+    val port = when(instr(hostport, ":") > 0,
+      hostport.substr(instr(hostport, ":") + lit(1), big)).otherwise(lit(""))
+    val keepPort = (port =!= "") &&
+      !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
+    val kept = array_sort(filter(split(query, "&"), p =>
+      !(p === "" || startswith(p, lit("utm_")) ||
+        substring_index(p, "=", 1).isInCollection(TrackingParams))))
+    concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      when(path === "", lit("/")).otherwise(path),
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise(lit("")))
+  }
+
+  /** Canonical-URL dedup report: one row per canonical URL with how many
+    * raw variants and rows collapsed into it — the crawl-frontier /
+    * refetch-suppression primitive. One hash shuffle on the canonical
+    * string; at 100 TB this is the same shape as exact text dedup (C1).
+    */
+  def dedupByCanonical(df: DataFrame, urlCol: String): DataFrame =
+    df.select(canonicalize(col(urlCol)).as("canonical_url"), col(urlCol).as("__raw"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("__raw")).as("n_variants"))
+}
