@@ -260,6 +260,22 @@ object IvfKNN {
         .write.mode("append").partitionBy("cell_id").parquet(s"$path/assigned_q")
   }
 
+  /** `foreachBatch` sink for continuous index maintenance (D16): each
+    * microbatch of an embedding stream appends to the saved index via
+    * [[appendToSaved]] — frozen quantizer, map-only assignment, so
+    * per-batch work is bounded by the batch alone and the indexed corpus
+    * is never rescanned. All stored representations (float and/or int8)
+    * grow together, from one pinned materialization per batch. The
+    * StreamingSpec D16 gate: post-stream index contents == a one-shot
+    * [[appendToSaved]] over the same rows.
+    */
+  def appendSink(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String): (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, _) => appendToSaved(spark, path, batch.toDF(), idCol, vecCol)
+
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
     // partition-column type inference yields int for small cell ids; cast
     // back to the in-memory index's long for schema parity

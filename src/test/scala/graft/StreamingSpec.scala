@@ -353,6 +353,61 @@ class StreamingSpec extends SparkSpecBase {
     assert(canon(state.get) == canon(scratch))
   }
 
+  test("streaming vector-index maintenance: foreachBatch appends == one-shot batch append (D16)") {
+    // Continuous ingestion into a saved IVF index: seed an index on a
+    // third of the corpus (BOTH representations — float and int8), then
+    // stream the remainder through IvfKNN.appendSink one file-microbatch
+    // at a time. Post-stream index contents must equal a single
+    // appendToSaved over the same rows (assignment is map-only and the
+    // quantizer frozen, so batch boundaries are invisible), and a search
+    // over the streamed index must find appended vectors exactly.
+    import graft.operators.ann.IvfKNN
+    val vecs = Snapshot(spark, sf()).embeddings.where($"embedding".isNotNull)
+    val seed = vecs.where($"vec_id" % 3 === 0)
+    val rest = vecs.where($"vec_id" % 3 =!= 0)
+    val index = IvfKNN.buildIndex(seed, "vec_id", "embedding", nLists = 8, iters = 2)
+    val dirA = Files.createTempDirectory("graft_ivf_stream").toFile // streamed appends
+    val dirB = Files.createTempDirectory("graft_ivf_batch").toFile // one-shot append
+    Seq(dirA, dirB).foreach { d =>
+      IvfKNN.save(index, d.getAbsolutePath)
+      IvfKNN.saveQuantized(index, d.getAbsolutePath)
+    }
+    index.assigned.unpersist(false)
+    val multiDir = Files.createTempDirectory("graft_ivf_feed").toFile
+    multiDir.deleteOnExit()
+    rest.repartition(4).write.mode("overwrite").parquet(multiDir.getAbsolutePath)
+    val batchDf = spark.read.parquet(multiDir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(multiDir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sink = IvfKNN.appendSink(spark, dirA.getAbsolutePath, "vec_id", "embedding")
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        nBatches.incrementAndGet(); sink(b, id)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    IvfKNN.appendToSaved(spark, dirB.getAbsolutePath, batchDf, "vec_id", "embedding")
+    // full-content identity of BOTH representations
+    def canonF(d: java.io.File) = spark.read.parquet(d.getAbsolutePath + "/assigned")
+      .select($"neighbor_id", $"cell_id".cast("long"), $"__cv")
+      .collect().map(_.toString).sorted.toSeq
+    def canonQ(d: java.io.File) = spark.read.parquet(d.getAbsolutePath + "/assigned_q")
+      .select($"neighbor_id", $"cell_id".cast("long"), $"__qs", $"__qv")
+      .collect().map(_.toString).sorted.toSeq
+    assert(canonF(dirA) == canonF(dirB))
+    assert(canonQ(dirA) == canonQ(dirB))
+    // end-to-end: appended vectors are findable in the streamed index at
+    // sim ~ 1 (nProbe == nLists => the probe set is exhaustive)
+    val loaded = IvfKNN.load(spark, dirA.getAbsolutePath)
+    val queries = rest.limit(5).select($"vec_id", $"embedding")
+    val hits = IvfKNN.search(loaded, queries, "vec_id", "embedding",
+      k = 1, nProbe = 8, excludeSelf = false)
+    val self = hits.where($"neighbor_id" === $"query_id" && $"sim" >= 0.999).count()
+    assert(self == 5L)
+  }
+
   test("streaming drift monitor: merged bin-count state yields the exact batch PSI report") {
     // B54 lifted onto the stream (D15): a drift monitor never keeps raw
     // rows — it keeps (bin, n) counts against the FROZEN baseline bins
