@@ -690,6 +690,11 @@ object SparkEntry {
         .withColumn("recency_days",
           expr("(unix_micros(cast(__mx as timestamp)) - " +
             "unix_micros(cast(last_order as timestamp))) div 86400000000"))
+        // each withNtile pass (and the final projection) re-derives its
+        // input plan — without this pin the orders scan + customer-grain
+        // aggregate runs ~4x (the q_deciles_by_group counts-table lesson;
+        // profiled 2.49 -> 1.87s steady at sf0.1, control on-median)
+        .localCheckpoint(true)
       val scored = Seq(("recency_days", "r_quart"), ("frequency", "f_quart"),
         ("monetary_d", "m_quart")).foldLeft(cust) { case (df, (v, out)) =>
         Quantiles.withNtile(df, v, "o_custkey", 4, out)

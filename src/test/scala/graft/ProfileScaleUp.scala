@@ -228,6 +228,29 @@ object ProfileScaleUp {
         val p = graft.operators.text.InvertedIndex.build(docs, "doc_id", "text", 64)
         graft.operators.text.InvertedIndex.searchAnd(p, Seq("spark", "stream"))
       })
+    time("bpe encode+count")(
+      force(docs.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.operators.text.Bpe.nTokens(col("text")).cast("long").as("n"))
+        .groupBy().agg(sum("n").as("t"), count(lit(1)).as("n"))))
+    time("bpe chunkIds (64/8)")(
+      force(graft.operators.text.Bpe.chunkIds(docs, "doc_id", "text", 64, 8)
+        .groupBy().agg(count(lit(1)).as("n"), sum("n_chunk_tokens").as("t"))))
+    time("pii audit")(
+      force {
+        // documents text + a synthesized contact tail so every pattern fires
+        val blob = docs.where(col("text").isNotNull).select(col("doc_id"),
+          concat(col("text"), lit(" phone 25-989-741-2988 card 4111111111111111 ip 10.0.0."),
+            (col("doc_id") % 300).cast("string")).as("blob"))
+        graft.operators.text.TextStats.piiAudit(blob, "doc_id", "blob")
+          .select(col("doc_id"), col("n_redactions"), col("n_cc_valid"), col("n_ipv4_valid"))
+      })
+    time("url canonical dedup")(
+      force(graft.operators.text.UrlTools.dedupByCanonical(
+        docs.select(concat(lit("HTTP://Example"), (col("doc_id") % 97).cast("string"),
+          lit(".COM:80/p"), (col("doc_id") % 1009).cast("string"),
+          lit("?utm_source=x&id="), (col("doc_id") % 13).cast("string"),
+          lit("#f")).as("url")), "url")))
 
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
