@@ -211,6 +211,47 @@ object SelfCheck {
             s"(${comp.getLong(0)} tokens < ${comp.getLong(1)} bytes)")
       }),
 
+      "q_compress_ratio" -> (() => {
+        import graft.operators.text.Compress
+        // (a) range sanity corpus-wide: deflate of non-empty text is a
+        // positive length bounded by raw + zlib's worst-case overhead
+        // (2-byte header + 4-byte adler + 5-byte stored-block header per
+        // 16 KB ≈ 11 bytes for these docs; 16 is the loose bound). A
+        // ratio bound would be wrong: a 47-byte doc legitimately sits
+        // above 1.1 on overhead alone.
+        val rep = Compress.report(baseDocs, "doc_id", "text")
+        val total = rep.count()
+        val inRange = rep.where(col("compress_ratio") > 0 &&
+          col("deflated_bytes") <= col("n_bytes") + lit(16L)).count()
+        // (b) analytic doubling plant: text||text re-finds the first copy
+        // inside zlib's 32 KB window, so the doubled doc's ratio must sit
+        // FAR below the single copy's (0.75 is a loose bound for any
+        // >=200-byte input; measured ~0.52)
+        val paired = baseDocs.where(octet_length(col("text")) >= 200)
+          .select(
+            Compress.deflateLen(col("text")).cast("double").as("d1"),
+            octet_length(col("text")).cast("double").as("b1"),
+            Compress.deflateLen(concat(col("text"), col("text"))).cast("double").as("d2"))
+          .localCheckpoint(true)
+        val nPair = paired.count()
+        val okPair = paired
+          .where(col("d2") / (col("b1") * 2) < lit(0.75) * (col("d1") / col("b1"))).count()
+        // (c) repetitive text compresses far below hex noise
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val plants = Seq(
+          (1L, "spark table row " * 150), // repetitive
+          (2L, (0 until 80).map(i => hex(s"seed$i")).mkString)) // hex noise
+          .toDF("doc_id", "text")
+        val pr = Compress.report(plants, "doc_id", "text").orderBy("doc_id")
+          .select("compress_ratio").collect().map(_.getDouble(0))
+        val plantsOk = pr(0) < 0.1 && pr(1) > 0.4 && pr(0) < pr(1)
+        Result("q_compress_ratio",
+          inRange == total && okPair == nPair && nPair >= 10 && plantsOk, total, inRange,
+          s"deflate in (0, raw+16] on $inRange/$total docs; doubling plant $okPair/$nPair " +
+            f"below the 0.75 bound; repetitive ${pr(0)}%.3f << hex-noise ${pr(1)}%.3f")
+      }),
+
       "q_text_fingerprint" -> (() => {
         val fp = graft.operators.text.TextStats.fingerprint(docs, "doc_id", "text")
         // (a) planted twins fingerprint equal

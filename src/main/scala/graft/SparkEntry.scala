@@ -540,6 +540,18 @@ object SparkEntry {
       val d = snap(s, dir).documents.withColumn("payload", encode(col("text"), "UTF-8"))
       BinaryPipeline.manifest(d, "doc_id", "payload").orderBy("doc_id")
     }),
+    "q_corpus_report" -> ((s, dir) =>
+      // dataset-card metrics (C45): exact-count corpus summary, one row
+      // per metric; the only division is mean_words (two exact integers,
+      // the q_gini hash rule)
+      graft.operators.stats.Profiling.corpusReport(snap(s, dir).documents, "text", "source")),
+    "q_compress_ratio" -> ((s, dir) =>
+      // zlib compression-ratio quality signal (C46). no_oracle: DuckDB
+      // has no deflate — gated by the SelfCheck analytic plants
+      // (doubling-compresses, repetitive << noise) + cross-JVM sweep.
+      graft.operators.text.Compress.report(
+        snap(s, dir).documents.where(col("text").isNotNull), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // ---- D. sessionization (batch twin of the streaming op) --------------
     "q_sessionize" -> ((s, dir) =>
@@ -1012,6 +1024,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy("split")
     }),
+    "q_split_by_group" -> ((s, dir) =>
+      // leakage-guarded split (C44): keyed by SOURCE, so near-duplicates
+      // within a site can never straddle train/val/test. The guard is
+      // visible in the output: per-split n_sources sums to the corpus's
+      // distinct-source total (every source wholly in one split).
+      graft.operators.sample.Sampling.groupSplit(
+        snap(s, dir).documents, "source", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("split")),
     "q_heavy_hitters" -> ((s, dir) => {
       // vocabulary heavy hitters per language: the (lang, term) agg
       // shrinks the exploded terms before the bounded-heap top-k — the
@@ -2471,6 +2494,28 @@ object SparkEntry {
         |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants
         |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+    "q_corpus_report" ->
+      """WITH a AS (SELECT
+        |    CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(COUNT(text) AS DOUBLE) AS n_with_text,
+        |    CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE) AS total_words,
+        |    CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) AS total_chars,
+        |    CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) AS n_distinct_texts
+        |  FROM documents),
+        |d AS (SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) AS n_dup_docs FROM
+        |  (SELECT md5(text) AS h, COUNT(*) AS c FROM documents
+        |   WHERE text IS NOT NULL GROUP BY 1) WHERE c > 1)
+        |SELECT metric, value FROM (
+        |  SELECT 'mean_words' AS metric, total_words / n_with_text AS value FROM a
+        |  UNION ALL SELECT 'n_distinct_texts', n_distinct_texts FROM a
+        |  UNION ALL SELECT 'n_docs', n_docs FROM a
+        |  UNION ALL SELECT 'n_dup_docs', n_dup_docs FROM d
+        |  UNION ALL SELECT 'n_sources', n_sources FROM a
+        |  UNION ALL SELECT 'n_with_text', n_with_text FROM a
+        |  UNION ALL SELECT 'total_chars', total_chars FROM a
+        |  UNION ALL SELECT 'total_words', total_words FROM a)
+        |ORDER BY metric""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -2853,6 +2898,17 @@ object SparkEntry {
         |            WHEN u24 < 15099494 THEN 'val'
         |            ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM u GROUP BY 1 ORDER BY split""".stripMargin,
+    "q_split_by_group" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(source), 1, 6)) AS BIGINT) AS u24
+        |  FROM documents)
+        |SELECT CASE WHEN u24 < 13421772 THEN 'train'
+        |            WHEN u24 < 15099494 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+        |  MIN(doc_id) AS first_doc
         |FROM u GROUP BY 1 ORDER BY split""".stripMargin,
     // the bloom probe is a pure prefilter — false positives die in the
     // exact join, so the plain join IS the oracle

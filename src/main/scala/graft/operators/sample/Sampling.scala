@@ -41,6 +41,21 @@ object Sampling {
     * rational weights, can shift a bound by one ulp's worth of rows);
     * the canonical bounds for (0.8, 0.1, 0.1) are 13421772 and 15099494.
     */
+  /** Leakage-guarded split: [[assignSplit]] keyed by a GROUP column
+    * (source, canonical URL host, near-dup component id) instead of the
+    * row id, so correlated rows — near-duplicates from one site, chunks
+    * of one document — can NEVER straddle train/val/test. Straddling is
+    * the classic eval-contamination bug: a row-keyed split puts one
+    * near-dup in train and its twin in test, and the eval leaks. The
+    * guard is structural: split is a pure function of the group key, so
+    * "every group wholly inside one split" is true by construction (and
+    * visible in q_split_by_group's output — per-split distinct-group
+    * counts sum to the corpus total). Same stability contract as
+    * [[assignSplit]]: adding/removing groups never migrates others.
+    */
+  def groupSplit(df: DataFrame, groupCol: String, splits: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", assignSplit(col(groupCol), splits))
+
   def assignSplit(keyCol: Column, splits: Seq[(String, Double)]): Column = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got $splits")

@@ -94,4 +94,37 @@ object Profiling {
     }
     one.select(inline(array(rows: _*)))
   }
+
+  /** Dataset-card metrics for a text corpus — the one-row-per-metric
+    * summary a curation run publishes next to the shards (HuggingFace
+    * dataset-card numbers; the corpus-grain sibling of the reference's
+    * procurement `insights_summary`). TWO aggregation passes (corpus
+    * totals + the duplicate-mass groupBy) meeting in a 1×1 cross join,
+    * then a map-side unpivot — no metric touches more than one shuffle.
+    * Every value is an exact BIGINT cast to double except `mean_words`,
+    * ONE IEEE division of two exact integers (the q_gini hash rule).
+    */
+  def corpusReport(df: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val t = col(textCol)
+    val base = df.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      count(t).cast("double").as("n_with_text"),
+      countDistinct(col(sourceCol)).cast("double").as("n_sources"),
+      // size(split(NULL)) is -1 under legacy non-ANSI — gate to non-null
+      // so the sum skips null texts exactly like the SQL mirror's SUM
+      sum(when(t.isNotNull, size(split(t, " "))).cast("long")).cast("double").as("total_words"),
+      sum(length(t).cast("long")).cast("double").as("total_chars"),
+      countDistinct(md5(t)).cast("double").as("n_distinct_texts"))
+    // duplicate mass: total docs sharing their text with at least one other
+    val dups = df.where(t.isNotNull)
+      .groupBy(md5(t).as("__h")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1)
+      .agg(coalesce(sum(col("__c")), lit(0L)).cast("double").as("n_dup_docs"))
+    val wide = base.crossJoin(dups)
+      .withColumn("mean_words", col("total_words") / col("n_with_text"))
+    val metrics = Seq("mean_words", "n_distinct_texts", "n_docs", "n_dup_docs",
+      "n_sources", "n_with_text", "total_chars", "total_words")
+    wide.unpivot(Array.empty, metrics.map(col).toArray, "metric", "value")
+      .orderBy("metric")
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.stats.Profiling
+import graft.operators.text.Compress
+
+/** Dataset-card report and compression-ratio quality signal units. */
+class CorpusSignalsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("corpusReport computes exact metrics on a crafted corpus") {
+    val df = Seq(
+      (1L, "a b c", "s1"), (2L, "a b c", "s1"), // planted exact dups (mass 2)
+      (3L, "d e", "s2"), (4L, null: String, "s2"))
+      .toDF("doc_id", "text", "source")
+    val m = Profiling.corpusReport(df, "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("n_docs") == 4.0 && m("n_with_text") == 3.0)
+    assert(m("n_sources") == 2.0 && m("n_distinct_texts") == 2.0)
+    assert(m("n_dup_docs") == 2.0) // both copies count as duplicate mass
+    assert(m("total_words") == 8.0 && m("total_chars") == 13.0)
+    assert(m("mean_words") == 8.0 / 3.0) // one IEEE division of exact ints
+  }
+
+  test("corpusReport with zero duplicates reports n_dup_docs = 0") {
+    val df = Seq((1L, "x y", "s"), (2L, "z", "s")).toDF("doc_id", "text", "source")
+    val m = Profiling.corpusReport(df, "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("n_dup_docs") == 0.0)
+  }
+
+  test("deflateLen is deterministic, null-safe, and empty text has no ratio") {
+    val df = Seq((1L, "spark " * 50), (2L, ""), (3L, null: String)).toDF("id", "text")
+    val a = Compress.report(df, "id", "text").orderBy("id").collect()
+    val b = Compress.report(df, "id", "text").orderBy("id").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a(0).getLong(1) == 300L && a(0).getLong(2) > 0L && !a(0).isNullAt(3))
+    assert(a(1).getLong(1) == 0L && a(1).isNullAt(3)) // empty: NULL ratio, not 0-perfect
+    assert(a(2).isNullAt(1) && a(2).isNullAt(3)) // null text propagates
+  }
+
+  test("compression ratio orders repetitive < prose < hex noise") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val df = Seq(
+      (1L, "ab " * 800),
+      (2L, "the quick brown fox jumps over the lazy dog and then walks on by " * 36),
+      (3L, (0 until 150).map(i => hex(s"n$i")).mkString))
+      .toDF("id", "text")
+    val r = Compress.report(df, "id", "text").orderBy("id")
+      .select("compress_ratio").collect().map(_.getDouble(0))
+    assert(r(0) < r(1) && r(1) < r(2), r.mkString(","))
+    assert(r(0) < 0.05 && r(2) > 0.4)
+  }
+}

@@ -29,6 +29,30 @@ class ScaleToolsSpec extends SparkSpecBase {
     assert(train / n > 0.6 && train / n < 0.95, s"train share ${train / n}")
   }
 
+  test("group split: no group straddles a split boundary (leakage guard)") {
+    import graft.operators.sample.Sampling
+    val docs = graft.sources.Snapshot(spark, sf()).documents
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Sampling.groupSplit(docs, "source", splits)
+    // THE guard: every source maps to exactly one split — a straddling
+    // source is eval contamination (its near-dups would sit in two splits)
+    val straddlers = assigned.groupBy("source")
+      .agg(countDistinct(col("split")).as("k")).where(col("k") > 1).count()
+    assert(straddlers == 0L)
+    // exhaustive, and per-split distinct-group counts sum to the total
+    assert(assigned.where(col("split").isNull).isEmpty)
+    val perSplit = assigned.groupBy("split")
+      .agg(countDistinct(col("source")).as("g")).agg(sum("g")).head().getLong(0)
+    assert(perSplit == docs.select("source").distinct().count())
+    // group keying is what provides the guard: the row-keyed split DOES
+    // straddle sources on this corpus (the bug the operator exists for)
+    val rowKeyed = docs.select(col("source"),
+      Sampling.assignSplit(col("doc_id"), splits).as("split"))
+    val rowStraddlers = rowKeyed.groupBy("source")
+      .agg(countDistinct(col("split")).as("k")).where(col("k") > 1).count()
+    assert(rowStraddlers > 0L, "control: row-keyed split should straddle sources")
+  }
+
   test("salted join equals plain join") {
     val sn = Snapshot(spark, sf())
     val li = sn.lineitem.select("l_orderkey", "l_linenumber", "l_quantity")
