@@ -1517,6 +1517,32 @@ object SparkEntry {
       TextStats.bm25TopDocs(snap(s, dir).documents, "doc_id", "text",
         Seq("spark", "join", "stream"), 20)
         .orderBy("rnk")),
+    "q_retrieval_metrics" -> ((s, dir) => {
+      // retrieval eval harness (C47): MRR/recall/precision@10 of the C37
+      // BM25 ranker against an independent ground truth — "relevant"
+      // means the doc contains EVERY query term as a substring (the A1
+      // keyword-AND semantics), deliberately NOT the ranker's own token
+      // match. One row per labeled query; rr = 1/first_rel_rank is a
+      // single exact division (hash-safe unrounded), counts exact.
+      val d = snap(s, dir).documents
+      retrievalQueries.map { case (qid, terms) =>
+        val relCol = terms.map(t => col("text").contains(t)).reduce(_ && _)
+        val rel = d.select(col("doc_id"), relCol.as("rel"))
+        val top = TextStats.bm25TopDocs(d, "doc_id", "text", terms, 10)
+          .join(rel, Seq("doc_id"))
+        val atK = top.agg(
+          min(when(col("rel"), col("rnk"))).cast("long").as("first_rel_rank"),
+          sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel_at_k"))
+        val tot = d.agg(sum(when(relCol, 1L).otherwise(0L)).as("n_rel_total"))
+        atK.crossJoin(tot).select(
+          lit(qid).as("query_id"),
+          col("first_rel_rank"), col("n_rel_at_k"), col("n_rel_total"),
+          coalesce(lit(1.0) / col("first_rel_rank").cast("double"), lit(0.0)).as("rr"),
+          (col("n_rel_at_k").cast("double")
+            / nullif(col("n_rel_total").cast("double"), lit(0.0))).as("recall_at_k"),
+          (col("n_rel_at_k").cast("double") / lit(10.0)).as("precision_at_k"))
+      }.reduce(_ unionByName _).orderBy("query_id")
+    }),
     "q_rrf_fusion" -> ((s, dir) => {
       // hybrid retrieval: keyword (BM25) and vector (cosine-to-doc-100)
       // rankings fused by Reciprocal Rank Fusion (Cormack et al. SIGIR'09,
@@ -1705,6 +1731,16 @@ object SparkEntry {
           "o_totalprice", 10)
         .orderBy("bin")
     }),
+    "q_drift_categorical" -> ((s, dir) => {
+      // categorical PSI (B63): shares over the baseline's top-8 sources
+      // + __OTHER__ — the vocabulary-drift twin of q_drift_psi, spine
+      // bounded to K+1 rows at any cardinality. ln margin-audited.
+      val d = snap(s, dir).documents
+      graft.operators.stats.Drift.psiByCategory(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+        "source", topK = 8)
+        .orderBy("category")
+    }),
     "q_interval_merge" -> ((s, dir) => {
       // overlap-or-touch interval coalescing per key (sparse 3-day
       // order windows): the sweep construction — running max of
@@ -1764,6 +1800,15 @@ object SparkEntry {
     */
   val bm25Concepts: Seq[Seq[String]] =
     Seq(Seq("join", "merge"), Seq("stream", "batch"), Seq("fast", "quick"))
+
+  /** The labeled query set q_retrieval_metrics evaluates (shared with
+    * MarginAuditSpec so the rank-stability audit sweeps exactly the
+    * hashed query arms).
+    */
+  val retrievalQueries: Seq[(String, Seq[String])] = Seq(
+    "q1_stream" -> Seq("spark", "stream"),
+    "q2_joins" -> Seq("join", "hash"),
+    "q3_windows" -> Seq("window", "merge"))
 
   /** Target lang shares for q_target_mix — deliberately uneven so every
     * non-binding group gets a real (non-1.0) keep rate on this testdata.
@@ -1830,6 +1875,42 @@ object SparkEntry {
     Seq(TextStats.EmailRe -> "<EMAIL>", TextStats.UrlRe -> "<URL>",
       TextStats.PhoneRe -> "<PHONE>", TextStats.CcRe -> "<CC>", TextStats.Ipv4Re -> "<IP>")
       .foldLeft("blob") { case (acc, (re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')" }
+
+  /** The C37 BM25 ranked-retrieval chain for an arbitrary literal term
+    * set — ONE definition (the qualityScoreSql rule) serving q_bm25 and
+    * every per-query arm of q_retrieval_metrics. Emits the full
+    * WITH-chain SELECT (no trailing ORDER BY): rnk, doc_id,
+    * n_terms_matched, round(bm25, 4) for rnk <= k.
+    */
+  private def bm25RankedSql(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(",")
+    val sCols = terms.zipWithIndex
+      .map { case (t, i) => s"sum(CASE WHEN term = '$t' THEN sc END) AS s$i" }
+      .mkString(",\n        ")
+    val sSum = terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n,
+       |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+       |       WHERE term IN ($inList) GROUP BY 1, 2),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |s AS (SELECT tf.doc_id, tf.term,
+       |        ln(1.0 + (nn.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |          (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0) /
+       |           (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / nn.avgdl)))) AS sc
+       |      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+       |        JOIN dfq ON tf.term = dfq.term CROSS JOIN nn),
+       |p AS (SELECT doc_id, COUNT(*) AS n_terms_matched,
+       |        $sCols
+       |      FROM s GROUP BY doc_id),
+       |f AS (SELECT doc_id, n_terms_matched,
+       |        $sSum AS bm25 FROM p),
+       |r AS (SELECT doc_id, n_terms_matched, bm25,
+       |        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM f)
+       |SELECT rnk, doc_id, n_terms_matched, round(bm25, 4) AS bm25
+       |FROM r WHERE rnk <= $k""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_keyword_search" ->
@@ -3458,30 +3539,26 @@ object SparkEntry {
     // identically); per-doc sum is the same fixed-order coalesce chain;
     // the ln idf is margin-audited (MarginAuditSpec)
     "q_bm25" ->
-      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY 1),
-        |nn AS (SELECT COUNT(*) AS n,
-        |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
-        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
-        |       WHERE term IN ('spark','join','stream') GROUP BY 1, 2),
-        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        |s AS (SELECT tf.doc_id, tf.term,
-        |        ln(1.0 + (nn.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
-        |          (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0) /
-        |           (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / nn.avgdl)))) AS sc
-        |      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
-        |        JOIN dfq ON tf.term = dfq.term CROSS JOIN nn),
-        |p AS (SELECT doc_id, COUNT(*) AS n_terms_matched,
-        |        sum(CASE WHEN term = 'spark' THEN sc END) AS s0,
-        |        sum(CASE WHEN term = 'join' THEN sc END) AS s1,
-        |        sum(CASE WHEN term = 'stream' THEN sc END) AS s2
-        |      FROM s GROUP BY doc_id),
-        |f AS (SELECT doc_id, n_terms_matched,
-        |        coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS bm25 FROM p),
-        |r AS (SELECT doc_id, n_terms_matched, bm25,
-        |        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM f)
-        |SELECT rnk, doc_id, n_terms_matched, round(bm25, 4) AS bm25
-        |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+      // generated from the shared C37 chain (one definition with the
+      // q_retrieval_metrics arms)
+      (bm25RankedSql(Seq("spark", "join", "stream"), 20) + " ORDER BY rnk"),
+    "q_retrieval_metrics" -> {
+      val arms = retrievalQueries.map { case (qid, terms) =>
+        val relSql = terms.map(t => s"text LIKE '%$t%'").mkString(" AND ")
+        s"""SELECT '$qid' AS query_id, m.first_rel_rank, m.n_rel_at_k, t.n_rel_total,
+           |  coalesce(1.0 / CAST(m.first_rel_rank AS DOUBLE), 0.0) AS rr,
+           |  CAST(m.n_rel_at_k AS DOUBLE) / NULLIF(CAST(t.n_rel_total AS DOUBLE), 0.0) AS recall_at_k,
+           |  CAST(m.n_rel_at_k AS DOUBLE) / 10.0 AS precision_at_k
+           |FROM
+           | (SELECT CAST(min(CASE WHEN rv.rel THEN tk.rnk END) AS BIGINT) AS first_rel_rank,
+           |         CAST(sum(CASE WHEN rv.rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_k
+           |  FROM (${bm25RankedSql(terms, 10)}) tk
+           |  JOIN (SELECT doc_id, ($relSql) AS rel FROM documents) rv ON tk.doc_id = rv.doc_id) m
+           |CROSS JOIN (SELECT CAST(sum(CASE WHEN $relSql THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_total
+           |            FROM documents) t""".stripMargin
+      }
+      s"SELECT * FROM (\n${arms.mkString("\nUNION ALL\n")}\n) ORDER BY query_id"
+    },
     // exact-token AND search: identical tokenizer (lower + single-space
     // split, empty tokens dropped), distinct postings, count == nTerms
     "q_index_search" ->
@@ -3716,6 +3793,34 @@ object SparkEntry {
         |ORDER BY o_orderpriority""".stripMargin,
     // full mirror: bin edges/rates/ln-argument derive through identical
     // IEEE arithmetic; ln itself is margin-audited (the bm25 convention)
+    "q_drift_categorical" ->
+      """WITH b AS (SELECT source AS category, COUNT(*) AS n_base FROM documents
+        |           WHERE doc_id % 2 = 0 AND source IS NOT NULL GROUP BY 1),
+        |c AS (SELECT source AS category, COUNT(*) AS n_cur FROM documents
+        |      WHERE doc_id % 2 = 1 AND source IS NOT NULL GROUP BY 1),
+        |top AS (SELECT category FROM b ORDER BY n_base DESC, category LIMIT 8),
+        |bb AS (SELECT CASE WHEN t.category IS NOT NULL THEN b.category
+        |         ELSE '__OTHER__' END AS category, SUM(n_base) AS n_base
+        |       FROM b LEFT JOIN top t ON b.category = t.category GROUP BY 1),
+        |cb AS (SELECT CASE WHEN t.category IS NOT NULL THEN c.category
+        |         ELSE '__OTHER__' END AS category, SUM(n_cur) AS n_cur
+        |       FROM c LEFT JOIN top t ON c.category = t.category GROUP BY 1),
+        |sp AS (SELECT category FROM top UNION ALL SELECT '__OTHER__'),
+        |j AS (SELECT sp.category, coalesce(bb.n_base, 0) AS n_base,
+        |        coalesce(cb.n_cur, 0) AS n_cur
+        |      FROM sp LEFT JOIN bb ON sp.category = bb.category
+        |        LEFT JOIN cb ON sp.category = cb.category),
+        |t2 AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc, COUNT(*) AS k FROM j)
+        |SELECT j.category, CAST(j.n_base AS BIGINT) AS n_base,
+        |  CAST(j.n_cur AS BIGINT) AS n_cur,
+        |  round(CAST(j.n_base + 1 AS DOUBLE) / CAST(t2.tb + t2.k AS DOUBLE), 4) AS p_base,
+        |  round(CAST(j.n_cur + 1 AS DOUBLE) / CAST(t2.tc + t2.k AS DOUBLE), 4) AS p_cur,
+        |  round((CAST(j.n_base + 1 AS DOUBLE) / CAST(t2.tb + t2.k AS DOUBLE)
+        |       - CAST(j.n_cur + 1 AS DOUBLE) / CAST(t2.tc + t2.k AS DOUBLE))
+        |    * ln((CAST(j.n_base + 1 AS DOUBLE) / CAST(t2.tb + t2.k AS DOUBLE))
+        |       / (CAST(j.n_cur + 1 AS DOUBLE) / CAST(t2.tc + t2.k AS DOUBLE))), 4)
+        |    AS psi_contrib
+        |FROM j, t2 ORDER BY j.category""".stripMargin,
     "q_drift_psi" ->
       """WITH lh AS (
         |  SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,

@@ -123,6 +123,62 @@ object Drift {
         round((p - q) * log(p / q), 4).as("psi_contrib"))
   }
 
+  /** Categorical PSI — [[psiByBins]]'s sibling for DISCRETE columns
+    * (language mix, source mix, status vocabularies): shares over the
+    * BASELINE's top-K categories plus one `__OTHER__` bucket. Bounding
+    * the spine to K+1 rows is the 100 TB contract: a raw per-category
+    * PSI over a web-scale vocabulary has unbounded output (and its own
+    * drift — new categories appear every batch); here new/rare
+    * categories land in OTHER, whose share moving IS vocabulary drift.
+    *
+    * Top-K selection is deterministic: baseline count DESC, category ASC
+    * (a distributed TakeOrderedAndProject over the already-aggregated
+    * (category, n) relation — never a global sort of the data grain).
+    * Smoothing uses the ACTUAL spine size (min(K, distinct) + 1),
+    * computed alongside the totals in the same 1-row broadcast. Same
+    * Laplace smoothing and ln margin-audit contract as [[psiByBins]].
+    */
+  def psiByCategory(
+      base: DataFrame,
+      cur: DataFrame,
+      catCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val c = col(catCol)
+    val other = "__OTHER__"
+    def counts(df: DataFrame, nCol: String): DataFrame =
+      df.where(c.isNotNull).groupBy(c.cast("string").as("category"))
+        .agg(count(lit(1)).as(nCol))
+    val baseCounts = counts(base, "n_base")
+    val top = baseCounts
+      .orderBy(col("n_base").desc, col("category").asc).limit(topK)
+      .select(col("category"))
+    def bucketed(cnts: DataFrame, nCol: String): DataFrame =
+      cnts.join(broadcast(top.withColumn("__keep", lit(1))), Seq("category"), "left")
+        .select(
+          when(col("__keep").isNotNull, col("category")).otherwise(lit(other)).as("category"),
+          col(nCol))
+        .groupBy("category").agg(sum(col(nCol)).as(nCol))
+    val spine = top.unionByName(
+      top.sparkSession.range(1).select(lit(other).as("category")))
+    val joined = spine
+      .join(bucketed(baseCounts, "n_base"), Seq("category"), "left")
+      .join(bucketed(counts(cur, "n_cur"), "n_cur"), Seq("category"), "left")
+      .select(col("category"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(
+      sum(col("n_base")).as("__tb"), sum(col("n_cur")).as("__tc"),
+      count(lit(1)).as("__k"))
+    val p = (col("n_base") + 1).cast("double") / (col("__tb") + col("__k")).cast("double")
+    val q = (col("n_cur") + 1).cast("double") / (col("__tc") + col("__k")).cast("double")
+    joined
+      .crossJoin(broadcast(totals))
+      .select(col("category"), col("n_base"), col("n_cur"),
+        round(p, 4).as("p_base"), round(q, 4).as("p_cur"),
+        round((p - q) * log(p / q), 4).as("psi_contrib"))
+  }
+
   /** Benford first-digit audit — the fabricated-figures screen auditors
     * run on money columns (procurement budgets are a textbook target):
     * observed leading-digit counts against Benford's law

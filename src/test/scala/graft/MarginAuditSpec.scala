@@ -43,7 +43,8 @@ class MarginAuditSpec extends SparkSpecBase {
     * +,−,×,÷,sqrt compositions).
     */
   private val audited =
-    Set("q_tfidf_top_terms", "q_bm25", "q_bm25_synonyms", "q_drift_psi", "q_rrf_fusion")
+    Set("q_tfidf_top_terms", "q_bm25", "q_bm25_synonyms", "q_drift_psi",
+      "q_drift_categorical", "q_rrf_fusion", "q_retrieval_metrics")
 
   test("oracle scan: no oracle hashes a transcendental without a margin audit") {
     val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
@@ -201,12 +202,58 @@ class MarginAuditSpec extends SparkSpecBase {
         "rounding boundary — libm drift could flip the hash")
   }
 
+  private def auditDriftCategorical(sfDir: String): Unit = {
+    // same contract as auditDriftPsi over the K+1-category spine: the
+    // hashed psi_contrib re-derives from exact counts with the operator's
+    // own smoothing arithmetic; k rides the spine size (top-8 + OTHER)
+    val rows = SparkEntry.queries("q_drift_categorical")(spark, sfDir)
+      .select(col("n_base"), col("n_cur")).collect()
+    val k = rows.length
+    assert(k >= 2 && k <= 9, s"$sfDir: expected <= 9 spine rows, got $k")
+    val tb = rows.map(_.getLong(0)).sum.toDouble + k
+    val tc = rows.map(_.getLong(1)).sum.toDouble + k
+    val margin = boundaryMargin(4)
+    val minBoundary = rows.iterator.map { r =>
+      val p = (r.getLong(0) + 1).toDouble / tb
+      val q = (r.getLong(1) + 1).toDouble / tc
+      margin((p - q) * math.log(p / q))
+    }.min
+    assert(minBoundary > 1e-9,
+      f"$sfDir: a hashed categorical psi_contrib sits $minBoundary%.3e from its " +
+        "4-digit rounding boundary — libm drift could flip the hash")
+  }
+
+  private def auditRetrievalMetrics(sfDir: String): Unit = {
+    // q_retrieval_metrics hashes only INTEGER ranks/counts and exact
+    // divisions of them — no float from the ln survives to the hash —
+    // but every hashed value rides the top-10 ORDER, so the decisive
+    // quantity is the adjacent-rank score gap through the 10/11 cut,
+    // per labeled query arm (the auditBm25 gap rule at k=10).
+    val docs = Snapshot(spark, sfDir).documents
+    SparkEntry.retrievalQueries.foreach { case (qid, terms) =>
+      val audit = TextStats.bm25Scored(docs, "doc_id", "text", terms)
+        .where(col("rnk") <= 11).select(col("rnk"), col("bm25"))
+        .orderBy("rnk").collect()
+      val gaps = audit.iterator.sliding(2).withPartial(false)
+        .map(p => p.head.getDouble(1) - p.last.getDouble(1))
+        .filter(_ != 0.0) // exact IEEE ties -> deterministic doc_id tiebreak
+        .toSeq
+      assert(gaps.forall(_ > 0), s"$sfDir/$qid: rank order must be non-increasing")
+      if (gaps.nonEmpty) assert(gaps.min > 1e-6,
+        f"$sfDir/$qid: adjacent bm25 ranks separated by only ${gaps.min}%.3e — " +
+          "rank assignment (and the hashed first_rel_rank) could flip under libm drift")
+    }
+  }
+
   for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
     test(s"tfidf margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
       auditTfidf(sf(dir))
     }
     test(s"drift-psi margin audit at $dir: boundary margin > 1e-9") {
       auditDriftPsi(sf(dir))
+    }
+    test(s"categorical-drift margin audit at $dir: boundary margin > 1e-9") {
+      auditDriftCategorical(sf(dir))
     }
     test(s"bm25 margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
       auditBm25(sf(dir))
@@ -216,6 +263,9 @@ class MarginAuditSpec extends SparkSpecBase {
     }
     test(s"rrf-fusion margin audit at $dir: kw rank gaps > 1e-6 through the 50/51 cut") {
       auditRrf(sf(dir))
+    }
+    test(s"retrieval-metrics rank audit at $dir: gaps > 1e-6 through each 10/11 cut") {
+      auditRetrievalMetrics(sf(dir))
     }
   }
 }

@@ -344,4 +344,30 @@ class StatsSpec extends SparkSpecBase {
       assert(got(g) == exp, s"group $g") // bit-exact: same integer sums, one IEEE division
     }
   }
+
+  test("psiByCategory: top-K spine, OTHER absorbs the tail and new categories") {
+    import graft.operators.stats.Drift
+    // baseline: a=5, b=3, c=2, d=1; current: a=1, b=1, e=6 (e is NEW)
+    val base = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
+      .toDF("cat")
+    val cur = (Seq("a", "b") ++ Seq.fill(6)("e")).toDF("cat")
+    val out = Drift.psiByCategory(base, cur, "cat", topK = 2)
+      .orderBy("category").collect()
+    // spine = top-2 of baseline (a, b) + OTHER — exactly 3 rows
+    assert(out.map(_.getString(0)).toSeq == Seq("__OTHER__", "a", "b"))
+    val m = out.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m("a") == ((5L, 1L)) && m("b") == ((3L, 1L)))
+    // OTHER: baseline c+d = 3; current e = 6 (the NEW category lands here
+    // — its share moving IS the vocabulary drift signal)
+    assert(m("__OTHER__") == ((3L, 6L)))
+    // smoothing denominators use the spine size: p sums to 1 across rows
+    val pSum = out.map(_.getDouble(3)).sum
+    assert(math.abs(pSum - 1.0) < 0.01, s"p_base sums to $pSum")
+    // tie at the top-K cut resolves by category ASC: with ties (x=2,y=2)
+    // and K=1, x enters the spine, y lands in OTHER — both engines agree
+    val tb = (Seq.fill(2)("y") ++ Seq.fill(2)("x")).toDF("cat")
+    val to = Drift.psiByCategory(tb, tb, "cat", topK = 1)
+      .orderBy("category").collect().map(_.getString(0)).toSeq
+    assert(to == Seq("__OTHER__", "x"))
+  }
 }
