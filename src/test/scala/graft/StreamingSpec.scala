@@ -60,6 +60,47 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("round-8 text ops run unchanged on a stream (PII audit, URL canonical, BPE)") {
+    // all three are pure per-row expressions (regex counts / string
+    // splits / a static-JVM-call native expression) — no state, no
+    // watermark, so a crawl-ingestion stream can scrub PII, canonicalize
+    // URLs and count real tokens inline at the scan
+    val docsDir = Files.createTempDirectory("graft_docs_r8").toFile
+    docsDir.deleteOnExit()
+    Snapshot(spark, sf()).documents
+      .withColumn("url",
+        concat(lit("HTTP://Example.COM:80/p"), ($"doc_id" % 13).cast("string"),
+          lit("?utm_source=x&id=1#f")))
+      .write.mode("overwrite").parquet(docsDir.getAbsolutePath)
+    val batchDf = spark.read.parquet(docsDir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema).parquet(docsDir.getAbsolutePath)
+    // two independent single-pass projections (stateless scrubbing never
+    // needs a join, and stream-stream joins would demand watermarks)
+    val streamed = graft.operators.text.TextStats
+      .piiAudit(stream.where($"text".isNotNull), "doc_id", "text")
+      .select($"doc_id", $"n_redactions")
+    val q = streamed.writeStream.outputMode("append").format("memory")
+      .queryName("r8ops").start()
+    val oneShot = stream.select($"doc_id",
+      graft.operators.text.UrlTools.canonicalize($"url").as("cu"),
+      graft.operators.text.Bpe.nTokens($"text").as("nb"))
+      .writeStream.outputMode("append").format("memory").queryName("r8ops2").start()
+    try {
+      q.processAllAvailable(); oneShot.processAllAvailable()
+      val gotPii = spark.table("r8ops").collect().map(_.toString).toSet
+      val wantPii = graft.operators.text.TextStats
+        .piiAudit(batchDf.where($"text".isNotNull), "doc_id", "text")
+        .select($"doc_id", $"n_redactions").collect().map(_.toString).toSet
+      assert(gotPii == wantPii && gotPii.nonEmpty)
+      val gotRest = spark.table("r8ops2").collect().map(_.toString).toSet
+      val wantRest = batchDf.select($"doc_id",
+        graft.operators.text.UrlTools.canonicalize($"url").as("cu"),
+        graft.operators.text.Bpe.nTokens($"text").as("nb"))
+        .collect().map(_.toString).toSet
+      assert(gotRest == wantRest && gotRest.nonEmpty)
+    } finally { q.stop(); oneShot.stop() }
+  }
+
   test("token chunking runs unchanged on a stream (stateless generator)") {
     // posexplode is stateless per row, so the chunker is streaming-safe
     // as-is: the ingestion pipeline can chunk documents into training
