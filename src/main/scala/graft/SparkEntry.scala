@@ -1731,6 +1731,41 @@ object SparkEntry {
           "o_totalprice", 10)
         .orderBy("bin")
     }),
+    "q_drift_ks" -> ((s, dir) => {
+      // KS drift (B64): the transcendental-free drift statistic — per-bin
+      // |ΔECDF| over the q_drift_psi bin spine at 40 bins; divisions of
+      // exact BIGINTs hash unrounded, no margin audit needed
+      val o = snap(s, dir).orders
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      graft.operators.stats.Drift.ksByBins(
+        o.where(col("o_orderdate") < cutoff),
+        o.where(col("o_orderdate") >= cutoff),
+        "o_totalprice", 40)
+        .orderBy("bin")
+    }),
+    "q_langid_confusion" -> ((s, dir) =>
+      // language-ID eval harness (C48): confusion matrix of the C8
+      // heuristic against the labeled lang column — the accuracy
+      // measurement the operator itself never had
+      snap(s, dir).documents
+        .select(col("lang"), TextStats.langId(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")),
+    "q_embedding_audit" -> ((s, dir) => {
+      // embedding-quality audit (C49): null / wrong-dim / zero-norm
+      // counts + norm range — the feed check before any ANN build.
+      // norm = sqrt(sequential-fold dot) — correctly-rounded sqrt over
+      // the IEEE-exact fold, rounded 4 (B35 convention)
+      val v = col("embedding")
+      val nrm = sqrt(graft.functions.GraftFunctions.dot(v, v))
+      snap(s, dir).embeddings.agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(v.isNull, 1L).otherwise(0L)).as("n_null_vec"),
+        sum(when(v.isNotNull && size(v) =!= 64, 1L).otherwise(0L)).as("n_wrong_dim"),
+        sum(when(v.isNotNull && nrm === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        round(min(when(v.isNotNull, nrm)), 4).as("min_norm"),
+        round(max(when(v.isNotNull, nrm)), 4).as("max_norm"))
+    }),
     "q_drift_categorical" -> ((s, dir) => {
       // categorical PSI (B63): shares over the baseline's top-8 sources
       // + __OTHER__ — the vocabulary-drift twin of q_drift_psi, spine
@@ -1836,6 +1871,25 @@ object SparkEntry {
 
   private val markerHitsEn =
     "len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','is','of','and')))"
+
+  /** The C8 langid heuristic in SQL — ONE definition serving
+    * q_text_langid and q_langid_confusion (the qualityScoreSql rule).
+    */
+  private val langIdHitsCte: String =
+    """SELECT doc_id, lang,
+      |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','is','of','and'))) AS h_en,
+      |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('der','die','und','ist','das'))) AS h_de,
+      |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('el','la','de','es','y'))) AS h_es,
+      |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('le','la','et','est','un'))) AS h_fr,
+      |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('的','是','了'))) AS h_zh
+      |FROM documents""".stripMargin
+
+  private val langIdCaseSql: String =
+    """CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+      |     WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+      |     WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+      |     WHEN h_fr >= h_zh THEN 'fr'
+      |     ELSE 'zh' END""".stripMargin
 
   /** The quality-score formula shared by every quality-gated oracle —
     * ONE definition so a weight/threshold tweak cannot drift between
@@ -2482,21 +2536,15 @@ object SparkEntry {
          |ORDER BY query_id, rnk""".stripMargin
     },
     "q_text_langid" ->
-      """WITH h AS (SELECT doc_id, lang,
-        |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('the','a','is','of','and'))) AS h_en,
-        |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('der','die','und','ist','das'))) AS h_de,
-        |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('el','la','de','es','y'))) AS h_es,
-        |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('le','la','et','est','un'))) AS h_fr,
-        |  len(list_filter(string_split(lower(text), ' '), w -> w IN ('的','是','了'))) AS h_zh
-        |FROM documents)
-        |SELECT doc_id,
-        |  CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
-        |       WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
-        |       WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
-        |       WHEN h_fr >= h_zh THEN 'fr'
-        |       ELSE 'zh' END AS pred_lang,
-        |  lang
-        |FROM h ORDER BY doc_id""".stripMargin,
+      // built from the shared langid CTE/CASE (one definition with
+      // q_langid_confusion)
+      (s"WITH h AS ($langIdHitsCte)\n" +
+        s"SELECT doc_id, $langIdCaseSql AS pred_lang, lang FROM h ORDER BY doc_id"),
+    "q_langid_confusion" ->
+      (s"WITH h AS ($langIdHitsCte),\n" +
+        s"p AS (SELECT lang, $langIdCaseSql AS pred_lang FROM h)\n" +
+        "SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n FROM p " +
+        "GROUP BY 1, 2 ORDER BY lang, pred_lang"),
     "q_text_quality" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars,
@@ -3793,6 +3841,56 @@ object SparkEntry {
         |ORDER BY o_orderpriority""".stripMargin,
     // full mirror: bin edges/rates/ln-argument derive through identical
     // IEEE arithmetic; ln itself is margin-audited (the bm25 convention)
+    "q_drift_ks" ->
+      """WITH lh AS (
+        |  SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+        |         CAST(max(o_totalprice) AS DOUBLE) AS hi
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND o_totalprice IS NOT NULL),
+        |bb AS (
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE least(greatest(CAST(floor((CAST(o_totalprice AS DOUBLE) - lo)
+        |      / ((hi - lo) / 40)) AS BIGINT), 0), 39) END AS bin
+        |  FROM orders, lh
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND o_totalprice IS NOT NULL),
+        |cb AS (
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE least(greatest(CAST(floor((CAST(o_totalprice AS DOUBLE) - lo)
+        |      / ((hi - lo) / 40)) AS BIGINT), 0), 39) END AS bin
+        |  FROM orders, lh
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |    AND o_totalprice IS NOT NULL),
+        |bc AS (SELECT bin, COUNT(*) AS nb FROM bb GROUP BY 1),
+        |cc AS (SELECT bin, COUNT(*) AS nc FROM cb GROUP BY 1),
+        |sp AS (SELECT unnest(range(40)) AS bin),
+        |j AS (SELECT sp.bin, coalesce(bc.nb, 0) AS nb, coalesce(cc.nc, 0) AS nc
+        |      FROM sp LEFT JOIN bc USING (bin) LEFT JOIN cc USING (bin)),
+        |t AS (SELECT SUM(nb) AS tb, SUM(nc) AS tc FROM j),
+        |k AS (SELECT bin, nb, nc,
+        |        SUM(nb) OVER (ORDER BY bin) AS cb2,
+        |        SUM(nc) OVER (ORDER BY bin) AS cc2
+        |      FROM j)
+        |SELECT k.bin, CAST(k.nb AS BIGINT) AS n_base, CAST(k.nc AS BIGINT) AS n_cur,
+        |  CAST(k.cb2 AS DOUBLE) / CAST(t.tb AS DOUBLE) AS cum_base,
+        |  CAST(k.cc2 AS DOUBLE) / CAST(t.tc AS DOUBLE) AS cum_cur,
+        |  abs(CAST(k.cb2 AS DOUBLE) / CAST(t.tb AS DOUBLE)
+        |    - CAST(k.cc2 AS DOUBLE) / CAST(t.tc AS DOUBLE)) AS ks_contrib
+        |FROM k, t ORDER BY k.bin""".stripMargin,
+    "q_embedding_audit" ->
+      """WITH n AS (SELECT embedding,
+        |  sqrt(list_reduce(list_transform(range(1, len(embedding)+1),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (u,v) -> u+v)) AS nrm
+        |FROM embeddings)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vec,
+        |  CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+        |  CAST(SUM(CASE WHEN embedding IS NOT NULL AND nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |  round(MIN(nrm), 4) AS min_norm,
+        |  round(MAX(nrm), 4) AS max_norm
+        |FROM n""".stripMargin,
     "q_drift_categorical" ->
       """WITH b AS (SELECT source AS category, COUNT(*) AS n_base FROM documents
         |           WHERE doc_id % 2 = 0 AND source IS NOT NULL GROUP BY 1),

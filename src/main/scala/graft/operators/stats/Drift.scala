@@ -123,6 +123,49 @@ object Drift {
         round((p - q) * log(p / q), 4).as("psi_contrib"))
   }
 
+  /** Kolmogorov–Smirnov drift over the same equal-width bin spine as
+    * [[psiByBins]] — the TRANSCENDENTAL-FREE drift statistic: per-bin
+    * `|ΔECDF|`, whose max is the (binned) KS distance. Where PSI weights
+    * tail mass through a ln, KS sees the largest cumulative split —
+    * different sensitivities, same monitoring slot; this one hashes
+    * UNROUNDED because every value is a division of exact BIGINTs and a
+    * fixed-order subtract/abs (no libm anywhere).
+    *
+    * Plan shape: [[binCounts]] twice (scan-fused binning, (bin, n)
+    * partial aggs), spine join, 1-row totals broadcast, then ONE window
+    * over the nBins-row AGGREGATED spine (bounded by construction — not
+    * a data-grain window).
+    */
+  def ksByBins(
+      base: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      nBins: Int = 40): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val spark: SparkSession = base.sparkSession
+    val bc = binCounts(base, base, valueCol, nBins).select(col("bin"), col("n").as("n_base"))
+    val cc = binCounts(base, cur, valueCol, nBins).select(col("bin"), col("n").as("n_cur"))
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+    val joined = spine
+      .join(bc, Seq("bin"), "left")
+      .join(cc, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_base")).as("__tb"), sum(col("n_cur")).as("__tc"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    joined
+      .crossJoin(broadcast(totals))
+      .withColumn("__cb", sum(col("n_base")).over(w))
+      .withColumn("__cc", sum(col("n_cur")).over(w))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        (col("__cb").cast("double") / col("__tb").cast("double")).as("cum_base"),
+        (col("__cc").cast("double") / col("__tc").cast("double")).as("cum_cur"),
+        abs(col("__cb").cast("double") / col("__tb").cast("double")
+          - col("__cc").cast("double") / col("__tc").cast("double")).as("ks_contrib"))
+  }
+
   /** Categorical PSI — [[psiByBins]]'s sibling for DISCRETE columns
     * (language mix, source mix, status vocabularies): shares over the
     * BASELINE's top-K categories plus one `__OTHER__` bucket. Bounding
