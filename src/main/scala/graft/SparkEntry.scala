@@ -1543,6 +1543,40 @@ object SparkEntry {
           (col("n_rel_at_k").cast("double") / lit(10.0)).as("precision_at_k"))
       }.reduce(_ unionByName _).orderBy("query_id")
     }),
+    "q_retrieval_ndcg" -> ((s, dir) => {
+      // nDCG@10 (C50) completing the retrieval eval triple. NO
+      // transcendental is EVALUATED in either engine: the discounted
+      // gains 1/log2(r+1) and their left-fold cumulative sums (the
+      // ideal DCG per relevant count) are build-time literals embedded
+      // in both the Column tree and the SQL text (the B58 Benford
+      // rule). DCG is an rnk-ascending sequential fold over the sorted
+      // top-10 gains (partition-order independent, the C5 cosine fold
+      // convention), so dcg/idcg/ndcg hash unrounded.
+      val d = snap(s, dir).documents
+      retrievalQueries.map { case (qid, terms) =>
+        val relCol = terms.map(t => col("text").contains(t)).reduce(_ && _)
+        val rel = d.select(col("doc_id"), relCol.as("rel"))
+        val top = TextStats.bm25TopDocs(d, "doc_id", "text", terms, 10)
+          .join(rel, Seq("doc_id"))
+        val gainCol = (1 to 10).foldLeft(lit(0.0)) { case (acc, r) =>
+          when(col("rnk") === r && col("rel"), lit(NdcgGains(r - 1))).otherwise(acc)
+        }
+        val dcgDf = top.agg(
+          aggregate(
+            array_sort(collect_list(struct(col("rnk"), gainCol.as("g")))),
+            lit(0.0), (acc, x) => acc + x.getField("g")).as("dcg"))
+        val tot = d.agg(sum(when(relCol, 1L).otherwise(0L)).as("n_rel_total"))
+        val nr = least(col("n_rel_total"), lit(10L))
+        val idcg = (0 to 10).foldLeft(lit(Double.NaN)) { case (acc, k) =>
+          when(nr === k, lit(NdcgCumIdeal(k))).otherwise(acc)
+        }
+        dcgDf.crossJoin(tot).select(
+          lit(qid).as("query_id"),
+          col("dcg"),
+          idcg.as("idcg"),
+          (col("dcg") / nullif(idcg, lit(0.0))).as("ndcg"))
+      }.reduce(_ unionByName _).orderBy("query_id")
+    }),
     "q_rrf_fusion" -> ((s, dir) => {
       // hybrid retrieval: keyword (BM25) and vector (cosine-to-doc-100)
       // rankings fused by Reciprocal Rank Fusion (Cormack et al. SIGIR'09,
@@ -1844,6 +1878,17 @@ object SparkEntry {
     "q1_stream" -> Seq("spark", "stream"),
     "q2_joins" -> Seq("join", "hash"),
     "q3_windows" -> Seq("window", "merge"))
+
+  /** nDCG discounted gains 1/log2(r+1) for ranks 1..10, and their exact
+    * left-fold cumulative sums (ideal DCG with k relevant docs in the
+    * top-10). Computed ONCE at build time and embedded as literals in
+    * both engines — no transcendental evaluated at query time (B58).
+    * `Double.toString` round-trips, so `CAST('<str>' AS DOUBLE)` in the
+    * oracle parses to the bit-identical double.
+    */
+  val NdcgGains: IndexedSeq[Double] =
+    (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+  val NdcgCumIdeal: IndexedSeq[Double] = NdcgGains.scanLeft(0.0)(_ + _)
 
   /** Target lang shares for q_target_mix — deliberately uneven so every
     * non-binding group gets a real (non-1.0) keep rate on this testdata.
@@ -3600,6 +3645,30 @@ object SparkEntry {
            |FROM
            | (SELECT CAST(min(CASE WHEN rv.rel THEN tk.rnk END) AS BIGINT) AS first_rel_rank,
            |         CAST(sum(CASE WHEN rv.rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_k
+           |  FROM (${bm25RankedSql(terms, 10)}) tk
+           |  JOIN (SELECT doc_id, ($relSql) AS rel FROM documents) rv ON tk.doc_id = rv.doc_id) m
+           |CROSS JOIN (SELECT CAST(sum(CASE WHEN $relSql THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_total
+           |            FROM documents) t""".stripMargin
+      }
+      s"SELECT * FROM (\n${arms.mkString("\nUNION ALL\n")}\n) ORDER BY query_id"
+    },
+    "q_retrieval_ndcg" -> {
+      // gains/ideals as CAST('<Double.toString>' AS DOUBLE) literals —
+      // bare 16-digit literals go through DuckDB DECIMAL and can land an
+      // ulp off (the B58 lesson)
+      def dlit(x: Double): String = s"CAST('$x' AS DOUBLE)"
+      val gainCase = "CASE tk.rnk " + (1 to 10)
+        .map(r => s"WHEN $r THEN ${dlit(NdcgGains(r - 1))}").mkString(" ") + " ELSE 0.0 END"
+      val idcgCase = "CASE least(t.n_rel_total, 10) " + (0 to 10)
+        .map(k => s"WHEN $k THEN ${dlit(NdcgCumIdeal(k))}").mkString(" ") + " END"
+      val arms = retrievalQueries.map { case (qid, terms) =>
+        val relSql = terms.map(t => s"text LIKE '%$t%'").mkString(" AND ")
+        s"""SELECT '$qid' AS query_id, m.dcg, $idcgCase AS idcg,
+           |  m.dcg / NULLIF($idcgCase, 0.0) AS ndcg
+           |FROM
+           | (SELECT CASE WHEN COUNT(*) = 0 THEN 0.0
+           |    ELSE list_reduce(list(CASE WHEN rv.rel THEN $gainCase ELSE 0.0 END
+           |           ORDER BY tk.rnk), (u,v) -> u+v) END AS dcg
            |  FROM (${bm25RankedSql(terms, 10)}) tk
            |  JOIN (SELECT doc_id, ($relSql) AS rel FROM documents) rv ON tk.doc_id = rv.doc_id) m
            |CROSS JOIN (SELECT CAST(sum(CASE WHEN $relSql THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_total

@@ -834,6 +834,13 @@ object GraftFunctions {
       "graft_minhash_bands",
       es => MinHashBands(es.head, MinHashDedup.coeffs,
         MinHashDedup.Bands, MinHashDedup.RowsPerBand, MinHashDedup.DefaultShingle), "scala_udf")
+    // round-8 text expressions, for SQL-surface parity with the Column API
+    reg.createOrReplaceTempFunction(
+      "graft_bpe_encode", es => graft.operators.text.BpeEncodeIds(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_bpe_decode", es => graft.operators.text.BpeDecode(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_deflate_len", es => graft.operators.text.DeflateLen(es.head, 6), "scala_udf")
   }
 
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)

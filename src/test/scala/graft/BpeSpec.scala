@@ -70,6 +70,16 @@ class BpeSpec extends SparkSpecBase {
     assert(n.isNullAt(0) && n.isNullAt(1))
   }
 
+  test("SQL registry parity: graft_bpe_encode/decode and graft_deflate_len") {
+    val r = spark.sql(
+      "SELECT graft_bpe_decode(graft_bpe_encode('the spark table')) AS rt, " +
+        "size(graft_bpe_encode('the spark table')) AS n, " +
+        "graft_deflate_len('the spark table') AS d").head()
+    assert(r.getString(0) == "the spark table")
+    assert(r.getInt(1) == 3) // [the][ spark][ table]
+    assert(r.getInt(2) > 0)
+  }
+
   test("corpus roundtrip at sf0.001 and real counts differ from the regex proxy") {
     val d = Snapshot(spark, sf()).documents.where($"text".isNotNull)
     val bad = d.where(!(Bpe.decodeIds(Bpe.encodeIds($"text")) <=> $"text")).count()

@@ -44,7 +44,12 @@ class MarginAuditSpec extends SparkSpecBase {
     */
   private val audited =
     Set("q_tfidf_top_terms", "q_bm25", "q_bm25_synonyms", "q_drift_psi",
-      "q_drift_categorical", "q_rrf_fusion", "q_retrieval_metrics")
+      "q_drift_categorical", "q_rrf_fusion", "q_retrieval_metrics",
+      // ndcg: the ln lives in the embedded BM25 chain; the hashed
+      // dcg/ndcg values ride top-10 membership and per-rank gains, both
+      // decided by the SAME rank gaps auditRetrievalMetrics checks (the
+      // gains themselves are build-time literals, never computed)
+      "q_retrieval_ndcg")
 
   test("oracle scan: no oracle hashes a transcendental without a margin audit") {
     val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
