@@ -1765,6 +1765,20 @@ object SparkEntry {
           "o_totalprice", 10)
         .orderBy("bin")
     }),
+    "q_hhi" -> ((s, dir) => {
+      // supplier market concentration per region (B65): the
+      // antitrust/procurement HHI screen — decimal-exact revenue sums,
+      // entity-asc sequential Σ share² fold (the cosine convention)
+      val sn = snap(s, dir)
+      val rev = sn.lineitem
+        .join(sn.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(sn.nation, col("s_nationkey") === col("n_nationkey"))
+        .join(sn.region, col("n_regionkey") === col("r_regionkey"))
+      graft.operators.stats.Stats.hhiByGroup(
+        rev, Seq("r_name"), "s_suppkey",
+        col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .orderBy("r_name")
+    }),
     "q_drift_ks" -> ((s, dir) => {
       // KS drift (B64): the transcendental-free drift statistic — per-bin
       // |ΔECDF| over the q_drift_psi bin spine at 40 bins; divisions of
@@ -3910,6 +3924,22 @@ object SparkEntry {
         |ORDER BY o_orderpriority""".stripMargin,
     // full mirror: bin edges/rates/ln-argument derive through identical
     // IEEE arithmetic; ln itself is margin-audited (the bm25 convention)
+    "q_hhi" ->
+      """WITH pr AS (SELECT r_name, s_suppkey,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev_d
+        |  FROM lineitem
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |gt AS (SELECT r_name, COUNT(*) AS n_entities,
+        |        CAST(SUM(rev_d) AS DOUBLE) AS tot,
+        |        list(CAST(rev_d AS DOUBLE) ORDER BY s_suppkey) AS lst
+        |      FROM pr GROUP BY 1)
+        |SELECT r_name, CAST(n_entities AS BIGINT) AS n_entities,
+        |  round(list_reduce(list_transform(lst, x -> (x / tot) * (x / tot)),
+        |    (u, v) -> u + v), 4) AS hhi
+        |FROM gt ORDER BY r_name""".stripMargin,
     "q_drift_ks" ->
       """WITH lh AS (
         |  SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,

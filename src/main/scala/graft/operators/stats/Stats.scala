@@ -217,6 +217,46 @@ object Stats {
     * caller, then this window sorts one group's ENTITIES in one task —
     * the B23b/deciles-by-group contract class.
     */
+  /** Herfindahl–Hirschman market-concentration index per group — the
+    * antitrust/procurement screen (DOJ bands: <1 500 competitive,
+    * 1 500–2 500 moderate, >2 500 concentrated, on HHI×10 000; this
+    * emits the raw Σ share² in [1/n, 1]): per (group, entity) value
+    * sums are decimal-exact, converted to double once, and the Σ share²
+    * is an ENTITY-ASC sequential fold over the group's sorted value
+    * list (the C5 cosine convention — a groupBy double-sum would be
+    * partition-order dependent). Rounded to 4 (the similarity-output
+    * rule). Scale contract: per-group state is the group's ENTITY list
+    * (market participants — bounded by the entity vocabulary, e.g.
+    * suppliers per region), not the data grain; the value sums reduce
+    * at data grain first.
+    */
+  def hhiByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      entityCol: String,
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "hhiByGroup needs at least one group column")
+    val g = groupCols.map(col)
+    val per = df
+      .groupBy((g :+ col(entityCol)): _*)
+      .agg(sum(valueCol.cast("decimal(18,6)")).as("__rev_d"))
+      .select((g ++ Seq(col(entityCol),
+        col("__rev_d"), col("__rev_d").cast("double").as("__rev"))): _*)
+    per
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n_entities"),
+        sum(col("__rev_d")).cast("double").as("__tot"),
+        array_sort(collect_list(struct(col(entityCol).as("k"), col("__rev").as("v"))))
+          .as("__lst"))
+      .select((g ++ Seq(
+        col("n_entities"),
+        round(aggregate(col("__lst"), lit(0.0),
+          (acc, x) => acc
+            + (x.getField("v") / col("__tot")) * (x.getField("v") / col("__tot"))), 4)
+          .as("hhi"))): _*)
+  }
+
   def giniByGroup(
       df: DataFrame,
       groupCols: Seq[String],

@@ -245,6 +245,24 @@ object ProfileScaleUp {
         graft.operators.text.TextStats.piiAudit(blob, "doc_id", "blob")
           .select(col("doc_id"), col("n_redactions"), col("n_cc_valid"), col("n_ipv4_valid"))
       })
+    time("categorical drift (top-20)")(
+      force(graft.operators.stats.Drift.psiByCategory(
+        orders.where(col("o_orderkey") % 2 === 0),
+        orders.where(col("o_orderkey") % 2 === 1), "o_orderpriority", 20)))
+    time("ks drift (40 bins)")(
+      force(graft.operators.stats.Drift.ksByBins(
+        orders.where(col("o_orderkey") % 2 === 0),
+        orders.where(col("o_orderkey") % 2 === 1), "o_totalprice", 40)))
+    time("hhi by priority")(
+      force(graft.operators.stats.Stats.hhiByGroup(
+        orders.where(col("o_custkey").isNotNull), Seq("o_orderpriority"),
+        "o_custkey", col("o_totalprice"))))
+    time("corpus report")(
+      force(graft.operators.stats.Profiling.corpusReport(docs, "text", "source")))
+    time("compress ratio")(
+      force(graft.operators.text.Compress.report(
+        docs.where(col("text").isNotNull), "doc_id", "text")
+        .groupBy().agg(count(lit(1)).as("n"), sum("deflated_bytes").as("d"))))
     time("url canonical dedup")(
       force(graft.operators.text.UrlTools.dedupByCanonical(
         docs.select(concat(lit("HTTP://Example"), (col("doc_id") % 97).cast("string"),

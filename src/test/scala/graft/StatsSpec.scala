@@ -345,6 +345,24 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("hhiByGroup: monopoly = 1, equal split = 1/n, order-independent") {
+    import graft.operators.stats.Stats
+    val df = Seq(
+      ("mono", 1L, 10.0), ("mono", 1L, 5.0), // one entity, two rows -> 1.0
+      ("duo", 1L, 7.0), ("duo", 2L, 7.0), // two equal entities -> 0.5
+      ("quad", 1L, 2.0), ("quad", 2L, 2.0), ("quad", 3L, 2.0), ("quad", 4L, 2.0))
+      .toDF("g", "e", "v")
+    val got = Stats.hhiByGroup(df, Seq("g"), "e", $"v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("mono") == ((1L, 1.0)))
+    assert(got("duo") == ((2L, 0.5)))
+    assert(got("quad") == ((4L, 0.25)))
+    // partition-order independence: repartitioned input folds identically
+    val got2 = Stats.hhiByGroup(df.repartition(7), Seq("g"), "e", $"v")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.forall { case (k, (_, h)) => got2(k) == h })
+  }
+
   test("psiByCategory: top-K spine, OTHER absorbs the tail and new categories") {
     import graft.operators.stats.Drift
     // baseline: a=5, b=3, c=2, d=1; current: a=1, b=1, e=6 (e is NEW)
