@@ -185,28 +185,53 @@ object Drift {
       base: DataFrame,
       cur: DataFrame,
       catCol: String,
+      topK: Int = 20): DataFrame =
+    psiFromCategoryCounts(
+      categoryCounts(base, base, catCol, topK),
+      categoryCounts(base, cur, catCol, topK))
+
+  private val OtherCat = "__OTHER__"
+
+  /** `(category, n)` counts of `df` bucketed against the BASELINE's
+    * frozen top-K spine (non-top and unseen categories → `__OTHER__`) —
+    * the associative MONITORING STATE of the categorical drift audit
+    * (the [[binCounts]] argument: counts merge by plain addition, so a
+    * streaming monitor keeps ≤ K+1 rows and folds each microbatch in,
+    * deriving the report on demand via [[psiFromCategoryCounts]]).
+    */
+  def categoryCounts(
+      base: DataFrame,
+      df: DataFrame,
+      catCol: String,
       topK: Int = 20): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val c = col(catCol)
-    val other = "__OTHER__"
-    def counts(df: DataFrame, nCol: String): DataFrame =
-      df.where(c.isNotNull).groupBy(c.cast("string").as("category"))
-        .agg(count(lit(1)).as(nCol))
-    val baseCounts = counts(base, "n_base")
-    val top = baseCounts
-      .orderBy(col("n_base").desc, col("category").asc).limit(topK)
+    val top = base.where(c.isNotNull).groupBy(c.cast("string").as("category"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("category").asc).limit(topK)
       .select(col("category"))
-    def bucketed(cnts: DataFrame, nCol: String): DataFrame =
-      cnts.join(broadcast(top.withColumn("__keep", lit(1))), Seq("category"), "left")
-        .select(
-          when(col("__keep").isNotNull, col("category")).otherwise(lit(other)).as("category"),
-          col(nCol))
-        .groupBy("category").agg(sum(col(nCol)).as(nCol))
-    val spine = top.unionByName(
-      top.sparkSession.range(1).select(lit(other).as("category")))
+    df.where(c.isNotNull).groupBy(c.cast("string").as("category"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(top.withColumn("__keep", lit(1))), Seq("category"), "left")
+      .select(
+        when(col("__keep").isNotNull, col("category")).otherwise(lit(OtherCat)).as("category"),
+        col("n"))
+      .groupBy("category").agg(sum(col("n")).as("n"))
+  }
+
+  /** PSI report from pre-bucketed `(category, n)` relations —
+    * [[psiByCategory]]'s tail, exposed so merged monitoring state feeds
+    * the same arithmetic the batch audit hashes. The spine is the base
+    * side's categories plus `__OTHER__` (always present, zero-filled);
+    * smoothing uses the actual spine size.
+    */
+  def psiFromCategoryCounts(baseCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val spine = baseCounts.select(col("category"))
+      .unionByName(baseCounts.sparkSession.range(1).select(lit(OtherCat).as("category")))
+      .distinct()
     val joined = spine
-      .join(bucketed(baseCounts, "n_base"), Seq("category"), "left")
-      .join(bucketed(counts(cur, "n_cur"), "n_cur"), Seq("category"), "left")
+      .join(baseCounts.select(col("category"), col("n").as("n_base")), Seq("category"), "left")
+      .join(curCounts.select(col("category"), col("n").as("n_cur")), Seq("category"), "left")
       .select(col("category"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
