@@ -211,6 +211,35 @@ object SelfCheck {
             s"(${comp.getLong(0)} tokens < ${comp.getLong(1)} bytes)")
       }),
 
+      "q_bpe_train" -> (() => {
+        import graft.operators.text.{Bpe, BpeTable}
+        // (a) analytic planted-corpus recovery: the classic low/lower/
+        // newest/widest corpus, whose pair frequencies are hand-countable
+        // — training MUST reproduce the paper-derived merge sequence
+        // (ties at rounds 1/3/5/6 pin the count-DESC/pair-ASC rule)
+        val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+          Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+        val planted = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+          .toDF("doc_id", "text")
+        val expect = Vector(
+          "e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w", "e" -> "w", "ew" -> "est")
+        val plantOk = Bpe.train(planted, "text", 6) == expect
+        // (b) the table trained on the REAL corpus validates (formable
+        // sides, unique products — the BpeTable constructor), round-trips
+        // a doc sample losslessly, and its merges actually fire
+        val trained = new BpeTable(Bpe.train(baseDocs, "text", 12))
+        val sample = baseDocs.orderBy("doc_id").limit(40)
+          .select("text").collect().map(_.getString(0))
+        val rt = sample.count(s => trained.decode(trained.encode(s)) == s)
+        val toks = sample.map(s => trained.encode(s).length.toLong).sum
+        val bytes = sample.map(_.getBytes("UTF-8").length.toLong).sum
+        Result("q_bpe_train",
+          plantOk && rt == sample.length && toks < bytes, sample.length.toLong, rt.toLong,
+          s"planted Sennrich corpus recovers the hand-derived 6-merge sequence: $plantOk; " +
+            s"corpus-trained 12-merge table round-trips $rt/${sample.length} sampled docs; " +
+            s"learned merges fire ($toks tokens < $bytes bytes)")
+      }),
+
       "q_compress_ratio" -> (() => {
         import graft.operators.text.Compress
         // (a) range sanity corpus-wide: deflate of non-empty text is a

@@ -444,6 +444,21 @@ object SparkEntry {
           md5(concat_ws(",", col("__ids").cast("array<string>"))).as("ids_sig"))
         .orderBy("doc_id")
     }),
+    "q_bpe_train" -> ((s, dir) => {
+      // LEARNED merge table (C41b): distributed pair counting over the
+      // corpus's word-count table, deterministic (count DESC, pair ASC)
+      // argmax per merge — Bpe.train. no_oracle: DuckDB cannot express
+      // the iterative argmax loop — gated by the SelfCheck analytic
+      // planted-corpus recovery + trained-table roundtrip, and the
+      // cross-JVM sweep (exact integer counts + total-order tiebreak
+      // make the table a deterministic function of the corpus).
+      val merges = graft.operators.text.Bpe.train(
+        snap(s, dir).documents, "text", numMerges = 12)
+      import s.implicits._
+      merges.zipWithIndex.map { case ((l, r), i) =>
+        (i.toLong, l, r, l + r, 256L + i)
+      }.toDF("rank", "left", "right", "product", "token_id").orderBy("rank")
+    }),
     "q_text_fingerprint" -> ((s, dir) =>
       TextStats.fingerprint(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_text_entropy" -> ((s, dir) =>
