@@ -317,6 +317,23 @@ object SparkEntry {
         "doc_id", "text", expectedCorpusKeys = 1 << 16)
         .select("doc_id", "content_hash").orderBy("doc_id")
     }),
+    "q_dedup_incremental_near" -> ((s, dir) => {
+      // ingestion-time NEAR-dup against a standing corpus (C26b): the
+      // corpus is shingled once into a persisted-store shape
+      // (MinHashIndex — band postings + shingle postings + per-doc
+      // shingle sets); the batch probes shared exact shingles (corpus
+      // df <= 100 cap) and candidates verify with exact Jaccard >= 0.5.
+      // Hermetic in-memory store here (the q_index_search convention);
+      // the durable save/load/append path is MinHashIndexSpec-gated.
+      import graft.operators.dedup.MinHashIndex
+      val d = snap(s, dir).documents.where(col("text").isNotNull)
+      val store = MinHashIndex.build(d.where(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      // statsExact materializes its pairs eagerly (CacheScope), so the
+      // corpus-scale store persist is releasable before returning
+      try MinHashIndex.statsExact(store, d.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", 0.5).orderBy("doc_id")
+      finally { store.shingleSets.unpersist(false); () }
+    }),
     "q_dedup_minhash" -> ((s, dir) =>
       MinHashDedup.dedupe(snap(s, dir).documents, "doc_id", "text", 0.5)
         .select(col("doc_id")).orderBy("doc_id")),
@@ -2401,6 +2418,42 @@ object SparkEntry {
         |      WHERE doc_id % 10 = 0 AND text IS NOT NULL)
         |SELECT doc_id, content_hash FROM b
         |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.k = b.content_hash)
+        |ORDER BY doc_id""".stripMargin,
+    // shingle-string mirror (the C4 convention) over the WHOLE incremental
+    // near-dup operator: batch docs vs the 90% standing corpus, candidates
+    // share >= 1 exact shingle with corpus df <= 100, exact-Jaccard verify
+    // at 0.5 — set sizes are identical on strings vs xxhash64 hashes, and
+    // the probe's bucket pruning keeps whole shingle groups (semantically
+    // transparent), so the mirror ignores it
+    "q_dedup_incremental_near" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |           FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(ws) >= 3
+        |             THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+        |             ELSE [array_to_string(ws, ' ')] END) AS ss
+        |      FROM w),
+        |csh AS (SELECT doc_id, unnest(ss) AS s FROM f WHERE doc_id % 10 <> 0),
+        |usable AS (SELECT s FROM csh GROUP BY s HAVING COUNT(*) <= 100),
+        |bsh AS (SELECT doc_id, unnest(ss) AS s FROM f WHERE doc_id % 10 = 0),
+        |cands AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        |          FROM bsh b JOIN csh c ON b.s = c.s
+        |          JOIN usable u ON c.s = u.s),
+        |sc AS (SELECT cd.batch_id, cd.corpus_id,
+        |         CAST(len(list_intersect(fb.ss, fc.ss)) AS DOUBLE) /
+        |         CAST(len(list_distinct(fb.ss || fc.ss)) AS DOUBLE) AS jaccard
+        |       FROM cands cd
+        |       JOIN f fb ON cd.batch_id = fb.doc_id
+        |       JOIN f fc ON cd.corpus_id = fc.doc_id),
+        |hits AS (SELECT batch_id, COUNT(*) AS n_matches, MAX(jaccard) AS max_jaccard
+        |         FROM sc WHERE jaccard >= 0.5 GROUP BY batch_id)
+        |SELECT f.doc_id AS doc_id,
+        |  CAST(COALESCE(h.n_matches, 0) AS BIGINT) AS n_matches,
+        |  COALESCE(h.max_jaccard, 0.0) AS max_jaccard,
+        |  COALESCE(h.n_matches, 0) = 0 AS is_new
+        |FROM f
+        |JOIN (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) bd ON f.doc_id = bd.doc_id
+        |LEFT JOIN hits h ON f.doc_id = h.batch_id
         |ORDER BY doc_id""".stripMargin,
     // shingle-string mirror again: per-source common-shingle membership
     // and counts are identical on strings vs xxhash64 hashes
