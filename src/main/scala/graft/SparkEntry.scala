@@ -488,6 +488,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("n_distinct"),
           col("count_sig"))
         .orderBy("doc_id")),
+    "q_perplexity" -> ((s, dir) => {
+      // CCNet-style LM quality signal (C51): interpolated-bigram NLL
+      // under a model trained on the deterministic doc_id % 4 == 0 slice.
+      // The q_text_entropy hashing protocol: the libm ln (avg_nll) stays
+      // OUT of the hashed row — the IEEE-exact companions (counts, exact
+      // oov_rate division, md5 of the position-ordered exact count
+      // triples) determine the score exactly and mirror in DuckDB;
+      // avg_nll itself is gated by LangModelSpec's analytic plants.
+      val d = snap(s, dir).documents
+      graft.operators.text.LangModel
+        .scoreNll(d, d.where(col("doc_id") % 4 === 0), "doc_id", "text")
+        .select("doc_id", "n_tokens", "n_oov", "oov_rate", "model_sig")
+        .orderBy("doc_id")
+    }),
     "q_text_redact" -> ((s, dir) => {
       TextStats.redactPii(snap(s, dir).documents, "doc_id", "text")
         .select(col("doc_id"), md5(col("cleaned")).as("cleaned_hash"), col("n_redactions"))
@@ -2409,6 +2423,40 @@ object SparkEntry {
         |  CAST(len(list_distinct(ss)) AS BIGINT) AS n_unique_shingles,
         |  1.0 - CAST(len(list_distinct(ss)) AS DOUBLE) / CAST(len(ss) AS DOUBLE) AS repetition_ratio
         |FROM s ORDER BY doc_id""".stripMargin,
+    // LM-score companions (the q_text_entropy protocol): n-gram counts,
+    // the exact oov division, and the md5 of position-ordered exact
+    // (c(v,w), c(v,·), c(w)) triples — every hashed value is integer or
+    // exact-IEEE; the ln lives only in the unhashed avg_nll
+    "q_perplexity" ->
+      """WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |              FROM documents WHERE text IS NOT NULL),
+        |ttok AS (SELECT unnest(ws) AS w FROM base WHERE doc_id % 4 = 0),
+        |uni AS (SELECT w, COUNT(*) AS cu FROM ttok GROUP BY w),
+        |bip AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |          i -> {'v': ws[i], 'w': ws[i+1]})) AS p
+        |        FROM base WHERE doc_id % 4 = 0),
+        |bi AS (SELECT p.v AS v, p.w AS w, COUNT(*) AS cb FROM bip GROUP BY 1, 2),
+        |ctx AS (SELECT v, SUM(cb) AS cc FROM bi GROUP BY v),
+        |tok AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+        |          i -> {'pos': i, 'w': ws[i],
+        |                'v': CASE WHEN i > 1 THEN ws[i-1] ELSE NULL END})) AS t
+        |        FROM base),
+        |sc AS (SELECT tok.doc_id AS doc_id, tok.t.pos AS pos,
+        |         uni.cu AS cu, bi.cb AS cb, ctx.cc AS cc
+        |       FROM tok
+        |       LEFT JOIN uni ON tok.t.w = uni.w
+        |       LEFT JOIN bi ON tok.t.v = bi.v AND tok.t.w = bi.w
+        |       LEFT JOIN ctx ON tok.t.v = ctx.v)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN cu IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN cu IS NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS oov_rate,
+        |  md5(array_to_string(list(
+        |    CAST(COALESCE(cb, 0) AS VARCHAR) || ':' ||
+        |    CAST(COALESCE(cc, 0) AS VARCHAR) || ':' ||
+        |    CAST(COALESCE(cu, 0) AS VARCHAR) ORDER BY pos), ',')) AS model_sig
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the bloom is a pure short-circuit (no false negatives; positives
     // re-checked exactly), so the plain anti-join IS the oracle
     "q_dedup_incremental" ->
