@@ -488,6 +488,34 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("n_distinct"),
           col("count_sig"))
         .orderBy("doc_id")),
+    "q_html_extract" -> ((s, dir) => {
+      // HTML -> text extraction (C52): the crawl-ingestion step upstream
+      // of every text operator. The corpus has no HTML, so the query
+      // synthesizes 5 deterministic variants per doc_id residue (the C42
+      // contact-blob convention) covering every rule: style+entity
+      // decode, SCRIPT block with a bare '<' inside, passthrough,
+      // comment hiding markup, multi-link body. md5 of the cleaned text
+      // is hashed (the C1c convention); the oracle re-derives the whole
+      // chain in SQL (the C43 convention).
+      import graft.operators.text.HtmlExtract
+      val d = snap(s, dir).documents.where(col("text").isNotNull)
+      val m = col("doc_id") % 5
+      val html = when(m === 0, concat(
+          lit("<html><head><title>T</title><style>p {color: red}</style></head><body><h1>Header &amp; intro</h1><p>"),
+          col("text"), lit("</p><a href=\"http://x.test/1\">link</a></body></html>")))
+        .when(m === 1, concat(
+          lit("<SCRIPT type=\"text/javascript\">var x = 1; if (x<2) { x = 3; }</SCRIPT><div>"),
+          col("text"), lit("</div>&lt;escaped&gt; &quot;q&quot; &amp;lt;still&amp;gt;&nbsp;end")))
+        .when(m === 2, col("text"))
+        .when(m === 3, concat(lit("<ul><li>"), col("text"),
+          lit("</li><li>second &amp; third</li></ul><!-- comment <p>hidden</p> -->")))
+        .otherwise(concat(lit("<body onload=\"f()\"><p class=\"a\">"), col("text"),
+          lit("</p><a href=\"y\">L1</a> <a href=\"z\">L2</a></body>")))
+      HtmlExtract.report(d.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .select(col("doc_id"), md5(col("cleaned")).as("cleaned_hash"),
+          col("n_links"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "q_perplexity" -> ((s, dir) => {
       // CCNet-style LM quality signal (C51): interpolated-bigram NLL
       // under a model trained on the deterministic doc_id % 4 == 0 slice.
@@ -2423,6 +2451,38 @@ object SparkEntry {
         |  CAST(len(list_distinct(ss)) AS BIGINT) AS n_unique_shingles,
         |  1.0 - CAST(len(list_distinct(ss)) AS DOUBLE) / CAST(len(ss) AS DOUBLE) AS repetition_ratio
         |FROM s ORDER BY doc_id""".stripMargin,
+    // the whole extraction chain re-derived in SQL (the C43 convention):
+    // same synthesis, same block-drop/tag-strip/entity/whitespace order,
+    // same Java-RE2-common-subset patterns ('g' flag = Spark's
+    // replace-all default)
+    "q_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN '<html><head><title>T</title><style>p {color: red}</style></head><body><h1>Header &amp; intro</h1><p>' || text || '</p><a href="http://x.test/1">link</a></body></html>'
+        |    WHEN 1 THEN '<SCRIPT type="text/javascript">var x = 1; if (x<2) { x = 3; }</SCRIPT><div>' || text || '</div>&lt;escaped&gt; &quot;q&quot; &amp;lt;still&amp;gt;&nbsp;end'
+        |    WHEN 2 THEN text
+        |    WHEN 3 THEN '<ul><li>' || text || '</li><li>second &amp; third</li></ul><!-- comment <p>hidden</p> -->'
+        |    ELSE '<body onload="f()"><p class="a">' || text || '</p><a href="y">L1</a> <a href="z">L2</a></body>'
+        |  END AS html
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, html,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS cleaned
+        |  FROM h)
+        |SELECT doc_id, md5(cleaned) AS cleaned_hash,
+        |  CAST(len(regexp_extract_all(html, '(?i)<a[ >]')) AS BIGINT) AS n_links,
+        |  CAST(len(cleaned) AS BIGINT) AS n_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
     // LM-score companions (the q_text_entropy protocol): n-gram counts,
     // the exact oov division, and the md5 of position-ordered exact
     // (c(v,w), c(v,·), c(w)) triples — every hashed value is integer or
