@@ -4102,20 +4102,20 @@ object SparkEntry {
     // IEEE arithmetic; ln itself is margin-audited (the bm25 convention)
     "q_hhi" ->
       """WITH pr AS (SELECT r_name, s_suppkey,
-        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev_d
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |      AS DECIMAL(18,6)) AS rev_d
         |  FROM lineitem
         |    JOIN supplier ON l_suppkey = s_suppkey
         |    JOIN nation ON s_nationkey = n_nationkey
         |    JOIN region ON n_regionkey = r_regionkey
-        |  GROUP BY 1, 2),
-        |gt AS (SELECT r_name, COUNT(*) AS n_entities,
-        |        CAST(SUM(rev_d) AS DOUBLE) AS tot,
-        |        list(CAST(rev_d AS DOUBLE) ORDER BY s_suppkey) AS lst
-        |      FROM pr GROUP BY 1)
-        |SELECT r_name, CAST(n_entities AS BIGINT) AS n_entities,
-        |  round(list_reduce(list_transform(lst, x -> (x / tot) * (x / tot)),
-        |    (u, v) -> u + v), 4) AS hhi
-        |FROM gt ORDER BY r_name""".stripMargin,
+        |  GROUP BY 1, 2)
+        |SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_entities,
+        |  -- DECIMAL(19,6) operands force DuckDB onto int128 arithmetic
+        |  -- (18-digit operands multiply in int64 and overflow); the
+        |  -- product is exact DECIMAL(38,12) in both engines
+        |  round(CAST(SUM(CAST(rev_d AS DECIMAL(19,6)) * CAST(rev_d AS DECIMAL(19,6))) AS DOUBLE) /
+        |    (CAST(SUM(rev_d) AS DOUBLE) * CAST(SUM(rev_d) AS DOUBLE)), 4) AS hhi
+        |FROM pr GROUP BY 1 ORDER BY r_name""".stripMargin,
     "q_drift_ks" ->
       """WITH lh AS (
         |  SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,

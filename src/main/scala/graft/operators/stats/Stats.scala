@@ -220,15 +220,17 @@ object Stats {
   /** Herfindahl–Hirschman market-concentration index per group — the
     * antitrust/procurement screen (DOJ bands: <1 500 competitive,
     * 1 500–2 500 moderate, >2 500 concentrated, on HHI×10 000; this
-    * emits the raw Σ share² in [1/n, 1]): per (group, entity) value
-    * sums are decimal-exact, converted to double once, and the Σ share²
-    * is an ENTITY-ASC sequential fold over the group's sorted value
-    * list (the C5 cosine convention — a groupBy double-sum would be
-    * partition-order dependent). Rounded to 4 (the similarity-output
-    * rule). Scale contract: per-group state is the group's ENTITY list
-    * (market participants — bounded by the entity vocabulary, e.g.
-    * suppliers per region), not the data grain; the value sums reduce
-    * at data grain first.
+    * emits the raw Σ share² in [1/n, 1]): Σ share² = Σv² / tot², with
+    * BOTH sums decimal-exact partial aggregations — order-independent
+    * with NO per-group list state (the r8 verdict's slimming, measured
+    * equal-or-faster than the previous entity-sorted fold), converted
+    * to double for exactly two IEEE ops (one division, one multiply).
+    * Rounded to 4 (the similarity-output rule). Scale contract: state is
+    * one decimal pair per (group, entity) at the first aggregation and
+    * one triple per group at the second — never a materialized
+    * participant list. Per-entity revenue must fit DECIMAL(18,6) (the
+    * square stays inside decimal-exact range); overflow nulls loudly
+    * rather than drifting.
     */
   def hhiByGroup(
       df: DataFrame,
@@ -239,22 +241,17 @@ object Stats {
     val g = groupCols.map(col)
     val per = df
       .groupBy((g :+ col(entityCol)): _*)
-      .agg(sum(valueCol.cast("decimal(18,6)")).as("__rev_d"))
-      .select((g ++ Seq(col(entityCol),
-        col("__rev_d"), col("__rev_d").cast("double").as("__rev"))): _*)
+      .agg(sum(valueCol.cast("decimal(18,6)")).as("__rev_w"))
+      .select((g :+ col("__rev_w").cast("decimal(18,6)").as("__rev_d")): _*)
     per
       .groupBy(g: _*)
       .agg(
         count(lit(1)).as("n_entities"),
         sum(col("__rev_d")).cast("double").as("__tot"),
-        array_sort(collect_list(struct(col(entityCol).as("k"), col("__rev").as("v"))))
-          .as("__lst"))
+        sum(col("__rev_d") * col("__rev_d")).cast("double").as("__sumsq"))
       .select((g ++ Seq(
         col("n_entities"),
-        round(aggregate(col("__lst"), lit(0.0),
-          (acc, x) => acc
-            + (x.getField("v") / col("__tot")) * (x.getField("v") / col("__tot"))), 4)
-          .as("hhi"))): _*)
+        round(col("__sumsq") / (col("__tot") * col("__tot")), 4).as("hhi"))): _*)
   }
 
   def giniByGroup(
