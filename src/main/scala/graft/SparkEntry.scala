@@ -334,6 +334,15 @@ object SparkEntry {
         "doc_id", "text", 0.5).orderBy("doc_id")
       finally { store.shingleSets.unpersist(false); () }
     }),
+    "q_dedup_prefix_filter" -> ((s, dir) =>
+      // PPJoin-style prefix-filtered set-similarity self-join (C53):
+      // rarest-first prefixes generate candidates, exact Jaccard
+      // verifies — provably COMPLETE at the threshold (Bayardo WWW'07),
+      // so unlike the banded C2 this is oracle-backed: the mirror uses
+      // the exhaustive shared-shingle rule and must agree exactly.
+      graft.operators.dedup.PrefixFilter
+        .duplicatePairs(snap(s, dir).documents, "doc_id", "text", 0.6)
+        .orderBy("id_a", "id_b")),
     "q_dedup_minhash" -> ((s, dir) =>
       MinHashDedup.dedupe(snap(s, dir).documents, "doc_id", "text", 0.5)
         .select(col("doc_id")).orderBy("doc_id")),
@@ -488,6 +497,57 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("n_distinct"),
           col("count_sig"))
         .orderBy("doc_id")),
+    "q_key_skew" -> ((s, dir) =>
+      // key-skew diagnostic (B66): the pre-flight measurement behind the
+      // B29 salting decision — hot-key share + max/mean key-size ratio
+      // for the lineitem join key. Single-row aggregate (EntrySpec
+      // singleRow exemption); both ratios are single exact divisions.
+      graft.operators.stats.Profiling.keySkew(snap(s, dir).lineitem, Seq("l_partkey"))),
+    "q_percent_rank" -> ((s, dir) =>
+      // percent_rank + cume_dist per order priority (B67) — the relative
+      // standing window pair completing the ranking family (B23's ntile,
+      // B4's row_number/top-k). Both are exact divisions of rank
+      // integers; ties share a value-determined rank in BOTH engines, so
+      // ordering by value alone is deterministic (no tiebreak needed in
+      // the ranks; the output ORDER BY carries the unique key).
+      snap(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+          col("o_totalprice").cast("double").as("price"))
+        .withColumn("pr", percent_rank().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("priority").orderBy("price")))
+        .withColumn("cd", cume_dist().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("priority").orderBy("price")))
+        .orderBy("o_orderkey")),
+    "q_host_stats" -> ((s, dir) => {
+      // host-level corpus quality report (C54) — CCNet's domain-filter
+      // decision table: per host, doc/word counts, how many docs clear
+      // the C18 quality filter, and the keep-rate verdict. URLs are
+      // synthesized deterministically (the C42 convention) with
+      // case/port/tracking noise so UrlTools.host does real work; all
+      // hashed values are exact counts + one exact division.
+      import graft.operators.text.{TextStats, UrlTools}
+      val d = snap(s, dir).documents.where(col("text").isNotNull)
+      val url = concat(lit("HTTP://H"), (col("doc_id") % 7).cast("string"),
+        lit(".Example.COM"),
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=x&q=1")).otherwise(lit("")))
+      val hostDf = d.select(col("doc_id"), UrlTools.host(url).as("host"))
+      val qual = TextStats.quality(d, "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("quality_score"))
+      val kept = when(col("quality_score") >= 0.5 && col("n_words") >= 20L, 1L).otherwise(0L)
+      hostDf.join(qual, Seq("doc_id"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("total_words"),
+          sum(kept).as("n_kept"))
+        .select(col("host"), col("n_docs"), col("total_words"), col("n_kept"),
+          (col("n_kept").cast("double") / col("n_docs").cast("double")).as("keep_rate"),
+          ((col("n_kept").cast("double") / col("n_docs").cast("double")) >= 0.5)
+            .as("host_ok"))
+        .orderBy("host")
+    }),
     "q_html_extract" -> ((s, dir) => {
       // HTML -> text extraction (C52): the crawl-ingestion step upstream
       // of every text operator. The corpus has no HTML, so the query
@@ -2451,6 +2511,51 @@ object SparkEntry {
         |  CAST(len(list_distinct(ss)) AS BIGINT) AS n_unique_shingles,
         |  1.0 - CAST(len(list_distinct(ss)) AS DOUBLE) / CAST(len(ss) AS DOUBLE) AS repetition_ratio
         |FROM s ORDER BY doc_id""".stripMargin,
+    // single-row aggregate of exact counts + two exact divisions
+    "q_key_skew" ->
+      """WITH c AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(MAX(n) AS BIGINT) AS max_key_rows,
+        |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top1_share,
+        |  CAST(MAX(n) * COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS skew_ratio
+        |FROM c""".stripMargin,
+    // rank-integer divisions; ties share a value-determined rank in both
+    // engines so value-only window ordering is deterministic
+    "q_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority AS priority,
+        |  CAST(o_totalprice AS DOUBLE) AS price,
+        |  percent_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(o_totalprice AS DOUBLE)) AS pr,
+        |  cume_dist() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(o_totalprice AS DOUBLE)) AS cd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // host extraction + the shared qualityScoreSql definition, grouped:
+    // every hashed value is an exact count or one exact division
+    "q_host_stats" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    'HTTP://H' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM' ||
+         |    CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END ||
+         |    '/p/' || CAST(doc_id AS VARCHAR) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&q=1' ELSE '' END AS url
+         |  FROM documents WHERE text IS NOT NULL),
+         |hh AS (SELECT doc_id,
+         |    lower(string_split(string_split(string_split(
+         |      string_split(url, '://')[-1], '?')[1], '/')[1], ':')[1]) AS host
+         |  FROM h),
+         |q AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    $qualityScoreSql AS quality_score
+         |  FROM documents WHERE text IS NOT NULL),
+         |j AS (SELECT hh.host AS host, q.n_words AS n_words,
+         |        CASE WHEN q.quality_score >= 0.5 AND q.n_words >= 20 THEN 1 ELSE 0 END AS kept
+         |      FROM hh JOIN q ON hh.doc_id = q.doc_id)
+         |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+         |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+         |  CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS keep_rate,
+         |  (CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) >= 0.5 AS host_ok
+         |FROM j GROUP BY host ORDER BY host""".stripMargin,
     // the whole extraction chain re-derived in SQL (the C43 convention):
     // same synthesis, same block-drop/tag-strip/entity/whitespace order,
     // same Java-RE2-common-subset patterns ('g' flag = Spark's
@@ -2527,6 +2632,29 @@ object SparkEntry {
         |SELECT doc_id, content_hash FROM b
         |WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.k = b.content_hash)
         |ORDER BY doc_id""".stripMargin,
+    // completeness makes the mirror simple: the prefix filter's verified
+    // output EQUALS the exhaustive shared-shingle derivation at the
+    // threshold (any complete candidate rule yields the same final pairs
+    // after exact verify), so the oracle uses the exhaustive rule
+    "q_dedup_prefix_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |           FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, list_distinct(
+        |        CASE WHEN len(ws) >= 3
+        |             THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+        |             ELSE [array_to_string(ws, ' ')] END) AS ss
+        |      FROM w),
+        |sh AS (SELECT doc_id, unnest(ss) AS s FROM f),
+        |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |          FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id),
+        |sc AS (SELECT p.id_a, p.id_b,
+        |         CAST(len(list_intersect(fa.ss, fb.ss)) AS DOUBLE) /
+        |         CAST(len(list_distinct(fa.ss || fb.ss)) AS DOUBLE) AS jaccard
+        |       FROM pairs p
+        |       JOIN f fa ON p.id_a = fa.doc_id
+        |       JOIN f fb ON p.id_b = fb.doc_id)
+        |SELECT id_a, id_b, jaccard FROM sc WHERE jaccard >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
     // shingle-string mirror (the C4 convention) over the WHOLE incremental
     // near-dup operator: batch docs vs the 90% standing corpus, candidates
     // share >= 1 exact shingle with corpus df <= 100, exact-Jaccard verify

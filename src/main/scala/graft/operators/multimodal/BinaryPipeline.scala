@@ -165,6 +165,59 @@ object BinaryPipeline {
       .toDF("doc_id", "png_bytes", "out_width", "out_height")
   }
 
+  /** 8×8 average-hash (aHash) perceptual image fingerprint — the classic
+    * image-dedup signature: bilinear-resize to 8×8, BT.601 luma per
+    * cell, bit i set iff cell i's luma strictly exceeds the mean.
+    * Re-encodes, mild noise and small overlays land within a few bits
+    * of the original, so pairing this with
+    * [[graft.operators.dedup.HammingDedup]] gives the bounded-candidate
+    * image near-dup join (the C3 simhash shape on pixels instead of
+    * words). Undecodable/NULL rows are dropped ([[decodeImages]] audits
+    * them). Deterministic: pure-software Java2D raster + integer
+    * thresholding, the same JVM-determinism class as decode/resize
+    * (spec-gated, not oracle-visible — DuckDB has no image decoder).
+    */
+  def imageAHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          readImage(bytes, maxSamples = 0).map { case (_, _, _, img) =>
+            val out = new java.awt.image.BufferedImage(
+              8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, 8, 8, null)
+            g.dispose()
+            val lumas = new Array[Double](64)
+            var sum = 0.0
+            var i = 0
+            while (i < 64) {
+              val rgb = out.getRGB(i % 8, i / 8)
+              lumas(i) = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                0.114 * (rgb & 0xFF)
+              sum += lumas(i)
+              i += 1
+            }
+            val mean = sum / 64.0
+            var hash = 0L
+            i = 0
+            while (i < 64) {
+              if (lumas(i) > mean) hash |= (1L << i)
+              i += 1
+            }
+            (id, hash)
+          }
+        }
+      }
+      .toDF(idCol, "ahash")
+  }
+
   /** Task-local decode helper: (formatName, origWidth, origHeight,
     * image) or None for undecodable/NULL bytes. Never throws. Uses a
     * MemoryCacheImageInputStream — the bytes are already in memory, and

@@ -127,4 +127,27 @@ object Profiling {
     wide.unpivot(Array.empty, metrics.map(col).toArray, "metric", "value")
       .orderBy("metric")
   }
+
+  /** Key-skew diagnostic — the measurement that decides between a plain
+    * shuffle, salting (SURVEY §4's measured 3× win under a 50%-hot key)
+    * and AQE skew splitting BEFORE a job burns a wall-clock hour on one
+    * straggler task: per-key counts reduce at data grain (one shuffle),
+    * then one 1-row aggregate. `top1_share` is the hot-key fraction;
+    * `skew_ratio` = max/mean key size (1.0 = perfectly uniform). Both
+    * are single exact IEEE divisions of exact BIGINTs (hash-safe
+    * unrounded, the B56 rule).
+    */
+  def keySkew(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keySkew needs at least one key column")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("__n")).as("max_key_rows"))
+      .select(
+        col("n_rows"), col("n_keys"), col("max_key_rows"),
+        (col("max_key_rows").cast("double") / col("n_rows").cast("double"))
+          .as("top1_share"),
+        ((col("max_key_rows") * col("n_keys")).cast("double") /
+          col("n_rows").cast("double")).as("skew_ratio"))
+  }
 }

@@ -60,6 +60,17 @@ object UrlTools {
       when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise(lit("")))
   }
 
+  /** Lowercased host of an absolute URL — the grouping key for
+    * host-level corpus statistics (CCNet-style domain filtering). The
+    * '?' split happens before the '/' split (path-less `host?query`
+    * URLs — the canonicalize lesson); ports and userinfo-free http(s)
+    * URLs assumed, like [[canonicalize]].
+    */
+  def host(url: Column): Column = {
+    val afterScheme = substring_index(substring_index(url, "://", -1), "?", 1)
+    lower(substring_index(substring_index(afterScheme, "/", 1), ":", 1))
+  }
+
   /** Canonical-URL dedup report: one row per canonical URL with how many
     * raw variants and rows collapsed into it — the crawl-frontier /
     * refetch-suppression primitive. One hash shuffle on the canonical
