@@ -37,15 +37,16 @@ object PrefixFilter {
       tau: Double,
       shingle: Int = 3): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    // set size rides the explode (one map-side size()) — a second
+    // count-window over the exploded corpus would re-sort for nothing
     val exploded0 = df
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
-        explode(array_distinct(Shingling.shingleHashes(col(textCol), shingle))).as("s"))
+        array_distinct(Shingling.shingleHashes(col(textCol), shingle)).as("__sh"))
+      .select(col("id"), size(col("__sh")).as("n"), explode(col("__sh")).as("s"))
     val pairs = CacheScope.withPersisted(exploded0) { exploded =>
       val dfreq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
-      val sized = exploded
-        .join(dfreq, Seq("s"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+      val sized = exploded.join(dfreq, Seq("s"))
       // prefix length n - ceil(tau*n) + 1, rarest-first global order
       val prefix = sized
         .withColumn("rn", row_number().over(
@@ -75,7 +76,8 @@ object PrefixFilter {
     val exploded = df
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
-        explode(array_distinct(Shingling.shingleHashes(col(textCol), shingle))).as("s"))
+        array_distinct(Shingling.shingleHashes(col(textCol), shingle)).as("__sh"))
+      .select(col("id"), size(col("__sh")).as("n"), explode(col("__sh")).as("s"))
       .localCheckpoint(true)
     def pairsOf(p: DataFrame): Long = p.select(col("s"), col("id").as("id_a"))
       .join(p.select(col("s"), col("id").as("id_b")), Seq("s"))
@@ -84,7 +86,6 @@ object PrefixFilter {
     val dfreq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
     val prefix = exploded
       .join(dfreq, Seq("s"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("s"))))
       .where(col("rn") <= col("n") - ceil(col("n") * lit(tau)) + lit(1))
