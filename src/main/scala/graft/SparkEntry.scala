@@ -455,6 +455,11 @@ object SparkEntry {
       TextStats.quality(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_text_tokens" -> ((s, dir) =>
       TextStats.tokenCounts(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
+    "q_text_readability" -> ((s, dir) =>
+      // Flesch-style readability (C55): exact-count divisions + literal
+      // constants only — no transcendental, hash-safe at round 4
+      TextStats.readability(snap(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")),
     "q_token_bpe" -> ((s, dir) => {
       // REAL merges-table BPE token ids (C41). no_oracle: DuckDB cannot
       // express the rank-ordered merge loop — gated by the SelfCheck
@@ -2511,6 +2516,21 @@ object SparkEntry {
         |  CAST(len(list_distinct(ss)) AS BIGINT) AS n_unique_shingles,
         |  1.0 - CAST(len(list_distinct(ss)) AS DOUBLE) / CAST(len(ss) AS DOUBLE) AS repetition_ratio
         |FROM s ORDER BY doc_id""".stripMargin,
+    // exact-count divisions + string-parsed double constants (B58 rule):
+    // no transcendental anywhere, the rounded score hashes directly
+    "q_text_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+        |  CAST(greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS BIGINT) AS n_syllables,
+        |  round(CAST('206.835' AS DOUBLE)
+        |    - CAST('1.015' AS DOUBLE) *
+        |      (CAST(len(string_split(text, ' ')) AS DOUBLE) /
+        |       CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS DOUBLE))
+        |    - CAST('84.6' AS DOUBLE) *
+        |      (CAST(greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS DOUBLE) /
+        |       CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS flesch
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     // single-row aggregate of exact counts + two exact divisions
     "q_key_skew" ->
       """WITH c AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1)

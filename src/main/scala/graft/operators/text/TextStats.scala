@@ -62,6 +62,33 @@ object TextStats {
           - col("punct_ratio") * 0.2)
   }
 
+  /** Flesch-reading-ease-style readability score — the classic
+    * text-difficulty quality signal (Flesch 1948): 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words), with the
+    * standard cheap heuristics (sentences = `[.!?]+` runs, floored at
+    * 1 for unpunctuated corpora; syllables = vowel-group runs incl. y,
+    * floored at 1). Every arithmetic op is exact-IEEE (divisions of
+    * exact counts, literal constants both engines parse to the same
+    * double — the B58 rule), so the rounded score is oracle-hashable
+    * with no margin audit.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nWords = size(split(col(textCol), " ")).cast("long")
+    val nSent = greatest(lit(1L), regexp_count(col(textCol), lit("[.!?]+")).cast("long"))
+    val nSyll = greatest(lit(1L), regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long"))
+    df.where(col(textCol).isNotNull)
+      .select(
+        col(idCol),
+        nWords.as("n_words"),
+        nSent.as("n_sentences"),
+        nSyll.as("n_syllables"))
+      .withColumn("flesch", round(
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")),
+        4))
+  }
+
   /** Whitespace tokens + a BPE-ish regex token count (letter runs, digit
     * runs, single other non-space chars).
     */

@@ -53,4 +53,21 @@ class CorpusSignalsSpec extends SparkSpecBase {
     assert(r(0) < r(1) && r(1) < r(2), r.mkString(","))
     assert(r(0) < 0.05 && r(2) > 0.4)
   }
+
+  test("readability: hand-counted Flesch components and score") {
+    val df = Seq(
+      (1L, "the cat sat."),           // 3 words, 1 sentence, 3 vowel groups
+      (2L, "aa bee! cee? dee dee."),  // 5 words, 3 sentence runs, 5 groups
+      (3L, "xyz qrs"),               // y counts as a vowel; floors at 1 sentence
+      (4L, null: String))            // dropped
+      .toDF("doc_id", "text")
+    val got = graft.operators.text.TextStats.readability(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.length == 3)
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3)) == ((3L, 1L, 3L)))
+    val exp1 = math.rint((206.835 - 1.015 * 3.0 - 84.6 * 1.0) * 1e4) / 1e4
+    assert(math.abs(got(0).getDouble(4) - exp1) < 1e-9, got(0).getDouble(4))
+    assert((got(1).getLong(1), got(1).getLong(2), got(1).getLong(3)) == ((5L, 3L, 5L)))
+    assert((got(2).getLong(1), got(2).getLong(2), got(2).getLong(3)) == ((2L, 1L, 1L)))
+  }
 }
