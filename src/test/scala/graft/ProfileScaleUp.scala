@@ -269,6 +269,56 @@ object ProfileScaleUp {
           lit(".COM:80/p"), (col("doc_id") % 1009).cast("string"),
           lit("?utm_source=x&id="), (col("doc_id") % 13).cast("string"),
           lit("#f")).as("url")), "url")))
+    // ---- round-10 operators ----
+    time("prefix-filter pairs (0.6)")(
+      force(graft.operators.dedup.PrefixFilter
+        .duplicatePairs(docs, "doc_id", "text", 0.6)
+        .groupBy().agg(count(lit(1)).as("n"))))
+    time("incremental near-dup probe")(
+      force {
+        // standing 90% corpus store probed by the 10% batch — the
+        // steady-state per-batch cost INCLUDES the store build here
+        // (the hermetic shape); production amortizes the build
+        val d = docs.where(col("text").isNotNull)
+        val store = graft.operators.dedup.MinHashIndex
+          .build(d.where(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        try graft.operators.dedup.MinHashIndex
+          .statsExact(store, d.where(col("doc_id") % 10 === 0), "doc_id", "text", 0.5)
+          .groupBy().agg(count(lit(1)).as("n"), sum("n_matches").as("m"))
+        finally { store.shingleSets.unpersist(false); () }
+      })
+    time("perplexity (bigram LM)")(
+      force(graft.operators.text.LangModel
+        .scoreNll(docs, docs.where(col("doc_id") % 4 === 0), "doc_id", "text")
+        .groupBy().agg(count(lit(1)).as("n"), sum("n_oov").as("o"))))
+    time("bpe train (12 merges)")(
+      force {
+        val m = graft.operators.text.Bpe.train(docs, "text", 12)
+        import spark.implicits._
+        m.map(_._1).toDF("l").groupBy().agg(count(lit(1)).as("n"))
+      })
+    time("html extract + quality")(
+      force {
+        val html = docs.where(col("text").isNotNull).select(col("doc_id"),
+          concat(lit("<html><body><p>"), col("text"),
+            lit("</p><script>var x = 1;</script></body></html>")).as("h"))
+        graft.operators.text.HtmlExtract.report(html, "doc_id", "h")
+          .groupBy().agg(count(lit(1)).as("n"), sum("n_chars").as("c"))
+      })
+    time("host stats")(
+      force {
+        val d = docs.where(col("text").isNotNull)
+        val url = concat(lit("HTTP://H"), (col("doc_id") % 7).cast("string"),
+          lit(".Example.COM/p/"), col("doc_id").cast("string"))
+        val hostDf = d.select(col("doc_id"), graft.operators.text.UrlTools.host(url).as("host"))
+        val q = graft.operators.text.TextStats.quality(d, "doc_id", "text")
+          .select(col("doc_id"), col("n_words"), col("quality_score"))
+        hostDf.join(q, Seq("doc_id")).groupBy("host")
+          .agg(count(lit(1)).as("n"), sum("n_words").as("w"))
+      })
+    time("readability")(
+      force(graft.operators.text.TextStats.readability(docs, "doc_id", "text")
+        .groupBy().agg(count(lit(1)).as("n"), sum("n_syllables").as("s"))))
 
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
