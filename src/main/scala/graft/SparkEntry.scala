@@ -486,9 +486,12 @@ object SparkEntry {
       val merges = graft.operators.text.Bpe.train(
         snap(s, dir).documents, "text", numMerges = 12)
       import s.implicits._
+      // lhs/rhs, never left/right: the harness projects column names
+      // UNQUOTED, and SQL reserved words break its DuckDB reads (the
+      // q_constraint_audit check_name lesson)
       merges.zipWithIndex.map { case ((l, r), i) =>
         (i.toLong, l, r, l + r, 256L + i)
-      }.toDF("rank", "left", "right", "product", "token_id").orderBy("rank")
+      }.toDF("rank", "lhs", "rhs", "product", "token_id").orderBy("rank")
     }),
     "q_text_fingerprint" -> ((s, dir) =>
       TextStats.fingerprint(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
