@@ -2541,7 +2541,8 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
         |  CAST(MAX(n) AS BIGINT) AS max_key_rows,
         |  CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top1_share,
-        |  CAST(MAX(n) * COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS skew_ratio
+        |  (CAST(MAX(n) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+        |    / CAST(SUM(n) AS DOUBLE) AS skew_ratio
         |FROM c""".stripMargin,
     // rank-integer divisions; ties share a value-determined rank in both
     // engines so value-only window ordering is deterministic
@@ -2563,8 +2564,11 @@ object SparkEntry {
          |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&q=1' ELSE '' END AS url
          |  FROM documents WHERE text IS NOT NULL),
          |hh AS (SELECT doc_id,
+         |    -- [2] = after the FIRST '://' (an embedded absolute URL in
+         |    -- the query/path never precedes the real host, and both
+         |    -- engines cut at '?' then '/' before it can matter)
          |    lower(string_split(string_split(string_split(
-         |      string_split(url, '://')[-1], '?')[1], '/')[1], ':')[1]) AS host
+         |      string_split(url, '://')[2], '?')[1], '/')[1], ':')[1]) AS host
          |  FROM h),
          |q AS (SELECT doc_id,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
@@ -2605,7 +2609,7 @@ object SparkEntry {
         |        '<[^>]*>', ' ', 'g'),
         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |      '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&'),
-        |    '\s+', ' ', 'g')) AS cleaned
+        |    '[ \t\n\x0B\f\r]+', ' ', 'g')) AS cleaned
         |  FROM h)
         |SELECT doc_id, md5(cleaned) AS cleaned_hash,
         |  CAST(len(regexp_extract_all(html, '(?i)<a[ >]')) AS BIGINT) AS n_links,

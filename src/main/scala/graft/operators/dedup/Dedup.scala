@@ -269,10 +269,46 @@ object SimHashDedup {
     GraftFunctions.simhash(split(lower(textCol), " "))
 
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+      maxBucketSize: Int = 1000): DataFrame =
+    // the banding/skew-guard/popcount core is the signature-generic
+    // [[HammingDedup]] — simhash only contributes the text signature
+    HammingDedup.candidatePairs(
+      df.select(col(idCol).as("id"), signature(col(textCol)).as("sig")),
+      "id", "sig", maxBucketSize)
+
+  def duplicatePairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
+    candidatePairs(df, idCol, textCol).where(col("hamming") <= maxHamming)
+
+  def dedupe(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val losers = duplicatePairs(df, idCol, textCol, maxHamming).select(col("id_b").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}
+
+/** Generic 64-bit-signature hamming near-dup — the SimHash pigeonhole
+  * banding (4×16-bit chunks: any pair within hamming distance 3 shares
+  * at least one exact chunk) over a CALLER-SUPPLIED hash column, so any
+  * per-row 64-bit perceptual signature (text simhash, image aHash,
+  * audio fingerprint) gets the same bounded-candidate near-dup join.
+  * Same skew guard and slim (id, band, bucket) shuffle as
+  * [[SimHashDedup]]; popcount verify on candidates.
+  */
+object HammingDedup {
+  val Chunks = 4
+  val ChunkBits = 16
+
+  /** All co-banding candidates (id_a < id_b) with their exact hamming
+    * distance attached, no distance filter — the shared banding core
+    * [[SimHashDedup]] delegates to. Candidacy is structural only up to
+    * hamming Chunks - 1 (pigeonhole); beyond that a pair may or may not
+    * co-band.
+    */
+  def candidatePairs(df: DataFrame, idCol: String, hashCol: String,
       maxBucketSize: Int = 1000): DataFrame = {
-    val base = df.select(col(idCol).as("id"), signature(col(textCol)).as("sig"))
+    val base = df.select(col(idCol).as("id"), col(hashCol).cast("long").as("sig"))
     val chunkCols = (0 until Chunks).map { c =>
-      struct(lit(c).as("band"), shiftrightunsigned(col("sig"), c * ChunkBits).bitwiseAND(lit(0xFFFFL)).as("bucket"))
+      struct(lit(c).as("band"),
+        shiftrightunsigned(col("sig"), c * ChunkBits).bitwiseAND(lit(0xFFFFL)).as("bucket"))
     }
     val banded0 = base
       .select(col("id"), col("sig"), explode(array(chunkCols: _*)).as("bb"))
@@ -298,27 +334,6 @@ object SimHashDedup {
     }
   }
 
-  def duplicatePairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
-    candidatePairs(df, idCol, textCol).where(col("hamming") <= maxHamming)
-
-  def dedupe(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val losers = duplicatePairs(df, idCol, textCol, maxHamming).select(col("id_b").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
-  }
-}
-
-/** Generic 64-bit-signature hamming near-dup — the SimHash pigeonhole
-  * banding (4×16-bit chunks: any pair within hamming distance 3 shares
-  * at least one exact chunk) over a CALLER-SUPPLIED hash column, so any
-  * per-row 64-bit perceptual signature (text simhash, image aHash,
-  * audio fingerprint) gets the same bounded-candidate near-dup join.
-  * Same skew guard and slim (id, band, bucket) shuffle as
-  * [[SimHashDedup]]; popcount verify on candidates.
-  */
-object HammingDedup {
-  val Chunks = 4
-  val ChunkBits = 16
-
   /** Pairs (id_a < id_b, hamming) within `maxHamming` of each other.
     * `maxHamming` must be <= Chunks - 1 = 3 for the pigeonhole
     * guarantee (beyond it, candidate recall is no longer structural).
@@ -327,30 +342,8 @@ object HammingDedup {
       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= Chunks - 1,
       s"maxHamming must be in [0, ${Chunks - 1}] (the pigeonhole bound), got $maxHamming")
-    val base = df.select(col(idCol).as("id"), col(hashCol).cast("long").as("sig"))
-    val chunkCols = (0 until Chunks).map { c =>
-      struct(lit(c).as("band"),
-        shiftrightunsigned(col("sig"), c * ChunkBits).bitwiseAND(lit(0xFFFFL)).as("bucket"))
-    }
-    val banded0 = base
-      .select(col("id"), col("sig"), explode(array(chunkCols: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    CacheScope.withPersisted(banded0) { banded =>
-      val usable = banded.groupBy("band", "bucket")
-        .agg(count(lit(1)).as("bsz"))
-        .where(col("bsz") >= 2 && col("bsz") <= maxBucketSize)
-        .select("band", "bucket")
-      val bounded = banded.join(usable, Seq("band", "bucket"))
-      val l = bounded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-      val r = bounded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-      l.join(r, Seq("band", "bucket"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-        .dropDuplicates("id_a", "id_b")
-        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-        .where(col("hamming") <= maxHamming)
-        .drop("sig_a", "sig_b")
-    }
+    candidatePairs(df, idCol, hashCol, maxBucketSize)
+      .where(col("hamming") <= maxHamming)
   }
 }
 

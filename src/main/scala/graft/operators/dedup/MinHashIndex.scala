@@ -58,13 +58,17 @@ object MinHashIndex {
     * uses; [[save]]/[[load]] round-trip it through the durable layout.
     * `shingleSets` is persisted MEMORY_AND_DISK by [[build]] (the
     * IvfKNN.Index precedent: build once, probe many; recomputable
-    * lineage).
+    * lineage). `nBuckets` and `shingle` are FROZEN properties of the
+    * layout (the IVF-quantizer contract): [[save]] persists them in a
+    * meta file and [[load]]/[[append]] read them back — a caller-typed
+    * mismatch would silently prune real matches away.
     */
   final case class Store(
       shingleSets: DataFrame,
       shinglePostings: DataFrame,
       bandPostings: DataFrame,
-      nBuckets: Int)
+      nBuckets: Int,
+      shingle: Int)
 
   private def shingleSetsOf(df: DataFrame, idCol: String, textCol: String, shingle: Int): DataFrame =
     df.where(col(textCol).isNotNull)
@@ -95,7 +99,7 @@ object MinHashIndex {
     val sets = shingleSetsOf(corpus, idCol, textCol, shingle)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Store(sets, postingsOf(sets, nBuckets),
-      bandsOf(corpus, idCol, textCol, shingle, nBuckets), nBuckets)
+      bandsOf(corpus, idCol, textCol, shingle, nBuckets), nBuckets, shingle)
   }
 
   /** Writes the durable artifact. Fixed directory fan-out: `nBuckets`
@@ -107,16 +111,30 @@ object MinHashIndex {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/shingle_postings")
     store.bandPostings.repartition(col("pbucket"))
       .write.mode("overwrite").partitionBy("pbucket").parquet(s"$path/band_postings")
+    val spark = store.shingleSets.sparkSession
+    spark.createDataFrame(Seq((store.nBuckets, store.shingle)))
+      .toDF("n_buckets", "shingle")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  def load(spark: SparkSession, path: String, nBuckets: Int = DefaultBuckets): Store =
+  private def readMeta(spark: SparkSession, path: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Opens a saved store; the layout's frozen `nBuckets`/`shingle` come
+    * from the persisted meta, never from the caller.
+    */
+  def load(spark: SparkSession, path: String): Store = {
+    val (nBuckets, shingle) = readMeta(spark, path)
     Store(
       spark.read.parquet(s"$path/shingles"),
       spark.read.parquet(s"$path/shingle_postings")
         .withColumn("bucket", col("bucket").cast("long")),
       spark.read.parquet(s"$path/band_postings")
         .withColumn("pbucket", col("pbucket").cast("long")),
-      nBuckets)
+      nBuckets, shingle)
+  }
 
   /** Incremental growth: the batch is shingled/banded ONCE (one pinned
     * materialization feeds all three representations — the appendToSaved
@@ -125,8 +143,8 @@ object MinHashIndex {
     * of the layout, exactly like the IVF quantizer.
     */
   def append(spark: SparkSession, path: String, batch: DataFrame,
-      idCol: String, textCol: String,
-      shingle: Int = DefaultShingle, nBuckets: Int = DefaultBuckets): Unit = {
+      idCol: String, textCol: String): Unit = {
+    val (nBuckets, shingle) = readMeta(spark, path)
     val pinned = batch.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("__text"))
       .localCheckpoint(true)
@@ -163,9 +181,8 @@ object MinHashIndex {
     * global df). Complete modulo that cap; fully SQL-mirrorable.
     */
   def probeExact(store: Store, batch: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingle: Int = DefaultShingle,
-      maxShingleFreq: Int = 100): DataFrame = {
-    val batchSets0 = shingleSetsOf(batch, idCol, textCol, shingle)
+      threshold: Double, maxShingleFreq: Int = 100): DataFrame = {
+    val batchSets0 = shingleSetsOf(batch, idCol, textCol, store.shingle)
     CacheScope.withPersisted(batchSets0) { batchSets =>
       val probe = postingsOf(batchSets, store.nBuckets)
         .select(col("s"), col("bucket"), col("id").as("batch_id"))
@@ -195,11 +212,10 @@ object MinHashIndex {
     * — every band collides); gated by planted-truth specs like C2.
     */
   def probeBanded(store: Store, batch: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingle: Int = DefaultShingle,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val batchSets0 = shingleSetsOf(batch, idCol, textCol, shingle)
+      threshold: Double, maxBucketSize: Int = 1000): DataFrame = {
+    val batchSets0 = shingleSetsOf(batch, idCol, textCol, store.shingle)
     CacheScope.withPersisted(batchSets0) { batchSets =>
-      val probe = bandsOf(batch, idCol, textCol, shingle, store.nBuckets)
+      val probe = bandsOf(batch, idCol, textCol, store.shingle, store.nBuckets)
         .select(col("band"), col("bucket"), col("pbucket"), col("id").as("batch_id"))
       val pruned = prunedBandPostings(store, bucketList(probe, "pbucket"))
       // corpus-side population cap per (band, bucket): complete groups
@@ -229,9 +245,8 @@ object MinHashIndex {
     * surface.
     */
   def statsExact(store: Store, batch: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingle: Int = DefaultShingle,
-      maxShingleFreq: Int = 100): DataFrame = {
-    val pairs = probeExact(store, batch, idCol, textCol, threshold, shingle, maxShingleFreq)
+      threshold: Double, maxShingleFreq: Int = 100): DataFrame = {
+    val pairs = probeExact(store, batch, idCol, textCol, threshold, maxShingleFreq)
     val perDoc = pairs.groupBy(col("batch_id"))
       .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("max_jaccard"))
     batch.where(col(textCol).isNotNull)

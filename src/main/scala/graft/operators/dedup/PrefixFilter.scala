@@ -47,11 +47,19 @@ object PrefixFilter {
     val pairs = CacheScope.withPersisted(exploded0) { exploded =>
       val dfreq = exploded.groupBy("s").agg(count(lit(1)).as("df"))
       val sized = exploded.join(dfreq, Seq("s"))
-      // prefix length n - ceil(tau*n) + 1, rarest-first global order
+      // prefix length n - ceil(tau*n) + 1, rarest-first global order.
+      // The ceil argument is deflated by a relative 1e-12 so an IEEE
+      // product that lands a few ulps ABOVE an exact integer k cannot
+      // round the ceil up to k+1 and shorten the prefix (verified: 530
+      // (tau, n) pairs under n=200 overshoot the exact bound otherwise —
+      // a shorter prefix breaks the completeness theorem). Deflating can
+      // only LENGTHEN the prefix by one: extra candidates, never a lost
+      // pair, and the exact verify keeps the output identical.
+      val alpha = ceil(col("n").cast("double") * lit(tau) * lit(1.0 - 1e-12))
       val prefix = sized
         .withColumn("rn", row_number().over(
           Window.partitionBy("id").orderBy(col("df"), col("s"))))
-        .where(col("rn") <= col("n") - ceil(col("n") * lit(tau)) + lit(1))
+        .where(col("rn") <= col("n") - alpha + lit(1))
         .select(col("s"), col("id"))
       prefix.select(col("s"), col("id").as("id_a"))
         .join(prefix.select(col("s"), col("id").as("id_b")), Seq("s"))
@@ -88,7 +96,8 @@ object PrefixFilter {
       .join(dfreq, Seq("s"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("s"))))
-      .where(col("rn") <= col("n") - ceil(col("n") * lit(tau)) + lit(1))
+      .where(col("rn") <=
+        col("n") - ceil(col("n").cast("double") * lit(tau) * lit(1.0 - 1e-12)) + lit(1))
       .select(col("s"), col("id"))
     (pairsOf(prefix), pairsOf(exploded))
   }

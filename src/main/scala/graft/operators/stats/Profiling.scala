@@ -147,7 +147,10 @@ object Profiling {
         col("n_rows"), col("n_keys"), col("max_key_rows"),
         (col("max_key_rows").cast("double") / col("n_rows").cast("double"))
           .as("top1_share"),
-        ((col("max_key_rows") * col("n_keys")).cast("double") /
+        // both factors cast to double BEFORE multiplying: at the corpus
+        // sizes this diagnostic targets, max_key_rows * n_keys can pass
+        // Long.MaxValue and a BIGINT multiply would wrap silently
+        ((col("max_key_rows").cast("double") * col("n_keys").cast("double")) /
           col("n_rows").cast("double")).as("skew_ratio"))
   }
 }

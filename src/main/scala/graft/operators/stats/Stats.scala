@@ -229,8 +229,10 @@ object Stats {
     * one decimal pair per (group, entity) at the first aggregation and
     * one triple per group at the second — never a materialized
     * participant list. Per-entity revenue must fit DECIMAL(18,6) (the
-    * square stays inside decimal-exact range); overflow nulls loudly
-    * rather than drifting.
+    * square stays inside decimal-exact range); a value beyond that
+    * RAISES (with ANSI off, the narrowing cast alone would yield NULL
+    * and SQL SUM would silently skip the entity — a plausible-looking
+    * wrong HHI).
     */
   def hhiByGroup(
       df: DataFrame,
@@ -242,7 +244,12 @@ object Stats {
     val per = df
       .groupBy((g :+ col(entityCol)): _*)
       .agg(sum(valueCol.cast("decimal(18,6)")).as("__rev_w"))
-      .select((g :+ col("__rev_w").cast("decimal(18,6)").as("__rev_d")): _*)
+      .select((g :+
+        when(abs(col("__rev_w")) < lit(1000000000000L), col("__rev_w").cast("decimal(18,6)"))
+          .otherwise(raise_error(concat(
+            lit("hhiByGroup: per-entity value "), col("__rev_w").cast("string"),
+            lit(" exceeds DECIMAL(18,6) - rescale the value column first"))))
+          .as("__rev_d")): _*)
     per
       .groupBy(g: _*)
       .agg(

@@ -39,7 +39,11 @@ object HtmlExtract {
       "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
       "&amp;" -> "&" // LAST — double-escapes decode exactly one level
     ).foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    // explicit class, not \s: Java's \s includes \x0B (vertical tab),
+    // RE2's does not — the one divergence inside the "common subset"
+    // rule, and it would split the md5-hashed cleaned text between
+    // engines on any corpus carrying control characters
+    trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
   /** Anchor-tag count on the RAW html — the link-density signal

@@ -61,13 +61,17 @@ object UrlTools {
   }
 
   /** Lowercased host of an absolute URL — the grouping key for
-    * host-level corpus statistics (CCNet-style domain filtering). The
-    * '?' split happens before the '/' split (path-less `host?query`
-    * URLs — the canonicalize lesson); ports and userinfo-free http(s)
-    * URLs assumed, like [[canonicalize]].
+    * host-level corpus statistics (CCNet-style domain filtering). Takes
+    * everything after the FIRST "://" (the canonicalize rule — redirect
+    * /share URLs embed absolute URLs in their query, and an
+    * after-the-LAST split would attribute the doc to the EMBEDDED
+    * host), then splits '?' before '/' (path-less `host?query` URLs —
+    * the canonicalize lesson); ports and userinfo-free http(s) URLs
+    * assumed, like [[canonicalize]].
     */
   def host(url: Column): Column = {
-    val afterScheme = substring_index(substring_index(url, "://", -1), "?", 1)
+    val rest = url.substr(instr(url, "://") + lit(3), lit(1 << 20))
+    val afterScheme = substring_index(rest, "?", 1)
     lower(substring_index(substring_index(afterScheme, "/", 1), ":", 1))
   }
 

@@ -40,11 +40,12 @@ class MinHashIndexSpec extends SparkSpecBase {
     val incDir = "/tmp/graft-mhidx-inc"
     MinHashIndex.save(MinHashIndex.build(d, "doc_id", "text", nBuckets = 16), oneDir)
     MinHashIndex.save(MinHashIndex.build(p1, "doc_id", "text", nBuckets = 16), incDir)
-    MinHashIndex.append(spark, incDir, p2, "doc_id", "text", nBuckets = 16)
-    MinHashIndex.append(spark, incDir, p3, "doc_id", "text", nBuckets = 16)
+    MinHashIndex.append(spark, incDir, p2, "doc_id", "text")
+    MinHashIndex.append(spark, incDir, p3, "doc_id", "text")
 
-    val one = MinHashIndex.load(spark, oneDir, 16)
-    val inc = MinHashIndex.load(spark, incDir, 16)
+    // load takes nBuckets/shingle from the persisted meta, not the caller
+    val one = MinHashIndex.load(spark, oneDir)
+    val inc = MinHashIndex.load(spark, incDir)
     assert(multiset(one.shingleSets.select(col("id"), col("sh"))) ==
       multiset(inc.shingleSets.select(col("id"), col("sh"))))
     assert(multiset(one.shinglePostings.select(col("s"), col("bucket"), col("id"))) ==
@@ -62,7 +63,8 @@ class MinHashIndexSpec extends SparkSpecBase {
     val dir = "/tmp/graft-mhidx-probe"
     val mem = MinHashIndex.build(corpus, "doc_id", "text", nBuckets = 16)
     MinHashIndex.save(mem, dir)
-    val loaded = MinHashIndex.load(spark, dir, 16)
+    val loaded = MinHashIndex.load(spark, dir)
+    assert(loaded.nBuckets == 16 && loaded.shingle == 3)
 
     for (probe <- Seq[(MinHashIndex.Store, DataFrame, String, String, Double) => DataFrame](
         MinHashIndex.probeExact(_, _, _, _, _),

@@ -52,6 +52,28 @@ class PrefixFilterSpec extends SparkSpecBase {
     assert(got == Set((7000L, 7001L, 30.0 / 50.0)), got) // 29/51 < 0.6 excluded
   }
 
+  test("prefix-length bound never exceeds the exact ceil (IEEE overshoot guard)") {
+    // ceil(n*tau) on raw doubles overshoots the exact integer for 530
+    // (tau, n) pairs under n=200 (e.g. tau=0.28, n=25: exact 7, IEEE 8),
+    // which would SHORTEN the prefix and break completeness; the
+    // deflated form must sit in [exact-1, exact] — never above (lost
+    // pairs), at most one below (one extra prefix element, harmless)
+    val taus = Seq(0.07, 0.14, 0.28, 0.33, 0.5, 0.56, 0.6, 0.66, 0.9, 1.0)
+    val ns = (1 to 200).map(_.toLong)
+    val df = ns.toDF("n")
+    for (tau <- taus) {
+      val got = df.select(col("n"),
+        ceil(col("n").cast("double") * lit(tau) * lit(1.0 - 1e-12)).as("alpha"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ns.foreach { n =>
+        val exact = (BigDecimal(tau) * BigDecimal(n))
+          .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+        assert(got(n) <= exact, s"tau=$tau n=$n alpha=${got(n)} > exact $exact")
+        assert(got(n) >= exact - 1, s"tau=$tau n=$n alpha=${got(n)} << exact $exact")
+      }
+    }
+  }
+
   test("tau = 1 reduces to exact duplicates; candidates shrink vs exhaustive") {
     val docs = Snapshot(spark, sf()).documents.limit(200)
       .select(col("doc_id"), col("text")).localCheckpoint(true)
