@@ -156,6 +156,22 @@ object MinHashIndex {
       .write.mode("append").partitionBy("pbucket").parquet(s"$path/band_postings")
   }
 
+  /** `foreachBatch` sink for continuous near-dup index maintenance
+    * (D18 — the D16 appendSink shape for the text index): each
+    * microbatch of a document stream appends all three representations
+    * via [[append]], from one pinned materialization per batch; the
+    * layout's frozen nBuckets/shingle come from the saved meta, and the
+    * indexed corpus is never rescanned. StreamingSpec gate: post-stream
+    * store contents == a one-shot append over the same rows, and a
+    * probe finds cross-batch planted twins.
+    */
+  def appendSink(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      textCol: String): (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, _) => append(spark, path, batch.toDF(), idCol, textCol)
+
   /** Distinct bucket values of `df.col(c)` — bounded by nBuckets values
     * by construction, so the collect is driver-sized regardless of batch
     * size. Feeds the probe scans' partition pruning.

@@ -490,6 +490,67 @@ class StreamingSpec extends SparkSpecBase {
     assert(self == 5L)
   }
 
+  test("streaming near-dup index maintenance: foreachBatch appends == one-shot append (D18)") {
+    // Continuous ingestion into the saved MinHash near-dup store (the
+    // D16 shape on text): seed from a third of the corpus, stream the
+    // remainder through MinHashIndex.appendSink one file-microbatch at
+    // a time. Post-stream store contents must equal a single append
+    // over the same rows (shingling/banding are per-row deterministic
+    // and the layout frozen in meta, so batch boundaries are
+    // invisible), and a probe over the streamed store must find a
+    // planted cross-batch twin.
+    import graft.operators.dedup.MinHashIndex
+    val docs = Snapshot(spark, sf()).documents.where($"text".isNotNull)
+      .select($"doc_id", $"text").localCheckpoint(true)
+    val seed = docs.where($"doc_id" % 3 === 0)
+    val rest = docs.where($"doc_id" % 3 =!= 0)
+      // planted twin of a SEED doc arriving on the stream
+      .unionByName(seed.limit(1).select(($"doc_id" + 5000000L).as("doc_id"), $"text"))
+    val dirA = Files.createTempDirectory("graft_mhidx_stream").toFile
+    val dirB = Files.createTempDirectory("graft_mhidx_batch").toFile
+    val store = MinHashIndex.build(seed, "doc_id", "text", nBuckets = 16)
+    Seq(dirA, dirB).foreach(d => MinHashIndex.save(store, d.getAbsolutePath))
+    store.shingleSets.unpersist(false)
+
+    val feed = Files.createTempDirectory("graft_mhidx_feed").toFile
+    feed.deleteOnExit()
+    rest.repartition(4).write.mode("overwrite").parquet(feed.getAbsolutePath)
+    val batchDf = spark.read.parquet(feed.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sink = MinHashIndex.appendSink(spark, dirA.getAbsolutePath, "doc_id", "text")
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        nBatches.incrementAndGet(); sink(b, id)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    MinHashIndex.append(spark, dirB.getAbsolutePath, batchDf, "doc_id", "text")
+
+    // full-content identity of all three representations
+    def canon(d: java.io.File, sub: String, cols: Seq[String]) =
+      spark.read.parquet(d.getAbsolutePath + "/" + sub)
+        .select(cols.map(c => col(c)): _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(dirA, "shingles", Seq("id", "sh")) ==
+      canon(dirB, "shingles", Seq("id", "sh")))
+    assert(canon(dirA, "shingle_postings", Seq("s", "id", "bucket")) ==
+      canon(dirB, "shingle_postings", Seq("s", "id", "bucket")))
+    assert(canon(dirA, "band_postings", Seq("band", "bucket", "id", "pbucket")) ==
+      canon(dirB, "band_postings", Seq("band", "bucket", "id", "pbucket")))
+
+    // end-to-end: the streamed store knows the planted cross-batch twin
+    val loaded = MinHashIndex.load(spark, dirA.getAbsolutePath)
+    val probe = seed.limit(1).select(($"doc_id" + 9900000L).as("doc_id"), $"text")
+    val found = MinHashIndex.probeExact(loaded, probe, "doc_id", "text", 0.99)
+      .where($"jaccard" === 1.0).count()
+    // matches BOTH the original seed doc and its streamed twin (plus any
+    // natural exact dups of that doc)
+    assert(found >= 2L, s"expected >= 2 exact matches, got $found")
+  }
+
   test("streaming drift monitor: merged bin-count state yields the exact batch PSI report") {
     // B54 lifted onto the stream (D15): a drift monitor never keeps raw
     // rows — it keeps (bin, n) counts against the FROZEN baseline bins
