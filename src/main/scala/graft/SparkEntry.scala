@@ -1000,6 +1000,23 @@ object SparkEntry {
     }),
     "q_trend_gapfill" -> ((s, dir) =>
       Procurement.monthlyTrendGapFilled(snap(s, dir).orders, "o_orderdate", "o_totalprice")),
+    "q_interpolate" -> ((s, dir) => {
+      // linear interpolation of missing series values (B68) — B17 adds
+      // missing rows, this fills missing VALUES. Gaps are PLANTED
+      // deterministically (every third month index nulled) so the fill
+      // path is non-vacuous at every SF and the oracle mirrors the same
+      // nulling; edges without both neighbors stay NULL by contract.
+      val m = snap(s, dir).orders
+        .groupBy(col("o_orderpriority").as("priority"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("midx"))
+        .agg(dsum(col("o_totalprice")).as("tot"))
+        .select(col("priority"), col("midx"),
+          when(col("midx") % 3 =!= 1, col("tot")).as("v"))
+      graft.operators.temporal.Interpolate
+        .linear(m, Seq("priority"), "midx", "v")
+        .orderBy("priority", "midx")
+    }),
     "q_latest_event_per_user" -> ((s, dir) => {
       val e = snap(s, dir).events.select("user_id", "event_id", "ts")
       // strict: user cardinality is bounded well under the heap contract
@@ -3335,6 +3352,36 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderdate, o_totalprice, sum_qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+    // same planted nulling; neighbor lookup = four IGNORE NULLS window
+    // scalars over the unique midx order; fill = one exact
+    // integer-difference division + multiply + add, hashed unrounded
+    "q_interpolate" ->
+      """WITH m AS (SELECT o_orderpriority AS priority,
+        |    CAST(EXTRACT(year FROM o_orderdate) * 12 + EXTRACT(month FROM o_orderdate) AS BIGINT) AS midx,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS tot
+        |  FROM orders GROUP BY 1, 2),
+        |g AS (SELECT priority, midx,
+        |        CASE WHEN midx % 3 <> 1 THEN tot END AS v
+        |      FROM m),
+        |w AS (SELECT priority, midx, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY priority ORDER BY midx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN midx END IGNORE NULLS)
+        |    OVER (PARTITION BY priority ORDER BY midx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY priority ORDER BY midx
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN midx END IGNORE NULLS)
+        |    OVER (PARTITION BY priority ORDER BY midx
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM g)
+        |SELECT priority, midx, v,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |       THEN pv + (nv - pv) * (CAST(midx - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |  END AS v_filled,
+        |  v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL AS interpolated
+        |FROM w ORDER BY priority, midx""".stripMargin,
     "q_trend_gapfill" ->
       """WITH m AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
