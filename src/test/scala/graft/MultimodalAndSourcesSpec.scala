@@ -766,6 +766,34 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
       src.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("schema evolution: widened files merge, old rows read null, pruning survives") {
+    // the ingestion contract a long-lived parquet feed needs: a producer
+    // adds a column mid-stream; mergeSchema reads old+new files as one
+    // relation with NULLs for pre-evolution rows, and both pushdown and
+    // the added column's filters still reach the scan. DataShape's RAW
+    // drift tripwire names encoding changes; this pins the SCHEMA-WIDTH
+    // change path next to it.
+    val tmp = Files.createTempDirectory("graft_evolve").toFile
+    tmp.deleteOnExit()
+    val dir = s"$tmp/feed"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet == Set("id", "v", "score"))
+    assert(merged.count() == 4L)
+    assert(merged.where($"score".isNull).select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(merged.where($"score" >= 40L).select("id").as[Long].collect().toSeq == Seq(4L))
+    // without mergeSchema the footer Spark happens to sample wins —
+    // the tripwire reason callers must opt in explicitly for evolving
+    // feeds (order-dependent schema is not a correctness surface)
+    val plan = merged.where($"score" === 30L)
+    plan.collect()
+    val p = plan.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("score"), p.take(1500))
+  }
+
   test("intermediary registration is explicit, named or generated, and queryable") {
     val df = SparkEntry.queries("q_intermediary")(spark, sf())
     val named = graft.api.Procurement.registerIntermediary(df, Some("intermediary_table"))
