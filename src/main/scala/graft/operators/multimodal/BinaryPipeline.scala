@@ -403,6 +403,63 @@ object BinaryPipeline {
       totalFrames: Long,
       samples: Array[Short]) // interleaved s16, at most maxFrames frames
 
+  /** 64-segment energy-envelope fingerprint — the audio member of the
+    * perceptual near-dup triple (text simhash / image [[imageAHash]] /
+    * this), joined by the same
+    * [[graft.operators.dedup.HammingDedup]]: decode, mono-downmix,
+    * split the decoded frames into 64 equal TIME segments (fractions of
+    * duration, so the fingerprint is sample-rate invariant), mean
+    * square energy per segment, bit i set iff segment i's energy
+    * exceeds the median segment energy (own-median threshold ⇒ volume
+    * invariant; envelope not spectrum ⇒ carrier-frequency
+    * insensitive). Undecodable, empty, and sub-64-frame rows are
+    * dropped ([[decodeAudio]] audits them); clips beyond 2^20 frames
+    * fingerprint their first 2^20 (the decodeAudio bound).
+    */
+  def audioFingerprint(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          readAudio(bytes, maxFrames = 1 << 20)
+            .filter(a => a.channels >= 1 && a.samples.length / a.channels >= 64)
+            .map { a =>
+              val ch = a.channels
+              val frames = a.samples.length / ch
+              val e = new Array[Double](64)
+              val cnt = new Array[Long](64)
+              var f = 0
+              while (f < frames) {
+                val seg = ((f.toLong * 64L) / frames).toInt
+                var c = 0
+                var s = 0.0
+                while (c < ch) { s += a.samples(f * ch + c); c += 1 }
+                val m = s / ch
+                e(seg) += m * m
+                cnt(seg) += 1
+                f += 1
+              }
+              var i = 0
+              while (i < 64) { if (cnt(i) > 0) e(i) /= cnt(i); i += 1 }
+              val sorted = e.clone()
+              java.util.Arrays.sort(sorted)
+              val med = (sorted(31) + sorted(32)) / 2.0
+              var hash = 0L
+              i = 0
+              while (i < 64) {
+                if (e(i) > med) hash |= (1L << i)
+                i += 1
+              }
+              (id, hash)
+            }
+        }
+      }
+      .toDF(idCol, "afp")
+  }
+
   /** Task-local audio decode helper. Parses the container header for
     * (format, rate, channels, bits, declared frame count), then pulls at
     * most `maxFrames` frames through the JDK's PCM-to-PCM codec into

@@ -62,6 +62,53 @@ class ImageDedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), pairs)
   }
 
+  // amplitude-pattern WAV: 8 loudness blocks of `seconds/8` each — an
+  // ENVELOPE signal (a constant sine's flat envelope carries no bits)
+  private def envWav(rate: Float, freq: Double, blocks: Seq[Double],
+      seconds: Double = 1.0): Array[Byte] = {
+    import javax.sound.sampled._
+    val frames = math.round(rate * seconds).toInt
+    val pcm = new Array[Byte](frames * 2)
+    (0 until frames).foreach { f =>
+      val amp = blocks((f * blocks.length / frames).min(blocks.length - 1))
+      val v = math.round(amp * 32767.0 * math.sin(2 * math.Pi * freq * f / rate)).toShort
+      pcm(f * 2) = (v & 0xFF).toByte
+      pcm(f * 2 + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("audio fingerprint: rate/volume/carrier-invariant, envelope-sensitive") {
+    val p1 = Seq(1.0, 0.1, 1.0, 0.1, 0.1, 1.0, 0.1, 1.0)
+    val p2 = Seq(0.1, 1.0, 0.1, 1.0, 1.0, 0.1, 1.0, 0.1) // inverted envelope
+    val rows = Seq(
+      (1L, envWav(8000f, 440.0, p1)),
+      (2L, envWav(16000f, 220.0, p1)),               // re-rate + re-carrier twin
+      (3L, envWav(8000f, 440.0, p1.map(_ * 0.5))),   // half volume
+      (4L, envWav(8000f, 440.0, p2)),                // different envelope
+      (5L, "not audio".getBytes("UTF-8")),           // dropped
+      (6L, null: Array[Byte])                        // dropped
+    ).toDF("doc_id", "payload")
+    val h = BinaryPipeline.audioFingerprint(rows, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.keySet == Set(1L, 2L, 3L, 4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) <= 3, s"re-rate twin at hamming ${ham(h(1L), h(2L))}")
+    assert(ham(h(1L), h(3L)) <= 3, s"volume twin at hamming ${ham(h(1L), h(3L))}")
+    assert(ham(h(1L), h(4L)) > 3, s"inverted envelope at hamming ${ham(h(1L), h(4L))}")
+
+    // same generic join as images: twins found, the inverted clip is not
+    val pairs = HammingDedup.pairs(
+      BinaryPipeline.audioFingerprint(rows, "doc_id", "payload"), "doc_id", "afp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)), pairs)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), pairs)
+  }
+
   test("HammingDedup matches SimHashDedup semantics on planted signatures") {
     // hand-built 64-bit signatures: known hamming distances
     val rows = Seq(
