@@ -455,6 +455,17 @@ object SparkEntry {
       TextStats.quality(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_text_tokens" -> ((s, dir) =>
       TextStats.tokenCounts(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
+    "q_phrase_search" -> ((s, dir) =>
+      // exact-phrase retrieval over POSITIONAL postings (C40b): term
+      // lists intersect by doc, positions verify adjacency — the
+      // capability AND-search (C40) cannot express ("window join" as a
+      // phrase, not two words anywhere). Hermetic in-memory postings
+      // (the C40 Verify convention); counts are exact ints.
+      graft.operators.text.InvertedIndex.searchPhrase(
+        graft.operators.text.InvertedIndex.buildPositional(
+          snap(s, dir).documents, "doc_id", "text"),
+        Seq("window", "join"))
+        .orderBy("doc_id")),
     "q_text_readability" -> ((s, dir) =>
       // Flesch-style readability (C55): exact-count divisions + literal
       // constants only — no transcendental, hash-safe at round 4
@@ -2536,6 +2547,20 @@ object SparkEntry {
         |  CAST(len(list_distinct(ss)) AS BIGINT) AS n_unique_shingles,
         |  1.0 - CAST(len(list_distinct(ss)) AS DOUBLE) / CAST(len(ss) AS DOUBLE) AS repetition_ratio
         |FROM s ORDER BY doc_id""".stripMargin,
+    // positional phrase semantics re-derived over string positions:
+    // occurrence = position p of term 1 with p+1 in term 2's list
+    "q_phrase_search" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |           FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id,
+        |        list_filter(range(1, len(ws) + 1), i -> ws[i] = 'window') AS p0,
+        |        list_filter(range(1, len(ws) + 1), i -> ws[i] = 'join') AS p1
+        |      FROM w)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(p0, x -> list_contains(p1, x + 1))) AS BIGINT) AS n_matches
+        |FROM p
+        |WHERE len(list_filter(p0, x -> list_contains(p1, x + 1))) > 0
+        |ORDER BY doc_id""".stripMargin,
     // exact-count divisions + string-parsed double constants (B58 rule):
     // no transcendental anywhere, the rounded score hashes directly
     "q_text_readability" ->

@@ -82,6 +82,50 @@ object InvertedIndex {
       .select(col("term"), col("doc_id"))
   }
 
+  /** POSITIONAL postings: `(term, bucket, doc_id, positions)` with the
+    * sorted 1-based token positions of each term per doc — the layout
+    * phrase/proximity search needs ([[searchPhrase]]); ~one array cell
+    * per token instead of [[build]]'s distinct pair, the standard
+    * positional-index cost. Same bucket function and write/prune story
+    * as [[build]].
+    */
+  def buildPositional(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    df.where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "term")))
+      .where(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos") + 1)).as("positions"))
+      .select(col("term"), pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("bucket"),
+        col("doc_id"), col("positions"))
+  }
+
+  /** Docs containing the EXACT consecutive phrase, with the occurrence
+    * count: terms intersect by doc (k slim joins, k = phrase length),
+    * then positions verify adjacency — an occurrence is a position p of
+    * the first term with p+i in term i's list for every i (array
+    * membership over the per-doc positional lists; no explode of the
+    * corpus). Repeated words in the phrase are fine — each slot joins
+    * its own filtered copy.
+    */
+  def searchPhrase(postings: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.size >= 2, "a phrase needs at least 2 terms (use searchAnd for 1)")
+    val slots = terms.zipWithIndex.map { case (t, i) =>
+      postings.where(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"__p$i"))
+    }
+    val joined = slots.reduce(_.join(_, Seq("doc_id")))
+    val adjacent = filter(col("__p0"), p =>
+      (1 until terms.size).map(i => array_contains(col(s"__p$i"), p + i))
+        .reduce(_ && _))
+    joined
+      .withColumn("n_matches", size(adjacent).cast("long"))
+      .where(col("n_matches") > 0)
+      .select(col("doc_id"), col("n_matches"))
+  }
+
   /** Doc ids containing EVERY query term, from any postings relation
     * ([[build]] output or [[openPostings]]). Postings are (term, doc)
     * distinct, so `count == nTerms` is exact AND semantics.

@@ -43,6 +43,25 @@ class InvertedIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("phrase search: adjacency and order matter, repeated terms count correctly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a window join b window join"), // 2 adjacent occurrences
+      (2L, "window x join"),               // terms present, not adjacent
+      (3L, "join window"),                 // wrong order
+      (4L, "go go go"),                    // repeated-term phrase
+      (5L, "a b a b a")                    // 3-term phrase with overlap
+    ).toDF("doc_id", "text")
+    val post = InvertedIndex.buildPositional(docs, "doc_id", "text", nBuckets = 8)
+    def got(terms: Seq[String]) = InvertedIndex.searchPhrase(post, terms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(Seq("window", "join")) == Map(1L -> 2L))
+    assert(got(Seq("go", "go")) == Map(4L -> 2L))
+    assert(got(Seq("a", "b", "a")) == Map(5L -> 2L))
+    assert(got(Seq("b", "a", "b")) == Map(5L -> 1L))
+    intercept[IllegalArgumentException] { InvertedIndex.searchPhrase(post, Seq("a")) }
+  }
+
   test("written index: search through openPostings equals the in-memory path and prunes partitions") {
     val docs = Snapshot(spark, sf()).documents
     val dir = "/tmp/graft-invidx-spec"
