@@ -455,6 +455,14 @@ object SparkEntry {
       TextStats.quality(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_text_tokens" -> ((s, dir) =>
       TextStats.tokenCounts(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
+    "q_temperature_mix" -> ((s, dir) =>
+      // alpha-sampling weights at alpha = 1/2 (C56): sqrt keeps the
+      // exponent IEEE-exact; the Σ sqrt(n) total folds source-sorted
+      // (the C5 convention) so weight/target_n hash unrounded
+      graft.operators.sample.Mixing
+        .temperatureWeights(snap(s, dir).documents.where(col("text").isNotNull),
+          "source", targetTotal = 100000L)
+        .orderBy("source")),
     "q_phrase_search" -> ((s, dir) =>
       // exact-phrase retrieval over POSITIONAL postings (C40b): term
       // lists intersect by doc, positions verify adjacency — the
@@ -2547,6 +2555,19 @@ object SparkEntry {
         |  CAST(len(list_distinct(ss)) AS BIGINT) AS n_unique_shingles,
         |  1.0 - CAST(len(list_distinct(ss)) AS DOUBLE) / CAST(len(ss) AS DOUBLE) AS repetition_ratio
         |FROM s ORDER BY doc_id""".stripMargin,
+    // sqrt (correctly rounded) + source-sorted fold + exact division +
+    // floor-of-IEEE-product: every hashed value reproduces bit-for-bit
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+        |           WHERE text IS NOT NULL GROUP BY 1),
+        |t AS (SELECT list_reduce(
+        |        list_transform(list(CAST(n AS DOUBLE) ORDER BY source), x -> sqrt(x)),
+        |        (a, b) -> a + b) AS tot
+        |      FROM c)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  sqrt(CAST(n AS DOUBLE)) / tot AS weight,
+        |  CAST(floor(100000 * (sqrt(CAST(n AS DOUBLE)) / tot)) AS BIGINT) AS target_n
+        |FROM c, t ORDER BY source""".stripMargin,
     // positional phrase semantics re-derived over string positions:
     // occurrence = position p of term 1 with p+1 in term 2's list
     "q_phrase_search" ->

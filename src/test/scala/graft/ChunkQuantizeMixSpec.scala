@@ -171,4 +171,18 @@ class ChunkQuantizeMixSpec extends SparkSpecBase {
     val expectEn = 0.7 * (orig("de") / 0.3)
     assert(math.abs(counts("en") - expectEn) < 0.25 * expectEn, s"en ${counts("en")} vs $expectEn")
   }
+
+  test("temperatureWeights: exact sqrt-weights on perfect squares, flattening direction") {
+    // counts 4 and 9: sqrt = 2 and 3, total 5 — every value exact in IEEE
+    val docs = ((1 to 4).map(i => (i.toLong, "sq4")) ++ (1 to 9).map(i => (100L + i, "sq9")))
+      .toDF("doc_id", "source")
+    val got = graft.operators.sample.Mixing
+      .temperatureWeights(docs.withColumn("text", lit("x")), "source", 10L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("sq4", 4L, 0.4, 4L), ("sq9", 9L, 0.6, 6L)), got.toSeq)
+    // flattening: the small source's weight share EXCEEDS its count
+    // share (4/13 ≈ 0.308 < 0.4), the alpha-sampling point
+    assert(0.4 > 4.0 / 13.0)
+  }
 }
