@@ -2559,7 +2559,7 @@ object SparkEntry {
     // floor-of-IEEE-product: every hashed value reproduces bit-for-bit
     "q_temperature_mix" ->
       """WITH c AS (SELECT source, COUNT(*) AS n FROM documents
-        |           WHERE text IS NOT NULL GROUP BY 1),
+        |           WHERE text IS NOT NULL AND source IS NOT NULL GROUP BY 1),
         |t AS (SELECT list_reduce(
         |        list_transform(list(CAST(n AS DOUBLE) ORDER BY source), x -> sqrt(x)),
         |        (a, b) -> a + b) AS tot

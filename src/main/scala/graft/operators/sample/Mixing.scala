@@ -52,39 +52,6 @@ object Mixing {
     * (the binding group keeps everything). Groups absent from `weights`
     * are dropped — an explicit zero share.
     */
-  /** Temperature-scaled source weights — the multilingual-training
-    * alpha-sampling knob (mT5 / XLM-R: sample source s with probability
-    * ∝ n_s^alpha, flattening the head so low-resource sources are not
-    * drowned). This operator FIXES alpha = 1/2: sqrt is the one
-    * exponent in the family that is IEEE-exact (correctly rounded —
-    * SURVEY §5's cosine rule; a general pow is a transcendental and
-    * would need the margin-audit protocol). Σ sqrt(n_s) folds over the
-    * SOURCE-SORTED count list (the C5 sequential-fold convention — a
-    * groupBy double-sum would be partial-aggregation-order dependent),
-    * so `weight` and the floor-of-IEEE-product `target_n` (the
-    * assignSplit bound contract) hash unrounded.
-    *
-    * Scale shape: one count aggregation at source grain; the fold runs
-    * over the (vocabulary-bounded) source list inside a 1-row aggregate
-    * broadcast back — never a collect.
-    */
-  def temperatureWeights(df: DataFrame, groupCol: String, targetTotal: Long): DataFrame = {
-    require(targetTotal > 0, s"targetTotal must be > 0, got $targetTotal")
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-    val totDf = counts.agg(
-      aggregate(
-        transform(
-          array_sort(collect_list(struct(col(groupCol).as("g"), col("__n").as("n")))),
-          x => sqrt(x.getField("n").cast("double"))),
-        lit(0.0), (acc, v) => acc + v).as("__tot"))
-    val weight = sqrt(col("__n").cast("double")) / col("__tot")
-    counts.crossJoin(broadcast(totDf))
-      .select(col(groupCol),
-        col("__n").as("n_docs"),
-        weight.as("weight"),
-        floor(lit(targetTotal.toDouble) * weight).cast("long").as("target_n"))
-  }
-
   def targetMix(df: DataFrame, keyCol: String, groupCol: String,
       weights: Seq[(String, Double)]): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
@@ -106,5 +73,44 @@ object Mixing {
     df.join(broadcast(bounds), Seq(groupCol))
       .where(u24(keyCol) < col("__bound"))
       .drop("__bound")
+  }
+
+  /** Temperature-scaled source weights — the multilingual-training
+    * alpha-sampling knob (mT5 / XLM-R: sample source s with probability
+    * ∝ n_s^alpha, flattening the head so low-resource sources are not
+    * drowned). This operator FIXES alpha = 1/2: sqrt is the one
+    * exponent in the family that is IEEE-exact (correctly rounded —
+    * SURVEY §5's cosine rule; a general pow is a transcendental and
+    * would need the margin-audit protocol). Σ sqrt(n_s) folds over the
+    * SOURCE-SORTED count list (the C5 sequential-fold convention — a
+    * groupBy double-sum would be partial-aggregation-order dependent),
+    * so `weight` and the floor-of-IEEE-product `target_n` (the
+    * assignSplit bound contract) hash unrounded.
+    *
+    * Scale shape: one count aggregation at source grain; the fold runs
+    * over the (vocabulary-bounded) source list inside a 1-row aggregate
+    * broadcast back — never a collect.
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String, targetTotal: Long): DataFrame = {
+    require(targetTotal > 0, s"targetTotal must be > 0, got $targetTotal")
+    // NULL-group rows drop (the module contract) — and a NULL group
+    // would also order differently between Spark's NULLS-FIRST struct
+    // sort and DuckDB's NULLS-LAST, skewing the fold order.
+    // localCheckpoint: counts feeds both the 1-row total and the final
+    // select (the balancedSample two-consumer rule).
+    val counts = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n")).localCheckpoint(true)
+    val totDf = counts.agg(
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col(groupCol).as("g"), col("__n").as("n")))),
+          x => sqrt(x.getField("n").cast("double"))),
+        lit(0.0), (acc, v) => acc + v).as("__tot"))
+    val weight = sqrt(col("__n").cast("double")) / col("__tot")
+    counts.crossJoin(broadcast(totDf))
+      .select(col(groupCol),
+        col("__n").as("n_docs"),
+        weight.as("weight"),
+        floor(lit(targetTotal.toDouble) * weight).cast("long").as("target_n"))
   }
 }

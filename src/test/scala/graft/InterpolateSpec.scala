@@ -17,7 +17,7 @@ class InterpolateSpec extends SparkSpecBase {
       ("a", 2L, None), // 10 + 30 * 1/3 = 20
       ("a", 3L, None), // 10 + 30 * 2/3 = 30
       ("a", 4L, Some(40.0)),
-      ("a", 5L, None), // 40 + 20 * 1/2 = 50
+      ("a", 5L, None), // neighbors t=4 and t=7: 40 + 20 * 1/3
       ("a", 7L, Some(60.0)), // uneven spacing: t=5 sits (5-4)/(7-4) in
       ("a", 8L, None), // trailing edge: no successor -> stays null
       ("b", 2L, Some(5.0)), // another series: must not lend neighbors
