@@ -1640,6 +1640,97 @@ object SparkEntry {
           alpha = 0.25, beta = 0.75)
         .orderBy("o_custkey")
     }),
+    "q_forecast_holt" -> ((s, dir) => {
+      // Holt linear-trend forecast per customer over the same bounded
+      // date-ordered series as q_ema, now with a trend state and a
+      // 3-step-ahead projection. alpha=0.5 / beta=0.25 dyadic with
+      // complements passed explicitly; the fold state is a 2-double
+      // ARRAY (DuckDB 1.0 list_reduce corrupts struct accumulators —
+      // Forecast scaladoc pins the bug), folded in the algebraically
+      // expanded trend form so no compound subexpression repeats across
+      // fields. Unrounded doubles hash (the EMA/cosine precedent).
+      graft.operators.temporal.Forecast
+        .perKeyHolt(snap(s, dir).orders, Seq("o_custkey"),
+          "o_orderdate", "o_orderkey", "o_totalprice",
+          alpha = 0.5, oneMinusAlpha = 0.5, beta = 0.25, oneMinusBeta = 0.75,
+          horizon = 3)
+        .orderBy("o_custkey")
+    }),
+    "q_time_weighted_avg" -> ((s, dir) => {
+      // time-weighted average event value per user: exact integer-µs
+      // interval weights (constant encoding offsets cancel in the
+      // lead-difference), DECIMAL-exact weighted sum; the mean rounds
+      // at 4 digits (TimeWeighted scaladoc: the sum tops 2^53 in
+      // millionths, so decimal->double conversion is ulp territory) —
+      // n_intervals/span_us are the exact hashed companions. Keys with
+      // a single event have no interval and drop (operator contract).
+      graft.operators.temporal.TimeWeighted
+        .avgByKey(snap(s, dir).events, Seq("user_id"), "ts", "event_id", "value")
+        .orderBy("user_id")
+    }),
+    "q_attribution" -> ((s, dir) => {
+      // linear marketing attribution at CONVERSION grain: each purchase
+      // counts its user's click/view touches in a 7-day lookback and
+      // splits its value evenly — credit is one IEEE division PER ROW,
+      // never a summed double (a channel rollup would be an
+      // order-dependent double sum; consumers fold the exact counts).
+      // Zero-touch purchases kept with NULL credit (left join + NULLIF).
+      graft.operators.temporal.Attribution
+        .linearCredit(snap(s, dir).events, "event_id", "user_id", "ts",
+          "event_type", "value", conversionType = "purchase",
+          touchTypes = Seq("click", "view"), lookback = "INTERVAL 7 DAYS")
+        .orderBy("conversion_id")
+    }),
+    "q_roc_auc" -> ((s, dir) => {
+      // classifier-eval AUC per source: how well the English-stopword
+      // hit count separates lang='en' docs — the tie-aware Mann-Whitney
+      // rank-sum identity on exact DECIMAL sums, one final IEEE division
+      // (Stats.rocAucByGroup scaladoc). Integer scores make ties real,
+      // exercising the average-rank path at every SF.
+      val docs = snap(s, dir).documents
+        .where(col("text").isNotNull && col("lang").isNotNull &&
+          col("source").isNotNull)
+        .select(col("source"),
+          TextStats.markerHits(col("text"), TextStats.Markers.head._2)
+            .cast("long").as("score"),
+          col("lang"))
+      graft.operators.stats.Stats
+        .rocAucByGroup(docs, Seq("source"), "score", col("lang") === "en")
+        .orderBy("source")
+    }),
+    "q_chi_square" -> ((s, dir) => {
+      // chi-square independence audit of priority x status at CELL
+      // grain: exact BIGINT counts, expected/contrib each one fixed IEEE
+      // sequence per row (products in DOUBLE — BIGINT row*col wraps at
+      // target scale), hashed unrounded. No chi2 total on purpose: a
+      // per-cell double sum would be order-dependent.
+      graft.operators.stats.Stats
+        .chiSquareCells(snap(s, dir).orders, "o_orderpriority", "o_orderstatus")
+        .orderBy("o_orderpriority", "o_orderstatus")
+    }),
+    "q_standardize" -> ((s, dir) => {
+      // per-dimension z-score scaler FIT over the embedding corpus:
+      // min/max are exact selections (hash unrounded), moment sums are
+      // DECIMAL(28,12)-exact and order-free (v and the <=48-bit-exact
+      // v*v cast once before summing), mean/std round at 4
+      // (Standardize scaladoc: the double->decimal cast's 1e-12
+      // rounding tail cannot reach the 5e-5 grid). Variance clamps at
+      // 0 before sqrt.
+      graft.operators.ann.Standardize
+        .fit(snap(s, dir).embeddings, "embedding", 64)
+        .orderBy("dim")
+    }),
+    "q_set_overlap" -> ((s, dir) => {
+      // pairwise audience overlap of event types over users, asked two
+      // ways: EXACT per-pair intersections from the distinct (cat, id)
+      // spine (hashed), and the HLL inclusion-exclusion estimate
+      // |A|+|B|-|A∪B| audited against exact with a 3·rsd·(a+b+union)
+      // static verdict (the B28/B48b protocol — sketch numbers are
+      // never hashed). Every pair emits, disjoint ones at 0.
+      graft.operators.sketch.OverlapSketch
+        .overlapAudit(snap(s, dir).events, "event_type", "user_id")
+        .orderBy("cat_a", "cat_b")
+    }),
     "q_window_distinct" -> ((s, dir) => {
       // cumulative COUNT(DISTINCT)/SUM(DISTINCT) customers per priority
       // by month — Spark window functions reject DISTINCT outright, and
@@ -4027,6 +4118,178 @@ object SparkEntry {
         |         list(CAST(o_totalprice AS DOUBLE) ORDER BY o_orderdate, o_orderkey),
         |         (acc, x) -> 0.25 * x + 0.75 * acc) AS ema
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // the EMA fold with a [level, trend] ARRAY accumulator — DuckDB 1.0
+    // list_reduce mis-evaluates STRUCT accumulators (fields observe a
+    // partially updated acc), so both engines fold the array form; the
+    // trend update is algebraically expanded so no compound
+    // subexpression repeats across fields. Identical IEEE sequence =>
+    // unrounded doubles hash-match.
+    "q_forecast_holt" ->
+      """WITH f AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS INT) AS n_points,
+        |    list_reduce(
+        |      list_transform(
+        |        list(CAST(o_totalprice AS DOUBLE) ORDER BY o_orderdate, o_orderkey),
+        |        x -> [x, CAST(0 AS DOUBLE)]),
+        |      (acc, x) -> [0.5*x[1] + 0.5*(acc[1] + acc[2]),
+        |                   0.25*(0.5*(x[1] - acc[1]) + 0.5*acc[2]) + 0.75*acc[2]]) AS st
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY o_custkey)
+        |SELECT o_custkey, n_points, st[1] AS level, st[2] AS trend,
+        |       st[1] + CAST(3 AS DOUBLE) * st[2] AS forecast
+        |FROM f ORDER BY o_custkey""".stripMargin,
+    // exact integer-µs interval weights (lead-difference cancels any
+    // constant encoding offset), DECIMAL-exact weighted sum. Operands
+    // cast to DECIMAL(19,x) in DuckDB — the hhi lesson: 18-digit
+    // decimals multiply in int64 and OVERFLOW; 19 digits force the
+    // int128 path. twa_value ROUNDS at 4 (B35 convention): the exact
+    // sum tops 2^53 in millionths, so its decimal->double conversion
+    // diverges by an ulp between engines (measured at sf0.001); the
+    // exact hashable companions are n_intervals and span_us
+    "q_time_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id,
+        |         CAST(value AS DECIMAL(19,6)) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL AND value IS NOT NULL),
+        |i AS (
+        |  SELECT user_id, v,
+        |         LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dt
+        |  FROM e)
+        |SELECT user_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |       CAST(SUM(dt) AS BIGINT) AS span_us,
+        |       ROUND(CAST(SUM(v * CAST(dt AS DECIMAL(19,0))) AS DOUBLE)
+        |         / NULLIF(CAST(SUM(dt) AS DOUBLE), 0.0), 4) AS twa_value
+        |FROM i WHERE dt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // conversion-grain linear attribution: bounded-lookback left join,
+    // exact BIGINT touch counts, credit = ONE IEEE division per row
+    "q_attribution" ->
+      """WITH conv AS (
+        |  SELECT event_id AS conversion_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase' AND event_id IS NOT NULL
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |touch AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT c.conversion_id,
+        |       MAX(c.user_id) AS user_id,
+        |       MAX(c.value) AS value,
+        |       COUNT(t.event_type) AS n_touches,
+        |       COUNT(CASE WHEN t.event_type = 'click' THEN 1 END) AS n_click,
+        |       COUNT(CASE WHEN t.event_type = 'view' THEN 1 END) AS n_view,
+        |       CAST(MAX(c.value) AS DOUBLE)
+        |         / NULLIF(CAST(COUNT(t.event_type) AS DOUBLE), 0.0) AS credit_per_touch
+        |FROM conv c LEFT JOIN touch t
+        |  ON t.user_id = c.user_id AND t.ts < c.ts
+        | AND t.ts >= c.ts - INTERVAL 7 DAY
+        |GROUP BY c.conversion_id
+        |ORDER BY c.conversion_id""".stripMargin,
+    // tie-aware Mann-Whitney rank-sum AUC: doubled positive rank-sum per
+    // tie cell is the INTEGER pos*(2*before + cnt + 1), accumulated in
+    // DECIMAL (order-free exact, wrap-safe); numerator stays DECIMAL
+    // through the P(P+1) product — DuckDB operands at DECIMAL(19,0) to
+    // force the int128 multiply (the hhi lesson: 18-digit decimals
+    // multiply in int64 and overflow); denominator 2PN in DOUBLE (a
+    // triple decimal product would exceed DuckDB's static width cap)
+    "q_roc_auc" ->
+      s"""WITH base AS (
+        |  SELECT source, $markerHitsEn AS score,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
+        |cells AS (
+        |  SELECT source, score, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |         CAST(SUM(pos) AS BIGINT) AS pos
+        |  FROM base GROUP BY source, score),
+        |r AS (
+        |  SELECT source, cnt, pos,
+        |         COALESCE(CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY score
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |           0) AS before
+        |  FROM cells)
+        |SELECT source,
+        |       CAST(SUM(cnt) AS BIGINT) AS n,
+        |       CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |       CAST(SUM(CAST(pos AS DECIMAL(19,0))
+        |                 * CAST(2*before + cnt + 1 AS DECIMAL(19,0)))
+        |            - CAST(SUM(pos) AS DECIMAL(19,0))
+        |              * CAST(SUM(pos) + 1 AS DECIMAL(19,0)) AS DOUBLE)
+        |         / NULLIF(CAST(2 AS DOUBLE) * CAST(SUM(pos) AS DOUBLE)
+        |                  * CAST(SUM(cnt) - SUM(pos) AS DOUBLE), 0.0) AS auc
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // cell-grain chi-square: exact BIGINT counts from windows over the
+    // AGGREGATED cell spine; expected/contrib are one fixed IEEE
+    // sequence per row (row*col product in DOUBLE), hashed unrounded
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY o_orderpriority, o_orderstatus),
+        |t AS (
+        |  SELECT o_orderpriority, o_orderstatus,
+        |    CAST(obs AS BIGINT) AS observed,
+        |    CAST(SUM(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS row_total,
+        |    CAST(SUM(obs) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS col_total,
+        |    CAST(SUM(obs) OVER () AS BIGINT) AS grand_total
+        |  FROM cells),
+        |e AS (
+        |  SELECT *, CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+        |              / CAST(grand_total AS DOUBLE) AS expected
+        |  FROM t)
+        |SELECT o_orderpriority, o_orderstatus, observed, row_total,
+        |       col_total, grand_total, expected,
+        |       (CAST(observed AS DOUBLE) - expected)
+        |         * (CAST(observed AS DOUBLE) - expected) / expected AS contrib
+        |FROM e ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    // per-dimension scaler fit: DECIMAL(28,12)-exact moment sums (v and
+    // the exact <=48-bit double product v*v cast once before summing),
+    // min/max exact selections, mean/std rounded at 4; dim explode via
+    // DuckDB's indexed list_transform lambda + single-level unnest
+    "q_standardize" ->
+      """WITH x AS (
+        |  SELECT unnest(list_transform(embedding,
+        |           (v, i) -> {'d': i, 'v': CAST(v AS DOUBLE)})) AS u
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |l AS (SELECT CAST(u.d AS INT) AS dim, u.v AS v FROM x),
+        |s AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |         MIN(v) AS dim_min, MAX(v) AS dim_max,
+        |         SUM(CAST(v AS DECIMAL(28,12))) AS sx,
+        |         SUM(CAST(v * v AS DECIMAL(28,12))) AS sxx
+        |  FROM l GROUP BY dim)
+        |SELECT dim, n, dim_min, dim_max,
+        |  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean,
+        |  ROUND(sqrt(greatest(
+        |    CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)),
+        |    CAST(0 AS DOUBLE))), 4) AS std
+        |FROM s ORDER BY dim""".stripMargin,
+    // exact distinct/intersection counts hash; the sketch verdict
+    // mirrors as literal TRUE (the B48b static-verdict convention)
+    "q_set_overlap" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type AS cat, user_id AS id FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |e AS (SELECT cat, CAST(COUNT(*) AS BIGINT) AS nd FROM d GROUP BY cat),
+        |i AS (
+        |  SELECT a.cat AS cat_a, b.cat AS cat_b, CAST(COUNT(*) AS BIGINT) AS xint
+        |  FROM d a JOIN d b ON a.id = b.id AND a.cat < b.cat
+        |  GROUP BY a.cat, b.cat)
+        |SELECT ea.cat AS cat_a, eb.cat AS cat_b,
+        |       ea.nd AS exact_a, eb.nd AS exact_b,
+        |       CAST(COALESCE(i.xint, 0) AS BIGINT) AS exact_intersection,
+        |       TRUE AS sketch_within_tolerance
+        |FROM e ea JOIN e eb ON ea.cat < eb.cat
+        |LEFT JOIN i ON i.cat_a = ea.cat AND i.cat_b = eb.cat
+        |ORDER BY cat_a, cat_b""".stripMargin,
     // DuckDB's NATIVE window-DISTINCT aggregate (count/sum DISTINCT
     // OVER) against the Spark first-occurrence rewrite — independent
     // formulations of the same semantics. n_new derives from the

@@ -285,4 +285,98 @@ object Stats {
               / (col("n_entities") * col("__b")).cast("double")).as("gini")
         ): _*)
   }
+
+  /** Per-group ROC-AUC of a numeric score against a binary label — the
+    * standard classifier-eval statistic, computed by the tie-aware
+    * Mann–Whitney rank-sum identity (never by trapezoid sweep):
+    *
+    *   AUC = (Σ_{positives} rank − P(P+1)/2) / (P·N)
+    *
+    * with average ranks on tied scores. Everything stays EXACT until one
+    * final IEEE division (the q_gini rule): per (group, score) tie-cell
+    * the doubled positive rank-sum contribution is the INTEGER
+    * `pos · (2·cum_before + cnt + 1)` (twice the average rank of a tie
+    * run of length cnt starting after cum_before rows), accumulated in
+    * DECIMAL(38,0) — order-free, and wrap-safe far beyond BIGINT (the
+    * keySkew lesson: int64 products wrap at target scale; group counts
+    * here are safe to ~10¹⁸ rows). AUC = (2Σr − P(P+1)) / (2PN) as one
+    * double division, NULL when a group lacks both classes (NULLIF, the
+    * engine-portable x/0 guard).
+    *
+    * Scale: one partial agg to the (group, score) spine, one window over
+    * that AGGREGATED spine (bounded by distinct scores per group — the
+    * q_drift_ks shape, not a raw-scan window), one final agg.
+    */
+  def rocAucByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      labelCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "rocAucByGroup needs at least one group column")
+    val g = groupCols.map(col)
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val cells = df
+      .where(g.map(_.isNotNull).reduce(_ && _) && col(scoreCol).isNotNull)
+      .groupBy(g :+ col(scoreCol).as("__s"): _*)
+      .agg(
+        count(lit(1)).as("__cnt"),
+        sum(labelCol.cast("long")).as("__pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    cells
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      .groupBy(g: _*)
+      .agg(
+        sum(col("__cnt")).as("n"),
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__pos").cast(d18)
+          * (lit(2L) * col("__before") + col("__cnt") + lit(1L)).cast(d18)).as("__r2"))
+      .select(g ++ Seq(
+        col("n"), col("n_pos"),
+        // numerator stays DECIMAL-exact (sum + one (18,0)×(18,0) product,
+        // both within DuckDB's static 38-width cap); the denominator is a
+        // plain double product — a triple decimal product would exceed the
+        // cap, and a correctly-rounded double product of two exact counts
+        // is deterministic in both engines
+        ((col("__r2") - col("n_pos").cast(d18) * (col("n_pos") + lit(1L)).cast(d18))
+          .cast("double")
+          / nullif(lit(2.0) * col("n_pos").cast("double")
+            * (col("n") - col("n_pos")).cast("double"), lit(0.0)))
+          .as("auc")): _*)
+  }
+
+  /** Pearson chi-square independence audit between two categorical
+    * columns, at CELL grain — one row per observed (a, b) pair with its
+    * expected count under independence and its χ² contribution. The
+    * per-cell grain is the determinism contract: observed/row/col/total
+    * counts are exact BIGINTs, `expected = (row·col)/n` and
+    * `contrib = (obs−E)·(obs−E)/E` are each ONE fixed IEEE sequence on
+    * those exact counts (products taken in DOUBLE — correctly rounded
+    * and wrap-safe where a BIGINT row·col product would overflow at
+    * target scale), so unrounded doubles hash-match. No χ² TOTAL is
+    * emitted: a sum of per-cell doubles would be order-dependent; the
+    * consumer folds contributions in its own defined order.
+    *
+    * Scale: one partial agg to the cell spine, then windows over that
+    * AGGREGATED spine (cells ≤ |A|·|B|, a few dozen rows for real
+    * categorical columns — the q_drift_ks shape).
+    */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("observed"))
+    val withTotals = cells
+      .withColumn("row_total", sum(col("observed")).over(W.partitionBy(col(aCol))))
+      .withColumn("col_total", sum(col("observed")).over(W.partitionBy(col(bCol))))
+      .withColumn("grand_total", sum(col("observed")).over(W.partitionBy()))
+    val e = (col("row_total").cast("double") * col("col_total").cast("double")) /
+      col("grand_total").cast("double")
+    withTotals
+      .withColumn("expected", e)
+      .withColumn("contrib",
+        (col("observed").cast("double") - col("expected"))
+          * (col("observed").cast("double") - col("expected")) / col("expected"))
+  }
 }

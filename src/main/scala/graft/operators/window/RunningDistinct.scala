@@ -138,4 +138,44 @@ object RunningDistinct {
         hll_sketch_estimate(hll_union_agg(col("__sk"), lit(false)).over(w)))
       .drop("__sk")
   }
+
+  /** Streaming distinct-count monitor building blocks (D19) — the
+    * B7/D15 argument applied to cardinality: a monitor never keeps raw
+    * ids, it keeps one mergeable HLL sketch per (key, period) and folds
+    * each microbatch in by register-max union. Union is commutative and
+    * associative, so the state after ANY microbatch partitioning equals
+    * the one-shot batch sketch REGISTER FOR REGISTER — the estimate is
+    * therefore exactly the batch estimate, not merely close (the same
+    * reasoning D14 uses for min/max/sum state).
+    *
+    * `periodSketches` runs per microbatch (or over the full batch for
+    * the oracle side); `mergeSketchStates` folds a new microbatch's
+    * sketch table into the standing state; `estimateSketches` renders
+    * the monitor report. Rows with NULL key/period/value drop first —
+    * the cumulativeDistinctApprox axis contract.
+    */
+  def periodSketches(
+      df: DataFrame,
+      keyCols: Seq[String],
+      periodCol: String,
+      valueCol: String,
+      lgConfigK: Int = 12): DataFrame = {
+    val kc = keyCols.map(col)
+    df.where(kc.map(_.isNotNull).reduce(_ && _) &&
+        col(periodCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(kc :+ col(periodCol): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("sketch"))
+  }
+
+  def mergeSketchStates(
+      state: DataFrame,
+      delta: DataFrame,
+      keyCols: Seq[String],
+      periodCol: String): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keyCols.map(col) :+ col(periodCol): _*)
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+
+  def estimateSketches(state: DataFrame, countName: String): DataFrame =
+    state.withColumn(countName, hll_sketch_estimate(col("sketch"))).drop("sketch")
 }

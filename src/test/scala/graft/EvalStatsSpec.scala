@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.stats.Stats
+import org.apache.spark.sql.functions.col
+
+/** rocAucByGroup + chiSquareCells — the round-10 eval/stat additions.
+  * Every expected value is hand-derived with the operator's own IEEE op
+  * sequence (SURVEY §5), asserted with EXACT double equality.
+  */
+class EvalStatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def auc(rows: Seq[(String, Long, String)]) =
+    Stats.rocAucByGroup(
+      rows.toDF("g", "score", "lang"), Seq("g"), "score", col("lang") === "en")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+
+  test("perfect separation scores AUC exactly 1; inverted separation exactly 0") {
+    val rows = Seq(
+      ("hi", 1L, "de"), ("hi", 2L, "de"), ("hi", 3L, "en"), ("hi", 4L, "en"),
+      ("lo", 1L, "en"), ("lo", 2L, "en"), ("lo", 3L, "de"), ("lo", 4L, "de"))
+    val got = auc(rows)
+    assert(got("hi") == ((4L, 2L, Some(1.0))))
+    assert(got("lo") == ((4L, 2L, Some(0.0))))
+  }
+
+  test("an uninformative (all-tied) score is exactly 0.5 through average ranks") {
+    // every score equal: 2*rank-sum identity gives PN/2PN = 0.5 EXACTLY
+    val rows = (1 to 8).map(i => ("g", 7L, if (i % 2 == 0) "en" else "de"))
+    assert(auc(rows) == Map("g" -> ((8L, 4L, Some(0.5)))))
+  }
+
+  test("hand-derived tie case matches the average-rank identity bit for bit") {
+    // (score,label): (1,0),(1,1),(2,0),(2,1),(3,1)
+    // avg ranks: score1 -> 1.5, score2 -> 3.5, score3 -> 5
+    // sum_pos = 1.5+3.5+5 = 10; P=3, N=2
+    // auc = (2*10 - 3*4) / (2*3*2) = 8/12
+    val rows = Seq(
+      ("g", 1L, "de"), ("g", 1L, "en"), ("g", 2L, "de"), ("g", 2L, "en"), ("g", 3L, "en"))
+    assert(auc(rows) == Map("g" -> ((5L, 3L, Some(8.0 / 12.0)))))
+  }
+
+  test("a one-class group yields NULL (never x/0); groups never mix rows") {
+    val rows = Seq(
+      ("allpos", 1L, "en"), ("allpos", 2L, "en"),
+      ("allneg", 1L, "de"), ("allneg", 2L, "de"),
+      ("ok", 1L, "de"), ("ok", 2L, "en"))
+    val got = auc(rows)
+    assert(got("allpos") == ((2L, 2L, None)))
+    assert(got("allneg") == ((2L, 0L, None)))
+    assert(got("ok") == ((2L, 1L, Some(1.0))))
+  }
+
+  private def chi(rows: Seq[(String, String)]) =
+    Stats.chiSquareCells(rows.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+
+  test("hand-derived 2x2 contingency: expected and contrib via the exact IEEE sequence") {
+    val rows =
+      Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+        Seq.fill(30)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    val got = chi(rows)
+    // rows a=30 b=70; cols x=40 y=60; n=100
+    def e(r: Long, c: Long): Double = (r.toDouble * c.toDouble) / 100.0
+    def contrib(o: Long, ex: Double): Double = (o.toDouble - ex) * (o.toDouble - ex) / ex
+    assert(got(("a", "x")) == ((10L, 30L, 40L, 100L, e(30, 40), contrib(10, e(30, 40)))))
+    assert(got(("b", "y")) == ((40L, 70L, 60L, 100L, e(70, 60), contrib(40, e(70, 60)))))
+  }
+
+  test("an exactly independent table contributes zero in every cell") {
+    val rows =
+      Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+        Seq.fill(20)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    val got = chi(rows)
+    assert(got.values.forall(_._6 == 0.0))
+    assert(got(("a", "x"))._5 == 10.0) // E = 30*30/90
+  }
+
+  test("null categories drop from the contingency entirely") {
+    val rows = Seq(
+      (Some("a"), Some("x")), (Some("a"), Some("x")),
+      (Some("a"), None), (None, Some("x")))
+      .toDF("a", "b")
+    val got = Stats.chiSquareCells(rows, "a", "b").collect()
+    assert(got.length == 1 && got.head.getLong(2) == 2L && got.head.getLong(5) == 2L)
+  }
+}

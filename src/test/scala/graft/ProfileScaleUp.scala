@@ -320,6 +320,54 @@ object ProfileScaleUp {
       force(graft.operators.text.TextStats.readability(docs, "doc_id", "text")
         .groupBy().agg(count(lit(1)).as("n"), sum("n_syllables").as("s"))))
 
+    // ---- round-10 additions ----------------------------------------------
+    time("holt forecast")(
+      force(graft.operators.temporal.Forecast
+        .perKeyHolt(orders, Seq("o_custkey"), "o_orderdate", "o_orderkey",
+          "o_totalprice", 0.5, 0.5, 0.25, 0.75, horizon = 3)
+        .groupBy().agg(count(lit(1)).as("n"), sum("n_points").as("p"))))
+    time("time-weighted avg")(
+      force(graft.operators.temporal.TimeWeighted
+        .avgByKey(orders, Seq("o_custkey"), "o_orderdate", "o_orderkey", "o_totalprice")
+        .groupBy().agg(count(lit(1)).as("n"), sum("span_us").as("s"))))
+    time("chi-square cells")(
+      force(graft.operators.stats.Stats
+        .chiSquareCells(orders, "o_orderpriority", "o_orderstatus")))
+    time("roc auc by source")(
+      force {
+        val scored = docs.where(col("text").isNotNull && col("lang").isNotNull
+            && col("source").isNotNull)
+          .select(col("source"),
+            graft.operators.text.TextStats
+              .markerHits(col("text"), graft.operators.text.TextStats.Markers.head._2)
+              .cast("long").as("score"),
+            col("lang"))
+        graft.operators.stats.Stats.rocAucByGroup(scored, Seq("source"), "score",
+          col("lang") === "en")
+      })
+    // per-copy user shift keeps touches-per-user density CONSTANT — the
+    // attribution join's cost knob — so the expected growth is linear
+    val events0 = sn.events
+    val amplifiedEvents = (0 until factor)
+      .map(i => events0
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L)))
+      .reduce(_ unionAll _)
+    time("attribution (7d lookback)")(
+      force(graft.operators.temporal.Attribution
+        .linearCredit(amplifiedEvents, "event_id", "user_id", "ts", "event_type",
+          "value", "purchase", Seq("click", "view"), "INTERVAL 7 DAYS")
+        .groupBy().agg(count(lit(1)).as("n"), sum("n_touches").as("t"))))
+    time("set overlap audit")(
+      force(graft.operators.sketch.OverlapSketch
+        .overlapAudit(amplifiedEvents, "event_type", "user_id")))
+    val emb0 = sn.embeddings
+    val amplifiedEmb = (0 until factor)
+      .map(i => emb0.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+      .reduce(_ unionAll _)
+    time("standardize fit (64 dims)")(
+      force(graft.operators.ann.Standardize.fit(amplifiedEmb, "embedding", 64)))
+
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
     // partkey, written to parquet so every measurement starts from a real

@@ -594,6 +594,58 @@ class StreamingSpec extends SparkSpecBase {
     assert(canon(viaState) == canon(viaBatch))
   }
 
+  test("streaming distinct-count monitor: merged HLL state equals the one-shot batch estimate") {
+    // D19: the D15 shape applied to cardinality — the monitor keeps one
+    // mergeable HLL sketch per (event_type, day) and folds each
+    // microbatch in by register-max union. Union is commutative and
+    // associative, so the merged registers equal the one-shot batch
+    // sketch exactly and the estimates are EQUAL, not merely close;
+    // at this SF the sketches stay sparse, so the estimates also equal
+    // the exact distinct counts (both asserted).
+    import graft.operators.window.RunningDistinct
+    val events = Snapshot(spark, sf()).events
+      .select($"event_type", date_trunc("day", $"ts").as("period"), $"user_id")
+    val dir = Files.createTempDirectory("graft_distinct_monitor").toFile
+    dir.deleteOnExit()
+    events.repartition(4).write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val delta = RunningDistinct.periodSketches(
+          batch, Seq("event_type"), "period", "user_id")
+        val next = state match {
+          case None => delta
+          case Some(st) =>
+            RunningDistinct.mergeSketchStates(st, delta, Seq("event_type"), "period")
+        }
+        state = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val viaState = RunningDistinct.estimateSketches(state.get, "distinct_users")
+    val viaBatch = RunningDistinct.estimateSketches(
+      RunningDistinct.periodSketches(
+        spark.read.parquet(dir.getAbsolutePath), Seq("event_type"), "period", "user_id"),
+      "distinct_users")
+    assert(canon(viaState) == canon(viaBatch))
+    // sparse-mode exactness at this SF: the monitor reports true counts
+    val exact = batchDf
+      .where($"event_type".isNotNull && $"period".isNotNull && $"user_id".isNotNull)
+      .groupBy("event_type", "period")
+      .agg(countDistinct($"user_id").as("distinct_users"))
+    assert(canon(viaState.select($"event_type", $"period", $"distinct_users")) ==
+      canon(exact.select($"event_type", $"period", $"distinct_users")))
+  }
+
   test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
     // the production ingestion shape: a document stream anti-joined
     // against the static content-hash index of the existing corpus —
