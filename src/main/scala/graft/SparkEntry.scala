@@ -1656,6 +1656,47 @@ object SparkEntry {
           horizon = 3)
         .orderBy("o_custkey")
     }),
+    "q_cusum" -> ((s, dir) => {
+      // one-sided CUSUM drift alarm per customer (Page 1954): running
+      // max(0, s + (x - k)) with k=300000 reference and h=400000
+      // decision threshold — accumulates persistent over-reference
+      // spending the point-wise B53 screen never sees. 2-double ARRAY
+      // fold state with the max carried one step DELAYED (Cusum
+      // scaladoc: the direct form duplicates the compound s' across
+      // elements — the DuckDB list_reduce hazard); max/+/- exact IEEE
+      // => cusum_final/cusum_max hash unrounded, alarm bit-agrees.
+      graft.operators.temporal.Cusum
+        .perKeyCusum(snap(s, dir).orders, Seq("o_custkey"),
+          "o_orderdate", "o_orderkey", "o_totalprice",
+          k = 300000.0, h = 400000.0)
+        .orderBy("o_custkey")
+    }),
+    "q_autocorr" -> ((s, dir) => {
+      // lag-1 autocorrelation of per-customer order totals — the AR
+      // signal behind the forecast family: B38's exact-sufficient-stats
+      // regression over (prev, current) pairs from one key-partitioned
+      // lag window; corr IS the autocorrelation. First-order rows (no
+      // predecessor) drop inside regression's pairwise-complete filter.
+      // x_mean/y_mean are NOT emitted: per-customer n_pairs is often a
+      // small power of two, so the exact-decimal-sum/2^k quotient lands
+      // EXACTLY on the 4-digit rounding grid (measured: one sf0.01
+      // customer at y_mean ...37625 — HALF_UP vs DuckDB disagree at the
+      // tie). slope/intercept/corr numerators pass through IEEE-rounded
+      // products first, so their grid ties are probabilistically nil
+      // (the B38 class q_regression already hashes).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val pairs = snap(s, dir).orders
+        .where(col("o_custkey").isNotNull && col("o_orderdate").isNotNull &&
+          col("o_orderkey").isNotNull && col("o_totalprice").isNotNull)
+        .select(col("o_custkey"), col("o_totalprice").as("y"),
+          lag(col("o_totalprice"), 1).over(w).as("x"))
+      graft.operators.stats.Stats
+        .regression(pairs, "x", "y", Seq("o_custkey"))
+        .select(col("o_custkey"), col("n_pairs"), col("slope"),
+          col("intercept"), col("corr"))
+        .orderBy("o_custkey")
+    }),
     "q_time_weighted_avg" -> ((s, dir) => {
       // time-weighted average event value per user: exact integer-µs
       // interval weights (constant encoding offsets cancel in the
@@ -4140,6 +4181,63 @@ object SparkEntry {
         |SELECT o_custkey, n_points, st[1] AS level, st[2] AS trend,
         |       st[1] + CAST(3 AS DOUBLE) * st[2] AS forecast
         |FROM f ORDER BY o_custkey""".stripMargin,
+    // the q_ema/q_forecast_holt array fold with a CASE-on-index init
+    // (the first element pre-folds s1 = max(0, x1-k)); the max slot is
+    // one step delayed and closed with a final greatest — no compound
+    // subexpression repeats (the DuckDB list_reduce hazard)
+    "q_cusum" ->
+      """WITH f AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS INT) AS n_points,
+        |    list_reduce(
+        |      list_transform(
+        |        list(CAST(o_totalprice AS DOUBLE) ORDER BY o_orderdate, o_orderkey),
+        |        (x, i) -> CASE WHEN i = 1
+        |          THEN [greatest(CAST(0 AS DOUBLE), x - 300000.0), CAST(0 AS DOUBLE)]
+        |          ELSE [x, CAST(0 AS DOUBLE)] END),
+        |      (acc, x) -> [greatest(CAST(0 AS DOUBLE), acc[1] + (x[1] - 300000.0)),
+        |                   greatest(acc[2], acc[1])]) AS st
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY o_custkey)
+        |SELECT o_custkey, n_points, st[1] AS cusum_final,
+        |       greatest(st[2], st[1]) AS cusum_max,
+        |       greatest(st[2], st[1]) > 400000.0 AS alarm
+        |FROM f ORDER BY o_custkey""".stripMargin,
+    // q_regression's sufficient-stats mirror over lag pairs — identical
+    // IEEE chain, rounding digits, and NULL-variance guards. No means:
+    // exact-sum/2^k quotients tie on the rounding grid (see the query)
+    "q_autocorr" ->
+      """WITH p AS (
+        |  SELECT o_custkey, o_totalprice AS y,
+        |    LAG(o_totalprice) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS x
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |a AS (
+        |  SELECT o_custkey, COUNT(*) AS n_pairs,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(CAST(x AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(y AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CAST(CAST(x AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(x AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CAST(CAST(y AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(y AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS syy
+        |  FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT o_custkey, n_pairs,
+        |  ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0 THEN
+        |    (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) END, 6) + 0.0 AS slope,
+        |  ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0 THEN
+        |    (sy - ((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx)) * sx)
+        |      / CAST(n_pairs AS DOUBLE) END, 4) + 0.0 AS intercept,
+        |  ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0
+        |        AND CAST(n_pairs AS DOUBLE) * syy - sy * sy > 0 THEN
+        |    (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |      / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+        |         * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END, 8) + 0.0 AS corr
+        |FROM a ORDER BY o_custkey""".stripMargin,
     // exact integer-µs interval weights (lead-difference cancels any
     // constant encoding offset), DECIMAL-exact weighted sum. Operands
     // cast to DECIMAL(19,x) in DuckDB — the hhi lesson: 18-digit

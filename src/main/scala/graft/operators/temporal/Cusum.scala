@@ -1,0 +1,139 @@
+package graft.operators.temporal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-sided CUSUM change detection (Page 1954) — the classic
+  * sequential drift alarm over a bounded ordered series:
+  *
+  *   s₀ = 0;  sₜ = max(0, sₜ₋₁ + (xₜ − k));  alarm ⇔ max_t sₜ > h
+  *
+  * where `k` is the reference level (target plus allowance: drifts
+  * smaller than k self-absorb) and `h` the decision threshold. A
+  * CUSUM accumulates small persistent excursions a point-wise anomaly
+  * screen (B53) never sees, and resets the moment the signal returns
+  * below the reference — the max excursion, not the final state, is
+  * what alarms.
+  *
+  * Determinism is the [[Ema]]/[[Forecast]] contract: one canonical
+  * sequential fold over `array_sort(collect_list(struct(order, tie,
+  * value)))` with a 2-double ARRAY state `[s, max of s over PREVIOUS
+  * steps]`. The max is carried DELAYED by one step on purpose: the
+  * direct form `[s', max(smax, s')]` duplicates the compound s'
+  * expression across elements, the shape DuckDB 1.0's list_reduce
+  * mis-evaluates for structs — the delayed form reads only `acc` in
+  * its second slot and closes the gap with one final
+  * `greatest(slot2, slot1)`. Array elements all evaluate against the
+  * OLD accumulator in both engines (probed; struct FIELDS do not —
+  * see [[Forecast]]); max/+/− are exact IEEE ops, so s/max hash
+  * UNROUNDED, and the alarm comparison agrees bit-for-bit.
+  *
+  * Contract: BOUNDED series per key (the Ema grain rule); plain hash
+  * groupBy, partials merge map-side, nothing globally sorted.
+  */
+object Cusum {
+
+  /** One row per key: `n_points`, `cusum_final` (the current excursion),
+    * `cusum_max` (the peak — what alarms), `alarm`. Rows with a NULL
+    * key, order, tie, or value are dropped.
+    */
+  def perKeyCusum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      valueCol: String,
+      k: Double,
+      h: Double): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(h > 0, s"decision threshold h must be > 0, got $h")
+    val keyRefs: Seq[Column] = keyCols.map(col)
+    val clean = df.where(
+      keyRefs.map(_.isNotNull).reduce(_ && _) &&
+        col(orderCol).isNotNull && col(tieCol).isNotNull && col(valueCol).isNotNull)
+    clean
+      .groupBy(keyRefs: _*)
+      .agg(array_sort(collect_list(struct(
+        col(orderCol).as("o"), col(tieCol).as("t"),
+        col(valueCol).cast("double").as("v")))).as("series"))
+      .select(
+        keyRefs :+
+          size(col("series")).as("n_points") :+
+          aggregate(
+            expr("slice(series, 2, size(series) - 1)"),
+            array(
+              greatest(lit(0.0), col("series").getItem(0).getField("v") - lit(k)),
+              lit(0.0)),
+            (acc, x) => array(
+              greatest(lit(0.0), element_at(acc, 1) + (x.getField("v") - lit(k))),
+              greatest(element_at(acc, 2), element_at(acc, 1)))).as("st"): _*)
+      .select(
+        keyRefs :+
+          col("n_points") :+
+          element_at(col("st"), 1).as("cusum_final") :+
+          greatest(element_at(col("st"), 2), element_at(col("st"), 1)).as("cusum_max"): _*)
+      .withColumn("alarm", col("cusum_max") > lit(h))
+  }
+
+  /** Fold a new TIME-ORDERED batch into carried per-key CUSUM state —
+    * the streaming monitor step (D20): `state` is a previous output of
+    * [[perKeyCusum]]/[[resume]] (keys, n_points, cusum_final,
+    * cusum_max, alarm). Because the recursion is a sequential fold,
+    * resuming from `[s, smax]` and folding the whole batch series is
+    * EXACTLY the one-shot fold over the concatenated series — provided
+    * batches are time-partitioned per key (a (order, tie) value never
+    * arrives after a later one; the D14 append-only analogue for
+    * non-associative sequential state). Resuming from zero state
+    * reproduces [[perKeyCusum]] bit for bit: max(0, 0 + (x₁−k)) ==
+    * max(0, x₁−k).
+    *
+    * Keys present only in `state` carry through unchanged; keys new in
+    * the batch start from zero.
+    */
+  def resume(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      valueCol: String,
+      k: Double,
+      h: Double,
+      state: DataFrame): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val keyRefs: Seq[Column] = keyCols.map(col)
+    val clean = df.where(
+      keyRefs.map(_.isNotNull).reduce(_ && _) &&
+        col(orderCol).isNotNull && col(tieCol).isNotNull && col(valueCol).isNotNull)
+    val grouped = clean
+      .groupBy(keyRefs: _*)
+      .agg(array_sort(collect_list(struct(
+        col(orderCol).as("o"), col(tieCol).as("t"),
+        col(valueCol).cast("double").as("v")))).as("series"))
+    val st = state.select(
+      keyRefs :+ col("n_points").as("__n0") :+
+        col("cusum_final").as("__s0") :+ col("cusum_max").as("__m0"): _*)
+    grouped.join(st, keyCols, "full")
+      .select(
+        keyRefs :+
+          // when-guarded, not coalesce(size(...)): legacy size(NULL) is
+          // -1 (the r8 corpus-report footgun), which silently shrank
+          // counts for keys absent from a batch
+          (coalesce(col("__n0"), lit(0))
+            + when(col("series").isNull, lit(0))
+            .otherwise(size(col("series")))).cast("int").as("n_points") :+
+          when(col("series").isNull,
+            array(coalesce(col("__s0"), lit(0.0)), coalesce(col("__m0"), lit(0.0))))
+            .otherwise(aggregate(
+              col("series"),
+              array(coalesce(col("__s0"), lit(0.0)), coalesce(col("__m0"), lit(0.0))),
+              (acc, x) => array(
+                greatest(lit(0.0), element_at(acc, 1) + (x.getField("v") - lit(k))),
+                greatest(element_at(acc, 2), element_at(acc, 1))))).as("st"): _*)
+      .select(
+        keyRefs :+
+          col("n_points") :+
+          element_at(col("st"), 1).as("cusum_final") :+
+          greatest(element_at(col("st"), 2), element_at(col("st"), 1)).as("cusum_max"): _*)
+      .withColumn("alarm", col("cusum_max") > lit(h))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.temporal.Cusum
+
+class CusumSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** The operator's exact op sequence: s₀=0, sₜ=max(0, sₜ₋₁+(xₜ−k)). */
+  private def refCusum(xs: Seq[Double], k: Double): (Double, Double) = {
+    val ss = xs.scanLeft(0.0)((s, x) => math.max(0.0, s + (x - k))).tail
+    (ss.last, ss.max)
+  }
+
+  test("bit-exact parity with the in-memory recursion, order scrambled on input") {
+    val rnd = new scala.util.Random(29)
+    val series = (1 to 40).map(i => (i, rnd.nextDouble() * 30))
+    val df = rnd.shuffle(series).map { case (i, v) => ("k1", i, v) }.toDF("k", "ord", "v")
+    val got = Cusum.perKeyCusum(df, Seq("k"), "ord", "ord", "v", k = 14.0, h = 25.0)
+      .collect().head
+    val (fin, mx) = refCusum(series.sortBy(_._1).map(_._2), 14.0)
+    assert(got.getInt(1) == 40)
+    assert(got.getDouble(2) == fin) // EXACT double equality
+    assert(got.getDouble(3) == mx)
+    assert(got.getBoolean(4) == (mx > 25.0))
+  }
+
+  test("the PEAK alarms even after the excursion fully resets (the delayed-max slot)") {
+    // k=10: s = 20, 40, 30, 20, 10 -> max 40 while final is 10
+    val df = Seq(30.0, 30.0, 0.0, 0.0, 0.0).zipWithIndex
+      .map { case (v, i) => ("k", i, v) }.toDF("k", "ord", "v")
+    val r = Cusum.perKeyCusum(df, Seq("k"), "ord", "ord", "v", k = 10.0, h = 35.0)
+      .collect().head
+    assert((r.getDouble(2), r.getDouble(3), r.getBoolean(4)) == ((10.0, 40.0, true)))
+  }
+
+  test("an in-control series pins to zero; the alarm threshold is strictly exceeded") {
+    val below = (1 to 6).map(i => ("calm", i, 3.0)).toDF("k", "ord", "v")
+    val calm = Cusum.perKeyCusum(below, Seq("k"), "ord", "ord", "v", k = 5.0, h = 1.0)
+      .collect().head
+    assert((calm.getDouble(2), calm.getDouble(3), calm.getBoolean(4)) == ((0.0, 0.0, false)))
+    // cusum_max lands EXACTLY on h: strict > must not alarm
+    val edge = Seq(("e", 1, 7.0)).toDF("k", "ord", "v")
+    val r = Cusum.perKeyCusum(edge, Seq("k"), "ord", "ord", "v", k = 5.0, h = 2.0)
+      .collect().head
+    assert((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))
+      == ((1, 2.0, 2.0, false)))
+  }
+
+  test("ties break on the tie column; null rows drop; keys isolate") {
+    val df = Seq(
+      (Some("a"), Some(1), Some(10L), Some(9.0)),
+      (Some("a"), Some(1), Some(2L), Some(20.0)), // lower tie folds FIRST
+      (Some("a"), Some(2), Some(5L), Some(1.0)),
+      (Some("b"), Some(7), Some(1L), Some(42.0)),
+      (None, Some(1), Some(1L), Some(1.0)),
+      (Some("c"), None, Some(1L), Some(1.0)),
+      (Some("c"), Some(1), Some(1L), None)
+    ).toDF("k", "ord", "tie", "v")
+    val got = Cusum.perKeyCusum(df, Seq("k"), "ord", "tie", "v", k = 5.0, h = 10.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // a folds 20, 9, 1: s = 15, 19, 15 -> final 15, max 19
+    assert(got.keySet == Set("a", "b"))
+    assert(got("a") == ((3, 15.0, 19.0)))
+    assert(got("b") == ((1, 37.0, 37.0)))
+  }
+}

@@ -333,6 +333,22 @@ object ProfileScaleUp {
     time("chi-square cells")(
       force(graft.operators.stats.Stats
         .chiSquareCells(orders, "o_orderpriority", "o_orderstatus")))
+    time("cusum")(
+      force(graft.operators.temporal.Cusum
+        .perKeyCusum(orders, Seq("o_custkey"), "o_orderdate", "o_orderkey",
+          "o_totalprice", k = 300000.0, h = 400000.0)
+        .groupBy("alarm").agg(count(lit(1)).as("n"))))
+    time("autocorr (lag regression)")(
+      force {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        val pairs = orders
+          .where(col("o_custkey").isNotNull && col("o_orderdate").isNotNull
+            && col("o_orderkey").isNotNull && col("o_totalprice").isNotNull)
+          .select(col("o_custkey"), col("o_totalprice").as("y"),
+            lag(col("o_totalprice"), 1).over(w).as("x"))
+        graft.operators.stats.Stats.regression(pairs, "x", "y", Seq("o_custkey"))
+      })
     time("roc auc by source")(
       force {
         val scored = docs.where(col("text").isNotNull && col("lang").isNotNull
@@ -361,12 +377,8 @@ object ProfileScaleUp {
     time("set overlap audit")(
       force(graft.operators.sketch.OverlapSketch
         .overlapAudit(amplifiedEvents, "event_type", "user_id")))
-    val emb0 = sn.embeddings
-    val amplifiedEmb = (0 until factor)
-      .map(i => emb0.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
-      .reduce(_ unionAll _)
     time("standardize fit (64 dims)")(
-      force(graft.operators.ann.Standardize.fit(amplifiedEmb, "embedding", 64)))
+      force(graft.operators.ann.Standardize.fit(emb, "embedding", 64)))
 
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE

@@ -646,6 +646,63 @@ class StreamingSpec extends SparkSpecBase {
       canon(exact.select($"event_type", $"period", $"distinct_users")))
   }
 
+  test("streaming CUSUM monitor: resumed sequential state equals the one-shot fold") {
+    // D20: B74 lifted onto the stream. CUSUM state is a sequential fold
+    // (NOT associative — the D14 merge argument does not apply), so the
+    // streaming contract is stricter: batches must be TIME-PARTITIONED
+    // per key. Staged here as date-range files with forced modTimes
+    // (FileStreamSource processes oldest-first), cut on DISTINCT dates
+    // so equal order timestamps never straddle a file; after the last
+    // microbatch the resumed state must equal the one-shot fold over
+    // everything FULL-ROW (n_points, final, peak, alarm), bit for bit.
+    import graft.operators.temporal.Cusum
+    val keyArgs = Seq("o_custkey")
+    val orders = Snapshot(spark, sf()).orders
+      .where($"o_custkey".isNotNull && $"o_orderdate".isNotNull &&
+        $"o_orderkey".isNotNull && $"o_totalprice".isNotNull)
+    val dates = orders.select($"o_orderdate").distinct().orderBy($"o_orderdate")
+      .collect().map(_.getAs[Any](0)) // NTZ parquet surfaces LocalDateTime
+    val (c1, c2) = (dates(dates.length / 3), dates(2 * dates.length / 3))
+    val dir = Files.createTempDirectory("graft_cusum_stream").toFile
+    dir.deleteOnExit()
+    val slices = Seq(
+      orders.where($"o_orderdate" < lit(c1)),
+      orders.where($"o_orderdate" >= lit(c1) && $"o_orderdate" < lit(c2)),
+      orders.where($"o_orderdate" >= lit(c2)))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val stage = new java.io.File(dir, s"stage$i")
+      s.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(dir, f"batch_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      assert(target.setLastModified(1700000000000L + i * 60000L))
+      stage.listFiles().foreach(_.delete()); stage.delete(); ()
+    }
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var state = Cusum.perKeyCusum(orders.limit(0), keyArgs,
+      "o_orderdate", "o_orderkey", "o_totalprice", 300000.0, 400000.0)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        state = Cusum.resume(batch, keyArgs, "o_orderdate", "o_orderkey",
+          "o_totalprice", 300000.0, 400000.0, state).localCheckpoint(true)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() == 3, s"expected 3 time-ordered microbatches, got ${nBatches.get()}")
+    val oneShot = Cusum.perKeyCusum(batchDf, keyArgs,
+      "o_orderdate", "o_orderkey", "o_totalprice", 300000.0, 400000.0)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    assert(canon(state) == canon(oneShot))
+    // non-vacuous: both alarm states are present in the final report
+    assert(state.select("alarm").distinct().count() == 2)
+  }
+
   test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
     // the production ingestion shape: a document stream anti-joined
     // against the static content-hash index of the existing corpus —
