@@ -51,7 +51,10 @@ object TimeWeighted {
       keyRefs.map(_.isNotNull).reduce(_ && _) &&
         col(tsCol).isNotNull && col(tieCol).isNotNull && col(valueCol).isNotNull)
     val withNext = clean
-      .select(keyRefs :+ unix_micros(col(tsCol)).as("__t") :+
+      // cast: NTZ parquet reads resolve to TIMESTAMP_NTZ, which
+      // unix_micros rejects; the session-TZ reinterpretation is a
+      // constant offset and offsets cancel in the lead-difference
+      .select(keyRefs :+ unix_micros(col(tsCol).cast("timestamp")).as("__t") :+
         col(tieCol).as("__tie") :+
         col(valueCol).cast(DecimalType(18, 6)).as("__v"): _*)
       .withColumn("__dt", lead(col("__t"), 1).over(
