@@ -1749,6 +1749,47 @@ object SparkEntry {
         .chiSquareCells(snap(s, dir).orders, "o_orderpriority", "o_orderstatus")
         .orderBy("o_orderpriority", "o_orderstatus")
     }),
+    "q_seasonality" -> ((s, dir) => {
+      // month-of-year seasonal index: avg monthly revenue of calendar
+      // month m over the overall monthly average —
+      // (s_m·n_all)/(n_m·tot). Hash-safe UNROUNDED by construction:
+      // per-month decimal-exact sums stay under 2^53 raw units (the
+      // dsum envelope), the grand total folds the 12-row spine in
+      // month order (one canonical IEEE sequence — a groupBy double
+      // sum would be partial-order dependent, and the >2^53 decimal
+      // total would hit the TWA conversion divergence), and products
+      // come before the ONE division so no dyadic-quotient rounding
+      // tie can arise (the q_autocorr lesson).
+      val b = snap(s, dir).orders
+        .where(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+        .groupBy(month(col("o_orderdate")).as("month"))
+        .agg(
+          dsum(col("o_totalprice")).as("s_m"),
+          countDistinct(year(col("o_orderdate"))).as("n_months"),
+          count(lit(1)).as("n_orders"))
+      val t = b
+        .agg(
+          aggregate(
+            array_sort(collect_list(struct(col("month").as("m"), col("s_m").as("s")))),
+            lit(0.0), (acc, x) => acc + x.getField("s")).as("__tot"),
+          sum(col("n_months")).as("__n_all"))
+      b.crossJoin(broadcast(t))
+        .select(col("month"), col("n_months"), col("n_orders"),
+          ((col("s_m") * col("__n_all").cast("double"))
+            / (col("n_months").cast("double") * col("__tot"))).as("seasonal_index"))
+        .orderBy("month")
+    }),
+    "q_collocations" -> ((s, dir) => {
+      // PMI collocation mining (Church & Hanks): top-20 adjacent word
+      // pairs by ln(c_xy·N/(c_x·c_y)) over bigram-table margins —
+      // counts exact BIGINT, pmi rounded 4 as the catalog's 6th
+      // audited transcendental (MarginAuditSpec: boundary margin +
+      // rank gaps through the 20/21 cut at all three SFs). Margins/
+      // total/rank are windows over the AGGREGATED bigram spine.
+      graft.operators.text.Collocations
+        .topPmi(snap(s, dir).documents, "text", minCount = 5L, k = 20)
+        .orderBy("rank")
+    }),
     "q_standardize" -> ((s, dir) => {
       // per-dimension z-score scaler FIT over the embedding corpus:
       // min/max are exact selections (hash unrounded), moment sums are
@@ -4346,6 +4387,56 @@ object SparkEntry {
         |       (CAST(observed AS DOUBLE) - expected)
         |         * (CAST(observed AS DOUBLE) - expected) / expected AS contrib
         |FROM e ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    // per-month dsum doubles fold in month order (list_reduce == the
+    // Spark sorted-struct aggregate — the EMA convention); products
+    // before the one division => unrounded hash (see the query)
+    "q_seasonality" ->
+      """WITH b AS (
+        |  SELECT CAST(month(o_orderdate) AS INT) AS month,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s_m,
+        |         CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT) AS n_months,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT list_reduce(list(s_m ORDER BY month), (a, x) -> a + x) AS tot,
+        |         CAST(SUM(n_months) AS BIGINT) AS n_all
+        |  FROM b)
+        |SELECT month, n_months, n_orders,
+        |       (s_m * CAST(n_all AS DOUBLE))
+        |         / (CAST(n_months AS DOUBLE) * tot) AS seasonal_index
+        |FROM b, t ORDER BY month""".stripMargin,
+    // bigram spine + margins as window sums; pmi = the 6th audited
+    // transcendental (rounded 4; margin-audited); rank rides unrounded
+    // pmi with (w1, w2) tiebreak — the audited tfidf rank-gap protocol
+    "q_collocations" ->
+      """WITH w AS (
+        |  SELECT string_split(lower(text), ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |           i -> {'a': ws[i], 'b': ws[i+1]})) AS u
+        |  FROM w WHERE len(ws) >= 2),
+        |g AS (
+        |  SELECT u.a AS w1, u.b AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        |  FROM b GROUP BY 1, 2),
+        |m AS (
+        |  SELECT w1, w2, c_xy,
+        |    CAST(SUM(c_xy) OVER (PARTITION BY w1) AS BIGINT) AS c_w1,
+        |    CAST(SUM(c_xy) OVER (PARTITION BY w2) AS BIGINT) AS c_w2,
+        |    CAST(SUM(c_xy) OVER () AS BIGINT) AS n_bigrams
+        |  FROM g),
+        |r AS (
+        |  SELECT *,
+        |    ln((CAST(c_xy AS DOUBLE) * CAST(n_bigrams AS DOUBLE))
+        |       / (CAST(c_w1 AS DOUBLE) * CAST(c_w2 AS DOUBLE))) AS pmi_raw
+        |  FROM m WHERE c_xy >= 5),
+        |t AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY pmi_raw DESC, w1, w2) AS rank,
+        |         w1, w2, c_xy, c_w1, c_w2, n_bigrams, ROUND(pmi_raw, 4) AS pmi
+        |  FROM r)
+        |SELECT * FROM t WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // per-dimension scaler fit: DECIMAL(28,12)-exact moment sums (v and
     // the exact <=48-bit double product v*v cast once before summing),
     // min/max exact selections, mean/std rounded at 4; dim explode via

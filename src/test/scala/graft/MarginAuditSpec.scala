@@ -49,7 +49,9 @@ class MarginAuditSpec extends SparkSpecBase {
       // dcg/ndcg values ride top-10 membership and per-rank gains, both
       // decided by the SAME rank gaps auditRetrievalMetrics checks (the
       // gains themselves are build-time literals, never computed)
-      "q_retrieval_ndcg")
+      "q_retrieval_ndcg",
+      // the 6th audited ln: PMI collocations (round 10)
+      "q_collocations")
 
   test("oracle scan: no oracle hashes a transcendental without a margin audit") {
     val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
@@ -250,9 +252,43 @@ class MarginAuditSpec extends SparkSpecBase {
     }
   }
 
+  /** q_collocations hashes round-4 PMI plus exact counts; rank and
+    * top-20 membership ride the UNROUNDED pmi order (ties break on
+    * (w1, w2) — exact-IEEE equal pmi is engine-stable). The audit
+    * re-derives the unrounded pmi from the exact count columns with the
+    * operator's own op sequence (the psi convention) over ranks 1..21:
+    * boundary margin for the 20 hashed values, adjacent gaps through
+    * the 20/21 cut.
+    */
+  private def auditCollocations(sfDir: String): Unit = {
+    val rows = graft.operators.text.Collocations
+      .topPmi(Snapshot(spark, sfDir).documents, "text", 5L, 21)
+      .orderBy("rank").collect()
+    assert(rows.length == 21, s"$sfDir: expected 21 audit rows, got ${rows.length}")
+    def raw(r: org.apache.spark.sql.Row): Double =
+      math.log((r.getLong(3).toDouble * r.getLong(6).toDouble)
+        / (r.getLong(4).toDouble * r.getLong(5).toDouble))
+    val margin = boundaryMargin(4)
+    val minBoundary = rows.iterator.filter(_.getInt(0) <= 20).map(r => margin(raw(r))).min
+    assert(minBoundary > 1e-9,
+      f"$sfDir: a hashed pmi sits $minBoundary%.3e from its 4-digit rounding " +
+        "boundary — libm drift could flip the hash")
+    val gaps = rows.iterator.sliding(2).withPartial(false)
+      .map(p => raw(p.head) - raw(p.last))
+      .filter(_ != 0.0) // exact IEEE ties -> deterministic (w1, w2) tiebreak
+      .toSeq
+    assert(gaps.forall(_ >= 0), s"$sfDir: rank order must be non-increasing in pmi")
+    assert(gaps.min > 1e-6,
+      f"$sfDir: adjacent pmi ranks separated by only ${gaps.min}%.3e — " +
+        "rank assignment could flip under libm drift")
+  }
+
   for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
     test(s"tfidf margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
       auditTfidf(sf(dir))
+    }
+    test(s"collocations margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
+      auditCollocations(sf(dir))
     }
     test(s"drift-psi margin audit at $dir: boundary margin > 1e-9") {
       auditDriftPsi(sf(dir))

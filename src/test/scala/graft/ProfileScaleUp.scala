@@ -379,6 +379,8 @@ object ProfileScaleUp {
         .overlapAudit(amplifiedEvents, "event_type", "user_id")))
     time("standardize fit (64 dims)")(
       force(graft.operators.ann.Standardize.fit(emb, "embedding", 64)))
+    time("pmi collocations (top 20)")(
+      force(graft.operators.text.Collocations.topPmi(docs, "text", 5L, 20)))
 
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
