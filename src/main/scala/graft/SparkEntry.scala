@@ -1790,6 +1790,159 @@ object SparkEntry {
         .topPmi(snap(s, dir).documents, "text", minCount = 5L, k = 20)
         .orderBy("rank")
     }),
+    "q_survival" -> ((s, dir) => {
+      // Kaplan-Meier time-to-first-big-purchase (value >= 150) from
+      // each user's first event, grouped by the user's first event
+      // type; censored at the last event when no qualifying purchase
+      // exists. Durations bucket to exact integer hours via integer-us
+      // `div` (never floor-of-IEEE — the assignSplit lesson; DuckDB //
+      // matches on nonnegative operands). survival hashes UNROUNDED:
+      // a product of IEEE (1 - d/n) factors folded in duration order
+      // by both engines (Survival scaladoc).
+      // subject state via Survival.subjects — the SAME associative
+      // definition the D21 streaming maintenance spec merges
+      // incrementally (first event's type ties break on the unique
+      // event_id inside the struct min — lexicographic in both engines)
+      val u = graft.operators.stats.Survival.subjects(
+        snap(s, dir).events, "user_id", "ts", "event_id", "event_type",
+        col("event_type") === "purchase" && col("value") >= 150.0)
+        .withColumn("first_type", col("fs.label"))
+      val subj = u.select(
+        col("first_type"),
+        expr("(unix_micros(coalesce(tp, tl)) - unix_micros(t0)) div 3600000000")
+          .as("t_hours"),
+        col("tp").isNotNull.as("observed"))
+      graft.operators.stats.Survival
+        .kaplanMeier(subj, Seq("first_type"), "t_hours", "observed")
+        .withColumnRenamed("t", "t_hours")
+        .orderBy("first_type", "t_hours")
+    }),
+    "q_fuzzy_vocab" -> ((s, dir) => {
+      // SymSpell fuzzy vocabulary matching: spelling variants at
+      // Levenshtein distance 1 via the provably-complete deletion-
+      // neighborhood join + exact verify (FuzzyMatch scaladoc). The
+      // synthetic corpus vocabulary has no natural near-miss pairs, so
+      // the dirty vocab plants deterministic typos from doc_id (the
+      // q_html_extract/q_pii_audit synthesis protocol): docs with
+      // doc_id % 7 == 0 contribute their first word with its 2nd char
+      // deleted. Counts and distance are exact integers — hash as-is.
+      graft.operators.text.FuzzyMatch
+        .editDistance1Pairs(fuzzyVocab(s, dir), "word", "n")
+        .orderBy("w1", "w2")
+    }),
+    "q_vocab_clusters" -> ((s, dir) => {
+      // spelling-variant clusters: C60's exact distance-1 pairs closed
+      // under transitivity by C16's O(log n) star contraction —
+      // chains like word/ward/warm collapse to one canonical form (the
+      // lexicographic min; least/greatest/min order strings identically
+      // in both engines). Pair sets are tiny relative to the corpus
+      // (C60's output grain), so the oracle's recursive CTE stays
+      // finite — the q_dedup_components protocol on string ids.
+      val pairs = graft.operators.text.FuzzyMatch
+        .editDistance1Pairs(fuzzyVocab(s, dir), "word", "n")
+        .select(col("w1").as("id_a"), col("w2").as("id_b"))
+      val comp = graft.operators.dedup.TransitiveDedup.components(pairs)
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+      comp.join(sizes, "component")
+        .select(col("id").as("word"), col("component").as("canonical"),
+          col("n_members"))
+        .orderBy("word")
+    }),
+    "q_corr_matrix" -> ((s, dir) => {
+      // Pearson correlation over the first 16 embedding dimensions:
+      // one scan-fused pair explode + one partial agg on 136 groups;
+      // the Standardize decimal-moment protocol, cov/corr rounded 4
+      // (CorrMatrix scaladoc pins the exact IEEE sequence).
+      graft.operators.ann.CorrMatrix
+        .pearsonByDimPair(snap(s, dir).embeddings, "embedding", 64, 16)
+        .orderBy("dim_i", "dim_j")
+    }),
+    "q_mann_kendall" -> ((s, dir) => {
+      // Mann-Kendall monotone-trend test per customer over the q_ema
+      // bounded order series ((o_orderdate, o_orderkey) total sort —
+      // S depends on tied-date sequence positions). s_stat/var_s18
+      // exact BIGINTs; z unrounded through the proven IEEE chain
+      // (Trend scaladoc); trend label compares the identical z.
+      graft.operators.temporal.Trend
+        .mannKendall(snap(s, dir).orders
+          .where(col("o_totalprice").isNotNull),
+          Seq("o_custkey"), "o_orderdate", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    }),
+    "q_calibration" -> ((s, dir) => {
+      // reliability table for the C57 ROC-AUC scorer: per stopword-hit
+      // score, how often lang='en' actually holds — exact counts plus
+      // ONE division of exact BIGINTs (unrounded, the q_gini rule).
+      // Completes the eval family with the threshold-granular view.
+      val base = snap(s, dir).documents
+        .where(col("text").isNotNull && col("lang").isNotNull)
+        .select(
+          TextStats.markerHits(col("text"), TextStats.Markers.head._2)
+            .cast("long").as("score"),
+          (col("lang") === "en").as("pos"))
+      base.groupBy("score")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_en"))
+        .withColumn("frac_en", col("n_en").cast("double") / col("n_docs").cast("double"))
+        .orderBy("score")
+    }),
+    "q_logrank" -> ((s, dir) => {
+      // log-rank test over B77's cohorts: does time-to-first-big-
+      // purchase differ by first event type? Each cohort vs the rest
+      // on the combined duration spine. Counts exact BIGINTs;
+      // u/v/z/chi2 hash UNROUNDED — pinned per-term IEEE sequences
+      // folded in duration order, two separate folds (never a struct
+      // accumulator — the probed DuckDB hazard; Survival.logRank
+      // scaladoc).
+      val u = graft.operators.stats.Survival.subjects(
+        snap(s, dir).events, "user_id", "ts", "event_id", "event_type",
+        col("event_type") === "purchase" && col("value") >= 150.0)
+      val subj = u.select(
+        col("fs.label").as("first_type"),
+        expr("(unix_micros(coalesce(tp, tl)) - unix_micros(t0)) div 3600000000")
+          .as("t_hours"),
+        col("tp").isNotNull.as("observed"))
+      graft.operators.stats.Survival
+        .logRank(subj, "first_type", "t_hours", "observed")
+        .orderBy("first_type")
+    }),
+    "q_spearman" -> ((s, dir) =>
+      // Spearman rank correlation per customer between order date and
+      // order value — the monotone-association STRENGTH companion to
+      // B78's Mann-Kendall direction test. Doubled average ranks are
+      // exact integers (2*rank_min + tiecount - 1 — value-determined,
+      // no tiebreak column needed), riding B38's proven decimal
+      // sufficient-stat chain unchanged; rho = its corr rounded 8
+      // (sums here are exact-integer millionths far inside 2^53, so
+      // both engines round the IDENTICAL double — no margin audit
+      // needed, the same-double argument).
+      graft.operators.stats.Stats
+        .spearmanByGroup(snap(s, dir).orders,
+          Seq("o_custkey"), "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")),
+    "q_trimmed_mean" -> ((s, dir) => {
+      // 5%-two-sided trimmed mean per priority — the robust-mean
+      // companion to B35's fence audits: exact-percentile fences
+      // (B13's documented parity class) ROUNDED at 4 before the keep
+      // compare (the B35 fence rule), then dsum/count inside the
+      // fence; the mean rounds 4 (kept-price decimal sums cross the
+      // 2^53 millionths conversion line — the TWA lesson).
+      val o = snap(s, dir).orders.where(col("o_totalprice").isNotNull)
+      val fences = o.groupBy("o_orderpriority")
+        .agg(round(expr("percentile(o_totalprice, 0.05)"), 4).as("lo"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("hi"))
+      o.join(broadcast(fences), "o_orderpriority")
+        .where(col("o_totalprice") >= col("lo") && col("o_totalprice") <= col("hi"))
+        .groupBy("o_orderpriority")
+        .agg(
+          min(col("lo")).as("lo"),
+          min(col("hi")).as("hi"),
+          count(lit(1)).as("n_kept"),
+          round(dsum(col("o_totalprice")) / count(lit(1)).cast("double"), 4)
+            .as("trimmed_mean"))
+        .orderBy("o_orderpriority")
+    }),
     "q_standardize" -> ((s, dir) => {
       // per-dimension z-score scaler FIT over the embedding corpus:
       // min/max are exact selections (hash unrounded), moment sums are
@@ -2273,6 +2426,45 @@ object SparkEntry {
   /** DuckDB mirror of [[graft.functions.CosineSim]]: three sequential
     * double folds (list_reduce == Spark's left fold: 0.0+x == x).
     */
+  /** The q_fuzzy_vocab / q_vocab_clusters corpus vocabulary — ONE
+    * definition (the bm25RankedSql rule): corpus words plus planted
+    * deterministic typos from doc_id % 7 (2nd char of the doc's first
+    * word deleted), length >= 3, with counts.
+    */
+  private def fuzzyVocab(s: SparkSession, dir: String): DataFrame = {
+    val docs = snap(s, dir).documents.where(col("text").isNotNull)
+    val words = docs.select(explode(split(lower(col("text")), " ")).as("word"))
+    val typos = docs.where(col("doc_id") % 7 === 0)
+      .select(element_at(split(lower(col("text")), " "), 1).as("w0"))
+      .where(length(col("w0")) >= 4)
+      .select(concat(substring(col("w0"), 1, 1), expr("substring(w0, 3)")).as("word"))
+    words.union(typos)
+      .where(length(col("word")) >= 3)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+  }
+
+  /** The q_fuzzy_vocab / q_vocab_clusters vocabulary as SQL CTEs (dv,
+    * v) — the DuckDB mirror of [[fuzzyVocab]], shared by both oracles.
+    */
+  private val fuzzyVocabSql: String =
+    """dv AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents WHERE text IS NOT NULL
+      |  UNION ALL
+      |  SELECT substr(w0, 1, 1) || substr(w0, 3) AS word FROM (
+      |    SELECT string_split(lower(text), ' ')[1] AS w0
+      |    FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0)
+      |  WHERE len(w0) >= 4),
+      |v AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+      |      FROM dv WHERE len(word) >= 3 GROUP BY 1),
+      |p AS (SELECT word, unnest(list_distinct(list_append(
+      |        list_transform(range(1, len(word) + 1),
+      |          i -> substr(word, 1, i - 1) || substr(word, i + 1)),
+      |        word))) AS k FROM v),
+      |c AS (SELECT DISTINCT a.word AS w1, b.word AS w2
+      |      FROM p a JOIN p b ON a.k = b.k AND a.word < b.word),
+      |r AS (SELECT w1, w2 FROM c WHERE levenshtein(w1, w2) <= 1)""".stripMargin
+
   private def cosSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_reduce(list_transform(range(1, len($x)+1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (u,v) -> u+v)"
@@ -4437,6 +4629,303 @@ object SparkEntry {
         |         w1, w2, c_xy, c_w1, c_w2, n_bigrams, ROUND(pmi_raw, 4) AS pmi
         |  FROM r)
         |SELECT * FROM t WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // KM product-limit: risk sets as window sums over the aggregated
+    // (group, duration) spine; survival = init-less list_reduce over
+    // duration-ordered (1 - d/n) factors == Spark's 1.0-init fold
+    // (1.0*x exact); integer-us // duration == Spark's div
+    "q_survival" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(ts) AS t0,
+        |         min(CASE WHEN event_type = 'purchase' AND value >= 150.0
+        |                  THEN ts END) AS tp,
+        |         max(ts) AS tl,
+        |         min({'ts': ts, 'eid': event_id, 'et': event_type}) AS fs
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |subj AS (
+        |  SELECT fs.et AS first_type,
+        |         (epoch_us(coalesce(tp, tl)) - epoch_us(t0)) // 3600000000 AS t,
+        |         (tp IS NOT NULL) AS obs
+        |  FROM u),
+        |s AS (
+        |  SELECT first_type, t,
+        |         CAST(count(*) FILTER (WHERE obs) AS BIGINT) AS d,
+        |         CAST(count(*) FILTER (WHERE NOT obs) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *,
+        |         CAST(sum(d + c) OVER (PARTITION BY first_type)
+        |           - coalesce(sum(d + c) OVER (PARTITION BY first_type ORDER BY t
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS n
+        |  FROM s),
+        |g AS (
+        |  SELECT first_type, list({'t': t, 'd': d, 'c': c, 'n': n} ORDER BY t) AS sp
+        |  FROM w GROUP BY 1),
+        |e AS (SELECT first_type, unnest(range(1, len(sp) + 1)) AS i, sp FROM g)
+        |SELECT first_type, sp[i].t AS t_hours, sp[i].n AS n_risk,
+        |       sp[i].d AS n_event, sp[i].c AS n_censored,
+        |       list_reduce(list_transform(list_slice(sp, 1, i),
+        |         el -> 1.0 - CAST(el.d AS DOUBLE) / CAST(el.n AS DOUBLE)),
+        |         (a, b) -> a * b) AS survival
+        |FROM e ORDER BY first_type, t_hours""".stripMargin,
+    // deletion-neighborhood candidate join + exact levenshtein verify,
+    // planted typos re-derived from doc_id; exact integers hash as-is
+    "q_fuzzy_vocab" ->
+      s"""WITH $fuzzyVocabSql
+        |SELECT r.w1, r.w2, va.n AS n1, vb.n AS n2,
+        |       CAST(levenshtein(r.w1, r.w2) AS INT) AS dist
+        |FROM r JOIN v va ON r.w1 = va.word JOIN v vb ON r.w2 = vb.word
+        |ORDER BY r.w1, r.w2""".stripMargin,
+    // the C60 pairs closed under transitivity: the q_dedup_components
+    // recursive-CTE protocol on string ids (MIN = lexicographic min,
+    // same canonical as Spark's star contraction)
+    "q_vocab_clusters" ->
+      s"""WITH RECURSIVE $fuzzyVocabSql,
+        |e AS (SELECT w1 AS s, w2 AS d FROM r
+        |      UNION SELECT w2, w1 FROM r),
+        |rr(node, lab) AS (
+        |  SELECT DISTINCT s, s FROM e
+        |  UNION
+        |  SELECT e.d, rr.lab FROM rr JOIN e ON e.s = rr.node),
+        |cc AS (SELECT node, MIN(lab) AS canonical FROM rr GROUP BY node),
+        |sz AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_members
+        |       FROM cc GROUP BY canonical)
+        |SELECT cc.node AS word, cc.canonical, sz.n_members
+        |FROM cc JOIN sz ON cc.canonical = sz.canonical
+        |ORDER BY word""".stripMargin,
+    // the Standardize decimal-moment protocol at dim-PAIR grain; the
+    // cov/corr IEEE sequence mirrors CorrMatrix exactly (one sqrt of
+    // the variance PRODUCT, clamps before it)
+    "q_corr_matrix" ->
+      """WITH x AS (
+        |  SELECT flatten(list_transform(range(1, 17), i ->
+        |    list_transform(range(i, 17), j ->
+        |      {'i': i, 'j': j,
+        |       'x': CAST(embedding[i] AS DOUBLE),
+        |       'y': CAST(embedding[j] AS DOUBLE)}))) AS ps
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |u AS (SELECT unnest(ps) AS p FROM x),
+        |s AS (
+        |  SELECT CAST(p.i AS INT) AS dim_i, CAST(p.j AS INT) AS dim_j,
+        |         CAST(count(*) AS BIGINT) AS n_vec,
+        |         SUM(CAST(p.x AS DECIMAL(28,12))) AS sx,
+        |         SUM(CAST(p.y AS DECIMAL(28,12))) AS sy,
+        |         SUM(CAST(p.x * p.x AS DECIMAL(28,12))) AS sxx,
+        |         SUM(CAST(p.y * p.y AS DECIMAL(28,12))) AS syy,
+        |         SUM(CAST(p.x * p.y AS DECIMAL(28,12))) AS sxy
+        |  FROM u GROUP BY 1, 2)
+        |SELECT dim_i, dim_j, n_vec,
+        |  ROUND(CAST(sxy AS DOUBLE) / CAST(n_vec AS DOUBLE)
+        |    - (CAST(sx AS DOUBLE) / CAST(n_vec AS DOUBLE))
+        |      * (CAST(sy AS DOUBLE) / CAST(n_vec AS DOUBLE)), 4) AS cov,
+        |  ROUND(CASE WHEN
+        |      greatest(CAST(sxx AS DOUBLE) / CAST(n_vec AS DOUBLE)
+        |        - (CAST(sx AS DOUBLE) / CAST(n_vec AS DOUBLE))
+        |          * (CAST(sx AS DOUBLE) / CAST(n_vec AS DOUBLE)), 0.0) > 0.0
+        |    AND greatest(CAST(syy AS DOUBLE) / CAST(n_vec AS DOUBLE)
+        |        - (CAST(sy AS DOUBLE) / CAST(n_vec AS DOUBLE))
+        |          * (CAST(sy AS DOUBLE) / CAST(n_vec AS DOUBLE)), 0.0) > 0.0
+        |    THEN (CAST(sxy AS DOUBLE) / CAST(n_vec AS DOUBLE)
+        |        - (CAST(sx AS DOUBLE) / CAST(n_vec AS DOUBLE))
+        |          * (CAST(sy AS DOUBLE) / CAST(n_vec AS DOUBLE)))
+        |      / sqrt(
+        |        greatest(CAST(sxx AS DOUBLE) / CAST(n_vec AS DOUBLE)
+        |          - (CAST(sx AS DOUBLE) / CAST(n_vec AS DOUBLE))
+        |            * (CAST(sx AS DOUBLE) / CAST(n_vec AS DOUBLE)), 0.0)
+        |        * greatest(CAST(syy AS DOUBLE) / CAST(n_vec AS DOUBLE)
+        |          - (CAST(sy AS DOUBLE) / CAST(n_vec AS DOUBLE))
+        |            * (CAST(sy AS DOUBLE) / CAST(n_vec AS DOUBLE)), 0.0))
+        |    END, 4) AS corr
+        |FROM s ORDER BY dim_i, dim_j""".stripMargin,
+    // S / var_s18 exact BIGINTs over the (o_orderdate, o_orderkey)-
+    // sorted series; z = exact-int conversions + /18.0 + sqrt + one
+    // division (proven-deterministic set) => unrounded; the WHERE
+    // n_points >= 3 in the s CTE also keeps list_reduce off the empty
+    // pair list of 1-order customers (WHERE evaluates first)
+    "q_mann_kendall" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey,
+        |         CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |g AS (
+        |  SELECT o_custkey, list(v ORDER BY o_orderdate, o_orderkey) AS vs,
+        |         CAST(count(*) AS BIGINT) AS n_points
+        |  FROM c GROUP BY 1),
+        |s AS (
+        |  SELECT o_custkey, n_points,
+        |         CAST(list_reduce(flatten(list_transform(range(1, len(vs)),
+        |           i -> list_transform(range(i + 1, len(vs) + 1),
+        |             j -> CASE WHEN vs[j] > vs[i] THEN 1
+        |                       WHEN vs[j] < vs[i] THEN -1 ELSE 0 END))),
+        |           (a, b) -> a + b) AS BIGINT) AS s_stat
+        |  FROM g WHERE n_points >= 3),
+        |t AS (SELECT o_custkey, v, CAST(count(*) AS BIGINT) AS tc
+        |      FROM c GROUP BY 1, 2),
+        |tt AS (SELECT o_custkey,
+        |         CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS ties
+        |       FROM t GROUP BY 1),
+        |r AS (
+        |  SELECT s.o_custkey, s.n_points, s.s_stat,
+        |         s.n_points * (s.n_points - 1) * (2 * s.n_points + 5)
+        |           - tt.ties AS var_s18
+        |  FROM s JOIN tt ON s.o_custkey = tt.o_custkey),
+        |z AS (
+        |  SELECT *,
+        |    CASE WHEN var_s18 > 0 THEN
+        |      CASE WHEN s_stat > 0
+        |             THEN CAST(s_stat - 1 AS DOUBLE)
+        |                  / sqrt(CAST(var_s18 AS DOUBLE) / 18.0)
+        |           WHEN s_stat < 0
+        |             THEN CAST(s_stat + 1 AS DOUBLE)
+        |                  / sqrt(CAST(var_s18 AS DOUBLE) / 18.0)
+        |           ELSE 0.0 END
+        |    END AS z
+        |  FROM r)
+        |SELECT o_custkey, n_points, s_stat, CAST(var_s18 AS BIGINT) AS var_s18,
+        |       z,
+        |       CASE WHEN z IS NULL THEN 'none'
+        |            WHEN z > 1.96 THEN 'inc'
+        |            WHEN z < -1.96 THEN 'dec'
+        |            ELSE 'none' END AS trend
+        |FROM z ORDER BY o_custkey""".stripMargin,
+    // exact counts + ONE division of exact BIGINTs (unrounded — the
+    // q_gini rule); score = the SAME markerHitsEn definition as
+    // q_roc_auc (one scorer, two views)
+    "q_calibration" ->
+      s"""WITH base AS (
+        |  SELECT $markerHitsEn AS score,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)
+        |SELECT CAST(score AS BIGINT) AS score,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(pos) AS BIGINT) AS n_en,
+        |       CAST(SUM(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_en
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+    // log-rank over the q_survival subjects: groups x durations GRID
+    // for risk sets (window sums over the grid), per-group duration-
+    // ordered term lists, init-less list_reduce == Spark's 0.0-init
+    // fold (0.0+x exact); every term mirrors Survival.logRank's
+    // pinned IEEE sequence verbatim (left-assoc products/divisions)
+    "q_logrank" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(ts) AS t0,
+        |         min(CASE WHEN event_type = 'purchase' AND value >= 150.0
+        |                  THEN ts END) AS tp,
+        |         max(ts) AS tl,
+        |         min({'ts': ts, 'eid': event_id, 'et': event_type}) AS fs
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |subj AS (
+        |  SELECT fs.et AS first_type,
+        |         (epoch_us(coalesce(tp, tl)) - epoch_us(t0)) // 3600000000 AS t,
+        |         (tp IS NOT NULL) AS obs
+        |  FROM u),
+        |s AS (
+        |  SELECT first_type, t,
+        |         CAST(count(*) FILTER (WHERE obs) AS BIGINT) AS d,
+        |         CAST(count(*) FILTER (WHERE NOT obs) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT g.first_type, ti.t,
+        |         coalesce(s.d, 0) AS d, coalesce(s.c, 0) AS c
+        |  FROM (SELECT DISTINCT first_type FROM s) g
+        |  CROSS JOIN (SELECT DISTINCT t FROM s) ti
+        |  LEFT JOIN s ON s.first_type = g.first_type AND s.t = ti.t),
+        |w1 AS (
+        |  SELECT *,
+        |         CAST(sum(d + c) OVER (PARTITION BY first_type)
+        |           - coalesce(sum(d + c) OVER (PARTITION BY first_type ORDER BY t
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS n1
+        |  FROM cells),
+        |w2 AS (
+        |  SELECT *,
+        |         CAST(sum(d) OVER (PARTITION BY t) AS BIGINT) AS da,
+        |         CAST(sum(n1) OVER (PARTITION BY t) AS BIGINT) AS na
+        |  FROM w1),
+        |g2 AS (
+        |  SELECT first_type,
+        |         list({'d1': d, 'n1': n1, 'da': da, 'na': na} ORDER BY t) AS sp,
+        |         CAST(sum(d + c) AS BIGINT) AS n_subjects,
+        |         CAST(sum(d) AS BIGINT) AS n_events
+        |  FROM w2 GROUP BY 1),
+        |f AS (
+        |  SELECT first_type, n_subjects, n_events,
+        |         list_reduce(list_transform(sp, e ->
+        |           CAST(e.d1 AS DOUBLE)
+        |             - CAST(e.da AS DOUBLE) * CAST(e.n1 AS DOUBLE)
+        |               / CAST(e.na AS DOUBLE)),
+        |           (a, b) -> a + b) AS u_stat,
+        |         list_reduce(list_transform(sp, e ->
+        |           CASE WHEN e.na > 1 THEN
+        |             CAST(e.da AS DOUBLE)
+        |               * (CAST(e.n1 AS DOUBLE) / CAST(e.na AS DOUBLE))
+        |               * (1.0 - CAST(e.n1 AS DOUBLE) / CAST(e.na AS DOUBLE))
+        |               * ((CAST(e.na AS DOUBLE) - CAST(e.da AS DOUBLE))
+        |                  / (CAST(e.na AS DOUBLE) - 1.0))
+        |           ELSE 0.0 END),
+        |           (a, b) -> a + b) AS v_stat
+        |  FROM g2)
+        |SELECT first_type, n_subjects, n_events, u_stat, v_stat,
+        |       CASE WHEN v_stat > 0.0 THEN u_stat / sqrt(v_stat) END AS z,
+        |       CASE WHEN v_stat > 0.0 THEN u_stat / sqrt(v_stat) END
+        |         * CASE WHEN v_stat > 0.0 THEN u_stat / sqrt(v_stat) END AS chi2
+        |FROM f ORDER BY first_type""".stripMargin,
+    // doubled average ranks (2*rank_min + tiecount - 1, exact ints)
+    // through the q_regression decimal-sufficient-stat mirror; rho =
+    // corr rounded 8 (sums exact-integer millionths << 2^53 => both
+    // engines round the identical double)
+    "q_spearman" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |         2 * rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate)
+        |           + count(*) OVER (PARTITION BY o_custkey, o_orderdate) - 1 AS rx,
+        |         2 * rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice)
+        |           + count(*) OVER (PARTITION BY o_custkey, o_totalprice) - 1 AS ry
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |a AS (
+        |  SELECT o_custkey, COUNT(*) AS n_pairs,
+        |    CAST(SUM(CAST(rx AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ry AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(CAST(rx AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(ry AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CAST(CAST(rx AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(rx AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CAST(CAST(ry AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(ry AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS syy
+        |  FROM c GROUP BY 1)
+        |SELECT o_custkey, n_pairs,
+        |  ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0
+        |        AND CAST(n_pairs AS DOUBLE) * syy - sy * sy > 0 THEN
+        |    (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |      / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+        |         * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END, 8)
+        |    + 0.0 AS rho
+        |FROM a ORDER BY o_custkey""".stripMargin,
+    // exact-percentile fences rounded 4 BEFORE the keep compare (the
+    // B35 fence rule); trimmed mean = decimal-exact sum / count,
+    // rounded 4 (the TWA conversion-line lesson)
+    "q_trimmed_mean" ->
+      """WITH f AS (
+        |  SELECT o_orderpriority,
+        |         round(quantile_cont(o_totalprice, 0.05), 4) AS lo,
+        |         round(quantile_cont(o_totalprice, 0.95), 4) AS hi
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT o.o_orderpriority, min(f.lo) AS lo, min(f.hi) AS hi,
+        |       CAST(count(*) AS BIGINT) AS n_kept,
+        |       round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE), 4) AS trimmed_mean
+        |FROM orders o JOIN f ON o.o_orderpriority = f.o_orderpriority
+        |WHERE o.o_totalprice IS NOT NULL
+        |  AND o.o_totalprice >= f.lo AND o.o_totalprice <= f.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // per-dimension scaler fit: DECIMAL(28,12)-exact moment sums (v and
     // the exact <=48-bit double product v*v cast once before summing),
     // min/max exact selections, mean/std rounded at 4; dim explode via

@@ -186,36 +186,43 @@ object BinaryPipeline {
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           readImage(bytes, maxSamples = 0).map { case (_, _, _, img) =>
-            val out = new java.awt.image.BufferedImage(
-              8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = out.createGraphics()
-            g.setRenderingHint(
-              java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(img, 0, 0, 8, 8, null)
-            g.dispose()
-            val lumas = new Array[Double](64)
-            var sum = 0.0
-            var i = 0
-            while (i < 64) {
-              val rgb = out.getRGB(i % 8, i / 8)
-              lumas(i) = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
-                0.114 * (rgb & 0xFF)
-              sum += lumas(i)
-              i += 1
-            }
-            val mean = sum / 64.0
-            var hash = 0L
-            i = 0
-            while (i < 64) {
-              if (lumas(i) > mean) hash |= (1L << i)
-              i += 1
-            }
-            (id, hash)
+            (id, aHashOf(img))
           }
         }
       }
       .toDF(idCol, "ahash")
+  }
+
+  /** 8×8 mean-luma average hash of a decoded image — the signature
+    * behind [[imageAHash]], [[aviFrameAHash]] and the C3 Hamming
+    * pigeonhole dedup. */
+  private def aHashOf(img: java.awt.image.BufferedImage): Long = {
+    val out = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setRenderingHint(
+      java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 8, 8, null)
+    g.dispose()
+    val lumas = new Array[Double](64)
+    var sum = 0.0
+    var i = 0
+    while (i < 64) {
+      val rgb = out.getRGB(i % 8, i / 8)
+      lumas(i) = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+        0.114 * (rgb & 0xFF)
+      sum += lumas(i)
+      i += 1
+    }
+    val mean = sum / 64.0
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (lumas(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
   }
 
   /** Task-local decode helper: (formatName, origWidth, origHeight,
@@ -1395,5 +1402,76 @@ object BinaryPipeline {
           }
         }
       }
+  }
+
+  /** Per-frame perceptual signature over an AVI column: the same 8×8
+    * mean-luma aHash as [[imageAHash]], so a frame and the standalone
+    * image it was cut from hash IDENTICALLY (spec-pinned). Decodes
+    * MJPEG payloads through the image reader and BI_RGB 'DIB ' frames
+    * through the stream-00 geometry — the [[sampleAviFrames]] codec
+    * coverage; undecodable frames drop but keep their ordinals.
+    * One row per kept frame: (doc_id, frame_idx, ahash).
+    */
+  def aviFrameAHash(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      stride: Int,
+      maxKeptPerDoc: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(stride > 0, s"stride must be > 0, got $stride")
+    require(maxKeptPerDoc > 0, s"maxKeptPerDoc must be > 0, got $maxKeptPerDoc")
+    df.where(col(idCol).isNotNull && col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val rawFmt = parseAviVideoFormat(bytes).filter(_.compression == 0L)
+          demuxAviFrames(bytes, stride, maxKeptPerDoc).iterator.flatMap {
+            case (ord, payload) =>
+              readImage(payload, maxSamples = 0).map(_._4)
+                .orElse(rawFmt.flatMap(f => decodeRawDib(payload, f).map(_._1)))
+                .map(img => (id, ord, aHashOf(img)))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "ahash")
+  }
+
+  /** Shot-boundary (scene cut) detection over ANY per-frame 64-bit
+    * signature table: a cut is a consecutive-frame pair whose Hamming
+    * distance exceeds `minHamming` (within-shot frames drift a few
+    * bits under codec noise; a cut flips a large fraction of the
+    * luma-vs-mean grid). Generic over the signature column — the C3
+    * HammingDedup convention — so MJPEG aHash frames, MKV frames, or
+    * any externally-computed perceptual hash all work.
+    *
+    * Scale shape: one per-video window over the (id, ord) frame table
+    * (bounded by frames-per-video — the sampleAviFrames cap); the xor
+    * + bit_count comparison is codegen'd, no UDF. Emits one row per
+    * detected cut: (id, frame_idx of the first frame AFTER the cut,
+    * prev_idx, hamming).
+    */
+  def sceneCuts(
+      frames: DataFrame,
+      idCol: String,
+      ordCol: String,
+      sigCol: String,
+      minHamming: Int): DataFrame = {
+    require(minHamming >= 1 && minHamming <= 64,
+      s"minHamming must be in [1, 64], got $minHamming")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col(ordCol))
+    frames
+      .where(col(idCol).isNotNull && col(ordCol).isNotNull && col(sigCol).isNotNull)
+      .withColumn("__prev_ord", lag(col(ordCol), 1).over(w))
+      .withColumn("__prev_sig", lag(col(sigCol), 1).over(w))
+      .where(col("__prev_sig").isNotNull)
+      .withColumn("hamming",
+        bit_count(col(sigCol).bitwiseXOR(col("__prev_sig"))).cast("int"))
+      .where(col("hamming") > minHamming)
+      .select(col(idCol), col(ordCol), col("__prev_ord").as("prev_idx"),
+        col("hamming"))
   }
 }

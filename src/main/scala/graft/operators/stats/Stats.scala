@@ -1,6 +1,7 @@
 package graft.operators.stats
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.ExactMath
@@ -86,6 +87,49 @@ object Stats {
         out(when(denx > 0d, (col("sy") - (num / denx) * col("sx")) / n), 4).as("intercept"),
         out(when(denx > 0d && deny > 0d, num / (sqrt(denx) * sqrt(deny))), 8).as("corr")
       ): _*)
+  }
+
+  /** Spearman rank correlation per group (Spearman 1904): Pearson
+    * correlation of the two columns' within-group AVERAGE ranks — the
+    * monotone-association strength companion to the Mann–Kendall
+    * direction test (Trend), robust to outliers and nonlinearity where
+    * [[regression]]'s Pearson r is not.
+    *
+    * Determinism: ties take the average rank, and DOUBLED average
+    * ranks are exact integers — 2·r̄ = 2·rank_min + tiecount − 1 (rank
+    * and the tie count are both value-determined, so NO tiebreak
+    * column is needed; the q_percent_rank rule) — which then ride
+    * [[regression]]'s proven decimal-sufficient-stat chain unchanged
+    * (`rho` = its `corr`, rounded 8; doubling cancels in the
+    * correlation but keeps every input integral). Constant columns
+    * yield NULL rho via the regression variance guards.
+    *
+    * Scale shape: two value-ordered windows per group (the sessionize
+    * per-key sort bound — per-group history sorts in one task) feeding
+    * one partial agg; doubled ranks stay ≤ 2n so the DECIMAL(18,6)
+    * product envelope holds for groups up to ~1e5 rows (the documented
+    * bound — bigger groups would need wider moment decimals).
+    */
+  def spearmanByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "spearman needs at least one group column")
+    val g = groupCols.map(col)
+    val clean = df.where(
+      (g.map(_.isNotNull) ++ Seq(col(xCol).isNotNull, col(yCol).isNotNull))
+        .reduce(_ && _))
+    def doubledRank(c: String): Column = {
+      val w = Window.partitionBy(g: _*).orderBy(col(c))
+      val wTie = Window.partitionBy(g :+ col(c): _*)
+      lit(2L) * rank().over(w) + count(lit(1)).over(wTie) - lit(1L)
+    }
+    val ranked = clean
+      .withColumn("__rx", doubledRank(xCol))
+      .withColumn("__ry", doubledRank(yCol))
+    regression(ranked, "__rx", "__ry", groupCols)
+      .select(g ++ Seq(col("n_pairs"), col("corr").as("rho")): _*)
   }
 
   /** Rolling trend strength: Pearson correlation of (value, position)

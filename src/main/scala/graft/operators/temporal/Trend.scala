@@ -1,0 +1,102 @@
+package graft.operators.temporal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mann–Kendall trend test (Mann 1945, Kendall 1975) — the standard
+  * nonparametric monotone-trend detector for short per-key series
+  * (is this customer's monthly revenue drifting up?):
+  *
+  *   S    = Σ_{i<j} sign(xⱼ − xᵢ)
+  *   Var·18 = n(n−1)(2n+5) − Σₖ tₖ(tₖ−1)(2tₖ+5)   (tie-corrected)
+  *   z    = (S − sign(S)) / sqrt(Var)
+  *
+  * It needs no distributional assumption and tolerates the tiny n a
+  * per-key monthly rollup produces — exactly where a fitted slope's
+  * t-test is untrustworthy. Complements [[Forecast]] (which projects)
+  * and [[Cusum]] (which alarms on level shifts): MK answers "is there
+  * a monotone trend at all".
+  *
+  * Determinism: S and the ×18 variance numerator are EXACT BIGINTs
+  * (pair signs and tie counts are integers; n ≤ the bounded-series
+  * grain so no overflow); `z` passes only through proven-deterministic
+  * IEEE ops — exact-int→double conversion, one division by 18.0, one
+  * correctly-rounded sqrt, one final division (the q_gini/q_roc_auc
+  * class) — so it hashes UNROUNDED and the trend label's comparison
+  * against 1.96 bit-agrees across engines. Pair signs compare the
+  * caller's doubles directly; feed decimal-exact-sum values (dsum) so
+  * both engines see identical inputs.
+  *
+  * Scale shape: the O(k²) pair walk runs inside one nested HOF over
+  * the per-key sorted array — the [[Cusum]]/[[graft.operators.stats.Survival]]
+  * BOUNDED-series contract (monthly grains: k ≤ a few dozen); ties
+  * aggregate on the slim (key, value) spine. Plain hash groupBys,
+  * partials merge map-side, nothing globally sorted.
+  */
+object Trend {
+
+  /** One row per key with n >= 3 points: `n_points`, `s_stat`,
+    * `var_s18` (the exact ×18 variance numerator), `z` (NULL when the
+    * variance is 0 — a fully-tied series has no rankable trend), and
+    * `trend` ('inc' / 'dec' / 'none' at the two-sided 5% bar |z| >
+    * 1.96). `tieCol` must be unique within (key, order) — S depends on
+    * the sequence position of time-tied points, so the sort must be
+    * total (the Cusum/Ema tiebreak rule). Rows with a NULL key, order,
+    * tie, or value are dropped.
+    */
+  def mannKendall(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val g: Seq[Column] = keyCols.map(col)
+    val clean = df.where(
+      g.map(_.isNotNull).reduce(_ && _) &&
+        col(orderCol).isNotNull && col(tieCol).isNotNull && col(valueCol).isNotNull)
+    // S over the order-sorted value array: nested index HOF, exact ints
+    val sPart = clean
+      .groupBy(g: _*)
+      .agg(array_sort(collect_list(struct(
+        col(orderCol).as("o"), col(tieCol).as("t"),
+        col(valueCol).cast("double").as("v")))).as("sp"))
+      .select(g ++ Seq(
+        size(col("sp")).cast("long").as("n_points"),
+        aggregate(
+          flatten(transform(
+            sequence(lit(1), size(col("sp")) - 1),
+            i => transform(
+              sequence(i + 1, size(col("sp"))),
+              j => {
+                val vi = element_at(col("sp"), i).getField("v")
+                val vj = element_at(col("sp"), j).getField("v")
+                when(vj > vi, 1L).when(vj < vi, -1L).otherwise(0L)
+              }))),
+          lit(0L), (acc, x) => acc + x).as("s_stat")): _*)
+    // tie correction over the (key, value) spine: Σ t(t-1)(2t+5)
+    val tiePart = clean
+      .groupBy(g :+ col(valueCol).cast("double").as("__v"): _*)
+      .agg(count(lit(1)).as("t"))
+      .groupBy(g: _*)
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)).as("__ties"))
+    val n = col("n_points")
+    val var18 = n * (n - 1L) * (lit(2L) * n + 5L) - col("__ties")
+    val sd = sqrt(col("var_s18").cast("double") / lit(18.0))
+    val z = when(col("var_s18") > 0L,
+      when(col("s_stat") > 0L, (col("s_stat") - 1L).cast("double") / sd)
+        .when(col("s_stat") < 0L, (col("s_stat") + 1L).cast("double") / sd)
+        .otherwise(lit(0.0)))
+    sPart.join(tiePart, keyCols)
+      .where(n >= 3L)
+      .withColumn("var_s18", var18)
+      .withColumn("z", z)
+      .withColumn("trend",
+        when(col("z").isNull, "none")
+          .when(col("z") > 1.96, "inc")
+          .when(col("z") < -1.96, "dec")
+          .otherwise("none"))
+      .select(g ++ Seq(col("n_points"), col("s_stat"), col("var_s18"),
+        col("z"), col("trend")): _*)
+  }
+}

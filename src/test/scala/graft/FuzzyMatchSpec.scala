@@ -1,81 +1,96 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
-import graft.operators.dedup.FuzzyMatch
+import graft.operators.text.FuzzyMatch
 
 class FuzzyMatchSpec extends SparkSpecBase {
   import spark.implicits._
 
-  /** The plain quadratic join the signature scheme must equal exactly. */
-  private def bruteForce(names: DataFrame, k: Int): Set[(String, String, Int)] = {
-    val n = names.select(col("name")).where(col("name").isNotNull && length(col("name")) >= 1).distinct()
-    val a = n.select(col("name").as("name_a"), length(col("name")).as("la"))
-    val b = n.select(col("name").as("name_b"), length(col("name")).as("lb"))
-    a.crossJoin(b)
-      .where(col("la") < col("lb") ||
-        (col("la") === col("lb") && col("name_a") < col("name_b")))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= k)
-      .select("name_a", "name_b", "dist")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
   }
 
-  private def run(names: Seq[String], k: Int): Set[(String, String, Int)] =
-    FuzzyMatch.nearNames(names.toDF("name"), "name", k)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
-
-  test("known distances: substitutions, indels, and the threshold cut") {
-    val names = Seq("kitten", "sitten", "sitting", "mitten", "kittens", "bolt")
-    val got = run(names, 2)
-    // spot anchors: one substitution, one append, the 3-edit exclusion
-    assert(got.contains(("kitten", "sitten", 1)))
-    assert(got.contains(("kitten", "kittens", 1)))
-    assert(!got.exists(p => Set(p._1, p._2) == Set("kitten", "sitting")))
-    assert(!got.exists(p => p._1 == "bolt" || p._2 == "bolt"))
-    // the full contract: equality with the quadratic join
-    assert(got == bruteForce(names.toDF("name"), 2))
-  }
-
-  test("short-string regime (len <= k) pairs across the broadcast path") {
-    val names = Seq("a", "b", "ab", "ba", "abc", "abcd", "xyz")
-    for (k <- 1 to 3)
-      assert(run(names, k) == bruteForce(names.toDF("name"), k), s"k=$k")
-  }
-
-  test("orientation: shorter-first, lexicographic on ties; no self/duplicate pairs") {
-    val got = run(Seq("abc", "abd", "ab", "abcd"), 2)
-    got.foreach { case (a, b, d) =>
-      assert(a.length < b.length || (a.length == b.length && a < b), s"($a,$b)")
-      assert(d >= 1 && d <= 2)
-    }
-    assert(got.size == got.map(p => Set(p._1, p._2)).size, "duplicate unordered pair")
-  }
-
-  test("losslessness on real part names (sf0.001): signature plan == quadratic join") {
-    val part = sources.Snapshot(spark, sf()).part
-    for (k <- 1 to 2) {
-      val got = FuzzyMatch.nearNames(part, "p_name", k)
-        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
-      assert(got == bruteForce(part.select(col("p_name").as("name")), k), s"k=$k")
-    }
-  }
-
-  test("adversarial lengths: every split remainder class and the la window edge") {
-    // lengths k+1 .. 3k+2 exercise segLen/segStart across all rem classes,
-    // plus repeated characters (many equal substrings -> bucket stress)
-    val names = Seq(
-      "aaa", "aaaa", "aaaab", "aaabb", "aabab", "ababa", "aaaaaa", "aaaaab",
-      "abcdefg", "abcdefgh", "abcdxfgh", "zbcdefg", "abcefg", "abcdefgxy")
-    for (k <- 1 to 3)
-      assert(run(names, k) == bruteForce(names.toDF("name"), k), s"k=$k")
-  }
-
-  test("null and empty names are dropped; maxDist < 1 rejected") {
-    val df = Seq(Some("abc"), Some("abd"), None, Some("")).toDF("name")
-    val got = FuzzyMatch.nearNames(df, "name", 1)
+  private def pairsOf(words: Seq[String]) =
+    FuzzyMatch.editDistance1Pairs(
+      words.zipWithIndex.map { case (w, i) => (w, i.toLong + 1) }.toDF("word", "n"),
+      "word", "n")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(got == Set(("abc", "abd")))
-    intercept[IllegalArgumentException](FuzzyMatch.nearNames(df, "name", 0))
+
+  test("each edit kind is found: deletion, insertion, substitution") {
+    val got = pairsOf(Seq("hello", "hell", "cat", "cut", "cart", "dog"))
+    assert(got.contains(("hell", "hello")), "deletion pair")
+    assert(got.contains(("cart", "cat")), "insertion pair")
+    assert(got.contains(("cat", "cut")), "substitution pair")
+    assert(!got.exists(p => p._1 == "dog" || p._2 == "dog"), "dog matches nothing")
+  }
+
+  test("shared-deletion-key candidates beyond distance 1 are verified away") {
+    // "ab" and "ba" share deletion keys {a, b} but lev = 2 (no
+    // transposition in plain Levenshtein) — the verify must reject
+    val got = pairsOf(Seq("ab", "ba", "abc"))
+    assert(!got.contains(("ab", "ba")))
+    assert(got.contains(("ab", "abc")))
+  }
+
+  test("exhaustive equality on a seeded random vocab (completeness proof in practice)") {
+    val rnd = new scala.util.Random(42)
+    val words = Iterator.continually(
+      (0 until (3 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      .take(400).toSeq.distinct
+    assert(words.size > 50, s"vocab collapsed to ${words.size}")
+    val expected = (for {
+      a <- words; b <- words
+      if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "small-alphabet vocab must have near pairs")
+    assert(pairsOf(words) == expected)
+  }
+
+  test("counts ride the pair; dist is exactly 1") {
+    val df = Seq(("word", 70L), ("ward", 7L)).toDF("word", "n")
+    val got = FuzzyMatch.editDistance1Pairs(df, "word", "n").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      == (("ward", "word", 7L, 70L, 1)))
+  }
+
+  test("transitive spelling-variant clusters: chains collapse to the lexicographic min") {
+    // cat—cab—cob chain (cat~cob is distance 2, only transitivity
+    // links them); dog is a singleton and must be absent
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val vocab = Seq(("cat", 3L), ("cab", 1L), ("cob", 2L), ("dog", 9L))
+      .toDF("word", "n")
+    val pairs = FuzzyMatch.editDistance1Pairs(vocab, "word", "n")
+      .select(col("w1").as("id_a"), col("w2").as("id_b"))
+    val comp = graft.operators.dedup.TransitiveDedup.components(pairs)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("n_members"))
+    val got = comp.join(sizes, "component")
+      .collect().map(r => (r.getString(1), r.getString(0), r.getLong(2))).toSet
+    assert(got == Set(
+      ("cat", "cab", 3L), ("cab", "cab", 3L), ("cob", "cab", 3L)))
+  }
+
+  test("sf0.001 catalog q_vocab_clusters: every cluster has >= 2 members sharing one canonical") {
+    val rows = SparkEntry.queries("q_vocab_clusters")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val byCanon = rows.groupBy(_.getString(1))
+    byCanon.foreach { case (canon, members) =>
+      assert(members.length >= 2, s"cluster $canon has ${members.length} members")
+      assert(members.forall(_.getLong(2) == members.length.toLong))
+      assert(members.map(_.getString(0)).min == canon, "canonical is the min member")
+    }
+  }
+
+  test("sf0.001 catalog query: planted typos surface as pairs") {
+    val rows = SparkEntry.queries("q_fuzzy_vocab")(spark, sf()).collect()
+    assert(rows.nonEmpty, "planted doc_id%7 typos must produce pairs at sf0.001")
+    assert(rows.forall(_.getInt(4) == 1))
+    // every emitted pair really is distance 1
+    assert(rows.forall(r => lev(r.getString(0), r.getString(1)) == 1))
   }
 }

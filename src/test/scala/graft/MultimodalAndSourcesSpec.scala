@@ -614,6 +614,49 @@ class MultimodalAndSourcesSpec extends SparkSpecBase {
     bo.toByteArray
   }
 
+  test("scene cuts: per-frame aHash matches imageAHash; the shot boundary is the only cut") {
+    // two shots of patterned frames: left-half-white vs TOP-half-white —
+    // solid frames would both aHash to 0 (every luma equals the mean),
+    // so the patterns guarantee a large cross-shot Hamming distance
+    // while JPEG noise keeps within-shot distance tiny
+    def pattern(leftHalf: Boolean): Array[Byte] = {
+      val (w, h) = (32, 32)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach { x =>
+        val white = if (leftHalf) x < w / 2 else y < h / 2
+        img.setRGB(x, y, if (white) 0xFFFFFF else 0x000000)
+      })
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val shotA = pattern(leftHalf = true)
+    val shotB = pattern(leftHalf = false)
+    val avi = makeAvi(Seq(shotA, shotA, shotA, shotB, shotB, shotB))
+    val rows = Seq((21L, avi)).toDF("doc_id", "payload")
+    val hashes = BinaryPipeline.aviFrameAHash(rows, "doc_id", "payload", stride = 1)
+    val got = hashes.collect().sortBy(_.getLong(1))
+    assert(got.map(_.getLong(1)).toSeq == (0L until 6L).toSeq, "all 6 frames hash")
+    // frame 0's hash equals the standalone image's aHash — one signature
+    val standalone = BinaryPipeline.imageAHash(
+      Seq((1L, shotA)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().head.getLong(1)
+    assert(got.head.getLong(2) == standalone)
+    val cuts = BinaryPipeline.sceneCuts(hashes, "doc_id", "frame_idx", "ahash",
+      minHamming = 10).collect()
+    assert(cuts.length == 1, s"exactly one shot boundary, got ${cuts.toSeq}")
+    assert((cuts.head.getLong(0), cuts.head.getLong(1), cuts.head.getLong(2))
+      == ((21L, 3L, 2L)))
+    assert(cuts.head.getInt(3) > 20, "orthogonal half-patterns flip a large fraction")
+    // repeated identical frames alone never cut
+    val steady = makeAvi(Seq(shotA, shotA, shotA, shotA))
+    val steadyHashes = BinaryPipeline.aviFrameAHash(
+      Seq((22L, steady)).toDF("doc_id", "payload"), "doc_id", "payload", 1)
+    assert(BinaryPipeline.sceneCuts(steadyHashes, "doc_id", "frame_idx", "ahash",
+      10).collect().isEmpty)
+  }
+
   test("REAL AVI/MJPEG demux: strided frames decode with true dims and payload identity") {
     val jpegs = (0 until 10).map(i => makeImage(32 + i, 24, 0x112233 * (i + 1), "jpg"))
     val avi = makeAvi(jpegs)

@@ -381,6 +381,67 @@ object ProfileScaleUp {
       force(graft.operators.ann.Standardize.fit(emb, "embedding", 64)))
     time("pmi collocations (top 20)")(
       force(graft.operators.text.Collocations.topPmi(docs, "text", 5L, 20)))
+    time("kaplan-meier (event grain -> subject grain -> curve)")(
+      force {
+        val u = graft.operators.stats.Survival.subjects(
+          amplifiedEvents, "user_id", "ts", "event_id", "event_type",
+          col("event_type") === "purchase" && col("value") >= 150.0)
+          .select(col("fs.label").as("first_type"),
+            expr("(unix_micros(coalesce(tp, tl)) - unix_micros(t0)) div 3600000000")
+              .as("t_hours"),
+            col("tp").isNotNull.as("observed"))
+        graft.operators.stats.Survival
+          .kaplanMeier(u, Seq("first_type"), "t_hours", "observed")
+      })
+    time("fuzzy vocab (deletion-neighborhood + verify)")(
+      force {
+        val vocab = docs.where(col("text").isNotNull)
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .where(length(col("word")) >= 3)
+          .groupBy("word").agg(count(lit(1)).as("n"))
+        graft.operators.text.FuzzyMatch.editDistance1Pairs(vocab, "word", "n")
+      })
+    time("corr matrix (16 dims, 136 pairs)")(
+      force(graft.operators.ann.CorrMatrix.pearsonByDimPair(emb, "embedding", 64, 16)))
+    // key on (custkey, copy) so per-key series DEPTH stays constant —
+    // the O(k^2) pair walk is bounded-series by contract; growth here
+    // must be linear in the number of series, not quadratic in depth
+    time("mann-kendall trend (per-customer-copy series)")(
+      force(graft.operators.temporal.Trend.mannKendall(
+        orders.where(col("o_totalprice").isNotNull)
+          .withColumn("copy", expr("o_orderkey div 100000000")),
+        Seq("o_custkey", "copy"), "o_orderdate", "o_orderkey", "o_totalprice")))
+    time("log-rank (grid risk sets + two folds)")(
+      force {
+        val u = graft.operators.stats.Survival.subjects(
+          amplifiedEvents, "user_id", "ts", "event_id", "event_type",
+          col("event_type") === "purchase" && col("value") >= 150.0)
+          .select(col("fs.label").as("first_type"),
+            expr("(unix_micros(coalesce(tp, tl)) - unix_micros(t0)) div 3600000000")
+              .as("t_hours"),
+            col("tp").isNotNull.as("observed"))
+        graft.operators.stats.Survival.logRank(u, "first_type", "t_hours", "observed")
+      })
+    // per-(custkey, copy) so rank-window partitions stay bounded like
+    // the MK profile above — growth linear in series count
+    time("spearman rho (per-customer-copy rank windows)")(
+      force(graft.operators.stats.Stats.spearmanByGroup(
+        orders.where(col("o_totalprice").isNotNull)
+          .withColumn("copy", expr("o_orderkey div 100000000")),
+        Seq("o_custkey", "copy"), "o_orderdate", "o_totalprice")))
+    time("trimmed mean (exact fences + decimal mean)")(
+      force {
+        val o = orders.where(col("o_totalprice").isNotNull)
+        val fences = o.groupBy("o_orderpriority")
+          .agg(round(expr("percentile(o_totalprice, 0.05)"), 4).as("lo"),
+            round(expr("percentile(o_totalprice, 0.95)"), 4).as("hi"))
+        o.join(broadcast(fences), "o_orderpriority")
+          .where(col("o_totalprice") >= col("lo") && col("o_totalprice") <= col("hi"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_kept"),
+            round(graft.functions.ExactMath.dsum(col("o_totalprice"))
+              / count(lit(1)).cast("double"), 4).as("trimmed_mean"))
+      })
 
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE

@@ -703,6 +703,55 @@ class StreamingSpec extends SparkSpecBase {
     assert(state.select("alarm").distinct().count() == 2)
   }
 
+  test("streaming time-to-event subject state: merged min/max state equals the batch subjects (D21)") {
+    // D21: B77's subject state lifted onto the stream — the D14 shape.
+    // Every field of Survival.subjects is an ASSOCIATIVE min/max
+    // (conditional min included: NULL tp = "no qualifying event yet",
+    // and min ignores NULLs), so each microbatch merges into the
+    // standing user-grain state without rescanning history, and the
+    // final state — plus the full KM curve built from it — must equal
+    // the one-shot batch computation exactly. Unordered microbatches
+    // on purpose: unlike CUSUM (D20), no time-partitioning contract.
+    import graft.operators.stats.Survival
+    val qualifying = $"event_type" === "purchase" && $"value" >= 150.0
+    def subj(df: org.apache.spark.sql.DataFrame) =
+      Survival.subjects(df, "user_id", "ts", "event_id", "event_type", qualifying)
+    val multiDir = Files.createTempDirectory("graft_surv_stream").toFile
+    multiDir.deleteOnExit()
+    Snapshot(spark, sf()).events.repartition(4)
+      .write.mode("overwrite").parquet(multiDir.getAbsolutePath)
+    val batchDf = spark.read.parquet(multiDir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(multiDir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val next = state match {
+          case None => subj(batch)
+          case Some(st) => Survival.mergeSubjects(st, subj(batch))
+        }
+        state = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches to exercise merge, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select($"user_id", $"t0", $"tp", $"tl", $"fs.label")
+        .collect().map(_.toString).toSeq.sorted
+    assert(canon(state.get) == canon(subj(batchDf)))
+    // and the curve downstream of the merged state is the batch curve
+    def curve(st: org.apache.spark.sql.DataFrame) = Survival.kaplanMeier(
+      st.select($"fs.label".as("first_type"),
+        expr("(unix_micros(coalesce(tp, tl)) - unix_micros(t0)) div 3600000000").as("t_hours"),
+        $"tp".isNotNull.as("observed")),
+      Seq("first_type"), "t_hours", "observed")
+    assert(curve(state.get).collect().map(_.toString).sorted.toSeq ==
+      curve(subj(batchDf)).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
     // the production ingestion shape: a document stream anti-joined
     // against the static content-hash index of the existing corpus —

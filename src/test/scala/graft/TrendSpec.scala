@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.temporal.Trend
+
+class TrendSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def mk(rows: Seq[(String, Int, Int, Double)]) =
+    Trend.mannKendall(rows.toDF("k", "o", "tie", "v"), Seq("k"), "o", "tie", "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getString(5))))
+      .toMap
+
+  test("hand-derived statistics: monotone, tied, and tie-corrected series") {
+    val rows =
+      // strictly increasing n=5: S=10, var18 = 5*4*15 = 300
+      Seq.tabulate(5)(i => ("up", i, i, (i + 1).toDouble)) ++
+      // strictly decreasing mirror: S=-10
+      Seq.tabulate(5)(i => ("down", i, i, (5 - i).toDouble)) ++
+      // all tied: S=0, ties cancel var18 to 0 -> z NULL
+      Seq.tabulate(5)(i => ("flat", i, i, 7.0)) ++
+      // [1,2,2,3]: S=5; tie t=2 -> 18; var18 = 4*3*13 - 18 = 138
+      Seq(("mix", 0, 0, 1.0), ("mix", 1, 1, 2.0), ("mix", 2, 2, 2.0), ("mix", 3, 3, 3.0)) ++
+      // n=2: below the n>=3 floor, must be absent
+      Seq(("tiny", 0, 0, 1.0), ("tiny", 1, 1, 2.0))
+    val got = mk(rows)
+    assert(!got.contains("tiny"))
+    val zUp = 9.0 / math.sqrt(300.0 / 18.0)
+    assert(got("up") == ((5L, 10L, 300L, Some(zUp), "inc")))
+    assert(got("down") == ((5L, -10L, 300L, Some(-zUp), "dec")))
+    assert(got("flat") == ((5L, 0L, 0L, None, "none")))
+    val zMix = 4.0 / math.sqrt(138.0 / 18.0)
+    assert(got("mix") == ((4L, 5L, 138L, Some(zMix), "none")))
+    assert(zMix < 1.96 && zUp > 1.96, "the chosen series must straddle the bar")
+  }
+
+  test("input row order cannot change the result; tied order keys sort by the tie column") {
+    // (o=1, tie=0, v=9) must precede (o=1, tie=1, v=1) regardless of
+    // arrival order — S counts the pair as decreasing
+    val base = Seq(("k", 0, 0, 5.0), ("k", 1, 0, 9.0), ("k", 1, 1, 1.0))
+    val a = mk(base)
+    val b = mk(base.reverse)
+    assert(a == b)
+    // pairs: (5,9)+1, (5,1)-1, (9,1)-1 -> S = -1
+    assert(a("k")._2 == -1L)
+  }
+
+  test("NULL keys, orders, ties, and values drop") {
+    val df = Seq(
+      (Some("k"), Some(1), Some(1), Some(1.0)),
+      (Some("k"), Some(2), Some(2), Some(2.0)),
+      (Some("k"), Some(3), Some(3), Some(3.0)),
+      (None, Some(4), Some(4), Some(4.0)),
+      (Some("k"), None, Some(5), Some(5.0)),
+      (Some("k"), Some(6), None, Some(6.0)),
+      (Some("k"), Some(7), Some(7), None)).toDF("k", "o", "tie", "v")
+    val got = Trend.mannKendall(df, Seq("k"), "o", "tie", "v").collect()
+    assert(got.length == 1 && got.head.getLong(1) == 3L)
+  }
+
+  test("sf0.001 catalog query: S bounded by pair count, var positive, labels consistent") {
+    val rows = SparkEntry.queries("q_mann_kendall")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, s) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(s) <= n * (n - 1) / 2, "S bounded by pair count")
+      if (!r.isNullAt(4)) {
+        val z = r.getDouble(4)
+        val expected = if (z > 1.96) "inc" else if (z < -1.96) "dec" else "none"
+        assert(r.getString(5) == expected)
+      } else assert(r.getString(5) == "none")
+    }
+  }
+}
