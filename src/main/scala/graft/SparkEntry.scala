@@ -1071,18 +1071,34 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
         .orderBy("event_id")
     }),
-    "q_event_transitions" -> ((s, dir) => {
+    "q_event_transitions" -> ((s, dir) =>
       // behavioral transition matrix: consecutive event-type pairs per
       // user (lead over a per-user window — partitioned by user, so the
       // sort is per-key, never global), counted corpus-wide
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      snap(s, dir).events
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("next_type", lead(col("event_type"), 1).over(w))
-        .where(col("next_type").isNotNull)
-        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
-        .agg(count(lit(1)).as("n_transitions"))
+      transitionCounts(s, dir).orderBy("from_type", "to_type")),
+    "q_markov" -> ((s, dir) => {
+      // first-order Markov chain over B32's transition counts — ONE
+      // definition (transitionCounts) — with Laplace-smoothed next-
+      // event probabilities: p_smooth = (c+1)/(row_total+K), K = the
+      // observed to_type vocabulary (1-row agg broadcast, the
+      // q_delta_contribution shape). Counts exact BIGINTs; p_raw and
+      // p_smooth are each ONE division of exact ints (unrounded, the
+      // q_gini rule). Only observed (from, to) pairs emit — unseen
+      // pairs' smoothed mass is implied, never materialized (sparse
+      // contract; margins are windows over the AGGREGATED spine).
+      val trans = transitionCounts(s, dir)
+      val wFrom = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+      val k = trans.agg(countDistinct(col("to_type")).as("__k"))
+      trans
+        .withColumn("row_total", sum(col("n_transitions")).over(wFrom))
+        .crossJoin(broadcast(k))
+        .withColumn("p_raw",
+          col("n_transitions").cast("double") / col("row_total").cast("double"))
+        .withColumn("p_smooth",
+          (col("n_transitions") + lit(1L)).cast("double")
+            / (col("row_total") + col("__k")).cast("double"))
+        .select("from_type", "to_type", "n_transitions", "row_total",
+          "p_raw", "p_smooth")
         .orderBy("from_type", "to_type")
     }),
     "q_overlap_join" -> ((s, dir) => {
@@ -1943,6 +1959,49 @@ object SparkEntry {
             .as("trimmed_mean"))
         .orderBy("o_orderpriority")
     }),
+    "q_cramers_v" -> ((s, dir) =>
+      // Cramér's V effect size over B71's priority x status table —
+      // the chi2 TOTAL q_chi_square declined to emit, made hashable by
+      // folding the per-cell contribs in (a, b) order (the B79 logrank
+      // fold protocol); V adds one exact-int division, one division by
+      // the exact min dof, one sqrt — unrounded (Stats.cramersV
+      // scaladoc). Single-row aggregate (EntrySpec exemption).
+      graft.operators.stats.Stats
+        .cramersV(snap(s, dir).orders, "o_orderpriority", "o_orderstatus")),
+    "q_url_blocklist" -> ((s, dir) => {
+      // crawl-hygiene domain blocklist with SUBTREE semantics: a rule
+      // blocks its exact host and every subdomain — the match is an
+      // equi-join of each host's dot-suffixes (<= label count, map-side
+      // generated) against the broadcast rule list, never a per-rule
+      // LIKE scan. Most-specific rule wins via struct max on (length,
+      // rule) — ints-then-strings struct ordering agrees across
+      // engines. Hosts synthesized deterministically from doc_id (the
+      // C54 convention) with enough label depth that subtree vs exact
+      // rules differ.
+      val d = snap(s, dir).documents.where(col("text").isNotNull)
+      val host = concat(
+        lit("h"), (col("doc_id") % 7).cast("string"), lit("."),
+        when(col("doc_id") % 3 === 0, lit("ads"))
+          .when(col("doc_id") % 3 === 1, lit("cdn"))
+          .otherwise(lit("www")),
+        lit(".site"), (col("doc_id") % 5).cast("string"), lit(".com"))
+      val labels = split(host, "\\.")
+      val suffixes = transform(
+        sequence(lit(1), size(labels) - 1),
+        i => array_join(slice(labels, i, size(labels) - i + lit(1)), "."))
+      val rules = s.createDataFrame(Seq(
+        Tuple1("site0.com"), Tuple1("cdn.site0.com"),
+        Tuple1("ads.site2.com"), Tuple1("h3.cdn.site4.com")))
+        .toDF("rule")
+      d.select(col("doc_id"), host.as("host"), explode(suffixes).as("__sfx"))
+        .join(broadcast(rules), col("__sfx") === col("rule"))
+        .groupBy("doc_id", "host")
+        .agg(
+          count(lit(1)).as("n_rules"),
+          max(struct(length(col("rule")).as("l"), col("rule").as("r")))
+            .getField("r").as("block_rule"))
+        .orderBy("doc_id")
+    }),
     "q_standardize" -> ((s, dir) => {
       // per-dimension z-score scaler FIT over the embedding corpus:
       // min/max are exact selections (hash unrounded), moment sums are
@@ -2426,6 +2485,21 @@ object SparkEntry {
   /** DuckDB mirror of [[graft.functions.CosineSim]]: three sequential
     * double folds (list_reduce == Spark's left fold: 0.0+x == x).
     */
+  /** B32/B82's consecutive event-type transition counts — one row per
+    * observed (from_type, to_type) pair (ONE definition, the
+    * bm25RankedSql rule).
+    */
+  private def transitionCounts(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    snap(s, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** The q_fuzzy_vocab / q_vocab_clusters corpus vocabulary — ONE
     * definition (the bm25RankedSql rule): corpus words plus planted
     * deterministic typos from doc_id % 7 (2nd char of the doc's first
@@ -4926,6 +5000,100 @@ object SparkEntry {
         |WHERE o.o_totalprice IS NOT NULL
         |  AND o.o_totalprice >= f.lo AND o.o_totalprice <= f.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q_chi_square cell pipeline verbatim, then the chi2 total as
+    // an (a,b)-ordered list fold (init-less == Spark 0.0-init); V =
+    // one exact-int division + one division by min dof + sqrt
+    "q_cramers_v" ->
+      """WITH obs AS (
+        |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY o_orderpriority, o_orderstatus),
+        |cells AS (
+        |  SELECT ra.o_orderpriority, cb.o_orderstatus,
+        |         coalesce(o.obs, 0) AS obs
+        |  FROM (SELECT DISTINCT o_orderpriority FROM obs) ra
+        |  CROSS JOIN (SELECT DISTINCT o_orderstatus FROM obs) cb
+        |  LEFT JOIN obs o ON o.o_orderpriority = ra.o_orderpriority
+        |               AND o.o_orderstatus = cb.o_orderstatus),
+        |t AS (
+        |  SELECT o_orderpriority, o_orderstatus,
+        |    CAST(obs AS BIGINT) AS observed,
+        |    CAST(SUM(obs) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS row_total,
+        |    CAST(SUM(obs) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS col_total,
+        |    CAST(SUM(obs) OVER () AS BIGINT) AS grand_total
+        |  FROM cells),
+        |e AS (
+        |  SELECT *, CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+        |              / CAST(grand_total AS DOUBLE) AS expected
+        |  FROM t),
+        |x AS (
+        |  SELECT o_orderpriority, o_orderstatus, grand_total,
+        |         (CAST(observed AS DOUBLE) - expected)
+        |           * (CAST(observed AS DOUBLE) - expected) / expected AS contrib
+        |  FROM e),
+        |g AS (
+        |  SELECT CAST(max(grand_total) AS BIGINT) AS n_obs,
+        |         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS r_levels,
+        |         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS c_levels,
+        |         list_reduce(
+        |           list(contrib ORDER BY o_orderpriority, o_orderstatus),
+        |           (a, b) -> a + b) AS chi2
+        |  FROM x)
+        |SELECT n_obs, r_levels, c_levels, chi2,
+        |       least(r_levels - 1, c_levels - 1) AS dof_min,
+        |       CASE WHEN least(r_levels - 1, c_levels - 1) > 0 THEN
+        |         sqrt((chi2 / CAST(n_obs AS DOUBLE))
+        |           / CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE)) END
+        |         AS cramers_v
+        |FROM g""".stripMargin,
+    // B32's transition CTE verbatim + Laplace smoothing: margins are
+    // windows over the aggregated spine, K a 1-row cross join; p_raw /
+    // p_smooth each ONE division of exact BIGINTs (unrounded)
+    "q_markov" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type AS from_type, next_type AS to_type,
+        |         CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM t WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |k AS (SELECT CAST(count(DISTINCT to_type) AS BIGINT) AS kk FROM c),
+        |m AS (
+        |  SELECT *,
+        |         CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+        |           AS row_total
+        |  FROM c)
+        |SELECT from_type, to_type, n_transitions, row_total,
+        |       CAST(n_transitions AS DOUBLE) / CAST(row_total AS DOUBLE) AS p_raw,
+        |       CAST(n_transitions + 1 AS DOUBLE)
+        |         / CAST(row_total + k.kk AS DOUBLE) AS p_smooth
+        |FROM m CROSS JOIN k ORDER BY from_type, to_type""".stripMargin,
+    // dot-suffix explode against the literal rule list (subtree
+    // semantics), most-specific rule via struct max on (len, rule) —
+    // ints-then-strings struct comparison agrees across engines
+    "q_url_blocklist" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'ads'
+        |         WHEN doc_id % 3 = 1 THEN 'cdn' ELSE 'www' END ||
+        |    '.site' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host
+        |  FROM documents WHERE text IS NOT NULL),
+        |sfx AS (
+        |  SELECT doc_id, host,
+        |    unnest(list_transform(range(1, len(string_split(host, '.'))),
+        |      i -> array_to_string(string_split(host, '.')[i:], '.'))) AS s
+        |  FROM d),
+        |rules(rule) AS (VALUES ('site0.com'), ('cdn.site0.com'),
+        |                       ('ads.site2.com'), ('h3.cdn.site4.com')),
+        |hit AS (
+        |  SELECT doc_id, host, rule FROM sfx JOIN rules ON sfx.s = rules.rule)
+        |SELECT doc_id, host, CAST(count(*) AS BIGINT) AS n_rules,
+        |       max({'l': len(rule), 'r': rule}).r AS block_rule
+        |FROM hit GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     // per-dimension scaler fit: DECIMAL(28,12)-exact moment sums (v and
     // the exact <=48-bit double product v*v cast once before summing),
     // min/max exact selections, mean/std rounded at 4; dim explode via

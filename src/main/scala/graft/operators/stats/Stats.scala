@@ -406,6 +406,66 @@ object Stats {
     * AGGREGATED spine (cells ≤ |A|·|B|, a few dozen rows for real
     * categorical columns — the q_drift_ks shape).
     */
+  /** Cramér's V effect size (Cramér 1946) — "HOW associated are these
+    * two categoricals?", the magnitude companion to [[chiSquareCells]]'
+    * per-cell test statistics: V = sqrt((χ²/n) / min(r−1, c−1)) ∈ [0,1].
+    *
+    * The χ² TOTAL is an order-dependent sum of IEEE contributions —
+    * exactly what q_chi_square declined to emit — so it folds over the
+    * (a, b)-sorted GRID-COMPLETED cell array (the logRank protocol:
+    * Spark's 0.0-init `aggregate` == DuckDB's init-less `list_reduce`,
+    * 0.0+x exact; the grid because zero cells contribute E, see below).
+    * Each contribution is the same pinned per-cell sequence the
+    * q_chi_square oracle already hash-matches, so chi2 — and V through
+    * one exact-int division, one division by the exact min, and one
+    * correctly-rounded sqrt — hashes UNROUNDED.
+    *
+    * One row out; the cell list is bounded by the level-count product
+    * (the B73 few-categories contract). Degenerate 1×c / r×1 tables
+    * (min dof = 0) yield NULL v.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // GRID-complete the contingency table before totalling: a zero
+    // cell contributes (0−E)²/E = E to χ², and [[chiSquareCells]]'
+    // observed-cell grain omits it — a perfect-association 2×2 would
+    // understate V as √½ instead of 1 (spec-pinned). Zero cells leave
+    // the margins unchanged, so totals window over the grid safely.
+    val observed = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("observed"))
+    val cells = observed.select(col(aCol)).distinct()
+      .crossJoin(broadcast(observed.select(col(bCol)).distinct()))
+      .join(observed, Seq(aCol, bCol), "left")
+      .na.fill(0L, Seq("observed"))
+      .withColumn("row_total", sum(col("observed")).over(W.partitionBy(col(aCol))))
+      .withColumn("col_total", sum(col("observed")).over(W.partitionBy(col(bCol))))
+      .withColumn("grand_total", sum(col("observed")).over(W.partitionBy()))
+      .withColumn("expected",
+        (col("row_total").cast("double") * col("col_total").cast("double"))
+          / col("grand_total").cast("double"))
+      .withColumn("contrib",
+        (col("observed").cast("double") - col("expected"))
+          * (col("observed").cast("double") - col("expected")) / col("expected"))
+    val agg = cells.agg(
+      array_sort(collect_list(struct(
+        col(aCol).as("a"), col(bCol).as("b"), col("contrib").as("x")))).as("__sp"),
+      countDistinct(col(aCol)).as("r_levels"),
+      countDistinct(col(bCol)).as("c_levels"),
+      max(col("grand_total")).as("n_obs"))
+    val chi2 = aggregate(col("__sp"), lit(0.0),
+      (acc, e) => acc + e.getField("x"))
+    val dof = least(col("r_levels") - 1L, col("c_levels") - 1L)
+    agg
+      .withColumn("chi2", chi2)
+      .withColumn("dof_min", dof)
+      .withColumn("cramers_v",
+        when(col("dof_min") > 0L,
+          sqrt((col("chi2") / col("n_obs").cast("double"))
+            / col("dof_min").cast("double"))))
+      .select("n_obs", "r_levels", "c_levels", "chi2", "dof_min", "cramers_v")
+  }
+
   def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val cells = df.where(col(aCol).isNotNull && col(bCol).isNotNull)

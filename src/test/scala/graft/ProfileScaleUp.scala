@@ -429,6 +429,44 @@ object ProfileScaleUp {
         orders.where(col("o_totalprice").isNotNull)
           .withColumn("copy", expr("o_orderkey div 100000000")),
         Seq("o_custkey", "copy"), "o_orderdate", "o_totalprice")))
+    time("markov transitions (per-user lead + smoothed probabilities)")(
+      force {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val trans = amplifiedEvents
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .where(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n_transitions"))
+        val k = trans.agg(countDistinct(col("to_type")).as("__k"))
+        trans.crossJoin(broadcast(k))
+          .withColumn("p_smooth", (col("n_transitions") + lit(1L)).cast("double")
+            / (col("n_transitions") + col("__k")).cast("double"))
+      })
+    time("cramers v (grid-completed chi2 fold)")(
+      force(graft.operators.stats.Stats.cramersV(
+        orders, "o_orderpriority", "o_orderstatus")))
+    time("url blocklist (suffix explode x broadcast rules)")(
+      force {
+        val host = concat(
+          lit("h"), (col("doc_id") % 7).cast("string"), lit("."),
+          when(col("doc_id") % 3 === 0, lit("ads"))
+            .when(col("doc_id") % 3 === 1, lit("cdn")).otherwise(lit("www")),
+          lit(".site"), (col("doc_id") % 5).cast("string"), lit(".com"))
+        val labels = split(host, "\\.")
+        val suffixes = transform(
+          sequence(lit(1), size(labels) - 1),
+          i => array_join(slice(labels, i, size(labels) - i + lit(1)), "."))
+        val rules = spark.createDataFrame(Seq(
+          Tuple1("site0.com"), Tuple1("cdn.site0.com"),
+          Tuple1("ads.site2.com"), Tuple1("h3.cdn.site4.com"))).toDF("rule")
+        docs.where(col("text").isNotNull)
+          .select(col("doc_id"), host.as("host"), explode(suffixes).as("__sfx"))
+          .join(broadcast(rules), col("__sfx") === col("rule"))
+          .groupBy("doc_id", "host")
+          .agg(count(lit(1)).as("n_rules"))
+      })
     time("trimmed mean (exact fences + decimal mean)")(
       force {
         val o = orders.where(col("o_totalprice").isNotNull)
