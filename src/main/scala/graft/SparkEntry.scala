@@ -2002,6 +2002,42 @@ object SparkEntry {
             .getField("r").as("block_rule"))
         .orderBy("doc_id")
     }),
+    "q_novelty" -> ((s, dir) =>
+      // first-occurrence shingle novelty (Novelty scaladoc): the
+      // collage-of-old-paragraphs signal exact/near dedup both miss.
+      // C36's shingle convention verbatim => the proven fullsets CTE
+      // mirrors it; novelty = ONE exact-int division (unrounded).
+      graft.operators.text.Novelty
+        .firstOccurrenceNovelty(snap(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")),
+    "q_embedding_outliers" -> ((s, dir) => {
+      // corpus-centroid outlier screen: bottom-25 vectors by cosine to
+      // the EXACT per-dim mean centroid — C58's fit supplies the means
+      // (round-4 doubles both engines hash-match), the centroid array
+      // assembles in dim order, and the cosine is the sequential
+      // index-order fold (Spark 0.0-init aggregate == DuckDB init-less
+      // list_reduce == the cosSql convention), rounded 4 with the
+      // unique vec_id tiebreak. 1-row centroid broadcast; one global
+      // top-k (TakeOrderedAndProject), never a full sort.
+      val emb = snap(s, dir).embeddings
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+      val cent = graft.operators.ann.Standardize.fit(emb, "embedding", 64)
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("mean")))),
+          e => e.getField("mean")).as("__c"))
+      def dot(a: Column, b: Column): Column = aggregate(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      emb.crossJoin(broadcast(cent))
+        .select(
+          col("vec_id"), col("label"),
+          round(
+            dot(col("embedding"), col("__c"))
+              / (sqrt(dot(col("embedding"), col("embedding")))
+                * sqrt(dot(col("__c"), col("__c")))), 4).as("cos_centroid"))
+        .orderBy(col("cos_centroid").asc, col("vec_id").asc)
+        .limit(25)
+    }),
     "q_standardize" -> ((s, dir) => {
       // per-dimension z-score scaler FIT over the embedding corpus:
       // min/max are exact selections (hash unrounded), moment sums are
@@ -5094,6 +5130,48 @@ object SparkEntry {
         |SELECT doc_id, host, CAST(count(*) AS BIGINT) AS n_rules,
         |       max({'l': len(rule), 'r': rule}).r AS block_rule
         |FROM hit GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // the C36 fullsets shingle CTE verbatim; first = min doc id per
+    // shingle; novelty = ONE division of exact BIGINTs (unrounded)
+    "q_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |           FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) >= 5
+        |         THEN list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))
+        |         ELSE [array_to_string(ws, ' ')] END) AS ss
+        |  FROM w),
+        |sh AS (SELECT doc_id, unnest(ss) AS s FROM f),
+        |fst AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+        |SELECT sh.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(count(*) FILTER (WHERE fst.first_doc = sh.doc_id) AS BIGINT)
+        |         AS n_novel,
+        |       CAST(count(*) FILTER (WHERE fst.first_doc = sh.doc_id) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM sh JOIN fst ON sh.s = fst.s
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    // centroid = the q_standardize mean CTE (round-4 doubles both
+    // engines share) assembled in dim order; cosine = the cosSql
+    // sequential fold; bottom-25 by (cos, vec_id)
+    "q_embedding_outliers" -> {
+      val cos = cosSql("embedding", "c.cent")
+      s"""WITH x AS (
+        |  SELECT unnest(list_transform(embedding,
+        |           (v, i) -> {'d': i, 'v': CAST(v AS DOUBLE)})) AS u
+        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |l AS (SELECT CAST(u.d AS INT) AS dim, u.v AS v FROM x),
+        |s AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(v AS DECIMAL(28,12))) AS sx
+        |  FROM l GROUP BY dim),
+        |m AS (SELECT dim, ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean
+        |      FROM s),
+        |c AS (SELECT list(mean ORDER BY dim) AS cent FROM m)
+        |SELECT vec_id, label, ROUND($cos, 4) AS cos_centroid
+        |FROM embeddings CROSS JOIN c
+        |WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |ORDER BY cos_centroid, vec_id LIMIT 25""".stripMargin
+    },
     // per-dimension scaler fit: DECIMAL(28,12)-exact moment sums (v and
     // the exact <=48-bit double product v*v cast once before summing),
     // min/max exact selections, mean/std rounded at 4; dim explode via

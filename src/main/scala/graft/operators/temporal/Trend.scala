@@ -44,6 +44,50 @@ object Trend {
     * total (the Cusum/Ema tiebreak rule). Rows with a NULL key, order,
     * tie, or value are dropped.
     */
+  /** Per-key bounded-series state for streaming maintenance (D22, the
+    * D21 shape): one row per key carrying the collected (o, t, v)
+    * array. Merging is MULTISET union — [[mannKendallFromState]] sorts
+    * before computing, so microbatch arrival order is immaterial
+    * (unordered contract, unlike D20's time-partitioned CUSUM). State
+    * size is the series itself: the bounded-series contract bounds it.
+    */
+  def seriesState(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val g = keyCols.map(col)
+    df.where(
+      (g.map(_.isNotNull) ++ Seq(col(orderCol).isNotNull,
+        col(tieCol).isNotNull, col(valueCol).isNotNull)).reduce(_ && _))
+      .groupBy(g: _*)
+      .agg(collect_list(struct(
+        col(orderCol).as("o"), col(tieCol).as("t"),
+        col(valueCol).cast("double").as("v"))).as("series"))
+  }
+
+  /** Multiset merge of two [[seriesState]]s (associative, commutative). */
+  def mergeSeriesState(a: DataFrame, b: DataFrame): DataFrame = {
+    val keys = a.columns.filterNot(_ == "series")
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(flatten(collect_list(col("series"))).as("series"))
+  }
+
+  /** [[mannKendall]] recomputed from carried state — explodes the
+    * series back to rows and runs the identical computation, so
+    * state-maintained == one-shot EXACTLY (D22 spec). */
+  def mannKendallFromState(state: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val g = keyCols.map(col)
+    val rows = state
+      .select(g :+ explode(col("series")).as("__e"): _*)
+      .select(g ++ Seq(col("__e.o").as("__o"), col("__e.t").as("__t"),
+        col("__e.v").as("__v")): _*)
+    mannKendall(rows, keyCols, "__o", "__t", "__v")
+  }
+
   def mannKendall(
       df: DataFrame,
       keyCols: Seq[String],

@@ -1,0 +1,57 @@
+package graft.operators.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** First-occurrence n-gram novelty — the memorization/staleness signal
+  * a curation pipeline scores ingestion batches with: what fraction of
+  * a document's shingles has the corpus (in id order) never seen
+  * before? A near-1 score is fresh content; near-0 is a reshuffle of
+  * existing text that exact and near dedup may both miss (C1 needs
+  * byte equality, C2 needs high WHOLE-document Jaccard — a collage of
+  * old paragraphs defeats both).
+  *
+  * Shingles are the C36 convention VERBATIM (word 5-grams of the
+  * lowercased text, whole text when shorter, distinct per doc), so the
+  * oracle reuses the proven fullsets CTE. "First" = the minimum doc id
+  * carrying the shingle — deterministic and incremental (a standing
+  * (shingle, first_doc) table maintains under appends by min-merge,
+  * the IncrementalAgg argument).
+  *
+  * Scale shape: one partial agg to the (shingle → min id) spine and
+  * one slim join back — both keyed by the shingle; nothing at corpus
+  * grain crosses the exchange twice. The STRING-keyed form is the
+  * oracle-able one; at corpus scale the shuffle key slims to
+  * [[graft.functions.GraftFunctions.shingleHashes]] (the C2 path) with
+  * identical semantics modulo hash collisions.
+  *
+  * `novelty` = ONE division of exact BIGINTs — unrounded (q_gini rule).
+  */
+object Novelty {
+
+  /** One row per document: (idCol, n_shingles, n_novel, novelty).
+    * NULL-text rows drop; `idCol` must be unique (it is the tiebreak
+    * that decides which of two equal-content docs is "first").
+    */
+  def firstOccurrenceNovelty(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val ws = split(lower(col(textCol)), " ")
+    val shingles = array_distinct(
+      when(size(ws) >= 5,
+        transform(sequence(lit(1), size(ws) - 4),
+          i => array_join(slice(ws, i, lit(5)), " ")))
+        .otherwise(array(array_join(ws, " "))))
+    val sh = df.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(shingles).as("__s"))
+    val first = sh.groupBy(col("__s")).agg(min(col(idCol)).as("__first"))
+    sh.join(first, "__s")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
+}

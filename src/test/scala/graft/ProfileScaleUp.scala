@@ -467,6 +467,27 @@ object ProfileScaleUp {
           .groupBy("doc_id", "host")
           .agg(count(lit(1)).as("n_rules"))
       })
+    time("novelty (shingle -> first-doc spine + join back)")(
+      force(graft.operators.text.Novelty
+        .firstOccurrenceNovelty(docs, "doc_id", "text")))
+    time("embedding outliers (centroid broadcast + cosine top-k)")(
+      force {
+        val embOk = emb.where(col("embedding").isNotNull && size(col("embedding")) === 64)
+        val cent = graft.operators.ann.Standardize.fit(embOk, "embedding", 64)
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim"), col("mean")))),
+            e => e.getField("mean")).as("__c"))
+        def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(
+            zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, x) => acc + x)
+        embOk.crossJoin(broadcast(cent))
+          .select(col("vec_id"),
+            round(dot(col("embedding"), col("__c"))
+              / (sqrt(dot(col("embedding"), col("embedding")))
+                * sqrt(dot(col("__c"), col("__c")))), 4).as("cos_centroid"))
+          .orderBy(col("cos_centroid").asc, col("vec_id").asc).limit(25)
+      })
     time("trimmed mean (exact fences + decimal mean)")(
       force {
         val o = orders.where(col("o_totalprice").isNotNull)

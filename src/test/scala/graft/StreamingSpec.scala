@@ -752,6 +752,45 @@ class StreamingSpec extends SparkSpecBase {
       curve(subj(batchDf)).collect().map(_.toString).sorted.toSeq)
   }
 
+  test("streaming trend state: merged bounded-series state reproduces the batch Mann-Kendall (D22)") {
+    // D22: B78's trend test maintained under streaming ingestion — the
+    // D21 shape. State = the per-key series itself (bounded by the
+    // bounded-series contract); merge = multiset union, so UNORDERED
+    // microbatches are fine (mannKendallFromState sorts); the recompute
+    // from merged state must equal the one-shot batch test EXACTLY.
+    import graft.operators.temporal.Trend
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Trend.seriesState(df, Seq("user_id"), "ts", "event_id", "value")
+    val dir = Files.createTempDirectory("graft_trend_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).events.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val next = st match {
+          case None => state(batch)
+          case Some(prev) => Trend.mergeSeriesState(prev, state(batch))
+        }
+        st = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val streamed = canon(Trend.mannKendallFromState(st.get, Seq("user_id")))
+    val oneShot = canon(Trend.mannKendall(
+      batchDf, Seq("user_id"), "ts", "event_id", "value"))
+    assert(streamed.nonEmpty && streamed == oneShot)
+  }
+
   test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
     // the production ingestion shape: a document stream anti-joined
     // against the static content-hash index of the existing corpus —
