@@ -2038,6 +2038,49 @@ object SparkEntry {
         .orderBy(col("cos_centroid").asc, col("vec_id").asc)
         .limit(25)
     }),
+    "q_growth_accounting" -> ((s, dir) =>
+      // monthly MAU decomposition (Growth scaladoc): new / retained /
+      // resurrected per active month, churned into the month after the
+      // last consecutive active one. Month arithmetic on an exact
+      // INTEGER month index (never DATE + INTERVAL — result types
+      // differ across engines); all counts exact BIGINTs.
+      graft.operators.temporal.Growth
+        .monthlyAccounting(snap(s, dir).events, "user_id", "ts")
+        .orderBy("month")),
+    "q_lorenz" -> ((s, dir) => {
+      // 100-bucket Lorenz curve of customer revenue — the distribution
+      // table behind B56's gini: percentile buckets via the B23
+      // boundary-broadcast ntile (unique custkey tiebreak), per-bucket
+      // DECIMAL-exact sums, running share over the 100-row aggregated
+      // spine. Shares round 4: the corpus revenue total crosses the
+      // 2^53-millionths conversion line (the TWA lesson).
+      val cust = snap(s, dir).orders
+        .where(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+        .groupBy("o_custkey")
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+      val bucketed = graft.operators.quantile.Quantiles
+        .withNtile(cust, "revenue", "o_custkey", 100, "pctile")
+      val spine = bucketed.groupBy("pctile")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("revenue").cast(graft.functions.ExactMath.ValueDecimal))
+            .as("__rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("pctile")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy()
+      spine
+        .withColumn("__cum", sum(col("__rev")).over(w))
+        .withColumn("__tot", sum(col("__rev")).over(wAll))
+        .select(
+          col("pctile"), col("n_customers"),
+          round(col("__rev").cast("double") / col("__tot").cast("double"), 4)
+            .as("bucket_share"),
+          round(col("__cum").cast("double") / col("__tot").cast("double"), 4)
+            .as("cum_share"))
+        .orderBy("pctile")
+    }),
     "q_standardize" -> ((s, dir) => {
       // per-dimension z-score scaler FIT over the embedding corpus:
       // min/max are exact selections (hash unrounded), moment sums are
@@ -5172,6 +5215,67 @@ object SparkEntry {
         |WHERE embedding IS NOT NULL AND len(embedding) = 64
         |ORDER BY cos_centroid, vec_id LIMIT 25""".stripMargin
     },
+    // exact integer month-index arithmetic (never DATE + INTERVAL);
+    // churn bounded by the corpus max month; all counts exact
+    "q_growth_accounting" ->
+      """WITH um AS (
+        |  SELECT DISTINCT user_id, year(ts) * 12 + month(ts) - 1 AS mi
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (
+        |  SELECT user_id, mi,
+        |         lag(mi) OVER (PARTITION BY user_id ORDER BY mi) AS prev_mi,
+        |         lead(mi) OVER (PARTITION BY user_id ORDER BY mi) AS next_mi
+        |  FROM um),
+        |mx AS (SELECT max(mi) AS max_mi FROM um),
+        |cls AS (
+        |  SELECT mi, CASE WHEN prev_mi IS NULL THEN 'new'
+        |                  WHEN prev_mi = mi - 1 THEN 'retained'
+        |                  ELSE 'resurrected' END AS kind
+        |  FROM l
+        |  UNION ALL
+        |  SELECT mi + 1 AS mi, 'churned' AS kind
+        |  FROM l CROSS JOIN mx
+        |  WHERE mi < max_mi AND (next_mi IS NULL OR next_mi > mi + 1)),
+        |a AS (
+        |  SELECT mi,
+        |    CAST(count(*) FILTER (WHERE kind = 'new') AS BIGINT) AS n_new,
+        |    CAST(count(*) FILTER (WHERE kind = 'retained') AS BIGINT) AS n_retained,
+        |    CAST(count(*) FILTER (WHERE kind = 'resurrected') AS BIGINT)
+        |      AS n_resurrected,
+        |    CAST(count(*) FILTER (WHERE kind = 'churned') AS BIGINT) AS n_churned
+        |  FROM cls GROUP BY mi)
+        |SELECT make_date(mi // 12, mi % 12 + 1, 1) AS month,
+        |       n_new, n_retained, n_resurrected, n_churned
+        |FROM a ORDER BY month""".stripMargin,
+    // the B23 ntile parity (value, unique-tiebreak ordering) at 100
+    // buckets; per-bucket decimal-exact sums; shares round 4 (the
+    // corpus total crosses the 2^53-millionths conversion line)
+    "q_lorenz" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT revenue,
+        |         CAST(ntile(100) OVER (ORDER BY revenue, o_custkey) AS BIGINT)
+        |           AS pctile
+        |  FROM c),
+        |s AS (
+        |  SELECT pctile, CAST(count(*) AS BIGINT) AS n_customers,
+        |         SUM(CAST(revenue AS DECIMAL(18,6))) AS rev
+        |  FROM b GROUP BY 1),
+        |w AS (
+        |  SELECT *,
+        |         SUM(rev) OVER (ORDER BY pctile
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(rev) OVER () AS tot
+        |  FROM s)
+        |SELECT pctile, n_customers,
+        |       round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS bucket_share,
+        |       round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS cum_share
+        |FROM w ORDER BY pctile""".stripMargin,
     // per-dimension scaler fit: DECIMAL(28,12)-exact moment sums (v and
     // the exact <=48-bit double product v*v cast once before summing),
     // min/max exact selections, mean/std rounded at 4; dim explode via

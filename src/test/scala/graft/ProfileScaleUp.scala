@@ -488,6 +488,21 @@ object ProfileScaleUp {
                 * sqrt(dot(col("__c"), col("__c")))), 4).as("cos_centroid"))
           .orderBy(col("cos_centroid").asc, col("vec_id").asc).limit(25)
       })
+    time("growth accounting (distinct user-month + windows)")(
+      force(graft.operators.temporal.Growth
+        .monthlyAccounting(amplifiedEvents, "user_id", "ts")))
+    time("lorenz curve (customer agg + ntile(100) + running share)")(
+      force {
+        val cust = orders
+          .where(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+          .groupBy("o_custkey")
+          .agg(graft.functions.ExactMath.dsum(col("o_totalprice")).as("revenue"))
+        graft.operators.quantile.Quantiles
+          .withNtile(cust, "revenue", "o_custkey", 100, "pctile")
+          .groupBy("pctile")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("revenue").cast(graft.functions.ExactMath.ValueDecimal)).as("rev"))
+      })
     time("trimmed mean (exact fences + decimal mean)")(
       force {
         val o = orders.where(col("o_totalprice").isNotNull)
