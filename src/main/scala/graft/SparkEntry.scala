@@ -2047,6 +2047,44 @@ object SparkEntry {
       graft.operators.temporal.Growth
         .monthlyAccounting(snap(s, dir).events, "user_id", "ts")
         .orderBy("month")),
+    "q_cohort_ltv" -> ((s, dir) => {
+      // cohort lifetime-value table: users by first-active month, per
+      // (cohort, age) active counts + purchase revenue + running
+      // cumulative LTV per cohort user — B31 retention's revenue twin.
+      // Month math on B84's exact integer index; revenue DECIMAL-exact
+      // end to end (cum stays decimal through the window; totals are
+      // ~1e12 millionths, far inside 2^53, so the final double
+      // conversions are exact and ltv_per_user's ONE division hashes
+      // UNROUNDED — the q_gini rule). Cohort sizes broadcast (months-
+      // count grain); the running window rides the AGGREGATED spine.
+      val V = graft.functions.ExactMath.ValueDecimal
+      val W = org.apache.spark.sql.expressions.Window
+      val um = snap(s, dir).events
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"),
+          (year(col("ts")) * 12 + month(col("ts")) - 1).as("__mi"))
+        .agg(sum(when(col("event_type") === "purchase",
+          coalesce(col("value"), lit(0.0))).otherwise(lit(0.0)).cast(V)).as("__rev"))
+      val spine = um
+        .withColumn("__cohort", min(col("__mi")).over(W.partitionBy("user_id")))
+        .groupBy(col("__cohort"), (col("__mi") - col("__cohort")).as("age"))
+        .agg(count(lit(1)).as("n_active"), sum(col("__rev")).as("__r"))
+      val sizes = spine.where(col("age") === 0)
+        .select(col("__cohort"), col("n_active").as("n_cohort"))
+      val wC = W.partitionBy("__cohort").orderBy("age")
+        .rowsBetween(W.unboundedPreceding, 0)
+      spine.join(broadcast(sizes), "__cohort")
+        .withColumn("__cum", sum(col("__r")).over(wC))
+        .select(
+          make_date(expr("__cohort div 12"), col("__cohort") % 12 + 1, lit(1))
+            .as("cohort_month"),
+          col("age"), col("n_cohort"), col("n_active"),
+          col("__r").cast("double").as("revenue"),
+          col("__cum").cast("double").as("cum_revenue"),
+          (col("__cum").cast("double") / col("n_cohort").cast("double"))
+            .as("ltv_per_user"))
+        .orderBy("cohort_month", "age")
+    }),
     "q_lorenz" -> ((s, dir) => {
       // 100-bucket Lorenz curve of customer revenue — the distribution
       // table behind B56's gini: percentile buckets via the B23
@@ -5247,6 +5285,33 @@ object SparkEntry {
         |SELECT make_date(mi // 12, mi % 12 + 1, 1) AS month,
         |       n_new, n_retained, n_resurrected, n_churned
         |FROM a ORDER BY month""".stripMargin,
+    // decimal-exact revenue end to end; exact integer month index;
+    // ltv = one division of exact-converted values (unrounded)
+    "q_cohort_ltv" ->
+      """WITH um AS (
+        |  SELECT user_id, year(ts) * 12 + month(ts) - 1 AS mi,
+        |         SUM(CAST(CASE WHEN event_type = 'purchase'
+        |                       THEN coalesce(value, 0.0)
+        |                       ELSE 0.0 END AS DECIMAL(18,6))) AS rev
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |c AS (SELECT *, min(mi) OVER (PARTITION BY user_id) AS cohort FROM um),
+        |s AS (
+        |  SELECT cohort, mi - cohort AS age,
+        |         CAST(count(*) AS BIGINT) AS n_active, SUM(rev) AS r
+        |  FROM c GROUP BY 1, 2),
+        |z AS (SELECT cohort, n_active AS n_cohort FROM s WHERE age = 0),
+        |w AS (
+        |  SELECT s.*, z.n_cohort,
+        |         SUM(s.r) OVER (PARTITION BY s.cohort ORDER BY s.age
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s JOIN z ON s.cohort = z.cohort)
+        |SELECT make_date(cohort // 12, cohort % 12 + 1, 1) AS cohort_month,
+        |       CAST(age AS INT) AS age, n_cohort, n_active,
+        |       CAST(r AS DOUBLE) AS revenue,
+        |       CAST(cum AS DOUBLE) AS cum_revenue,
+        |       CAST(cum AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS ltv_per_user
+        |FROM w ORDER BY cohort_month, age""".stripMargin,
     // the B23 ntile parity (value, unique-tiebreak ordering) at 100
     // buckets; per-bucket decimal-exact sums; shares round 4 (the
     // corpus total crosses the 2^53-millionths conversion line)

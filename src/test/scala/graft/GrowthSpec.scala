@@ -57,6 +57,33 @@ class GrowthSpec extends SparkSpecBase {
     assert(rows.length >= mau.size)
   }
 
+  test("sf0.001 q_cohort_ltv: cohort identities and running-sum consistency") {
+    val rows = SparkEntry.queries("q_cohort_ltv")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getDate(0).toString)
+    byCohort.foreach { case (cohort, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.head.getInt(1) == 0, s"$cohort must have an age-0 row")
+      val nCohort = sorted.head.getLong(2)
+      assert(sorted.head.getLong(3) == nCohort, "age-0 actives ARE the cohort")
+      assert(sorted.forall(_.getLong(2) == nCohort))
+      assert(sorted.forall(r => r.getLong(3) <= nCohort), "active never exceeds the cohort")
+      // cum re-adds the per-age revenues; ltv is cum / size exactly
+      var acc = BigDecimal(0)
+      sorted.foreach { r =>
+        acc += BigDecimal(r.getDouble(4))
+        assert(math.abs(r.getDouble(5) - acc.toDouble) < 1e-6,
+          s"$cohort age ${r.getInt(1)} cum")
+        assert(r.getDouble(6) == r.getDouble(5) / nCohort.toDouble)
+      }
+    }
+    // cohort sizes re-add to the distinct user universe
+    val nUsers = sources.Snapshot(spark, sf()).events
+      .where($"user_id".isNotNull && $"ts".isNotNull)
+      .select("user_id").distinct().count()
+    assert(byCohort.values.map(_.head.getLong(2)).sum == nUsers)
+  }
+
   test("sf0.001 q_lorenz: 100 buckets, cumulative share reaches exactly 1, customers re-add") {
     val rows = SparkEntry.queries("q_lorenz")(spark, sf()).collect()
     assert(rows.length == 100)

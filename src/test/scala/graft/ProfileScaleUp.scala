@@ -503,6 +503,20 @@ object ProfileScaleUp {
           .agg(count(lit(1)).as("n_customers"),
             sum(col("revenue").cast(graft.functions.ExactMath.ValueDecimal)).as("rev"))
       })
+    time("cohort ltv (user-month agg + cohort windows)")(
+      force {
+        val V = graft.functions.ExactMath.ValueDecimal
+        val W = org.apache.spark.sql.expressions.Window
+        val um = amplifiedEvents
+          .where(col("user_id").isNotNull && col("ts").isNotNull)
+          .groupBy(col("user_id"),
+            (year(col("ts")) * 12 + month(col("ts")) - 1).as("mi"))
+          .agg(sum(when(col("event_type") === "purchase",
+            coalesce(col("value"), lit(0.0))).otherwise(lit(0.0)).cast(V)).as("rev"))
+        um.withColumn("cohort", min(col("mi")).over(W.partitionBy("user_id")))
+          .groupBy(col("cohort"), (col("mi") - col("cohort")).as("age"))
+          .agg(count(lit(1)).as("n_active"), sum(col("rev")).as("r"))
+      })
     time("trimmed mean (exact fences + decimal mean)")(
       force {
         val o = orders.where(col("o_totalprice").isNotNull)
