@@ -2043,30 +2043,41 @@ object SparkEntry {
       // resurrected per active month, churned into the month after the
       // last consecutive active one. Month arithmetic on an exact
       // INTEGER month index (never DATE + INTERVAL — result types
-      // differ across engines); all counts exact BIGINTs.
+      // differ across engines); all counts exact BIGINTs. Runs on the
+      // ORDERS log (customers active by order month): the events table
+      // spans ONE month, which would make every class but 'new'
+      // vacuous — orders span 1995–2001, so retention/churn/
+      // resurrection dynamics are all real (spec-pinned nonzero).
       graft.operators.temporal.Growth
-        .monthlyAccounting(snap(s, dir).events, "user_id", "ts")
+        .monthlyAccounting(snap(s, dir).orders, "o_custkey", "o_orderdate")
         .orderBy("month")),
     "q_cohort_ltv" -> ((s, dir) => {
-      // cohort lifetime-value table: users by first-active month, per
-      // (cohort, age) active counts + purchase revenue + running
-      // cumulative LTV per cohort user — B31 retention's revenue twin.
-      // Month math on B84's exact integer index; revenue DECIMAL-exact
-      // end to end (cum stays decimal through the window; totals are
-      // ~1e12 millionths, far inside 2^53, so the final double
-      // conversions are exact and ltv_per_user's ONE division hashes
-      // UNROUNDED — the q_gini rule). Cohort sizes broadcast (months-
-      // count grain); the running window rides the AGGREGATED spine.
+      // cohort lifetime-value table: customers by first-order month,
+      // per (cohort, age) active counts + order revenue + running
+      // cumulative LTV per cohort customer — B31 retention's revenue
+      // twin, on the multi-year ORDERS log (events span one month —
+      // vacuous cohorts, the q_boilerplate lesson). Month math on
+      // B84's exact integer index; revenue DECIMAL-exact through the
+      // cum window and hashed UNROUNDED: every conversion is exact
+      // (the biggest cohort's lifetime revenue measures 4.9e15
+      // millionths at sf0.1, under 2^53 — checked against the data)
+      // and ltv is ONE division of exact operands (q_gini rule).
+      // Rounding ltv at 4 was MEASURABLY WRONG: cents-exact cum / a
+      // small integer cohort lands EXACTLY on round-4 midpoints
+      // (…06625), where Spark's shortest-repr HALF_UP and DuckDB's
+      // binary-value round disagree — the q_autocorr dyadic-quotient
+      // tie, two rows at sf0.001. Cohort sizes broadcast (months-count
+      // grain); the running window rides the AGGREGATED spine.
       val V = graft.functions.ExactMath.ValueDecimal
       val W = org.apache.spark.sql.expressions.Window
-      val um = snap(s, dir).events
-        .where(col("user_id").isNotNull && col("ts").isNotNull)
-        .groupBy(col("user_id"),
-          (year(col("ts")) * 12 + month(col("ts")) - 1).as("__mi"))
-        .agg(sum(when(col("event_type") === "purchase",
-          coalesce(col("value"), lit(0.0))).otherwise(lit(0.0)).cast(V)).as("__rev"))
+      val um = snap(s, dir).orders
+        .where(col("o_custkey").isNotNull && col("o_orderdate").isNotNull &&
+          col("o_totalprice").isNotNull)
+        .groupBy(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("__mi"))
+        .agg(sum(col("o_totalprice").cast(V)).as("__rev"))
       val spine = um
-        .withColumn("__cohort", min(col("__mi")).over(W.partitionBy("user_id")))
+        .withColumn("__cohort", min(col("__mi")).over(W.partitionBy("o_custkey")))
         .groupBy(col("__cohort"), (col("__mi") - col("__cohort")).as("age"))
         .agg(count(lit(1)).as("n_active"), sum(col("__rev")).as("__r"))
       val sizes = spine.where(col("age") === 0)
@@ -2084,6 +2095,57 @@ object SparkEntry {
           (col("__cum").cast("double") / col("n_cohort").cast("double"))
             .as("ltv_per_user"))
         .orderBy("cohort_month", "age")
+    }),
+    "q_session_paths" -> ((s, dir) => {
+      // top-20 behavioral session paths: 30-minute-gap sessionization
+      // via the B36 islands pattern (lag + running start-count, both
+      // per-user windows), then the first 8 event types per session in
+      // (ts, event_id) order joined by '>' — the path-mining view of
+      // the D2 session family. Counts exact; the 20/21 cut is total on
+      // (n_sessions DESC, path). Exact-µs gap compare (funnel lesson:
+      // testdata ts is µs-aligned in both engines).
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val marked = snap(s, dir).events
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_id").isNotNull && col("event_type").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .withColumn("__new",
+          when(col("__prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("__prev")) > 1800000000L,
+            1L).otherwise(0L))
+        .withColumn("__sess",
+          sum(col("__new")).over(w.rowsBetween(W.unboundedPreceding, 0)))
+      marked
+        .groupBy(col("user_id"), col("__sess"))
+        .agg(array_join(
+          slice(
+            transform(
+              array_sort(collect_list(struct(
+                col("ts"), col("event_id"), col("event_type").as("et")))),
+              e => e.getField("et")),
+            1, 8), ">").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc)
+        .limit(20)
+    }),
+    "q_hourly_profile" -> ((s, dir) => {
+      // hour-of-day activity profile per event type: exact counts plus
+      // the within-type share — ONE division of exact BIGINTs
+      // (unrounded, q_gini rule); the margin window rides the
+      // aggregated (type, hour) spine. UTC hour both engines.
+      val W = org.apache.spark.sql.expressions.Window
+      snap(s, dir).events
+        .where(col("event_type").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), hour(col("ts")).as("hour_of_day"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("type_total",
+          sum(col("n_events")).over(W.partitionBy("event_type")))
+        .withColumn("share",
+          col("n_events").cast("double") / col("type_total").cast("double"))
+        .orderBy("event_type", "hour_of_day")
     }),
     "q_lorenz" -> ((s, dir) => {
       // 100-bucket Lorenz curve of customer revenue — the distribution
@@ -5257,8 +5319,9 @@ object SparkEntry {
     // churn bounded by the corpus max month; all counts exact
     "q_growth_accounting" ->
       """WITH um AS (
-        |  SELECT DISTINCT user_id, year(ts) * 12 + month(ts) - 1 AS mi
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |  SELECT DISTINCT o_custkey AS user_id,
+        |         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
         |l AS (
         |  SELECT user_id, mi,
         |         lag(mi) OVER (PARTITION BY user_id ORDER BY mi) AS prev_mi,
@@ -5285,17 +5348,19 @@ object SparkEntry {
         |SELECT make_date(mi // 12, mi % 12 + 1, 1) AS month,
         |       n_new, n_retained, n_resurrected, n_churned
         |FROM a ORDER BY month""".stripMargin,
-    // decimal-exact revenue end to end; exact integer month index;
-    // ltv = one division of exact-converted values (unrounded)
+    // decimal-exact revenue through the cum window; exact integer
+    // month index; revenue/cum/ltv hashed UNROUNDED — conversions are
+    // exact under 2^53 and rounding the cum/n quotient at 4 hit the
+    // q_autocorr dyadic midpoint tie (measured, two sf0.001 rows)
     "q_cohort_ltv" ->
       """WITH um AS (
-        |  SELECT user_id, year(ts) * 12 + month(ts) - 1 AS mi,
-        |         SUM(CAST(CASE WHEN event_type = 'purchase'
-        |                       THEN coalesce(value, 0.0)
-        |                       ELSE 0.0 END AS DECIMAL(18,6))) AS rev
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
         |  GROUP BY 1, 2),
-        |c AS (SELECT *, min(mi) OVER (PARTITION BY user_id) AS cohort FROM um),
+        |c AS (SELECT *, min(mi) OVER (PARTITION BY o_custkey) AS cohort FROM um),
         |s AS (
         |  SELECT cohort, mi - cohort AS age,
         |         CAST(count(*) AS BIGINT) AS n_active, SUM(rev) AS r
@@ -5312,6 +5377,49 @@ object SparkEntry {
         |       CAST(cum AS DOUBLE) AS cum_revenue,
         |       CAST(cum AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS ltv_per_user
         |FROM w ORDER BY cohort_month, age""".stripMargin,
+    // islands sessionization (lag + running start-count), first-8
+    // path via ordered list slice; total (count DESC, path) cut
+    "q_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |                 THEN 1 ELSE 0 END AS nw
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM m),
+        |p AS (
+        |  SELECT user_id, sess,
+        |         array_to_string(list_slice(
+        |           list(event_type ORDER BY ts, event_id), 1, 8), '>') AS path
+        |  FROM s GROUP BY 1, 2),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |      FROM p GROUP BY 1)
+        |SELECT path, n_sessions FROM c
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // exact counts over the (type, hour) spine; share = one division
+    // of exact BIGINTs (unrounded)
+    "q_hourly_profile" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT event_type, hour_of_day, n_events,
+        |       CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+        |         AS type_total,
+        |       CAST(n_events AS DOUBLE)
+        |         / CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
+        |         AS share
+        |FROM b ORDER BY event_type, hour_of_day""".stripMargin,
     // the B23 ntile parity (value, unique-tiebreak ordering) at 100
     // buckets; per-bucket decimal-exact sums; shares round 4 (the
     // corpus total crosses the 2^53-millionths conversion line)

@@ -490,7 +490,7 @@ object ProfileScaleUp {
       })
     time("growth accounting (distinct user-month + windows)")(
       force(graft.operators.temporal.Growth
-        .monthlyAccounting(amplifiedEvents, "user_id", "ts")))
+        .monthlyAccounting(orders, "o_custkey", "o_orderdate")))
     time("lorenz curve (customer agg + ntile(100) + running share)")(
       force {
         val cust = orders
@@ -503,19 +503,39 @@ object ProfileScaleUp {
           .agg(count(lit(1)).as("n_customers"),
             sum(col("revenue").cast(graft.functions.ExactMath.ValueDecimal)).as("rev"))
       })
-    time("cohort ltv (user-month agg + cohort windows)")(
+    time("cohort ltv (customer-month agg + cohort windows)")(
       force {
         val V = graft.functions.ExactMath.ValueDecimal
         val W = org.apache.spark.sql.expressions.Window
-        val um = amplifiedEvents
-          .where(col("user_id").isNotNull && col("ts").isNotNull)
-          .groupBy(col("user_id"),
-            (year(col("ts")) * 12 + month(col("ts")) - 1).as("mi"))
-          .agg(sum(when(col("event_type") === "purchase",
-            coalesce(col("value"), lit(0.0))).otherwise(lit(0.0)).cast(V)).as("rev"))
-        um.withColumn("cohort", min(col("mi")).over(W.partitionBy("user_id")))
+        val um = orders
+          .where(col("o_custkey").isNotNull && col("o_orderdate").isNotNull &&
+            col("o_totalprice").isNotNull)
+          .groupBy(col("o_custkey"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("mi"))
+          .agg(sum(col("o_totalprice").cast(V)).as("rev"))
+        um.withColumn("cohort", min(col("mi")).over(W.partitionBy("o_custkey")))
           .groupBy(col("cohort"), (col("mi") - col("cohort")).as("age"))
           .agg(count(lit(1)).as("n_active"), sum(col("rev")).as("r"))
+      })
+    time("session paths (islands windows + path agg)")(
+      force {
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        amplifiedEvents
+          .where(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("event_id").isNotNull && col("event_type").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("nw", when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
+            .otherwise(0L))
+          .withColumn("sess", sum(col("nw")).over(w.rowsBetween(W.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(array_join(slice(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type").as("et")))),
+            e => e.getField("et")), 1, 8), ">").as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_sessions"))
       })
     time("trimmed mean (exact fences + decimal mean)")(
       force {

@@ -64,6 +64,39 @@ class TransitionAndHygieneSpec extends SparkSpecBase {
     assert(rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap == b32)
   }
 
+  test("sf0.001 q_session_paths: bounded top-k, ordered cut, segments from the type vocabulary") {
+    val rows = SparkEntry.queries("q_session_paths")(spark, sf()).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, "count-desc order")
+    val types = sources.Snapshot(spark, sf()).events
+      .where($"event_type".isNotNull)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      val segs = r.getString(0).split('>')
+      assert(segs.nonEmpty && segs.length <= 8, s"path capped at 8: ${r.getString(0)}")
+      assert(segs.forall(types), s"unknown segment in ${r.getString(0)}")
+      assert(r.getLong(1) >= 1L)
+    }
+  }
+
+  test("sf0.001 q_hourly_profile: shares re-add per type; totals re-add to the corpus") {
+    val rows = SparkEntry.queries("q_hourly_profile")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getInt(1)
+      assert(h >= 0 && h <= 23)
+      assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(3).toDouble)
+    }
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      assert(math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-12, s"$t shares")
+      assert(rs.map(_.getLong(2)).sum == rs.head.getLong(3), s"$t total")
+    }
+    val nEvents = sources.Snapshot(spark, sf()).events
+      .where($"event_type".isNotNull && $"ts".isNotNull).count()
+    assert(rows.map(_.getLong(2)).sum == nEvents)
+  }
+
   test("sf0.001 q_url_blocklist: complete and exact vs a re-derivation from doc ids") {
     val rows = SparkEntry.queries("q_url_blocklist")(spark, sf()).collect()
     assert(rows.nonEmpty)
