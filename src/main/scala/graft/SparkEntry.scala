@@ -4951,30 +4951,37 @@ object SparkEntry {
         |ORDER BY word""".stripMargin,
     // the Standardize decimal-moment protocol at dim-PAIR grain; the
     // cov/corr IEEE sequence mirrors CorrMatrix exactly (one sqrt of
-    // the variance PRODUCT, clamps before it)
+    // the variance PRODUCT, clamps before it). Driver-red in r10 with
+    // margins audited > 1.3e-7, so the old form's build-sensitive
+    // constructs are GONE: the pair grid is a range cross-join (no
+    // nested lambdas, no struct literals — the probed DuckDB
+    // struct-in-lambda hazard class), and rounding is the floor
+    // formula (ExactMath.hashRound), bit-identical on any build
     "q_corr_matrix" ->
-      """WITH x AS (
-        |  SELECT flatten(list_transform(range(1, 17), i ->
-        |    list_transform(range(i, 17), j ->
-        |      {'i': i, 'j': j,
-        |       'x': CAST(embedding[i] AS DOUBLE),
-        |       'y': CAST(embedding[j] AS DOUBLE)}))) AS ps
-        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64),
-        |u AS (SELECT unnest(ps) AS p FROM x),
+      """WITH g AS (
+        |  SELECT CAST(a.range AS INT) AS dim_i, CAST(b.range AS INT) AS dim_j
+        |  FROM range(1, 17) a, range(1, 17) b WHERE b.range >= a.range),
+        |u AS (
+        |  SELECT g.dim_i, g.dim_j,
+        |         CAST(e.embedding[g.dim_i] AS DOUBLE) AS x,
+        |         CAST(e.embedding[g.dim_j] AS DOUBLE) AS y
+        |  FROM embeddings e, g
+        |  WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64),
         |s AS (
-        |  SELECT CAST(p.i AS INT) AS dim_i, CAST(p.j AS INT) AS dim_j,
+        |  SELECT dim_i, dim_j,
         |         CAST(count(*) AS BIGINT) AS n_vec,
-        |         SUM(CAST(p.x AS DECIMAL(28,12))) AS sx,
-        |         SUM(CAST(p.y AS DECIMAL(28,12))) AS sy,
-        |         SUM(CAST(p.x * p.x AS DECIMAL(28,12))) AS sxx,
-        |         SUM(CAST(p.y * p.y AS DECIMAL(28,12))) AS syy,
-        |         SUM(CAST(p.x * p.y AS DECIMAL(28,12))) AS sxy
+        |         SUM(CAST(x AS DECIMAL(28,12))) AS sx,
+        |         SUM(CAST(y AS DECIMAL(28,12))) AS sy,
+        |         SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx,
+        |         SUM(CAST(y * y AS DECIMAL(28,12))) AS syy,
+        |         SUM(CAST(x * y AS DECIMAL(28,12))) AS sxy
         |  FROM u GROUP BY 1, 2)
         |SELECT dim_i, dim_j, n_vec,
-        |  ROUND(CAST(sxy AS DOUBLE) / CAST(n_vec AS DOUBLE)
+        |  floor((CAST(sxy AS DOUBLE) / CAST(n_vec AS DOUBLE)
         |    - (CAST(sx AS DOUBLE) / CAST(n_vec AS DOUBLE))
-        |      * (CAST(sy AS DOUBLE) / CAST(n_vec AS DOUBLE)), 4) AS cov,
-        |  ROUND(CASE WHEN
+        |      * (CAST(sy AS DOUBLE) / CAST(n_vec AS DOUBLE))) * 10000.0 + 0.5)
+        |    / 10000.0 AS cov,
+        |  floor((CASE WHEN
         |      greatest(CAST(sxx AS DOUBLE) / CAST(n_vec AS DOUBLE)
         |        - (CAST(sx AS DOUBLE) / CAST(n_vec AS DOUBLE))
         |          * (CAST(sx AS DOUBLE) / CAST(n_vec AS DOUBLE)), 0.0) > 0.0
@@ -4991,7 +4998,7 @@ object SparkEntry {
         |        * greatest(CAST(syy AS DOUBLE) / CAST(n_vec AS DOUBLE)
         |          - (CAST(sy AS DOUBLE) / CAST(n_vec AS DOUBLE))
         |            * (CAST(sy AS DOUBLE) / CAST(n_vec AS DOUBLE)), 0.0))
-        |    END, 4) AS corr
+        |    END) * 10000.0 + 0.5) / 10000.0 AS corr
         |FROM s ORDER BY dim_i, dim_j""".stripMargin,
     // S / var_s18 exact BIGINTs over the (o_orderdate, o_orderkey)-
     // sorted series; z = exact-int conversions + /18.0 + sqrt + one

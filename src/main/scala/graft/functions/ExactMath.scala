@@ -32,4 +32,24 @@ object ExactMath {
     */
   def dmean(c: Column): Column =
     (sum(c.cast(ComponentDecimal)) / count(lit(1))).cast("double")
+
+  /** Build-portable fixed-digit rounding for oracle-hashed doubles:
+    * floor(x·10^d + 0.5) / 10^d. Every step is a correctly-rounded IEEE
+    * op, so two engines holding the SAME double produce the same rounded
+    * double on ANY build. Spark's `round()` (HALF_UP on the shortest
+    * decimal repr) and DuckDB's `round()` (round-on-binary-value, and
+    * build-dependent) can disagree when a value's shortest repr lands
+    * exactly on a half boundary — the q_cohort_ltv incident class; this
+    * formula has no such seam (exact binary midpoints round toward +inf,
+    * identically in both engines). Mirror in SQL as
+    * `floor(x * 1e<d> + 0.5) / 1e<d>`. Requires |x|·10^d < 2^53; the
+    * residual risk — the engines arriving with doubles an ulp apart that
+    * straddle an integer boundary of x·10^d + 0.5 — is what the
+    * MarginAuditSpec boundary audits guard.
+    */
+  def hashRound(c: Column, digits: Int): Column = {
+    require(digits >= 1 && digits <= 9, s"hashRound digits out of range: $digits")
+    val s = math.pow(10, digits) // exact double for digits <= 9
+    floor(c * lit(s) + lit(0.5)).cast("double") / lit(s)
+  }
 }

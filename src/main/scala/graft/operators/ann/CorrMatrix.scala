@@ -31,12 +31,12 @@ import org.apache.spark.sql.types.DecimalType
   */
 object CorrMatrix {
 
-  /** One row per 1-based dimension pair i ≤ j of `embCol`'s first
-    * `maxDim` coordinates: (dim_i, dim_j, n_vec, cov, corr). Vectors
-    * not exactly `dim` long, or NULL, are dropped (the embedding-audit
-    * contract counts them).
+  /** The five sufficient statistics per dimension pair, exposed so the
+    * MarginAuditSpec boundary audit can re-derive the pre-rounding
+    * cov/corr doubles from the exact decimal sums (the B38/q_regression
+    * protocol): (dim_i, dim_j, n_vec, __sx, __sy, __sxx, __syy, __sxy).
     */
-  def pearsonByDimPair(
+  def sufficientStats(
       df: DataFrame,
       embCol: String,
       dim: Int,
@@ -55,7 +55,7 @@ object CorrMatrix {
           element_at(e, j).cast("double").as("y")))))
     val x = col("__p.x")
     val y = col("__p.y")
-    val agg = df.where(e.isNotNull && size(e) === dim)
+    df.where(e.isNotNull && size(e) === dim)
       .select(explode(pairs).as("__p"))
       .groupBy(col("__p.i").as("dim_i"), col("__p.j").as("dim_j"))
       .agg(
@@ -65,6 +65,26 @@ object CorrMatrix {
         sum((x * x).cast(d2812)).as("__sxx"),
         sum((y * y).cast(d2812)).as("__syy"),
         sum((x * y).cast(d2812)).as("__sxy"))
+  }
+
+  /** One row per 1-based dimension pair i ≤ j of `embCol`'s first
+    * `maxDim` coordinates: (dim_i, dim_j, n_vec, cov, corr). Vectors
+    * not exactly `dim` long, or NULL, are dropped (the embedding-audit
+    * contract counts them).
+    *
+    * Rounding is [[graft.functions.ExactMath.hashRound]] (floor-based),
+    * NOT `round()`: this row went driver-red in round 10 with rows and
+    * schema matching and every boundary margin > 1.3e-7 (audited), so
+    * the divergence was a DuckDB-build behavior, not a boundary-sitter —
+    * the floor formula and the lambda/struct-free oracle mirror remove
+    * every build-sensitive construct this query used.
+    */
+  def pearsonByDimPair(
+      df: DataFrame,
+      embCol: String,
+      dim: Int,
+      maxDim: Int): DataFrame = {
+    val agg = sufficientStats(df, embCol, dim, maxDim)
     val n = col("n_vec").cast("double")
     def m(c: String) = col(c).cast("double") / n
     val cxy = col("__sxy").cast("double") / n - m("__sx") * m("__sy")
@@ -72,7 +92,9 @@ object CorrMatrix {
     val cyy = greatest(col("__syy").cast("double") / n - m("__sy") * m("__sy"), lit(0.0))
     agg.select(
       col("dim_i"), col("dim_j"), col("n_vec"),
-      round(cxy, 4).as("cov"),
-      round(when(cxx > 0.0 && cyy > 0.0, cxy / sqrt(cxx * cyy)), 4).as("corr"))
+      graft.functions.ExactMath.hashRound(cxy, 4).as("cov"),
+      graft.functions.ExactMath
+        .hashRound(when(cxx > 0.0 && cyy > 0.0, cxy / sqrt(cxx * cyy)), 4)
+        .as("corr"))
   }
 }
