@@ -383,7 +383,7 @@ object SelfCheck {
         val nMust = joined.where(col("truth") >= 0.9).count()
         val found = joined.where(col("truth") >= 0.9 && col("sim").isNotNull).count()
         val wrongSim = joined.where(col("sim").isNotNull &&
-          !(col("sim") === round(col("truth"), 4))).count()
+          !(col("sim") === graft.functions.ExactMath.hashRound(col("truth"), 4))).count()
         val midTotal = joined.where(col("truth") >= 0.4 && col("truth") < 0.9).count()
         val midFound = joined.where(col("truth") >= 0.4 && col("truth") < 0.9 &&
           col("sim").isNotNull).count()
@@ -393,7 +393,7 @@ object SelfCheck {
             found >= math.ceil(0.95 * nMust).toLong, nMust, found,
           s"sign-flip twins (norm preserved exactly): recall at known cos >= 0.9 " +
             s"is $found/$nMust (floor 0.95 — co-bucketing is approximate by " +
-            s"construction); every emitted pair at sim == round(truth, 4): " +
+            s"construction); every emitted pair at sim == hashRound(truth, 4): " +
             s"${wrongSim == 0}; mid-band [0.4,0.9) recall $midFound/$midTotal " +
             s"(informational); below-0.4 pairs emitted: $leaked (must be 0)")
       })

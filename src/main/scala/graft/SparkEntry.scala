@@ -747,8 +747,8 @@ object SparkEntry {
       snap(s, dir).orders
         .groupBy(col("o_orderpriority"))
         .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          graft.functions.ExactMath.hashRound(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          graft.functions.ExactMath.hashRound(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
@@ -789,6 +789,17 @@ object SparkEntry {
       graft.operators.quantile.Quantiles
         .weightedQuantile(snap(s, dir).lineitem, Seq("l_returnflag"),
           "l_extendedprice", "l_quantity", 50, "weighted_median")
+        .orderBy("l_returnflag")),
+    "q_weighted_median_sketch" -> ((s, dir) =>
+      // the weighted-quantile scale path driver-gated (B55b): GK split
+      // points + exact decimal bucket masses (nSplits+1 spine rows per
+      // group, never a distinct-value window); hashed output = exact
+      // counts/total plus the exact-rank bracket audit of the
+      // sketch-derived selection (B28 static-verdict convention)
+      graft.operators.quantile.Quantiles
+        .weightedQuantileApprox(snap(s, dir).lineitem, Seq("l_returnflag"),
+          "l_extendedprice", "l_quantity", 50)
+        .select("l_returnflag", "n", "tot_w", "reached", "prev_short")
         .orderBy("l_returnflag")),
     "q_gini" -> ((s, dir) => {
       // concentration audit: Gini of per-customer order counts within
@@ -931,7 +942,7 @@ object SparkEntry {
           col("cur_d").cast("double").as("cur_total"),
           (col("cur_d") - col("prev_d")).cast("double").as("delta"),
           when(col("__td") =!= 0,
-            round((col("cur_d") - col("prev_d")).cast("double")
+            graft.functions.ExactMath.hashRound((col("cur_d") - col("prev_d")).cast("double")
               / col("__td").cast("double"), 4)).as("share_of_delta"))
         .orderBy("o_orderpriority")
     }),
@@ -1946,8 +1957,8 @@ object SparkEntry {
       // 2^53 millionths conversion line — the TWA lesson).
       val o = snap(s, dir).orders.where(col("o_totalprice").isNotNull)
       val fences = o.groupBy("o_orderpriority")
-        .agg(round(expr("percentile(o_totalprice, 0.05)"), 4).as("lo"),
-          round(expr("percentile(o_totalprice, 0.95)"), 4).as("hi"))
+        .agg(graft.functions.ExactMath.hashRound(expr("percentile(o_totalprice, 0.05)"), 4).as("lo"),
+          graft.functions.ExactMath.hashRound(expr("percentile(o_totalprice, 0.95)"), 4).as("hi"))
       o.join(broadcast(fences), "o_orderpriority")
         .where(col("o_totalprice") >= col("lo") && col("o_totalprice") <= col("hi"))
         .groupBy("o_orderpriority")
@@ -1955,7 +1966,7 @@ object SparkEntry {
           min(col("lo")).as("lo"),
           min(col("hi")).as("hi"),
           count(lit(1)).as("n_kept"),
-          round(dsum(col("o_totalprice")) / count(lit(1)).cast("double"), 4)
+          graft.functions.ExactMath.hashRound(dsum(col("o_totalprice")) / count(lit(1)).cast("double"), 4)
             .as("trimmed_mean"))
         .orderBy("o_orderpriority")
     }),
@@ -2031,7 +2042,7 @@ object SparkEntry {
       emb.crossJoin(broadcast(cent))
         .select(
           col("vec_id"), col("label"),
-          round(
+          graft.functions.ExactMath.hashRound(
             dot(col("embedding"), col("__c"))
               / (sqrt(dot(col("embedding"), col("embedding")))
                 * sqrt(dot(col("__c"), col("__c")))), 4).as("cos_centroid"))
@@ -2175,9 +2186,9 @@ object SparkEntry {
         .withColumn("__tot", sum(col("__rev")).over(wAll))
         .select(
           col("pctile"), col("n_customers"),
-          round(col("__rev").cast("double") / col("__tot").cast("double"), 4)
+          graft.functions.ExactMath.hashRound(col("__rev").cast("double") / col("__tot").cast("double"), 4)
             .as("bucket_share"),
-          round(col("__cum").cast("double") / col("__tot").cast("double"), 4)
+          graft.functions.ExactMath.hashRound(col("__cum").cast("double") / col("__tot").cast("double"), 4)
             .as("cum_share"))
         .orderBy("pctile")
     }),
@@ -2440,6 +2451,15 @@ object SparkEntry {
       graft.operators.quantile.Outliers
         .madAudit(snap(s, dir).lineitem, "l_returnflag", "l_extendedprice")
         .orderBy("l_returnflag")),
+    "q_outliers_mad_sketch" -> ((s, dir) =>
+      // the GK-sketch MAD path driver-gated (B35c): both medians from
+      // mergeable percentile_approx sketches, output = the B28
+      // exact-rank audit booleans (sketch values are merge-order
+      // ulp-sensitive and never hashed; static-verdict TRUE oracle)
+      graft.operators.quantile.Outliers
+        .madAuditApprox(snap(s, dir).lineitem, "l_returnflag", "l_extendedprice")
+        .select("l_returnflag", "n", "med_in_bounds", "mad_in_bounds")
+        .orderBy("l_returnflag")),
     "q_scd2_lookup" -> ((s, dir) => {
       // SCD2 + point-in-time lookup — the warehouse pattern end to end:
       // build the versioned state history (B33's Scd over non-purchase
@@ -2553,8 +2573,8 @@ object SparkEntry {
         sum(when(v.isNull, 1L).otherwise(0L)).as("n_null_vec"),
         sum(when(v.isNotNull && size(v) =!= 64, 1L).otherwise(0L)).as("n_wrong_dim"),
         sum(when(v.isNotNull && nrm === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
-        round(min(when(v.isNotNull, nrm)), 4).as("min_norm"),
-        round(max(when(v.isNotNull, nrm)), 4).as("max_norm"))
+        graft.functions.ExactMath.hashRound(min(when(v.isNotNull, nrm)), 4).as("min_norm"),
+        graft.functions.ExactMath.hashRound(max(when(v.isNotNull, nrm)), 4).as("max_norm"))
     }),
     "q_drift_categorical" -> ((s, dir) => {
       // categorical PSI (B63): shares over the baseline's top-8 sources
@@ -2599,7 +2619,7 @@ object SparkEntry {
         .withColumn("__baseline", col("__s").cast("double") / col("__n"))
         .where(col("value") > col("__baseline") * 2)
         .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-          round(col("__baseline"), 4).as("baseline"))
+          graft.functions.ExactMath.hashRound(col("__baseline"), 4).as("baseline"))
         .orderBy("event_id")
     }),
     "q_unpivot" -> ((s, dir) => {
@@ -2789,7 +2809,7 @@ object SparkEntry {
     * set — ONE definition (the qualityScoreSql rule) serving q_bm25 and
     * every per-query arm of q_retrieval_metrics. Emits the full
     * WITH-chain SELECT (no trailing ORDER BY): rnk, doc_id,
-    * n_terms_matched, round(bm25, 4) for rnk <= k.
+    * n_terms_matched, floor((bm25) * 10000.0 + 0.5) / 10000.0 for rnk <= k.
     */
   private def bm25RankedSql(terms: Seq[String], k: Int): String = {
     val inList = terms.map(t => s"'$t'").mkString(",")
@@ -2817,7 +2837,7 @@ object SparkEntry {
        |        $sSum AS bm25 FROM p),
        |r AS (SELECT doc_id, n_terms_matched, bm25,
        |        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM f)
-       |SELECT rnk, doc_id, n_terms_matched, round(bm25, 4) AS bm25
+       |SELECT rnk, doc_id, n_terms_matched, floor((bm25) * 10000.0 + 0.5) / 10000.0 AS bm25
        |FROM r WHERE rnk <= $k""".stripMargin
   }
 
@@ -2928,7 +2948,7 @@ object SparkEntry {
          |       WHERE query_id <> neighbor_id),
          |r AS (SELECT query_id, neighbor_id, sim,
          |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)
-         |SELECT query_id, rnk, neighbor_id, round(sim, 4) AS sim FROM r WHERE rnk <= 10
+         |SELECT query_id, rnk, neighbor_id, floor((sim) * 10000.0 + 0.5) / 10000.0 AS sim FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3207,13 +3227,13 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
         |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
         |  CAST(greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS BIGINT) AS n_syllables,
-        |  round(CAST('206.835' AS DOUBLE)
+        |  floor((CAST('206.835' AS DOUBLE)
         |    - CAST('1.015' AS DOUBLE) *
         |      (CAST(len(string_split(text, ' ')) AS DOUBLE) /
         |       CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS DOUBLE))
         |    - CAST('84.6' AS DOUBLE) *
         |      (CAST(greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS DOUBLE) /
-        |       CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS flesch
+        |       CAST(len(string_split(text, ' ')) AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS flesch
         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     // single-row aggregate of exact counts + two exact divisions
     "q_key_skew" ->
@@ -3505,7 +3525,7 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_embedding" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  round(${cosSql("a.embedding", "b.embedding")}, 4) AS sim
+         |  floor((${cosSql("a.embedding", "b.embedding")}) * 10000.0 + 0.5) / 10000.0 AS sim
          |FROM embeddings a, embeddings b
          |WHERE a.vec_id < b.vec_id AND ${cosSql("a.embedding", "b.embedding")} >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
@@ -3517,7 +3537,7 @@ object SparkEntry {
          |       WHERE query_id <> neighbor_id),
          |r AS (SELECT query_id, neighbor_id, sim,
          |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)
-         |SELECT query_id, rnk, neighbor_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5
+         |SELECT query_id, rnk, neighbor_id, floor((sim) * 10000.0 + 0.5) / 10000.0 AS sim FROM r WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
     // the brute-force mirror with the label filter applied to the corpus
     // side only (queries keep their own vectors regardless of label)
@@ -3530,7 +3550,7 @@ object SparkEntry {
          |       WHERE query_id <> neighbor_id),
          |r AS (SELECT query_id, neighbor_id, sim,
          |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)
-         |SELECT query_id, rnk, neighbor_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5
+         |SELECT query_id, rnk, neighbor_id, floor((sim) * 10000.0 + 0.5) / 10000.0 AS sim FROM r WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
     // q_embedding_quantize's elementwise quantization mirror composed
     // with the brute-force cosine/rank mirror: the int8-dequantized
@@ -3549,7 +3569,7 @@ object SparkEntry {
          |        WHERE query_id <> neighbor_id),
          |r AS (SELECT query_id, neighbor_id, sim,
          |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sc2)
-         |SELECT query_id, rnk, neighbor_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5
+         |SELECT query_id, rnk, neighbor_id, floor((sim) * 10000.0 + 0.5) / 10000.0 AS sim FROM r WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin,
     // the oracle re-derives the sign matrix itself from md5 (same seed
     // scheme, lexicographic '<8' nibble test), then mirrors the
@@ -3603,7 +3623,7 @@ object SparkEntry {
          |        WHERE query_id <> neighbor_id),
          |r AS (SELECT query_id, neighbor_id, sim,
          |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sc2)
-         |SELECT query_id, rnk, neighbor_id, round(sim, 4) AS sim FROM r WHERE rnk <= 5
+         |SELECT query_id, rnk, neighbor_id, floor((sim) * 10000.0 + 0.5) / 10000.0 AS sim FROM r WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin
     },
     "q_text_langid" ->
@@ -3753,8 +3773,8 @@ object SparkEntry {
         |FROM m ORDER BY month""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderpriority,
-        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  floor((quantile_cont(o_totalprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |  floor((quantile_cont(o_totalprice, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90,
         |  COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the Spark side computes the GK rank-error audit for REAL (exact
@@ -3784,6 +3804,16 @@ object SparkEntry {
         |      FROM g)
         |SELECT l_returnflag, MIN(v) AS weighted_median
         |FROM c WHERE cum * 100 >= tot * 50
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // B55b sketch path: exact counts/total hash; the bracket booleans
+    // are theorems of a correct selection (static-verdict convention)
+    "q_weighted_median_sketch" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS tot_w,
+        |  TRUE AS reached, TRUE AS prev_short
+        |FROM lineitem
+        |WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |  AND l_quantity > 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Gini rank formulation on exact integer rank/count sums; the single
     // BIGINT/BIGINT division is one IEEE op on exactly-representable
@@ -3840,9 +3870,9 @@ object SparkEntry {
         |        CAST(sy AS DOUBLE) AS syd, CAST(syy AS DOUBLE) AS syyd
         |      FROM f WHERE n = 20)
         |SELECT event_type, event_id,
-        |  round(CASE WHEN 20.0 * syyd - syd * syd > 0 THEN
+        |  floor((CASE WHEN 20.0 * syyd - syd * syd > 0 THEN
         |          (20.0 * sxyrel - 210.0 * syd)
-        |          / (sqrt(13300.0) * sqrt(20.0 * syyd - syd * syd)) END, 6)
+        |          / (sqrt(13300.0) * sqrt(20.0 * syyd - syd * syd)) END) * 1000000.0 + 0.5) / 1000000.0
         |    + CAST(0 AS DOUBLE) AS trend_corr
         |FROM d ORDER BY event_type, event_id""".stripMargin,
     // RFM: withNtile is spec-proven equal to the window ntile, so the
@@ -3868,7 +3898,7 @@ object SparkEntry {
         |FROM q ORDER BY o_custkey""".stripMargin,
     // two-proportion z: identical IEEE association (p1-p2 over
     // sqrt(pp*(1-pp)*(1/n1+1/n2))), exact BIGINT counts in, one
-    // correctly-rounded sqrt — no libm, so round(z,4) hashes safely;
+    // correctly-rounded sqrt — no libm, so floor((z) * 10000.0 + 0.5) / 10000.0 hashes safely;
     // the significance flag compares the ROUNDED z in both engines
     "q_ab_test" ->
       """WITH j AS (SELECT c_mktsegment,
@@ -3883,13 +3913,13 @@ object SparkEntry {
         |        CAST(tn - n_group AS DOUBLE) AS n2, CAST(tx - n_success AS DOUBLE) AS x2
         |      FROM g CROSS JOIN t),
         |f AS (SELECT c_mktsegment, n_group, n_success,
-        |        round(CASE WHEN n1 > 0 THEN x1 / n1 END, 4) AS p_group,
+        |        floor((CASE WHEN n1 > 0 THEN x1 / n1 END) * 10000.0 + 0.5) / 10000.0 AS p_group,
         |        CASE WHEN n1 > 0 AND n2 > 0 AND (x1 + x2) / (n1 + n2) > 0
         |                  AND (x1 + x2) / (n1 + n2) < 1
-        |             THEN round((x1 / n1 - x2 / n2) /
+        |             THEN floor(((x1 / n1 - x2 / n2) /
         |                    sqrt((x1 + x2) / (n1 + n2)
         |                         * (CAST(1 AS DOUBLE) - (x1 + x2) / (n1 + n2))
-        |                         * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)), 4)
+        |                         * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2))) * 10000.0 + 0.5) / 10000.0
         |                  + CAST(0 AS DOUBLE)
         |        END AS z_score
         |      FROM z)
@@ -3930,12 +3960,12 @@ object SparkEntry {
         |                   WHEN 9 THEN CAST('0.04575749056067514' AS DOUBLE)
         |        END AS ex FROM j)
         |SELECT digit, n_obs,
-        |  CASE WHEN n > 0 THEN round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 4) END AS obs_share,
-        |  round(ex, 4) AS exp_share,
+        |  CASE WHEN n > 0 THEN floor((CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 END AS obs_share,
+        |  floor((ex) * 10000.0 + 0.5) / 10000.0 AS exp_share,
         |  CASE WHEN n > 0 THEN
-        |    round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ex)
+        |    floor(((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ex)
         |          * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ex)
-        |          / (CAST(n AS DOUBLE) * ex), 4) END AS chi2_contrib
+        |          / (CAST(n AS DOUBLE) * ex)) * 10000.0 + 0.5) / 10000.0 END AS chi2_contrib
         |FROM e CROSS JOIN t ORDER BY digit""".stripMargin,
     // delta decomposition: months derive from the data (scalar
     // subqueries mirror the 1-row agg broadcasts); per-priority sums
@@ -3960,8 +3990,8 @@ object SparkEntry {
         |  CAST(prev_d AS DOUBLE) AS prev_total,
         |  CAST(cur_d AS DOUBLE) AS cur_total,
         |  CAST(cur_d - prev_d AS DOUBLE) AS delta,
-        |  CASE WHEN td <> 0 THEN round(CAST(cur_d - prev_d AS DOUBLE)
-        |                               / CAST(td AS DOUBLE), 4) END AS share_of_delta
+        |  CASE WHEN td <> 0 THEN floor((CAST(cur_d - prev_d AS DOUBLE)
+        |                               / CAST(td AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 END AS share_of_delta
         |FROM g CROSS JOIN t ORDER BY o_orderpriority""".stripMargin,
     "q_sample_hash" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -4115,7 +4145,7 @@ object SparkEntry {
         |      FROM tf CROSS JOIN nn JOIN dfreq ON tf.term = dfreq.term),
         |r AS (SELECT doc_id, term, tfidf,
         |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM s)
-        |SELECT doc_id, rnk, term, round(tfidf, 6) AS tfidf FROM r WHERE rnk <= 3
+        |SELECT doc_id, rnk, term, floor((tfidf) * 1000000.0 + 0.5) / 1000000.0 AS tfidf FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
     // exact integer bounds on the 24-bit md5 prefix: floor(0.8*2^24)=
     // 13421772, floor(0.9*2^24)=15099494 — identical in any engine
@@ -4228,10 +4258,10 @@ object SparkEntry {
          |      (CASE WHEN sc = 0 THEN 1.0 ELSE sc END)), -127.0), 127.0)) AS qv
          |  FROM t),
          |r AS (SELECT vec_id, e, sc, list_transform(qv, v -> v * sc) AS recon FROM q)
-         |SELECT vec_id, round(sc, 8) AS q_scale,
-         |  round(list_max(list_transform(range(1, len(e) + 1),
-         |    i -> abs(recon[i] - CAST(e[i] AS DOUBLE)))), 8) AS max_abs_err,
-         |  round(${cosSql("e", "recon")}, 4) AS cos_fidelity
+         |SELECT vec_id, floor((sc) * 100000000.0 + 0.5) / 100000000.0 AS q_scale,
+         |  floor((list_max(list_transform(range(1, len(e) + 1),
+         |    i -> abs(recon[i] - CAST(e[i] AS DOUBLE))))) * 100000000.0 + 0.5) / 100000000.0 AS max_abs_err,
+         |  floor((${cosSql("e", "recon")}) * 10000.0 + 0.5) / 10000.0 AS cos_fidelity
          |FROM r ORDER BY vec_id""".stripMargin,
     // bound contract (Mixing scaladoc): floor of the left-associated IEEE
     // double product/quotient, mirrored verbatim
@@ -4335,12 +4365,12 @@ object SparkEntry {
     "q_outliers_iqr" ->
       """WITH b AS (
         |  SELECT l_returnflag,
-        |    round(quantile_cont(l_extendedprice, 0.25)
+        |    floor((quantile_cont(l_extendedprice, 0.25)
         |      - 1.5 * (quantile_cont(l_extendedprice, 0.75)
-        |               - quantile_cont(l_extendedprice, 0.25)), 4) AS lo,
-        |    round(quantile_cont(l_extendedprice, 0.75)
+        |               - quantile_cont(l_extendedprice, 0.25))) * 10000.0 + 0.5) / 10000.0 AS lo,
+        |    floor((quantile_cont(l_extendedprice, 0.75)
         |      + 1.5 * (quantile_cont(l_extendedprice, 0.75)
-        |               - quantile_cont(l_extendedprice, 0.25)), 4) AS hi
+        |               - quantile_cont(l_extendedprice, 0.25))) * 10000.0 + 0.5) / 10000.0 AS hi
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l.l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
@@ -4449,20 +4479,20 @@ object SparkEntry {
         |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
         |  GROUP BY 1, 2)
         |SELECT l_returnflag, l_linestatus, n_pairs,
-        |  ROUND(sx / CAST(n_pairs AS DOUBLE), 4) + 0.0 AS x_mean,
-        |  ROUND(sy / CAST(n_pairs AS DOUBLE), 4) + 0.0 AS y_mean,
-        |  ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0 THEN
+        |  floor((sx / CAST(n_pairs AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 + 0.0 AS x_mean,
+        |  floor((sy / CAST(n_pairs AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 + 0.0 AS y_mean,
+        |  floor((CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0 THEN
         |    (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
-        |      / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) END, 6) + 0.0 AS slope,
-        |  ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0 THEN
+        |      / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) END) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS slope,
+        |  floor((CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0 THEN
         |    (sy - ((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
         |      / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx)) * sx)
-        |      / CAST(n_pairs AS DOUBLE) END, 4) + 0.0 AS intercept,
-        |  ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0
+        |      / CAST(n_pairs AS DOUBLE) END) * 10000.0 + 0.5) / 10000.0 + 0.0 AS intercept,
+        |  floor((CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0
         |        AND CAST(n_pairs AS DOUBLE) * syy - sy * sy > 0 THEN
         |    (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
         |      / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
-        |         * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END, 8) + 0.0 AS corr
+        |         * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END) * 100000000.0 + 0.5) / 100000000.0 + 0.0 AS corr
         |FROM a ORDER BY l_returnflag, l_linestatus""".stripMargin,
     // per-column UNION ALL of the same statistics; min/max emitted in
     // typed families (ints/epoch-micros, raw doubles, strings) because
@@ -4711,18 +4741,18 @@ object SparkEntry {
         |  FROM p WHERE x IS NOT NULL AND y IS NOT NULL
         |  GROUP BY 1)
         |SELECT o_custkey, n_pairs,
-        |  ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0 THEN
+        |  floor((CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0 THEN
         |    (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
-        |      / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) END, 6) + 0.0 AS slope,
-        |  ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0 THEN
+        |      / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) END) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS slope,
+        |  floor((CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0 THEN
         |    (sy - ((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
         |      / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx)) * sx)
-        |      / CAST(n_pairs AS DOUBLE) END, 4) + 0.0 AS intercept,
-        |  ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0
+        |      / CAST(n_pairs AS DOUBLE) END) * 10000.0 + 0.5) / 10000.0 + 0.0 AS intercept,
+        |  floor((CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0
         |        AND CAST(n_pairs AS DOUBLE) * syy - sy * sy > 0 THEN
         |    (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
         |      / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
-        |         * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END, 8) + 0.0 AS corr
+        |         * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END) * 100000000.0 + 0.5) / 100000000.0 + 0.0 AS corr
         |FROM a ORDER BY o_custkey""".stripMargin,
     // exact integer-µs interval weights (lead-difference cancels any
     // constant encoding offset), DECIMAL-exact weighted sum. Operands
@@ -4746,8 +4776,8 @@ object SparkEntry {
         |SELECT user_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_intervals,
         |       CAST(SUM(dt) AS BIGINT) AS span_us,
-        |       ROUND(CAST(SUM(v * CAST(dt AS DECIMAL(19,0))) AS DOUBLE)
-        |         / NULLIF(CAST(SUM(dt) AS DOUBLE), 0.0), 4) AS twa_value
+        |       floor((CAST(SUM(v * CAST(dt AS DECIMAL(19,0))) AS DOUBLE)
+        |         / NULLIF(CAST(SUM(dt) AS DOUBLE), 0.0)) * 10000.0 + 0.5) / 10000.0 AS twa_value
         |FROM i WHERE dt IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // conversion-grain linear attribution: bounded-lookback left join,
@@ -4879,7 +4909,7 @@ object SparkEntry {
         |  FROM m WHERE c_xy >= 5),
         |t AS (
         |  SELECT ROW_NUMBER() OVER (ORDER BY pmi_raw DESC, w1, w2) AS rank,
-        |         w1, w2, c_xy, c_w1, c_w2, n_bigrams, ROUND(pmi_raw, 4) AS pmi
+        |         w1, w2, c_xy, c_w1, c_w2, n_bigrams, floor((pmi_raw) * 10000.0 + 0.5) / 10000.0 AS pmi
         |  FROM r)
         |SELECT * FROM t WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // KM product-limit: risk sets as window sums over the aggregated
@@ -5161,11 +5191,11 @@ object SparkEntry {
         |    CAST(SUM(CAST(CAST(CAST(ry AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(ry AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS syy
         |  FROM c GROUP BY 1)
         |SELECT o_custkey, n_pairs,
-        |  ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0
+        |  floor((CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0
         |        AND CAST(n_pairs AS DOUBLE) * syy - sy * sy > 0 THEN
         |    (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
         |      / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
-        |         * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END, 8)
+        |         * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END) * 100000000.0 + 0.5) / 100000000.0
         |    + 0.0 AS rho
         |FROM a ORDER BY o_custkey""".stripMargin,
     // exact-percentile fences rounded 4 BEFORE the keep compare (the
@@ -5174,14 +5204,14 @@ object SparkEntry {
     "q_trimmed_mean" ->
       """WITH f AS (
         |  SELECT o_orderpriority,
-        |         round(quantile_cont(o_totalprice, 0.05), 4) AS lo,
-        |         round(quantile_cont(o_totalprice, 0.95), 4) AS hi
+        |         floor((quantile_cont(o_totalprice, 0.05)) * 10000.0 + 0.5) / 10000.0 AS lo,
+        |         floor((quantile_cont(o_totalprice, 0.95)) * 10000.0 + 0.5) / 10000.0 AS hi
         |  FROM orders WHERE o_totalprice IS NOT NULL
         |  GROUP BY 1)
         |SELECT o.o_orderpriority, min(f.lo) AS lo, min(f.hi) AS hi,
         |       CAST(count(*) AS BIGINT) AS n_kept,
-        |       round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-        |         / CAST(count(*) AS DOUBLE), 4) AS trimmed_mean
+        |       floor((CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS trimmed_mean
         |FROM orders o JOIN f ON o.o_orderpriority = f.o_orderpriority
         |WHERE o.o_totalprice IS NOT NULL
         |  AND o.o_totalprice >= f.lo AND o.o_totalprice <= f.hi
@@ -5314,10 +5344,10 @@ object SparkEntry {
         |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
         |         SUM(CAST(v AS DECIMAL(28,12))) AS sx
         |  FROM l GROUP BY dim),
-        |m AS (SELECT dim, ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean
+        |m AS (SELECT dim, floor((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean
         |      FROM s),
         |c AS (SELECT list(mean ORDER BY dim) AS cent FROM m)
-        |SELECT vec_id, label, ROUND($cos, 4) AS cos_centroid
+        |SELECT vec_id, label, floor(($cos) * 10000.0 + 0.5) / 10000.0 AS cos_centroid
         |FROM embeddings CROSS JOIN c
         |WHERE embedding IS NOT NULL AND len(embedding) = 64
         |ORDER BY cos_centroid, vec_id LIMIT 25""".stripMargin
@@ -5453,8 +5483,8 @@ object SparkEntry {
         |         SUM(rev) OVER () AS tot
         |  FROM s)
         |SELECT pctile, n_customers,
-        |       round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS bucket_share,
-        |       round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS cum_share
+        |       floor((CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS bucket_share,
+        |       floor((CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS cum_share
         |FROM w ORDER BY pctile""".stripMargin,
     // per-dimension scaler fit: DECIMAL(28,12)-exact moment sums (v and
     // the exact <=48-bit double product v*v cast once before summing),
@@ -5473,12 +5503,12 @@ object SparkEntry {
         |         SUM(CAST(v * v AS DECIMAL(28,12))) AS sxx
         |  FROM l GROUP BY dim)
         |SELECT dim, n, dim_min, dim_max,
-        |  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean,
-        |  ROUND(sqrt(greatest(
+        |  floor((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean,
+        |  floor((sqrt(greatest(
         |    CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
         |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
         |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)),
-        |    CAST(0 AS DOUBLE))), 4) AS std
+        |    CAST(0 AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0 AS std
         |FROM s ORDER BY dim""".stripMargin,
     // exact distinct/intersection counts hash; the sketch verdict
     // mirrors as literal TRUE (the B48b static-verdict convention)
@@ -5670,7 +5700,7 @@ object SparkEntry {
         |      WHERE g0 IS NOT NULL AND g1 IS NOT NULL AND g2 IS NOT NULL),
         |r AS (SELECT doc_id, n_terms_matched, bm25,
         |        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM f)
-        |SELECT rnk, doc_id, n_terms_matched, round(bm25, 4) AS bm25
+        |SELECT rnk, doc_id, n_terms_matched, floor((bm25) * 10000.0 + 0.5) / 10000.0 AS bm25
         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
     "q_ngram_counts" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents),
@@ -5767,10 +5797,10 @@ object SparkEntry {
         |             quantile_cont(l_extendedprice, 0.5) AS med
         |           FROM lineitem GROUP BY l_returnflag),
         |f AS (SELECT l.l_returnflag,
-        |        round(m.med - 3.5 * 1.4826 *
-        |          quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 4) AS lo,
-        |        round(m.med + 3.5 * 1.4826 *
-        |          quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 4) AS hi
+        |        floor((m.med - 3.5 * 1.4826 *
+        |          quantile_cont(abs(l.l_extendedprice - m.med), 0.5)) * 10000.0 + 0.5) / 10000.0 AS lo,
+        |        floor((m.med + 3.5 * 1.4826 *
+        |          quantile_cont(abs(l.l_extendedprice - m.med), 0.5)) * 10000.0 + 0.5) / 10000.0 AS hi
         |      FROM lineitem l JOIN m USING (l_returnflag)
         |      GROUP BY l.l_returnflag, m.med)
         |SELECT l.l_returnflag, COUNT(*) AS n,
@@ -5784,6 +5814,12 @@ object SparkEntry {
         |FROM lineitem l JOIN f USING (l_returnflag)
         |GROUP BY l.l_returnflag, f.lo, f.hi
         |ORDER BY l_returnflag""".stripMargin,
+    // B35c sketch path: rank-audit booleans only (static-verdict)
+    "q_outliers_mad_sketch" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  TRUE AS med_in_bounds, TRUE AS mad_in_bounds
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the q_scd2 history (minus purchases) + the q_asof_row lookup shape:
     // bounded join + QUALIFY keeps the version effective at each
     // purchase; ties on effective_from resolve by greatest version —
@@ -5832,8 +5868,8 @@ object SparkEntry {
         |  -- DECIMAL(19,6) operands force DuckDB onto int128 arithmetic
         |  -- (18-digit operands multiply in int64 and overflow); the
         |  -- product is exact DECIMAL(38,12) in both engines
-        |  round(CAST(SUM(CAST(rev_d AS DECIMAL(19,6)) * CAST(rev_d AS DECIMAL(19,6))) AS DOUBLE) /
-        |    (CAST(SUM(rev_d) AS DOUBLE) * CAST(SUM(rev_d) AS DOUBLE)), 4) AS hhi
+        |  floor((CAST(SUM(CAST(rev_d AS DECIMAL(19,6)) * CAST(rev_d AS DECIMAL(19,6))) AS DOUBLE) /
+        |    (CAST(SUM(rev_d) AS DOUBLE) * CAST(SUM(rev_d) AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 AS hhi
         |FROM pr GROUP BY 1 ORDER BY r_name""".stripMargin,
     "q_drift_ks" ->
       """WITH lh AS (
@@ -5882,8 +5918,8 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vec,
         |  CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
         |  CAST(SUM(CASE WHEN embedding IS NOT NULL AND nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
-        |  round(MIN(nrm), 4) AS min_norm,
-        |  round(MAX(nrm), 4) AS max_norm
+        |  floor((MIN(nrm)) * 10000.0 + 0.5) / 10000.0 AS min_norm,
+        |  floor((MAX(nrm)) * 10000.0 + 0.5) / 10000.0 AS max_norm
         |FROM n""".stripMargin,
     "q_drift_categorical" ->
       """WITH b AS (SELECT source AS category, COUNT(*) AS n_base FROM documents
@@ -5905,12 +5941,12 @@ object SparkEntry {
         |t2 AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc, COUNT(*) AS k FROM j)
         |SELECT j.category, CAST(j.n_base AS BIGINT) AS n_base,
         |  CAST(j.n_cur AS BIGINT) AS n_cur,
-        |  round(CAST(j.n_base + 1 AS DOUBLE) / CAST(t2.tb + t2.k AS DOUBLE), 4) AS p_base,
-        |  round(CAST(j.n_cur + 1 AS DOUBLE) / CAST(t2.tc + t2.k AS DOUBLE), 4) AS p_cur,
-        |  round((CAST(j.n_base + 1 AS DOUBLE) / CAST(t2.tb + t2.k AS DOUBLE)
+        |  floor((CAST(j.n_base + 1 AS DOUBLE) / CAST(t2.tb + t2.k AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS p_base,
+        |  floor((CAST(j.n_cur + 1 AS DOUBLE) / CAST(t2.tc + t2.k AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS p_cur,
+        |  floor(((CAST(j.n_base + 1 AS DOUBLE) / CAST(t2.tb + t2.k AS DOUBLE)
         |       - CAST(j.n_cur + 1 AS DOUBLE) / CAST(t2.tc + t2.k AS DOUBLE))
         |    * ln((CAST(j.n_base + 1 AS DOUBLE) / CAST(t2.tb + t2.k AS DOUBLE))
-        |       / (CAST(j.n_cur + 1 AS DOUBLE) / CAST(t2.tc + t2.k AS DOUBLE))), 4)
+        |       / (CAST(j.n_cur + 1 AS DOUBLE) / CAST(t2.tc + t2.k AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0
         |    AS psi_contrib
         |FROM j, t2 ORDER BY j.category""".stripMargin,
     "q_drift_psi" ->
@@ -5941,12 +5977,12 @@ object SparkEntry {
         |      FROM sp LEFT JOIN bc USING (bin) LEFT JOIN cc USING (bin)),
         |t AS (SELECT SUM(nb) AS tb, SUM(nc) AS tc FROM j)
         |SELECT j.bin, CAST(j.nb AS BIGINT) AS n_base, CAST(j.nc AS BIGINT) AS n_cur,
-        |  round(CAST(j.nb + 1 AS DOUBLE) / CAST(t.tb + 10 AS DOUBLE), 4) AS p_base,
-        |  round(CAST(j.nc + 1 AS DOUBLE) / CAST(t.tc + 10 AS DOUBLE), 4) AS p_cur,
-        |  round((CAST(j.nb + 1 AS DOUBLE) / CAST(t.tb + 10 AS DOUBLE)
+        |  floor((CAST(j.nb + 1 AS DOUBLE) / CAST(t.tb + 10 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS p_base,
+        |  floor((CAST(j.nc + 1 AS DOUBLE) / CAST(t.tc + 10 AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS p_cur,
+        |  floor(((CAST(j.nb + 1 AS DOUBLE) / CAST(t.tb + 10 AS DOUBLE)
         |       - CAST(j.nc + 1 AS DOUBLE) / CAST(t.tc + 10 AS DOUBLE))
         |    * ln((CAST(j.nb + 1 AS DOUBLE) / CAST(t.tb + 10 AS DOUBLE))
-        |       / (CAST(j.nc + 1 AS DOUBLE) / CAST(t.tc + 10 AS DOUBLE))), 4)
+        |       / (CAST(j.nc + 1 AS DOUBLE) / CAST(t.tc + 10 AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0
         |    AS psi_contrib
         |FROM j, t ORDER BY j.bin""".stripMargin,
     // same sweep re-derived: running max of preceding ends opens groups,
@@ -5987,7 +6023,7 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
         |SELECT event_id, user_id, ts, value,
-        |  round(CAST(s AS DOUBLE) / n, 4) AS baseline
+        |  floor((CAST(s AS DOUBLE) / n) * 10000.0 + 0.5) / 10000.0 AS baseline
         |FROM b WHERE n = 4 AND value > (CAST(s AS DOUBLE) / n) * 2
         |ORDER BY event_id""".stripMargin,
     // long-form re-derivation: pivot+melt must round-trip to the plain

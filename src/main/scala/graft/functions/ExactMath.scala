@@ -42,14 +42,20 @@ object ExactMath {
     * exactly on a half boundary — the q_cohort_ltv incident class; this
     * formula has no such seam (exact binary midpoints round toward +inf,
     * identically in both engines). Mirror in SQL as
-    * `floor(x * 1e<d> + 0.5) / 1e<d>`. Requires |x|·10^d < 2^53; the
-    * residual risk — the engines arriving with doubles an ulp apart that
-    * straddle an integer boundary of x·10^d + 0.5 — is what the
-    * MarginAuditSpec boundary audits guard.
+    * `floor(x * 1e<d> + 0.5) / 1e<d>`. Requires |x|·10^d < 2^53 and a
+    * FINITE, non-NaN input: Spark's `floor` on a double returns LongType,
+    * so NaN/±Inf would become 0 while the SQL mirror propagates them —
+    * callers must clamp or when-guard non-finite values first (every
+    * current caller does). The residual risk — the engines arriving with
+    * doubles an ulp apart that straddle an integer boundary of
+    * x·10^d + 0.5 — is what the MarginAuditSpec boundary audits guard.
     */
   def hashRound(c: Column, digits: Int): Column = {
     require(digits >= 1 && digits <= 9, s"hashRound digits out of range: $digits")
-    val s = math.pow(10, digits) // exact double for digits <= 9
+    // exact integer power — math.pow is only 1-ulp-accurate by spec, and
+    // an inexact scale vs the SQL literal 1e<d> would shift every hashed
+    // value off the oracle's grid (the hazard this helper exists to remove)
+    val s = (1 to digits).foldLeft(1L)((a, _) => a * 10L).toDouble
     floor(c * lit(s) + lit(0.5)).cast("double") / lit(s)
   }
 }

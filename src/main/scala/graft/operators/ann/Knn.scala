@@ -40,7 +40,7 @@ object BruteForceKNN {
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), graft.functions.ExactMath.hashRound(col("sim"), 4).as("sim"))
   }
 }
 
@@ -416,7 +416,7 @@ object IvfKNN {
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), graft.functions.ExactMath.hashRound(col("sim"), 4).as("sim"))
   }
 }
 
@@ -480,6 +480,6 @@ object LshKNN {
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), graft.functions.ExactMath.hashRound(col("sim"), 4).as("sim"))
   }
 }

@@ -80,9 +80,9 @@ object Quantize {
     q.withColumn("__recon", dequantizeVec(col("q_vec"), col("q_scale")))
       .select(
         col(idCol),
-        round(col("q_scale"), 8).as("q_scale"),
-        round(array_max(zip_with(col("__recon"), col(vecCol),
+        graft.functions.ExactMath.hashRound(col("q_scale"), 8).as("q_scale"),
+        graft.functions.ExactMath.hashRound(array_max(zip_with(col("__recon"), col(vecCol),
           (r, v) => abs(r - v.cast("double")))), 8).as("max_abs_err"),
-        round(GraftFunctions.cosine(col(vecCol), col("__recon")), 4).as("cos_fidelity"))
+        graft.functions.ExactMath.hashRound(GraftFunctions.cosine(col(vecCol), col("__recon")), 4).as("cos_fidelity"))
   }
 }

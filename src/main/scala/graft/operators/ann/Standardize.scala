@@ -52,8 +52,8 @@ object Standardize {
         sum((v * v).cast(d2812)).as("__sxx"))
       .select(
         col("dim"), col("n"), col("dim_min"), col("dim_max"),
-        round(col("__sx").cast("double") / col("n").cast("double"), 4).as("mean"),
-        round(
+        graft.functions.ExactMath.hashRound(col("__sx").cast("double") / col("n").cast("double"), 4).as("mean"),
+        graft.functions.ExactMath.hashRound(
           sqrt(greatest(
             col("__sxx").cast("double") / col("n").cast("double")
               - (col("__sx").cast("double") / col("n").cast("double"))

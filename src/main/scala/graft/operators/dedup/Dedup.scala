@@ -462,7 +462,7 @@ object EmbeddingDedup {
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("sim", GraftFunctions.cosine(col("v_a"), col("v_b")))
       .where(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .select(col("id_a"), col("id_b"), graft.functions.ExactMath.hashRound(col("sim"), 4).as("sim"))
   }
 
   def duplicatePairsApprox(
@@ -515,7 +515,7 @@ object EmbeddingDedup {
         .where(col("id_a") < col("id_b"))
         .withColumn("sim", GraftFunctions.cosine(col("v_a"), col("v_b")))
         .where(col("sim") >= threshold)
-        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+        .select(col("id_a"), col("id_b"), graft.functions.ExactMath.hashRound(col("sim"), 4).as("sim"))
     }
     if (nAssign > 1)
       CacheScope.withPersisted(bounded0)(b => pairsOf(b).dropDuplicates("id_a", "id_b"))

@@ -43,8 +43,8 @@ object Outliers {
         expr(s"percentile($valueCol, 0.75)").as("__p75"))
       .select(
         col(groupCol),
-        round(col("__p25") - lit(k) * (col("__p75") - col("__p25")), 4).as("lo"),
-        round(col("__p75") + lit(k) * (col("__p75") - col("__p25")), 4).as("hi"))
+        graft.functions.ExactMath.hashRound(col("__p25") - lit(k) * (col("__p75") - col("__p25")), 4).as("lo"),
+        graft.functions.ExactMath.hashRound(col("__p75") + lit(k) * (col("__p75") - col("__p25")), 4).as("hi"))
     val flagged = df
       .join(broadcast(fences), groupCol)
       .withColumn("__out", v < col("lo") || v > col("hi"))
@@ -90,8 +90,8 @@ object Outliers {
       .agg(expr("percentile(__dev, 0.5)").as("__mad"))
       .select(
         col(groupCol),
-        round(col("__med") - lit(z) * lit(1.4826) * col("__mad"), 4).as("lo"),
-        round(col("__med") + lit(z) * lit(1.4826) * col("__mad"), 4).as("hi"))
+        graft.functions.ExactMath.hashRound(col("__med") - lit(z) * lit(1.4826) * col("__mad"), 4).as("lo"),
+        graft.functions.ExactMath.hashRound(col("__med") + lit(z) * lit(1.4826) * col("__mad"), 4).as("hi"))
     val flagged = df
       .join(broadcast(fences), groupCol)
       .withColumn("__out", v < col("lo") || v > col("hi"))
@@ -109,4 +109,55 @@ object Outliers {
         max(when(col("__out"), v)).as("max_outlier"))
       .select(col(groupCol), col("n"), col("n_outliers"),
         col("lo"), col("hi"), col("min_outlier"), col("max_outlier"))
+
+  /** The 100 TB twin of [[madAudit]]'s two exact-percentile passes,
+    * driver-gated (VERDICT r11 item 6): both medians come from the
+    * mergeable GK sketch (`percentile_approx`, bounded state per group —
+    * exact `percentile` buffers every group value), and the output is
+    * the B28 exact-rank AUDIT of the sketch values rather than the
+    * (merge-order-ulp-sensitive) values themselves: each approx
+    * median's occupied rank interval [lo+1, hi] must overlap the GK
+    * guarantee window p·n ± (2ε·n + 1), for BOTH the value median and
+    * the median of absolute deviations — the deviation distribution is
+    * taken w.r.t. the approx median the sketch actually used, so the
+    * audit is self-consistent. A sketch drifting out of its rank bound
+    * turns the driver row red (the static-verdict oracle mirrors TRUE).
+    */
+  def madAuditApprox(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      accuracy: Int = 10000): DataFrame = {
+    val v = col(valueCol)
+    val clean = df.where(v.isNotNull)
+    val med = clean
+      .groupBy(col(groupCol))
+      .agg(percentile_approx(v, lit(0.5), lit(accuracy)).as("__amed"))
+    val mad = clean
+      .join(broadcast(med), groupCol)
+      .withColumn("__dev", abs(v - col("__amed")))
+      .groupBy(col(groupCol), col("__amed"))
+      .agg(percentile_approx(col("__dev"), lit(0.5), lit(accuracy)).as("__amad"))
+    val eps = 2.0 / accuracy
+    def inBounds(lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ((lo + lit(1)).cast("double") <= (lit(0.5) + lit(eps)) * n + lit(1.0)) &&
+        (hi.cast("double") >= (lit(0.5) - lit(eps)) * n - lit(1.0))
+    clean
+      .join(broadcast(mad), groupCol)
+      .withColumn("__dev", abs(v - col("__amed")))
+      .groupBy(col(groupCol), col("__amed"), col("__amad"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(v < col("__amed"), 1L).otherwise(0L)).as("__mlo"),
+        sum(when(v <= col("__amed"), 1L).otherwise(0L)).as("__mhi"),
+        sum(when(col("__dev") < col("__amad"), 1L).otherwise(0L)).as("__dlo"),
+        sum(when(col("__dev") <= col("__amad"), 1L).otherwise(0L)).as("__dhi"))
+      .select(col(groupCol), col("n"),
+        // the sketch values ride along for API callers; driver rows
+        // project them away (merge-order-ulp-sensitive, never hashed)
+        col("__amed").as("approx_med"), col("__amad").as("approx_mad"),
+        inBounds(col("__mlo"), col("__mhi"), col("n")).as("med_in_bounds"),
+        inBounds(col("__dlo"), col("__dhi"), col("n")).as("mad_in_bounds"))
+  }
 }

@@ -401,4 +401,97 @@ object Quantiles {
     }
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The 100 TB twin of [[weightedQuantile]] (VERDICT r11 item 6) —
+    * sketch-bucketed split-point refinement instead of a window over
+    * the per-group distinct-VALUE spine (which sorts one group's whole
+    * value set in one task at high cardinality):
+    *
+    *  1. `nSplits` candidate split points per group from the GK sketch
+    *     over the (unweighted) value column — bounded state, mergeable.
+    *  2. ONE partial agg of EXACT decimal weight per (group, bucket),
+    *     bucket = count of splits strictly below the value (an O(nSplits)
+    *     map-side scan per row; ≤ nSplits+1 spine rows per group).
+    *  3. Cumulative weight over that AGGREGATED spine; the answer is the
+    *     chosen bucket's upper split (an actual data element), or the
+    *     group's exact max when the crossing sits above the top split.
+    *
+    * The output is the exact-rank AUDIT of the sketch-derived selection
+    * (the B28 static-verdict convention — split values themselves are
+    * merge-order-sensitive in their last ulps and are NOT hashed):
+    * `reached` = the returned value's exact at-or-below weight mass
+    * covers qPct of the exact total; `prev_short` = the previous
+    * split's mass does NOT (bucket-grain minimality). Both are theorems
+    * for a correct implementation — a selection/threshold/weight-
+    * handling bug or a non-monotone sketch turns the driver row red.
+    * `tot_w` is the sketch-independent exact decimal total (hashable).
+    * The answer's VALUE error is the chosen bucket's realized weight
+    * mass — data-dependent by nature (weights carry no a-priori rank
+    * bound); callers needing a tighter answer raise `nSplits`.
+    * Same weight contract as [[weightedQuantile]].
+    */
+  def weightedQuantileApprox(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      qPct: Int,
+      nSplits: Int = 100,
+      accuracy: Int = 10000): DataFrame = {
+    require(qPct > 0 && qPct <= 100, s"qPct must be in (0, 100], got $qPct")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(nSplits >= 1, s"nSplits must be >= 1, got $nSplits")
+    val g = groupCols.map(col)
+    val v = col(valueCol)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val clean = df
+      .where(v.isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
+    val ps = (1 to nSplits).map(j => j.toDouble / nSplits)
+    val splits = clean
+      .groupBy(g: _*)
+      .agg(
+        percentile_approx(v, lit(ps.toArray), lit(accuracy)).as("__splits"),
+        max(v).as("__vmax"))
+    val bucketed = clean
+      .join(broadcast(splits), groupCols)
+      .withColumn("__b", size(filter(col("__splits"), s => s < v)))
+      .groupBy(g :+ col("__b"): _*)
+      .agg(sum(col(weightCol).cast(dec)).as("__w"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(g: _*)
+    val chosen = bucketed
+      .withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__tot", sum(col("__w")).over(wTot))
+      .where(col("__cum") * 100 >= col("__tot") * qPct)
+      .groupBy(g: _*)
+      .agg(min(col("__b")).as("__bstar"))
+      .join(broadcast(splits), groupCols)
+      .select(g ++ Seq(
+        when(col("__bstar") < nSplits,
+          element_at(col("__splits"), col("__bstar") + 1))
+          .otherwise(col("__vmax")).as("__ans"),
+        when(col("__bstar") >= 1,
+          element_at(col("__splits"),
+            least(col("__bstar"), lit(nSplits)))).as("__prev")): _*)
+    clean
+      .join(broadcast(chosen), groupCols)
+      .groupBy(g :+ col("__ans") :+ col("__prev"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(weightCol).cast(dec)).as("__totw"),
+        sum(when(v <= col("__ans"), col(weightCol).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__wle"),
+        sum(when(col("__prev").isNotNull && v <= col("__prev"),
+          col(weightCol).cast(dec)).otherwise(lit(0).cast(dec))).as("__wprev"))
+      .select(g ++ Seq(
+        // the selected value rides along for API callers; driver rows
+        // project it away (a sketch element — never hashed)
+        col("__ans").as("approx_value"),
+        col("n"),
+        col("__totw").cast("double").as("tot_w"),
+        (col("__wle") * 100 >= col("__totw") * qPct).as("reached"),
+        (col("__prev").isNull || col("__wprev") * 100 < col("__totw") * qPct)
+          .as("prev_short")): _*)
+  }
 }

@@ -119,8 +119,8 @@ object Drift {
     joined
       .crossJoin(broadcast(totals))
       .select(col("bin"), col("n_base"), col("n_cur"),
-        round(p, 4).as("p_base"), round(q, 4).as("p_cur"),
-        round((p - q) * log(p / q), 4).as("psi_contrib"))
+        graft.functions.ExactMath.hashRound(p, 4).as("p_base"), graft.functions.ExactMath.hashRound(q, 4).as("p_cur"),
+        graft.functions.ExactMath.hashRound((p - q) * log(p / q), 4).as("psi_contrib"))
   }
 
   /** Kolmogorov–Smirnov drift over the same equal-width bin spine as
@@ -243,8 +243,8 @@ object Drift {
     joined
       .crossJoin(broadcast(totals))
       .select(col("category"), col("n_base"), col("n_cur"),
-        round(p, 4).as("p_base"), round(q, 4).as("p_cur"),
-        round((p - q) * log(p / q), 4).as("psi_contrib"))
+        graft.functions.ExactMath.hashRound(p, 4).as("p_base"), graft.functions.ExactMath.hashRound(q, 4).as("p_cur"),
+        graft.functions.ExactMath.hashRound((p - q) * log(p / q), 4).as("psi_contrib"))
   }
 
   /** Benford first-digit audit — the fabricated-figures screen auditors
@@ -306,10 +306,10 @@ object Drift {
       .select(
         col("digit"),
         col("n_obs"),
-        when(col("__n") > 0, round(col("n_obs").cast("double") / n, 4)).as("obs_share"),
-        round(expCol, 4).as("exp_share"),
+        when(col("__n") > 0, graft.functions.ExactMath.hashRound(col("n_obs").cast("double") / n, 4)).as("obs_share"),
+        graft.functions.ExactMath.hashRound(expCol, 4).as("exp_share"),
         when(col("__n") > 0,
-          round((col("n_obs").cast("double") - expN) * (col("n_obs").cast("double") - expN)
+          graft.functions.ExactMath.hashRound((col("n_obs").cast("double") - expN) * (col("n_obs").cast("double") - expN)
             / expN, 4)).as("chi2_contrib"))
   }
 }

@@ -77,7 +77,7 @@ object Stats {
     val num = n * col("sxy") - col("sx") * col("sy")
     val denx = n * col("sxx") - col("sx") * col("sx")
     val deny = n * col("syy") - col("sy") * col("sy")
-    def out(c: Column, digits: Int): Column = round(c, digits) + lit(0.0)
+    def out(c: Column, digits: Int): Column = graft.functions.ExactMath.hashRound(c, digits) + lit(0.0)
     agg.select(
       groupCols.map(col) ++ Seq(
         col("n_pairs"),
@@ -186,7 +186,7 @@ object Stats {
     val num = lit(lL.toDouble) * sxyRel - lit(sxC.toDouble) * syD
     val deny = lit(lL.toDouble) * syyD - syD * syD
     f.select(col(groupCol), col(tieCol),
-      (round(when(deny > 0, num / (sqrt(lit(denxC)) * sqrt(deny))), 6) + lit(0.0))
+      (graft.functions.ExactMath.hashRound(when(deny > 0, num / (sqrt(lit(denxC)) * sqrt(deny))), 6) + lit(0.0))
         .as("trend_corr"))
   }
 
@@ -228,14 +228,14 @@ object Stats {
     val p2 = x2 / n2
     val pp = (x1 + x2) / (n1 + n2)
     val z = (p1 - p2) / sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2))
-    val zOut = when(n1 > 0 && n2 > 0 && pp > 0 && pp < 1, round(z, 4) + lit(0.0))
+    val zOut = when(n1 > 0 && n2 > 0 && pp > 0 && pp < 1, graft.functions.ExactMath.hashRound(z, 4) + lit(0.0))
     agg
       .crossJoin(broadcast(tot))
       .select(
         col(groupCol),
         col("n_group"),
         col("n_success"),
-        round(when(n1 > 0, p1), 4).as("p_group"),
+        graft.functions.ExactMath.hashRound(when(n1 > 0, p1), 4).as("p_group"),
         zOut.as("z_score"),
         when(zOut.isNotNull, abs(zOut) > critical).as("significant"))
   }
@@ -302,7 +302,7 @@ object Stats {
         sum(col("__rev_d") * col("__rev_d")).cast("double").as("__sumsq"))
       .select((g ++ Seq(
         col("n_entities"),
-        round(col("__sumsq") / (col("__tot") * col("__tot")), 4).as("hhi"))): _*)
+        graft.functions.ExactMath.hashRound(col("__sumsq") / (col("__tot") * col("__tot")), 4).as("hhi"))): _*)
   }
 
   def giniByGroup(
@@ -360,7 +360,11 @@ object Stats {
     val g = groupCols.map(col)
     val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
     val cells = df
-      .where(g.map(_.isNotNull).reduce(_ && _) && col(scoreCol).isNotNull)
+      // NULL labels are DROPPED, not defaulted: count(lit(1)) would count
+      // the row while sum(label) skips it — silently scoring an unlabeled
+      // row as a negative (the ADVICE r11 latent-divergence class)
+      .where(g.map(_.isNotNull).reduce(_ && _) && col(scoreCol).isNotNull &&
+        labelCol.isNotNull)
       .groupBy(g :+ col(scoreCol).as("__s"): _*)
       .agg(
         count(lit(1)).as("__cnt"),

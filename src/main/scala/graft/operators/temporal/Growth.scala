@@ -40,6 +40,13 @@ object Growth {
       .select(col(userCol).as("__u"),
         (year(col(tsCol)) * 12 + month(col(tsCol)) - 1).as("__mi"))
       .distinct()
+    accountingFromGrain(um)
+  }
+
+  /** The accounting computation over the distinct (user, month-index)
+    * grain — ONE definition shared by the batch and from-state paths so
+    * state-maintained == one-shot is structural. */
+  private def accountingFromGrain(um: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("__u")).orderBy(col("__mi"))
     val lagged = um
       .withColumn("__prev", lag(col("__mi"), 1).over(w))
@@ -65,4 +72,39 @@ object Growth {
         make_date(expr("__mi div 12"), col("__mi") % 12 + 1, lit(1)).as("month"),
         col("n_new"), col("n_retained"), col("n_resurrected"), col("n_churned"))
   }
+
+
+  /** Per-user activity state for streaming maintenance (D23, the
+    * D19/D22 shape): one row per user carrying the SORTED DISTINCT
+    * month-index array. Merging is SET union — order-free and
+    * idempotent, so microbatch arrival order and replays are both
+    * immaterial (strictly stronger than D22's multiset contract:
+    * activity is a set, re-observing a (user, month) changes nothing).
+    * State size is months-per-user, bounded by the corpus epoch — the
+    * operator's own window-cost bound.
+    */
+  def activityState(df: DataFrame, userCol: String, tsCol: String): DataFrame =
+    df.where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        (year(col(tsCol)) * 12 + month(col(tsCol)) - 1).as("__mi"))
+      .groupBy(col("__u"))
+      .agg(array_sort(collect_set(col("__mi"))).as("months"))
+
+  /** Set-union merge of two [[activityState]]s (associative,
+    * commutative, idempotent). */
+  def mergeActivityState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("__u"))
+      .agg(array_sort(array_distinct(flatten(collect_list(col("months")))))
+        .as("months"))
+
+  /** [[monthlyAccounting]] recomputed from carried state — explodes the
+    * month sets back to (user, month) rows and runs the identical
+    * computation, so state-maintained == one-shot EXACTLY (D23 spec).
+    * The exploded rows feed the month-index branch directly (state
+    * already holds indices, no timestamp reconstruction).
+    */
+  def monthlyAccountingFromState(state: DataFrame): DataFrame =
+    accountingFromGrain(
+      state.select(col("__u"), explode(col("months")).as("__mi")).distinct())
 }

@@ -65,7 +65,7 @@ object TimeWeighted {
       .agg(
         count(lit(1)).as("n_intervals"),
         sum(col("__dt")).as("span_us"),
-        round(
+        graft.functions.ExactMath.hashRound(
           sum(col("__v") * col("__dt").cast(DecimalType(18, 0))).cast("double")
             / nullif(sum(col("__dt")).cast("double"), lit(0.0)),
           4).as("twa_value"))

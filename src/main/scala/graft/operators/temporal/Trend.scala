@@ -99,12 +99,20 @@ object Trend {
     val clean = df.where(
       g.map(_.isNotNull).reduce(_ && _) &&
         col(orderCol).isNotNull && col(tieCol).isNotNull && col(valueCol).isNotNull)
-    // S over the order-sorted value array: nested index HOF, exact ints
+    // S over the order-sorted value array: nested index HOF, exact ints.
+    // The n >= 3 filter sits BETWEEN the Aggregate and the Project that
+    // computes s_stat — sequence(1, size-1) DESCENDS to [1, 0] for a
+    // 1-point key (Spark's step defaults to -1 when start > stop) and
+    // element_at(sp, 0) is an unconditional INVALID_INDEX_OF_ZERO not
+    // gated by ANSI-off; correctness must not depend on the optimizer
+    // pushing a later filter below this projection (TrendSpec pins the
+    // 1-point case with predicate pushdown disabled).
     val sPart = clean
       .groupBy(g: _*)
       .agg(array_sort(collect_list(struct(
         col(orderCol).as("o"), col(tieCol).as("t"),
         col(valueCol).cast("double").as("v")))).as("sp"))
+      .where(size(col("sp")) >= 3)
       .select(g ++ Seq(
         size(col("sp")).cast("long").as("n_points"),
         aggregate(

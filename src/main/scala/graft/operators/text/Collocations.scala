@@ -67,6 +67,6 @@ object Collocations {
       .where(col("rank") <= k)
       .select(col("rank"), col("w1"), col("w2"), col("c_xy"),
         col("c_w1"), col("c_w2"), col("n_bigrams"),
-        round(col("__pmi_raw"), 4).as("pmi"))
+        graft.functions.ExactMath.hashRound(col("__pmi_raw"), 4).as("pmi"))
   }
 }

@@ -63,4 +63,48 @@ object Novelty {
         (coalesce(col("n_novel"), lit(0L)).cast("double")
           / col("n_shingles").cast("double")).as("novelty"))
   }
+
+  /** The corpus-scale twin of [[firstOccurrenceNovelty]]: the identical
+    * plan with the shuffle key slimmed to the 64-bit xxhash shingle
+    * ([[graft.functions.GraftFunctions.shingleHashes]], the C2 path) —
+    * the spine agg's exchange carries (long, long) rows instead of
+    * ~30-byte shingle strings, the biggest single perf knob the
+    * string-keyed form left on the table (the string payload dominated
+    * its remaining cost; at 100 TB the spine agg IS the operator).
+    *
+    * Collision-accepting contract, documented: a 64-bit collision can
+    * only MERGE two distinct shingles into one spine row, so a doc's
+    * `n_novel` can undercount by at most the number of colliding
+    * shingles it owns — by the birthday bound, ~3 expected collisions
+    * per 10^10 distinct shingles corpus-wide (p ≈ k²/2^65). n_shingles
+    * counts distinct HASHES map-side so the novelty ratio stays
+    * internally consistent (n_novel ≤ n_shingles always). NoveltySpec
+    * pins full-output parity with the string-keyed form on the
+    * collision-free testdata and that no string-typed attribute crosses
+    * any exchange in this plan.
+    */
+  def firstOccurrenceNoveltyHashed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val ws = split(lower(col(textCol)), " ")
+    // shingleHashes keeps duplicates (minhash multiset contract) and
+    // hashes the whole word array when shorter than n — the same
+    // fallback as the string form's whole-text shingle
+    val shingles = array_distinct(GraftFunctions.shingleHashes(ws, 5))
+    val base = df.where(col(textCol).isNotNull)
+    val perDoc = base.select(col(idCol),
+      size(shingles).cast("long").as("n_shingles"))
+    val novel = base.select(col(idCol), explode(shingles).as("__s"))
+      .groupBy(col("__s")).agg(min(col(idCol)).as("__first"))
+      .groupBy(col("__first").as(idCol))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double")
+          / col("n_shingles").cast("double")).as("novelty"))
+  }
 }

@@ -82,7 +82,7 @@ object TextStats {
         nWords.as("n_words"),
         nSent.as("n_sentences"),
         nSyll.as("n_syllables"))
-      .withColumn("flesch", round(
+      .withColumn("flesch", graft.functions.ExactMath.hashRound(
         lit(206.835)
           - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
           - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")),
@@ -321,7 +321,7 @@ object TextStats {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     tfidfScored(df, idCol, textCol)
       .where(col("rnk") <= k)
-      .select(col("doc_id"), col("rnk"), col("term"), round(col("tfidf"), 6).as("tfidf"))
+      .select(col("doc_id"), col("rnk"), col("term"), graft.functions.ExactMath.hashRound(col("tfidf"), 6).as("tfidf"))
 
   /** Unrounded BM25 ranked retrieval over a literal term query — the
     * reference's keyword search upgraded to the standard relevance
@@ -416,7 +416,7 @@ object TextStats {
     bm25Scored(df, idCol, textCol, queryTerms)
       .where(col("rnk") <= k)
       .select(col("rnk"), col("doc_id"), col("n_terms_matched"),
-        round(col("bm25"), 4).as("bm25"))
+        graft.functions.ExactMath.hashRound(col("bm25"), 4).as("bm25"))
 
   /** BM25 over the reference's CONCEPT query shape: OR-of-synonyms
     * within a group, AND-of-concepts across groups (reference:
@@ -488,7 +488,7 @@ object TextStats {
     bm25SynonymScored(df, idCol, textCol, concepts)
       .where(col("rnk") <= k)
       .select(col("rnk"), col("doc_id"), col("n_terms_matched"),
-        round(col("bm25"), 4).as("bm25"))
+        graft.functions.ExactMath.hashRound(col("bm25"), 4).as("bm25"))
 
   /** Corpus n-gram counts: top-k word n-grams by occurrence with
     * document frequency — the vocabulary/LM-statistics pass of a

@@ -72,7 +72,11 @@ object UrlTools {
   def host(url: Column): Column = {
     val rest = url.substr(instr(url, "://") + lit(3), lit(1 << 20))
     val afterScheme = substring_index(rest, "?", 1)
-    lower(substring_index(substring_index(afterScheme, "/", 1), ":", 1))
+    // scheme-less input has NO host: instr = 0 would make the substring
+    // start at char 3 and return garbage where the oracle's
+    // string_split(url, '://')[2] yields NULL — mirror that NULL
+    when(instr(url, "://") > 0,
+      lower(substring_index(substring_index(afterScheme, "/", 1), ":", 1)))
   }
 
   /** Canonical-URL dedup report: one row per canonical URL with how many

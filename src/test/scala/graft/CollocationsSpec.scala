@@ -6,7 +6,8 @@ class CollocationsSpec extends SparkSpecBase {
   import spark.implicits._
 
   private def round4(x: Double): Double =
-    new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+  // the operator rounds with the hashRound floor formula (r12)
+    math.floor(x * 10000.0 + 0.5) / 10000.0
 
   test("analytic corpus: exclusive pair tops independent pairs; exact ties break on (w1, w2)") {
     // five 2-word templates x6 docs each => N = 30 bigrams, all counts known:

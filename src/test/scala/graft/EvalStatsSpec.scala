@@ -88,4 +88,21 @@ class EvalStatsSpec extends SparkSpecBase {
     val got = Stats.chiSquareCells(rows, "a", "b").collect()
     assert(got.length == 1 && got.head.getLong(2) == 2L && got.head.getLong(5) == 2L)
   }
+
+  test("NULL labels are dropped, not silently scored as negatives") {
+    // count(lit(1)) would count a NULL-label row that sum(label) skips;
+    // the operator filters labelCol.isNotNull instead (ADVICE r11)
+    val rows = Seq(
+      ("g", 1L, Some("de")), ("g", 2L, Some("de")),
+      ("g", 3L, Some("en")), ("g", 4L, Some("en")),
+      ("g", 5L, None))
+    val got = Stats.rocAucByGroup(
+      rows.toDF("g", "score", "lang"), Seq("g"), "score", col("lang") === "en")
+      .collect()
+    assert(got.length == 1)
+    // n = 4 (the NULL-label row is gone), and the clean rows still
+    // separate perfectly
+    assert(got.head.getLong(1) == 4L && got.head.getLong(2) == 2L &&
+      got.head.getDouble(3) == 1.0)
+  }
 }

@@ -62,6 +62,97 @@ class MarginAuditSpec extends SparkSpecBase {
         "add a margin audit to MarginAuditSpec (and SURVEY §5) before hashing a new one")
   }
 
+  /** Number of 2-arg `round(x, d)` calls in a SQL string (paren-matched;
+    * a top-level comma inside the call marks the digits argument).
+    */
+  private def twoArgRounds(sql: String): Int = {
+    val re = raw"(?i)\bround\(".r
+    var count = 0
+    for (m <- re.findAllMatchIn(sql)) {
+      var j = m.end; var depth = 1; var topComma = false
+      while (depth > 0 && j < sql.length) {
+        val ch = sql.charAt(j)
+        if (ch == '(') depth += 1
+        else if (ch == ')') depth -= 1
+        else if (ch == ',' && depth == 1) topComma = true
+        j += 1
+      }
+      if (topComma) count += 1
+    }
+    count
+  }
+
+  /** Oracles allowed to keep a 1-arg round-to-INTEGER (the int8
+    * quantization grid): integer+0.5 midpoints are exactly binary-
+    * representable, so Spark's HALF_UP-on-shortest-repr and a
+    * round-on-binary-value build see the SAME midpoint and agree —
+    * the d>=1 seam (decimal midpoints that are NOT binary-exact,
+    * the q_cohort_ltv / q_corr_matrix incident class) cannot arise.
+    */
+  private val intRoundAllowed =
+    Set("q_embedding_quantize", "q_ann_quantized", "q_embedding_pipeline")
+
+  test("oracle scan: no oracle rounds a hashed float with 2-arg round() " +
+      "(floor-formula contract, r11 item 1)") {
+    // Spark round() is HALF_UP on the shortest decimal repr; DuckDB
+    // round() rounds the binary value and is BUILD-DEPENDENT — the two
+    // diverged twice (q_cohort_ltv at the gate, q_corr_matrix at the
+    // driver) with margins that a boundary audit cannot cover. Every
+    // fixed-digit rounding an oracle hashes must therefore be the
+    // floor formula (ExactMath.hashRound mirrored as
+    // floor(x * 1e<d> + 0.5) / 1e<d>), which is the same correctly-
+    // rounded IEEE sequence on any build of either engine.
+    val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
+      twoArgRounds(sql) > 0
+    }.keySet
+    assert(offenders.isEmpty,
+      s"oracles using build-sensitive 2-arg round(): $offenders — migrate to " +
+        "the hashRound floor formula (and mirror the Spark side)")
+    val oneArg = SparkEntry.oracleSql.filter { case (_, sql) =>
+      raw"(?i)\bround\(".r.findAllMatchIn(sql).nonEmpty && twoArgRounds(sql) == 0
+    }.keySet
+    assert(oneArg == intRoundAllowed,
+      s"oracles using 1-arg integer round() changed: $oneArg vs allowed " +
+        s"$intRoundAllowed — integer-grid rounds are safe (binary-exact " +
+        "midpoints) but must be declared here")
+  }
+
+  /** q_corr_matrix boundary audit (r11 item 2): re-derive the
+    * pre-rounding cov/corr doubles from the exact decimal sufficient
+    * statistics with the operator's own IEEE op sequence
+    * (CorrMatrix.pearsonByDimPair's formula verbatim) and assert every
+    * hashed value sits clear of its 4-digit floor-formula boundary —
+    * the lattice (m + 0.5) / 10^4 is shared by hashRound and
+    * boundaryMargin. Guards the residual hashRound risk: the engines
+    * arriving with doubles an ulp apart that straddle a boundary
+    * (DECIMAL(28,12) moment sums can exceed 2^53 scaled units, where
+    * decimal→double conversion is known to diverge an ulp — the TWA
+    * lesson).
+    */
+  private def auditCorrMatrix(sfDir: String): Unit = {
+    val stats = graft.operators.ann.CorrMatrix
+      .sufficientStats(Snapshot(spark, sfDir).embeddings, "embedding", 64, 16)
+      .collect()
+    assert(stats.length == 136, s"$sfDir: expected 136 dim pairs, got ${stats.length}")
+    val margin = boundaryMargin(4)
+    var minB = Double.MaxValue
+    for (r <- stats) {
+      val n = r.getLong(2).toDouble
+      val sx = r.getDecimal(3).doubleValue; val sy = r.getDecimal(4).doubleValue
+      val sxx = r.getDecimal(5).doubleValue; val syy = r.getDecimal(6).doubleValue
+      val sxy = r.getDecimal(7).doubleValue
+      val cov = sxy / n - (sx / n) * (sy / n)
+      val cxx = math.max(sxx / n - (sx / n) * (sx / n), 0.0)
+      val cyy = math.max(syy / n - (sy / n) * (sy / n), 0.0)
+      minB = math.min(minB, margin(cov))
+      if (cxx > 0.0 && cyy > 0.0)
+        minB = math.min(minB, margin(cov / math.sqrt(cxx * cyy)))
+    }
+    assert(minB > 1e-9,
+      f"$sfDir: a hashed cov/corr sits $minB%.3e from its 4-digit rounding " +
+        "boundary — an ulp of decimal->double drift could flip the hash")
+  }
+
   /** Distance from x to its nearest round-half boundary at `digits`
     * decimal places, in value units. round() is half-away-from-zero on
     * both engines, so the boundary lattice for positive x is
@@ -307,6 +398,9 @@ class MarginAuditSpec extends SparkSpecBase {
     }
     test(s"retrieval-metrics rank audit at $dir: gaps > 1e-6 through each 10/11 cut") {
       auditRetrievalMetrics(sf(dir))
+    }
+    test(s"corr-matrix boundary audit at $dir: cov/corr margins > 1e-9") {
+      auditCorrMatrix(sf(dir))
     }
   }
 }

@@ -70,21 +70,61 @@ class NoveltySpec extends SparkSpecBase {
       .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
     // the operator's exact numeric path: double -> DECIMAL(28,12)
     // (HALF_UP, canonical-string repr like Spark's Decimal), exact
-    // decimal sum, correctly-rounded toDouble, IEEE division, round 4
+    // decimal sum, correctly-rounded toDouble, IEEE division, then the
+    // hashRound floor formula at 4 (r12)
     val dims = Array.tabulate(64) { d =>
       val s = emb.map(e => BigDecimal(e._2(d).toDouble)
         .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
       val mean = s.toDouble / emb.length.toDouble
-      BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(mean * 10000.0 + 0.5) / 10000.0
     }
     def dot(a: Array[Double], b: Array[Double]) =
       a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
     val scored = emb.map { case (id, v) =>
       val vd = v.map(_.toDouble)
       val c = dot(vd, dims) / (math.sqrt(dot(vd, vd)) * math.sqrt(dot(dims, dims)))
-      (id, BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (id, math.floor(c * 10000.0 + 0.5) / 10000.0)
     }
     val expect = scored.sortBy { case (id, c) => (c, id) }.take(25).toSeq
     assert(rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq == expect)
+  }
+
+  test("hashed novelty twin: full-output parity with the string-keyed form at sf0.001") {
+    // identical semantics modulo 64-bit shingle collisions — absent on
+    // this corpus, so the outputs must be row-identical (the r11 item-5
+    // slim-path gate); collisions could only MERGE shingles, never split
+    val docs = sources.Snapshot(spark, sf()).documents
+    val a = Novelty.firstOccurrenceNovelty(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = Novelty.firstOccurrenceNoveltyHashed(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, s"string vs hashed novelty diverged: ${a.diff(b).take(3)}")
+  }
+
+  test("hashed novelty twin: no string-typed attribute crosses any exchange") {
+    // the point of the slim path — the spine agg's shuffle carries
+    // (long, long), never the ~30-byte shingle strings. collect() first
+    // so AQE finalizes the plan (the PlanSpec convention)
+    val docs = sources.Snapshot(spark, sf()).documents
+    val q = Novelty.firstOccurrenceNoveltyHashed(docs, "doc_id", "text")
+    q.collect()
+    def sparkPlanOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      Seq(p) ++ p.children.flatMap(sparkPlanOf) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          sparkPlanOf(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          sparkPlanOf(s.plan)
+        case _ => Seq.empty
+      })
+    val plan = q.queryExecution.executedPlan
+    val exchanges = sparkPlanOf(plan).filter(_.nodeName.contains("Exchange"))
+    assert(exchanges.nonEmpty, "expected at least one exchange in the plan")
+    exchanges.foreach { ex =>
+      val stringy = ex.output.filter(_.dataType ==
+        org.apache.spark.sql.types.StringType)
+      assert(stringy.isEmpty,
+        s"string attributes ${stringy.map(_.name)} cross an exchange in the " +
+          "hashed novelty plan — the slim path must shuffle 64-bit keys only")
+    }
   }
 }

@@ -34,6 +34,27 @@ class OutlierSpec extends SparkSpecBase {
     assert(strict >= loose)
   }
 
+  test("madAuditApprox: sketch medians pass the exact-rank audit (hand case + catalog row)") {
+    import spark.implicits._
+    // 1..1001: the GK p50 at accuracy 10000 is rank-exact on this size,
+    // and the deviation median audits against the SAME approx median
+    val df = (1 to 1001).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val got = graft.operators.quantile.Outliers
+      .madAuditApprox(df, "g", "v").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n") == 1001L)
+    assert(r.getAs[Boolean]("med_in_bounds") && r.getAs[Boolean]("mad_in_bounds"))
+    // rank-exact here: the median IS 501, the MAD IS 250
+    assert(r.getAs[Double]("approx_med") == 501.0)
+    assert(r.getAs[Double]("approx_mad") == 250.0)
+    // catalog row (B35c): static-verdict booleans true at sf0.001
+    val cat = SparkEntry.queries("q_outliers_mad_sketch")(spark, sf()).collect()
+    assert(cat.nonEmpty)
+    cat.foreach(r => assert(r.getBoolean(2) && r.getBoolean(3), r.toString))
+  }
+
   private def round4(x: Double): Double =
-    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  // the operator rounds with the hashRound floor formula (r12)
+    math.floor(x * 10000.0 + 0.5) / 10000.0
 }

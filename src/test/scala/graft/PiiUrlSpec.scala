@@ -92,4 +92,15 @@ class PiiUrlSpec extends SparkSpecBase {
       out(0).getLong(1) == 3 && out(0).getLong(2) == 3)
     assert(out(1).getString(0) == "http://a.com/y" && out(1).getLong(1) == 1)
   }
+
+  test("host: scheme-less input yields NULL, matching the oracle's split semantics") {
+    // instr = 0 used to make the substring start at char 3 and return
+    // garbage where string_split(url, '://')[2] yields NULL (ADVICE r11)
+    val got = Seq("example.com/path", "https://Example.COM:443/x", "ftp://a.b/c", "")
+      .toDF("url")
+      .select(UrlTools.host($"url").as("h"))
+      .collect()
+      .map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(None, Some("example.com"), Some("a.b"), None))
+  }
 }

@@ -171,5 +171,6 @@ class QualitySpec extends SparkSpecBase {
   }
 
   private def round4(x: Double): Double =
-    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  // the operator rounds with the hashRound floor formula (r12)
+    math.floor(x * 10000.0 + 0.5) / 10000.0
 }

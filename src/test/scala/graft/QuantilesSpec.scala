@@ -237,4 +237,54 @@ class QuantilesSpec extends SparkSpecBase {
       assert(got == exp, s"qPct=$q")
     }
   }
+
+  test("weightedQuantileApprox: bracket audit holds and the selection tracks a dominant weight") {
+    import spark.implicits._
+    // values 1..100 weight 1 each, plus 50.5 carrying > 50% of total
+    // mass: any value < 50.5 cannot reach the target, so the selected
+    // split must be >= 50.5; the bracket booleans re-verify the
+    // sketch-derived selection against EXACT decimal ranks (B55b)
+    val rows = (1 to 100).map(i => (i.toDouble, 1.0)) :+ (50.5, 1000.0)
+    val df = rows.toDF("v", "w").withColumn("g", lit("g"))
+    val got = Quantiles
+      .weightedQuantileApprox(df, Seq("g"), "v", "w", 50, nSplits = 100)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    val ans = r.getAs[Double]("approx_value")
+    assert(r.getAs[Long]("n") == 101L)
+    assert(r.getAs[Double]("tot_w") == 1100.0)
+    assert(r.getAs[Boolean]("reached") && r.getAs[Boolean]("prev_short"),
+      s"bracket audit failed at ans=$ans")
+    assert(ans >= 50.5 && ans <= 60.0, s"dominant-mass selection off: $ans")
+    // independent exact recheck of the bracket from the raw rows
+    val wle = rows.filter(_._1 <= ans).map(_._2).sum
+    assert(wle * 2 >= 1100.0, "exact at-or-below mass must reach 50%")
+  }
+
+  test("weightedQuantileApprox: uniform weights bracket the plain median per group") {
+    import spark.implicits._
+    val df = (for (g <- Seq("a", "b"); i <- 1 to 500) yield (g, i.toDouble, 1.0))
+      .toDF("g", "v", "w")
+    val got = Quantiles
+      .weightedQuantileApprox(df, Seq("g"), "v", "w", 50, nSplits = 50)
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("a", "b").foreach { g =>
+      val r = got(g)
+      assert(r.getAs[Boolean]("reached") && r.getAs[Boolean]("prev_short"), g)
+      // with 50 splits over 500 uniform rows a bucket holds ~10 rows:
+      // the selection cannot sit further than one bucket past the median
+      val ans = r.getAs[Double]("approx_value")
+      assert(ans >= 240.0 && ans <= 275.0, s"$g: $ans")
+    }
+  }
+
+  test("q_weighted_median_sketch catalog row: verdicts true at sf0.001") {
+    val rows = SparkEntry.queries("q_weighted_median_sketch")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("reached") && r.getAs[Boolean]("prev_short"),
+        r.toString)
+    }
+  }
 }

@@ -6,7 +6,8 @@ class StandardizeSpec extends SparkSpecBase {
   import spark.implicits._
 
   private def round4(x: Double): Double =
-    new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+  // the operator rounds with the hashRound floor formula (r12)
+    math.floor(x * 10000.0 + 0.5) / 10000.0
 
   test("fit: hand-derived per-dimension stats via the operator's own IEEE sequence") {
     val df = Seq(

@@ -231,7 +231,7 @@ class StatsSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r).toMap
     val expZ = {
       val z = (0.5 - 0.1) / math.sqrt(0.3 * (1.0 - 0.3) * (1.0 / 100 + 1.0 / 100))
-      BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(z * 10000.0 + 0.5) / 10000.0 // hashRound floor formula (r12)
     }
     assert(got("A").getAs[Long]("n_group") == 100L)
     assert(got("A").getAs[Long]("n_success") == 50L)
@@ -324,8 +324,8 @@ class StatsSpec extends SparkSpecBase {
     got.foreach(r => assert(!r.isNullAt(r.fieldIndex("chi2_contrib"))))
     val n = vals.count(_ >= 1).toDouble
     val e3 = 0.12493873660829993
-    val exp3 = BigDecimal((0.0 - n * e3) * (0.0 - n * e3) / (n * e3))
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp3 = { val c = (0.0 - n * e3) * (0.0 - n * e3) / (n * e3)
+      math.floor(c * 10000.0 + 0.5) / 10000.0 } // hashRound floor formula (r12)
     assert(byDigit(3L) == 0L &&
       got(2).getAs[Double]("chi2_contrib") == exp3)
   }

@@ -791,6 +791,58 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == oneShot)
   }
 
+  test("streaming growth state: merged activity sets reproduce the batch MAU accounting (D23)") {
+    // D23: B84's growth accounting maintained under streaming ingestion
+    // (the D22 shape on ORDERS — the events table spans one month, where
+    // every class but 'new' is vacuously zero, the q_boilerplate vacuity
+    // lesson). State = per-user sorted distinct month-index sets; merge
+    // = SET union, associative AND idempotent — a replayed batch must
+    // change nothing (asserted below), strictly stronger than D22's
+    // multiset contract. Recompute from merged state == one-shot batch.
+    import graft.operators.temporal.Growth
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Growth.activityState(df, "o_custkey", "o_orderdate")
+    val dir = Files.createTempDirectory("graft_growth_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).orders.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    var firstBatch: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val bState = state(batch).localCheckpoint(true)
+        if (firstBatch.isEmpty) firstBatch = Some(bState)
+        val next = st match {
+          case None => bState
+          case Some(prev) => Growth.mergeActivityState(prev, bState)
+        }
+        st = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val streamed = canon(Growth.monthlyAccountingFromState(st.get))
+    val oneShot = canon(Growth.monthlyAccounting(batchDf, "o_custkey", "o_orderdate"))
+    assert(streamed.nonEmpty && streamed == oneShot)
+    // all four classes genuinely exercised on this grain (vacuity guard)
+    val sums = Growth.monthlyAccountingFromState(st.get)
+      .agg(sum("n_new"), sum("n_retained"), sum("n_resurrected"), sum("n_churned"))
+      .collect().head
+    (0 to 3).foreach(i => assert(sums.getLong(i) > 0L, s"class $i vacuously zero"))
+    // idempotency: replaying an already-absorbed batch is a no-op
+    val replayed = canon(Growth.monthlyAccountingFromState(
+      Growth.mergeActivityState(st.get, firstBatch.get)))
+    assert(replayed == streamed, "set-union state must absorb a replayed batch")
+  }
+
   test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
     // the production ingestion shape: a document stream anti-joined
     // against the static content-hash index of the existing corpus —

@@ -69,9 +69,8 @@ class TimeWeightedSpec extends SparkSpecBase {
     ).toDF("k", "t", "id", "v")
     val r = TimeWeighted.avgByKey(df, Seq("k"), "t", "id", "v").collect().head
     // exact decimal sum 0.370368 + 1.500000 = 1.870368, over 4 us;
-    // the mean rounds at 4 (operator contract) with Spark's HALF_UP
-    val expected = new java.math.BigDecimal(1.870368 / 4.0)
-      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    // the mean rounds at 4 via the hashRound floor formula (r12)
+    val expected = math.floor((1.870368 / 4.0) * 10000.0 + 0.5) / 10000.0
     assert((r.getLong(2), r.getDouble(3)) == ((4L, expected)))
   }
 }

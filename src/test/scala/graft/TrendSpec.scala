@@ -72,4 +72,26 @@ class TrendSpec extends SparkSpecBase {
       } else assert(r.getString(5) == "none")
     }
   }
+
+  test("1-point key is dropped before the pair fold, even with predicate pushdown disabled") {
+    // sequence(1, size-1) DESCENDS to [1, 0] for a 1-point key and
+    // element_at(sp, 0) is an unconditional error — the n >= 3 filter
+    // must sit structurally below the projection, not rely on the
+    // optimizer pushing a later filter through it (VERDICT r11 item 3).
+    // Isolated newSession so the excluded rule cannot leak to parallel
+    // suites (the BloomJoin isolation pattern).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.PushDownPredicates")
+    import s2.implicits._
+    val rows = Seq(("solo", 0, 0, 5.0)) ++
+      Seq.tabulate(5)(i => ("up", i, i, (i + 1).toDouble))
+    val df = rows.toDF("k", "o", "tie", "v")
+    val got = Trend.mannKendall(df, Seq("k"), "o", "tie", "v").collect()
+    assert(got.map(_.getString(0)).toSet == Set("up"))
+    // the D22 state path reaches the same fold through explode
+    val st = Trend.seriesState(df, Seq("k"), "o", "tie", "v")
+    val viaState = Trend.mannKendallFromState(st, Seq("k")).collect()
+    assert(viaState.map(_.getString(0)).toSet == Set("up"))
+  }
 }
