@@ -1896,6 +1896,55 @@ object SparkEntry {
           Seq("o_custkey"), "o_orderdate", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey")
     }),
+    "q_anova" -> ((s, dir) =>
+      // one-way ANOVA F (B89): do mean quantities differ by return flag?
+      // Exact decimal sufficient stats; the k-group spine folds in group
+      // order (order-free); F = (SSB/(k-1))/(SSW/(N-k)) hashRounded at 4
+      // with a StatsSpec margin audit (the B38 protocol). Single row.
+      graft.operators.stats.Stats
+        .anovaOneWay(snap(s, dir).lineitem, "l_returnflag", "l_quantity")),
+    "q_mann_whitney" -> ((s, dir) =>
+      // two-sample rank-sum test (B90): URGENT vs LOW order values. The
+      // roc_auc doubled-rank machinery; U exact BIGINT, z unrounded via
+      // the proven exact-int -> fixed-IEEE chain. Single row.
+      graft.operators.stats.Stats
+        .mannWhitney(snap(s, dir).orders, "o_orderpriority", "o_totalprice",
+          "1-URGENT", "5-LOW")),
+    "q_ks_two_sample" -> ((s, dir) =>
+      // two-sample KS distance (B91): same cohorts at full value
+      // resolution — windows over the aggregated value spine only;
+      // ks_d/at_value hash unrounded (exact-int ECDF divisions).
+      graft.operators.stats.Drift
+        .ksTwoSample(snap(s, dir).orders, "o_orderpriority", "o_totalprice",
+          "1-URGENT", "5-LOW")),
+    "q_theil_sen" -> ((s, dir) =>
+      // Theil-Sen robust slope per customer (B92): median pairwise slope
+      // of order value vs epoch-day (the q_rfm day-index convention);
+      // lower-median SELECTION of IEEE-exact slopes -> hashes unrounded;
+      // equal-day pairs skipped (the MK tie class).
+      graft.operators.temporal.Trend
+        .theilSen(snap(s, dir).orders
+            .withColumn("__x", expr(
+              "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")),
+          Seq("o_custkey"), "__x", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")),
+    "q_source_cap" -> ((s, dir) => {
+      // per-source document cap (C68): the Gopher/CCNet domain-cap
+      // curation pass — keep the top-3 docs per source by the SHARED
+      // quality score (one definition, qualityScoreSql) with doc_id
+      // tiebreak, via the bounded-heap TopKPerKey (strict: 20 sources).
+      val docs = snap(s, dir).documents.where(col("text").isNotNull)
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(graft.operators.text.TextStats
+          .quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score")), "doc_id")
+        .where(col("quality_score").isNotNull)
+      graft.plans.TopKPerKey(
+        scored, Seq("source"),
+        Seq(col("quality_score").desc, col("doc_id").asc), 3, strict = true)
+        .select(col("source"), col("doc_id"), col("quality_score"))
+        .orderBy(col("source"), col("quality_score").desc, col("doc_id"))
+    }),
     "q_calibration" -> ((s, dir) => {
       // reliability table for the C57 ROC-AUC scorer: per stopword-hit
       // score, how often lang='en' actually holds — exact counts plus
@@ -3667,6 +3716,20 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, n_words, quality_score FROM q
          |WHERE quality_score >= 0.5 AND n_words >= 20 ORDER BY doc_id""".stripMargin,
+    // C68 per-source cap: the SHARED quality score (qualityScoreSql)
+    // ranks within source; top-3 with doc_id tiebreak
+    "q_source_cap" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, source, $qualityScoreSql AS quality_score
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (
+         |  SELECT doc_id, source, quality_score,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY quality_score DESC, doc_id) AS rn
+         |  FROM s WHERE quality_score IS NOT NULL)
+         |SELECT source, doc_id, quality_score FROM r WHERE rn <= 3
+         |ORDER BY source, quality_score DESC, doc_id""".stripMargin,
+
     "q_pii_audit" ->
       s"""WITH b AS (SELECT c_custkey, $piiBlobSql AS blob FROM customer)
          |SELECT c_custkey,
@@ -5083,6 +5146,115 @@ object SparkEntry {
         |            WHEN z < -1.96 THEN 'dec'
         |            ELSE 'none' END AS trend
         |FROM z ORDER BY o_custkey""".stripMargin,
+    // B89 one-way ANOVA: decimal sufficient stats, group-ordered folds
+    // (0.0-init fold == init-less list_reduce, the q_seasonality rule),
+    // F floor-rounded at 4 (StatsSpec margin audit)
+    "q_anova" ->
+      """WITH a AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s_g,
+        |    CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS q_g
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n,
+        |    list_reduce(list(s_g ORDER BY g), (x, y) -> x + y) AS s,
+        |    list_reduce(list(q_g ORDER BY g), (x, y) -> x + y) AS q,
+        |    list_reduce(list(s_g * s_g / CAST(n_g AS DOUBLE) ORDER BY g),
+        |                (x, y) -> x + y) AS b
+        |  FROM a)
+        |SELECT k AS n_groups, n,
+        |  CASE WHEN k >= 2 AND (q - b) > 0 THEN
+        |    floor((((b - s * s / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+        |      / ((q - b) / CAST(n - k AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
+        |  END AS f_stat
+        |FROM t""".stripMargin,
+    // B90 Mann-Whitney: doubled-rank machinery over the value spine;
+    // u_a exact (even/2 double division exact under 2^53), z unrounded
+    "q_mann_whitney" ->
+      """WITH c AS (
+        |  SELECT o_totalprice AS s,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT s, ca, cnt,
+        |    COALESCE(CAST(SUM(cnt) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bef
+        |  FROM c),
+        |a AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cnt - ca) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(ca AS DECIMAL(38,0))
+        |      * CAST(2 * bef + cnt + 1 AS DECIMAL(38,0))) AS BIGINT) AS r2a,
+        |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        |  FROM w)
+        |SELECT n_a, n_b,
+        |  CAST(CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS BIGINT) AS u_a,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND
+        |    CAST(n_a * n_b AS DOUBLE) / 12.0
+        |      * (CAST(n_a + n_b + 1 AS DOUBLE)
+        |         - CAST(ties AS DOUBLE) / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)) > 0
+        |  THEN
+        |    CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+        |    / (2.0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0
+        |      * (CAST(n_a + n_b + 1 AS DOUBLE)
+        |         - CAST(ties AS DOUBLE) / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))))
+        |  END AS z_score
+        |FROM a""".stripMargin,
+    // B91 two-sample KS: exact-int ECDF divisions, (d DESC, value) pick
+    "q_ks_two_sample" ->
+      """WITH c AS (
+        |  SELECT o_totalprice AS s,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT s,
+        |    CAST(SUM(ca) OVER cum AS BIGINT) AS cuma,
+        |    CAST(SUM(cb) OVER cum AS BIGINT) AS cumb,
+        |    CAST(SUM(ca) OVER () AS BIGINT) AS na,
+        |    CAST(SUM(cb) OVER () AS BIGINT) AS nb
+        |  FROM c
+        |  WINDOW cum AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT na AS n_a, nb AS n_b,
+        |  abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) AS ks_d,
+        |  CAST(s AS DOUBLE) AS at_value
+        |FROM w
+        |ORDER BY ks_d DESC, s ASC LIMIT 1""".stripMargin,
+    // B92 Theil-Sen: bounded per-key pair self-join (the fold's exact
+    // mirror: b.x > a.x == i<j with distinct x), lower-median pick
+    "q_theil_sen" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS k,
+        |    epoch_us(o_orderdate) // 86400000000 AS x,
+        |    o_orderkey AS t, CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS np FROM c
+        |      GROUP BY 1 HAVING COUNT(*) >= 2),
+        |p AS (SELECT a.k AS k, (b.v - a.v) / CAST(b.x - a.x AS DOUBLE) + 0.0 AS sl
+        |      FROM c a JOIN c b ON a.k = b.k AND b.x > a.x),
+        |g AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS ns FROM p GROUP BY 1),
+        |r AS (SELECT k, sl, ROW_NUMBER() OVER (PARTITION BY k ORDER BY sl) AS rn
+        |      FROM p)
+        |SELECT n.k AS o_custkey, n.np AS n_points, g.ns AS n_slopes,
+        |  r.sl AS ts_slope
+        |FROM r JOIN g USING (k) JOIN n USING (k)
+        |WHERE r.rn = (g.ns + 1) // 2
+        |ORDER BY o_custkey""".stripMargin,
+
     // exact counts + ONE division of exact BIGINTs (unrounded — the
     // q_gini rule); score = the SAME markerHitsEn definition as
     // q_roc_auc (one scorer, two views)

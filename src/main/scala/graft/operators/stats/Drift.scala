@@ -1,6 +1,7 @@
 package graft.operators.stats
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift audit between two snapshots of one numeric
@@ -311,5 +312,54 @@ object Drift {
         when(col("__n") > 0,
           graft.functions.ExactMath.hashRound((col("n_obs").cast("double") - expN) * (col("n_obs").cast("double") - expN)
             / expN, 4)).as("chi2_contrib"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between two named groups of
+    * one column (B91) — the transcendental-free distribution-shift test
+    * at full resolution: where [[ksByBins]] compares snapshots over a
+    * fixed bin spine, this compares two cohorts over the exact VALUE
+    * spine (one partial agg to (value, per-group counts) — the B48
+    * first-occurrence shape — then cumulative windows over that
+    * AGGREGATED spine, bounded by distinct values, never raw rows).
+    *
+    * Determinism: ECDF steps are divisions of exact BIGINT cumulative
+    * counts (correctly rounded, identical both engines), the max picks
+    * by (d DESC, value ASC) — exact-double ties break on the value — so
+    * `ks_d` and `at_value` hash UNROUNDED (the q_gini protocol).
+    * Single-row output: n_a, n_b, ks_d, at_value.
+    */
+  def ksTwoSample(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val v = col(valueCol)
+    val cells = df
+      .where(col(groupCol).isin(groupA, groupB) && v.isNotNull)
+      .groupBy(v.as("__s"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .withColumn("__d", abs(
+        col("__cuma").cast("double") / col("__na").cast("double")
+          - col("__cumb").cast("double") / col("__nb").cast("double")))
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        max(struct(col("__d"), (lit(-1.0) * col("__s").cast("double")).as("__nv")))
+          .as("__top"))
+      .select(
+        col("n_a"), col("n_b"),
+        col("__top").getField("__d").as("ks_d"),
+        (lit(-1.0) * col("__top").getField("__nv")).as("at_value"))
   }
 }

@@ -487,4 +487,111 @@ object Stats {
         (col("observed").cast("double") - col("expected"))
           * (col("observed").cast("double") - col("expected")) / col("expected"))
   }
+
+  /** One-way ANOVA F over the sufficient-statistic spine (B89): the
+    * classic "do the group means differ" screen, from the same exact
+    * decimal sums as [[regression]] — per group n/Σv/Σv² (each v²
+    * product exact in DECIMAL(18,6), sums auto-widened), then ONE
+    * order-free derivation: the k-group spine collects into a
+    * group-sorted array and every double fold is sequential in group
+    * order (the q_seasonality convention — a plain double SUM over the
+    * spine would be partial-agg-order-dependent). SSB = Σ(S_g²/n_g) −
+    * S²/N, SSW = Q − Σ(S_g²/n_g), F = (SSB/(k−1))/(SSW/(N−k)).
+    *
+    * Determinism: counts exact BIGINT; the decimal→double conversions
+    * are the q_regression drift class (exact under 2^53 scaled units,
+    * ≤ ~|v|·1e-14 beyond), every subsequent op one fixed IEEE
+    * sequence mirrored verbatim in SQL; `f_stat` rounds via hashRound
+    * at 4 with a StatsSpec margin audit (the B38 protocol). NULL when
+    * k < 2 or SSW ≤ 0 (degenerate — no within-group variance).
+    * Single-row output; the group spine is k rows, the fact table is
+    * touched once by one partial-aggregated groupBy.
+    */
+  def anovaOneWay(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    def dsumProd(a: Column, b: Column): Column =
+      sum((a.cast(ExactMath.ValueDecimal) * b.cast(ExactMath.ValueDecimal))
+        .cast(ExactMath.ValueDecimal)).cast("double")
+    val perGroup = df
+      .where(col(groupCol).isNotNull && v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_g"),
+        ExactMath.dsum(v).as("s_g"),
+        dsumProd(v, v).as("q_g"))
+    val spine = perGroup.agg(array_sort(collect_list(struct(
+      col(groupCol).cast("string").as("g"),
+      col("n_g"), col("s_g"), col("q_g")))).as("gs"))
+    def fold(term: Column => Column): Column =
+      aggregate(col("gs"), lit(0.0), (acc, e) => acc + term(e))
+    val k = size(col("gs"))
+    val bigN = aggregate(col("gs"), lit(0L), (acc, e) => acc + e.getField("n_g"))
+    val sTot = fold(_.getField("s_g"))
+    val qTot = fold(_.getField("q_g"))
+    val bTot = fold(e => e.getField("s_g") * e.getField("s_g")
+      / e.getField("n_g").cast("double"))
+    spine.select(
+      k.cast("long").as("n_groups"),
+      bigN.as("n"),
+      ExactMath.hashRound(
+        when(k >= 2 && (qTot - bTot) > 0.0,
+          ((bTot - sTot * sTot / bigN.cast("double")) / (k - 1).cast("double"))
+            / ((qTot - bTot) / (bigN - k.cast("long")).cast("double"))),
+        4).as("f_stat"))
+  }
+
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) between two named
+    * groups (B90): the nonparametric "is one distribution shifted"
+    * companion of [[rocAucByGroup]] — and it rides the SAME tie-aware
+    * doubled-rank machinery (one partial agg to the value spine, one
+    * window over that AGGREGATED spine, one final agg; never a raw-scan
+    * rank). Everything stays EXACT integers until the final z:
+    * 2·U_a = R2_a − n_a(n_a+1) with R2_a the doubled rank-sum
+    * (DECIMAL(38,0) accumulation, cast to LONG ≤ 2·N² — wrap-checked by
+    * magnitude), tie term ΣT = Σ(t³−t) exact BIGINT, and
+    * z = (2U_a − n_a·n_b) / (2·sqrt((n_a·n_b/12)·((N+1) − ΣT/(N(N−1)))))
+    * — exact-int→double conversions (all < 2^53 except ΣT, whose
+    * long→double cast is correctly rounded identically in both
+    * engines), one fixed IEEE mul/div/sqrt chain: z hashes UNROUNDED
+    * (the q_gini protocol). NULL z when either group is empty or the
+    * variance degenerates (all values tied).
+    */
+  def mannWhitney(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val v = col(valueCol)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df
+      .where(col(groupCol).isin(groupA, groupB) && v.isNotNull)
+      .groupBy(v.as("__s"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        count(lit(1)).as("__cnt"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = cells
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      .agg(
+        sum(col("__ca")).as("n_a"),
+        sum(col("__cnt") - col("__ca")).as("n_b"),
+        sum(col("__ca").cast(d38)
+          * (lit(2L) * col("__before") + col("__cnt") + lit(1L)).cast(d38))
+          .as("__r2a"),
+        sum(col("__cnt") * col("__cnt") * col("__cnt") - col("__cnt")).as("__ties"))
+    val na = col("n_a"); val nb = col("n_b")
+    val bigN = na + nb
+    val u2 = col("__r2a").cast("long") - na * (na + 1L) // = 2·U_a, exact
+    val varU = (na * nb).cast("double") / lit(12.0) *
+      ((bigN + 1L).cast("double")
+        - col("__ties").cast("double") / (bigN * (bigN - 1L)).cast("double"))
+    agg.select(
+      na, nb,
+      // u2 is even and < 2^53: the double division is exact, cast back
+      (u2.cast("double") / lit(2.0)).cast("long").as("u_a"),
+      when(na > 0L && nb > 0L && varU > 0.0,
+        (u2 - na * nb).cast("double") / (lit(2.0) * sqrt(varU))).as("z_score"))
+  }
 }

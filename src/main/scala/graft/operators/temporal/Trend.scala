@@ -151,4 +151,66 @@ object Trend {
       .select(g ++ Seq(col("n_points"), col("s_stat"), col("var_s18"),
         col("z"), col("trend")): _*)
   }
+
+  /** Theil–Sen robust slope per key (B92) — the median of all pairwise
+    * slopes (Theil 1950, Sen 1968): the estimator [[mannKendall]]'s
+    * direction test pairs with when the caller wants a MAGNITUDE that a
+    * single outlier cannot drag (29% breakdown point; OLS has 0%).
+    *
+    * Same bounded-series shape as MK: the pair walk is a nested HOF
+    * over the per-key (x, tie, v)-sorted array — plain hash groupBy,
+    * map-side fold, nothing globally sorted. Pairs with EQUAL x are
+    * skipped (no defined slope; the MK tie class); the estimate is the
+    * LOWER median — element (n+1)/2 of the ascending slope array — an
+    * actual computed element, never an interpolation.
+    *
+    * Determinism: each slope is ONE IEEE division (vj−vi)/(xj−xi) of
+    * exact operands (+ 0.0 collapses −0.0 so the sort is identical in
+    * both engines); array_sort of finite doubles is a total order and
+    * element SELECTION preserves exactness — `ts_slope` hashes
+    * UNROUNDED. `xCol` must be numeric-exact (e.g. epoch days — never
+    * raw timestamps through an engine-dependent conversion). The
+    * size >= 2 guard sits BELOW the projection (the mannKendall
+    * sequence(1, size−1) descent lesson); keys with no distinct-x pair
+    * are dropped on both sides.
+    */
+  def theilSen(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val g: Seq[Column] = keyCols.map(col)
+    val clean = df.where(
+      g.map(_.isNotNull).reduce(_ && _) &&
+        col(xCol).isNotNull && col(tieCol).isNotNull && col(valueCol).isNotNull)
+    clean
+      .groupBy(g: _*)
+      .agg(array_sort(collect_list(struct(
+        col(xCol).cast("double").as("x"), col(tieCol).as("t"),
+        col(valueCol).cast("double").as("v")))).as("sp"))
+      .where(size(col("sp")) >= 2)
+      .select(g ++ Seq(
+        size(col("sp")).cast("long").as("n_points"),
+        array_sort(filter(
+          flatten(transform(
+            sequence(lit(1), size(col("sp")) - 1),
+            i => transform(
+              sequence(i + 1, size(col("sp"))),
+              j => {
+                val xi = element_at(col("sp"), i).getField("x")
+                val xj = element_at(col("sp"), j).getField("x")
+                val vi = element_at(col("sp"), i).getField("v")
+                val vj = element_at(col("sp"), j).getField("v")
+                when(xj =!= xi, (vj - vi) / (xj - xi) + lit(0.0))
+              }))),
+          s => s.isNotNull)).as("__sl")): _*)
+      .where(size(col("__sl")) >= 1)
+      .select(g ++ Seq(
+        col("n_points"),
+        size(col("__sl")).cast("long").as("n_slopes"),
+        element_at(col("__sl"),
+          ((size(col("__sl")) + 1) / 2).cast("int")).as("ts_slope")): _*)
+  }
 }

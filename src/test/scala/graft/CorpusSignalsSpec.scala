@@ -70,4 +70,30 @@ class CorpusSignalsSpec extends SparkSpecBase {
     assert((got(1).getLong(1), got(1).getLong(2), got(1).getLong(3)) == ((5L, 3L, 5L)))
     assert((got(2).getLong(1), got(2).getLong(2), got(2).getLong(3)) == ((2L, 1L, 1L)))
   }
+
+  test("q_source_cap: at most 3 per source, scores non-increasing, window parity") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_source_cap")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.values.forall(_.length <= 3))
+    bySource.values.foreach { rs =>
+      val scores = rs.map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // parity with the plain window formulation (the heap-vs-window gate)
+    val docs = sources.Snapshot(spark, sf()).documents.where(col("text").isNotNull)
+    val scored = docs.select(col("doc_id"), col("source"))
+      .join(graft.operators.text.TextStats.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score")), "doc_id")
+      .where(col("quality_score").isNotNull)
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val want = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("source", "doc_id", "quality_score")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows.map(_.toString).sorted.toSeq == want)
+  }
 }

@@ -105,4 +105,55 @@ class EvalStatsSpec extends SparkSpecBase {
     assert(got.head.getLong(1) == 4L && got.head.getLong(2) == 2L &&
       got.head.getDouble(3) == 1.0)
   }
+
+  test("mannWhitney: hand-derived U and z, with and without ties") {
+    // A=[1,2], B=[3,4]: U_a = 0; z = -4 / (2*sqrt(4/12*(5 - 0/12)))
+    val d1 = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v")
+    val r1 = Stats.mannWhitney(d1, "g", "v", "A", "B").collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((2L, 2L, 0L)))
+    val z1 = -4.0 / (2.0 * math.sqrt(4.0 / 12.0 * (5.0 - 0.0 / 12.0)))
+    assert(r1.getDouble(3) == z1)
+    // ties: A=[1,1], B=[1,2]: R2a=8, U_a=1, ties=24, var=1, z=-1
+    val d2 = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 2.0)).toDF("g", "v")
+    val r2 = Stats.mannWhitney(d2, "g", "v", "A", "B").collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((2L, 2L, 1L)))
+    assert(r2.getDouble(3) == -1.0)
+    // all-tied: variance degenerates -> NULL z
+    val d3 = Seq(("A", 7.0), ("A", 7.0), ("B", 7.0)).toDF("g", "v")
+    val r3 = Stats.mannWhitney(d3, "g", "v", "A", "B").collect().head
+    assert(r3.isNullAt(3))
+  }
+
+  test("anovaOneWay: hand-derived F; degenerate within-variance yields NULL") {
+    // A=[1,2,3], B=[4,5,6]: SSB=13.5, SSW=4, F=(13.5/1)/(4/4)=13.5
+    val d1 = (Seq(1, 2, 3).map(v => ("A", v.toDouble)) ++
+      Seq(4, 5, 6).map(v => ("B", v.toDouble))).toDF("g", "v")
+    val r1 = Stats.anovaOneWay(d1, "g", "v").collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getDouble(2)) == ((2L, 6L, 13.5)))
+    // zero within-group variance -> SSW = 0 -> NULL
+    val d2 = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0)).toDF("g", "v")
+    assert(Stats.anovaOneWay(d2, "g", "v").collect().head.isNullAt(2))
+    // one group -> NULL
+    val d3 = Seq(("A", 1.0), ("A", 2.0)).toDF("g", "v")
+    assert(Stats.anovaOneWay(d3, "g", "v").collect().head.isNullAt(2))
+  }
+
+  test("ksTwoSample: hand-derived distance with the min-value tiebreak") {
+    import graft.operators.stats.Drift
+    // A=[1,2,3], B=[2,3,4] -- expected d computed with the operator's
+    // own IEEE op sequence (1/3 is not exact; fractions would be an
+    // ulp off, the q_interpolate lesson)
+    val df = (Seq(1, 2, 3).map(v => ("A", v.toDouble)) ++
+      Seq(2, 3, 4).map(v => ("B", v.toDouble))).toDF("g", "v")
+    val r = Drift.ksTwoSample(df, "g", "v", "A", "B").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    val ds = Seq(
+      1.0 -> math.abs(1.0 / 3.0 - 0.0 / 3.0),
+      2.0 -> math.abs(2.0 / 3.0 - 1.0 / 3.0),
+      3.0 -> math.abs(3.0 / 3.0 - 2.0 / 3.0),
+      4.0 -> math.abs(3.0 / 3.0 - 3.0 / 3.0))
+    val maxD = ds.map(_._2).max
+    val atV = ds.filter(_._2 == maxD).map(_._1).min
+    assert(r.getDouble(2) == maxD && r.getDouble(3) == atV)
+  }
 }

@@ -388,4 +388,37 @@ class StatsSpec extends SparkSpecBase {
       .orderBy("category").collect().map(_.getString(0)).toSeq
     assert(to == Seq("__OTHER__", "x"))
   }
+
+  // q_anova's F rides the same decimal->double conversion drift class as
+  // regression; margin-audit the PRE-rounding F at its 4-digit floor
+  // boundary at all three SFs (the B38 protocol)
+  for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    test(s"anova margin audit at $dir: unrounded F clear of its 4-digit boundary") {
+      val li = sources.Snapshot(spark, sf(dir)).lineitem
+      val agg = li
+        .where(col("l_returnflag").isNotNull && col("l_quantity").isNotNull)
+        .groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          graft.functions.ExactMath.dsum(col("l_quantity")).as("sg"),
+          sum((col("l_quantity").cast("decimal(18,6)") * col("l_quantity").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")).cast("double").as("qg"))
+        .orderBy("l_returnflag")
+        .collect()
+      val k = agg.length
+      val n = agg.map(_.getAs[Long]("n")).sum
+      val sTot = agg.map(_.getAs[Double]("sg")).foldLeft(0.0)(_ + _)
+      val qTot = agg.map(_.getAs[Double]("qg")).foldLeft(0.0)(_ + _)
+      val bTot = agg.map(r => r.getAs[Double]("sg") * r.getAs[Double]("sg")
+        / r.getAs[Long]("n").toDouble).foldLeft(0.0)(_ + _)
+      assert(k >= 2 && (qTot - bTot) > 0.0)
+      val f = ((bTot - sTot * sTot / n.toDouble) / (k - 1).toDouble) /
+        ((qTot - bTot) / (n - k).toDouble)
+      val scale = 10000.0
+      val frac = f * scale - math.floor(f * scale)
+      val margin = math.abs(frac - 0.5) / scale
+      val driftBound = (math.abs(f) + 1.0) * 1e-14
+      assert(margin > 1e3 * driftBound,
+        f"$dir: unrounded F $f%.10g sits $margin%.3e from its 4-digit boundary")
+    }
+  }
 }

@@ -94,4 +94,28 @@ class TrendSpec extends SparkSpecBase {
     val viaState = Trend.mannKendallFromState(st, Seq("k")).collect()
     assert(viaState.map(_.getString(0)).toSet == Set("up"))
   }
+
+  test("theilSen: hand-derived medians; equal-x pairs skipped; catalog row brackets") {
+    // (0,0),(1,2),(2,8): slopes 2,4,6 -> lower median 4
+    // equal-x key: (0,0),(0,5),(1,3): valid slopes 3, -2 -> lower median -2
+    val df = Seq(
+      ("a", 0, 1, 0.0), ("a", 1, 2, 2.0), ("a", 2, 3, 8.0),
+      ("b", 0, 1, 0.0), ("b", 0, 2, 5.0), ("b", 1, 3, 3.0),
+      ("solo", 0, 1, 9.0))
+      .toDF("k", "x", "t", "v")
+    val got = Trend.theilSen(df, Seq("k"), "x", "t", "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(!got.contains("solo"))
+    assert(got("a") == ((3L, 3L, 4.0)))
+    assert(got("b") == ((3L, 2L, -2.0)))
+    // catalog: per-customer slopes exist and n_slopes <= C(n_points, 2)
+    val rows = SparkEntry.queries("q_theil_sen")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, ns) = (r.getLong(1), r.getLong(2))
+      assert(ns >= 1 && ns <= np * (np - 1) / 2, r.toString)
+    }
+  }
 }
