@@ -798,7 +798,13 @@ object SparkEntry {
       // sketch-derived selection (B28 static-verdict convention)
       graft.operators.quantile.Quantiles
         .weightedQuantileApprox(snap(s, dir).lineitem, Seq("l_returnflag"),
-          "l_extendedprice", "l_quantity", 50)
+          "l_extendedprice", "l_quantity", 50,
+          // split PLACEMENT precision does not affect correctness (the
+          // bracket audit is exact regardless): 50 splits at GK accuracy
+          // 1000 still bound the answer interval to ~2% of rank mass,
+          // at half the sketch and per-row-scan cost of the defaults
+          // (profiled 4.9s at 100/10000 -> ~2.5s here)
+          nSplits = 50, accuracy = 1000)
         .select("l_returnflag", "n", "tot_w", "reached", "prev_short")
         .orderBy("l_returnflag")),
     "q_gini" -> ((s, dir) => {

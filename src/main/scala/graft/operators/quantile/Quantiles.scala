@@ -447,14 +447,18 @@ object Quantiles {
     val clean = df
       .where(v.isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
     val ps = (1 to nSplits).map(j => j.toDouble / nSplits)
+    // localCheckpoint pins the k-row split table: it feeds BOTH the
+    // bucket pass and the answer projection, and without the pin each
+    // reference re-runs the full GK sketch scan (the q_rfm lesson)
     val splits = clean
       .groupBy(g: _*)
       .agg(
         percentile_approx(v, lit(ps.toArray), lit(accuracy)).as("__splits"),
         max(v).as("__vmax"))
+      .localCheckpoint(true)
     val bucketed = clean
       .join(broadcast(splits), groupCols)
-      .withColumn("__b", size(filter(col("__splits"), s => s < v)))
+      .withColumn("__b", size(filter(col("__splits"), sp => sp < v)))
       .groupBy(g :+ col("__b"): _*)
       .agg(sum(col(weightCol).cast(dec)).as("__w"))
     val wCum = Window.partitionBy(g: _*).orderBy(col("__b"))
