@@ -1951,6 +1951,42 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("quality_score"))
         .orderBy(col("source"), col("quality_score").desc, col("doc_id"))
     }),
+    "q_changepoint" -> ((s, dir) =>
+      // AMOC single change-point per customer (B93): Q_t = |n*S_t - t*S_n|
+      // stays EXACT decimal end to end — the argmax needs no float
+      // compare; cp_stat's one decimal->double conversion is inside the
+      // 2^53 envelope, so it hashes unrounded.
+      graft.operators.temporal.Changepoint
+        .amocByKey(snap(s, dir).orders, Seq("o_custkey"),
+          "o_orderdate", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")),
+    "q_jaccard_neighbors" -> ((s, dir) => {
+      // structural-equivalence screen (B94): neighbor-set Jaccard over
+      // the q_pagerank co-purchase subgraph; exact counts, one division,
+      // top-50 via TakeOrderedAndProject with (a, b) tiebreaks.
+      val li = snap(s, dir).lineitem
+        .where(pmod(col("l_partkey"), lit(4)) === 0)
+      val edges = graft.operators.graph.Graph
+        .coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      graft.operators.graph.Graph
+        .neighborJaccard(edges, "node_a", "node_b", 2L, 50)
+    }),
+    "q_keyword_rake" -> ((s, dir) =>
+      // RAKE key-phrase extraction (C69): degree/frequency word scores
+      // over stopword-delimited phrase runs, phrase score = position-
+      // ordered fold of member scores (exact-int divisions + the cosine
+      // fold convention -> unrounded hashable); shared stopword set.
+      graft.operators.text.Rake
+        .topPhrases(snap(s, dir).documents, "doc_id", "text", 20)),
+    "q_skew_kurtosis" -> ((s, dir) =>
+      // distribution-shape profile (B95): per-flag skew/kurtosis from
+      // exact decimal power sums (nested dsumProd casts mirrored in
+      // SQL); one fixed IEEE central-moment chain, hashRound(4/6) with
+      // a StatsSpec margin audit — builtin skewness/kurtosis aggregate
+      // raw doubles and are partial-order-dependent.
+      graft.operators.stats.Stats
+        .momentsByGroup(snap(s, dir).lineitem, "l_returnflag", "l_quantity")
+        .orderBy("l_returnflag")),
     "q_calibration" -> ((s, dir) => {
       // reliability table for the C57 ROC-AUC scorer: per stopword-hit
       // score, how often lang='en' actually holds — exact counts plus
@@ -4981,6 +5017,53 @@ object SparkEntry {
         |         w1, w2, c_xy, c_w1, c_w2, n_bigrams, floor((pmi_raw) * 10000.0 + 0.5) / 10000.0 AS pmi
         |  FROM r)
         |SELECT * FROM t WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // C69 RAKE: degree/freq word scores over phrase runs; phrase score
+    // folds member scores in position order (init-less list_reduce ==
+    // the 0.0-init Spark fold); shared 5-word stopword literal
+    "q_keyword_rake" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS doc, u.p AS pos, u.w AS w FROM (
+        |    SELECT doc_id, unnest(list_transform(string_split(lower(text), ' '),
+        |             (w, i) -> {'p': i, 'w': w})) AS u
+        |    FROM documents WHERE text IS NOT NULL)),
+        |content AS (
+        |  SELECT doc, pos, w FROM toks
+        |  WHERE w NOT IN ('the', 'a', 'is', 'of', 'and') AND w <> ''),
+        |isl AS (
+        |  SELECT doc, pos, w,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos) AS island
+        |  FROM content),
+        |ph AS (
+        |  SELECT array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+        |    CAST(COUNT(*) AS BIGINT) AS plen
+        |  FROM isl GROUP BY doc, island),
+        |wstat AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(plen) AS BIGINT) AS deg
+        |  FROM (SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM ph)
+        |  GROUP BY 1),
+        |typed AS (
+        |  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |    MIN(plen) AS plen
+        |  FROM ph GROUP BY 1),
+        |pw AS (
+        |  SELECT phrase, n_occurrences, plen, u.p AS wpos, u.w AS w
+        |  FROM (SELECT phrase, n_occurrences, plen,
+        |          unnest(list_transform(string_split(phrase, ' '),
+        |            (w, i) -> {'p': i, 'w': w})) AS u
+        |        FROM typed)),
+        |sc AS (
+        |  SELECT phrase, n_occurrences, plen,
+        |    list_reduce(list(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+        |      ORDER BY wpos), (x, y) -> x + y) AS score
+        |  FROM pw JOIN wstat USING (w) GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, phrase) AS BIGINT)
+        |    AS rank, phrase, CAST(plen AS BIGINT) AS n_words, n_occurrences,
+        |    score
+        |  FROM sc)
+        |SELECT * FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
     // KM product-limit: risk sets as window sums over the aggregated
     // (group, duration) spine; survival = init-less list_reduce over
     // duration-ordered (1 - d/n) factors == Spark's 1.0-init fold
@@ -5152,6 +5235,59 @@ object SparkEntry {
         |            WHEN z < -1.96 THEN 'dec'
         |            ELSE 'none' END AS trend
         |FROM z ORDER BY o_custkey""".stripMargin,
+    // B93 AMOC change point: all-decimal Q_t, exact argmax, one final
+    // in-envelope decimal->double conversion
+    "q_changepoint" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS k, o_orderdate AS o, o_orderkey AS t,
+        |    CAST(o_totalprice AS DECIMAL(18,6)) AS v
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |w AS (
+        |  SELECT k,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY o, t) AS BIGINT) AS idx,
+        |    SUM(v) OVER (PARTITION BY k ORDER BY o, t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+        |    CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |    SUM(v) OVER (PARTITION BY k) AS tot
+        |  FROM c),
+        |q AS (
+        |  SELECT k, n, idx,
+        |    abs(CAST(n AS DECIMAL(19,0)) * CAST(pre AS DECIMAL(19,6))
+        |      - CAST(idx AS DECIMAL(19,0)) * CAST(tot AS DECIMAL(19,6))) AS qs
+        |  FROM w WHERE idx < n),
+        |r AS (
+        |  SELECT k, n, idx, qs,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY qs DESC, idx ASC) AS rn
+        |  FROM q)
+        |SELECT k AS o_custkey, n AS n_points, idx AS cp_index,
+        |  CAST(qs AS DOUBLE) AS cp_stat
+        |FROM r WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    // B94 neighbor Jaccard: exact counts + one division; the HAVING cap
+    // keeps singleton-common pairs out of the degree join
+    "q_jaccard_neighbors" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS g, l_partkey AS nd FROM lineitem
+        |  WHERE l_partkey % 4 = 0 AND l_orderkey IS NOT NULL
+        |    AND l_partkey IS NOT NULL),
+        |e AS (SELECT DISTINCT a.nd AS a, b.nd AS b
+        |      FROM li a JOIN li b USING (g) WHERE a.nd < b.nd),
+        |adj AS (SELECT a AS c, b AS n FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM adj GROUP BY 1),
+        |p AS (SELECT x.n AS node_a, y.n AS node_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_common
+        |      FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT node_a, node_b, n_common, da.deg AS deg_a, db.deg AS deg_b,
+        |  CAST(n_common AS DOUBLE) / CAST(da.deg + db.deg - n_common AS DOUBLE)
+        |    AS jaccard
+        |FROM p
+        |JOIN deg da ON da.node = node_a
+        |JOIN deg db ON db.node = node_b
+        |ORDER BY jaccard DESC, node_a, node_b LIMIT 50""".stripMargin,
+
     // B89 one-way ANOVA: decimal sufficient stats, group-ordered folds
     // (0.0-init fold == init-less list_reduce, the q_seasonality rule),
     // F floor-rounded at 4 (StatsSpec margin audit)
@@ -5178,6 +5314,56 @@ object SparkEntry {
         |      / ((q - b) / CAST(n - k AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
         |  END AS f_stat
         |FROM t""".stripMargin,
+    // B95 moments: nested exact-decimal power products (the regression
+    // dsumProd chain), fixed IEEE central-moment sequence, floor-round
+    "q_skew_kurtosis" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(CAST(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6)) AS DECIMAL(19,6))
+        |      * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(CAST(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6)) AS DECIMAL(19,6))
+        |      * CAST(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6)) AS DECIMAL(19,6))
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS s4
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  floor((s1 / CAST(n AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mean,
+        |  floor((s2 / CAST(n AS DOUBLE)
+        |    - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+        |    * 10000.0 + 0.5) / 10000.0 AS variance,
+        |  CASE WHEN s2 / CAST(n AS DOUBLE)
+        |      - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) > 0 THEN
+        |    floor(((s3 / CAST(n AS DOUBLE)
+        |        - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+        |        + 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+        |          * (s1 / CAST(n AS DOUBLE)))
+        |      / (sqrt(s2 / CAST(n AS DOUBLE)
+        |          - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+        |        * (s2 / CAST(n AS DOUBLE)
+        |          - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))))
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |  END AS skewness,
+        |  CASE WHEN s2 / CAST(n AS DOUBLE)
+        |      - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) > 0 THEN
+        |    floor(((s4 / CAST(n AS DOUBLE)
+        |        - 4.0 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+        |        + 6.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+        |          * (s2 / CAST(n AS DOUBLE))
+        |        - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+        |          * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+        |      / ((s2 / CAST(n AS DOUBLE)
+        |          - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+        |        * (s2 / CAST(n AS DOUBLE)
+        |          - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))))
+        |      - 3.0) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS kurtosis
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
     // B90 Mann-Whitney: doubled-rank machinery over the value spine;
     // u_a exact (even/2 double division exact under 2^53), z unrounded
     "q_mann_whitney" ->

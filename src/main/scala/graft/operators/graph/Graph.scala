@@ -230,6 +230,54 @@ object Graph {
     } finally oriented.unpersist()
   }
 
+  /** Neighbor-set Jaccard similarity for node pairs sharing at least
+    * `minCommon` neighbors (B94) — "customers/parts with the same
+    * neighborhood are substitutes" (structural equivalence), the graph
+    * twin of C4's set-similarity dedup. Common-neighbor counts come
+    * from apex-pair enumeration (each shared neighbor c contributes its
+    * (a, b) pair once), the `minCommon` frequency cap applies INSIDE
+    * the pair aggregation (the B46 lesson: the singleton long tail
+    * never reaches the degree join), degrees attach via two slim joins,
+    * and jaccard = n_common / (deg_a + deg_b − n_common) — ONE IEEE
+    * division of exact BIGINTs, hash-safe UNROUNDED; the global top-k
+    * is TakeOrderedAndProject (never a full sort), ties broken by
+    * (node_a, node_b).
+    *
+    * Scale contract: apex enumeration is Σ deg(c)² — fine on
+    * bounded-degree co-occurrence graphs (this catalog's shape); for
+    * power-law hubs the honest path is minhash over adjacency SETS
+    * (the C2 machinery on neighbor lists), not this exact join.
+    */
+  def neighborJaccard(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      minCommon: Long,
+      k: Int): DataFrame = {
+    val half = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val adj = half.select(col("a").as("c"), col("b").as("n"))
+      .unionAll(half.select(col("b").as("c"), col("a").as("n")))
+    val deg = adj.groupBy(col("n").as("node")).agg(count(lit(1)).as("deg"))
+    val pairs = adj.join(adj.withColumnRenamed("n", "m"), "c")
+      .where(col("n") < col("m"))
+      .groupBy(col("n").as("node_a"), col("m").as("node_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minCommon)
+    pairs
+      .join(deg.withColumnRenamed("node", "node_a").withColumnRenamed("deg", "deg_a"), "node_a")
+      .join(deg.withColumnRenamed("node", "node_b").withColumnRenamed("deg", "deg_b"), "node_b")
+      .select(col("node_a"), col("node_b"), col("n_common"),
+        col("deg_a"), col("deg_b"),
+        (col("n_common").cast("double")
+          / (col("deg_a") + col("deg_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("node_a"), col("node_b"))
+      .limit(k)
+  }
+
   /** Undirected co-occurrence edges: nodes sharing a group (parts in the
     * same order, docs with the same shingle). One ordinary equi
     * self-join on the group key — co-partitioned, so a single exchange

@@ -594,4 +594,59 @@ object Stats {
       when(na > 0L && nb > 0L && varU > 0.0,
         (u2 - na * nb).cast("double") / (lit(2.0) * sqrt(varU))).as("z_score"))
   }
+
+  /** Per-group skewness/kurtosis from exact decimal power sums (B95) —
+    * the distribution-shape profiling pass (heavy tails / asymmetry)
+    * next to B39's presence stats. Spark's builtin `skewness`/
+    * `kurtosis` aggregate raw doubles (partial-order-dependent, the
+    * corr lesson); here each row contributes v, v², v³, v⁴ as EXACT
+    * DECIMAL(18,6) products (the regression dsumProd chain, nested —
+    * the per-row casts round HALF_UP at scale 6 identically in both
+    * engines), the sums are associative decimals, and the central-
+    * moment derivation is ONE fixed IEEE sequence:
+    *   m  = s1/n,  m2 = s2/n − m·m,
+    *   m3 = s3/n − 3·m·(s2/n) + 2·m·m·m,
+    *   m4 = s4/n − 4·m·(s3/n) + 6·m·m·(s2/n) − 3·m·m·m·m,
+    *   skewness = m3/(sqrt(m2)·m2),  kurtosis = m4/(m2·m2) − 3.
+    * The decimal→double conversions can exceed the 2^53 envelope (s4
+    * grows fast) — outputs hashRound at (mean/variance 4, skew/kurt 6)
+    * with a StatsSpec margin audit (the B38 protocol). NULL shape
+    * stats when m2 ≤ 0 (constant group). Value-magnitude contract:
+    * |v| ≤ ~5·10³ keeps every per-row v⁴ product inside DECIMAL(18,6);
+    * larger values need a wider moment decimal (the hhi overflow rule —
+    * exceeding it raises via the decimal overflow, never silently).
+    */
+  def momentsByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = ExactMath.ValueDecimal
+    val vd = col(valueCol).cast(dec)
+    def prod(a: Column, b: Column): Column = (a * b).cast(dec)
+    val agg = df
+      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(vd).cast("double").as("__s1"),
+        sum(prod(vd, vd)).cast("double").as("__s2"),
+        sum(prod(prod(vd, vd), vd)).cast("double").as("__s3"),
+        sum(prod(prod(vd, vd), prod(vd, vd))).cast("double").as("__s4"))
+    val n = col("n").cast("double")
+    val m = col("__s1") / n
+    val m2 = col("__s2") / n - m * m
+    val m3 = col("__s3") / n - lit(3.0) * m * (col("__s2") / n) + lit(2.0) * m * m * m
+    val m4 = col("__s4") / n - lit(4.0) * m * (col("__s3") / n) +
+      lit(6.0) * m * m * (col("__s2") / n) - lit(3.0) * m * m * m * m
+    agg.select(
+      col(groupCol), col("n"),
+      ExactMath.hashRound(m, 4).as("mean"),
+      // variance rounds at 4, not 6: magnitude ~10^2 with the s2-chain
+      // drift left a sf0.001 value 9.8e-9 from a 6-digit boundary — the
+      // margin audit rejected it at the gate (digits scale to magnitude,
+      // the B38 rule)
+      ExactMath.hashRound(m2, 4).as("variance"),
+      ExactMath.hashRound(when(m2 > 0.0, m3 / (sqrt(m2) * m2)), 6).as("skewness"),
+      ExactMath.hashRound(when(m2 > 0.0, m4 / (m2 * m2) - lit(3.0)), 6).as("kurtosis"))
+  }
 }

@@ -39,4 +39,28 @@ class CollocationsSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getLong(6)))
     assert(got.toSet == Set(("x", "y", 3L, 7L), ("y", "z", 3L, 7L)))
   }
+
+  test("rake: hand-derived degree/freq scores, position-ordered fold, phrase tiebreak") {
+    import graft.operators.text.Rake
+    // phrases: "big data" x2, "quick fox", "data"
+    // freq: big 2, data 3, quick 1, fox 1; deg: big 4, data 5, quick 2, fox 2
+    // scores: big data = 2.0 + 5.0/3.0; quick fox = 2.0 + 2.0; data = 5.0/3.0
+    val df = Seq(
+      (1L, "big data is big data"),
+      (2L, "the quick fox"),
+      (3L, "a data"))
+      .toDF("doc_id", "text")
+    val got = Rake.topPhrases(df, "doc_id", "text", 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, "quick fox", 2L, 1L, 2.0 + 2.0),
+      (2L, "big data", 2L, 2L, 2.0 + 5.0 / 3.0),
+      (3L, "data", 1L, 1L, 5.0 / 3.0)))
+    // exact-score tie breaks on the phrase string
+    val tie = Seq((1L, "alpha beta is gamma delta")).toDF("doc_id", "text")
+    val t = Rake.topPhrases(tie, "doc_id", "text", 10).collect()
+    assert(t.map(_.getString(1)).toSeq == Seq("alpha beta", "gamma delta"))
+    assert(t.map(_.getDouble(4)).distinct.length == 1)
+  }
 }

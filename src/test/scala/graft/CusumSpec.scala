@@ -64,4 +64,28 @@ class CusumSpec extends SparkSpecBase {
     assert(got("a") == ((3, 15.0, 19.0)))
     assert(got("b") == ((1, 37.0, 37.0)))
   }
+
+  test("changepoint: hand-derived AMOC argmax, earliest-split tie, catalog row bounds") {
+    import graft.operators.temporal.Changepoint
+    // [1,1,1,9,9,9]: Q_t = |6*S_t - 30t| peaks at t=3 with 72
+    // [0,5,0]: Q_1 = Q_2 = 5 -> earliest split wins
+    val df = (Seq.tabulate(6)(i => ("a", i, i, if (i < 3) 1.0 else 9.0)) ++
+      Seq(("b", 0, 0, 0.0), ("b", 1, 1, 5.0), ("b", 2, 2, 0.0)) ++
+      Seq(("solo", 0, 0, 7.0)))
+      .toDF("k", "o", "t", "v")
+    val got = Changepoint.amocByKey(df, Seq("k"), "o", "t", "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(!got.contains("solo"), "n = 1 has no split")
+    assert(got("a") == ((6L, 3L, 72.0)))
+    assert(got("b") == ((3L, 1L, 5.0)))
+    // catalog: 1 <= cp_index < n_points, stat >= 0
+    val rows = SparkEntry.queries("q_changepoint")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) < r.getLong(1), r.toString)
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
 }

@@ -197,4 +197,19 @@ class GraphSpec extends SparkSpecBase {
     assert(gotHop1 == expected)
     assert(got.where(col("hops") === 0).collect().map(_.getLong(0)).toSeq == Seq(srcKey))
   }
+
+  test("neighborJaccard: hand-derived similarities; minCommon cap; ordering") {
+    // edges 1-2, 1-3, 2-3, 2-4, 3-4:
+    // N(1)={2,3} N(2)={1,3,4} N(3)={1,2,4} N(4)={2,3}
+    // (1,4): common {2,3} -> j = 2/(2+2-2) = 1.0
+    // (2,3): common {1,4} -> j = 2/(3+3-2) = 0.5; all others share < 2
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("node_a", "node_b")
+    val got = graft.operators.graph.Graph
+      .neighborJaccard(edges, "node_a", "node_b", 2L, 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq((1L, 4L, 2L, 2L, 2L, 1.0), (2L, 3L, 2L, 3L, 3L, 0.5)))
+  }
 }

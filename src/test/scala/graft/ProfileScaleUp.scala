@@ -551,6 +551,50 @@ object ProfileScaleUp {
               / count(lit(1)).cast("double"), 4).as("trimmed_mean"))
       })
 
+    // ---- round-12 operators ----------------------------------------------
+    time("anova (spine folds)")(
+      force(graft.operators.stats.Stats
+        .anovaOneWay(orders, "o_orderpriority", "o_totalprice")))
+    time("mann-whitney (rank spine)")(
+      force(graft.operators.stats.Stats
+        .mannWhitney(orders, "o_orderpriority", "o_totalprice",
+          "1-URGENT", "5-LOW")))
+    time("ks two-sample (value spine)")(
+      force(graft.operators.stats.Drift
+        .ksTwoSample(orders, "o_orderpriority", "o_totalprice",
+          "1-URGENT", "5-LOW")))
+    time("theil-sen (pair folds)")(
+      force(graft.operators.temporal.Trend
+        .theilSen(orders.withColumn("__x", expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")),
+          Seq("o_custkey"), "__x", "o_orderkey", "o_totalprice")
+        .groupBy().agg(count(lit(1)).as("n"), sum("n_slopes").as("s"))))
+    time("changepoint (AMOC)")(
+      force(graft.operators.temporal.Changepoint
+        .amocByKey(orders, Seq("o_custkey"), "o_orderdate", "o_orderkey",
+          "o_totalprice")
+        .groupBy().agg(count(lit(1)).as("n"), sum("cp_stat").as("s"))))
+    time("mad sketch audit")(
+      force(graft.operators.quantile.Outliers
+        .madAuditApprox(orders, "o_orderpriority", "o_totalprice")))
+    time("weighted quantile sketch")(
+      force(graft.operators.quantile.Quantiles
+        .weightedQuantileApprox(
+          orders.withColumn("__w", pmod(col("o_orderkey"), lit(10)) + 1),
+          Seq("o_orderpriority"),
+          "o_totalprice", "__w", 50, nSplits = 50, accuracy = 1000)
+        .drop("approx_value")))
+    time("rake keywords")(
+      force(graft.operators.text.Rake.topPhrases(docs, "doc_id", "text", 20)))
+    time("novelty hashed (slim spine)")(
+      force(graft.operators.text.Novelty
+        .firstOccurrenceNoveltyHashed(docs, "doc_id", "text")
+        .groupBy().agg(count(lit(1)).as("n"), sum("n_novel").as("s"))))
+    time("growth accounting from state")(
+      force(graft.operators.temporal.Growth.monthlyAccountingFromState(
+        graft.operators.temporal.Growth
+          .activityState(orders, "o_custkey", "o_orderdate"))))
+
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
     // partkey, written to parquet so every measurement starts from a real

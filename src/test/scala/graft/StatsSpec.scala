@@ -421,4 +421,72 @@ class StatsSpec extends SparkSpecBase {
         f"$dir: unrounded F $f%.10g sits $margin%.3e from its 4-digit boundary")
     }
   }
+
+  test("momentsByGroup: hand-derived moments via the operator's own IEEE sequence") {
+    import spark.implicits._
+    def hr(x: Double, d: Int): Double = {
+      val sc = (1 to d).foldLeft(1L)((a, _) => a * 10L).toDouble
+      math.floor(x * sc + 0.5) / sc
+    }
+    // [1..5]: s1=15, s2=55, s3=225, s4=979; replicate the exact op chain
+    val (n, s1, s2, s3, s4) = (5.0, 15.0, 55.0, 225.0, 979.0)
+    val m = s1 / n
+    val m2 = s2 / n - m * m
+    val m3 = s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m
+    val m4 = s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m
+    val df = (1 to 5).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val r = Stats.momentsByGroup(df, "g", "v").collect().head
+    assert(r.getLong(1) == 5L)
+    assert(r.getDouble(2) == hr(m, 4) && r.getDouble(3) == hr(m2, 4))
+    assert(r.getDouble(4) == hr(m3 / (math.sqrt(m2) * m2), 6))
+    assert(r.getDouble(5) == hr(m4 / (m2 * m2) - 3.0, 6))
+    // constant group: NULL shape stats
+    val c = Stats.momentsByGroup(
+      Seq(("g", 7.0), ("g", 7.0)).toDF("g", "v"), "g", "v").collect().head
+    assert(c.isNullAt(4) && c.isNullAt(5))
+  }
+
+  // q_skew_kurtosis margin audit at 3 SFs (the anova/regression class:
+  // s4's decimal->double conversion leaves the 2^53 envelope)
+  for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    test(s"moments margin audit at $dir: rounded values clear of boundaries") {
+      val li = sources.Snapshot(spark, sf(dir)).lineitem
+      def p19(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+      def prod(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        (a * b).cast("decimal(18,6)")
+      val vd = p19(col("l_quantity"))
+      val agg = li.where(col("l_returnflag").isNotNull && col("l_quantity").isNotNull)
+        .groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(vd).cast("double").as("s1"),
+          sum(prod(vd, vd)).cast("double").as("s2"),
+          sum(prod(prod(vd, vd), vd)).cast("double").as("s3"),
+          sum(prod(prod(vd, vd), prod(vd, vd))).cast("double").as("s4"))
+        .collect()
+      def margin(x: Double, digits: Int): Double = {
+        val scale = math.pow(10, digits)
+        val frac = x * scale - math.floor(x * scale)
+        math.abs(frac - 0.5) / scale
+      }
+      val checks = agg.toSeq.flatMap { r =>
+        val n = r.getAs[Long]("n").toDouble
+        val (s1, s2, s3, s4) = (r.getAs[Double]("s1"), r.getAs[Double]("s2"),
+          r.getAs[Double]("s3"), r.getAs[Double]("s4"))
+        val m = s1 / n
+        val m2 = s2 / n - m * m
+        val m3 = s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m
+        val m4 = s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m
+        Seq(m -> 4, m2 -> 4) ++
+          (if (m2 > 0) Seq(m3 / (math.sqrt(m2) * m2) -> 6, m4 / (m2 * m2) - 3.0 -> 6)
+           else Nil)
+      }
+      assert(checks.nonEmpty)
+      checks.foreach { case (v, digits) =>
+        val mg = margin(v, digits)
+        val driftBound = (math.abs(v) + 1.0) * 1e-13
+        assert(mg > 1e3 * driftBound,
+          f"$dir: unrounded moment $v%.10g sits $mg%.3e from its $digits-digit boundary")
+      }
+    }
+  }
 }

@@ -791,6 +791,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == oneShot)
   }
 
+  test("streaming changepoint state: merged series state reproduces the batch AMOC (D24)") {
+    // D24: B93's change-point detector maintained under streaming
+    // ingestion — the D22 shape VERBATIM: the carried state IS
+    // Trend.seriesState (shared multiset contract), merge unordered,
+    // recompute from merged state == one-shot batch exactly.
+    import graft.operators.temporal.{Changepoint, Trend}
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Trend.seriesState(df, Seq("o_custkey"), "o_orderdate", "o_orderkey",
+        "o_totalprice")
+    val dir = Files.createTempDirectory("graft_cp_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).orders.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val next = st match {
+          case None => state(batch)
+          case Some(prev) => Trend.mergeSeriesState(prev, state(batch))
+        }
+        st = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val streamed = canon(Changepoint.amocFromState(st.get, Seq("o_custkey")))
+    val oneShot = canon(Changepoint.amocByKey(
+      batchDf, Seq("o_custkey"), "o_orderdate", "o_orderkey", "o_totalprice"))
+    assert(streamed.nonEmpty && streamed == oneShot)
+  }
+
   test("streaming growth state: merged activity sets reproduce the batch MAU accounting (D23)") {
     // D23: B84's growth accounting maintained under streaming ingestion
     // (the D22 shape on ORDERS — the events table spans one month, where
