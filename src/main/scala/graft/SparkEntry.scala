@@ -1987,6 +1987,29 @@ object SparkEntry {
       graft.operators.stats.Stats
         .momentsByGroup(snap(s, dir).lineitem, "l_returnflag", "l_quantity")
         .orderBy("l_returnflag")),
+    "q_welch_t" -> ((s, dir) =>
+      // Welch two-sample t (B96): returned vs accepted quantities —
+      // exact decimal (n, sum, sumsq) per side, one fixed IEEE chain,
+      // t/means hashRound(4), df(2); significant compares ROUNDED t
+      // (the q_ab_test convention). Single row.
+      graft.operators.stats.Stats
+        .welchT(snap(s, dir).lineitem, "l_returnflag", "l_quantity", "R", "A")),
+    "q_winsorize" -> ((s, dir) =>
+      // winsorized mean audit (B97): clamp to the exact [p05, p95]
+      // fences (rounded-4 contract, B35) and average the clamped
+      // decimals — the feature-preprocessing twin of q_trimmed_mean
+      // (nothing drops, row counts survive).
+      graft.operators.quantile.Outliers
+        .winsorAudit(snap(s, dir).lineitem, "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")),
+    "q_class_tfidf" -> ((s, dir) =>
+      // c-TF-IDF class labeling (C70, the BERTopic scorer): top-5 words
+      // per source by tf * ln(1 + A/f_w) — the 7th audited
+      // transcendental (MarginAuditSpec boundary + rank gaps through
+      // the 5/6 cut per class).
+      graft.operators.text.TextStats
+        .classTfidfTopTerms(snap(s, dir).documents, "source", "text", 5)
+        .orderBy("class", "rnk")),
     "q_calibration" -> ((s, dir) => {
       // reliability table for the C57 ROC-AUC scorer: per stopword-hit
       // score, how often lang='en' actually holds — exact counts plus
@@ -4252,6 +4275,36 @@ object SparkEntry {
         |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM s)
         |SELECT doc_id, rnk, term, floor((tfidf) * 1000000.0 + 0.5) / 1000000.0 AS tfidf FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+    // C70 c-TF-IDF: tf * ln(1 + A/f_w) — audited transcendental; the
+    // rank window runs over the aggregated (class, word) spine
+    "q_class_tfidf" ->
+      """WITH w AS (
+        |  SELECT source AS class, w0.word AS word FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS word
+        |    FROM documents
+        |    WHERE source IS NOT NULL AND text IS NOT NULL) w0
+        |  WHERE w0.word <> ''),
+        |tf AS (SELECT class, word, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM w GROUP BY 1, 2),
+        |fw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS fw FROM w GROUP BY 1),
+        |sc AS (SELECT CAST(SUM(tf) AS BIGINT) AS total,
+        |         CAST(COUNT(DISTINCT class) AS BIGINT) AS k FROM tf),
+        |s AS (
+        |  SELECT class, t.word AS word, t.tf AS tf,
+        |    CAST(t.tf AS DOUBLE) * ln(1.0
+        |      + (CAST(total AS DOUBLE) / CAST(k AS DOUBLE))
+        |        / CAST(fw AS DOUBLE)) AS score
+        |  FROM tf t JOIN fw USING (word), sc),
+        |r AS (
+        |  SELECT class,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY class
+        |      ORDER BY score DESC, word) AS BIGINT) AS rnk,
+        |    word, tf, score
+        |  FROM s)
+        |SELECT class, rnk, word, tf,
+        |  floor(score * 10000.0 + 0.5) / 10000.0 AS score
+        |FROM r WHERE rnk <= 5 ORDER BY class, rnk""".stripMargin,
+
     // exact integer bounds on the 24-bit md5 prefix: floor(0.8*2^24)=
     // 13421772, floor(0.9*2^24)=15099494 — identical in any engine
     "q_dataset_split" ->
@@ -5314,6 +5367,47 @@ object SparkEntry {
         |      / ((q - b) / CAST(n - k AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
         |  END AS f_stat
         |FROM t""".stripMargin,
+    // B96 Welch t: mirrored fixed-sequence means/variances; significant
+    // compares the ROUNDED t in both engines
+    "q_welch_t" ->
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1a,
+        |    CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS s2a
+        |  FROM lineitem WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL),
+        |b AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1b,
+        |    CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS s2b
+        |  FROM lineitem WHERE l_returnflag = 'A' AND l_quantity IS NOT NULL),
+        |j AS (
+        |  SELECT n_a, n_b,
+        |    s1a / CAST(n_a AS DOUBLE) AS ma, s1b / CAST(n_b AS DOUBLE) AS mb,
+        |    ((s2a - s1a * (s1a / CAST(n_a AS DOUBLE))) / (CAST(n_a AS DOUBLE) - 1.0))
+        |      / CAST(n_a AS DOUBLE) AS sea,
+        |    ((s2b - s1b * (s1b / CAST(n_b AS DOUBLE))) / (CAST(n_b AS DOUBLE) - 1.0))
+        |      / CAST(n_b AS DOUBLE) AS seb
+        |  FROM a, b),
+        |t AS (
+        |  SELECT n_a, n_b, ma, mb,
+        |    CASE WHEN n_a >= 2 AND n_b >= 2 AND (sea + seb) > 0 THEN
+        |      floor(((ma - mb) / sqrt(sea + seb)) * 10000.0 + 0.5) / 10000.0
+        |    END AS t_stat,
+        |    CASE WHEN n_a >= 2 AND n_b >= 2 AND (sea + seb) > 0 THEN
+        |      floor(((sea + seb) * (sea + seb)
+        |        / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+        |          + seb * seb / (CAST(n_b AS DOUBLE) - 1.0))) * 100.0 + 0.5) / 100.0
+        |    END AS df
+        |  FROM j)
+        |SELECT n_a, n_b,
+        |  floor(ma * 10000.0 + 0.5) / 10000.0 AS mean_a,
+        |  floor(mb * 10000.0 + 0.5) / 10000.0 AS mean_b,
+        |  t_stat, df,
+        |  CASE WHEN t_stat IS NOT NULL THEN abs(t_stat) > 1.96 END AS significant
+        |FROM t""".stripMargin,
+
     // B95 moments: nested exact-decimal power products (the regression
     // dsumProd chain), fixed IEEE central-moment sequence, floor-round
     "q_skew_kurtosis" ->
@@ -6184,6 +6278,30 @@ object SparkEntry {
         |  TRUE AS med_in_bounds, TRUE AS mad_in_bounds
         |FROM lineitem WHERE l_extendedprice IS NOT NULL
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // B97 winsorized mean: rounded-fence contract (B35), clamped
+    // decimals, quantile_cont == percentile interpolation (B13 pairing)
+    "q_winsorize" ->
+      """WITH f AS (
+        |  SELECT l_returnflag,
+        |    floor(quantile_cont(l_extendedprice, 0.05) * 10000.0 + 0.5)
+        |      / 10000.0 AS lo,
+        |    floor(quantile_cont(l_extendedprice, 0.95) * 10000.0 + 0.5)
+        |      / 10000.0 AS hi
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1)
+        |SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_lo,
+        |  CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_hi,
+        |  f.lo, f.hi,
+        |  floor((CAST(SUM(CAST(greatest(lo, least(hi, l_extendedprice))
+        |      AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |    * 10000.0 + 0.5) / 10000.0 AS mean_winsorized
+        |FROM lineitem l JOIN f USING (l_returnflag)
+        |WHERE l_extendedprice IS NOT NULL
+        |GROUP BY l.l_returnflag, f.lo, f.hi
+        |ORDER BY l_returnflag""".stripMargin,
+
     // the q_scd2 history (minus purchases) + the q_asof_row lookup shape:
     // bounded join + QUALIFY keeps the version effective at each
     // purchase; ties on effective_from resolve by greatest version —

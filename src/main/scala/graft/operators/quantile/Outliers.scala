@@ -160,4 +160,48 @@ object Outliers {
         inBounds(col("__mlo"), col("__mhi"), col("n")).as("med_in_bounds"),
         inBounds(col("__dlo"), col("__dhi"), col("n")).as("mad_in_bounds"))
   }
+
+  /** Winsorization audit (B97) — the CLAMPING sibling of the
+    * trimmed-mean/fence family: values outside the exact per-group
+    * [pLo, pHi] percentile fences clamp TO the fence (nothing drops —
+    * the feature-preprocessing convention where trimming would change
+    * row counts). Fences follow the B35 contract (hashRound at 4 in
+    * both engines — the rounded fence IS the contract); the winsorized
+    * mean sums clamped values as exact decimals (fences are round-4
+    * doubles, exact at DECIMAL(18,6)) and hashRounds at 4.
+    * Two slim passes: per-group percentile agg broadcast back, one
+    * conditional agg — the B35 shape; B28 sketches at 100 TB.
+    */
+  def winsorAudit(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentile pair ($pLo, $pHi)")
+    val v = col(valueCol)
+    val fences = df
+      .where(v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        expr(s"percentile($valueCol, $pLo)").as("__plo"),
+        expr(s"percentile($valueCol, $pHi)").as("__phi"))
+      .select(col(groupCol),
+        graft.functions.ExactMath.hashRound(col("__plo"), 4).as("lo"),
+        graft.functions.ExactMath.hashRound(col("__phi"), 4).as("hi"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val clamped = greatest(col("lo"), least(col("hi"), v)).cast(dec)
+    df.where(v.isNotNull)
+      .join(broadcast(fences), groupCol)
+      .groupBy(col(groupCol), col("lo"), col("hi"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(v < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(v > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        graft.functions.ExactMath.hashRound(
+          sum(clamped).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("mean_winsorized"))
+      .select(col(groupCol), col("n"), col("n_clipped_lo"), col("n_clipped_hi"),
+        col("lo"), col("hi"), col("mean_winsorized"))
+  }
 }

@@ -612,26 +612,64 @@ object Stats {
     * grows fast) — outputs hashRound at (mean/variance 4, skew/kurt 6)
     * with a StatsSpec margin audit (the B38 protocol). NULL shape
     * stats when m2 ≤ 0 (constant group). Value-magnitude contract:
-    * |v| ≤ ~5·10³ keeps every per-row v⁴ product inside DECIMAL(18,6);
-    * larger values need a wider moment decimal (the hhi overflow rule —
-    * exceeding it raises via the decimal overflow, never silently).
+    * |v| ≤ 10³ keeps every per-row v⁴ product inside DECIMAL(18,6);
+    * a violating row RAISES (the hhi rule — ANSI-off decimal overflow
+    * would otherwise silently NULL the row out of every sum).
     */
-  def momentsByGroup(
+  /** Per-group exact decimal power sums (n, Σv, Σv², Σv³, Σv⁴) — the
+    * mergeable sufficient state behind [[momentsByGroup]] and the D25
+    * streaming monitor: every field is associative (BIGINT count +
+    * exact decimal sums), so [[mergeMomentsState]] of batch states ==
+    * the one-shot state EXACTLY (the D14/IncrementalAgg argument).
+    */
+  def momentsState(
       df: DataFrame,
       groupCol: String,
       valueCol: String): DataFrame = {
     val dec = ExactMath.ValueDecimal
-    val vd = col(valueCol).cast(dec)
+    val vd = when(abs(col(valueCol)) <= 1000.0, col(valueCol).cast(dec))
+      .otherwise(raise_error(concat(
+        lit("momentsByGroup: |value| "), col(valueCol).cast("string"),
+        lit(" exceeds 1000 - v^4 would overflow DECIMAL(18,6); rescale first"))))
     def prod(a: Column, b: Column): Column = (a * b).cast(dec)
-    val agg = df
-      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+    df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n"),
-        sum(vd).cast("double").as("__s1"),
-        sum(prod(vd, vd)).cast("double").as("__s2"),
-        sum(prod(prod(vd, vd), vd)).cast("double").as("__s3"),
-        sum(prod(prod(vd, vd), prod(vd, vd))).cast("double").as("__s4"))
+        sum(vd).as("__s1"),
+        sum(prod(vd, vd)).as("__s2"),
+        sum(prod(prod(vd, vd), vd)).as("__s3"),
+        sum(prod(prod(vd, vd), prod(vd, vd))).as("__s4"))
+  }
+
+  /** Field-wise associative merge of two [[momentsState]]s. */
+  def mergeMomentsState(a: DataFrame, b: DataFrame): DataFrame = {
+    val key = a.columns.head
+    a.unionByName(b)
+      .groupBy(col(key))
+      .agg(sum(col("n")).as("n"), sum(col("__s1")).as("__s1"),
+        sum(col("__s2")).as("__s2"), sum(col("__s3")).as("__s3"),
+        sum(col("__s4")).as("__s4"))
+  }
+
+  /** [[momentsByGroup]]'s derivation applied to carried state — ONE
+    * definition, so state-maintained == one-shot is structural (D25). */
+  def momentsFromState(state: DataFrame): DataFrame =
+    deriveMoments(state)
+
+  def momentsByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame =
+    deriveMoments(momentsState(df, groupCol, valueCol))
+
+  private def deriveMoments(stateDf: DataFrame): DataFrame = {
+    val key = stateDf.columns.head
+    val agg = stateDf.select(col(key), col("n"),
+      col("__s1").cast("double").as("__s1"),
+      col("__s2").cast("double").as("__s2"),
+      col("__s3").cast("double").as("__s3"),
+      col("__s4").cast("double").as("__s4"))
     val n = col("n").cast("double")
     val m = col("__s1") / n
     val m2 = col("__s2") / n - m * m
@@ -639,7 +677,7 @@ object Stats {
     val m4 = col("__s4") / n - lit(4.0) * m * (col("__s3") / n) +
       lit(6.0) * m * m * (col("__s2") / n) - lit(3.0) * m * m * m * m
     agg.select(
-      col(groupCol), col("n"),
+      col(key), col("n"),
       ExactMath.hashRound(m, 4).as("mean"),
       // variance rounds at 4, not 6: magnitude ~10^2 with the s2-chain
       // drift left a sf0.001 value 9.8e-9 from a 6-digit boundary — the
@@ -648,5 +686,56 @@ object Stats {
       ExactMath.hashRound(m2, 4).as("variance"),
       ExactMath.hashRound(when(m2 > 0.0, m3 / (sqrt(m2) * m2)), 6).as("skewness"),
       ExactMath.hashRound(when(m2 > 0.0, m4 / (m2 * m2) - lit(3.0)), 6).as("kurtosis"))
+  }
+
+  /** Welch two-sample t-test between two named groups of a numeric
+    * column (B96) — the continuous-outcome sibling of [[twoProportionZ]]
+    * (unequal variances, no pooling): from each group's exact decimal
+    * (n, Σv, Σv²),
+    *   m = s1/n,  var = (s2 − s1·m)/(n−1),  se = var/n,
+    *   t = (m_a − m_b)/sqrt(se_a + se_b),
+    *   df = (se_a + se_b)² / (se_a²/(n_a−1) + se_b²/(n_b−1))
+    * — one fixed IEEE sequence on decimal→double conversions (the B38
+    * drift class once sums leave the 2^53 envelope; StatsSpec margin-
+    * audits). t and the means hashRound at 4, df at 2; `significant`
+    * compares the ROUNDED t against 1.96 (the q_ab_test convention).
+    * NULL stats when either group has < 2 rows or both variances are 0.
+    */
+  def welchT(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val v = col(valueCol)
+    def side(g: String, suf: String) = df
+      .where(col(groupCol) === g && v.isNotNull)
+      .agg(
+        count(lit(1)).as(s"n_$suf"),
+        ExactMath.dsum(v).as(s"__s1$suf"),
+        sum((v.cast(ExactMath.ValueDecimal) * v.cast(ExactMath.ValueDecimal))
+          .cast(ExactMath.ValueDecimal)).cast("double").as(s"__s2$suf"))
+    val joined = side(groupA, "a").crossJoin(side(groupB, "b"))
+    def stats(suf: String): (Column, Column, Column) = {
+      val n = col(s"n_$suf").cast("double")
+      val m = col(s"__s1$suf") / n
+      val va = (col(s"__s2$suf") - col(s"__s1$suf") * m) / (n - lit(1.0))
+      (m, va, va / n)
+    }
+    val (ma, _, sea) = stats("a")
+    val (mb, _, seb) = stats("b")
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L && (sea + seb) > 0.0
+    val t = (ma - mb) / sqrt(sea + seb)
+    val dfW = (sea + seb) * (sea + seb) /
+      (sea * sea / (col("n_a").cast("double") - lit(1.0))
+        + seb * seb / (col("n_b").cast("double") - lit(1.0)))
+    val tOut = ExactMath.hashRound(when(ok, t), 4)
+    joined.select(
+      col("n_a"), col("n_b"),
+      ExactMath.hashRound(ma, 4).as("mean_a"),
+      ExactMath.hashRound(mb, 4).as("mean_b"),
+      tOut.as("t_stat"),
+      ExactMath.hashRound(when(ok, dfW), 2).as("df"),
+      when(tOut.isNotNull, abs(tOut) > lit(1.96)).as("significant"))
   }
 }

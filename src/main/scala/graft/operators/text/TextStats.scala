@@ -323,6 +323,57 @@ object TextStats {
       .where(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"), graft.functions.ExactMath.hashRound(col("tfidf"), 6).as("tfidf"))
 
+  /** Unrounded, unfiltered class-TF-IDF ranking (C70; Grootendorst's
+    * c-TF-IDF, the BERTopic class-labeling scorer) — the SHARED
+    * pipeline behind [[classTfidfTopTerms]] and MarginAuditSpec's
+    * boundary/rank-gap audit (one codepath, the tfidfScored rule):
+    * classes are document GROUPS (sources/clusters), tf is the word's
+    * count inside the class, and
+    *   score = tf · ln(1 + A / f_w)
+    * with f_w the word's corpus-wide count and A the average words per
+    * class (total/num classes — ONE IEEE division of exact BIGINTs).
+    * Emits (class, word, tf, score, rnk) for EVERY (class, word).
+    *
+    * Scale shape: one token explode fused into the scan, partial aggs
+    * to the (class, word) and (word) spines, two 1-row broadcast
+    * scalars, and a per-class window over the AGGREGATED spine.
+    */
+  def classTfidfScored(df: DataFrame, classCol: String, textCol: String): DataFrame = {
+    val words = df
+      .where(col(classCol).isNotNull && col(textCol).isNotNull)
+      .select(col(classCol).as("class"),
+        explode(split(lower(col(textCol)), " ")).as("word"))
+      .where(col("word") =!= "")
+    val tf = words.groupBy("class", "word").agg(count(lit(1)).as("tf"))
+    val fw = words.groupBy("word").agg(count(lit(1)).as("__fw"))
+    val scalars = tf.agg(
+      sum(col("tf")).as("__total"),
+      countDistinct(col("class")).as("__k"))
+    val scored = tf
+      .join(fw, Seq("word"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("score",
+        col("tf").cast("double") * log(lit(1.0)
+          + (col("__total").cast("double") / col("__k").cast("double"))
+            / col("__fw").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("class").orderBy(col("score").desc, col("word"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("class"), col("rnk"), col("word"), col("tf"), col("score"))
+  }
+
+  /** Top-k c-TF-IDF terms per class; the rounded `score` is a `ln`
+    * transcendental hashed by the oracle — admissible only under the
+    * standing MarginAuditSpec boundary/rank-gap audit (SURVEY §5).
+    */
+  def classTfidfTopTerms(
+      df: DataFrame, classCol: String, textCol: String, k: Int): DataFrame =
+    classTfidfScored(df, classCol, textCol)
+      .where(col("rnk") <= k)
+      .select(col("class"), col("rnk"), col("word"), col("tf"),
+        graft.functions.ExactMath.hashRound(col("score"), 4).as("score"))
+
   /** Unrounded BM25 ranked retrieval over a literal term query — the
     * reference's keyword search upgraded to the standard relevance
     * scorer (reference: /root/reference/openai/list_of_tools.py:14

@@ -51,7 +51,9 @@ class MarginAuditSpec extends SparkSpecBase {
       // gains themselves are build-time literals, never computed)
       "q_retrieval_ndcg",
       // the 6th audited ln: PMI collocations (round 10)
-      "q_collocations")
+      "q_collocations",
+      // the 7th: c-TF-IDF class labeling (round 12)
+      "q_class_tfidf")
 
   test("oracle scan: no oracle hashes a transcendental without a margin audit") {
     val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
@@ -374,6 +376,38 @@ class MarginAuditSpec extends SparkSpecBase {
         "rank assignment could flip under libm drift")
   }
 
+  /** q_class_tfidf hashes round-4 c-TF-IDF scores; rank and top-5
+    * membership ride the UNROUNDED score order per class (ties break on
+    * the word — exact-IEEE equal scores are engine-stable). Consumes
+    * the SAME classTfidfScored pipeline the query rounds.
+    */
+  private def auditClassTfidf(sfDir: String): Unit = {
+    val docs = Snapshot(spark, sfDir).documents
+    val audit = graft.operators.text.TextStats
+      .classTfidfScored(docs, "source", "text")
+      .where(col("rnk") <= 6)
+      .select(col("class"), col("rnk"), col("score"))
+      .collect()
+      .groupBy(_.getString(0))
+    assert(audit.nonEmpty)
+    val margin = boundaryMargin(4)
+    audit.foreach { case (cls, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      val minBoundary = sorted.iterator.filter(_.getLong(1) <= 5)
+        .map(r => margin(r.getDouble(2))).min
+      assert(minBoundary > 1e-9,
+        f"$sfDir/$cls: a hashed c-tfidf score sits $minBoundary%.3e from its " +
+          "4-digit rounding boundary — libm drift could flip the hash")
+      val gaps = sorted.iterator.sliding(2).withPartial(false)
+        .map(p => p.head.getDouble(2) - p.last.getDouble(2))
+        .filter(_ != 0.0) // exact IEEE ties -> deterministic word tiebreak
+        .toSeq
+      assert(gaps.forall(_ > 0), s"$sfDir/$cls: rank order must be non-increasing")
+      if (gaps.nonEmpty) assert(gaps.min > 1e-6,
+        f"$sfDir/$cls: adjacent c-tfidf ranks separated by only ${gaps.min}%.3e")
+    }
+  }
+
   for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
     test(s"tfidf margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
       auditTfidf(sf(dir))
@@ -401,6 +435,9 @@ class MarginAuditSpec extends SparkSpecBase {
     }
     test(s"corr-matrix boundary audit at $dir: cov/corr margins > 1e-9") {
       auditCorrMatrix(sf(dir))
+    }
+    test(s"c-tfidf margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
+      auditClassTfidf(sf(dir))
     }
   }
 }

@@ -54,6 +54,24 @@ class OutlierSpec extends SparkSpecBase {
     cat.foreach(r => assert(r.getBoolean(2) && r.getBoolean(3), r.toString))
   }
 
+  test("winsorAudit: clamp counts and the clamped-decimal mean, replicated exactly") {
+    import spark.implicits._
+    val vals = (1 to 10).map(_.toDouble)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val r = graft.operators.quantile.Outliers
+      .winsorAudit(df, "g", "v").collect().head
+    // exact percentile interpolation: p05 = 1.45, p95 = 9.55
+    val lo = round4(1.0 + 0.05 * 9.0)
+    val hi = round4(1.0 + 0.95 * 9.0)
+    assert(r.getDouble(4) == lo && r.getDouble(5) == hi)
+    assert(r.getLong(1) == 10L && r.getLong(2) == 1L && r.getLong(3) == 1L)
+    // clamped decimal sum: doubles -> DECIMAL(18,6) via shortest-repr
+    // HALF_UP (the Spark cast), exact sum, one division, floor-round
+    val dec = vals.map(v => BigDecimal(math.max(lo, math.min(hi, v)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(r.getDouble(6) == round4(dec.toDouble / 10.0))
+  }
+
   private def round4(x: Double): Double =
   // the operator rounds with the hashRound floor formula (r12)
     math.floor(x * 10000.0 + 0.5) / 10000.0

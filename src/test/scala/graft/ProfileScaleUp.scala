@@ -595,6 +595,21 @@ object ProfileScaleUp {
         graft.operators.temporal.Growth
           .activityState(orders, "o_custkey", "o_orderdate"))))
 
+    time("welch t")(
+      force(graft.operators.stats.Stats
+        .welchT(orders, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW")))
+    time("winsorized mean")(
+      force(graft.operators.quantile.Outliers
+        .winsorAudit(orders, "o_orderpriority", "o_totalprice")))
+    time("moments (power sums)")(
+      force(graft.operators.stats.Stats
+        .momentsByGroup(orders.withColumn("__v",
+            pmod(col("o_orderkey"), lit(97)).cast("double")),
+          "o_orderpriority", "__v")))
+    time("class tfidf (top 5/source)")(
+      force(graft.operators.text.TextStats
+        .classTfidfTopTerms(docs, "source", "text", 5)))
+
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
     // partkey, written to parquet so every measurement starts from a real

@@ -489,4 +489,41 @@ class StatsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("welchT: hand-derived t/df via the operator's own IEEE sequence; degenerate NULL") {
+    import spark.implicits._
+    def hr(x: Double, d: Int): Double = {
+      val sc = (1 to d).foldLeft(1L)((a, _) => a * 10L).toDouble
+      math.floor(x * sc + 0.5) / sc
+    }
+    // A=[1,2,3]: s1=6, s2=14; B=[5,7]: s1=12, s2=74
+    val df0 = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 5.0), ("B", 7.0))
+      .toDF("g", "v")
+    val r = Stats.welchT(df0, "g", "v", "A", "B").collect().head
+    val (na, nb) = (3.0, 2.0)
+    val ma = 6.0 / na; val mb = 12.0 / nb
+    val sea = ((14.0 - 6.0 * ma) / (na - 1.0)) / na
+    val seb = ((74.0 - 12.0 * mb) / (nb - 1.0)) / nb
+    val t = (ma - mb) / math.sqrt(sea + seb)
+    val dfw = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 2L)))
+    assert(r.getDouble(2) == hr(ma, 4) && r.getDouble(3) == hr(mb, 4))
+    assert(r.getDouble(4) == hr(t, 4) && r.getDouble(5) == hr(dfw, 2))
+    assert(r.getBoolean(6), "clearly separated groups are significant")
+    // a 1-row side degenerates to NULL stats
+    val r2 = Stats.welchT(
+      Seq(("A", 1.0), ("B", 5.0), ("B", 7.0)).toDF("g", "v"), "g", "v", "A", "B")
+      .collect().head
+    assert(r2.isNullAt(4) && r2.isNullAt(5) && r2.isNullAt(6))
+  }
+
+  test("momentsByGroup: out-of-contract magnitude raises, never silently drops") {
+    import spark.implicits._
+    val df = Seq(("g", 2000.0), ("g", 1.0)).toDF("g", "v")
+    val e = intercept[Exception] {
+      Stats.momentsByGroup(df, "g", "v").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

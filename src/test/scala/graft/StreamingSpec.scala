@@ -830,6 +830,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == oneShot)
   }
 
+  test("streaming moments state: merged power sums reproduce the batch moments (D25)") {
+    // D25: B95's moments maintained under streaming ingestion via the
+    // D14/IncrementalAgg shape — state = per-group (n, exact decimal
+    // power sums), field-wise associative merge, ONE shared derivation
+    // (deriveMoments) so state-maintained == one-shot EXACTLY.
+    import graft.operators.stats.Stats
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Stats.momentsState(df, "l_returnflag", "l_quantity")
+    val dir = Files.createTempDirectory("graft_moments_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).lineitem.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val next = st match {
+          case None => state(batch)
+          case Some(prev) => Stats.mergeMomentsState(prev, state(batch))
+        }
+        st = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val streamed = canon(Stats.momentsFromState(st.get))
+    val oneShot = canon(Stats.momentsByGroup(batchDf, "l_returnflag", "l_quantity"))
+    assert(streamed.nonEmpty && streamed == oneShot)
+  }
+
   test("streaming growth state: merged activity sets reproduce the batch MAU accounting (D23)") {
     // D23: B84's growth accounting maintained under streaming ingestion
     // (the D22 shape on ORDERS — the events table spans one month, where
