@@ -5478,22 +5478,28 @@ object SparkEntry {
         |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
         |    CAST(SUM(cnt - ca) AS BIGINT) AS n_b,
         |    CAST(SUM(CAST(ca AS DECIMAL(38,0))
-        |      * CAST(2 * bef + cnt + 1 AS DECIMAL(38,0))) AS BIGINT) AS r2a,
-        |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
-        |  FROM w)
+        |      * CAST(2 * bef + cnt + 1 AS DECIMAL(38,0))) AS HUGEINT) AS r2a,
+        |    CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS HUGEINT) AS ties
+        |  FROM w),
+        |u AS (
+        |  SELECT n_a, n_b, ties,
+        |    r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2
+        |  FROM a)
         |SELECT n_a, n_b,
-        |  CAST(CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS BIGINT) AS u_a,
+        |  CAST(u2 // 2 AS BIGINT) AS u_a,
         |  CASE WHEN n_a > 0 AND n_b > 0 AND
-        |    CAST(n_a * n_b AS DOUBLE) / 12.0
+        |    CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) / 12.0
         |      * (CAST(n_a + n_b + 1 AS DOUBLE)
-        |         - CAST(ties AS DOUBLE) / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)) > 0
+        |         - CAST(ties AS DOUBLE)
+        |           / CAST(CAST(n_a + n_b AS HUGEINT) * (n_a + n_b - 1) AS DOUBLE)) > 0
         |  THEN
-        |    CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
-        |    / (2.0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0
+        |    CAST(u2 - CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+        |    / (2.0 * sqrt(CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) / 12.0
         |      * (CAST(n_a + n_b + 1 AS DOUBLE)
-        |         - CAST(ties AS DOUBLE) / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))))
+        |         - CAST(ties AS DOUBLE)
+        |           / CAST(CAST(n_a + n_b AS HUGEINT) * (n_a + n_b - 1) AS DOUBLE))))
         |  END AS z_score
-        |FROM a""".stripMargin,
+        |FROM u""".stripMargin,
     // B91 two-sample KS: exact-int ECDF divisions, (d DESC, value) pick
     "q_ks_two_sample" ->
       """WITH c AS (
@@ -5513,9 +5519,10 @@ object SparkEntry {
         |  FROM c
         |  WINDOW cum AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT na AS n_a, nb AS n_b,
-        |  abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
-        |    - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) AS ks_d,
-        |  CAST(s AS DOUBLE) AS at_value
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) END AS ks_d,
+        |  CASE WHEN na > 0 AND nb > 0 THEN CAST(s AS DOUBLE) END AS at_value
         |FROM w
         |ORDER BY ks_d DESC, s ASC LIMIT 1""".stripMargin,
     // B92 Theil-Sen: bounded per-key pair self-join (the fold's exact

@@ -326,7 +326,11 @@ object Drift {
     * counts (correctly rounded, identical both engines), the max picks
     * by (d DESC, value ASC) — exact-double ties break on the value — so
     * `ks_d` and `at_value` hash UNROUNDED (the q_gini protocol).
-    * Single-row output: n_a, n_b, ks_d, at_value.
+    * Single-row output: n_a, n_b, ks_d, at_value. Degenerate inputs
+    * (either group matching ZERO rows) yield NULL ks_d/at_value — the
+    * mannWhitney/welchT/anovaOneWay convention; an unguarded division
+    * would be 0/0 NaN on the Spark side while DuckDB's double
+    * division-by-zero behaves differently.
     */
   def ksTwoSample(
       df: DataFrame,
@@ -349,9 +353,9 @@ object Drift {
       .withColumn("__cumb", sum(col("__cb")).over(w))
       .withColumn("__na", sum(col("__ca")).over(wAll))
       .withColumn("__nb", sum(col("__cb")).over(wAll))
-      .withColumn("__d", abs(
+      .withColumn("__d", when(col("__na") > 0L && col("__nb") > 0L, abs(
         col("__cuma").cast("double") / col("__na").cast("double")
-          - col("__cumb").cast("double") / col("__nb").cast("double")))
+          - col("__cumb").cast("double") / col("__nb").cast("double"))))
       .agg(
         max(col("__na")).as("n_a"),
         max(col("__nb")).as("n_b"),
@@ -360,6 +364,7 @@ object Drift {
       .select(
         col("n_a"), col("n_b"),
         col("__top").getField("__d").as("ks_d"),
-        (lit(-1.0) * col("__top").getField("__nv")).as("at_value"))
+        when(col("__top").getField("__d").isNotNull,
+          lit(-1.0) * col("__top").getField("__nv")).as("at_value"))
   }
 }

@@ -546,15 +546,21 @@ object Stats {
     * doubled-rank machinery (one partial agg to the value spine, one
     * window over that AGGREGATED spine, one final agg; never a raw-scan
     * rank). Everything stays EXACT integers until the final z:
-    * 2·U_a = R2_a − n_a(n_a+1) with R2_a the doubled rank-sum
-    * (DECIMAL(38,0) accumulation, cast to LONG ≤ 2·N² — wrap-checked by
-    * magnitude), tie term ΣT = Σ(t³−t) exact BIGINT, and
+    * 2·U_a = R2_a − n_a(n_a+1) with R2_a the doubled rank-sum and the
+    * whole subtraction kept in DECIMAL(38,0) (no long cast anywhere —
+    * a LONG intermediate would silently wrap past 2^63 under ANSI-off
+    * while the DuckDB mirror raises), tie term ΣT = Σ(t³−t) accumulated
+    * in DECIMAL(38,0) too (a single value tied on > ~2.1M rows makes
+    * t³ overflow LONG — the momentsState silent-overflow class), and
     * z = (2U_a − n_a·n_b) / (2·sqrt((n_a·n_b/12)·((N+1) − ΣT/(N(N−1)))))
-    * — exact-int→double conversions (all < 2^53 except ΣT, whose
-    * long→double cast is correctly rounded identically in both
-    * engines), one fixed IEEE mul/div/sqrt chain: z hashes UNROUNDED
-    * (the q_gini protocol). NULL z when either group is empty or the
-    * variance degenerates (all values tied).
+    * — the only conversions are exact-DECIMAL→double (correctly rounded
+    * identically in both engines; mirrored as HUGEINT→DOUBLE), one
+    * fixed IEEE mul/div/sqrt chain: z hashes UNROUNDED (the q_gini
+    * protocol). u_a halves the even/odd-exact 2U_a in decimal at scale
+    * 1 (×0.5 is exact) and truncates — exact at ANY magnitude < 2^63,
+    * where the previous double halving lost exactness past 2^53. NULL z
+    * when either group is empty or the variance degenerates (all values
+    * tied).
     */
   def mannWhitney(
       df: DataFrame,
@@ -580,19 +586,25 @@ object Stats {
         sum(col("__ca").cast(d38)
           * (lit(2L) * col("__before") + col("__cnt") + lit(1L)).cast(d38))
           .as("__r2a"),
-        sum(col("__cnt") * col("__cnt") * col("__cnt") - col("__cnt")).as("__ties"))
+        sum(col("__cnt").cast(d38) * col("__cnt").cast(d38) * col("__cnt").cast(d38)
+          - col("__cnt").cast(d38)).as("__ties"))
     val na = col("n_a"); val nb = col("n_b")
     val bigN = na + nb
-    val u2 = col("__r2a").cast("long") - na * (na + 1L) // = 2·U_a, exact
-    val varU = (na * nb).cast("double") / lit(12.0) *
+    // 2·U_a, exact DECIMAL(38,0) end to end — never through LONG
+    val u2d = col("__r2a") - na.cast(d38) * (na + lit(1L)).cast(d38)
+    // the N·N-shaped products stay decimal too (LONG wraps at ~3e9 rows)
+    val varU = (na.cast(d38) * nb.cast(d38)).cast("double") / lit(12.0) *
       ((bigN + 1L).cast("double")
-        - col("__ties").cast("double") / (bigN * (bigN - 1L)).cast("double"))
+        - col("__ties").cast("double")
+          / (bigN.cast(d38) * (bigN - 1L).cast(d38)).cast("double"))
     agg.select(
       na, nb,
-      // u2 is even and < 2^53: the double division is exact, cast back
-      (u2.cast("double") / lit(2.0)).cast("long").as("u_a"),
+      // halve in decimal (scale-1 ×0.5 is exact; truncating cast drops
+      // the tie half, matching the historical double path bit-for-bit)
+      (u2d * lit(new java.math.BigDecimal("0.5"))).cast("long").as("u_a"),
       when(na > 0L && nb > 0L && varU > 0.0,
-        (u2 - na * nb).cast("double") / (lit(2.0) * sqrt(varU))).as("z_score"))
+        (u2d - (na.cast(d38) * nb.cast(d38))).cast("double")
+          / (lit(2.0) * sqrt(varU))).as("z_score"))
   }
 
   /** Per-group skewness/kurtosis from exact decimal power sums (B95) —

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.stats.Stats
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** rocAucByGroup + chiSquareCells — the round-10 eval/stat additions.
   * Every expected value is hand-derived with the operator's own IEEE op
@@ -155,5 +155,40 @@ class EvalStatsSpec extends SparkSpecBase {
     val maxD = ds.map(_._2).max
     val atV = ds.filter(_._2 == maxD).map(_._1).min
     assert(r.getDouble(2) == maxD && r.getDouble(3) == atV)
+  }
+
+  test("ksTwoSample: a group matching zero rows yields NULL, not NaN") {
+    import graft.operators.stats.Drift
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0)).toDF("g", "v")
+    val r = Drift.ksTwoSample(df, "g", "v", "A", "B").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 0L)))
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("mannWhitney: a 2.15M-row tied block (t^3 > 2^63) stays exact") {
+    // One value tied on 2,150,000 rows: t^3 = 9.938e18 exceeds
+    // Long.MaxValue (9.223e18), so a LONG tie accumulator would wrap
+    // silently under ANSI-off. The DECIMAL(38,0) path must agree with
+    // the formula re-derived here over exact BigInt counts.
+    val big = spark.range(2150000L).select(
+      when(col("id") < 1100000L, lit("A")).otherwise(lit("B")).as("g"),
+      lit(1.0).as("v"))
+      .unionAll(spark.range(100L).select(lit("A").as("g"), lit(0.0).as("v")))
+    val r = Stats.mannWhitney(big, "g", "v", "A", "B").collect().head
+    val na = 1100100L; val nb = 1050000L; val bigN = na + nb
+    // spine: v=0.0 (ca=100, cnt=100, bef=0), v=1.0 (ca=1.1M, cnt=2.15M, bef=100)
+    val r2a = BigInt(100) * 101 + BigInt(1100000) * (2 * 100 + 2150000 + 1)
+    val ties = (BigInt(100).pow(3) - 100) +
+      (BigInt(2150000).pow(3) - 2150000)
+    assert(ties > BigInt(Long.MaxValue)) // the wrap regime is actually hit
+    val u2 = r2a - BigInt(na) * (na + 1)
+    assert((r.getLong(0), r.getLong(1)) == ((na, nb)))
+    assert(r.getLong(2) == (u2 / 2).toLong)
+    // the operator's own IEEE sequence over correctly-rounded conversions
+    val varU = BigDecimal(BigInt(na) * nb).toDouble / 12.0 *
+      ((bigN + 1L).toDouble -
+        BigDecimal(ties).toDouble / BigDecimal(BigInt(bigN) * (bigN - 1)).toDouble)
+    val z = BigDecimal(u2 - BigInt(na) * nb).toDouble / (2.0 * math.sqrt(varU))
+    assert(r.getDouble(3) == z)
   }
 }
