@@ -2062,6 +2062,47 @@ object SparkEntry {
         .spearmanByGroup(snap(s, dir).orders,
           Seq("o_custkey"), "o_orderdate", "o_totalprice")
         .orderBy("o_custkey")),
+    "q_kendall_tau" -> ((s, dir) =>
+      // Kendall tau-b per customer (B98): pairwise concordance of order
+      // date vs order value — the inversion-count companion to
+      // q_spearman on the same grain. Bounded-series pair walk (the
+      // theil_sen HOF shape); exact integer counts; tau_b = one IEEE
+      // mul + sqrt + div of exact-int conversions, hashes UNROUNDED.
+      graft.operators.stats.Stats
+        .kendallTauByKey(snap(s, dir).orders
+            .withColumn("__x", expr(
+              "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")),
+          Seq("o_custkey"), "__x", "o_totalprice", "o_orderkey")
+        .orderBy("o_custkey")),
+    "q_wilcoxon_signed" -> ((s, dir) => {
+      // Wilcoxon signed-rank (B99): did customers' order value move
+      // between their FIRST and LAST order? Paired diff per customer
+      // (struct-min/max selection on (date, orderkey) — deterministic),
+      // zero diffs dropped, doubled-rank machinery over the |d| spine
+      // (DECIMAL(38,0) accumulators — the mannWhitney contract);
+      // z hashes UNROUNDED. Single row.
+      val o = snap(s, dir).orders.where(
+        col("o_custkey").isNotNull && col("o_orderdate").isNotNull &&
+          col("o_orderkey").isNotNull && col("o_totalprice").isNotNull)
+      val diffs = o.groupBy("o_custkey")
+        .agg(
+          min(struct(col("o_orderdate").as("d"), col("o_orderkey").as("t"),
+            col("o_totalprice").as("p"))).as("__f"),
+          max(struct(col("o_orderdate").as("d"), col("o_orderkey").as("t"),
+            col("o_totalprice").as("p"))).as("__l"),
+          count(lit(1)).as("__n"))
+        .where(col("__n") >= 2L)
+        .select((col("__l").getField("p") - col("__f").getField("p")).as("__d"))
+      graft.operators.stats.Stats.wilcoxonSignedRank(diffs, "__d")
+    }),
+    "q_poisson_rate" -> ((s, dir) =>
+      // two-sample Poisson rate test (B100): URGENT vs LOW orders per
+      // ACTIVE day (exposure = distinct order dates within the cohort).
+      // Exact counts, one division per rate, fixed IEEE variance chain
+      // — rates and z hash UNROUNDED. Single row.
+      graft.operators.stats.Stats
+        .poissonRateTest(snap(s, dir).orders.where(col("o_orderdate").isNotNull),
+          "o_orderpriority", "o_orderdate", "1-URGENT", "5-LOW")),
     "q_trimmed_mean" -> ((s, dir) => {
       // 5%-two-sided trimmed mean per priority — the robust-mean
       // companion to B35's fence audits: exact-percentile fences
@@ -5663,6 +5704,114 @@ object SparkEntry {
         |         * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END) * 100000000.0 + 0.5) / 100000000.0
         |    + 0.0 AS rho
         |FROM a ORDER BY o_custkey""".stripMargin,
+    // B98 Kendall tau-b: bounded per-key pair self-join (the theil_sen
+    // mirror shape — a.t < b.t enumerates i<j); exact integer
+    // concordance/tie counts, tau_b = one IEEE mul + sqrt + div of
+    // exact-int conversions, unrounded
+    "q_kendall_tau" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS k, o_orderkey AS t,
+        |    CAST(epoch_us(o_orderdate) // 86400000000 AS DOUBLE) AS x,
+        |    CAST(o_totalprice AS DOUBLE) AS y
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS np FROM c
+        |      GROUP BY 1 HAVING COUNT(*) >= 2),
+        |p AS (
+        |  SELECT a.k AS k,
+        |    CASE WHEN a.x < b.x THEN 1 WHEN a.x > b.x THEN -1 ELSE 0 END AS cx,
+        |    CASE WHEN a.y < b.y THEN 1 WHEN a.y > b.y THEN -1 ELSE 0 END AS cy
+        |  FROM c a JOIN c b ON a.k = b.k AND a.t < b.t),
+        |agg AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN cx * cy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN cx * cy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        |    CAST(SUM(CASE WHEN cx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        |    CAST(SUM(CASE WHEN cy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        |  FROM p GROUP BY 1)
+        |SELECT n.k AS o_custkey, n.np AS n_points, agg.n0 AS n_pairs,
+        |  agg.nc AS n_concordant, agg.nd AS n_discordant,
+        |  agg.tx AS n_tied_x, agg.ty AS n_tied_y,
+        |  CASE WHEN agg.n0 > agg.tx AND agg.n0 > agg.ty THEN
+        |    CAST(agg.nc - agg.nd AS DOUBLE)
+        |    / sqrt(CAST(agg.n0 - agg.tx AS DOUBLE)
+        |           * CAST(agg.n0 - agg.ty AS DOUBLE)) END AS tau_b
+        |FROM agg JOIN n USING (k) ORDER BY o_custkey""".stripMargin,
+    // B99 Wilcoxon signed-rank: first/last selection via ROW_NUMBER
+    // (mirrors Spark's struct-min/max on (date, orderkey)), |d| value
+    // spine with doubled ranks, HUGEINT accumulators (the mannWhitney
+    // overflow mirror), z unrounded
+    "q_wilcoxon_signed" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS k, o_orderdate AS d, o_orderkey AS t,
+        |    o_totalprice AS p
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |r AS (
+        |  SELECT k, p,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY d, t) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY d DESC, t DESC) AS rn_d
+        |  FROM o),
+        |fl AS (
+        |  SELECT k, MAX(CASE WHEN rn_a = 1 THEN p END) AS fp,
+        |    MAX(CASE WHEN rn_d = 1 THEN p END) AS lp
+        |  FROM r GROUP BY 1 HAVING COUNT(*) >= 2),
+        |dd AS (SELECT lp - fp AS dv FROM fl WHERE lp <> fp),
+        |cell AS (
+        |  SELECT abs(dv) AS ad, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(CASE WHEN dv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM dd GROUP BY 1),
+        |w AS (
+        |  SELECT ad, cnt, pos,
+        |    COALESCE(CAST(SUM(cnt) OVER (ORDER BY ad
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bef
+        |  FROM cell),
+        |a AS (
+        |  SELECT COALESCE(CAST(SUM(cnt) AS BIGINT), 0) AS n,
+        |    CAST(SUM(CAST(pos AS DECIMAL(38,0))
+        |      * CAST(2 * bef + cnt + 1 AS DECIMAL(38,0))) AS HUGEINT) AS w2,
+        |    CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS HUGEINT) AS ties
+        |  FROM w)
+        |SELECT n AS n_pairs,
+        |  CAST(w2 // 2 AS BIGINT) AS w_plus,
+        |  CASE WHEN n > 0 AND
+        |    CAST(CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0
+        |      - CAST(ties AS DOUBLE) / 48.0 > 0
+        |  THEN
+        |    CAST(w2 - CAST(n AS HUGEINT) * (n + 1) // 2 AS DOUBLE)
+        |    / (2.0 * sqrt(
+        |      CAST(CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0
+        |        - CAST(ties AS DOUBLE) / 48.0))
+        |  END AS z_score
+        |FROM a""".stripMargin,
+    // B100 Poisson rate: exact counts + distinct exposure days; rates
+    // and z are fixed IEEE chains over exact-int conversions, unrounded
+    "q_poisson_rate" ->
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS c_a,
+        |    CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS t_a
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderdate IS NOT NULL),
+        |b AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS c_b,
+        |    CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS t_b
+        |  FROM orders
+        |  WHERE o_orderpriority = '5-LOW' AND o_orderdate IS NOT NULL)
+        |SELECT c_a, t_a, c_b, t_b,
+        |  CASE WHEN t_a > 0 THEN CAST(c_a AS DOUBLE) / CAST(t_a AS DOUBLE) END AS rate_a,
+        |  CASE WHEN t_b > 0 THEN CAST(c_b AS DOUBLE) / CAST(t_b AS DOUBLE) END AS rate_b,
+        |  CASE WHEN t_a > 0 AND t_b > 0 AND
+        |    CAST(c_a AS DOUBLE) / CAST(CAST(t_a AS HUGEINT) * t_a AS DOUBLE)
+        |      + CAST(c_b AS DOUBLE) / CAST(CAST(t_b AS HUGEINT) * t_b AS DOUBLE) > 0
+        |  THEN
+        |    (CAST(c_a AS DOUBLE) / CAST(t_a AS DOUBLE)
+        |      - CAST(c_b AS DOUBLE) / CAST(t_b AS DOUBLE))
+        |    / sqrt(CAST(c_a AS DOUBLE) / CAST(CAST(t_a AS HUGEINT) * t_a AS DOUBLE)
+        |      + CAST(c_b AS DOUBLE) / CAST(CAST(t_b AS HUGEINT) * t_b AS DOUBLE))
+        |  END AS z_score
+        |FROM a CROSS JOIN b""".stripMargin,
     // exact-percentile fences rounded 4 BEFORE the keep compare (the
     // B35 fence rule); trimmed mean = decimal-exact sum / count,
     // rounded 4 (the TWA conversion-line lesson)

@@ -750,4 +750,166 @@ object Stats {
       ExactMath.hashRound(when(ok, dfW), 2).as("df"),
       when(tOut.isNotNull, abs(tOut) > lit(1.96)).as("significant"))
   }
+
+  /** Kendall tau-b per key between two numeric columns (B98) — the
+    * pairwise-concordance association measure next to [[spearmanByGroup]]
+    * (Spearman ranks values once; Kendall counts INVERSIONS, the
+    * 0-breakdown-robust choice for short noisy series).
+    *
+    * Same bounded-series shape as Theil–Sen/Mann–Kendall: the pair walk
+    * is a nested HOF over the per-key tie-sorted array (plain hash
+    * groupBy, map-side evaluation, nothing globally sorted) — O(depth²)
+    * per key, the documented bounded-series contract. Each i<j pair
+    * classifies into concordant (sign agreement), discordant, tied-x,
+    * tied-y (a both-tied pair counts toward BOTH tie totals, the tau-b
+    * definition), all exact integer counts.
+    *
+    * tau_b = (nc − nd) / sqrt((n0 − t_x)·(n0 − t_y)) with n0 = n(n−1)/2
+    * — exact-BIGINT→double conversions, one IEEE multiply, a correctly
+    * rounded sqrt, one division: hashes UNROUNDED (the q_gini protocol).
+    * NULL when either factor is 0 (a column constant within the key).
+    * `tieCol` must be unique within key (fixes the enumeration order;
+    * the counts themselves are order-independent over unordered pairs).
+    */
+  def kendallTauByKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val g: Seq[Column] = keyCols.map(col)
+    val clean = df.where(
+      g.map(_.isNotNull).reduce(_ && _) &&
+        col(xCol).isNotNull && col(yCol).isNotNull && col(tieCol).isNotNull)
+    val sp = clean
+      .groupBy(g: _*)
+      .agg(array_sort(collect_list(struct(
+        col(tieCol).as("t"),
+        col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y")))).as("sp"))
+      .where(size(col("sp")) >= 2)
+    // per-pair class code cx*3 + cy ∈ {-4..4}: ±4 concordant, ±2
+    // discordant, {-1,0,1} tied-x, {-3,0,3} tied-y (0 = both tied)
+    val codes = flatten(transform(
+      sequence(lit(1), size(col("sp")) - 1),
+      i => transform(
+        sequence(i + lit(1), size(col("sp"))),
+        j => {
+          val xi = element_at(col("sp"), i).getField("x")
+          val xj = element_at(col("sp"), j).getField("x")
+          val yi = element_at(col("sp"), i).getField("y")
+          val yj = element_at(col("sp"), j).getField("y")
+          val cx = when(xi < xj, 1).when(xi > xj, -1).otherwise(0)
+          val cy = when(yi < yj, 1).when(yi > yj, -1).otherwise(0)
+          cx * lit(3) + cy
+        })))
+    val withCodes = sp.select(g ++ Seq(
+      size(col("sp")).cast("long").as("n_points"), codes.as("__c")): _*)
+    def cnt(pred: Column => Column): Column =
+      size(filter(col("__c"), pred)).cast("long")
+    val counted = withCodes.select(g ++ Seq(
+      col("n_points"),
+      size(col("__c")).cast("long").as("n_pairs"),
+      cnt(c => c === 4 || c === -4).as("n_concordant"),
+      cnt(c => c === 2 || c === -2).as("n_discordant"),
+      cnt(c => c === 0 || c === 1 || c === -1).as("n_tied_x"),
+      cnt(c => c === 0 || c === 3 || c === -3).as("n_tied_y")): _*)
+    counted.select(g ++ Seq(
+      col("n_points"), col("n_pairs"), col("n_concordant"),
+      col("n_discordant"), col("n_tied_x"), col("n_tied_y"),
+      when(col("n_pairs") > col("n_tied_x") && col("n_pairs") > col("n_tied_y"),
+        (col("n_concordant") - col("n_discordant")).cast("double")
+          / sqrt((col("n_pairs") - col("n_tied_x")).cast("double")
+            * (col("n_pairs") - col("n_tied_y")).cast("double"))).as("tau_b")): _*)
+  }
+
+  /** Wilcoxon signed-rank test over a column of paired differences
+    * (B99) — the paired companion of [[mannWhitney]] (same doubled-rank
+    * machinery: one partial agg to the |d| value spine, one window over
+    * that AGGREGATED spine, one final agg). Zero differences are
+    * dropped BEFORE ranking (the standard Wilcoxon convention — callers
+    * filter `d != 0`, this re-guards). Everything stays exact:
+    * 2·W⁺ = Σ pos_cnt·(2·before + cnt + 1) and the tie term Σ(t³−t)
+    * accumulate in DECIMAL(38,0) (the mannWhitney overflow contract),
+    * and z = (2W⁺ − n(n+1)/2) / (2·sqrt(n(n+1)(2n+1)/24 − ΣT/48))
+    * — exact-DECIMAL→double conversions, one fixed IEEE chain: z hashes
+    * UNROUNDED. `w_plus` halves 2W⁺ in decimal and truncates (tie half
+    * drops — the u_a convention). NULL z when no nonzero diffs or the
+    * variance degenerates.
+    */
+  def wilcoxonSignedRank(df: DataFrame, diffCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = col(diffCol)
+    val cells = df
+      .where(d.isNotNull && d =!= 0)
+      .groupBy(abs(d).as("__ad"))
+      .agg(
+        count(lit(1)).as("__cnt"),
+        sum(when(d > 0, 1L).otherwise(0L)).as("__pos"))
+    val w = Window.orderBy(col("__ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = cells
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      .agg(
+        sum(col("__cnt")).as("n_pairs"),
+        sum(col("__pos").cast(d38)
+          * (lit(2L) * col("__before") + col("__cnt") + lit(1L)).cast(d38))
+          .as("__w2"),
+        sum(col("__cnt").cast(d38) * col("__cnt").cast(d38) * col("__cnt").cast(d38)
+          - col("__cnt").cast(d38)).as("__ties"))
+    val n = col("n_pairs")
+    val half = lit(new java.math.BigDecimal("0.5"))
+    // n(n+1)/2 exact in decimal (scale-1 ×0.5 of an even product)
+    val e2 = (n.cast(d38) * (n + lit(1L)).cast(d38) * half).cast(d38)
+    val varW = (n.cast(d38) * (n + lit(1L)).cast(d38)
+      * (lit(2L) * n + lit(1L)).cast(d38)).cast("double") / lit(24.0) -
+      col("__ties").cast("double") / lit(48.0)
+    agg.select(
+      coalesce(n, lit(0L)).as("n_pairs"),
+      (col("__w2") * half).cast("long").as("w_plus"),
+      when(n > 0L && varW > 0.0,
+        (col("__w2") - e2).cast("double") / (lit(2.0) * sqrt(varW)))
+        .as("z_score"))
+  }
+
+  /** Two-sample Poisson rate comparison between two named cohorts
+    * (B100) — events-per-exposure-unit, the COUNT-outcome sibling of
+    * [[twoProportionZ]] (shares vs rates): c = row count, t = DISTINCT
+    * exposure units (e.g. active days), rate = c/t, and
+    * z = (r_a − r_b) / sqrt(c_a/t_a² + c_b/t_b²)
+    * (the Poisson-mean normal approximation with Var(c/t) ≈ c/t²).
+    * Exact BIGINT counts; each rate is ONE division of exact ints and
+    * the variance terms divide by exact DECIMAL t² products (no long
+    * wrap at any scale), summed in written order — one fixed IEEE
+    * chain, so rates and z hash UNROUNDED (the q_gini protocol). NULL
+    * z when either exposure is 0 or the variance degenerates.
+    */
+  def poissonRateTest(
+      df: DataFrame,
+      groupCol: String,
+      unitCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def side(gv: String, suf: String) = df
+      .where(col(groupCol) === gv && col(unitCol).isNotNull)
+      .agg(
+        count(lit(1)).as(s"c_$suf"),
+        countDistinct(col(unitCol)).as(s"t_$suf"))
+    val j = side(groupA, "a").crossJoin(side(groupB, "b"))
+    def rate(suf: String): Column =
+      col(s"c_$suf").cast("double") / col(s"t_$suf").cast("double")
+    def varTerm(suf: String): Column =
+      col(s"c_$suf").cast("double") /
+        (col(s"t_$suf").cast(d38) * col(s"t_$suf").cast(d38)).cast("double")
+    val ok = col("t_a") > 0L && col("t_b") > 0L &&
+      (varTerm("a") + varTerm("b")) > 0.0
+    j.select(
+      col("c_a"), col("t_a"), col("c_b"), col("t_b"),
+      when(col("t_a") > 0L, rate("a")).as("rate_a"),
+      when(col("t_b") > 0L, rate("b")).as("rate_b"),
+      when(ok, (rate("a") - rate("b"))
+        / sqrt(varTerm("a") + varTerm("b"))).as("z_score"))
+  }
 }

@@ -42,7 +42,8 @@ class EntrySpec extends SparkSpecBase {
   test("every oracle has a total ORDER BY (or is a single-row aggregate)") {
     // hash compare is row-order sensitive; CLAUDE.md determinism rule
     val singleRow = Set("q_insights_summary", "q_null_audit", "q_embedding_audit",
-      "q_key_skew", "q_cramers_v", "q_anova", "q_mann_whitney", "q_welch_t")
+      "q_key_skew", "q_cramers_v", "q_anova", "q_mann_whitney", "q_welch_t",
+      "q_wilcoxon_signed", "q_poisson_rate", "q_ks_two_sample")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !singleRow(name) && !sql.toUpperCase.contains("ORDER BY") => name
     }

@@ -526,4 +526,104 @@ class StatsSpec extends SparkSpecBase {
     }
     assert(e.getMessage != null)
   }
+
+  // ------------------------------------------------------- kendall tau-b
+
+  test("kendallTauByKey: hand-derived counts and tau_b; tie classes split") {
+    // x=[1,2,3,4,4], y=[1,3,2,4,5]: nc=8, nd=1, tied-x=1, tied-y=0
+    val df = Seq((1L, 1.0, 1.0), (2L, 2.0, 3.0), (3L, 3.0, 2.0),
+      (4L, 4.0, 4.0), (5L, 4.0, 5.0))
+      .map { case (t, x, y) => ("g", t, x, y) }.toDF("k", "t", "x", "y")
+    val r = Stats.kendallTauByKey(df, Seq("k"), "x", "y", "t").collect().head
+    assert(r.getAs[Long]("n_points") == 5L && r.getAs[Long]("n_pairs") == 10L)
+    assert(r.getAs[Long]("n_concordant") == 8L && r.getAs[Long]("n_discordant") == 1L)
+    assert(r.getAs[Long]("n_tied_x") == 1L && r.getAs[Long]("n_tied_y") == 0L)
+    // the operator's own IEEE sequence
+    assert(r.getAs[Double]("tau_b") == 7.0 / math.sqrt(9.0 * 10.0))
+  }
+
+  test("kendallTauByKey: a both-tied pair counts toward BOTH tie totals") {
+    // (1,1),(1,1),(2,2): the (p1,p2) pair is tied in x AND y
+    val df = Seq((1L, 1.0, 1.0), (2L, 1.0, 1.0), (3L, 2.0, 2.0))
+      .map { case (t, x, y) => ("g", t, x, y) }.toDF("k", "t", "x", "y")
+    val r = Stats.kendallTauByKey(df, Seq("k"), "x", "y", "t").collect().head
+    assert(r.getAs[Long]("n_tied_x") == 1L && r.getAs[Long]("n_tied_y") == 1L)
+    assert(r.getAs[Long]("n_concordant") == 2L)
+    assert(r.getAs[Double]("tau_b") == 2.0 / math.sqrt(2.0 * 2.0))
+  }
+
+  test("kendallTauByKey: constant column yields NULL; 1-point keys drop") {
+    val df = Seq(("c", 1L, 1.0, 7.0), ("c", 2L, 2.0, 7.0),
+      ("solo", 1L, 1.0, 1.0)).toDF("k", "t", "x", "y")
+    val rows = Stats.kendallTauByKey(df, Seq("k"), "x", "y", "t").collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "c")
+    assert(rows.head.isNullAt(rows.head.fieldIndex("tau_b")))
+  }
+
+  test("kendallTauByKey matches an O(n^2) brute force on seeded data") {
+    val rnd = new scala.util.Random(42)
+    val pts = (1 to 40).map(i =>
+      ("g", i.toLong, rnd.nextInt(8).toDouble, rnd.nextInt(8).toDouble))
+    val df = pts.toDF("k", "t", "x", "y")
+    val r = Stats.kendallTauByKey(df, Seq("k"), "x", "y", "t").collect().head
+    var nc = 0L; var nd = 0L; var tx = 0L; var ty = 0L
+    for (i <- pts.indices; j <- pts.indices if i < j) {
+      val cx = pts(i)._3.compare(pts(j)._3)
+      val cy = pts(i)._4.compare(pts(j)._4)
+      if (cx == 0) tx += 1
+      if (cy == 0) ty += 1
+      if (cx * cy > 0) nc += 1
+      if (cx * cy < 0) nd += 1
+    }
+    val n0 = 40L * 39 / 2
+    assert((r.getAs[Long]("n_concordant"), r.getAs[Long]("n_discordant"),
+      r.getAs[Long]("n_tied_x"), r.getAs[Long]("n_tied_y")) == ((nc, nd, tx, ty)))
+    assert(r.getAs[Double]("tau_b") ==
+      (nc - nd).toDouble / math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble))
+  }
+
+  // ------------------------------------------------ wilcoxon signed-rank
+
+  test("wilcoxonSignedRank: hand-derived W+ and z, untied and tied") {
+    // d=[1,-2,3,-4,5]: W+ = 1+3+5 = 9; no ties
+    val d1 = Seq(1.0, -2.0, 3.0, -4.0, 5.0).toDF("d")
+    val r1 = Stats.wilcoxonSignedRank(d1, "d").collect().head
+    assert((r1.getLong(0), r1.getLong(1)) == ((5L, 9L)))
+    val var1 = 330.0 / 24.0 - 0.0 / 48.0
+    assert(r1.getDouble(2) == (18.0 - 15.0) / (2.0 * math.sqrt(var1)))
+    // ties: d=[2,-2,3]: W2 = 3+6 = 9 (w_plus truncates 4.5 -> 4),
+    // ties term = 6, var = 84/24 - 6/48
+    val d2 = Seq(2.0, -2.0, 3.0).toDF("d")
+    val r2 = Stats.wilcoxonSignedRank(d2, "d").collect().head
+    assert((r2.getLong(0), r2.getLong(1)) == ((3L, 4L)))
+    val var2 = 84.0 / 24.0 - 6.0 / 48.0
+    assert(r2.getDouble(2) == (9.0 - 6.0) / (2.0 * math.sqrt(var2)))
+  }
+
+  test("wilcoxonSignedRank: zero diffs drop; all-zero input degenerates to NULL") {
+    val d1 = Seq(0.0, 0.0, 1.0).toDF("d")
+    val r1 = Stats.wilcoxonSignedRank(d1, "d").collect().head
+    assert(r1.getLong(0) == 1L && r1.getLong(1) == 1L)
+    val d2 = Seq(0.0, 0.0).toDF("d")
+    val r2 = Stats.wilcoxonSignedRank(d2, "d").collect().head
+    assert(r2.getLong(0) == 0L && r2.isNullAt(2))
+  }
+
+  // ------------------------------------------------------- poisson rates
+
+  test("poissonRateTest: hand-derived rates and z; zero exposure yields NULL") {
+    // A: 4 events over 2 days (rate 2), B: 1 event over 1 day (rate 1)
+    val df = Seq(
+      ("A", "d1"), ("A", "d1"), ("A", "d1"), ("A", "d2"),
+      ("B", "d1")).toDF("g", "day")
+    val r = Stats.poissonRateTest(df, "g", "day", "A", "B").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 2L, 1L, 1L)))
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 1.0)
+    assert(r.getDouble(6) == (2.0 - 1.0) / math.sqrt(4.0 / 4.0 + 1.0 / 1.0))
+    // a cohort with no rows: NULL rate/z, not NaN
+    val r2 = Stats.poissonRateTest(df, "g", "day", "A", "C").collect().head
+    assert(r2.getLong(2) == 0L && r2.getLong(3) == 0L)
+    assert(r2.isNullAt(5) && r2.isNullAt(6))
+  }
 }
