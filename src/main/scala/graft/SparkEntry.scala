@@ -2103,6 +2103,23 @@ object SparkEntry {
       graft.operators.stats.Stats
         .poissonRateTest(snap(s, dir).orders.where(col("o_orderdate").isNotNull),
           "o_orderpriority", "o_orderdate", "1-URGENT", "5-LOW")),
+    "q_levene" -> ((s, dir) => {
+      // Brown-Forsythe variance-homogeneity test (B102): one-way ANOVA
+      // over |v - group median| (median-centered Levene, the robust
+      // form). Median = exact percentile (the B13/q_outliers_mad parity
+      // class); each deviation is ONE IEEE subtract of identical
+      // doubles; the B89 ANOVA machinery then rides unchanged
+      // (group-sorted sequential folds, F hashRound 4 + StatsSpec
+      // margin audit). Single row.
+      val o = snap(s, dir).orders
+        .where(col("o_orderpriority").isNotNull && col("o_totalprice").isNotNull)
+      val med = o.groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("__med"))
+      val dev = o.join(broadcast(med), "o_orderpriority")
+        .select(col("o_orderpriority"),
+          abs(col("o_totalprice") - col("__med")).as("__z"))
+      graft.operators.stats.Stats.anovaOneWay(dev, "o_orderpriority", "__z")
+    }),
     "q_trimmed_mean" -> ((s, dir) => {
       // 5%-two-sided trimmed mean per priority — the robust-mean
       // companion to B35's fence audits: exact-percentile fences
@@ -2739,6 +2756,19 @@ object SparkEntry {
       graft.operators.stats.Drift.psiByCategory(
         d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
         "source", topK = 8)
+        .orderBy("category")
+    }),
+    "q_jsd" -> ((s, dir) => {
+      // Jensen-Shannon divergence by category (B101): symmetric,
+      // bounded-[0, ln 2] language-mix comparison between the two
+      // doc_id-parity snapshots — the zero-safe companion of the PSI
+      // family (no smoothing; zero-count sides contribute 0 by
+      // definition). 8th audited transcendental: jsd_contrib
+      // hashRound(4) + MarginAuditSpec boundary audit; shares unrounded.
+      val d = snap(s, dir).documents
+      graft.operators.stats.Drift.jsdByCategory(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+        "lang", topK = 8)
         .orderBy("category")
     }),
     "q_interval_merge" -> ((s, dir) => {
@@ -5408,6 +5438,39 @@ object SparkEntry {
         |      / ((q - b) / CAST(n - k AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
         |  END AS f_stat
         |FROM t""".stripMargin,
+    // B102 Brown-Forsythe: exact-percentile group medians (the
+    // q_outliers_mad parity class), |v - med| deviations, then the
+    // q_anova fold mirror verbatim over the deviation column
+    "q_levene" ->
+      """WITH med AS (
+        |  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |z AS (
+        |  SELECT o.o_orderpriority AS g, abs(o.o_totalprice - med.med) AS v
+        |  FROM orders o JOIN med USING (o_orderpriority)
+        |  WHERE o.o_totalprice IS NOT NULL),
+        |a AS (
+        |  SELECT CAST(g AS VARCHAR) AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS s_g,
+        |    CAST(SUM(CAST(CAST(CAST(v AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(v AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS q_g
+        |  FROM z GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n,
+        |    list_reduce(list(s_g ORDER BY g), (x, y) -> x + y) AS s,
+        |    list_reduce(list(q_g ORDER BY g), (x, y) -> x + y) AS q,
+        |    list_reduce(list(s_g * s_g / CAST(n_g AS DOUBLE) ORDER BY g),
+        |                (x, y) -> x + y) AS b
+        |  FROM a)
+        |SELECT k AS n_groups, n,
+        |  CASE WHEN k >= 2 AND (q - b) > 0 THEN
+        |    floor((((b - s * s / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+        |      / ((q - b) / CAST(n - k AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
+        |  END AS f_stat
+        |FROM t""".stripMargin,
     // B96 Welch t: mirrored fixed-sequence means/variances; significant
     // compares the ROUNDED t in both engines
     "q_welch_t" ->
@@ -6587,6 +6650,43 @@ object SparkEntry {
         |       / (CAST(j.n_cur + 1 AS DOUBLE) / CAST(t2.tc + t2.k AS DOUBLE)))) * 10000.0 + 0.5) / 10000.0
         |    AS psi_contrib
         |FROM j, t2 ORDER BY j.category""".stripMargin,
+    // B101 JSD: the categorical spine verbatim (lang, top-8 + OTHER),
+    // unsmoothed exact-division shares, zero-count sides contribute 0
+    // via CASE guards (never an evaluated ln of 0); contrib written as
+    // termP/2 + termQ/2 in that order, floor-formula rounded (audited)
+    "q_jsd" ->
+      """WITH b AS (SELECT lang AS category, COUNT(*) AS n_base FROM documents
+        |           WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1),
+        |c AS (SELECT lang AS category, COUNT(*) AS n_cur FROM documents
+        |      WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1),
+        |top AS (SELECT category FROM b ORDER BY n_base DESC, category LIMIT 8),
+        |bb AS (SELECT CASE WHEN t.category IS NOT NULL THEN b.category
+        |         ELSE '__OTHER__' END AS category, SUM(n_base) AS n_base
+        |       FROM b LEFT JOIN top t ON b.category = t.category GROUP BY 1),
+        |cb AS (SELECT CASE WHEN t.category IS NOT NULL THEN c.category
+        |         ELSE '__OTHER__' END AS category, SUM(n_cur) AS n_cur
+        |       FROM c LEFT JOIN top t ON c.category = t.category GROUP BY 1),
+        |sp AS (SELECT DISTINCT category FROM (SELECT category FROM top
+        |       UNION ALL SELECT '__OTHER__') __s),
+        |j AS (SELECT sp.category, coalesce(bb.n_base, 0) AS n_base,
+        |        coalesce(cb.n_cur, 0) AS n_cur
+        |      FROM sp LEFT JOIN bb ON sp.category = bb.category
+        |        LEFT JOIN cb ON sp.category = cb.category),
+        |t2 AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM j),
+        |e AS (SELECT j.category, j.n_base, j.n_cur,
+        |        CAST(j.n_base AS DOUBLE) / CAST(t2.tb AS DOUBLE) AS p,
+        |        CAST(j.n_cur AS DOUBLE) / CAST(t2.tc AS DOUBLE) AS q,
+        |        t2.tb AS tb, t2.tc AS tc
+        |      FROM j, t2)
+        |SELECT category, CAST(n_base AS BIGINT) AS n_base,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  CASE WHEN tb > 0 THEN p END AS p_base,
+        |  CASE WHEN tc > 0 THEN q END AS p_cur,
+        |  floor((CASE WHEN tb > 0 AND tc > 0 THEN
+        |    (CASE WHEN n_base > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END) / 2.0
+        |    + (CASE WHEN n_cur > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END) / 2.0
+        |  END) * 10000.0 + 0.5) / 10000.0 AS jsd_contrib
+        |FROM e ORDER BY category""".stripMargin,
     "q_drift_psi" ->
       """WITH lh AS (
         |  SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,

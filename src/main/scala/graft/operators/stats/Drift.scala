@@ -227,15 +227,7 @@ object Drift {
     * smoothing uses the actual spine size.
     */
   def psiFromCategoryCounts(baseCounts: DataFrame, curCounts: DataFrame): DataFrame = {
-    val spine = baseCounts.select(col("category"))
-      .unionByName(baseCounts.sparkSession.range(1).select(lit(OtherCat).as("category")))
-      .distinct()
-    val joined = spine
-      .join(baseCounts.select(col("category"), col("n").as("n_base")), Seq("category"), "left")
-      .join(curCounts.select(col("category"), col("n").as("n_cur")), Seq("category"), "left")
-      .select(col("category"),
-        coalesce(col("n_base"), lit(0L)).as("n_base"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val joined = categorySpine(baseCounts, curCounts)
     val totals = joined.agg(
       sum(col("n_base")).as("__tb"), sum(col("n_cur")).as("__tc"),
       count(lit(1)).as("__k"))
@@ -246,6 +238,73 @@ object Drift {
       .select(col("category"), col("n_base"), col("n_cur"),
         graft.functions.ExactMath.hashRound(p, 4).as("p_base"), graft.functions.ExactMath.hashRound(q, 4).as("p_cur"),
         graft.functions.ExactMath.hashRound((p - q) * log(p / q), 4).as("psi_contrib"))
+  }
+
+  /** The shared baseline-spine join: base-side categories plus an
+    * always-present zero-filled `__OTHER__` row, left-joined counts.
+    */
+  private def categorySpine(baseCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val spine = baseCounts.select(col("category"))
+      .unionByName(baseCounts.sparkSession.range(1).select(lit(OtherCat).as("category")))
+      .distinct()
+    spine
+      .join(baseCounts.select(col("category"), col("n").as("n_base")), Seq("category"), "left")
+      .join(curCounts.select(col("category"), col("n").as("n_cur")), Seq("category"), "left")
+      .select(col("category"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+  }
+
+  /** Jensen–Shannon divergence contributions between two snapshots'
+    * category distributions (B101) — the SYMMETRIC, bounded-[0, ln 2]
+    * companion of [[psiByCategory]] (PSI explodes when a category
+    * empties on one side; JSD is finite for ANY pair of distributions,
+    * the standard divergence for corpus-mix comparisons). Rides
+    * [[categoryCounts]] verbatim (frozen base top-K + `__OTHER__`
+    * spine, ≤ K+1 rows at any cardinality — the 100 TB contract).
+    *
+    * No smoothing: JSD is defined at zeros. Shares are ONE exact-int
+    * division each; m = (p+q)/2; a zero-count side contributes 0 via
+    * its `when` guard (never an evaluated ln of 0), and m > 0 whenever
+    * either guard passes. jsd_contrib = (p·ln(p/m))/2 + (q·ln(q/m))/2
+    * in that written order — the catalog's 8TH audited transcendental:
+    * hashRound(4) with a MarginAuditSpec boundary audit re-deriving the
+    * unrounded contribution from the exact hashed counts at 3 SFs.
+    * p_base/p_cur hash UNROUNDED (single divisions, the q_gini rule).
+    * Total JSD = SUM(jsd_contrib) — left to the reader/monitor, never
+    * hashed (an order-dependent double sum).
+    */
+  def jsdByCategory(
+      base: DataFrame,
+      cur: DataFrame,
+      catCol: String,
+      topK: Int = 20): DataFrame =
+    jsdFromCategoryCounts(
+      categoryCounts(base, base, catCol, topK),
+      categoryCounts(base, cur, catCol, topK))
+
+  /** JSD report from pre-bucketed `(category, n)` relations — the
+    * monitoring-state tail (the [[psiFromCategoryCounts]] shape: counts
+    * merge by addition, a streaming monitor folds microbatches into
+    * ≤ K+1 rows and derives this on demand).
+    */
+  def jsdFromCategoryCounts(baseCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val joined = categorySpine(baseCounts, curCounts)
+    val totals = joined.agg(
+      sum(col("n_base")).as("__tb"), sum(col("n_cur")).as("__tc"))
+    val p = col("n_base").cast("double") / col("__tb").cast("double")
+    val q = col("n_cur").cast("double") / col("__tc").cast("double")
+    val m = (p + q) / lit(2.0)
+    val termP = when(col("n_base") > 0L, p * log(p / m)).otherwise(lit(0.0))
+    val termQ = when(col("n_cur") > 0L, q * log(q / m)).otherwise(lit(0.0))
+    val ok = col("__tb") > 0L && col("__tc") > 0L
+    joined
+      .crossJoin(broadcast(totals))
+      .select(col("category"), col("n_base"), col("n_cur"),
+        when(col("__tb") > 0L, p).as("p_base"),
+        when(col("__tc") > 0L, q).as("p_cur"),
+        graft.functions.ExactMath.hashRound(
+          when(ok, termP / lit(2.0) + termQ / lit(2.0)), 4).as("jsd_contrib"))
   }
 
   /** Benford first-digit audit — the fabricated-figures screen auditors

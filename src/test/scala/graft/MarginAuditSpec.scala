@@ -53,7 +53,9 @@ class MarginAuditSpec extends SparkSpecBase {
       // the 6th audited ln: PMI collocations (round 10)
       "q_collocations",
       // the 7th: c-TF-IDF class labeling (round 12)
-      "q_class_tfidf")
+      "q_class_tfidf",
+      // the 8th: Jensen-Shannon categorical divergence (round 13)
+      "q_jsd")
 
   test("oracle scan: no oracle hashes a transcendental without a margin audit") {
     val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
@@ -323,6 +325,32 @@ class MarginAuditSpec extends SparkSpecBase {
         "4-digit rounding boundary — libm drift could flip the hash")
   }
 
+  /** q_jsd hashes round-4 JSD contributions; re-derive each UNROUNDED
+    * contribution from the exact hashed counts with the operator's own
+    * op sequence (unsmoothed shares, zero-side guards, termP/2 + termQ/2
+    * in written order) and check the 4-digit boundary margin.
+    */
+  private def auditJsd(sfDir: String): Unit = {
+    val rows = SparkEntry.queries("q_jsd")(spark, sfDir)
+      .select(col("n_base"), col("n_cur")).collect()
+    assert(rows.nonEmpty && rows.length <= 9,
+      s"$sfDir: expected <= 9 spine rows, got ${rows.length}")
+    val tb = rows.map(_.getLong(0)).sum.toDouble
+    val tc = rows.map(_.getLong(1)).sum.toDouble
+    val margin = boundaryMargin(4)
+    val minBoundary = rows.iterator.map { r =>
+      val p = r.getLong(0).toDouble / tb
+      val q = r.getLong(1).toDouble / tc
+      val m = (p + q) / 2.0
+      val tp = if (r.getLong(0) > 0) p * math.log(p / m) else 0.0
+      val tq = if (r.getLong(1) > 0) q * math.log(q / m) else 0.0
+      margin(tp / 2.0 + tq / 2.0)
+    }.min
+    assert(minBoundary > 1e-9,
+      f"$sfDir: a hashed jsd_contrib sits $minBoundary%.3e from its 4-digit " +
+        "rounding boundary — libm drift could flip the hash")
+  }
+
   private def auditRetrievalMetrics(sfDir: String): Unit = {
     // q_retrieval_metrics hashes only INTEGER ranks/counts and exact
     // divisions of them — no float from the ln survives to the hash —
@@ -438,6 +466,9 @@ class MarginAuditSpec extends SparkSpecBase {
     }
     test(s"c-tfidf margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
       auditClassTfidf(sf(dir))
+    }
+    test(s"jsd margin audit at $dir: boundary margin > 1e-9") {
+      auditJsd(sf(dir))
     }
   }
 }

@@ -527,6 +527,73 @@ class StatsSpec extends SparkSpecBase {
     assert(e.getMessage != null)
   }
 
+  // ---------------------------------------------------------------- jsd
+
+  test("jsdFromCategoryCounts: hand-derived contributions, zero-side guards") {
+    import graft.operators.stats.Drift
+    // base: a=3, b=1; cur: a=1, c=1 (c unseen in base -> OTHER)
+    val baseC = Seq(("a", 3L), ("b", 1L)).toDF("category", "n")
+    val curC = Seq(("a", 1L), ("__OTHER__", 1L)).toDF("category", "n")
+    val rows = Drift.jsdFromCategoryCounts(baseC, curC)
+      .orderBy("category").collect()
+    def hr(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    def contrib(nb: Long, nc: Long, tb: Double, tc: Double): Double = {
+      val p = nb.toDouble / tb; val q = nc.toDouble / tc
+      val m = (p + q) / 2.0
+      val tp = if (nb > 0) p * math.log(p / m) else 0.0
+      val tq = if (nc > 0) q * math.log(q / m) else 0.0
+      tp / 2.0 + tq / 2.0
+    }
+    // spine: __OTHER__, a, b (base categories + OTHER); tb=4, tc=2
+    assert(rows.map(_.getString(0)).toSeq == Seq("__OTHER__", "a", "b"))
+    val byCat = rows.map(r => r.getString(0) -> r).toMap
+    assert(byCat("a").getDouble(3) == 0.75 && byCat("a").getDouble(4) == 0.5)
+    assert(byCat("a").getDouble(5) == hr(contrib(3, 1, 4.0, 2.0)))
+    // b: present only in base -> q=0, termQ guard contributes 0
+    assert(byCat("b").getDouble(5) == hr(contrib(1, 0, 4.0, 2.0)))
+    // OTHER: present only in cur
+    assert(byCat("__OTHER__").getDouble(5) == hr(contrib(0, 1, 4.0, 2.0)))
+    // identical distributions -> every contribution exactly 0
+    val same = Drift.jsdFromCategoryCounts(baseC, baseC).collect()
+    assert(same.forall(_.getDouble(5) == 0.0))
+  }
+
+  // q_levene's F rides the same drift class as q_anova over the
+  // deviation column; margin-audit the PRE-rounding F at 3 SFs
+  for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    test(s"levene margin audit at $dir: unrounded F clear of its 4-digit boundary") {
+      val o = sources.Snapshot(spark, sf(dir)).orders
+        .where(col("o_orderpriority").isNotNull && col("o_totalprice").isNotNull)
+      val med = o.groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("__med"))
+      val dev = o.join(broadcast(med), "o_orderpriority")
+        .select(col("o_orderpriority").as("g"),
+          abs(col("o_totalprice") - col("__med")).as("v"))
+      val agg = dev.groupBy("g").agg(
+        count(lit(1)).as("n"),
+        graft.functions.ExactMath.dsum(col("v")).as("sg"),
+        sum((col("v").cast("decimal(18,6)") * col("v").cast("decimal(18,6)"))
+          .cast("decimal(18,6)")).cast("double").as("qg"))
+        .orderBy("g")
+        .collect()
+      val k = agg.length
+      val n = agg.map(_.getAs[Long]("n")).sum
+      val sTot = agg.map(_.getAs[Double]("sg")).foldLeft(0.0)(_ + _)
+      val qTot = agg.map(_.getAs[Double]("qg")).foldLeft(0.0)(_ + _)
+      val bTot = agg.map(r => r.getAs[Double]("sg") * r.getAs[Double]("sg")
+        / r.getAs[Long]("n").toDouble).foldLeft(0.0)(_ + _)
+      assert(k >= 2 && (qTot - bTot) > 0.0)
+      val f = ((bTot - sTot * sTot / n.toDouble) / (k - 1).toDouble) /
+        ((qTot - bTot) / (n - k).toDouble)
+      val scale = 10000.0
+      val frac = f * scale - math.floor(f * scale)
+      val margin = math.abs(frac - 0.5) / scale
+      val driftBound = (math.abs(f) + 1.0) * 1e-14
+      assert(margin > 1e3 * driftBound,
+        f"$dir: unrounded levene F $f%.10g sits $margin%.3e from its 4-digit boundary")
+    }
+  }
+
   // ------------------------------------------------------- kendall tau-b
 
   test("kendallTauByKey: hand-derived counts and tau_b; tie classes split") {
