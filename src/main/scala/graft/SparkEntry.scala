@@ -676,6 +676,41 @@ object SparkEntry {
         .dedupByCanonical(snap(s, dir).documents.select(raw.as("url")), "url")
         .orderBy("canonical_url")
     }),
+    "q_dedup_url" -> ((s, dir) => {
+      // canonical-URL dedup KEEP-BEST (C71): the C43 synthesis feeds
+      // the curation decision — per canonical form keep the highest-
+      // quality doc (shared qualityScoreSql definition, doc_id
+      // tiebreak); exact struct-max selection, slim (canonical, score,
+      // id) shuffle, never text.
+      val docs = snap(s, dir).documents.where(col("text").isNotNull)
+      val k = col("doc_id")
+      val k7 = (k % 7).cast("string"); val p = (k % 11).cast("string")
+      val i = (k % 3).cast("string")
+      val raw = when(k % 5 === 0, concat(lit("HTTP://Example"), k7, lit(".COM:80/Path"), p,
+          lit("?utm_source=news&id="), i, lit("#sec1")))
+        .when(k % 5 === 1, concat(lit("https://example"), k7, lit(".com:443/Path"), p,
+          lit("?id="), i, lit("&utm_campaign=x")))
+        .when(k % 5 === 2, concat(lit("http://EXAMPLE"), k7, lit(".com/Path"), p,
+          lit("?b=2&a=1&fbclid=zz")))
+        .when(k % 5 === 3, concat(lit("https://example"), k7, lit(".com:8443/Path"), p,
+          lit("?a=1&b=2")))
+        .otherwise(concat(lit("http://example"), k7, lit(".com:80/Path"), p))
+      val scored = docs.select(col("doc_id"), raw.as("url"))
+        .join(graft.operators.text.TextStats.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score")), "doc_id")
+      graft.operators.text.UrlTools
+        .dedupKeepBest(scored, "url", "doc_id", "quality_score")
+        .orderBy("canonical_url")
+    }),
+    "q_substring_dedup" -> ((s, dir) =>
+      // fixed-window exact-substring dedup (C72): verbatim 40-char
+      // windows at stride 20, first-occurrence ownership (min doc_id);
+      // later docs repeating an owned window are charged. dup_ratio =
+      // one exact division (unrounded); string-keyed oracle form —
+      // the xxhash64 window-key variant is the declared slim path.
+      graft.operators.dedup.WindowDedup
+        .windowDedup(snap(s, dir).documents, "doc_id", "text", 40, 20)
+        .orderBy("doc_id")),
     "q_text_repetition" -> ((s, dir) =>
       // null-text guard on BOTH sides: Spark's size(null)=null row vs
       // DuckDB's [NULL]-list row would diverge on the first null text
@@ -3913,6 +3948,66 @@ object SparkEntry {
         |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants
         |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+    // C71 keep-best URL dedup: the C43 canonicalization chain with
+    // doc_id carried through, quality via the SHARED qualityScoreSql,
+    // ROW_NUMBER pick mirrors the struct-max (score DESC, doc_id)
+    "q_dedup_url" ->
+      s"""WITH raw AS (SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'HTTP://Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM:80/Path' || CAST(doc_id % 11 AS VARCHAR) || '?utm_source=news&id=' || CAST(doc_id % 3 AS VARCHAR) || '#sec1'
+        |    WHEN 1 THEN 'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com:443/Path' || CAST(doc_id % 11 AS VARCHAR) || '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x'
+        |    WHEN 2 THEN 'http://EXAMPLE' || CAST(doc_id % 7 AS VARCHAR) || '.com/Path' || CAST(doc_id % 11 AS VARCHAR) || '?b=2&a=1&fbclid=zz'
+        |    WHEN 3 THEN 'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com:8443/Path' || CAST(doc_id % 11 AS VARCHAR) || '?a=1&b=2'
+        |    ELSE 'http://example' || CAST(doc_id % 7 AS VARCHAR) || '.com:80/Path' || CAST(doc_id % 11 AS VARCHAR)
+        |  END AS url FROM documents WHERE text IS NOT NULL),
+        |s1 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM raw),
+        |s2 AS (SELECT doc_id, nofrag, lower(split_part(nofrag, '://', 1)) AS scheme,
+        |        substring(nofrag, strpos(nofrag, '://') + 3) AS rest FROM s1),
+        |s3 AS (SELECT *, split_part(rest, '?', 1) AS restnoq,
+        |        CASE WHEN strpos(rest, '?') > 0 THEN substring(rest, length(split_part(rest, '?', 1)) + 2) ELSE '' END AS query FROM s2),
+        |s4 AS (SELECT *, split_part(restnoq, '/', 1) AS hostport,
+        |        substring(restnoq, length(split_part(restnoq, '/', 1)) + 1) AS path FROM s3),
+        |s5 AS (SELECT *, lower(split_part(hostport, ':', 1)) AS host,
+        |        CASE WHEN strpos(hostport, ':') > 0 THEN substring(hostport, strpos(hostport, ':') + 1) ELSE '' END AS port FROM s4),
+        |s6 AS (SELECT *, list_sort(list_filter(string_split(query, '&'),
+        |        p -> NOT (p = '' OR starts_with(p, 'utm_') OR split_part(p, '=', 1) IN ('fbclid', 'gclid', 'ref')))) AS kept FROM s5),
+        |canon AS (SELECT doc_id, scheme || '://' || host
+        |  || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443')) THEN ':' || port ELSE '' END
+        |  || CASE WHEN path = '' THEN '/' ELSE path END
+        |  || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS canonical_url
+        |  FROM s6),
+        |q AS (SELECT doc_id, $qualityScoreSql AS quality_score
+        |      FROM documents WHERE text IS NOT NULL),
+        |j AS (SELECT c.doc_id, c.canonical_url, q.quality_score
+        |      FROM canon c JOIN q USING (doc_id)
+        |      WHERE q.quality_score IS NOT NULL),
+        |r AS (SELECT doc_id, canonical_url, quality_score,
+        |        ROW_NUMBER() OVER (PARTITION BY canonical_url
+        |          ORDER BY quality_score DESC, doc_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY canonical_url) AS nd
+        |      FROM j)
+        |SELECT canonical_url, CAST(nd AS BIGINT) AS n_docs,
+        |  doc_id AS kept_doc_id, quality_score AS kept_score
+        |FROM r WHERE rn = 1 ORDER BY canonical_url""".stripMargin,
+    // C72 window-grain exact-substring dedup: strided full windows,
+    // distinct per doc, min-doc ownership, one exact division
+    "q_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |             AND length(text) >= 40),
+        |w0 AS (SELECT doc_id,
+        |         unnest(list_transform(range((length(text) - 40) // 20 + 1),
+        |           i -> substring(text, CAST(i * 20 + 1 AS INTEGER), 40))) AS win
+        |       FROM d),
+        |w AS (SELECT DISTINCT doc_id, win FROM w0),
+        |o AS (SELECT win, MIN(doc_id) AS owner FROM w GROUP BY 1),
+        |g AS (SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |        CAST(SUM(CASE WHEN o.owner < w.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |      FROM w JOIN o USING (win) GROUP BY 1)
+        |SELECT doc_id, n_windows, n_shared,
+        |  CAST(n_shared AS DOUBLE) / CAST(n_windows AS DOUBLE) AS dup_ratio,
+        |  n_shared > 0 AS is_dup
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_corpus_report" ->
       """WITH a AS (SELECT
         |    CAST(COUNT(*) AS DOUBLE) AS n_docs,

@@ -88,4 +88,32 @@ object UrlTools {
     df.select(canonicalize(col(urlCol)).as("canonical_url"), col(urlCol).as("__raw"))
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_rows"), countDistinct(col("__raw")).as("n_variants"))
+
+  /** Canonical-URL dedup that KEEPS the best document per canonical form
+    * (C71) — the crawl-curation step after [[canonicalize]]: pages
+    * fetched under tracking-param/port/case/fragment variants collapse
+    * to ONE kept document, chosen by (score DESC, id ASC). The pick is
+    * an exact struct-max SELECTION (no window, no sort — one
+    * partial-aggregated groupBy whose shuffle carries only
+    * (canonical, score, id), never document text; equal scores are an
+    * exact-IEEE tie owned by the id). Rows with NULL url or score are
+    * out of contract and dropped. `idCol` must be a non-negative
+    * numeric id (the tiebreak negates it inside the struct).
+    */
+  def dedupKeepBest(
+      df: DataFrame,
+      urlCol: String,
+      idCol: String,
+      scoreCol: String): DataFrame =
+    df.where(col(urlCol).isNotNull && col(scoreCol).isNotNull)
+      .select(canonicalize(col(urlCol)).as("canonical_url"),
+        col(idCol).as("__id"), col(scoreCol).as("__s"))
+      .groupBy("canonical_url")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(struct(col("__s").as("q"), (lit(-1L) * col("__id")).as("nd")))
+          .as("__top"))
+      .select(col("canonical_url"), col("n_docs"),
+        (lit(-1L) * col("__top").getField("nd")).as("kept_doc_id"),
+        col("__top").getField("q").as("kept_score"))
 }
