@@ -1724,6 +1724,19 @@ object SparkEntry {
           horizon = 3)
         .orderBy("o_custkey")
     }),
+    "q_holt_winters" -> ((s, dir) => {
+      // additive Holt-Winters (B103): B69's seasonal extension on the
+      // same bounded series — (2+m)-double array state [l, b, q1..qm],
+      // seasonal queue rotates positionally, both l-referencing
+      // recursions folded algebraically expanded (the list_reduce
+      // hazard); all coefficients dyadic; unrounded doubles hash.
+      graft.operators.temporal.Forecast
+        .perKeyHoltWinters(snap(s, dir).orders, Seq("o_custkey"),
+          "o_orderdate", "o_orderkey", "o_totalprice",
+          alpha = 0.5, oneMinusAlpha = 0.5, beta = 0.25, oneMinusBeta = 0.75,
+          gamma = 0.25, oneMinusGamma = 0.75, period = 4, horizon = 4)
+        .orderBy("o_custkey")
+    }),
     "q_cusum" -> ((s, dir) => {
       // one-sided CUSUM drift alarm per customer (Page 1954): running
       // max(0, s + (x - k)) with k=300000 reference and h=400000
@@ -5020,6 +5033,31 @@ object SparkEntry {
         |  GROUP BY o_custkey)
         |SELECT o_custkey, n_points, st[1] AS level, st[2] AS trend,
         |       st[1] + CAST(3 AS DOUBLE) * st[2] AS forecast
+        |FROM f ORDER BY o_custkey""".stripMargin,
+    // B103 Holt-Winters: 6-double array state (m=4), init-less
+    // list_reduce (first element IS the init [x0,0,0,0,0,0]), queue
+    // slots 4..6 shift forward, updated seasonal pushes to the back;
+    // both expansions mirror the Spark fold verbatim; h=4 -> st[6]
+    "q_holt_winters" ->
+      """WITH f AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS INT) AS n_points,
+        |    list_reduce(
+        |      list_transform(
+        |        list(CAST(o_totalprice AS DOUBLE) ORDER BY o_orderdate, o_orderkey),
+        |        x -> [x, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+        |              CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]),
+        |      (acc, x) -> [
+        |        0.5*(x[1] - acc[3]) + 0.5*(acc[1] + acc[2]),
+        |        0.25*(0.5*(x[1] - acc[3] - acc[1]) + 0.5*acc[2]) + 0.75*acc[2],
+        |        acc[4], acc[5], acc[6],
+        |        0.25*(0.5*(x[1] - acc[1] - acc[2]) + 0.5*acc[3]) + 0.75*acc[3]]) AS st
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY o_custkey)
+        |SELECT o_custkey, n_points, st[1] AS level, st[2] AS trend,
+        |       st[6] AS seasonal,
+        |       st[1] + CAST(4 AS DOUBLE) * st[2] + st[6] AS forecast
         |FROM f ORDER BY o_custkey""".stripMargin,
     // the q_ema/q_forecast_holt array fold with a CASE-on-index init
     // (the first element pre-folds s1 = max(0, x1-k)); the max slot is

@@ -1,6 +1,6 @@
 package graft.operators.temporal
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -83,7 +83,61 @@ object Islands {
     val clean = df.where(
       keyCols.map(col(_).isNotNull).reduce(_ && _) &&
         s.isNotNull && e.isNotNull && e >= s)
-    val order = Seq(s.asc, e.asc, col(tieCol).asc)
+    mergeSweep(clean, keyCols, s, e,
+      Seq(s.asc, e.asc, col(tieCol).asc), lit(1L))
+  }
+
+  /** Fold a batch of RAW intervals into carried merged-interval state
+    * (D26) — the standing coverage monitor (user activity spans, sensor
+    * uptime, crawl-window coverage) maintained under streaming
+    * ingestion: state rows are `(key…, merged_start, merged_end,
+    * n_intervals)` and the result is the SAME shape, so the fold
+    * composes. Batch rows enter with weight 1, state rows with their
+    * carried counts, and the whole union re-merges through the same
+    * sweep [[mergeIntervals]] runs — one shared construction, so
+    * state-maintained == one-shot is structural (D26 spec). Interval
+    * union is associative and commutative (any batch arrival order
+    * converges to the same disjoint set) but NOT replay-idempotent —
+    * n_intervals double-counts a replayed batch (the D20 contract:
+    * batches must PARTITION the input). State size is bounded by the
+    * number of disjoint merged spans per key, not by row count.
+    */
+  def foldIntervalState(
+      state: DataFrame,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      startCol: String,
+      endCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "foldIntervalState needs at least one key column")
+    val keyCs = keyCols.map(col)
+    val b = batch.where(
+      keyCs.map(_.isNotNull).reduce(_ && _) &&
+        col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(endCol) >= col(startCol))
+      .select(keyCs ++ Seq(
+        col(startCol).as("merged_start"), col(endCol).as("merged_end"),
+        lit(1L).as("n_intervals")): _*)
+    val all = state.select(keyCs ++ Seq(
+      col("merged_start"), col("merged_end"), col("n_intervals")): _*)
+      .unionByName(b)
+    val s = col("merged_start"); val e = col("merged_end")
+    // order among identical (s, e) rows cannot change the sweep's groups
+    // (e >= s means a duplicate never re-opens); n_intervals just fixes
+    // a total order for the window
+    mergeSweep(all, keyCols, s, e,
+      Seq(s.asc, e.asc, col("n_intervals").asc), col("n_intervals"))
+  }
+
+  /** The shared running-max-of-preceding-ends sweep: one clustering
+    * exchange, group open on `s > max(prev ends)`, weighted counts.
+    */
+  private def mergeSweep(
+      clean: DataFrame,
+      keyCols: Seq[String],
+      s: Column,
+      e: Column,
+      order: Seq[Column],
+      weight: Column): DataFrame = {
     val wPrev = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -99,7 +153,7 @@ object Islands {
       .agg(
         min(s).as("merged_start"),
         max(e).as("merged_end"),
-        count(lit(1)).as("n_intervals"))
+        sum(weight).as("n_intervals"))
       .drop("__grp")
   }
 }

@@ -72,4 +72,57 @@ class ForecastSpec extends SparkSpecBase {
     assert(got("a") == ((3, la)))
     assert(got("b") == ((1, 42.0)))
   }
+
+  /** Holt-Winters reference fold: the operator's exact IEEE op sequence
+    * (expanded forms, positional seasonal queue).
+    */
+  private def refHw(xs: Seq[Double], a: Double, oma: Double,
+      bt: Double, omb: Double, g: Double, omg: Double, m: Int)
+      : (Double, Double, Vector[Double]) =
+    xs.tail.foldLeft((xs.head, 0.0, Vector.fill(m)(0.0))) {
+      case ((l, b, q), x) =>
+        val s1 = q.head
+        val nl = a * (x - s1) + oma * (l + b)
+        val nb = bt * (a * (x - s1 - l) + oma * b) + omb * b
+        val ns = g * (oma * (x - l - b) + a * s1) + omg * s1
+        (nl, nb, q.tail :+ ns)
+    }
+
+  test("holt-winters: bit-exact parity with the in-memory fold, scrambled input") {
+    val rnd = new scala.util.Random(23)
+    // period-4 seasonal signal + trend + noise so every state slot works
+    val series = (1 to 30).map(i =>
+      (i, 100.0 + 2.0 * i + Seq(10.0, -5.0, 3.0, -8.0)(i % 4) + rnd.nextDouble()))
+    val df = rnd.shuffle(series).map { case (i, v) => ("k1", i, v) }.toDF("k", "ord", "v")
+    val got = Forecast.perKeyHoltWinters(df, Seq("k"), "ord", "ord", "v",
+      0.5, 0.5, 0.25, 0.75, 0.25, 0.75, period = 4, horizon = 4).collect().head
+    val (l, b, q) = refHw(series.sortBy(_._1).map(_._2),
+      0.5, 0.5, 0.25, 0.75, 0.25, 0.75, 4)
+    assert(got.getInt(1) == 30)
+    assert(got.getDouble(2) == l && got.getDouble(3) == b)
+    // h=4 with m=4 uses queue slot ((4-1) mod 4)+1 = 4 = the freshest push
+    assert(got.getDouble(4) == q(3))
+    assert(got.getDouble(5) == l + 4.0 * b + q(3))
+  }
+
+  test("holt-winters: seasonal queue phase — horizon picks the right slot") {
+    val series = (1 to 13).map(i => (i, (i % 3).toDouble * 9.0))
+    val df = series.map { case (i, v) => ("k", i, v) }.toDF("k", "ord", "v")
+    for (h <- 1 to 3) {
+      val got = Forecast.perKeyHoltWinters(df, Seq("k"), "ord", "ord", "v",
+        0.5, 0.5, 0.25, 0.75, 0.25, 0.75, period = 3, horizon = h).collect().head
+      val (l, b, q) = refHw(series.map(_._2), 0.5, 0.5, 0.25, 0.75, 0.25, 0.75, 3)
+      assert(got.getDouble(4) == q((h - 1) % 3), s"horizon $h seasonal slot")
+      assert(got.getDouble(5) == l + h.toDouble * b + q((h - 1) % 3))
+    }
+  }
+
+  test("holt-winters: constant series stays at the constant with zero trend/seasonals") {
+    // x - l = 0 and s1 = 0 every step: l stays x, b and seasonals stay 0
+    val df = (1 to 12).map(i => ("k", i, 6.5)).toDF("k", "ord", "v")
+    val r = Forecast.perKeyHoltWinters(df, Seq("k"), "ord", "ord", "v",
+      0.5, 0.5, 0.25, 0.75, 0.25, 0.75, period = 4, horizon = 4).collect().head
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      == ((6.5, 0.0, 0.0, 6.5)))
+  }
 }

@@ -867,6 +867,58 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == oneShot)
   }
 
+  test("streaming interval-union state: folded coverage equals the batch merge (D26)") {
+    // D26: B36b's interval merge maintained under streaming ingestion —
+    // state = per-key disjoint merged spans with absorbed counts; each
+    // microbatch's raw intervals fold in through the SAME sweep
+    // (Islands.foldIntervalState == mergeIntervals construction), so
+    // state-maintained == one-shot EXACTLY. Interval union is
+    // associative/commutative; counts are the non-idempotent part (the
+    // D20 partition contract), which maxFilesPerTrigger staging honors.
+    import graft.operators.temporal.Islands
+    val dir = Files.createTempDirectory("graft_interval_stream").toFile
+    dir.deleteOnExit()
+    val ivals = Snapshot(spark, sf()).orders
+      .where(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        org.apache.spark.sql.functions.to_date(col("o_orderdate")).as("w_start"),
+        org.apache.spark.sql.functions.date_add(
+          org.apache.spark.sql.functions.to_date(col("o_orderdate")), 3).as("w_end"))
+    ivals.repartition(4).write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val next = st match {
+          case None => Islands.foldIntervalState(
+            // empty state with the right shape
+            batch.sparkSession.range(0).select(
+              lit("").as("o_orderpriority"),
+              lit(null).cast("date").as("merged_start"),
+              lit(null).cast("date").as("merged_end"),
+              lit(0L).as("n_intervals")),
+            batch, Seq("o_orderpriority"), "w_start", "w_end")
+          case Some(prev) => Islands.foldIntervalState(
+            prev, batch, Seq("o_orderpriority"), "w_start", "w_end")
+        }
+        st = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val streamed = canon(st.get)
+    val oneShot = canon(Islands.mergeIntervals(
+      batchDf, Seq("o_orderpriority"), "w_start", "w_end", "o_orderkey"))
+    assert(streamed.nonEmpty && streamed == oneShot)
+  }
+
   test("streaming growth state: merged activity sets reproduce the batch MAU accounting (D23)") {
     // D23: B84's growth accounting maintained under streaming ingestion
     // (the D22 shape on ORDERS — the events table spans one month, where
