@@ -2151,6 +2151,15 @@ object SparkEntry {
       graft.operators.stats.Stats
         .poissonRateTest(snap(s, dir).orders.where(col("o_orderdate").isNotNull),
           "o_orderpriority", "o_orderdate", "1-URGENT", "5-LOW")),
+    "q_runs_test" -> ((s, dir) =>
+      // Wald-Wolfowitz runs test per customer (B104): above/below-own-
+      // lower-median signs of date-ordered order values — the sign-
+      // memory randomness screen next to q_autocorr. Bounded-series
+      // fold; exact ints; med_value and z hash UNROUNDED.
+      graft.operators.stats.Stats
+        .runsTest(snap(s, dir).orders, Seq("o_custkey"),
+          "o_orderdate", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")),
     "q_levene" -> ((s, dir) => {
       // Brown-Forsythe variance-homogeneity test (B102): one-way ANOVA
       // over |v - group median| (median-centered Levene, the robust
@@ -2781,6 +2790,23 @@ object SparkEntry {
         .select(col("lang"), TextStats.langId(col("text")).as("pred_lang"))
         .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred_lang")),
+    "q_cohens_kappa" -> ((s, dir) =>
+      // chance-corrected labeler agreement (B105): kappa of the C8
+      // langid prediction vs the labeled lang — accuracy on a skewed
+      // label mix overstates; kappa subtracts marginal-product chance.
+      // Exact cell/margin counts, DECIMAL pe numerator, three exact
+      // divisions + one fixed chain — all hash UNROUNDED. Single row.
+      graft.operators.stats.Stats.cohensKappa(
+        snap(s, dir).documents
+          .select(TextStats.langId(col("text")).as("pred_lang"), col("lang")),
+        "pred_lang", "lang")),
+    "q_gopher_rules" -> ((s, dir) =>
+      // Gopher-style per-rule quality audit (C73): word-count band,
+      // mean-word-length band, alpha-word ratio, bullet/ellipsis line
+      // ratios, stopword presence (shared EN marker set); every ratio
+      // is one exact-int division so the booleans are engine-identical.
+      TextStats.gopherRules(snap(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")),
     "q_embedding_audit" -> ((s, dir) => {
       // embedding-quality audit (C49): null / wrong-dim / zero-norm
       // counts + norm range — the feed check before any ANN build.
@@ -3869,6 +3895,75 @@ object SparkEntry {
         s"p AS (SELECT lang, $langIdCaseSql AS pred_lang FROM h)\n" +
         "SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n FROM p " +
         "GROUP BY 1, 2 ORDER BY lang, pred_lang"),
+    // B105 Cohen's kappa: the shared langid CTE feeds exact cell and
+    // margin counts; pe numerator in DECIMAL(38,0) (HUGEINT mirror),
+    // po/pe/kappa fixed IEEE chains, unrounded
+    "q_cohens_kappa" ->
+      (s"WITH h AS ($langIdHitsCte),\n" +
+        s"p AS (SELECT lang, $langIdCaseSql AS pred_lang FROM h),\n" +
+        """cells AS (SELECT pred_lang AS a, lang AS b, CAST(COUNT(*) AS BIGINT) AS n
+          |          FROM p WHERE pred_lang IS NOT NULL AND lang IS NOT NULL
+          |          GROUP BY 1, 2),
+          |rws AS (SELECT a AS cls, CAST(SUM(n) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+          |cls AS (SELECT b AS cls, CAST(SUM(n) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+          |sp AS (SELECT DISTINCT cls FROM (SELECT cls FROM rws UNION ALL SELECT cls FROM cls) __u),
+          |pe AS (SELECT CAST(SUM(CAST(COALESCE(rws.row_n, 0) AS HUGEINT)
+          |         * COALESCE(cls.col_n, 0)) AS HUGEINT) AS pe_num
+          |       FROM sp LEFT JOIN rws ON sp.cls = rws.cls
+          |         LEFT JOIN cls ON sp.cls = cls.cls),
+          |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+          |          CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS n_agree
+          |        FROM cells)
+          |SELECT COALESCE(tot.n, 0) AS n, COALESCE(tot.n_agree, 0) AS n_agree,
+          |  CASE WHEN tot.n > 0 THEN
+          |    CAST(tot.n_agree AS DOUBLE) / CAST(tot.n AS DOUBLE) END AS p_observed,
+          |  CASE WHEN tot.n > 0 THEN
+          |    CAST(pe.pe_num AS DOUBLE)
+          |      / CAST(CAST(tot.n AS HUGEINT) * tot.n AS DOUBLE) END AS p_expected,
+          |  CASE WHEN tot.n > 0 AND 1.0 - CAST(pe.pe_num AS DOUBLE)
+          |      / CAST(CAST(tot.n AS HUGEINT) * tot.n AS DOUBLE) > 0 THEN
+          |    (CAST(tot.n_agree AS DOUBLE) / CAST(tot.n AS DOUBLE)
+          |      - CAST(pe.pe_num AS DOUBLE)
+          |        / CAST(CAST(tot.n AS HUGEINT) * tot.n AS DOUBLE))
+          |    / (1.0 - CAST(pe.pe_num AS DOUBLE)
+          |        / CAST(CAST(tot.n AS HUGEINT) * tot.n AS DOUBLE))
+          |  END AS kappa
+          |FROM tot CROSS JOIN pe""".stripMargin),
+    // C73 Gopher rules: every ratio ONE exact-int division, booleans
+    // from literal-threshold compares of identical quotient doubles
+    "q_gopher_rules" ->
+      s"""WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(list_aggregate(list_transform(string_split(text, ' '),
+        |      w -> length(w)), 'sum') AS BIGINT) AS sum_wlen,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> ends_with(l, '...'))) AS BIGINT) AS n_ell,
+        |    CAST($markerHitsEn AS BIGINT) AS n_stops
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+        |    CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_ratio,
+        |    n_words >= 50 AND n_words <= 100000 AS r_word_count,
+        |    CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+        |      AND CAST(sum_wlen AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0 AS r_mean_word_len,
+        |    CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8 AS r_alpha_words,
+        |    CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9 AS r_bullets,
+        |    CAST(n_ell AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3 AS r_ellipsis,
+        |    n_stops >= 2 AS r_stopwords
+        |  FROM g)
+        |SELECT doc_id, n_words, mean_word_len, alpha_ratio,
+        |  r_word_count, r_mean_word_len, r_alpha_words, r_bullets,
+        |  r_ellipsis, r_stopwords,
+        |  r_word_count AND r_mean_word_len AND r_alpha_words AND r_bullets
+        |    AND r_ellipsis AND r_stopwords AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars,
@@ -5571,6 +5666,45 @@ object SparkEntry {
         |      / ((q - b) / CAST(n - k AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
         |  END AS f_stat
         |FROM t""".stripMargin,
+    // B104 runs test: lower-median element via quantile_disc (SELECTION
+    // mirror), equal-to-median rows drop, LAG transition count (first
+    // row opens run 1), fixed IEEE E/V/z chain on exact ints; keys
+    // whose residue empties keep zero counts via the LEFT JOIN
+    "q_runs_test" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS k, o_orderdate AS d, o_orderkey AS t,
+        |    CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS np FROM c
+        |      GROUP BY 1 HAVING COUNT(*) >= 2),
+        |m AS (SELECT k, quantile_disc(v, 0.5) AS med FROM c GROUP BY 1),
+        |f AS (SELECT c.k, c.d, c.t,
+        |        CASE WHEN c.v > m.med THEN 1 ELSE -1 END AS sgn
+        |      FROM c JOIN m ON c.k = m.k WHERE c.v <> m.med),
+        |r AS (SELECT k, sgn,
+        |        LAG(sgn) OVER (PARTITION BY k ORDER BY d, t) AS prev
+        |      FROM f),
+        |a AS (SELECT k,
+        |        CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |        CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |        CAST(SUM(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        |      FROM r GROUP BY 1)
+        |SELECT n.k AS o_custkey, n.np AS n_points, m.med AS med_value,
+        |  COALESCE(a.n1, 0) AS n_above, COALESCE(a.n2, 0) AS n_below,
+        |  COALESCE(a.runs, 0) AS n_runs,
+        |  CASE WHEN COALESCE(a.n1, 0) > 0 AND COALESCE(a.n2, 0) > 0 AND
+        |    CAST((2 * a.n1 * a.n2) * (2 * a.n1 * a.n2 - (a.n1 + a.n2)) AS DOUBLE)
+        |      / CAST((a.n1 + a.n2) * (a.n1 + a.n2) * (a.n1 + a.n2 - 1) AS DOUBLE) > 0
+        |  THEN
+        |    (CAST(a.runs AS DOUBLE)
+        |      - (CAST(2 * a.n1 * a.n2 AS DOUBLE) / CAST(a.n1 + a.n2 AS DOUBLE) + 1.0))
+        |    / sqrt(CAST((2 * a.n1 * a.n2) * (2 * a.n1 * a.n2 - (a.n1 + a.n2)) AS DOUBLE)
+        |      / CAST((a.n1 + a.n2) * (a.n1 + a.n2) * (a.n1 + a.n2 - 1) AS DOUBLE))
+        |  END AS z_score
+        |FROM n JOIN m ON n.k = m.k LEFT JOIN a ON n.k = a.k
+        |ORDER BY o_custkey""".stripMargin,
     // B102 Brown-Forsythe: exact-percentile group medians (the
     // q_outliers_mad parity class), |v - med| deviations, then the
     // q_anova fold mirror verbatim over the deviation column

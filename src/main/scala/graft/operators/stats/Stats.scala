@@ -873,6 +873,120 @@ object Stats {
         .as("z_score"))
   }
 
+  /** Cohen's kappa between two categorical columns (B105) — the
+    * chance-corrected agreement of a predicted vs actual label (the
+    * eval-family companion of C48's raw confusion matrix: accuracy on a
+    * skewed label mix overstates; kappa subtracts the marginal-product
+    * chance agreement). κ = (p_o − p_e)/(1 − p_e) with p_o = diagonal/N
+    * and p_e = Σ_c row_c·col_c / N².
+    *
+    * Exactness: ONE corpus pass to the (a, b) cell table; marginals
+    * derive from the aggregated cells (bounded by label-vocabulary²);
+    * Σ row·col accumulates in DECIMAL(38,0) (no long wrap at any N);
+    * p_o, p_e are one exact division each and κ one fixed IEEE
+    * sub/sub/div chain ⇒ all hash UNROUNDED (the q_gini protocol).
+    * NULL κ when p_e = 1 (a single class on both sides — agreement is
+    * undefined) or N = 0. Single-row output.
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val clean = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"), col(bCol).cast("string").as("__b"))
+    val cells = clean.groupBy("__a", "__b").agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy(col("__a").as("cls")).agg(sum(col("n")).as("row_n"))
+    val cols = cells.groupBy(col("__b").as("cls")).agg(sum(col("n")).as("col_n"))
+    val spine = rows.select(col("cls")).unionByName(cols.select(col("cls"))).distinct()
+    val margins = spine
+      .join(rows, Seq("cls"), "left").join(cols, Seq("cls"), "left")
+      .select(
+        coalesce(col("row_n"), lit(0L)).cast(d38).as("__r"),
+        coalesce(col("col_n"), lit(0L)).cast(d38).as("__c"))
+      .agg(sum(col("__r") * col("__c")).as("__pe_num"))
+    val tot = cells.agg(
+      sum(col("n")).as("n"),
+      sum(when(col("__a") === col("__b"), col("n")).otherwise(0L)).as("n_agree"))
+    val j = tot.crossJoin(margins)
+    val po = col("n_agree").cast("double") / col("n").cast("double")
+    val pe = col("__pe_num").cast("double") /
+      (col("n").cast(d38) * col("n").cast(d38)).cast("double")
+    j.select(
+      coalesce(col("n"), lit(0L)).as("n"),
+      coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+      when(col("n") > 0L, po).as("p_observed"),
+      when(col("n") > 0L, pe).as("p_expected"),
+      when(col("n") > 0L && (lit(1.0) - pe) > 0.0,
+        (po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
+  /** Wald–Wolfowitz runs test per key (B104) — is the sequence of
+    * above/below-median outcomes random? The sign-memory screen next to
+    * B75's lag-1 autocorrelation (linear memory). Bounded-series HOF
+    * shape (the MK contract: one in-memory array per key, plain hash
+    * groupBy, map-side folds).
+    *
+    * The per-key reference is the LOWER-MEDIAN ELEMENT of the
+    * value-sorted array (SELECTION, exact — `quantile_disc` mirror);
+    * rows EQUAL to it drop (the standard runs convention); the
+    * (order, tie)-sorted residue maps to ±1 and ONE sequential fold
+    * counts transitions (init prev=0 so the first element always opens
+    * run 1). Exact ints end to end; with N = n₁+n₂,
+    *   E = 2n₁n₂/N + 1,  V = 2n₁n₂(2n₁n₂ − N) / (N²(N−1)),
+    *   z = (R − E)/sqrt(V)
+    * — a fixed IEEE chain on exact-int conversions ⇒ `med_value` and
+    * `z_score` hash UNROUNDED. The N³ long product is wrap-safe under
+    * the bounded-series contract (N < 2.1M). NULL z when either sign is
+    * absent or V degenerates.
+    */
+  def runsTest(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val g: Seq[Column] = keyCols.map(col)
+    val clean = df.where(
+      g.map(_.isNotNull).reduce(_ && _) &&
+        col(orderCol).isNotNull && col(tieCol).isNotNull && col(valueCol).isNotNull)
+    val grouped = clean
+      .groupBy(g: _*)
+      .agg(
+        array_sort(collect_list(struct(
+          col(orderCol).as("o"), col(tieCol).as("t"),
+          col(valueCol).cast("double").as("v")))).as("sp"),
+        array_sort(collect_list(col(valueCol).cast("double"))).as("sv"))
+      .where(size(col("sv")) >= 2)
+    val med = element_at(col("sv"), ((size(col("sv")) + 1) / 2).cast("int"))
+    val signed = grouped
+      .withColumn("__med", med)
+      .withColumn("__signs", filter(
+        transform(col("sp"), e =>
+          when(e.getField("v") > col("__med"), 1)
+            .when(e.getField("v") < col("__med"), -1)),
+        x => x.isNotNull))
+    val n1 = size(filter(col("__signs"), x => x === 1)).cast("long")
+    val n2 = size(filter(col("__signs"), x => x === -1)).cast("long")
+    val runs = element_at(
+      aggregate(col("__signs"), array(lit(0), lit(0)),
+        (acc, x) => array(x,
+          element_at(acc, 2) + when(x =!= element_at(acc, 1), 1).otherwise(0))),
+      2).cast("long")
+    val counted = signed.select(g ++ Seq(
+      size(col("sp")).cast("long").as("n_points"),
+      col("__med").as("med_value"),
+      n1.as("n_above"), n2.as("n_below"), runs.as("n_runs")): _*)
+    val bigN = col("n_above") + col("n_below")
+    val twoAB = lit(2L) * col("n_above") * col("n_below")
+    val e = twoAB.cast("double") / bigN.cast("double") + lit(1.0)
+    val v = (twoAB * (twoAB - bigN)).cast("double") /
+      (bigN * bigN * (bigN - lit(1L))).cast("double")
+    counted.select(g ++ Seq(
+      col("n_points"), col("med_value"),
+      col("n_above"), col("n_below"), col("n_runs"),
+      when(col("n_above") > 0L && col("n_below") > 0L && v > 0.0,
+        (col("n_runs").cast("double") - e) / sqrt(v)).as("z_score")): _*)
+  }
+
   /** Two-sample Poisson rate comparison between two named cohorts
     * (B100) — events-per-exposure-unit, the COUNT-outcome sibling of
     * [[twoProportionZ]] (shares vs rates): c = row count, t = DISTINCT

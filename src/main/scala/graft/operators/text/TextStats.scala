@@ -62,6 +62,55 @@ object TextStats {
           - col("punct_ratio") * 0.2)
   }
 
+  /** Gopher-style per-document quality-RULE audit (C73; Rae et al. 2021
+    * appendix A heuristics, the mirrorable subset) — where [[quality]]
+    * blends signals into one composite score, this emits the per-rule
+    * diagnosis a curation pipeline filters and REPORTS on: word-count
+    * band, mean-word-length band, alpha-word ratio, bullet-line ratio,
+    * ellipsis-line-ending ratio, minimum stopword presence (the SHARED
+    * EN marker set — the mirror-ability contract, not linguistic
+    * coverage), and `keep` = all rules pass.
+    *
+    * Determinism: every ratio is ONE division of exact integer counts
+    * (both engines correctly-round the same quotient — comparisons to
+    * literal thresholds are then identical), and the word-length sum is
+    * an exact integer fold. Single scan-fused projection; no shuffle at
+    * all.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = split(t, " ")
+    val nWords = size(words).cast("long")
+    val sumWlen = aggregate(transform(words, w => length(w)), lit(0),
+      (a, x) => a + x).cast("long")
+    val meanWlen = sumWlen.cast("double") / nWords.cast("double")
+    val alphaRatio = size(filter(words, w => w.rlike("[a-zA-Z]")))
+      .cast("double") / nWords.cast("double")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletRatio = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* "))).cast("double") /
+      nLines.cast("double")
+    val ellipsisRatio = size(filter(lines, l => l.endsWith("...")))
+      .cast("double") / nLines.cast("double")
+    val stops = markerHits(t, Markers.head._2).cast("long")
+    df.where(t.isNotNull)
+      .select(
+        col(idCol),
+        nWords.as("n_words"),
+        meanWlen.as("mean_word_len"),
+        alphaRatio.as("alpha_ratio"),
+        (nWords >= 50L && nWords <= 100000L).as("r_word_count"),
+        (meanWlen >= 3.0 && meanWlen <= 10.0).as("r_mean_word_len"),
+        (alphaRatio >= 0.8).as("r_alpha_words"),
+        (bulletRatio <= 0.9).as("r_bullets"),
+        (ellipsisRatio <= 0.3).as("r_ellipsis"),
+        (stops >= 2L).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_alpha_words") &&
+          col("r_bullets") && col("r_ellipsis") && col("r_stopwords"))
+  }
+
   /** Flesch-reading-ease-style readability score — the classic
     * text-difficulty quality signal (Flesch 1948): 206.835 −
     * 1.015·(words/sentences) − 84.6·(syllables/words), with the

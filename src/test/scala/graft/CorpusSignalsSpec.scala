@@ -96,4 +96,55 @@ class CorpusSignalsSpec extends SparkSpecBase {
       .collect().map(_.toString).sorted.toSeq
     assert(rows.map(_.toString).sorted.toSeq == want)
   }
+
+  test("gopherRules: each rule trips on its planted violator, clean doc keeps") {
+    import graft.operators.text.TextStats
+    val clean = (Seq.fill(48)("word") ++ Seq("the", "is")).mkString(" ") // 50 words
+    val short = Seq.fill(10)("word").mkString(" ")
+    val zh = Seq.fill(50)("的").mkString(" ")
+    val bullets = "- alpha the is\n- beta\n- gamma"
+    val ellipsis = "one the is...\ntwo...\nthree words here now ok"
+    val df = Seq(
+      (1L, clean), (2L, short), (3L, zh), (4L, bullets), (5L, ellipsis)
+    ).toDF("doc_id", "text")
+    val rows = TextStats.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, name: String): Boolean =
+      rows(id).getBoolean(rows(id).fieldIndex(name))
+    // clean: 50 words, mean len (48*4 + 3 + 2)/50 = 3.94, all pass
+    assert(rows(1L).getLong(1) == 50L)
+    assert(rows(1L).getDouble(2) == (48 * 4 + 3 + 2).toDouble / 50.0)
+    assert(flag(1L, "keep"))
+    assert(!flag(2L, "r_word_count") && !flag(2L, "keep"))
+    // zh: zero alpha words, mean word len 1, zero stopwords
+    assert(rows(3L).getDouble(3) == 0.0)
+    assert(!flag(3L, "r_alpha_words") && !flag(3L, "r_mean_word_len") &&
+      !flag(3L, "r_stopwords"))
+    // bullets: every line starts with "- " -> ratio 1 > 0.9
+    assert(!flag(4L, "r_bullets") && flag(4L, "r_ellipsis"))
+    // ellipsis: 2 of 3 lines end with "..." -> ratio 2/3 > 0.3
+    assert(!flag(5L, "r_ellipsis") && flag(5L, "r_bullets"))
+  }
+
+  test("cohensKappa: perfect, hand 2x2, zero-kappa, and degenerate cases") {
+    import graft.operators.stats.Stats
+    def kappa(pairs: Seq[(String, String)]) =
+      Stats.cohensKappa(pairs.toDF("a", "b"), "a", "b").collect().head
+    // perfect agreement across 3 classes: kappa exactly 1
+    val perfect = kappa(Seq(("x", "x"), ("y", "y"), ("z", "z")))
+    assert(perfect.getDouble(4) == 1.0)
+    // classic 2x2: po=0.7, pe=0.5, kappa=(0.7-0.5)/0.5
+    val pairs = Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(10)(("y", "n")) ++ Seq.fill(5)(("n", "y"))
+    val r = kappa(pairs)
+    assert((r.getLong(0), r.getLong(1)) == ((50L, 35L)))
+    assert(r.getDouble(2) == 35.0 / 50.0 && r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == (35.0 / 50.0 - 0.5) / (1.0 - 0.5))
+    // prediction class absent from actuals: spine covers the union
+    val asym = kappa(Seq(("a", "b"), ("b", "b")))
+    assert(asym.getDouble(3) == 0.5 && asym.getDouble(4) == 0.0)
+    // single class both sides: pe = 1 -> NULL kappa
+    val degen = kappa(Seq(("s", "s"), ("s", "s")))
+    assert(degen.isNullAt(4))
+  }
 }

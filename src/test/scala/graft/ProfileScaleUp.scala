@@ -610,6 +610,90 @@ object ProfileScaleUp {
       force(graft.operators.text.TextStats
         .classTfidfTopTerms(docs, "source", "text", 5)))
 
+    // ---- round-13 operators ----------------------------------------------
+    time("kendall tau (pair codes)")(
+      force(graft.operators.stats.Stats
+        .kendallTauByKey(orders.withColumn("__x", expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")),
+          Seq("o_custkey"), "__x", "o_totalprice", "o_orderkey")
+        .groupBy().agg(count(lit(1)).as("n"), sum("n_concordant").as("s"))))
+    time("wilcoxon signed-rank")(
+      force {
+        val o = orders.where(col("o_custkey").isNotNull &&
+          col("o_orderdate").isNotNull && col("o_orderkey").isNotNull &&
+          col("o_totalprice").isNotNull)
+        val diffs = o.groupBy("o_custkey").agg(
+          min(struct(col("o_orderdate").as("d"), col("o_orderkey").as("t"),
+            col("o_totalprice").as("p"))).as("__f"),
+          max(struct(col("o_orderdate").as("d"), col("o_orderkey").as("t"),
+            col("o_totalprice").as("p"))).as("__l"),
+          count(lit(1)).as("__n")).where(col("__n") >= 2L)
+          .select((col("__l").getField("p") - col("__f").getField("p")).as("__d"))
+        graft.operators.stats.Stats.wilcoxonSignedRank(diffs, "__d")
+      })
+    time("poisson rate")(
+      force(graft.operators.stats.Stats
+        .poissonRateTest(orders, "o_orderpriority", "o_orderdate",
+          "1-URGENT", "5-LOW")))
+    time("levene (median-centered anova)")(
+      force {
+        val o = orders.where(col("o_orderpriority").isNotNull &&
+          col("o_totalprice").isNotNull)
+        val med = o.groupBy("o_orderpriority")
+          .agg(expr("percentile(o_totalprice, 0.5)").as("__med"))
+        graft.operators.stats.Stats.anovaOneWay(
+          o.join(broadcast(med), "o_orderpriority")
+            .select(col("o_orderpriority"),
+              abs(col("o_totalprice") - col("__med")).as("__z")),
+          "o_orderpriority", "__z")
+      })
+    time("jsd (category spine)")(
+      force(graft.operators.stats.Drift.jsdByCategory(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "lang", 8)))
+    time("runs test")(
+      force(graft.operators.stats.Stats
+        .runsTest(orders, Seq("o_custkey"), "o_orderdate", "o_orderkey",
+          "o_totalprice")
+        .groupBy().agg(count(lit(1)).as("n"), sum("n_runs").as("s"))))
+    time("holt-winters (m=4)")(
+      force(graft.operators.temporal.Forecast
+        .perKeyHoltWinters(orders, Seq("o_custkey"), "o_orderdate",
+          "o_orderkey", "o_totalprice",
+          0.5, 0.5, 0.25, 0.75, 0.25, 0.75, period = 4, horizon = 4)
+        .groupBy().agg(count(lit(1)).as("n"), sum("forecast").as("s"))))
+    time("url keep-best dedup")(
+      force {
+        val k = col("doc_id")
+        val url = concat(lit("http://example"), (k % 7).cast("string"),
+          lit(".com:80/Path"), (k % 11).cast("string"),
+          lit("?b=2&a=1&utm_x=1&id="), (k % 3).cast("string"))
+        val base = docs.where(col("text").isNotNull)
+        val scored = base.select(col("doc_id"), url.as("url"))
+          .join(graft.operators.text.TextStats
+            .quality(base, "doc_id", "text")
+            .select(col("doc_id"), col("quality_score")), "doc_id")
+        graft.operators.text.UrlTools
+          .dedupKeepBest(scored, "url", "doc_id", "quality_score")
+      })
+    time("substring window dedup")(
+      force(graft.operators.dedup.WindowDedup
+        .windowDedup(docs, "doc_id", "text", 40, 20)
+        .groupBy().agg(count(lit(1)).as("n"), sum("n_shared").as("s"))))
+    time("interval state fold")(
+      force {
+        val iv = orders.where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("ws"),
+            date_add(to_date(col("o_orderdate")), 3).as("we"))
+        val st1 = graft.operators.temporal.Islands.mergeIntervals(
+          iv.where(col("o_orderkey") % 2 === 0),
+          Seq("o_orderpriority"), "ws", "we", "o_orderkey")
+        graft.operators.temporal.Islands.foldIntervalState(
+          st1, iv.where(col("o_orderkey") % 2 === 1),
+          Seq("o_orderpriority"), "ws", "we")
+      })
+
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
     // partkey, written to parquet so every measurement starts from a real

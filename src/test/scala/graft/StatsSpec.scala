@@ -676,6 +676,36 @@ class StatsSpec extends SparkSpecBase {
     assert(r2.getLong(0) == 0L && r2.isNullAt(2))
   }
 
+  // ----------------------------------------------------------- runs test
+
+  test("runsTest: hand-derived runs, median drop, exact-zero and exact z") {
+    // key a: values [5,6,1,2,7] by date — sorted [1,2,5,6,7], lower
+    // median 5 drops; residue signs +,-,-,+ -> runs 3, n1=n2=2,
+    // E = 3 exactly -> z = 0.0 exactly
+    val a = Seq((1, 5.0), (2, 6.0), (3, 1.0), (4, 2.0), (5, 7.0))
+      .map { case (d, v) => ("a", d, v) }
+    // key b: monotone 1..6 — median 3 drops; signs -,-,+,+,+ -> runs 2
+    val b = (1 to 6).map(i => ("b", i, i.toDouble))
+    // key c: constant — every row equals the median, residue empties
+    val c = (1 to 4).map(i => ("c", i, 9.0))
+    val df = (a ++ b ++ c).toDF("k", "d", "v")
+    val rows = Stats.runsTest(df, Seq("k"), "d", "d", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ra = rows("a")
+    assert(ra.getDouble(2) == 5.0 && (ra.getLong(3), ra.getLong(4), ra.getLong(5)) ==
+      ((2L, 2L, 3L)))
+    assert(ra.getDouble(6) == 0.0)
+    val rb = rows("b")
+    assert(rb.getDouble(2) == 3.0 && (rb.getLong(3), rb.getLong(4), rb.getLong(5)) ==
+      ((3L, 2L, 2L)))
+    val e = 12.0 / 5.0 + 1.0
+    val v = (12L * 7L).toDouble / (5L * 5L * 4L).toDouble
+    assert(rb.getDouble(6) == (2.0 - e) / math.sqrt(v))
+    val rc = rows("c")
+    assert((rc.getLong(3), rc.getLong(4), rc.getLong(5)) == ((0L, 0L, 0L)))
+    assert(rc.isNullAt(6))
+  }
+
   // ------------------------------------------------------- poisson rates
 
   test("poissonRateTest: hand-derived rates and z; zero exposure yields NULL") {
