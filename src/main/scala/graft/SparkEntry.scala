@@ -2807,6 +2807,20 @@ object SparkEntry {
       // is one exact-int division so the booleans are engine-identical.
       TextStats.gopherRules(snap(s, dir).documents, "doc_id", "text")
         .orderBy("doc_id")),
+    "q_mcnemar" -> ((s, dir) => {
+      // McNemar paired disagreement (B106): do the stopword-presence
+      // rule and the composite quality threshold disagree symmetrically
+      // on the SAME docs? Discordant counts exact; chi2 = one division,
+      // unrounded; significant compares identical doubles. Single row.
+      val docs = snap(s, dir).documents.where(col("text").isNotNull)
+      val flags = docs
+        .select(col("doc_id"),
+          (TextStats.markerHits(col("text"), TextStats.Markers.head._2) >= 2)
+            .as("r_stop"))
+        .join(TextStats.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), (col("quality_score") >= 0.5).as("r_q")), "doc_id")
+      graft.operators.stats.Stats.mcnemar(flags, "r_stop", "r_q")
+    }),
     "q_embedding_audit" -> ((s, dir) => {
       // embedding-quality audit (C49): null / wrong-dim / zero-norm
       // counts + norm range — the feed check before any ANN build.
@@ -3929,6 +3943,30 @@ object SparkEntry {
           |        / CAST(CAST(tot.n AS HUGEINT) * tot.n AS DOUBLE))
           |  END AS kappa
           |FROM tot CROSS JOIN pe""".stripMargin),
+    // B106 McNemar: shared rule definitions (markerHitsEn >= 2,
+    // qualityScoreSql >= 0.5), exact discordant counts, one division
+    "q_mcnemar" ->
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    $markerHitsEn >= 2 AS r_stop,
+        |    $qualityScoreSql >= 0.5 AS r_q
+        |  FROM documents WHERE text IS NOT NULL),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN r_stop AND NOT r_q THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+        |    CAST(SUM(CASE WHEN NOT r_stop AND r_q THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only
+        |  FROM f WHERE r_stop IS NOT NULL AND r_q IS NOT NULL)
+        |SELECT COALESCE(n, 0) AS n, COALESCE(n_a_only, 0) AS n_a_only,
+        |  COALESCE(n_b_only, 0) AS n_b_only,
+        |  CASE WHEN n_a_only + n_b_only > 0 THEN
+        |    CAST(CAST(n_a_only - n_b_only AS HUGEINT)
+        |      * (n_a_only - n_b_only) AS DOUBLE)
+        |    / CAST(n_a_only + n_b_only AS DOUBLE) END AS chi2,
+        |  CASE WHEN n_a_only + n_b_only > 0 THEN
+        |    CAST(CAST(n_a_only - n_b_only AS HUGEINT)
+        |      * (n_a_only - n_b_only) AS DOUBLE)
+        |    / CAST(n_a_only + n_b_only AS DOUBLE) > 3.841 END AS significant
+        |FROM a""".stripMargin,
     // C73 Gopher rules: every ratio ONE exact-int division, booleans
     // from literal-threshold compares of identical quotient doubles
     "q_gopher_rules" ->

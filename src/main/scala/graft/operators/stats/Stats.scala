@@ -873,6 +873,36 @@ object Stats {
         .as("z_score"))
   }
 
+  /** McNemar's test over two boolean columns on the SAME rows (B106) —
+    * do two filters/classifiers disagree symmetrically? The paired
+    * companion of [[twoProportionZ]] (independent cohorts there; shared
+    * rows here — only the DISCORDANT pairs carry signal):
+    * χ² = (b − c)²/(b + c) with b = a-only, c = b-only counts.
+    * Exact BIGINT counts, the squared difference in DECIMAL (no wrap),
+    * ONE division ⇒ χ² hashes UNROUNDED and `significant` (χ² > 3.841,
+    * the 1-dof 5% literal) compares identical doubles. NULL χ² when
+    * b + c = 0 (no disagreement — the test is undefined). Single row,
+    * one partial-agg pass.
+    */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val a = col(aCol); val b = col(bCol)
+    val agg = df.where(a.isNotNull && b.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n_b_only"))
+    val d = col("n_a_only") - col("n_b_only")
+    val disc = col("n_a_only") + col("n_b_only")
+    val chi2 = (d.cast(d38) * d.cast(d38)).cast("double") / disc.cast("double")
+    agg.select(
+      coalesce(col("n"), lit(0L)).as("n"),
+      coalesce(col("n_a_only"), lit(0L)).as("n_a_only"),
+      coalesce(col("n_b_only"), lit(0L)).as("n_b_only"),
+      when(disc > 0L, chi2).as("chi2"),
+      when(disc > 0L, chi2 > lit(3.841)).as("significant"))
+  }
+
   /** Cohen's kappa between two categorical columns (B105) — the
     * chance-corrected agreement of a predicted vs actual label (the
     * eval-family companion of C48's raw confusion matrix: accuracy on a

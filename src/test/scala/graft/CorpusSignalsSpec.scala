@@ -147,4 +147,17 @@ class CorpusSignalsSpec extends SparkSpecBase {
     val degen = kappa(Seq(("s", "s"), ("s", "s")))
     assert(degen.isNullAt(4))
   }
+
+  test("mcnemar: hand-derived chi2; no-disagreement degenerates to NULL") {
+    import graft.operators.stats.Stats
+    // concordant 10, a-only 9, b-only 1: chi2 = 64/10
+    val df = (Seq.fill(10)((true, true)) ++ Seq.fill(9)((true, false)) ++
+      Seq.fill(1)((false, true))).toDF("a", "b")
+    val r = Stats.mcnemar(df, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((20L, 9L, 1L)))
+    assert(r.getDouble(3) == 64.0 / 10.0 && r.getBoolean(4))
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    val r2 = Stats.mcnemar(agree, "a", "b").collect().head
+    assert(r2.getLong(0) == 2L && r2.isNullAt(3) && r2.isNullAt(4))
+  }
 }
