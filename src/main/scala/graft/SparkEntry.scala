@@ -2807,6 +2807,15 @@ object SparkEntry {
       // is one exact-int division so the booleans are engine-identical.
       TextStats.gopherRules(snap(s, dir).documents, "doc_id", "text")
         .orderBy("doc_id")),
+    "q_bootstrap_ci" -> ((s, dir) =>
+      // Poisson-bootstrap CI for the mean order value (B107): 64
+      // md5-seeded resamples (weights from embedded Poisson(1) CDF hex
+      // literals), exact decimal per-rep sums, one division per rep
+      // mean, CI bounds = SELECTIONS from the sorted rep-mean array —
+      // all unrounded. Single row.
+      graft.operators.sample.Bootstrap
+        .poissonBootstrapCi(snap(s, dir).orders, "o_orderkey",
+          "o_totalprice", reps = 64)),
     "q_mcnemar" -> ((s, dir) => {
       // McNemar paired disagreement (B106): do the stopword-presence
       // rule and the composite quality threshold disagree symmetrically
@@ -3943,6 +3952,39 @@ object SparkEntry {
           |        / CAST(CAST(tot.n AS HUGEINT) * tot.n AS DOUBLE))
           |  END AS kappa
           |FROM tot CROSS JOIN pe""".stripMargin),
+    // B107 Poisson bootstrap: md5-vs-hex-literal weights (the
+    // Projection sign precedent), dsumProd-chain rep sums, sorted-array
+    // element selections for the CI; reps = 64 -> indices 2/32/63
+    "q_bootstrap_ci" ->
+      """WITH x AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,6)) AS v
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |        CAST(SUM(v) AS DOUBLE) AS sv FROM x),
+        |r AS (SELECT unnest(range(64)) AS rep),
+        |w AS (SELECT x.v, r.rep,
+        |    CASE WHEN md5('boot:' || x.k || ':' || CAST(r.rep AS VARCHAR)) < '5e2d58d8' THEN 0
+        |         WHEN md5('boot:' || x.k || ':' || CAST(r.rep AS VARCHAR)) < 'bc5ab1b1' THEN 1
+        |         WHEN md5('boot:' || x.k || ':' || CAST(r.rep AS VARCHAR)) < 'eb715e1d' THEN 2
+        |         WHEN md5('boot:' || x.k || ':' || CAST(r.rep AS VARCHAR)) < 'fb239797' THEN 3
+        |         ELSE 4 END AS wt
+        |  FROM x CROSS JOIN r),
+        |m AS (SELECT rep,
+        |    CAST(SUM(CAST(CAST(v AS DECIMAL(19,6))
+        |      * CAST(CAST(wt AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS swv,
+        |    CAST(SUM(wt) AS BIGINT) AS sw
+        |  FROM w GROUP BY 1 HAVING SUM(wt) > 0),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+        |        list_sort(list(swv / CAST(sw AS DOUBLE))) AS ms FROM m)
+        |SELECT o.n_rows,
+        |  CASE WHEN o.n_rows > 0 THEN o.sv / CAST(o.n_rows AS DOUBLE) END AS mean,
+        |  s.n_reps,
+        |  CASE WHEN s.n_reps >= 2 THEN ms[2] END AS ci_lo,
+        |  CASE WHEN s.n_reps >= 32 THEN ms[32] END AS ci_med,
+        |  CASE WHEN s.n_reps >= 63 THEN ms[63] END AS ci_hi
+        |FROM o CROSS JOIN s""".stripMargin,
     // B106 McNemar: shared rule definitions (markerHitsEn >= 2,
     // qualityScoreSql >= 0.5), exact discordant counts, one division
     "q_mcnemar" ->

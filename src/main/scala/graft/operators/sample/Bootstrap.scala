@@ -1,0 +1,91 @@
+package graft.operators.sample
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactMath
+
+/** Poisson bootstrap confidence interval for a mean (B107) — the
+  * resampling method that actually distributes (Chamandy et al. 2012,
+  * "Estimating Uncertainty for Massive Data Streams"; Efron 1979 is the
+  * classical form): instead of drawing n rows WITH replacement per
+  * resample (a global shuffle per rep), each row independently enters
+  * resample r with multiplicity ~ Poisson(1) — one scan-fused generator
+  * explodes (row, rep) pairs, one partial-aggregated groupBy(rep)
+  * reduces them, and the R resample means collapse to a single R-double
+  * array. No per-rep pass over the data, no RNG state.
+  *
+  * Determinism (the Projection md5 precedent): the multiplicity derives
+  * from `md5("<seed>:<key>:<rep>")` compared LEXICOGRAPHICALLY against
+  * embedded 8-hex-digit literals of the Poisson(1) CDF
+  * (floor(CDF·16⁸): 0x5e2d58d8, 0xbc5ab1b1, 0xeb715e1d, 0xfb239797 —
+  * lowercase hex in both engines; a 32-char hex string never equals an
+  * 8-char literal, so the prefix compare is unambiguous). Multiplicity
+  * truncates at 4 (P(>4) ≈ 0.37% of mass lands on 4 — documented,
+  * deterministic). Per-rep sums ride the exact decimal dsumProd chain;
+  * each resample mean is ONE division of exact operands; the CI bounds
+  * are SELECTIONS from the sorted R-array (ci_lo = element
+  * ceil(0.025·R), ci_med = lower median, ci_hi = ceil(0.975·R)) — all
+  * hash UNROUNDED (the q_gini protocol).
+  *
+  * `keyCol` must be unique per row (it seeds the row's multiplicity
+  * stream); rows with NULL key or value drop. 100 TB shape: the explode
+  * is map-local ×R on slim (key, value) rows and partial aggregation
+  * combines per rep before any exchange — the shuffle carries R rows of
+  * (rep, decimal sum, count), nothing else.
+  */
+object Bootstrap {
+
+  private val CdfHex = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797")
+
+  def poissonBootstrapCi(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      reps: Int = 64,
+      seed: String = "boot"): DataFrame = {
+    require(reps >= 4, s"reps must be >= 4, got $reps")
+    val dec = ExactMath.ValueDecimal
+    val clean = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        col(valueCol).cast(dec).as("__v"))
+    val overall = clean.agg(
+      count(lit(1)).as("n_rows"),
+      ExactMath.dsum(col("__v")).as("__sv"))
+    val h = md5(concat(lit(seed + ":"), col("__k"), lit(":"),
+      col("__r").cast("string")))
+    val w = when(h < CdfHex(0), 0)
+      .when(h < CdfHex(1), 1)
+      .when(h < CdfHex(2), 2)
+      .when(h < CdfHex(3), 3)
+      .otherwise(4)
+    val perRep = clean
+      .select(col("__k"), col("__v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("__r"))
+      .withColumn("__w", w)
+      .groupBy("__r")
+      .agg(
+        sum((col("__v").cast(dec) * col("__w").cast(dec)).cast(dec))
+          .cast("double").as("__swv"),
+        sum(col("__w").cast("long")).as("__sw"))
+      .where(col("__sw") > 0L)
+      .select((col("__swv") / col("__sw").cast("double")).as("__mean"))
+    val loIdx = math.max(1, math.ceil(reps * 0.025).toInt)
+    val medIdx = (reps + 1) / 2
+    val hiIdx = math.min(reps, math.ceil(reps * 0.975).toInt)
+    val ms = perRep.agg(
+      count(lit(1)).as("n_reps"),
+      array_sort(collect_list(col("__mean"))).as("__ms"))
+    overall.crossJoin(ms).select(
+      col("n_rows"),
+      when(col("n_rows") > 0L,
+        col("__sv") / col("n_rows").cast("double")).as("mean"),
+      col("n_reps"),
+      // the index columns degrade to NULL (not an error) if reps with
+      // nonzero weight fall short of the selection index — only possible
+      // on near-empty inputs
+      when(col("n_reps") >= loIdx, element_at(col("__ms"), loIdx)).as("ci_lo"),
+      when(col("n_reps") >= medIdx, element_at(col("__ms"), medIdx)).as("ci_med"),
+      when(col("n_reps") >= hiIdx, element_at(col("__ms"), hiIdx)).as("ci_hi"))
+  }
+}

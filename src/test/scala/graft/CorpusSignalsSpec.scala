@@ -148,6 +148,31 @@ class CorpusSignalsSpec extends SparkSpecBase {
     assert(degen.isNullAt(4))
   }
 
+  test("poissonBootstrapCi: constant column collapses the CI to the constant") {
+    import graft.operators.sample.Bootstrap
+    val df = (1L to 200L).map(i => (i, 7.25)).toDF("k", "v")
+    val r = Bootstrap.poissonBootstrapCi(df, "k", "v", reps = 16).collect().head
+    assert(r.getLong(0) == 200L && r.getDouble(1) == 7.25)
+    assert(r.getLong(2) == 16L)
+    // every resample averages the same constant -> all three selections exact
+    assert(r.getDouble(3) == 7.25 && r.getDouble(4) == 7.25 && r.getDouble(5) == 7.25)
+  }
+
+  test("poissonBootstrapCi: CI brackets the mean, ordered, and is run-stable") {
+    import graft.operators.sample.Bootstrap
+    val df = (1L to 500L).map(i => (i, (i % 100).toDouble)).toDF("k", "v")
+    val a = Bootstrap.poissonBootstrapCi(df, "k", "v", reps = 64).collect().head
+    val b = Bootstrap.poissonBootstrapCi(df, "k", "v", reps = 64).collect().head
+    assert(a == b) // md5-seeded: bit-identical across runs
+    val (lo, med, hi) = (a.getDouble(3), a.getDouble(4), a.getDouble(5))
+    assert(lo <= med && med <= hi)
+    // a 2.5–97.5% interval over 500 near-uniform rows must bracket the mean
+    assert(lo < a.getDouble(1) && a.getDouble(1) < hi)
+    // the weight law: resample means stay within a plausible band of the
+    // population mean (Poisson(1) weights, sd ~ sigma/sqrt(n) ~ 1.3)
+    assert(math.abs(med - a.getDouble(1)) < 10.0)
+  }
+
   test("mcnemar: hand-derived chi2; no-disagreement degenerates to NULL") {
     import graft.operators.stats.Stats
     // concordant 10, a-only 9, b-only 1: chi2 = 64/10
