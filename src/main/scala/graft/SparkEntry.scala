@@ -3952,9 +3952,10 @@ object SparkEntry {
           |        / CAST(CAST(tot.n AS HUGEINT) * tot.n AS DOUBLE))
           |  END AS kappa
           |FROM tot CROSS JOIN pe""".stripMargin),
-    // B107 Poisson bootstrap: md5-vs-hex-literal weights (the
-    // Projection sign precedent), dsumProd-chain rep sums, sorted-array
-    // element selections for the CI; reps = 64 -> indices 2/32/63
+    // B107 Poisson bootstrap: ONE digest per (row, 8-rep block), eight
+    // 4-hex slices vs Poisson-CDF literals (the Projection sign
+    // precedent), dsumProd-chain rep sums, sorted-array element
+    // selections for the CI; reps = 64 -> indices 2/32/63
     "q_bootstrap_ci" ->
       """WITH x AS (
         |  SELECT CAST(o_orderkey AS VARCHAR) AS k,
@@ -3963,14 +3964,15 @@ object SparkEntry {
         |  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
         |o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |        CAST(SUM(v) AS DOUBLE) AS sv FROM x),
-        |r AS (SELECT unnest(range(64)) AS rep),
-        |w AS (SELECT x.v, r.rep,
-        |    CASE WHEN md5('boot:' || x.k || ':' || CAST(r.rep AS VARCHAR)) < '5e2d58d8' THEN 0
-        |         WHEN md5('boot:' || x.k || ':' || CAST(r.rep AS VARCHAR)) < 'bc5ab1b1' THEN 1
-        |         WHEN md5('boot:' || x.k || ':' || CAST(r.rep AS VARCHAR)) < 'eb715e1d' THEN 2
-        |         WHEN md5('boot:' || x.k || ':' || CAST(r.rep AS VARCHAR)) < 'fb239797' THEN 3
+        |r AS (SELECT unnest(range(8)) AS blk),
+        |jj AS (SELECT unnest(range(8)) AS j),
+        |w AS (SELECT x.v, blk * 8 + j AS rep,
+        |    CASE WHEN substring(md5('boot:' || x.k || ':' || CAST(blk AS VARCHAR)), CAST(j * 4 + 1 AS INTEGER), 4) < '5e2d' THEN 0
+        |         WHEN substring(md5('boot:' || x.k || ':' || CAST(blk AS VARCHAR)), CAST(j * 4 + 1 AS INTEGER), 4) < 'bc5a' THEN 1
+        |         WHEN substring(md5('boot:' || x.k || ':' || CAST(blk AS VARCHAR)), CAST(j * 4 + 1 AS INTEGER), 4) < 'eb71' THEN 2
+        |         WHEN substring(md5('boot:' || x.k || ':' || CAST(blk AS VARCHAR)), CAST(j * 4 + 1 AS INTEGER), 4) < 'fb23' THEN 3
         |         ELSE 4 END AS wt
-        |  FROM x CROSS JOIN r),
+        |  FROM x CROSS JOIN r CROSS JOIN jj),
         |m AS (SELECT rep,
         |    CAST(SUM(CAST(CAST(v AS DECIMAL(19,6))
         |      * CAST(CAST(wt AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS swv,

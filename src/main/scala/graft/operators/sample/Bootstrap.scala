@@ -15,28 +15,32 @@ import graft.functions.ExactMath
   * reduces them, and the R resample means collapse to a single R-double
   * array. No per-rep pass over the data, no RNG state.
   *
-  * Determinism (the Projection md5 precedent): the multiplicity derives
-  * from `md5("<seed>:<key>:<rep>")` compared LEXICOGRAPHICALLY against
-  * embedded 8-hex-digit literals of the Poisson(1) CDF
-  * (floor(CDF·16⁸): 0x5e2d58d8, 0xbc5ab1b1, 0xeb715e1d, 0xfb239797 —
-  * lowercase hex in both engines; a 32-char hex string never equals an
-  * 8-char literal, so the prefix compare is unambiguous). Multiplicity
-  * truncates at 4 (P(>4) ≈ 0.37% of mass lands on 4 — documented,
-  * deterministic). Per-rep sums ride the exact decimal dsumProd chain;
-  * each resample mean is ONE division of exact operands; the CI bounds
-  * are SELECTIONS from the sorted R-array (ci_lo = element
-  * ceil(0.025·R), ci_med = lower median, ci_hi = ceil(0.975·R)) — all
-  * hash UNROUNDED (the q_gini protocol).
+  * Determinism (the Projection md5 precedent): ONE digest per
+  * (row, 8-rep block) — `md5("<seed>:<key>:<block>")` — yields EIGHT
+  * multiplicities by slicing its 32 lowercase-hex chars into 4-char
+  * windows and comparing each LEXICOGRAPHICALLY (equal lengths, so the
+  * compare is numeric) against embedded 4-hex-digit literals of the
+  * Poisson(1) CDF (floor(CDF·16⁴): 0x5e2d, 0xbc5a, 0xeb71, 0xfb23 —
+  * 2⁻¹⁶ CDF resolution, a ≤1.6e-5 per-threshold bias, negligible
+  * against bootstrap noise and 8× fewer hashes than a digest per rep:
+  * the hash IS the dominant generator cost at corpus scale).
+  * Multiplicity truncates at 4 (P(>4) ≈ 0.37% of mass lands on 4 —
+  * documented, deterministic). Per-rep sums ride the exact decimal
+  * dsumProd chain; each resample mean is ONE division of exact
+  * operands; the CI bounds are SELECTIONS from the sorted R-array
+  * (ci_lo = element ceil(0.025·R), ci_med = lower median, ci_hi =
+  * ceil(0.975·R)) — all hash UNROUNDED (the q_gini protocol).
   *
   * `keyCol` must be unique per row (it seeds the row's multiplicity
-  * stream); rows with NULL key or value drop. 100 TB shape: the explode
-  * is map-local ×R on slim (key, value) rows and partial aggregation
-  * combines per rep before any exchange — the shuffle carries R rows of
-  * (rep, decimal sum, count), nothing else.
+  * stream); rows with NULL key or value drop; `reps` must be a
+  * multiple of 8 (the digest block size). 100 TB shape: the explode is
+  * map-local ×(R/8) on slim (key, value) rows and partial aggregation
+  * combines per rep before any exchange — the shuffle carries R rows
+  * of (rep, decimal sum, count), nothing else.
   */
 object Bootstrap {
 
-  private val CdfHex = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797")
+  private val CdfHex = Seq("5e2d", "bc5a", "eb71", "fb23")
 
   def poissonBootstrapCi(
       df: DataFrame,
@@ -44,7 +48,7 @@ object Bootstrap {
       valueCol: String,
       reps: Int = 64,
       seed: String = "boot"): DataFrame = {
-    require(reps >= 4, s"reps must be >= 4, got $reps")
+    require(reps >= 8 && reps % 8 == 0, s"reps must be a multiple of 8, got $reps")
     val dec = ExactMath.ValueDecimal
     val clean = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
       .select(col(keyCol).cast("string").as("__k"),
@@ -52,17 +56,27 @@ object Bootstrap {
     val overall = clean.agg(
       count(lit(1)).as("n_rows"),
       ExactMath.dsum(col("__v")).as("__sv"))
-    val h = md5(concat(lit(seed + ":"), col("__k"), lit(":"),
-      col("__r").cast("string")))
-    val w = when(h < CdfHex(0), 0)
-      .when(h < CdfHex(1), 1)
-      .when(h < CdfHex(2), 2)
-      .when(h < CdfHex(3), 3)
-      .otherwise(4)
+    def weightOf(slice: org.apache.spark.sql.Column) =
+      when(slice < CdfHex(0), 0)
+        .when(slice < CdfHex(1), 1)
+        .when(slice < CdfHex(2), 2)
+        .when(slice < CdfHex(3), 3)
+        .otherwise(4)
+    // md5 appears ONCE in the generator expression (chunked into 4-hex
+    // slices via regexp+split), so each digest is computed once per
+    // (row, block) — an md5 referenced from inside a per-element lambda
+    // would be re-evaluated per slice after project collapse, paying
+    // 8x the hash cost (measured)
+    val hexSlices = slice(split(regexp_replace(
+      md5(concat(lit(seed + ":"), col("__k"), lit(":"),
+        col("__blk").cast("string"))),
+      "(....)", "$1,"), ","), 1, 8)
     val perRep = clean
       .select(col("__k"), col("__v"),
-        explode(sequence(lit(0), lit(reps - 1))).as("__r"))
-      .withColumn("__w", w)
+        explode(sequence(lit(0), lit(reps / 8 - 1))).as("__blk"))
+      .select(col("__v"), col("__blk"), posexplode(hexSlices))
+      .select(col("__v"), (col("__blk") * 8 + col("pos")).as("__r"),
+        weightOf(col("col")).as("__w"))
       .groupBy("__r")
       .agg(
         sum((col("__v").cast(dec) * col("__w").cast(dec)).cast(dec))
