@@ -2151,6 +2151,14 @@ object SparkEntry {
       graft.operators.stats.Stats
         .poissonRateTest(snap(s, dir).orders.where(col("o_orderdate").isNotNull),
           "o_orderpriority", "o_orderdate", "1-URGENT", "5-LOW")),
+    "q_kruskal_wallis" -> ((s, dir) =>
+      // k-group rank test (B108): are order values shifted across ALL
+      // five priorities — the nonparametric ANOVA on the B90 doubled-
+      // rank machinery over the global value spine; group fold is
+      // sequential over the sorted 5-row spine; H and tie-corrected H
+      // hash UNROUNDED. Single row.
+      graft.operators.stats.Stats
+        .kruskalWallis(snap(s, dir).orders, "o_orderpriority", "o_totalprice")),
     "q_runs_test" -> ((s, dir) =>
       // Wald-Wolfowitz runs test per customer (B104): above/below-own-
       // lower-median signs of date-ordered order values — the sign-
@@ -5748,6 +5756,44 @@ object SparkEntry {
         |      / ((q - b) / CAST(n - k AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
         |  END AS f_stat
         |FROM t""".stripMargin,
+    // B108 Kruskal-Wallis: global value spine, per-group doubled rank
+    // sums in DECIMAL(38,0), group-ordered list_reduce fold (init-less
+    // == 0.0-init), HUGEINT tie term; H/H_c fixed IEEE chains, unrounded
+    "q_kruskal_wallis" ->
+      """WITH c AS (
+        |  SELECT o_totalprice AS s, o_orderpriority AS g FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |cells AS (SELECT s, CAST(g AS VARCHAR) AS g,
+        |            CAST(COUNT(*) AS BIGINT) AS cg FROM c GROUP BY 1, 2),
+        |vals AS (SELECT s, CAST(SUM(cg) AS BIGINT) AS cnt FROM cells GROUP BY 1),
+        |vw AS (SELECT s, cnt,
+        |         COALESCE(CAST(SUM(cnt) OVER (ORDER BY s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bef
+        |       FROM vals),
+        |pg AS (SELECT cells.g, CAST(SUM(cg) AS BIGINT) AS ng,
+        |         CAST(SUM(CAST(cg AS DECIMAL(38,0))
+        |           * CAST(2 * bef + cnt + 1 AS DECIMAL(38,0))) AS DOUBLE) AS r2d
+        |       FROM cells JOIN vw USING (s) GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |        CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS HUGEINT) AS ties
+        |      FROM vals),
+        |sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |         list_reduce(list(r2d * r2d / CAST(ng AS DOUBLE) ORDER BY g),
+        |           (x, y) -> x + y) AS s0
+        |       FROM pg)
+        |SELECT t.n, sp.n_groups,
+        |  CASE WHEN sp.n_groups >= 2 AND t.n > 0 THEN
+        |    3.0 * sp.s0 / CAST(CAST(t.n AS HUGEINT) * (t.n + 1) AS DOUBLE)
+        |      - 3.0 * CAST(t.n + 1 AS DOUBLE) END AS h_stat,
+        |  CASE WHEN sp.n_groups >= 2 AND t.n > 0 AND
+        |    1.0 - CAST(t.ties AS DOUBLE)
+        |      / CAST(CAST(t.n AS HUGEINT) * t.n * t.n - t.n AS DOUBLE) > 0 THEN
+        |    (3.0 * sp.s0 / CAST(CAST(t.n AS HUGEINT) * (t.n + 1) AS DOUBLE)
+        |      - 3.0 * CAST(t.n + 1 AS DOUBLE))
+        |    / (1.0 - CAST(t.ties AS DOUBLE)
+        |      / CAST(CAST(t.n AS HUGEINT) * t.n * t.n - t.n AS DOUBLE))
+        |  END AS h_corrected
+        |FROM t CROSS JOIN sp""".stripMargin,
     // B104 runs test: lower-median element via quantile_disc (SELECTION
     // mirror), equal-to-median rows drop, LAG transition count (first
     // row opens run 1), fixed IEEE E/V/z chain on exact ints; keys

@@ -42,7 +42,16 @@ object Bootstrap {
 
   private val CdfHex = Seq("5e2d", "bc5a", "eb71", "fb23")
 
-  def poissonBootstrapCi(
+  /** Per-resample MERGEABLE state `(__r, __swv DECIMAL, __sw)` — the
+    * D27 streaming-CI monitor's carried rows: both fields are
+    * associative exact sums, so [[mergeRepState]] of batch states ==
+    * the one-shot state EXACTLY (the D14/IncrementalAgg argument).
+    * Weights are md5-deterministic per (key, rep), so the merge is
+    * arrival-order free; REPLAYING rows double-counts their weights —
+    * the D20 contract: batches must PARTITION the input. ≤ R rows of
+    * state at any corpus size.
+    */
+  def repState(
       df: DataFrame,
       keyCol: String,
       valueCol: String,
@@ -53,9 +62,6 @@ object Bootstrap {
     val clean = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
       .select(col(keyCol).cast("string").as("__k"),
         col(valueCol).cast(dec).as("__v"))
-    val overall = clean.agg(
-      count(lit(1)).as("n_rows"),
-      ExactMath.dsum(col("__v")).as("__sv"))
     def weightOf(slice: org.apache.spark.sql.Column) =
       when(slice < CdfHex(0), 0)
         .when(slice < CdfHex(1), 1)
@@ -71,7 +77,7 @@ object Bootstrap {
       md5(concat(lit(seed + ":"), col("__k"), lit(":"),
         col("__blk").cast("string"))),
       "(....)", "$1,"), ","), 1, 8)
-    val perRep = clean
+    clean
       .select(col("__k"), col("__v"),
         explode(sequence(lit(0), lit(reps / 8 - 1))).as("__blk"))
       .select(col("__v"), col("__blk"), posexplode(hexSlices))
@@ -79,27 +85,56 @@ object Bootstrap {
         weightOf(col("col")).as("__w"))
       .groupBy("__r")
       .agg(
-        sum((col("__v").cast(dec) * col("__w").cast(dec)).cast(dec))
-          .cast("double").as("__swv"),
+        sum((col("__v").cast(dec) * col("__w").cast(dec)).cast(dec)).as("__swv"),
         sum(col("__w").cast("long")).as("__sw"))
+  }
+
+  /** Field-wise associative merge of two [[repState]]s. */
+  def mergeRepState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("__r"))
+      .agg(sum(col("__swv")).as("__swv"), sum(col("__sw")).as("__sw"))
+
+  /** CI derivation from carried state — ONE definition shared with the
+    * batch path, so state-maintained == one-shot is structural (D27).
+    */
+  def ciFromState(state: DataFrame, reps: Int): DataFrame = {
+    val means = state
       .where(col("__sw") > 0L)
-      .select((col("__swv") / col("__sw").cast("double")).as("__mean"))
+      .select((col("__swv").cast("double") / col("__sw").cast("double"))
+        .as("__mean"))
     val loIdx = math.max(1, math.ceil(reps * 0.025).toInt)
     val medIdx = (reps + 1) / 2
     val hiIdx = math.min(reps, math.ceil(reps * 0.975).toInt)
-    val ms = perRep.agg(
+    means.agg(
       count(lit(1)).as("n_reps"),
       array_sort(collect_list(col("__mean"))).as("__ms"))
-    overall.crossJoin(ms).select(
+      .select(
+        col("n_reps"),
+        // the index columns degrade to NULL (not an error) if reps with
+        // nonzero weight fall short of the selection index — only
+        // possible on near-empty inputs
+        when(col("n_reps") >= loIdx, element_at(col("__ms"), loIdx)).as("ci_lo"),
+        when(col("n_reps") >= medIdx, element_at(col("__ms"), medIdx)).as("ci_med"),
+        when(col("n_reps") >= hiIdx, element_at(col("__ms"), hiIdx)).as("ci_hi"))
+  }
+
+  def poissonBootstrapCi(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      reps: Int = 64,
+      seed: String = "boot"): DataFrame = {
+    val dec = ExactMath.ValueDecimal
+    val overall = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        ExactMath.dsum(col(valueCol).cast(dec)).as("__sv"))
+    val ci = ciFromState(repState(df, keyCol, valueCol, reps, seed), reps)
+    overall.crossJoin(ci).select(
       col("n_rows"),
       when(col("n_rows") > 0L,
         col("__sv") / col("n_rows").cast("double")).as("mean"),
-      col("n_reps"),
-      // the index columns degrade to NULL (not an error) if reps with
-      // nonzero weight fall short of the selection index — only possible
-      // on near-empty inputs
-      when(col("n_reps") >= loIdx, element_at(col("__ms"), loIdx)).as("ci_lo"),
-      when(col("n_reps") >= medIdx, element_at(col("__ms"), medIdx)).as("ci_med"),
-      when(col("n_reps") >= hiIdx, element_at(col("__ms"), hiIdx)).as("ci_hi"))
+      col("n_reps"), col("ci_lo"), col("ci_med"), col("ci_hi"))
   }
 }

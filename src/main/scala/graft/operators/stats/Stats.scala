@@ -873,6 +873,69 @@ object Stats {
         .as("z_score"))
   }
 
+  /** Kruskal–Wallis H test across ALL groups of a categorical column
+    * (B108) — the k-group generalization of [[mannWhitney]] (the
+    * nonparametric ANOVA): are the k distributions shifted? Rides the
+    * same doubled-average-rank machinery over the GLOBAL value spine
+    * (one partial agg to (value, group) cells, value-grain totals +
+    * ONE window over that aggregated spine, per-group doubled rank
+    * sums in DECIMAL(38,0)).
+    *
+    * With R2_g the doubled rank sum, H = 3·Σ_g(R2_g²/n_g)/(N(N+1)) −
+    * 3(N+1) (the doubled-rank form of the classical 12/(N(N+1))
+    * identity) and the tie-corrected H_c = H/(1 − ΣT/(N³−N)),
+    * ΣT = Σ(t³−t) in DECIMAL (the B90 overflow contract). The
+    * Σ over groups folds SEQUENTIALLY over the group-sorted spine (the
+    * anovaOneWay order-free rule — k is the bounded group vocabulary);
+    * every conversion is correctly rounded and the chain is one fixed
+    * IEEE sequence ⇒ H and H_c hash UNROUNDED (the q_gini protocol).
+    * NULL H_c when every value is tied (correction degenerates) or
+    * k < 2. Single row.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val clean = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+    val cells = clean
+      .groupBy(col(valueCol).as("__s"), col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__cg"))
+    val vals = cells.groupBy("__s").agg(sum(col("__cg")).as("__cnt"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val valsW = vals
+      .withColumn("__bef", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+    val perG = cells.join(valsW, "__s")
+      .groupBy("__g")
+      .agg(
+        sum(col("__cg")).as("__ng"),
+        sum(col("__cg").cast(d38)
+          * (lit(2L) * col("__bef") + col("__cnt") + lit(1L)).cast(d38))
+          .as("__r2g"))
+    val totals = vals.agg(
+      sum(col("__cnt")).as("n"),
+      sum(col("__cnt").cast(d38) * col("__cnt").cast(d38) * col("__cnt").cast(d38)
+        - col("__cnt").cast(d38)).as("__ties"))
+    val spine = perG.agg(
+      count(lit(1)).as("n_groups"),
+      array_sort(collect_list(struct(
+        col("__g").as("g"), col("__ng").as("ng"),
+        col("__r2g").cast("double").as("r2d")))).as("gs"))
+    val joined = spine.crossJoin(broadcast(totals))
+    val s = aggregate(col("gs"), lit(0.0), (acc, e) =>
+      acc + e.getField("r2d") * e.getField("r2d")
+        / e.getField("ng").cast("double"))
+    val bigN = col("n")
+    val nn1 = (bigN.cast(d38) * (bigN + lit(1L)).cast(d38)).cast("double")
+    val h = lit(3.0) * s / nn1 - lit(3.0) * (bigN + lit(1L)).cast("double")
+    val corr = lit(1.0) - col("__ties").cast("double") /
+      (bigN.cast(d38) * bigN.cast(d38) * bigN.cast(d38) - bigN.cast(d38))
+        .cast("double")
+    joined.select(
+      col("n"), col("n_groups"),
+      when(col("n_groups") >= 2L && bigN > 0L, h).as("h_stat"),
+      when(col("n_groups") >= 2L && bigN > 0L && corr > 0.0, h / corr)
+        .as("h_corrected"))
+  }
+
   /** McNemar's test over two boolean columns on the SAME rows (B106) —
     * do two filters/classifiers disagree symmetrically? The paired
     * companion of [[twoProportionZ]] (independent cohorts there; shared

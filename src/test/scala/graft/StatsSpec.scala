@@ -706,6 +706,42 @@ class StatsSpec extends SparkSpecBase {
     assert(rc.isNullAt(6))
   }
 
+  // ------------------------------------------------------ kruskal-wallis
+
+  test("kruskalWallis: hand-derived H; tie correction; degenerate NULLs") {
+    import graft.operators.stats.Stats
+    // A=[1,2], B=[3,4]: doubled rank sums 6 and 14; H = 3*116/20 - 15
+    val d1 = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v")
+    val r1 = Stats.kruskalWallis(d1, "g", "v").collect().head
+    assert((r1.getLong(0), r1.getLong(1)) == ((4L, 2L)))
+    val s0 = 0.0 + 36.0 / 2.0 + 196.0 / 2.0
+    val h = 3.0 * s0 / 20.0 - 3.0 * 5.0
+    assert(r1.getDouble(2) == h)
+    // no ties: correction factor is exactly 1, H_c == H bit for bit
+    assert(r1.getDouble(3) == h / 1.0)
+    // all values tied: correction degenerates -> NULL H_c (H itself is
+    // defined and equals its all-tied value)
+    val d2 = Seq(("A", 5.0), ("A", 5.0), ("B", 5.0)).toDF("g", "v")
+    val r2 = Stats.kruskalWallis(d2, "g", "v").collect().head
+    assert(r2.isNullAt(3))
+    // one group -> NULL both
+    val d3 = Seq(("A", 1.0), ("A", 2.0)).toDF("g", "v")
+    val r3 = Stats.kruskalWallis(d3, "g", "v").collect().head
+    assert(r3.isNullAt(2) && r3.isNullAt(3))
+  }
+
+  test("kruskalWallis: two groups reduces to the mann-whitney ordering signal") {
+    import graft.operators.stats.Stats
+    // clearly shifted groups: H large; overlapping groups: H near 0
+    val shifted = ((1 to 20).map(i => ("lo", i.toDouble)) ++
+      (21 to 40).map(i => ("hi", i.toDouble))).toDF("g", "v")
+    val hS = Stats.kruskalWallis(shifted, "g", "v").collect().head.getDouble(3)
+    val mixed = (1 to 40).map(i =>
+      (if (i % 2 == 0) "a" else "b", i.toDouble)).toDF("g", "v")
+    val hM = Stats.kruskalWallis(mixed, "g", "v").collect().head.getDouble(3)
+    assert(hS > 20.0 && hM < 1.0)
+  }
+
   // ------------------------------------------------------- poisson rates
 
   test("poissonRateTest: hand-derived rates and z; zero exposure yields NULL") {

@@ -867,6 +867,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == oneShot)
   }
 
+  test("streaming bootstrap state: merged rep sums reproduce the batch CI (D27)") {
+    // D27: B107's Poisson-bootstrap CI maintained under streaming
+    // ingestion — state = <= R rows of (rep, decimal weighted sum,
+    // weight count), field-wise associative (weights are
+    // md5-deterministic per (key, rep), so merge is arrival-order
+    // free); ciFromState is shared with the batch path, making
+    // state-maintained == one-shot structural.
+    import graft.operators.sample.Bootstrap
+    val dir = Files.createTempDirectory("graft_boot_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).orders.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val bState = Bootstrap.repState(batch, "o_orderkey", "o_totalprice", 16)
+        val next = st match {
+          case None => bState
+          case Some(prev) => Bootstrap.mergeRepState(prev, bState)
+        }
+        st = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    // merged state == one-shot state EXACTLY (decimal sums associative)
+    val oneShotState = Bootstrap.repState(batchDf, "o_orderkey", "o_totalprice", 16)
+    assert(canon(st.get) == canon(oneShotState))
+    // and the derived CI equals the full batch query's CI columns
+    val streamedCi = Bootstrap.ciFromState(st.get, 16).collect().head
+    val batchCi = Bootstrap
+      .poissonBootstrapCi(batchDf, "o_orderkey", "o_totalprice", 16)
+      .select(col("n_reps"), col("ci_lo"), col("ci_med"), col("ci_hi"))
+      .collect().head
+    assert(streamedCi == batchCi)
+  }
+
   test("streaming interval-union state: folded coverage equals the batch merge (D26)") {
     // D26: B36b's interval merge maintained under streaming ingestion —
     // state = per-key disjoint merged spans with absorbed counts; each
