@@ -2151,6 +2151,15 @@ object SparkEntry {
       graft.operators.stats.Stats
         .poissonRateTest(snap(s, dir).orders.where(col("o_orderdate").isNotNull),
           "o_orderpriority", "o_orderdate", "1-URGENT", "5-LOW")),
+    "q_permutation_test" -> ((s, dir) =>
+      // random-relabeling permutation test (B109): is the URGENT-vs-LOW
+      // mean gap extreme among 64 md5-relabeled differences? One nibble
+      // per rep (32 labels per digest), exact decimal side sums, same
+      // written diff sequence for observed and permuted; p = one
+      // exact-int division, unrounded. Single row.
+      graft.operators.sample.Bootstrap
+        .permutationTest(snap(s, dir).orders, "o_orderkey", "o_totalprice",
+          "o_orderpriority", "1-URGENT", "5-LOW", reps = 64)),
     "q_kruskal_wallis" -> ((s, dir) =>
       // k-group rank test (B108): are order values shifted across ALL
       // five priorities — the nonparametric ANOVA on the B90 doubled-
@@ -5756,6 +5765,52 @@ object SparkEntry {
         |      / ((q - b) / CAST(n - k AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
         |  END AS f_stat
         |FROM t""".stripMargin,
+    // B109 permutation test: one md5 digest per (row, 32-rep block)
+    // chunked to nibbles, nibble < '8' relabels to A; per-rep and
+    // observed diffs share the written sa/na - sb/nb sequence
+    "q_permutation_test" ->
+      """WITH x AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,6)) AS v,
+        |    o_orderpriority = '1-URGENT' AS a
+        |  FROM orders
+        |  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |    AND o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |obs AS (
+        |  SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN a THEN v END) AS DOUBLE) AS sa,
+        |    CAST(SUM(CASE WHEN NOT a THEN v END) AS DOUBLE) AS sb
+        |  FROM x),
+        |b AS (SELECT unnest(range(2)) AS blk),
+        |jj AS (SELECT unnest(range(32)) AS j),
+        |w AS (SELECT x.v, blk * 32 + j AS rep,
+        |    substring(md5('perm:' || x.k || ':' || CAST(blk AS VARCHAR)),
+        |      CAST(j + 1 AS INTEGER), 1) < '8' AS pa
+        |  FROM x CROSS JOIN b CROSS JOIN jj),
+        |m AS (SELECT rep,
+        |    CAST(SUM(CASE WHEN pa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN NOT pa THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN pa THEN v END) AS DOUBLE) AS psa,
+        |    CAST(SUM(CASE WHEN NOT pa THEN v END) AS DOUBLE) AS psb
+        |  FROM w GROUP BY 1
+        |  HAVING SUM(CASE WHEN pa THEN 1 ELSE 0 END) > 0
+        |    AND SUM(CASE WHEN NOT pa THEN 1 ELSE 0 END) > 0),
+        |red AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+        |    CAST(SUM(CASE WHEN
+        |      abs(psa / CAST(na AS DOUBLE) - psb / CAST(nb AS DOUBLE))
+        |        >= abs((SELECT sa / CAST(n_a AS DOUBLE)
+        |                  - sb / CAST(n_b AS DOUBLE) FROM obs))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+        |  FROM m)
+        |SELECT obs.n_a, obs.n_b,
+        |  obs.sa / CAST(obs.n_a AS DOUBLE)
+        |    - obs.sb / CAST(obs.n_b AS DOUBLE) AS obs_diff,
+        |  red.n_reps, red.n_ge,
+        |  CASE WHEN red.n_reps > 0 THEN
+        |    CAST(red.n_ge + 1 AS DOUBLE) / CAST(red.n_reps + 1 AS DOUBLE)
+        |  END AS p_value
+        |FROM obs CROSS JOIN red""".stripMargin,
     // B108 Kruskal-Wallis: global value spine, per-group doubled rank
     // sums in DECIMAL(38,0), group-ordered list_reduce fold (init-less
     // == 0.0-init), HUGEINT tie term; H/H_c fixed IEEE chains, unrounded

@@ -137,4 +137,85 @@ object Bootstrap {
         col("__sv") / col("n_rows").cast("double")).as("mean"),
       col("n_reps"), col("ci_lo"), col("ci_med"), col("ci_hi"))
   }
+
+  /** Random-relabeling permutation test for a difference in means
+    * between two cohorts (B109) — the significance sibling of
+    * [[poissonBootstrapCi]] (CI there; p-value here): under H₀
+    * (exchangeable labels) the observed mean difference should not be
+    * extreme among differences computed with RANDOM labels. This is
+    * the binomial-relabeling variant (each row relabels A/B with
+    * probability ½ per rep, independent of the original group sizes —
+    * the large-sample screen; an exact size-preserving permutation
+    * needs a global shuffle per rep, which is the construction this
+    * operator exists to avoid). p = (#{|Δ_perm| ≥ |Δ_obs|} + 1)/(R+1)
+    * — the standard add-one estimate, ONE exact-int division.
+    *
+    * Determinism: labels are md5 NIBBLES — one digest per (row,
+    * 32-rep block) chunked inside the generator (the repState lesson),
+    * nibble < '8' ⇒ A (the Projection sign rule, exactly p=½). Per-rep
+    * and observed differences ride exact decimal (n, Σv) pairs with
+    * the SAME written IEEE sequence sA/nA − sB/nB, so the ≥ compare is
+    * engine-identical; obs_diff and p_value hash UNROUNDED. Degenerate
+    * reps (a side empties — vanishing probability beyond toy inputs)
+    * drop from both the count and R in the p denominator. `reps` must
+    * be a multiple of 32.
+    */
+  def permutationTest(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      reps: Int = 64,
+      seed: String = "perm"): DataFrame = {
+    require(reps >= 32 && reps % 32 == 0,
+      s"reps must be a multiple of 32, got $reps")
+    val dec = ExactMath.ValueDecimal
+    val clean = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+      col(groupCol).isin(groupA, groupB))
+      .select(col(keyCol).cast("string").as("__k"),
+        col(valueCol).cast(dec).as("__v"),
+        (col(groupCol) === groupA).as("__a"))
+    val obs = clean.agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+      ExactMath.dsum(when(col("__a"), col("__v"))).as("__sa"),
+      ExactMath.dsum(when(!col("__a"), col("__v"))).as("__sb"))
+    val obsDiff = col("__sa") / col("n_a").cast("double") -
+      col("__sb") / col("n_b").cast("double")
+    // one digest per (row, 32-rep block), chunked to single nibbles
+    // inside the generator so md5 evaluates once per row-block
+    val nibbles = slice(split(regexp_replace(
+      md5(concat(lit(seed + ":"), col("__k"), lit(":"),
+        col("__blk").cast("string"))),
+      "(.)", "$1,"), ","), 1, 32)
+    val perRep = clean
+      .select(col("__k"), col("__v"),
+        explode(sequence(lit(0), lit(reps / 32 - 1))).as("__blk"))
+      .select(col("__v"), col("__blk"), posexplode(nibbles))
+      .select(col("__v"), (col("__blk") * 32 + col("pos")).as("__r"),
+        (col("col") < "8").as("__pa"))
+      .groupBy("__r")
+      .agg(
+        sum(when(col("__pa"), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col("__pa"), 1L).otherwise(0L)).as("__nb"),
+        ExactMath.dsum(when(col("__pa"), col("__v"))).as("__psa"),
+        ExactMath.dsum(when(!col("__pa"), col("__v"))).as("__psb"))
+      .where(col("__na") > 0L && col("__nb") > 0L)
+      .select((col("__psa") / col("__na").cast("double") -
+        col("__psb") / col("__nb").cast("double")).as("__pd"))
+    val reduced = perRep.crossJoin(broadcast(obs)).agg(
+      count(lit(1)).as("n_reps"),
+      sum(when(abs(col("__pd")) >= abs(obsDiff), 1L).otherwise(0L)).as("n_ge"),
+      max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+      max(obsDiff).as("obs_diff"))
+    reduced.select(
+      col("n_a"), col("n_b"),
+      col("obs_diff"),
+      col("n_reps"), col("n_ge"),
+      when(col("n_reps") > 0L,
+        (col("n_ge") + lit(1L)).cast("double")
+          / (col("n_reps") + lit(1L)).cast("double")).as("p_value"))
+  }
 }

@@ -173,6 +173,32 @@ class CorpusSignalsSpec extends SparkSpecBase {
     assert(math.abs(med - a.getDouble(1)) < 10.0)
   }
 
+  test("permutationTest: shifted cohorts score small p, identical cohorts large p") {
+    import graft.operators.sample.Bootstrap
+    // strongly shifted: A ~ [1000, 1100), B ~ [0, 100) -> no random
+    // relabeling should reach the observed gap
+    val shifted = ((1L to 100L).map(i => (i, "A", 1000.0 + i)) ++
+      (101L to 200L).map(i => (i, "B", (i - 100).toDouble)))
+      .toDF("k", "g", "v")
+    val rs = Bootstrap.permutationTest(shifted, "k", "v", "g", "A", "B", 32)
+      .collect().head
+    assert((rs.getLong(0), rs.getLong(1)) == ((100L, 100L)))
+    assert(rs.getLong(3) == 32L && rs.getLong(4) == 0L)
+    assert(rs.getDouble(5) == 1.0 / 33.0)
+    // exactly matched cohorts (mod 5 is coprime with the parity split,
+    // so both groups hold each residue 40 times): obs_diff is exactly 0
+    // and EVERY permuted |diff| >= 0 -> p is exactly 1
+    val same = (1L to 400L).map(i =>
+      (i, if (i % 2 == 0) "A" else "B", (i % 5).toDouble)).toDF("k", "g", "v")
+    val rSame = Bootstrap.permutationTest(same, "k", "v", "g", "A", "B", 32)
+      .collect().head
+    assert(rSame.getDouble(2) == 0.0 && rSame.getDouble(5) == 1.0)
+    // determinism: bit-identical across runs
+    val again = Bootstrap.permutationTest(same, "k", "v", "g", "A", "B", 32)
+      .collect().head
+    assert(rSame == again)
+  }
+
   test("mcnemar: hand-derived chi2; no-disagreement degenerates to NULL") {
     import graft.operators.stats.Stats
     // concordant 10, a-only 9, b-only 1: chi2 = 64/10
