@@ -2168,6 +2168,54 @@ object SparkEntry {
       // hash UNROUNDED. Single row.
       graft.operators.stats.Stats
         .kruskalWallis(snap(s, dir).orders, "o_orderpriority", "o_totalprice")),
+    "q_friedman" -> ((s, dir) =>
+      // Friedman blocked rank test (B110): do the five priorities keep
+      // the same revenue ORDER month after month? Blocks = exact month
+      // index, cells = decimal revenue sums, doubled within-block ranks
+      // over the aggregated spine; chi2_F = one division of exact
+      // DECIMAL ints, unrounded. Single row.
+      graft.operators.stats.Stats.friedman(
+        snap(s, dir).orders
+          .where(col("o_orderdate").isNotNull)
+          .withColumn("__mi",
+            year(col("o_orderdate")) * 12 + month(col("o_orderdate"))),
+        "__mi", "o_orderpriority", "o_totalprice")),
+    "q_cochran_q" -> ((s, dir) => {
+      // Cochran's Q (B111): do three binary per-customer screens (has
+      // an URGENT order / has a >150k order / active since 1995) pass
+      // customers at the same rate? Block grain = one partial-agg pass
+      // to k booleans; Q = one division of exact ints, unrounded.
+      // Single row.
+      val blocks = snap(s, dir).orders
+        .where(col("o_custkey").isNotNull)
+        .groupBy("o_custkey")
+        .agg(
+          (max(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)) === 1L)
+            .as("t_urgent"),
+          (max(when(col("o_totalprice") > 150000.0, 1L).otherwise(0L)) === 1L)
+            .as("t_big"),
+          (max(when(year(col("o_orderdate")) >= 1995, 1L).otherwise(0L)) === 1L)
+            .as("t_recent"))
+      graft.operators.stats.Stats
+        .cochranQ(blocks, "o_custkey", Seq("t_urgent", "t_big", "t_recent"))
+    }),
+    "q_durbin_watson" -> ((s, dir) =>
+      // Durbin-Watson per customer (B113): first-order residual
+      // autocorrelation of date-ordered order values — the numerator's
+      // mean cancels to raw successive diffs; both sums fold
+      // sequentially in series order from 0.0 (init-less list_reduce
+      // mirror); dw hashes UNROUNDED. Keys with < 2 orders drop.
+      graft.operators.stats.Stats
+        .durbinWatson(snap(s, dir).orders, Seq("o_custkey"),
+          "o_orderdate", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")),
+    "q_mutual_information" -> ((s, dir) =>
+      // pointwise MI cells (B112): which (priority, status) cells are
+      // over/under-represented — exact counts, margins from the
+      // aggregated cell spine, p_xy unrounded; mi_contrib is the 9th
+      // audited transcendental (hashRound 4 + margin audit).
+      graft.operators.stats.Stats
+        .mutualInformation(snap(s, dir).orders, "o_orderpriority", "o_orderstatus")),
     "q_runs_test" -> ((s, dir) =>
       // Wald-Wolfowitz runs test per customer (B104): above/below-own-
       // lower-median signs of date-ordered order values — the sign-
@@ -5849,6 +5897,116 @@ object SparkEntry {
         |      / CAST(CAST(t.n AS HUGEINT) * t.n * t.n - t.n AS DOUBLE))
         |  END AS h_corrected
         |FROM t CROSS JOIN sp""".stripMargin,
+    // B110 Friedman: complete month blocks, doubled within-block ranks
+    // over the aggregated cell spine (RANK + tie count), Conover form on
+    // exact HUGEINT sums, ONE division — chi2_f hashes unrounded
+    "q_friedman" ->
+      """WITH c AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS b,
+        |    CAST(o_orderpriority AS VARCHAR) AS t,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS v
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |k AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM c),
+        |cb AS (SELECT b FROM c GROUP BY b
+        |       HAVING COUNT(*) = (SELECT k FROM k)),
+        |r AS (SELECT b, t,
+        |        CAST(2 * RANK() OVER (PARTITION BY b ORDER BY v)
+        |          + COUNT(*) OVER (PARTITION BY b, v) - 1 AS BIGINT) AS r2
+        |      FROM c JOIN cb USING (b)),
+        |pt AS (SELECT t, CAST(SUM(CAST(r2 AS HUGEINT)) AS HUGEINT) AS rr2
+        |       FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS a2,
+        |          CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM r),
+        |f AS (SELECT CAST(SUM((rr2 - CAST(tot.n AS HUGEINT) * (k.k + 1))
+        |          * (rr2 - CAST(tot.n AS HUGEINT) * (k.k + 1))) AS HUGEINT) AS sumd2
+        |      FROM pt CROSS JOIN tot CROSS JOIN k)
+        |SELECT COALESCE(tot.n, 0) AS n_blocks, COALESCE(k.k, 0) AS n_treatments,
+        |  CASE WHEN k.k >= 2 AND tot.n > 0
+        |    AND (tot.a2 - CAST(tot.n AS HUGEINT) * k.k * (k.k + 1) * (k.k + 1)) > 0
+        |  THEN CAST((k.k - 1) * f.sumd2 AS DOUBLE)
+        |    / CAST(tot.a2 - CAST(tot.n AS HUGEINT) * k.k * (k.k + 1) * (k.k + 1) AS DOUBLE)
+        |  END AS chi2_f
+        |FROM tot CROSS JOIN k CROSS JOIN f""".stripMargin,
+    // B111 Cochran's Q: block-grain booleans, exact counts, squares in
+    // HUGEINT, ONE division — q_stat hashes unrounded
+    "q_cochran_q" ->
+      """WITH b AS (
+        |  SELECT o_custkey,
+        |    MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) = 1 AS t_urgent,
+        |    MAX(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) = 1 AS t_big,
+        |    MAX(CASE WHEN year(o_orderdate) >= 1995 THEN 1 ELSE 0 END) = 1 AS t_recent
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |i AS (SELECT CASE WHEN t_urgent THEN 1 ELSE 0 END AS u,
+        |        CASE WHEN t_big THEN 1 ELSE 0 END AS g,
+        |        CASE WHEN t_recent THEN 1 ELSE 0 END AS r
+        |      FROM b WHERE t_urgent IS NOT NULL AND t_big IS NOT NULL
+        |        AND t_recent IS NOT NULL),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |        CAST(SUM(u + g + r) AS BIGINT) AS nn,
+        |        CAST(SUM((u + g + r) * (u + g + r)) AS BIGINT) AS sr2,
+        |        CAST(SUM(u) AS BIGINT) AS cu, CAST(SUM(g) AS BIGINT) AS cg,
+        |        CAST(SUM(r) AS BIGINT) AS cr
+        |      FROM i)
+        |SELECT COALESCE(n_blocks, 0) AS n_blocks, CAST(3 AS BIGINT) AS n_treatments,
+        |  COALESCE(nn, 0) AS n_success,
+        |  CASE WHEN n_blocks > 0 AND (3 * CAST(nn AS HUGEINT) - sr2) > 0 THEN
+        |    CAST(2 * (3 * (CAST(cu AS HUGEINT) * cu + CAST(cg AS HUGEINT) * cg
+        |        + CAST(cr AS HUGEINT) * cr)
+        |      - CAST(nn AS HUGEINT) * nn) AS DOUBLE)
+        |    / CAST(3 * CAST(nn AS HUGEINT) - sr2 AS DOUBLE)
+        |  END AS q_stat
+        |FROM a""".stripMargin,
+    // B113 Durbin-Watson: mean = exact decimal sum / n, numerator mean
+    // cancels to LAG diffs, both sums are init-less list_reduce folds in
+    // (date, orderkey) order — dw hashes unrounded; < 2 points drop
+    "q_durbin_watson" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS k, o_orderdate AS d, o_orderkey AS t,
+        |    CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |m AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS np,
+        |        CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS mean
+        |      FROM c GROUP BY 1 HAVING COUNT(*) >= 2),
+        |dn AS (SELECT c.k,
+        |         list_reduce(list((c.v - m.mean) * (c.v - m.mean) ORDER BY c.d, c.t),
+        |           (x, y) -> x + y) AS den
+        |       FROM c JOIN m ON c.k = m.k GROUP BY c.k),
+        |dl AS (SELECT k, d, t,
+        |         v - LAG(v) OVER (PARTITION BY k ORDER BY d, t) AS dv FROM c),
+        |nm AS (SELECT dl.k,
+        |         list_reduce(list(dv * dv ORDER BY d, t), (x, y) -> x + y) AS num
+        |       FROM dl WHERE dv IS NOT NULL GROUP BY dl.k)
+        |SELECT m.k AS o_custkey, m.np AS n_points,
+        |  CASE WHEN dn.den > 0 THEN nm.num / dn.den END AS dw_stat
+        |FROM m JOIN dn ON m.k = dn.k JOIN nm ON m.k = nm.k
+        |ORDER BY o_custkey""".stripMargin,
+    // B112 mutual-information cells: exact counts, margins from the
+    // aggregated spine, p_xy one exact division; mi_contrib is the 9th
+    // audited transcendental (floor-formula round 4, margin-audited)
+    "q_mutual_information" ->
+      """WITH c AS (
+        |  SELECT CAST(o_orderpriority AS VARCHAR) AS x,
+        |    CAST(o_orderstatus AS VARCHAR) AS y
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+        |cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_xy FROM c GROUP BY 1, 2),
+        |xs AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+        |ys AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells)
+        |SELECT cells.x AS x_val, cells.y AS y_val, n_xy, n_x, n_y, t.n AS n,
+        |  CAST(n_xy AS DOUBLE) / CAST(t.n AS DOUBLE) AS p_xy,
+        |  floor((CAST(n_xy AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |    * ln(CAST(CAST(n_xy AS HUGEINT) * t.n AS DOUBLE)
+        |      / CAST(CAST(n_x AS HUGEINT) * n_y AS DOUBLE)) * 1e4 + 0.5) / 1e4
+        |    AS mi_contrib
+        |FROM cells JOIN xs USING (x) JOIN ys USING (y) CROSS JOIN t
+        |ORDER BY x_val, y_val""".stripMargin,
     // B104 runs test: lower-median element via quantile_disc (SELECTION
     // mirror), equal-to-median rows drop, LAG transition count (first
     // row opens run 1), fixed IEEE E/V/z chain on exact ints; keys

@@ -1119,4 +1119,211 @@ object Stats {
       when(ok, (rate("a") - rate("b"))
         / sqrt(varTerm("a") + varTerm("b"))).as("z_score"))
   }
+
+  /** Friedman test across k treatments over repeated blocks (B110) —
+    * the BLOCKED companion of [[kruskalWallis]] (there every row ranks
+    * on one global spine; here each block ranks its own k treatment
+    * values, so between-block level shifts cancel — the repeated-
+    * measures nonparametric ANOVA). Cells are exact
+    * DECIMAL(18,6) value sums per (block, treatment); only COMPLETE
+    * blocks (all k treatments present) enter, the classical contract.
+    *
+    * Ranks are the doubled-average-rank integers of the Spearman
+    * protocol (r2 = 2·rank_min + tiecount − 1 — value-determined, no
+    * tiebreak column needed; the decimal cell sums make real ties
+    * astronomically rare but the formula stays exact if they happen),
+    * assigned by ONE window pair over the AGGREGATED cell spine
+    * (blocks × k rows — never the fact table). With R2_j the per-
+    * treatment doubled rank sum, the tie-robust (Conover) form on
+    * doubled ranks is
+    *   χ²_F = (k−1)·Σ_j (R2_j − n(k+1))² / (A2 − C2),
+    *   A2 = Σ r2²  (all cells),  C2 = n·k·(k+1)²
+    * — every term an exact integer in DECIMAL(38,0) (HUGEINT mirror),
+    * ONE final division ⇒ χ²_F hashes UNROUNDED (the q_gini protocol;
+    * the two decimal→double conversions stay under 2^53 for any
+    * block count below ~50M — document-bounded at the month grain).
+    * No-ties sanity: the doubled form reduces exactly to the classical
+    * 12/(nk(k+1))·ΣR² − 3n(k+1) (spec-pinned on a hand case). NULL
+    * χ²_F when k < 2, no complete block, or A2 = C2 (every block fully
+    * tied). Single-row output.
+    */
+  def friedman(
+      df: DataFrame,
+      blockCol: String,
+      treatCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val clean = df.where(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+      col(valueCol).isNotNull)
+    val cells = clean
+      .groupBy(col(blockCol).as("__b"), col(treatCol).cast("string").as("__t"))
+      .agg(sum(col(valueCol).cast(ExactMath.ValueDecimal)).as("__v"))
+    val kDf = cells.agg(countDistinct(col("__t")).as("__k"))
+    val complete = cells.groupBy("__b").agg(count(lit(1)).as("__cb"))
+      .crossJoin(broadcast(kDf))
+      .where(col("__cb") === col("__k"))
+      .select("__b")
+    val wR = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val wT = Window.partitionBy(col("__b"), col("__v"))
+    val ranked = cells.join(complete, "__b")
+      .select(col("__b"), col("__t"),
+        (lit(2L) * rank().over(wR) + count(lit(1)).over(wT) - lit(1L)).as("__r2"))
+    val perT = ranked.groupBy("__t")
+      .agg(sum(col("__r2").cast(d38)).as("__R2"))
+    val totals = ranked.agg(
+      sum(col("__r2").cast(d38) * col("__r2").cast(d38)).as("__A2"),
+      countDistinct(col("__b")).as("__n"))
+    val dj = col("__R2") - (col("__n").cast(d38) * (col("__k") + lit(1L)).cast(d38))
+    val fin = perT.crossJoin(broadcast(totals)).crossJoin(broadcast(kDf))
+      .agg(
+        sum(dj * dj).as("__sumd2"),
+        max(col("__A2")).as("__A2"),
+        max(col("__n")).as("n_blocks"),
+        max(col("__k")).as("n_treatments"))
+    val c2 = (col("n_blocks").cast(d38) * col("n_treatments").cast(d38)
+      * (col("n_treatments") + lit(1L)).cast(d38)
+      * (col("n_treatments") + lit(1L)).cast(d38)).cast(d38)
+    val num = ((col("n_treatments") - lit(1L)).cast(d38) * col("__sumd2")).cast(d38)
+    val den = (col("__A2") - c2).cast(d38)
+    fin.select(
+      coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+      coalesce(col("n_treatments"), lit(0L)).as("n_treatments"),
+      when(col("n_treatments") >= 2L && col("n_blocks") > 0L && den > 0L,
+        num.cast("double") / den.cast("double")).as("chi2_f"))
+  }
+
+  /** Cochran's Q over k binary treatments measured on the same blocks
+    * (B111) — the k-treatment generalization of [[mcnemar]] (paired
+    * binary there, k-way here): do the k filters/classifiers pass
+    * blocks at the same rate? Input is the BLOCK-GRAIN table (one row
+    * per block, k boolean columns). With C_j the per-treatment success
+    * counts, R_i the per-block success counts, N = ΣC_j:
+    *   Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+    * — exact BIGINT counts, squares in DECIMAL(38,0) (HUGEINT mirror;
+    * C_j² ~ n² never wraps), ONE division ⇒ Q hashes UNROUNDED (the
+    * q_gini protocol). All-0 and all-k blocks are kept (only all-0
+    * blocks are Q-invariant — the classical statistic counts saturated
+    * blocks in the denominator). NULL Q when the denominator is 0
+    * (every block saturated or empty). Single row, one partial-agg
+    * pass over the block table.
+    */
+  def cochranQ(df: DataFrame, blockCol: String, treatCols: Seq[String]): DataFrame = {
+    require(treatCols.size >= 2, "Cochran's Q needs at least 2 treatments")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val k = treatCols.size
+    val clean = df.where(col(blockCol).isNotNull &&
+      treatCols.map(col(_).isNotNull).reduce(_ && _))
+    val ints = treatCols.map(c => when(col(c), 1L).otherwise(0L).as(s"__$c"))
+    val r = treatCols.map(c => col(s"__$c")).reduce(_ + _)
+    val base = clean.select(ints: _*).withColumn("__r", r)
+    val aggCols: Seq[Column] =
+      sum(col("__r")).as("__N") +:
+        sum(col("__r") * col("__r")).as("__sumR2") +:
+        treatCols.map(c => sum(col(s"__$c")).as(s"__C_$c"))
+    val agg = base.agg(count(lit(1)).as("n_blocks"), aggCols: _*)
+    val sumC2 = treatCols.map(c => col(s"__C_$c").cast(d38) * col(s"__C_$c").cast(d38))
+      .reduce(_ + _)
+    val num = (lit(k - 1).cast(d38) *
+      (lit(k).cast(d38) * sumC2 - col("__N").cast(d38) * col("__N").cast(d38))).cast(d38)
+    val den = (lit(k).cast(d38) * col("__N").cast(d38) - col("__sumR2").cast(d38)).cast(d38)
+    agg.select(
+      coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+      lit(k.toLong).as("n_treatments"),
+      coalesce(col("__N"), lit(0L)).as("n_success"),
+      when(col("n_blocks") > 0L && den > 0L,
+        num.cast("double") / den.cast("double")).as("q_stat"))
+  }
+
+  /** Durbin–Watson first-order autocorrelation statistic per key (B113)
+    * — the residual-memory screen next to [[runsTest]] (sign memory)
+    * and B75's lag-1 regression (linear memory): over the (order, tie)-
+    * sorted series with e_t = v_t − mean,
+    *   DW = Σ_{t≥2}(e_t − e_{t−1})² / Σ e_t²   (∈ [0, 4], 2 ≈ none).
+    * Bounded-series HOF shape (the MK contract — one in-memory array
+    * per key, plain hash groupBy, map-side folds). mean = exact decimal
+    * sum ÷ n (one correctly-rounded division, identical both engines);
+    * the numerator's mean CANCELS ((e_t − e_{t−1}) = (v_t − v_{t−1})) so
+    * it is squared raw diffs; both sums fold SEQUENTIALLY in series
+    * order from 0.0 (init-less `list_reduce` mirror — 0.0 + x is exact)
+    * ⇒ DW hashes UNROUNDED. Keys with < 2 points drop (mirrored
+    * HAVING); NULL DW when the residual sum is exactly 0.
+    */
+  def durbinWatson(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val g: Seq[Column] = keyCols.map(col)
+    val clean = df.where(
+      g.map(_.isNotNull).reduce(_ && _) &&
+        col(orderCol).isNotNull && col(tieCol).isNotNull && col(valueCol).isNotNull)
+    val grouped = clean
+      .groupBy(g: _*)
+      .agg(
+        array_sort(collect_list(struct(
+          col(orderCol).as("o"), col(tieCol).as("t"),
+          col(valueCol).cast("double").as("v")))).as("sp"),
+        sum(col(valueCol).cast(ExactMath.ValueDecimal)).as("__s"),
+        count(lit(1)).as("n_points"))
+      .where(col("n_points") >= 2L)
+    val withVs = grouped
+      .withColumn("__vs", transform(col("sp"), e => e.getField("v")))
+      .withColumn("__mean", col("__s").cast("double") / col("n_points").cast("double"))
+    val den = aggregate(col("__vs"), lit(0.0), (acc, x) =>
+      acc + (x - col("__mean")) * (x - col("__mean")))
+    val diffs = zip_with(
+      slice(col("__vs"), lit(2), size(col("__vs")) - 1),
+      slice(col("__vs"), lit(1), size(col("__vs")) - 1),
+      (a, b) => (a - b) * (a - b))
+    val num = aggregate(diffs, lit(0.0), (acc, x) => acc + x)
+    withVs
+      .withColumn("__den", den)
+      .withColumn("__num", num)
+      .select(g ++ Seq(
+        col("n_points"),
+        when(col("__den") > 0.0, col("__num") / col("__den")).as("dw_stat")): _*)
+  }
+
+  /** Pointwise mutual information cells between two categorical columns
+    * (B112) — the dependence DECOMPOSITION next to B80's single-number
+    * Cramér's V: which (x, y) cells are over/under-represented, and by
+    * how much? Output is the observed cell spine (bounded by the two
+    * vocabularies) with exact counts and
+    *   mi_contrib = (n_xy/N) · ln(n_xy·N / (n_x·n_y))
+    * — summing the column gives the mutual information I(X;Y).
+    *
+    * ONE corpus pass to the cell table; margins derive from the
+    * AGGREGATED cells (the cohensKappa shape — broadcast joins, never a
+    * second fact scan). p_xy is one exact-int division (hashes
+    * UNROUNDED); the ratio's numerator/denominator are DECIMAL(38,0)
+    * products converted once (no wrap at any N); mi_contrib routes
+    * through ln, so it is an AUDITED TRANSCENDENTAL (hashRound 4 +
+    * MarginAuditSpec boundary audit re-deriving from the exact count
+    * columns — the PSI/JSD convention). Observed cells only (n_xy ≥ 1 —
+    * zero cells contribute 0 to I and never appear).
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val clean = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("string").as("x_val"), col(yCol).cast("string").as("y_val"))
+    val cells = clean.groupBy("x_val", "y_val").agg(count(lit(1)).as("n_xy"))
+    val xs = cells.groupBy("x_val").agg(sum(col("n_xy")).as("n_x"))
+    val ys = cells.groupBy("y_val").agg(sum(col("n_xy")).as("n_y"))
+    val tot = cells.agg(sum(col("n_xy")).as("n"))
+    val j = cells
+      .join(broadcast(xs), "x_val")
+      .join(broadcast(ys), "y_val")
+      .crossJoin(broadcast(tot))
+    val p = col("n_xy").cast("double") / col("n").cast("double")
+    val ratio = (col("n_xy").cast(d38) * col("n").cast(d38)).cast("double") /
+      (col("n_x").cast(d38) * col("n_y").cast(d38)).cast("double")
+    j.select(
+      col("x_val"), col("y_val"),
+      col("n_xy"), col("n_x"), col("n_y"), col("n"),
+      p.as("p_xy"),
+      ExactMath.hashRound(p * log(ratio), 4).as("mi_contrib"))
+      .orderBy("x_val", "y_val")
+  }
 }

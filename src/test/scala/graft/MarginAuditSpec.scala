@@ -55,7 +55,9 @@ class MarginAuditSpec extends SparkSpecBase {
       // the 7th: c-TF-IDF class labeling (round 12)
       "q_class_tfidf",
       // the 8th: Jensen-Shannon categorical divergence (round 13)
-      "q_jsd")
+      "q_jsd",
+      // the 9th: pointwise mutual-information cells (round 13)
+      "q_mutual_information")
 
   test("oracle scan: no oracle hashes a transcendental without a margin audit") {
     val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
@@ -351,6 +353,28 @@ class MarginAuditSpec extends SparkSpecBase {
         "rounding boundary — libm drift could flip the hash")
   }
 
+  /** q_mutual_information hashes round-4 MI contributions; re-derive
+    * each UNROUNDED contribution from the exact hashed counts with the
+    * operator's own op sequence (p·ln(n_xy·N/(n_x·n_y)), products in
+    * exact integers) and check the 4-digit boundary margin.
+    */
+  private def auditMutualInformation(sfDir: String): Unit = {
+    val rows = SparkEntry.queries("q_mutual_information")(spark, sfDir)
+      .select(col("n_xy"), col("n_x"), col("n_y"), col("n")).collect()
+    assert(rows.nonEmpty && rows.length <= 25,
+      s"$sfDir: expected a bounded cell spine, got ${rows.length}")
+    val margin = boundaryMargin(4)
+    val minBoundary = rows.iterator.map { r =>
+      val p = r.getLong(0).toDouble / r.getLong(3).toDouble
+      val ratio = (BigInt(r.getLong(0)) * BigInt(r.getLong(3))).toDouble /
+        (BigInt(r.getLong(1)) * BigInt(r.getLong(2))).toDouble
+      margin(p * math.log(ratio))
+    }.min
+    assert(minBoundary > 1e-9,
+      f"$sfDir: a hashed mi_contrib sits $minBoundary%.3e from its 4-digit " +
+        "rounding boundary — libm drift could flip the hash")
+  }
+
   private def auditRetrievalMetrics(sfDir: String): Unit = {
     // q_retrieval_metrics hashes only INTEGER ranks/counts and exact
     // divisions of them — no float from the ln survives to the hash —
@@ -469,6 +493,9 @@ class MarginAuditSpec extends SparkSpecBase {
     }
     test(s"jsd margin audit at $dir: boundary margin > 1e-9") {
       auditJsd(sf(dir))
+    }
+    test(s"mutual-information margin audit at $dir: boundary margin > 1e-9") {
+      auditMutualInformation(sf(dir))
     }
   }
 }
