@@ -2216,6 +2216,41 @@ object SparkEntry {
       // audited transcendental (hashRound 4 + margin audit).
       graft.operators.stats.Stats
         .mutualInformation(snap(s, dir).orders, "o_orderpriority", "o_orderstatus")),
+    "q_hellinger" -> ((s, dir) => {
+      // Hellinger distance by category (B116): the TRANSCENDENTAL-FREE
+      // divergence (pure +,-,*,/,sqrt) between the two doc_id-parity
+      // snapshots' source mixes — shares, contribs AND the folded total
+      // all hash UNROUNDED, no audit obligation. Rides categoryCounts.
+      val d = snap(s, dir).documents
+      graft.operators.stats.Drift.hellingerByCategory(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+        "source", topK = 8)
+        .orderBy("category")
+    }),
+    "q_fleiss_kappa" -> ((s, dir) => {
+      // Fleiss' kappa (B114): do three length raters (word-count /
+      // char-count / distinct-word-count class) agree beyond chance on
+      // the same docs? Exact counts, squares in DECIMAL(38,0); p_o/p_e
+      // one division each, kappa a fixed IEEE chain — all unrounded.
+      // Single row.
+      val d = snap(s, dir).documents.where(col("text").isNotNull)
+      def cls(v: Column, lo: Int, hi: Int): Column =
+        when(v < lo, "short").when(v < hi, "medium").otherwise("long")
+      val rated = d.select(col("doc_id"),
+        cls(size(split(col("text"), " ")), 50, 200).as("r_words"),
+        cls(length(col("text")), 300, 1200).as("r_chars"),
+        cls(size(array_distinct(split(col("text"), " "))), 40, 150).as("r_distinct"))
+      graft.operators.stats.Stats
+        .fleissKappa(rated, "doc_id", Seq("r_words", "r_chars", "r_distinct"))
+    }),
+    "q_cronbach_alpha" -> ((s, dir) =>
+      // Cronbach's alpha (B115): do the three year-bucket spend items
+      // move together across customers? Exact decimal sufficient stats,
+      // CorrMatrix-order variance chain; ratio/alpha hashRound 4 under
+      // a MarginAuditSpec boundary audit (the conversion-ulp class).
+      // Single row.
+      graft.operators.stats.Stats.cronbachAlpha(
+        cronbachSubjects(s, dir), "o_custkey", Seq("sp_early", "sp_mid", "sp_late"))),
     "q_runs_test" -> ((s, dir) =>
       // Wald-Wolfowitz runs test per customer (B104): above/below-own-
       // lower-median signs of date-ordered order values — the sign-
@@ -2986,6 +3021,24 @@ object SparkEntry {
         .orderBy("o_orderpriority", "status")
     })
   )
+
+  /** q_cronbach_alpha's subject table (customer-grain spend in three
+    * year buckets, exact DECIMAL(18,6) cells) — shared with
+    * MarginAuditSpec so the boundary audit re-derives alpha from
+    * exactly the state the hashed query aggregates.
+    */
+  def cronbachSubjects(s: SparkSession, dir: String): DataFrame = {
+    val vd = graft.functions.ExactMath.ValueDecimal
+    def bucket(cond: Column): Column =
+      sum(when(cond, col("o_totalprice")).otherwise(lit(0.0)).cast(vd))
+    snap(s, dir).orders.where(col("o_custkey").isNotNull)
+      .groupBy("o_custkey")
+      .agg(
+        bucket(year(col("o_orderdate")) <= 1993).as("sp_early"),
+        bucket(year(col("o_orderdate")) >= 1994 &&
+          year(col("o_orderdate")) <= 1995).as("sp_mid"),
+        bucket(year(col("o_orderdate")) >= 1996).as("sp_late"))
+  }
 
   /** The concept query q_bm25_synonyms runs (shared with
     * MarginAuditSpec so the audit sweeps exactly the hashed catalog).
@@ -6007,6 +6060,141 @@ object SparkEntry {
         |    AS mi_contrib
         |FROM cells JOIN xs USING (x) JOIN ys USING (y) CROSS JOIN t
         |ORDER BY x_val, y_val""".stripMargin,
+    // B116 Hellinger: the q_jsd categoryCounts chain on source; shares,
+    // contribs and the category-ordered list_reduce total all pure
+    // +,-,*,/,sqrt — everything hashes unrounded, no audit needed
+    "q_hellinger" ->
+      """WITH b AS (SELECT source AS category, COUNT(*) AS n_base FROM documents
+        |           WHERE doc_id % 2 = 0 AND source IS NOT NULL GROUP BY 1),
+        |c AS (SELECT source AS category, COUNT(*) AS n_cur FROM documents
+        |      WHERE doc_id % 2 = 1 AND source IS NOT NULL GROUP BY 1),
+        |top AS (SELECT category FROM b ORDER BY n_base DESC, category LIMIT 8),
+        |bb AS (SELECT CASE WHEN t.category IS NOT NULL THEN b.category
+        |         ELSE '__OTHER__' END AS category, SUM(n_base) AS n_base
+        |       FROM b LEFT JOIN top t ON b.category = t.category GROUP BY 1),
+        |cb AS (SELECT CASE WHEN t.category IS NOT NULL THEN c.category
+        |         ELSE '__OTHER__' END AS category, SUM(n_cur) AS n_cur
+        |       FROM c LEFT JOIN top t ON c.category = t.category GROUP BY 1),
+        |sp AS (SELECT DISTINCT category FROM (SELECT category FROM top
+        |       UNION ALL SELECT '__OTHER__') __s),
+        |j AS (SELECT sp.category, coalesce(bb.n_base, 0) AS n_base,
+        |        coalesce(cb.n_cur, 0) AS n_cur
+        |      FROM sp LEFT JOIN bb ON sp.category = bb.category
+        |        LEFT JOIN cb ON sp.category = cb.category),
+        |t2 AS (SELECT SUM(n_base) AS tb, SUM(n_cur) AS tc FROM j),
+        |e AS (SELECT j.category, j.n_base, j.n_cur,
+        |        CAST(j.n_base AS DOUBLE) / CAST(t2.tb AS DOUBLE) AS p,
+        |        CAST(j.n_cur AS DOUBLE) / CAST(t2.tc AS DOUBLE) AS q,
+        |        t2.tb AS tb, t2.tc AS tc
+        |      FROM j, t2),
+        |h AS (SELECT category, CAST(n_base AS BIGINT) AS n_base,
+        |        CAST(n_cur AS BIGINT) AS n_cur,
+        |        CASE WHEN tb > 0 THEN p END AS p_base,
+        |        CASE WHEN tc > 0 THEN q END AS p_cur,
+        |        CASE WHEN tb > 0 AND tc > 0 THEN
+        |          (sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q)) END AS hel_contrib
+        |      FROM e),
+        |tt AS (SELECT sqrt(list_reduce(list(hel_contrib ORDER BY category),
+        |         (x, y) -> x + y) / 2.0) AS hel_total FROM h)
+        |SELECT h.category, h.n_base, h.n_cur, h.p_base, h.p_cur,
+        |  h.hel_contrib, tt.hel_total
+        |FROM h, tt ORDER BY category""".stripMargin,
+    // B114 Fleiss' kappa: three mirrored length raters, exact cell
+    // counts, HUGEINT squares, one division per p_o/p_e — all unrounded
+    "q_fleiss_kappa" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) < 50 THEN 'short'
+        |         WHEN len(string_split(text, ' ')) < 200 THEN 'medium'
+        |         ELSE 'long' END AS r_words,
+        |    CASE WHEN length(text) < 300 THEN 'short'
+        |         WHEN length(text) < 1200 THEN 'medium' ELSE 'long' END AS r_chars,
+        |    CASE WHEN len(list_distinct(string_split(text, ' '))) < 40 THEN 'short'
+        |         WHEN len(list_distinct(string_split(text, ' '))) < 150 THEN 'medium'
+        |         ELSE 'long' END AS r_distinct
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT doc_id AS i, r_words AS c FROM r
+        |      UNION ALL SELECT doc_id, r_chars FROM r
+        |      UNION ALL SELECT doc_id, r_distinct FROM r),
+        |cells AS (SELECT i, c, CAST(COUNT(*) AS BIGINT) AS nij FROM u GROUP BY 1, 2),
+        |pi AS (SELECT i, CAST(SUM(nij * nij) AS BIGINT) AS s2 FROM cells GROUP BY 1),
+        |it AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+        |         CAST(SUM(CAST(s2 AS HUGEINT)) AS HUGEINT) AS sums2 FROM pi),
+        |pc AS (SELECT c, CAST(SUM(nij) AS BIGINT) AS cj FROM cells GROUP BY 1),
+        |ct AS (SELECT CAST(SUM(CAST(cj AS HUGEINT) * cj) AS HUGEINT) AS sumc2 FROM pc)
+        |SELECT COALESCE(it.n_items, 0) AS n_items, CAST(3 AS BIGINT) AS n_raters,
+        |  CASE WHEN it.n_items > 0 THEN
+        |    CAST(it.sums2 - CAST(it.n_items AS HUGEINT) * 3 AS DOUBLE)
+        |      / CAST(CAST(it.n_items AS HUGEINT) * 3 * 2 AS DOUBLE) END AS p_observed,
+        |  CASE WHEN it.n_items > 0 THEN
+        |    CAST(ct.sumc2 AS DOUBLE)
+        |      / CAST(CAST(it.n_items AS HUGEINT) * 3
+        |        * CAST(it.n_items AS HUGEINT) * 3 AS DOUBLE) END AS p_expected,
+        |  CASE WHEN it.n_items > 0 AND (1.0 - CAST(ct.sumc2 AS DOUBLE)
+        |      / CAST(CAST(it.n_items AS HUGEINT) * 3
+        |        * CAST(it.n_items AS HUGEINT) * 3 AS DOUBLE)) > 0 THEN
+        |    (CAST(it.sums2 - CAST(it.n_items AS HUGEINT) * 3 AS DOUBLE)
+        |      / CAST(CAST(it.n_items AS HUGEINT) * 3 * 2 AS DOUBLE)
+        |     - CAST(ct.sumc2 AS DOUBLE)
+        |      / CAST(CAST(it.n_items AS HUGEINT) * 3
+        |        * CAST(it.n_items AS HUGEINT) * 3 AS DOUBLE))
+        |    / (1.0 - CAST(ct.sumc2 AS DOUBLE)
+        |      / CAST(CAST(it.n_items AS HUGEINT) * 3
+        |        * CAST(it.n_items AS HUGEINT) * 3 AS DOUBLE))
+        |  END AS kappa
+        |FROM it CROSS JOIN ct""".stripMargin,
+    // B115 Cronbach alpha: exact decimal sufficient stats, CorrMatrix-
+    // order variance chain, item-name-sorted fold (early + late + mid);
+    // ratio/alpha floor-formula round 4 under the boundary audit
+    "q_cronbach_alpha" ->
+      """WITH s AS (
+        |  SELECT o_custkey,
+        |    SUM(CASE WHEN year(o_orderdate) <= 1993
+        |        THEN CAST(o_totalprice AS DECIMAL(18,6))
+        |        ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS e,
+        |    SUM(CASE WHEN year(o_orderdate) >= 1994 AND year(o_orderdate) <= 1995
+        |        THEN CAST(o_totalprice AS DECIMAL(18,6))
+        |        ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS m,
+        |    SUM(CASE WHEN year(o_orderdate) >= 1996
+        |        THEN CAST(o_totalprice AS DECIMAL(18,6))
+        |        ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS l
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |w AS (SELECT CAST(e AS DECIMAL(18,6)) AS ve, CAST(m AS DECIMAL(18,6)) AS vm,
+        |        CAST(l AS DECIMAL(18,6)) AS vl,
+        |        CAST(CAST(e AS DECIMAL(18,6)) + CAST(m AS DECIMAL(18,6))
+        |          + CAST(l AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS vt
+        |      FROM s),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(ve) AS se,
+        |        SUM(CAST(ve AS DECIMAL(19,6)) * CAST(ve AS DECIMAL(19,6))) AS sse,
+        |        SUM(vm) AS sm,
+        |        SUM(CAST(vm AS DECIMAL(19,6)) * CAST(vm AS DECIMAL(19,6))) AS ssm,
+        |        SUM(vl) AS sl,
+        |        SUM(CAST(vl AS DECIMAL(19,6)) * CAST(vl AS DECIMAL(19,6))) AS ssl,
+        |        SUM(vt) AS st,
+        |        SUM(CAST(vt AS DECIMAL(19,6)) * CAST(vt AS DECIMAL(19,6))) AS sst
+        |      FROM w),
+        |v AS (SELECT n,
+        |        CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(se AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(se AS DOUBLE) / CAST(n AS DOUBLE)) AS v_e,
+        |        CAST(ssm AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS v_m,
+        |        CAST(ssl AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(sl AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sl AS DOUBLE) / CAST(n AS DOUBLE)) AS v_l,
+        |        CAST(sst AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) AS v_t
+        |      FROM t)
+        |SELECT n AS n_subjects, CAST(3 AS BIGINT) AS n_items,
+        |  CASE WHEN n >= 2 AND v_t > 0 THEN
+        |    floor((v_e + v_l + v_m) / v_t * 1e4 + 0.5) / 1e4 END AS var_ratio,
+        |  CASE WHEN n >= 2 AND v_t > 0 THEN
+        |    floor((3.0 / 2.0) * (1.0 - (v_e + v_l + v_m) / v_t) * 1e4 + 0.5) / 1e4
+        |  END AS alpha
+        |FROM v""".stripMargin,
     // B104 runs test: lower-median element via quantile_disc (SELECTION
     // mirror), equal-to-median rows drop, LAG transition count (first
     // row opens run 1), fixed IEEE E/V/z chain on exact ints; keys

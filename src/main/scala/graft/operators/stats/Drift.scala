@@ -307,6 +307,58 @@ object Drift {
           when(ok, termP / lit(2.0) + termQ / lit(2.0)), 4).as("jsd_contrib"))
   }
 
+  /** Hellinger distance contributions between two snapshots' category
+    * distributions (B116) — the TRANSCENDENTAL-FREE member of the
+    * divergence family ([[psiByCategory]] explodes at zeros and needs
+    * smoothing; [[jsdByCategory]] is zero-safe but routes through ln and
+    * carries a margin audit; Hellinger is zero-safe AND pure
+    * +,−,×,÷,sqrt — every op correctly rounded, so everything hashes
+    * UNROUNDED with no audit obligation). Rides [[categoryCounts]]
+    * verbatim (frozen base top-K + `__OTHER__` spine, ≤ K+1 rows at any
+    * cardinality — the 100 TB contract; counts merge by addition, the
+    * same streaming-monitor state shape).
+    *
+    * Per category: shares p, q are ONE exact-int division each;
+    * hel_contrib = (√p − √q)². hel_total = √(Σ contrib / 2) ∈ [0, 1]
+    * with the Σ folded SEQUENTIALLY over the category-sorted spine
+    * (init 0.0 — the init-less `list_reduce` mirror, 0.0 + x exact),
+    * broadcast back onto every row. NULL shares/total when a side is
+    * empty.
+    */
+  def hellingerByCategory(
+      base: DataFrame,
+      cur: DataFrame,
+      catCol: String,
+      topK: Int = 20): DataFrame =
+    hellingerFromCategoryCounts(
+      categoryCounts(base, base, catCol, topK),
+      categoryCounts(base, cur, catCol, topK))
+
+  /** Hellinger report from pre-bucketed `(category, n)` relations — the
+    * monitoring-state tail (the [[psiFromCategoryCounts]] shape).
+    */
+  def hellingerFromCategoryCounts(baseCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val joined = categorySpine(baseCounts, curCounts)
+    val totals = joined.agg(
+      sum(col("n_base")).as("__tb"), sum(col("n_cur")).as("__tc"))
+    val p = col("n_base").cast("double") / col("__tb").cast("double")
+    val q = col("n_cur").cast("double") / col("__tc").cast("double")
+    val ok = col("__tb") > 0L && col("__tc") > 0L
+    val contrib = (sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q))
+    val cells = joined
+      .crossJoin(broadcast(totals))
+      .select(col("category"), col("n_base"), col("n_cur"),
+        when(col("__tb") > 0L, p).as("p_base"),
+        when(col("__tc") > 0L, q).as("p_cur"),
+        when(ok, contrib).as("hel_contrib"))
+    val total = cells.agg(
+      array_sort(collect_list(struct(col("category").as("c"),
+        col("hel_contrib").as("h")))).as("hs"))
+      .select(sqrt(aggregate(col("hs"), lit(0.0),
+        (acc, e) => acc + e.getField("h")) / lit(2.0)).as("hel_total"))
+    cells.crossJoin(broadcast(total))
+  }
+
   /** Benford first-digit audit — the fabricated-figures screen auditors
     * run on money columns (procurement budgets are a textbook target):
     * observed leading-digit counts against Benford's law

@@ -1286,6 +1286,150 @@ object Stats {
         when(col("__den") > 0.0, col("__num") / col("__den")).as("dw_stat")): _*)
   }
 
+  /** Fleiss' kappa across m raters assigning categories to the same
+    * items (B114) — the MULTI-RATER generalization of [[cohensKappa]]
+    * (two fixed raters there; m interchangeable raters here). Input is
+    * the ITEM-GRAIN table with one categorical column per rater; items
+    * with any NULL rating drop (complete-rating contract). With
+    * n_ij = raters assigning category j to item i, C_j = Σᵢ n_ij,
+    * N = n·m:
+    *   p_o = (Σᵢⱼ n_ij² − N) / (N·(m−1)),   p_e = Σⱼ C_j² / N²,
+    *   κ = (p_o − p_e) / (1 − p_e).
+    * Exact BIGINT counts; the squares accumulate in DECIMAL(38,0)
+    * (HUGEINT mirror — C_j ~ N never wraps); p_o and p_e are one exact
+    * division each and κ one fixed IEEE chain ⇒ all hash UNROUNDED
+    * (the q_gini protocol). NULL κ at p_e = 1 (a single category from
+    * every rater) or n = 0. Single row; one explode pass to the
+    * (item, category) cells, margins from the AGGREGATED cells.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2, "Fleiss' kappa needs at least 2 raters")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = raterCols.size
+    val clean = df.where(col(itemCol).isNotNull &&
+      raterCols.map(col(_).isNotNull).reduce(_ && _))
+    val cells = clean
+      .select(col(itemCol).as("__i"),
+        explode(array(raterCols.map(c => col(c).cast("string")): _*)).as("__c"))
+      .groupBy("__i", "__c").agg(count(lit(1)).as("__nij"))
+    val perItem = cells.groupBy("__i")
+      .agg(sum(col("__nij") * col("__nij")).as("__s2"))
+    val perCat = cells.groupBy("__c").agg(sum(col("__nij")).as("__cj"))
+    val itemTot = perItem.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("__s2").cast(d38)).as("__sumS2"))
+    val catTot = perCat.agg(
+      sum(col("__cj").cast(d38) * col("__cj").cast(d38)).as("__sumC2"))
+    val j = itemTot.crossJoin(broadcast(catTot))
+    val bigN = (col("n_items").cast(d38) * lit(m.toLong).cast(d38)).cast(d38)
+    val po = (col("__sumS2") - bigN).cast("double") /
+      (bigN * lit((m - 1).toLong).cast(d38)).cast("double")
+    val pe = col("__sumC2").cast("double") / (bigN * bigN).cast("double")
+    j.select(
+      coalesce(col("n_items"), lit(0L)).as("n_items"),
+      lit(m.toLong).as("n_raters"),
+      when(col("n_items") > 0L, po).as("p_observed"),
+      when(col("n_items") > 0L, pe).as("p_expected"),
+      when(col("n_items") > 0L && (lit(1.0) - pe) > 0.0,
+        (po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
+  /** Exact sufficient statistics for [[cronbachAlpha]]: one row per
+    * item (plus the `__total` pseudo-item) with n, Σx, Σx² in exact
+    * decimals (items cast to DECIMAL(18,6); squares exact in
+    * DECIMAL(37,12) — no precision-loss rounding at these magnitudes).
+    * Exposed so the MarginAuditSpec boundary audit can re-derive the
+    * pre-rounding alpha from the same exact state the operator uses
+    * (the CorrMatrix.sufficientStats pattern).
+    */
+  def cronbachStats(df: DataFrame, subjectCol: String, itemCols: Seq[String]): DataFrame = {
+    require(itemCols.size >= 2, "Cronbach's alpha needs at least 2 items")
+    val vd = ExactMath.ValueDecimal
+    val clean = df.where(col(subjectCol).isNotNull &&
+      itemCols.map(col(_).isNotNull).reduce(_ && _))
+    val withTotal = clean.select(
+      itemCols.map(c => col(c).cast(vd).as(s"__$c")) :+
+        itemCols.map(c => col(c).cast(vd)).reduce(_ + _).cast(vd).as("__total"): _*)
+    val names = itemCols.map(c => s"__$c") :+ "__total"
+    val aggs = names.flatMap { c =>
+      Seq(sum(col(c)).as(s"s_$c"), sum(col(c) * col(c)).as(s"ss_$c"))
+    }
+    val agg = withTotal.agg(count(lit(1)).as("n_subjects"), aggs: _*)
+    val rows = names.map { c =>
+      struct(lit(c).as("item"), col("n_subjects").as("n"),
+        col(s"s_$c").cast("decimal(38,6)").as("sx"),
+        col(s"ss_$c").cast("decimal(38,12)").as("sxx"))
+    }
+    agg.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.item").as("item"), col("r.n").as("n"),
+        col("r.sx").as("sx"), col("r.sxx").as("sxx"))
+  }
+
+  /** Cronbach's alpha internal-consistency coefficient (B115) — do k
+    * numeric item scores measured on the same subjects move together?
+    *   α = k/(k−1) · (1 − Σᵢ Var(xᵢ) / Var(Σᵢ xᵢ)).
+    * Variances derive from [[cronbachStats]]' exact decimal sums with
+    * ONE fixed IEEE sequence (Var = Σx²/n − (Σx/n)² — the CorrMatrix
+    * op order); the item-variance Σ folds in ITEM-NAME-SORTED order
+    * from 0.0 (the oracle writes the same sum in that literal order —
+    * 0.0 + x is exact).
+    * The decimal→double conversions can exceed 2^53 scaled units (the
+    * TWA lesson: conversions there are correctly rounded but an
+    * engine's rounding has measurably diverged an ulp), so alpha and
+    * the variance ratio hash at hashRound 4 under a MarginAuditSpec
+    * BOUNDARY audit (the CorrMatrix protocol — re-derived from the
+    * exact decimal state at 3 SFs). NULL alpha when the total variance
+    * degenerates to ≤ 0 or n < 2. Single row.
+    */
+  def cronbachAlpha(df: DataFrame, subjectCol: String, itemCols: Seq[String]): DataFrame = {
+    val k = itemCols.size
+    val stats = cronbachStats(df, subjectCol, itemCols)
+    val n = col("n").cast("double")
+    val v = col("sxx").cast("double") / n -
+      (col("sx").cast("double") / n) * (col("sx").cast("double") / n)
+    val perItem = stats.select(col("item"), col("n"), v.as("__v"))
+    val spine = perItem.agg(
+      max(col("n")).as("n_subjects"),
+      array_sort(collect_list(struct(col("item").as("i"), col("__v").as("v")))).as("vs"))
+    // __<item> sorts before __total only by luck of naming — fold the
+    // ITEM variances by explicit filter, take the total by lookup
+    val itemSum = aggregate(
+      filter(col("vs"), e => e.getField("i") =!= lit("__total")),
+      lit(0.0), (acc, e) => acc + e.getField("v"))
+    val totalVar = element_at(
+      map_from_entries(transform(col("vs"),
+        e => struct(e.getField("i"), e.getField("v")))), lit("__total"))
+    val ratio = itemSum / totalVar
+    val alpha = (lit(k.toDouble) / lit((k - 1).toDouble)) * (lit(1.0) - ratio)
+    spine.select(
+      coalesce(col("n_subjects"), lit(0L)).as("n_subjects"),
+      lit(k.toLong).as("n_items"),
+      when(col("n_subjects") >= 2L && totalVar > 0.0,
+        ExactMath.hashRound(ratio, 4)).as("var_ratio"),
+      when(col("n_subjects") >= 2L && totalVar > 0.0,
+        ExactMath.hashRound(alpha, 4)).as("alpha"))
+  }
+
+  /** Per-block OR-merged screen state (D28) — the streaming-maintenance
+    * state of [[cochranQ]]: one row per block, k booleans, each the MAX
+    * (= OR) of the batch's row-grain screen outcomes. OR is associative,
+    * commutative AND idempotent (the D23 set-union contract: replaying
+    * an absorbed batch is a no-op), so microbatches merge into the
+    * standing state in any order and [[cochranQ]] over the merged state
+    * equals the one-shot batch test exactly.
+    */
+  def screenState(df: DataFrame, blockCol: String, treatCols: Seq[String]): DataFrame =
+    df.where(col(blockCol).isNotNull &&
+        treatCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(col(blockCol))
+      .agg(max(col(treatCols.head)).as(treatCols.head),
+        treatCols.tail.map(c => max(col(c)).as(c)): _*)
+
+  /** Merge two [[screenState]] relations (field-wise OR). */
+  def mergeScreenState(a: DataFrame, b: DataFrame, blockCol: String,
+      treatCols: Seq[String]): DataFrame =
+    screenState(a.unionByName(b), blockCol, treatCols)
+
   /** Pointwise mutual information cells between two categorical columns
     * (B112) — the dependence DECOMPOSITION next to B80's single-number
     * Cramér's V: which (x, y) cells are over/under-represented, and by

@@ -45,7 +45,8 @@ class EntrySpec extends SparkSpecBase {
       "q_key_skew", "q_cramers_v", "q_anova", "q_mann_whitney", "q_welch_t",
       "q_wilcoxon_signed", "q_poisson_rate", "q_ks_two_sample", "q_levene",
       "q_cohens_kappa", "q_mcnemar", "q_bootstrap_ci", "q_kruskal_wallis",
-      "q_permutation_test", "q_friedman", "q_cochran_q")
+      "q_permutation_test", "q_friedman", "q_cochran_q", "q_fleiss_kappa",
+      "q_cronbach_alpha")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !singleRow(name) && !sql.toUpperCase.contains("ORDER BY") => name
     }

@@ -375,6 +375,37 @@ class MarginAuditSpec extends SparkSpecBase {
         "rounding boundary — libm drift could flip the hash")
   }
 
+  /** q_cronbach_alpha hashes floor-formula-round-4 var_ratio/alpha that
+    * pass through decimal→double conversions above 2^53 scaled units
+    * (the TWA conversion-ulp class — no transcendental, but the same
+    * residual risk auditCorrMatrix guards). Re-derive both from
+    * `Stats.cronbachStats`' exact decimal sufficient statistics with
+    * the operator's own IEEE op sequence and check the 4-digit
+    * boundary margins.
+    */
+  private def auditCronbach(sfDir: String): Unit = {
+    val stats = graft.operators.stats.Stats
+      .cronbachStats(SparkEntry.cronbachSubjects(spark, sfDir), "o_custkey",
+        Seq("sp_early", "sp_mid", "sp_late"))
+      .collect()
+    assert(stats.length == 4, s"$sfDir: expected 4 stat rows, got ${stats.length}")
+    val byItem = stats.map(r => r.getString(0) ->
+      (r.getLong(1).toDouble, r.getDecimal(2).doubleValue, r.getDecimal(3).doubleValue)).toMap
+    def variance(item: String): Double = {
+      val (n, sx, sxx) = byItem(item)
+      sxx / n - (sx / n) * (sx / n)
+    }
+    // item-name-sorted fold order: __sp_early, __sp_late, __sp_mid
+    val itemSum = 0.0 + variance("__sp_early") + variance("__sp_late") +
+      variance("__sp_mid")
+    val ratio = itemSum / variance("__total")
+    val alpha = (3.0 / 2.0) * (1.0 - ratio)
+    val margin = boundaryMargin(4)
+    assert(margin(ratio) > 1e-9 && margin(alpha) > 1e-9,
+      f"$sfDir: hashed var_ratio/alpha sit ${margin(ratio)}%.3e/${margin(alpha)}%.3e " +
+        "from a 4-digit rounding boundary — a conversion ulp could flip the hash")
+  }
+
   private def auditRetrievalMetrics(sfDir: String): Unit = {
     // q_retrieval_metrics hashes only INTEGER ranks/counts and exact
     // divisions of them — no float from the ln survives to the hash —
@@ -496,6 +527,9 @@ class MarginAuditSpec extends SparkSpecBase {
     }
     test(s"mutual-information margin audit at $dir: boundary margin > 1e-9") {
       auditMutualInformation(sf(dir))
+    }
+    test(s"cronbach-alpha boundary audit at $dir: ratio/alpha margins > 1e-9") {
+      auditCronbach(sf(dir))
     }
   }
 }

@@ -1016,6 +1016,61 @@ class StreamingSpec extends SparkSpecBase {
     assert(replayed == streamed, "set-union state must absorb a replayed batch")
   }
 
+  test("streaming screen state: OR-merged blocks reproduce the batch Cochran Q (D28)") {
+    // D28: B111's Cochran Q maintained under streaming ingestion (the
+    // D23 shape): state = per-customer k booleans, merge = field-wise
+    // OR — associative, commutative AND idempotent, so microbatches
+    // fold in any order and a replayed batch is a no-op. cochranQ over
+    // the merged state == the one-shot state test exactly.
+    import graft.operators.stats.Stats
+    val screens = Seq("t_urgent", "t_big", "t_recent")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("o_custkey"),
+      (col("o_orderpriority") === "1-URGENT").as("t_urgent"),
+      (col("o_totalprice") > 150000.0).as("t_big"),
+      (year(col("o_orderdate")) >= 1995).as("t_recent"))
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Stats.screenState(rows(df), "o_custkey", screens)
+    val dir = Files.createTempDirectory("graft_screen_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).orders.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    var firstBatch: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val bState = state(batch).localCheckpoint(true)
+        if (firstBatch.isEmpty) firstBatch = Some(bState)
+        val next = st match {
+          case None => bState
+          case Some(prev) => Stats.mergeScreenState(prev, bState, "o_custkey", screens)
+        }
+        st = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val streamed = canon(st.get)
+    val oneShot = canon(state(batchDf))
+    assert(streamed.nonEmpty && streamed == oneShot)
+    // derived test statistic matches the one-shot exactly
+    val qStream = Stats.cochranQ(st.get, "o_custkey", screens).collect().toSeq
+    val qBatch = Stats.cochranQ(state(batchDf), "o_custkey", screens).collect().toSeq
+    assert(qStream == qBatch && !qStream.head.isNullAt(3))
+    // idempotency: replaying an already-absorbed batch is a no-op
+    val replayed = canon(Stats.mergeScreenState(st.get, firstBatch.get,
+      "o_custkey", screens))
+    assert(replayed == streamed, "OR-merge state must absorb a replayed batch")
+  }
+
   test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
     // the production ingestion shape: a document stream anti-joined
     // against the static content-hash index of the existing corpus —
