@@ -2251,6 +2251,37 @@ object SparkEntry {
       // Single row.
       graft.operators.stats.Stats.cronbachAlpha(
         cronbachSubjects(s, dir), "o_custkey", Seq("sp_early", "sp_mid", "sp_late"))),
+    "q_partial_corr" -> ((s, dir) =>
+      // partial correlation (B117): does quantity-price correlation
+      // survive controlling for discount? Exact decimal sufficient
+      // stats, CorrMatrix-order chains; all four r's hashRound 4 under
+      // the boundary audit. Single row.
+      graft.operators.stats.Stats.partialCorr(
+        snap(s, dir).lineitem, "l_quantity", "l_extendedprice", "l_discount")),
+    "q_odds_ratio" -> ((s, dir) =>
+      // 2x2 odds ratio / relative risk (B118): how many times as likely
+      // is a >150k order under URGENT priority? Exact counts, DECIMAL
+      // products, fixed IEEE chains — OR and RR hash UNROUNDED.
+      // Single row.
+      graft.operators.stats.Stats.oddsRatio(
+        snap(s, dir).orders
+          .where(col("o_orderpriority").isNotNull && col("o_totalprice").isNotNull)
+          .select((col("o_orderpriority") === "1-URGENT").as("exposed"),
+            (col("o_totalprice") > 150000.0).as("outcome")),
+        "exposed", "outcome")),
+    "q_overdispersion" -> ((s, dir) =>
+      // Poisson overdispersion screen (B119): are daily order counts
+      // burstier than Poisson? Exact DECIMAL numerator/denominator,
+      // one division — mean_rate and dispersion hash UNROUNDED inside
+      // the documented 2^53 envelope. Single row.
+      graft.operators.stats.Stats.overdispersion(
+        snap(s, dir).orders.where(col("o_orderdate").isNotNull), "o_orderdate")),
+    "q_lexical_diversity" -> ((s, dir) =>
+      // per-source vocabulary health (C74): type-token ratio + hapax
+      // share over the (source, word) aggregated spine — exact counts,
+      // one division per ratio, unrounded.
+      graft.operators.stats.Profiling.lexicalDiversityBySource(
+        snap(s, dir).documents, "source", "text")),
     "q_runs_test" -> ((s, dir) =>
       // Wald-Wolfowitz runs test per customer (B104): above/below-own-
       // lower-median signs of date-ordered order values — the sign-
@@ -6195,6 +6226,116 @@ object SparkEntry {
         |    floor((3.0 / 2.0) * (1.0 - (v_e + v_l + v_m) / v_t) * 1e4 + 0.5) / 1e4
         |  END AS alpha
         |FROM v""".stripMargin,
+    // B117 partial correlation: exact decimal sufficient statistics
+    // (DECIMAL(19,6) product operands — the hhi overflow lesson),
+    // CorrMatrix-order IEEE chains, floor-round 4 under the boundary
+    // audit
+    "q_partial_corr" ->
+      """WITH c AS (
+        |  SELECT CAST(l_quantity AS DECIMAL(18,6)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,6)) AS y,
+        |    CAST(l_discount AS DECIMAL(18,6)) AS z
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+        |        SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS sxx,
+        |        SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS syy,
+        |        SUM(CAST(z AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6))) AS szz,
+        |        SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS sxy,
+        |        SUM(CAST(x AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6))) AS sxz,
+        |        SUM(CAST(y AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6))) AS syz
+        |      FROM c),
+        |v AS (SELECT n,
+        |        CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS vx,
+        |        CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vy,
+        |        CAST(szz AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) AS vz,
+        |        CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cxy,
+        |        CAST(sxz AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) AS cxz,
+        |        CAST(syz AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) AS cyz
+        |      FROM t),
+        |r AS (SELECT n, vx, vy, vz,
+        |        cxy / sqrt(vx * vy) AS rxy,
+        |        cxz / sqrt(vx * vz) AS rxz,
+        |        cyz / sqrt(vy * vz) AS ryz
+        |      FROM v)
+        |SELECT n AS n_rows,
+        |  CASE WHEN n >= 2 AND vx > 0 AND vy > 0 THEN
+        |    floor(rxy * 1e4 + 0.5) / 1e4 END AS r_xy,
+        |  CASE WHEN n >= 2 AND vx > 0 AND vz > 0 THEN
+        |    floor(rxz * 1e4 + 0.5) / 1e4 END AS r_xz,
+        |  CASE WHEN n >= 2 AND vy > 0 AND vz > 0 THEN
+        |    floor(ryz * 1e4 + 0.5) / 1e4 END AS r_yz,
+        |  CASE WHEN n >= 2 AND vx > 0 AND vy > 0 AND vz > 0
+        |    AND (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0 THEN
+        |    floor((rxy - rxz * ryz)
+        |      / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) * 1e4 + 0.5) / 1e4
+        |  END AS r_partial
+        |FROM r""".stripMargin,
+    // B118 odds ratio / relative risk: exact 2x2 counts, HUGEINT
+    // products, fixed IEEE chains — both hash unrounded
+    "q_odds_ratio" ->
+      """WITH f AS (
+        |  SELECT (o_orderpriority = '1-URGENT') AS e,
+        |    (o_totalprice > 150000.0) AS o
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS nd
+        |  FROM f)
+        |SELECT COALESCE(na, 0) AS n_both, COALESCE(nb, 0) AS n_exp_only,
+        |  COALESCE(nc, 0) AS n_out_only, COALESCE(nd, 0) AS n_neither,
+        |  CASE WHEN nb > 0 AND nc > 0 THEN
+        |    CAST(CAST(na AS HUGEINT) * nd AS DOUBLE)
+        |      / CAST(CAST(nb AS HUGEINT) * nc AS DOUBLE) END AS odds_ratio,
+        |  CASE WHEN na + nb > 0 AND nc + nd > 0 AND nc > 0 THEN
+        |    (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |      / (CAST(nc AS DOUBLE) / CAST(nc + nd AS DOUBLE)) END AS relative_risk
+        |FROM a""".stripMargin,
+    // B119 overdispersion: exact HUGEINT numerator/denominator, one
+    // division — mean_rate and dispersion hash unrounded in-envelope
+    "q_overdispersion" ->
+      """WITH u AS (SELECT o_orderdate, CAST(COUNT(*) AS BIGINT) AS x FROM orders
+        |           WHERE o_orderdate IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+        |        CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2 FROM u)
+        |SELECT COALESCE(n, 0) AS n_units, COALESCE(s1, 0) AS n_events,
+        |  CASE WHEN n > 0 THEN CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) END AS mean_rate,
+        |  CASE WHEN n >= 2 AND s1 > 0 THEN
+        |    CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * s1 AS DOUBLE) END AS dispersion
+        |FROM t""".stripMargin,
+    // C74 lexical diversity: (source, word) aggregated spine, exact
+    // counts, one division per ratio — unrounded
+    "q_lexical_diversity" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |           FROM documents
+        |           WHERE text IS NOT NULL AND source IS NOT NULL),
+        |wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_words,
+        |        CAST(COUNT(*) AS BIGINT) AS n_types,
+        |        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |      FROM wc GROUP BY 1)
+        |SELECT source, n_words, n_types, n_hapax,
+        |  CAST(n_types AS DOUBLE) / CAST(n_words AS DOUBLE) AS type_token_ratio,
+        |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_share
+        |FROM a ORDER BY source""".stripMargin,
     // B104 runs test: lower-median element via quantile_disc (SELECTION
     // mirror), equal-to-median rows drop, LAG transition count (first
     // row opens run 1), fixed IEEE E/V/z chain on exact ints; keys

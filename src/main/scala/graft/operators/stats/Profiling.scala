@@ -128,6 +128,35 @@ object Profiling {
       .orderBy("metric")
   }
 
+  /** Per-source lexical diversity (C74) — the vocabulary-health card
+    * next to [[corpusReport]]'s volume metrics: type–token ratio and
+    * hapax share per source (a crawler stuck on templated pages shows a
+    * collapsing TTR; a glossary-like source shows an inflated hapax
+    * share). ONE explode pass to the (source, word) count table (the
+    * collocations aggregated-spine shape — margins never rescan the
+    * corpus); whitespace tokens, empty tokens counted identically in
+    * both engines (the gopher split convention). n_words/n_types/
+    * n_hapax are exact BIGINTs; the two ratios are ONE exact-int
+    * division each ⇒ hash UNROUNDED (the q_gini protocol).
+    */
+  def lexicalDiversityBySource(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val words = df.where(col(textCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(sourceCol).cast("string").as("source"),
+        explode(split(col(textCol), " ")).as("__w"))
+    words.groupBy("source", "__w").agg(count(lit(1)).as("__c"))
+      .groupBy("source")
+      .agg(
+        sum(col("__c")).as("n_words"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_words"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_words").cast("double"))
+          .as("type_token_ratio"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_share"))
+      .orderBy("source")
+  }
+
   /** Key-skew diagnostic — the measurement that decides between a plain
     * shuffle, salting (SURVEY §4's measured 3× win under a 50%-hot key)
     * and AQE skew splitting BEFORE a job burns a wall-clock hour on one

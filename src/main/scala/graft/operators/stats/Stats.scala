@@ -1448,11 +1448,32 @@ object Stats {
     * columns — the PSI/JSD convention). Observed cells only (n_xy ≥ 1 —
     * zero cells contribute 0 to I and never appear).
     */
-  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val clean = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    miFromCells(miCells(df, xCol, yCol))
+
+  /** `(x_val, y_val, n_xy)` observed-cell counts — the associative
+    * MONITORING STATE of [[mutualInformation]] (D29): counts merge by
+    * plain addition ([[mergeMiCells]]), so a streaming monitor keeps a
+    * vocabulary-bounded cell table and derives the MI report on demand
+    * via [[miFromCells]] — the categoryCounts/binCounts shape.
+    */
+  def miCells(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    df.where(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("string").as("x_val"), col(yCol).cast("string").as("y_val"))
-    val cells = clean.groupBy("x_val", "y_val").agg(count(lit(1)).as("n_xy"))
+      .groupBy("x_val", "y_val").agg(count(lit(1)).as("n_xy"))
+
+  /** Merge two [[miCells]] relations by count addition (associative,
+    * commutative — arrival order free; NOT idempotent, the D20
+    * partition contract).
+    */
+  def mergeMiCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("x_val", "y_val").agg(sum(col("n_xy")).as("n_xy"))
+
+  /** The MI report from a pre-aggregated cell state — see
+    * [[mutualInformation]] for the full contract.
+    */
+  def miFromCells(cells: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val xs = cells.groupBy("x_val").agg(sum(col("n_xy")).as("n_x"))
     val ys = cells.groupBy("y_val").agg(sum(col("n_xy")).as("n_y"))
     val tot = cells.agg(sum(col("n_xy")).as("n"))
@@ -1469,5 +1490,131 @@ object Stats {
       p.as("p_xy"),
       ExactMath.hashRound(p * log(ratio), 4).as("mi_contrib"))
       .orderBy("x_val", "y_val")
+  }
+
+  /** Exact sufficient statistics for [[partialCorr]]: ONE partial-agg
+    * pass to n plus the nine decimal sums (Σx..Σyz; columns cast to
+    * DECIMAL(18,6), pairwise products exact at (37,12)). Exposed so the
+    * MarginAuditSpec boundary audit re-derives the pre-rounding
+    * correlations from the same exact state (the cronbachStats
+    * pattern). Single row.
+    */
+  def partialCorrStats(df: DataFrame, xCol: String, yCol: String, zCol: String): DataFrame = {
+    val vd = ExactMath.ValueDecimal
+    val clean = df.where(col(xCol).isNotNull && col(yCol).isNotNull && col(zCol).isNotNull)
+      .select(col(xCol).cast(vd).as("__x"), col(yCol).cast(vd).as("__y"),
+        col(zCol).cast(vd).as("__z"))
+    clean.agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"), sum(col("__z")).as("sz"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__y") * col("__y")).as("syy"),
+      sum(col("__z") * col("__z")).as("szz"),
+      sum(col("__x") * col("__y")).as("sxy"),
+      sum(col("__x") * col("__z")).as("sxz"),
+      sum(col("__y") * col("__z")).as("syz"))
+  }
+
+  /** First-order partial correlation of x and y controlling for z
+    * (B117) — does the x–y association survive once z is held fixed?
+    *   r_xy.z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²)).
+    * Pairwise Pearson correlations derive from [[partialCorrStats]]'
+    * exact decimal sums with the CorrMatrix IEEE op order
+    * (cov = sab/n − (sa/n)(sb/n), r = cov/√(v_a·v_b)). The
+    * decimal→double conversions can exceed 2^53 scaled units (the TWA
+    * conversion-ulp class) ⇒ all four correlations hash at hashRound 4
+    * under a MarginAuditSpec BOUNDARY audit (the CorrMatrix/cronbach
+    * protocol). NULL r on a degenerate variance; NULL r_partial when
+    * either control correlation is ±1. Single row.
+    */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String, zCol: String): DataFrame = {
+    val stats = partialCorrStats(df, xCol, yCol, zCol)
+    val n = col("n").cast("double")
+    def mean(s: String): Column = col(s).cast("double") / n
+    def variance(ss: String, s: String): Column =
+      col(ss).cast("double") / n - mean(s) * mean(s)
+    def covOf(sab: String, sa: String, sb: String): Column =
+      col(sab).cast("double") / n - mean(sa) * mean(sb)
+    val vx = variance("sxx", "sx"); val vy = variance("syy", "sy")
+    val vz = variance("szz", "sz")
+    val rxy = covOf("sxy", "sx", "sy") / sqrt(vx * vy)
+    val rxz = covOf("sxz", "sx", "sz") / sqrt(vx * vz)
+    val ryz = covOf("syz", "sy", "sz") / sqrt(vy * vz)
+    val denArg = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    val partial = (rxy - rxz * ryz) / sqrt(denArg)
+    val okXY = col("n") >= 2L && vx > 0.0 && vy > 0.0
+    val okXZ = col("n") >= 2L && vx > 0.0 && vz > 0.0
+    val okYZ = col("n") >= 2L && vy > 0.0 && vz > 0.0
+    stats.select(
+      coalesce(col("n"), lit(0L)).as("n_rows"),
+      when(okXY, ExactMath.hashRound(rxy, 4)).as("r_xy"),
+      when(okXZ, ExactMath.hashRound(rxz, 4)).as("r_xz"),
+      when(okYZ, ExactMath.hashRound(ryz, 4)).as("r_yz"),
+      when(okXY && okXZ && okYZ && denArg > 0.0,
+        ExactMath.hashRound(partial, 4)).as("r_partial"))
+  }
+
+  /** 2×2 odds ratio and relative risk between a boolean exposure and a
+    * boolean outcome (B118) — the epidemiology-shaped screen next to
+    * [[twoProportionZ]] (z there answers "different?", OR/RR answer
+    * "how many times as likely?"). With a = exposed∧outcome,
+    * b = exposed-only, c = outcome-only, d = neither:
+    *   OR = a·d / (b·c),   RR = (a/(a+b)) / (c/(c+d)).
+    * Exact BIGINT counts, products in DECIMAL(38,0) (HUGEINT mirror),
+    * fixed IEEE chains ⇒ both hash UNROUNDED (the q_gini protocol).
+    * NULL OR at b·c = 0, NULL RR when either cohort is empty or the
+    * unexposed risk is 0. Single row, one partial-agg pass.
+    */
+  def oddsRatio(df: DataFrame, exposureCol: String, outcomeCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = col(exposureCol); val o = col(outcomeCol)
+    val agg = df.where(e.isNotNull && o.isNotNull).agg(
+      sum(when(e && o, 1L).otherwise(0L)).as("n_both"),
+      sum(when(e && !o, 1L).otherwise(0L)).as("n_exp_only"),
+      sum(when(!e && o, 1L).otherwise(0L)).as("n_out_only"),
+      sum(when(!e && !o, 1L).otherwise(0L)).as("n_neither"))
+    val a = col("n_both"); val b = col("n_exp_only")
+    val c = col("n_out_only"); val d = col("n_neither")
+    val or = (a.cast(d38) * d.cast(d38)).cast("double") /
+      (b.cast(d38) * c.cast(d38)).cast("double")
+    val riskExp = a.cast("double") / (a + b).cast("double")
+    val riskUn = c.cast("double") / (c + d).cast("double")
+    agg.select(
+      coalesce(a, lit(0L)).as("n_both"),
+      coalesce(b, lit(0L)).as("n_exp_only"),
+      coalesce(c, lit(0L)).as("n_out_only"),
+      coalesce(d, lit(0L)).as("n_neither"),
+      when(b > 0L && c > 0L, or).as("odds_ratio"),
+      when(a + b > 0L && c + d > 0L && c > 0L, riskExp / riskUn).as("relative_risk"))
+  }
+
+  /** Poisson overdispersion screen over per-unit event counts (B119) —
+    * is the count process burstier than Poisson? Units aggregate to
+    * exact BIGINT counts x; with S1 = Σx, S2 = Σx²,
+    *   dispersion = Var/mean = (n·S2 − S1²) / (n·S1)
+    * — numerator and denominator EXACT in DECIMAL(38,0) (HUGEINT
+    * mirror), ONE division ⇒ mean_rate and dispersion hash UNROUNDED
+    * while both conversions stay inside the 2^53 envelope (n·S2 ≲ 9e15
+    * — holds at every test SF; past it, route through hashRound + a
+    * boundary audit, the changepoint convention). ≈1 under Poisson,
+    * >1 overdispersed. NULL at n < 2 or S1 = 0. Single row.
+    */
+  def overdispersion(df: DataFrame, unitCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val units = df.where(col(unitCol).isNotNull)
+      .groupBy(col(unitCol)).agg(count(lit(1)).as("__x"))
+    val agg = units.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("__x")).as("n_events"),
+      sum(col("__x").cast(d38) * col("__x").cast(d38)).as("__s2"))
+    val n = col("n_units"); val s1 = col("n_events")
+    val num = (n.cast(d38) * col("__s2") - s1.cast(d38) * s1.cast(d38)).cast(d38)
+    val den = (n.cast(d38) * s1.cast(d38)).cast(d38)
+    agg.select(
+      coalesce(n, lit(0L)).as("n_units"),
+      coalesce(s1, lit(0L)).as("n_events"),
+      when(n > 0L, s1.cast("double") / n.cast("double")).as("mean_rate"),
+      when(n >= 2L && s1 > 0L,
+        num.cast("double") / den.cast("double")).as("dispersion"))
   }
 }

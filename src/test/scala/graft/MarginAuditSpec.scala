@@ -406,6 +406,37 @@ class MarginAuditSpec extends SparkSpecBase {
         "from a 4-digit rounding boundary — a conversion ulp could flip the hash")
   }
 
+  /** q_partial_corr hashes floor-formula-round-4 correlations derived
+    * through decimal→double conversions past 2^53 scaled units (the
+    * cronbach/CorrMatrix class). Re-derive all four from
+    * `Stats.partialCorrStats`' exact decimal sums with the operator's
+    * own IEEE op sequence and check the 4-digit boundary margins.
+    */
+  private def auditPartialCorr(sfDir: String): Unit = {
+    val r = graft.operators.stats.Stats
+      .partialCorrStats(Snapshot(spark, sfDir).lineitem,
+        "l_quantity", "l_extendedprice", "l_discount")
+      .collect().head
+    val n = r.getLong(0).toDouble
+    def d(i: Int): Double = r.getDecimal(i).doubleValue
+    val (sx, sy, sz) = (d(1), d(2), d(3))
+    val (sxx, syy, szz) = (d(4), d(5), d(6))
+    val (sxy, sxz, syz) = (d(7), d(8), d(9))
+    val vx = sxx / n - (sx / n) * (sx / n)
+    val vy = syy / n - (sy / n) * (sy / n)
+    val vz = szz / n - (sz / n) * (sz / n)
+    val rxy = (sxy / n - (sx / n) * (sy / n)) / math.sqrt(vx * vy)
+    val rxz = (sxz / n - (sx / n) * (sz / n)) / math.sqrt(vx * vz)
+    val ryz = (syz / n - (sy / n) * (sz / n)) / math.sqrt(vy * vz)
+    val partial = (rxy - rxz * ryz) /
+      math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    val margin = boundaryMargin(4)
+    val minB = Seq(rxy, rxz, ryz, partial).map(margin).min
+    assert(minB > 1e-9,
+      f"$sfDir: a hashed correlation sits $minB%.3e from its 4-digit rounding " +
+        "boundary — a conversion ulp could flip the hash")
+  }
+
   private def auditRetrievalMetrics(sfDir: String): Unit = {
     // q_retrieval_metrics hashes only INTEGER ranks/counts and exact
     // divisions of them — no float from the ln survives to the hash —
@@ -530,6 +561,9 @@ class MarginAuditSpec extends SparkSpecBase {
     }
     test(s"cronbach-alpha boundary audit at $dir: ratio/alpha margins > 1e-9") {
       auditCronbach(sf(dir))
+    }
+    test(s"partial-corr boundary audit at $dir: correlation margins > 1e-9") {
+      auditPartialCorr(sf(dir))
     }
   }
 }

@@ -1071,6 +1071,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(replayed == streamed, "OR-merge state must absorb a replayed batch")
   }
 
+  test("streaming MI cell state: merged counts reproduce the batch report (D29)") {
+    // D29: B112's mutual information maintained under streaming
+    // ingestion (the categoryCounts/binCounts shape): state = the
+    // observed (x, y, n_xy) cell table, merge = count ADDITION —
+    // associative and commutative (arrival order free), NOT idempotent
+    // (the D20 partition contract). miFromCells over the merged state
+    // == the one-shot batch report exactly.
+    import graft.operators.stats.Stats
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Stats.miCells(df, "o_orderpriority", "o_orderstatus")
+    val dir = Files.createTempDirectory("graft_mi_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).orders.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val bCells = cells(batch).localCheckpoint(true)
+        val next = st match {
+          case None => bCells
+          case Some(prev) => Stats.mergeMiCells(prev, bCells)
+        }
+        st = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    assert(canon(st.get) == canon(cells(batchDf)))
+    val streamed = Stats.miFromCells(st.get).collect().toSeq
+    val oneShot = Stats
+      .mutualInformation(batchDf, "o_orderpriority", "o_orderstatus")
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed == oneShot)
+  }
+
   test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
     // the production ingestion shape: a document stream anti-joined
     // against the static content-hash index of the existing corpus —
