@@ -2282,6 +2282,14 @@ object SparkEntry {
       // one division per ratio, unrounded.
       graft.operators.stats.Profiling.lexicalDiversityBySource(
         snap(s, dir).documents, "source", "text")),
+    "q_name_match" -> ((s, dir) =>
+      // Jaro-Winkler fuzzy name pairs (C75): top-50 most-similar part
+      // names within a two-word blocking key — DuckDB-pinned byte
+      // semantics, hashRound-4 scores ORDER the cut (ulp-stable),
+      // (id_a, id_b) tiebreak; TakeOrdered, no global sort.
+      graft.operators.text.NameMatch
+        .topSimilarPairs(nameMatchParts(s, dir), "p_partkey", "p_name",
+          "__blk", k = 50)),
     "q_runs_test" -> ((s, dir) =>
       // Wald-Wolfowitz runs test per customer (B104): above/below-own-
       // lower-median signs of date-ordered order values — the sign-
@@ -3070,6 +3078,17 @@ object SparkEntry {
           year(col("o_orderdate")) <= 1995).as("sp_mid"),
         bucket(year(col("o_orderdate")) >= 1996).as("sp_late"))
   }
+
+  /** q_name_match's blocked part table (two-word blocking key) — shared
+    * with MarginAuditSpec so the boundary audit sweeps exactly the pair
+    * set whose roundings decide the hashed cut.
+    */
+  def nameMatchParts(s: SparkSession, dir: String): DataFrame =
+    snap(s, dir).part
+      .where(col("p_partkey").isNotNull && col("p_name").isNotNull)
+      .withColumn("__blk", concat(
+        element_at(split(col("p_name"), " "), 1), lit(" "),
+        element_at(split(col("p_name"), " "), 2)))
 
   /** The concept query q_bm25_synonyms runs (shared with
     * MarginAuditSpec so the audit sweeps exactly the hashed catalog).
@@ -6336,6 +6355,21 @@ object SparkEntry {
         |  CAST(n_types AS DOUBLE) / CAST(n_words AS DOUBLE) AS type_token_ratio,
         |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_share
         |FROM a ORDER BY source""".stripMargin,
+    // C75 Jaro-Winkler name pairs: the whole operator re-derived with
+    // DuckDB's builtin (semantics probed and pinned in NameMatch);
+    // floor-round-4 scores order the cut, (id_a, id_b) tiebreak
+    "q_name_match" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS id, p_name AS name,
+        |    string_split(p_name, ' ')[1] || ' ' || string_split(p_name, ' ')[2] AS blk
+        |  FROM part WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL),
+        |pr AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+        |    floor(jaro_winkler_similarity(a.name, b.name) * 1e4 + 0.5) / 1e4 AS jw_sim
+        |  FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE a.blk IS NOT NULL)
+        |SELECT id_a, id_b, name_a, name_b, jw_sim
+        |FROM pr ORDER BY jw_sim DESC, id_a, id_b LIMIT 50""".stripMargin,
     // B104 runs test: lower-median element via quantile_disc (SELECTION
     // mirror), equal-to-median rows drop, LAG transition count (first
     // row opens run 1), fixed IEEE E/V/z chain on exact ints; keys

@@ -437,6 +437,40 @@ class MarginAuditSpec extends SparkSpecBase {
         "boundary — a conversion ulp could flip the hash")
   }
 
+  /** q_name_match hashes floor-formula-round-4 Jaro–Winkler scores and
+    * ORDERS the top-k cut by them; the two engines compute the same
+    * rational through op orders that may differ by ulps. The audit
+    * sweeps EVERY within-block pair (a rounding flip anywhere could
+    * change cut membership): each score must sit > 1e-9 from its
+    * 4-digit boundary AND each raw jaro > 1e-9 from the 0.7 Winkler
+    * boost threshold (the one branch a ulp could flip).
+    */
+  private def auditNameMatch(sfDir: String): Unit = {
+    import graft.operators.text.NameMatch
+    val pairs = NameMatch
+      .blockedPairs(SparkEntry.nameMatchParts(spark, sfDir),
+        "p_partkey", "p_name", "__blk")
+      .select(col("name_a"), col("name_b"))
+      .collect()
+    assert(pairs.nonEmpty, s"$sfDir: blocking produced no pairs — degenerate key")
+    val margin = boundaryMargin(4)
+    var minB = Double.MaxValue
+    var minThresh = Double.MaxValue
+    pairs.foreach { r =>
+      val a = r.getString(0).getBytes("UTF-8")
+      val b = r.getString(1).getBytes("UTF-8")
+      val j = NameMatch.jaroBytes(a, b)
+      val jw = NameMatch.jaroWinklerBytes(a, b)
+      minB = math.min(minB, margin(jw))
+      minThresh = math.min(minThresh, math.abs(j - 0.7))
+    }
+    assert(minB > 1e-9,
+      f"$sfDir: a jw score sits $minB%.3e from its 4-digit rounding boundary")
+    assert(minThresh > 1e-9,
+      f"$sfDir: a jaro sits $minThresh%.3e from the 0.7 boost threshold — " +
+        "an engine ulp could flip the Winkler branch")
+  }
+
   private def auditRetrievalMetrics(sfDir: String): Unit = {
     // q_retrieval_metrics hashes only INTEGER ranks/counts and exact
     // divisions of them — no float from the ln survives to the hash —
@@ -564,6 +598,9 @@ class MarginAuditSpec extends SparkSpecBase {
     }
     test(s"partial-corr boundary audit at $dir: correlation margins > 1e-9") {
       auditPartialCorr(sf(dir))
+    }
+    test(s"name-match boundary audit at $dir: jw margins and boost-threshold gaps > 1e-9") {
+      auditNameMatch(sf(dir))
     }
   }
 }
