@@ -2290,6 +2290,36 @@ object SparkEntry {
       graft.operators.text.NameMatch
         .topSimilarPairs(nameMatchParts(s, dir), "p_partkey", "p_name",
           "__blk", k = 50)),
+    "q_cliffs_delta" -> ((s, dir) =>
+      // Cliff's delta + CLES (B121): the effect-size companion of
+      // q_mann_whitney from the same doubled-rank identity — exact
+      // DECIMAL end to end, one division each, both unrounded.
+      // Single row.
+      graft.operators.stats.Stats.cliffsDelta(
+        snap(s, dir).orders, "o_orderpriority", "o_totalprice",
+        "1-URGENT", "5-LOW")),
+    "q_freq_sketch" -> ((s, dir) => {
+      // Count-Min point-frequency sketch (B120): bit-reproducible
+      // cell-add merge (unlike MG's order-sensitive counter set); the
+      // hashed output is the exact-count AUDIT of the guarantees
+      // (B28 pattern): est >= exact always, overestimate within the
+      // e/width * n mass bound — deterministic given data + seeds.
+      import s.implicits._
+      val terms = snap(s, dir).documents
+        .where(col("text").isNotNull)
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+      val exact = terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      val top = exact.orderBy(col("n_exact").desc, col("term")).limit(20).collect()
+      val sk = terms.as(org.apache.spark.sql.Encoders.STRING)
+        .select(new graft.operators.sketch.CountMin(4, 2048).toColumn).first()
+      val bound = math.ceil(math.E / sk.width * sk.n).toLong
+      top.toSeq.map { r =>
+        val est = sk.estimate(r.getString(0))
+        (r.getString(0), r.getLong(1), est >= r.getLong(1),
+          est - r.getLong(1) <= bound)
+      }.toDF("term", "n_exact", "lower_ok", "over_ok")
+        .orderBy(col("n_exact").desc, col("term"))
+    }),
     "q_runs_test" -> ((s, dir) =>
       // Wald-Wolfowitz runs test per customer (B104): above/below-own-
       // lower-median signs of date-ordered order values — the sign-
@@ -6370,6 +6400,50 @@ object SparkEntry {
         |  WHERE a.blk IS NOT NULL)
         |SELECT id_a, id_b, name_a, name_b, jw_sim
         |FROM pr ORDER BY jw_sim DESC, id_a, id_b LIMIT 50""".stripMargin,
+    // B121 Cliff's delta / CLES: the q_mann_whitney doubled-rank CTEs,
+    // HUGEINT end to end, one division each — both hash unrounded
+    "q_cliffs_delta" ->
+      """WITH c AS (
+        |  SELECT o_totalprice AS s,
+        |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT s, ca, cnt,
+        |    COALESCE(CAST(SUM(cnt) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bef
+        |  FROM c),
+        |a AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(cnt - ca) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(ca AS DECIMAL(38,0))
+        |      * CAST(2 * bef + cnt + 1 AS DECIMAL(38,0))) AS HUGEINT) AS r2a
+        |  FROM w),
+        |u AS (
+        |  SELECT n_a, n_b,
+        |    r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2
+        |  FROM a)
+        |SELECT COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(u2 - CAST(n_a AS HUGEINT) * n_b AS DOUBLE)
+        |      / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) END AS cliffs_delta,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(u2 AS DOUBLE)
+        |      / CAST(2 * CAST(n_a AS HUGEINT) * n_b AS DOUBLE) END AS cles
+        |FROM u""".stripMargin,
+    // B120 Count-Min audit: exact top-20 terms (count DESC, term
+    // tiebreak) + always-true verdicts — a sketch that under-counts or
+    // blows the collision-mass bound turns the row red
+    "q_freq_sketch" ->
+      """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+        |           FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact FROM t GROUP BY 1),
+        |top AS (SELECT term, n_exact FROM e ORDER BY n_exact DESC, term LIMIT 20)
+        |SELECT term, n_exact, TRUE AS lower_ok, TRUE AS over_ok
+        |FROM top ORDER BY n_exact DESC, term""".stripMargin,
     // B104 runs test: lower-median element via quantile_disc (SELECTION
     // mirror), equal-to-median rows drop, LAG transition count (first
     // row opens run 1), fixed IEEE E/V/z chain on exact ints; keys

@@ -607,6 +607,55 @@ object Stats {
           / (lit(2.0) * sqrt(varU))).as("z_score"))
   }
 
+  /** Cliff's delta and the common-language effect size between two
+    * cohorts (B121) — the EFFECT-SIZE companion of [[mannWhitney]] (z
+    * there answers "is the shift real?", δ/CLES answer "how big is
+    * it?"): δ = (#(a>b) − #(a<b))/(n_a·n_b) ∈ [−1, 1] and
+    * CLES = P(a > b) + P(a = b)/2 = U_a/(n_a·n_b). Both derive from the
+    * SAME doubled-rank identity the U test uses — 2·U_a = R2_a −
+    * n_a(n_a+1), so δ = (2U_a − n_a·n_b)/(n_a·n_b) and
+    * CLES = 2U_a/(2·n_a·n_b) — never a pairwise enumeration: one
+    * partial agg to the value spine, ONE window over that AGGREGATED
+    * spine, exact DECIMAL(38,0) end to end (the B90 overflow contract,
+    * HUGEINT mirror), ONE division each ⇒ δ and CLES hash UNROUNDED.
+    * NULL both when either cohort is empty. Single row.
+    */
+  def cliffsDelta(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val v = col(valueCol)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df
+      .where(col(groupCol).isin(groupA, groupB) && v.isNotNull)
+      .groupBy(v.as("__s"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        count(lit(1)).as("__cnt"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = cells
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      .agg(
+        sum(col("__ca")).as("n_a"),
+        sum(col("__cnt") - col("__ca")).as("n_b"),
+        sum(col("__ca").cast(d38)
+          * (lit(2L) * col("__before") + col("__cnt") + lit(1L)).cast(d38))
+          .as("__r2a"))
+    val na = col("n_a"); val nb = col("n_b")
+    val u2d = col("__r2a") - na.cast(d38) * (na + lit(1L)).cast(d38)
+    val prod = (na.cast(d38) * nb.cast(d38)).cast(d38)
+    agg.select(
+      coalesce(na, lit(0L)).as("n_a"),
+      coalesce(nb, lit(0L)).as("n_b"),
+      when(na > 0L && nb > 0L,
+        (u2d - prod).cast("double") / prod.cast("double")).as("cliffs_delta"),
+      when(na > 0L && nb > 0L,
+        u2d.cast("double") / (lit(2L).cast(d38) * prod).cast("double")).as("cles"))
+  }
+
   /** Per-group skewness/kurtosis from exact decimal power sums (B95) —
     * the distribution-shape profiling pass (heavy tails / asymmetry)
     * next to B39's presence stats. Spark's builtin `skewness`/

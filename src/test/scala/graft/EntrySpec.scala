@@ -46,7 +46,8 @@ class EntrySpec extends SparkSpecBase {
       "q_wilcoxon_signed", "q_poisson_rate", "q_ks_two_sample", "q_levene",
       "q_cohens_kappa", "q_mcnemar", "q_bootstrap_ci", "q_kruskal_wallis",
       "q_permutation_test", "q_friedman", "q_cochran_q", "q_fleiss_kappa",
-      "q_cronbach_alpha", "q_partial_corr", "q_odds_ratio", "q_overdispersion")
+      "q_cronbach_alpha", "q_partial_corr", "q_odds_ratio", "q_overdispersion",
+      "q_cliffs_delta")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !singleRow(name) && !sql.toUpperCase.contains("ORDER BY") => name
     }

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 
 import graft.sources.Snapshot
@@ -1112,6 +1113,46 @@ class StreamingSpec extends SparkSpecBase {
       .mutualInformation(batchDf, "o_orderpriority", "o_orderstatus")
       .collect().toSeq
     assert(streamed.nonEmpty && streamed == oneShot)
+  }
+
+  test("streaming Count-Min state: merged cell sums reproduce the one-shot sketch (D30)") {
+    // D30: B120's frequency sketch maintained under streaming ingestion:
+    // state = the depth x width cell array, merge = cell-wise ADDITION
+    // (associative/commutative, arrival-order free; NOT idempotent —
+    // the D20 partition contract). Unlike MG's order-sensitive counter
+    // set, the merged sketch is BIT-IDENTICAL to the one-shot sketch,
+    // so every estimate matches exactly.
+    import graft.operators.sketch.{CMSketch, CountMin}
+    def sketch(df: org.apache.spark.sql.DataFrame): CMSketch = df
+      .select(col("o_orderpriority")).as(Encoders.STRING)
+      .select(new CountMin(4, 128).toColumn).first()
+    val dir = Files.createTempDirectory("graft_cm_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).orders.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[CMSketch] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val bSk = sketch(batch)
+        st = Some(st.fold(bSk)(_.merged(bSk)))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    val oneShot = sketch(batchDf)
+    assert(st.get == oneShot, "merged microbatch sketch must be bit-identical")
+    // the identical sketch answers point queries >= exact, per priority
+    val exact = batchDf.groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, c) =>
+      assert(st.get.estimate(t) >= c, s"$t: ${st.get.estimate(t)} < $c")
+    }
   }
 
   test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
