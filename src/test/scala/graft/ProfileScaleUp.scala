@@ -694,6 +694,110 @@ object ProfileScaleUp {
           Seq("o_orderpriority"), "ws", "we")
       })
 
+    // ---- round-13 continuation operators ---------------------------------
+    time("friedman (blocked ranks)")(
+      force(graft.operators.stats.Stats.friedman(
+        orders.where(col("o_orderdate").isNotNull)
+          .withColumn("__mi",
+            year(col("o_orderdate")) * 12 + month(col("o_orderdate"))),
+        "__mi", "o_orderpriority", "o_totalprice")))
+    val screens = Seq("t_urgent", "t_big", "t_recent")
+    time("cochran q (screen state)")(
+      force {
+        val rows = orders.where(col("o_custkey").isNotNull).select(
+          col("o_custkey"),
+          (col("o_orderpriority") === "1-URGENT").as("t_urgent"),
+          (col("o_totalprice") > 150000.0).as("t_big"),
+          (year(col("o_orderdate")) >= 1995).as("t_recent"))
+        graft.operators.stats.Stats.cochranQ(
+          graft.operators.stats.Stats.screenState(rows, "o_custkey", screens),
+          "o_custkey", screens)
+      })
+    time("durbin-watson")(
+      force(graft.operators.stats.Stats
+        .durbinWatson(orders, Seq("o_custkey"), "o_orderdate", "o_orderkey",
+          "o_totalprice")
+        .groupBy().agg(count(lit(1)).as("n"), sum("dw_stat").as("s"))))
+    time("mutual information cells")(
+      force(graft.operators.stats.Stats
+        .mutualInformation(orders, "o_orderpriority", "o_orderstatus")))
+    time("hellinger (category spine)")(
+      force(graft.operators.stats.Drift.hellingerByCategory(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "source", 8)))
+    time("fleiss kappa (3 raters)")(
+      force {
+        val d = docs.where(col("text").isNotNull)
+        def cls(v: org.apache.spark.sql.Column, lo: Int, hi: Int) =
+          when(v < lo, "short").when(v < hi, "medium").otherwise("long")
+        graft.operators.stats.Stats.fleissKappa(
+          d.select(col("doc_id"),
+            cls(size(split(col("text"), " ")), 50, 200).as("r_words"),
+            cls(length(col("text")), 300, 1200).as("r_chars"),
+            cls(size(array_distinct(split(col("text"), " "))), 40, 150)
+              .as("r_distinct")),
+          "doc_id", Seq("r_words", "r_chars", "r_distinct"))
+      })
+    time("cronbach alpha")(
+      force {
+        val vd = graft.functions.ExactMath.ValueDecimal
+        def bucket(cond: org.apache.spark.sql.Column) =
+          sum(when(cond, col("o_totalprice")).otherwise(lit(0.0)).cast(vd))
+        val subj = orders.where(col("o_custkey").isNotNull)
+          .groupBy("o_custkey")
+          .agg(bucket(year(col("o_orderdate")) <= 1993).as("sp_early"),
+            bucket(year(col("o_orderdate")) >= 1994 &&
+              year(col("o_orderdate")) <= 1995).as("sp_mid"),
+            bucket(year(col("o_orderdate")) >= 1996).as("sp_late"))
+        graft.operators.stats.Stats.cronbachAlpha(
+          subj, "o_custkey", Seq("sp_early", "sp_mid", "sp_late"))
+      })
+    val liAmp = (0 until factor)
+      .map(i => sn.lineitem.withColumn("l_orderkey",
+        col("l_orderkey") + lit(i.toLong * 100000000L)))
+      .reduce(_ unionAll _)
+    time("partial corr (lineitem xF)")(
+      force(graft.operators.stats.Stats
+        .partialCorr(liAmp, "l_quantity", "l_extendedprice", "l_discount")))
+    time("odds ratio")(
+      force(graft.operators.stats.Stats.oddsRatio(
+        orders.where(col("o_orderpriority").isNotNull &&
+          col("o_totalprice").isNotNull)
+          .select((col("o_orderpriority") === "1-URGENT").as("e"),
+            (col("o_totalprice") > 150000.0).as("o")),
+        "e", "o")))
+    time("overdispersion (daily counts)")(
+      force(graft.operators.stats.Stats
+        .overdispersion(orders.where(col("o_orderdate").isNotNull), "o_orderdate")))
+    time("lexical diversity")(
+      force(graft.operators.stats.Profiling
+        .lexicalDiversityBySource(docs, "source", "text")))
+    // parts amplified: copies SHARE names, so within-block pairs grow
+    // ~factor^2 — the cost is pair-count-driven (the prefix-filter
+    // regime), not a scan wall; the blocking key keeps it bounded
+    val partAmp = (0 until factor)
+      .map(i => sn.part.withColumn("p_partkey",
+        col("p_partkey") + lit(i.toLong * 10000000L)))
+      .reduce(_ unionAll _)
+      .where(col("p_partkey").isNotNull && col("p_name").isNotNull)
+      .withColumn("__blk", concat(
+        element_at(split(col("p_name"), " "), 1), lit(" "),
+        element_at(split(col("p_name"), " "), 2)))
+    time("jaro-winkler pairs (xF^2)")(
+      force(graft.operators.text.NameMatch
+        .topSimilarPairs(partAmp, "p_partkey", "p_name", "__blk", 50)))
+    time("cliffs delta")(
+      force(graft.operators.stats.Stats.cliffsDelta(
+        orders, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW")))
+    time("count-min sketch") {
+      import org.apache.spark.sql.Encoders
+      val sk = docs.where(col("text").isNotNull)
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+        .as(Encoders.STRING)
+        .select(new graft.operators.sketch.CountMin(4, 2048).toColumn).first()
+      sk.n
+    }
+
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
     // partkey, written to parquet so every measurement starts from a real
