@@ -2298,6 +2298,21 @@ object SparkEntry {
       graft.operators.stats.Stats.cliffsDelta(
         snap(s, dir).orders, "o_orderpriority", "o_totalprice",
         "1-URGENT", "5-LOW")),
+    "q_acf" -> ((s, dir) =>
+      // multi-lag ACF of daily order volumes (B122): the seasonality
+      // detector generalizing q_autocorr's lag-1 — exact daily counts,
+      // one bounded date-sorted array, sequential folds per lag
+      // (init-less list_reduce mirror); every acf hashes UNROUNDED.
+      graft.operators.stats.Stats.acfGlobal(
+        snap(s, dir).orders.where(col("o_orderdate").isNotNull),
+        "o_orderdate", maxLag = 5)),
+    "q_entropy_rate" -> ((s, dir) =>
+      // conditional entropy of event transitions (B123): how
+      // predictable is the next event type — per-cell -p(i,j)ln(p(j|i))
+      // over the SHARED transitionCounts grain; p_next unrounded;
+      // h_contrib is the 10th audited transcendental.
+      graft.operators.stats.Stats.conditionalEntropy(
+        transitionCounts(s, dir), "from_type", "to_type", "n_transitions")),
     "q_freq_sketch" -> ((s, dir) => {
       // Count-Min point-frequency sketch (B120): bit-reproducible
       // cell-add merge (unlike MG's order-sensitive counter set); the
@@ -6444,6 +6459,66 @@ object SparkEntry {
         |top AS (SELECT term, n_exact FROM e ORDER BY n_exact DESC, term LIMIT 20)
         |SELECT term, n_exact, TRUE AS lower_ok, TRUE AS over_ok
         |FROM top ORDER BY n_exact DESC, term""".stripMargin,
+    // B122 multi-lag ACF: exact daily counts, per-element dev = x - s1/n
+    // (identical IEEE both engines), per-lag LEAD products folded by
+    // init-less list_reduce in date order — acf unrounded
+    "q_acf" ->
+      """WITH u AS (SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS x
+        |           FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s1
+        |      FROM u),
+        |dv AS (SELECT d,
+        |         CAST(x AS DOUBLE) - CAST(t.s1 AS DOUBLE) / CAST(t.n AS DOUBLE) AS dev
+        |       FROM u, t),
+        |l AS (SELECT d, dev,
+        |        LEAD(dev, 1) OVER (ORDER BY d) AS k1,
+        |        LEAD(dev, 2) OVER (ORDER BY d) AS k2,
+        |        LEAD(dev, 3) OVER (ORDER BY d) AS k3,
+        |        LEAD(dev, 4) OVER (ORDER BY d) AS k4,
+        |        LEAD(dev, 5) OVER (ORDER BY d) AS k5
+        |      FROM dv),
+        |dn AS (SELECT list_reduce(list(dev * dev ORDER BY d), (x, y) -> x + y) AS den
+        |       FROM l),
+        |nums AS (SELECT
+        |    (SELECT list_reduce(list(dev * k1 ORDER BY d), (x, y) -> x + y)
+        |     FROM l WHERE k1 IS NOT NULL) AS v1,
+        |    (SELECT list_reduce(list(dev * k2 ORDER BY d), (x, y) -> x + y)
+        |     FROM l WHERE k2 IS NOT NULL) AS v2,
+        |    (SELECT list_reduce(list(dev * k3 ORDER BY d), (x, y) -> x + y)
+        |     FROM l WHERE k3 IS NOT NULL) AS v3,
+        |    (SELECT list_reduce(list(dev * k4 ORDER BY d), (x, y) -> x + y)
+        |     FROM l WHERE k4 IS NOT NULL) AS v4,
+        |    (SELECT list_reduce(list(dev * k5 ORDER BY d), (x, y) -> x + y)
+        |     FROM l WHERE k5 IS NOT NULL) AS v5)
+        |SELECT lag, t.n AS n_points,
+        |  CASE WHEN t.n > lag AND dn.den > 0 THEN
+        |    CASE lag WHEN 1 THEN nums.v1 WHEN 2 THEN nums.v2 WHEN 3 THEN nums.v3
+        |             WHEN 4 THEN nums.v4 ELSE nums.v5 END / dn.den
+        |  END AS acf
+        |FROM (SELECT unnest([1, 2, 3, 4, 5]) AS lag) lags
+        |  CROSS JOIN t CROSS JOIN dn CROSS JOIN nums
+        |ORDER BY lag""".stripMargin,
+    // B123 conditional entropy: the q_event_transitions CTE, margins
+    // from the aggregated cells, -p(i,j)*ln(p(j|i)) floor-rounded 4
+    // (audited transcendental), p_next unrounded
+    "q_entropy_rate" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type,
+        |        CAST(COUNT(*) AS BIGINT) AS n_trans
+        |      FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_trans) AS BIGINT) AS n FROM c)
+        |SELECT c.from_type, c.to_type, n_trans, n_from, tt.n AS n,
+        |  CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE) AS p_next,
+        |  floor(((-(CAST(n_trans AS DOUBLE) / CAST(tt.n AS DOUBLE)))
+        |    * ln(CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE))) * 1e4 + 0.5)
+        |    / 1e4 AS h_contrib
+        |FROM c JOIN f USING (from_type) CROSS JOIN tt
+        |ORDER BY from_type, to_type""".stripMargin,
     // B104 runs test: lower-median element via quantile_disc (SELECTION
     // mirror), equal-to-median rows drop, LAG transition count (first
     // row opens run 1), fixed IEEE E/V/z chain on exact ints; keys

@@ -139,23 +139,43 @@ object Profiling {
     * n_hapax are exact BIGINTs; the two ratios are ONE exact-int
     * division each ⇒ hash UNROUNDED (the q_gini protocol).
     */
-  def lexicalDiversityBySource(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
-    val words = df.where(col(textCol).isNotNull && col(sourceCol).isNotNull)
+  def lexicalDiversityBySource(df: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    diversityFromWordCounts(wordCounts(df, sourceCol, textCol))
+
+  /** `(source, word, c)` counts — the associative MONITORING STATE of
+    * [[lexicalDiversityBySource]] (D31): counts merge by plain addition
+    * ([[mergeWordCounts]] — the miCells/categoryCounts shape), so a
+    * streaming monitor folds microbatches into the standing vocabulary
+    * table and derives the diversity card on demand. NOT idempotent
+    * (the D20 partition contract). Hapax status is a PROPERTY OF THE
+    * MERGED STATE, not of any batch — a word seen once in two separate
+    * batches is correctly non-hapax after the merge.
+    */
+  def wordCounts(df: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull && col(sourceCol).isNotNull)
       .select(col(sourceCol).cast("string").as("source"),
-        explode(split(col(textCol), " ")).as("__w"))
-    words.groupBy("source", "__w").agg(count(lit(1)).as("__c"))
-      .groupBy("source")
+        explode(split(col(textCol), " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+
+  /** Merge two [[wordCounts]] states by count addition. */
+  def mergeWordCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("source", "word").agg(sum(col("c")).as("c"))
+
+  /** The diversity report from a pre-aggregated word-count state — see
+    * [[lexicalDiversityBySource]] for the full contract.
+    */
+  def diversityFromWordCounts(wc: DataFrame): DataFrame =
+    wc.groupBy("source")
       .agg(
-        sum(col("__c")).as("n_words"),
+        sum(col("c")).as("n_words"),
         count(lit(1)).as("n_types"),
-        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
       .select(col("source"), col("n_words"), col("n_types"), col("n_hapax"),
         (col("n_types").cast("double") / col("n_words").cast("double"))
           .as("type_token_ratio"),
         (col("n_hapax").cast("double") / col("n_types").cast("double"))
           .as("hapax_share"))
       .orderBy("source")
-  }
 
   /** Key-skew diagnostic — the measurement that decides between a plain
     * shuffle, salting (SURVEY §4's measured 3× win under a 50%-hot key)

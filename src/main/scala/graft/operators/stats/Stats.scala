@@ -656,6 +656,84 @@ object Stats {
         u2d.cast("double") / (lit(2L).cast(d38) * prod).cast("double")).as("cles"))
   }
 
+  /** Conditional-entropy cells over a pre-aggregated transition table
+    * (B123) — how predictable is the next event given the current one?
+    * H(next|cur) = Σ −p(i,j)·ln(p(j|i)) — the sequence-predictability
+    * number the B82 Markov matrix only shows cell-by-cell. Input is the
+    * (from, to, n) count table (the SHARED transitionCounts grain);
+    * margins derive from the AGGREGATED cells (the B112 MI shape —
+    * broadcast joins, never a second pass). p_next = n_ij/n_i is ONE
+    * exact-int division (unrounded); h_contrib routes through ln ⇒
+    * AUDITED TRANSCENDENTAL (hashRound 4 + MarginAuditSpec boundary
+    * audit re-deriving from the exact count columns). Observed cells
+    * only; Σ h_contrib = H(next|cur).
+    */
+  def conditionalEntropy(
+      cells: DataFrame,
+      fromCol: String,
+      toCol: String,
+      nCol: String): DataFrame = {
+    val base = cells.select(col(fromCol).cast("string").as("from_type"),
+      col(toCol).cast("string").as("to_type"), col(nCol).as("n_trans"))
+    val froms = base.groupBy("from_type").agg(sum(col("n_trans")).as("n_from"))
+    val tot = base.agg(sum(col("n_trans")).as("n"))
+    val j = base.join(broadcast(froms), "from_type").crossJoin(broadcast(tot))
+    val pJoint = col("n_trans").cast("double") / col("n").cast("double")
+    val pCond = col("n_trans").cast("double") / col("n_from").cast("double")
+    j.select(
+      col("from_type"), col("to_type"), col("n_trans"), col("n_from"), col("n"),
+      pCond.as("p_next"),
+      ExactMath.hashRound(-pJoint * log(pCond), 4).as("h_contrib"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Multi-lag autocorrelation function of a GLOBAL per-unit count
+    * series (B122) — the seasonality detector over e.g. daily order
+    * volumes (lag-7 spikes = weekly cycle), generalizing B75's per-key
+    * lag-1 to lags 1..maxLag. Units aggregate to exact BIGINT counts;
+    * the series is ONE bounded in-memory array (date-sorted — the MK
+    * contract at the calendar grain: days, not rows).
+    *   acf_k = Σ_{t≤n−k} d_t·d_{t+k} / Σ d_t²,   d_t = x_t − mean
+    * with mean = S1/n (one correctly-rounded division of exact ints —
+    * counts sit far inside 2^53) and BOTH sums folded SEQUENTIALLY in
+    * date order from 0.0 (init-less `list_reduce` mirror over
+    * LEAD-shifted products) ⇒ every acf hashes UNROUNDED. Gaps in the
+    * unit domain are NOT filled — lags index the OBSERVED series
+    * (documented; fill upstream for calendar-exact lags). NULL acf at
+    * n ≤ k or a zero deviation sum.
+    */
+  def acfGlobal(df: DataFrame, unitCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1,64], got $maxLag")
+    val units = df.where(col(unitCol).isNotNull)
+      .groupBy(col(unitCol)).agg(count(lit(1)).as("__x"))
+    val agg = units.agg(
+      array_sort(collect_list(struct(col(unitCol).as("u"),
+        col("__x").as("x")))).as("sp"),
+      sum(col("__x")).as("__s1"),
+      count(lit(1)).as("n_points"))
+    val mean = col("__s1").cast("double") / col("n_points").cast("double")
+    val withDevs = agg.withColumn("__devs",
+      transform(col("sp"), e => e.getField("x").cast("double") - mean))
+    val den = aggregate(col("__devs"), lit(0.0), (acc, x) => acc + x * x)
+    val n = size(col("__devs"))
+    def numK(k: Int): Column = aggregate(
+      zip_with(
+        slice(col("__devs"), lit(1), n - lit(k)),
+        slice(col("__devs"), lit(k + 1), n - lit(k)),
+        (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val lagRows = (1 to maxLag).map { k =>
+      struct(lit(k).as("lag"),
+        when(col("n_points") > lit(k.toLong) && col("__den") > 0.0,
+          numK(k) / col("__den")).as("acf"))
+    }
+    withDevs
+      .withColumn("__den", den)
+      .select(col("n_points"), explode(array(lagRows: _*)).as("r"))
+      .select(col("r.lag").as("lag"), col("n_points"), col("r.acf").as("acf"))
+      .orderBy("lag")
+  }
+
   /** Per-group skewness/kurtosis from exact decimal power sums (B95) —
     * the distribution-shape profiling pass (heavy tails / asymmetry)
     * next to B39's presence stats. Spark's builtin `skewness`/

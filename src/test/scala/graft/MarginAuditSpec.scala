@@ -57,7 +57,9 @@ class MarginAuditSpec extends SparkSpecBase {
       // the 8th: Jensen-Shannon categorical divergence (round 13)
       "q_jsd",
       // the 9th: pointwise mutual-information cells (round 13)
-      "q_mutual_information")
+      "q_mutual_information",
+      // the 10th: conditional entropy of event transitions (round 13)
+      "q_entropy_rate")
 
   test("oracle scan: no oracle hashes a transcendental without a margin audit") {
     val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
@@ -471,6 +473,28 @@ class MarginAuditSpec extends SparkSpecBase {
         "an engine ulp could flip the Winkler branch")
   }
 
+  /** q_entropy_rate hashes round-4 −p(i,j)·ln(p(j|i)) contributions;
+    * re-derive each UNROUNDED from the exact hashed counts with the
+    * operator's own op sequence and check the 4-digit boundary margin
+    * (single-destination cells are an exact ±0.0 — skipped, the
+    * deterministic zero).
+    */
+  private def auditEntropyRate(sfDir: String): Unit = {
+    val rows = SparkEntry.queries("q_entropy_rate")(spark, sfDir)
+      .select(col("n_trans"), col("n_from"), col("n")).collect()
+    assert(rows.nonEmpty && rows.length <= 64,
+      s"$sfDir: expected a bounded cell spine, got ${rows.length}")
+    val margin = boundaryMargin(4)
+    val margins = rows.iterator.filter(r => r.getLong(0) != r.getLong(1)).map { r =>
+      val pJoint = r.getLong(0).toDouble / r.getLong(2).toDouble
+      val pCond = r.getLong(0).toDouble / r.getLong(1).toDouble
+      margin(-pJoint * math.log(pCond))
+    }.toSeq
+    if (margins.nonEmpty) assert(margins.min > 1e-9,
+      f"$sfDir: a hashed h_contrib sits ${margins.min}%.3e from its 4-digit " +
+        "rounding boundary — libm drift could flip the hash")
+  }
+
   private def auditRetrievalMetrics(sfDir: String): Unit = {
     // q_retrieval_metrics hashes only INTEGER ranks/counts and exact
     // divisions of them — no float from the ln survives to the hash —
@@ -601,6 +625,9 @@ class MarginAuditSpec extends SparkSpecBase {
     }
     test(s"name-match boundary audit at $dir: jw margins and boost-threshold gaps > 1e-9") {
       auditNameMatch(sf(dir))
+    }
+    test(s"entropy-rate margin audit at $dir: boundary margin > 1e-9") {
+      auditEntropyRate(sf(dir))
     }
   }
 }

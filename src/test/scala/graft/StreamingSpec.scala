@@ -1155,6 +1155,54 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming word-count state: merged counts reproduce the batch diversity card (D31)") {
+    // D31: C74's lexical diversity maintained under streaming ingestion
+    // (the D29 cell shape): state = the (source, word, c) vocabulary
+    // table, merge = count ADDITION. Hapax status is a property of the
+    // MERGED state — a word seen once in two different batches must be
+    // non-hapax after the merge (asserted non-vacuously below).
+    import graft.operators.stats.Profiling
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Profiling.wordCounts(df, "source", "text")
+    val dir = Files.createTempDirectory("graft_wc_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).documents.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    var firstBatch: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val bCells = cells(batch).localCheckpoint(true)
+        if (firstBatch.isEmpty) firstBatch = Some(bCells)
+        val next = st match {
+          case None => bCells
+          case Some(prev) => Profiling.mergeWordCounts(prev, bCells)
+        }
+        st = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    assert(canon(st.get) == canon(cells(batchDf)))
+    val streamed = Profiling.diversityFromWordCounts(st.get).collect().toSeq
+    val oneShot = Profiling
+      .lexicalDiversityBySource(batchDf, "source", "text").collect().toSeq
+    assert(streamed.nonEmpty && streamed == oneShot)
+    // non-vacuous hapax-merge: some batch-1 hapax is non-hapax merged
+    val crossBatch = firstBatch.get.where($"c" === 1L)
+      .join(st.get.where($"c" > 1L), Seq("source", "word"), "left_semi")
+    assert(crossBatch.count() > 0L,
+      "expected at least one word hapax in batch 1 but repeated corpus-wide")
+  }
+
   test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
     // the production ingestion shape: a document stream anti-joined
     // against the static content-hash index of the existing corpus —
