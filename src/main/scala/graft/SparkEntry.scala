@@ -2313,6 +2313,20 @@ object SparkEntry {
       // h_contrib is the 10th audited transcendental.
       graft.operators.stats.Stats.conditionalEntropy(
         transitionCounts(s, dir), "from_type", "to_type", "n_transitions")),
+    "q_eta_squared" -> ((s, dir) =>
+      // ANOVA effect sizes (B124): eta^2/omega^2 on q_anova's exact
+      // framing (lineitem quantity by returnflag) — same decimal sums,
+      // same group-sorted folds, hashRound 4 under the StatsSpec
+      // margin-audit protocol. Single row.
+      graft.operators.stats.Stats.etaSquared(
+        snap(s, dir).lineitem, "l_returnflag", "l_quantity")),
+    "q_theil" -> ((s, dir) =>
+      // between-bucket Theil-T inequality (B125): the decomposable
+      // companion of q_gini at the Lorenz 100-bucket grain — bucket
+      // shares from exact decimals; t_contrib is the 11th audited
+      // transcendental (hashRound 4 + boundary audit).
+      graft.operators.stats.Stats.theilBetween(
+        lorenzSpine(s, dir), "pctile", "n_customers", "rev")),
     "q_freq_sketch" -> ((s, dir) => {
       // Count-Min point-frequency sketch (B120): bit-reproducible
       // cell-add merge (unlike MG's order-sensitive counter set); the
@@ -3122,6 +3136,23 @@ object SparkEntry {
         bucket(year(col("o_orderdate")) >= 1994 &&
           year(col("o_orderdate")) <= 1995).as("sp_mid"),
         bucket(year(col("o_orderdate")) >= 1996).as("sp_late"))
+  }
+
+  /** q_theil's Lorenz bucket spine (customer revenue, 100-percentile
+    * buckets, exact decimal sums) — shared with MarginAuditSpec so the
+    * boundary audit re-derives the Theil contributions from exactly the
+    * state the hashed query aggregates.
+    */
+  def lorenzSpine(s: SparkSession, dir: String): DataFrame = {
+    val cust = snap(s, dir).orders
+      .where(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+      .groupBy("o_custkey")
+      .agg(graft.functions.ExactMath.dsum(col("o_totalprice")).as("revenue"))
+    graft.operators.quantile.Quantiles
+      .withNtile(cust, "revenue", "o_custkey", 100, "pctile")
+      .groupBy("pctile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("revenue").cast(graft.functions.ExactMath.ValueDecimal)).as("rev"))
   }
 
   /** q_name_match's blocked part table (two-word blocking key) — shared
@@ -6519,6 +6550,69 @@ object SparkEntry {
         |    / 1e4 AS h_contrib
         |FROM c JOIN f USING (from_type) CROSS JOIN tt
         |ORDER BY from_type, to_type""".stripMargin,
+    // B124 ANOVA effect sizes: the q_anova CTEs verbatim, eta^2/omega^2
+    // as fixed IEEE chains over the same folds, floor-round 4
+    "q_eta_squared" ->
+      """WITH a AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s_g,
+        |    CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS q_g
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n,
+        |    list_reduce(list(s_g ORDER BY g), (x, y) -> x + y) AS s,
+        |    list_reduce(list(q_g ORDER BY g), (x, y) -> x + y) AS q,
+        |    list_reduce(list(s_g * s_g / CAST(n_g AS DOUBLE) ORDER BY g),
+        |                (x, y) -> x + y) AS b
+        |  FROM a)
+        |SELECT k AS n_groups, n,
+        |  CASE WHEN k >= 2 AND (q - s * s / CAST(n AS DOUBLE)) > 0 THEN
+        |    floor(((b - s * s / CAST(n AS DOUBLE))
+        |      / (q - s * s / CAST(n AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
+        |  END AS eta_sq,
+        |  CASE WHEN k >= 2 AND n > k AND
+        |    ((q - s * s / CAST(n AS DOUBLE)) + (q - b) / CAST(n - k AS DOUBLE)) > 0
+        |  THEN
+        |    floor((((b - s * s / CAST(n AS DOUBLE))
+        |        - CAST(k - 1 AS DOUBLE) * ((q - b) / CAST(n - k AS DOUBLE)))
+        |      / ((q - s * s / CAST(n AS DOUBLE))
+        |        + (q - b) / CAST(n - k AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
+        |  END AS omega_sq
+        |FROM t""".stripMargin,
+    // B125 between-bucket Theil-T: the q_lorenz bucket CTEs + the
+    // audited ln contribution, floor-round 4; zero buckets contribute 0
+    "q_theil" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |b AS (
+        |  SELECT revenue,
+        |         CAST(ntile(100) OVER (ORDER BY revenue, o_custkey) AS BIGINT)
+        |           AS pctile
+        |  FROM c),
+        |s AS (
+        |  SELECT pctile, CAST(count(*) AS BIGINT) AS n_customers,
+        |         SUM(CAST(revenue AS DECIMAL(18,6))) AS rev
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS nn, SUM(rev) AS ss FROM s)
+        |SELECT pctile, n_customers AS n_rows,
+        |  CASE WHEN t.ss > 0 THEN
+        |    floor((CAST(rev AS DOUBLE) / CAST(t.ss AS DOUBLE)) * 10000.0 + 0.5)
+        |      / 10000.0 END AS rev_share,
+        |  CASE WHEN rev > 0 AND n_customers > 0 AND t.ss > 0 AND t.nn > 0 THEN
+        |    floor(((CAST(rev AS DOUBLE) / CAST(t.ss AS DOUBLE))
+        |      * ln((CAST(rev AS DOUBLE) / CAST(t.ss AS DOUBLE))
+        |        / (CAST(n_customers AS DOUBLE) / CAST(t.nn AS DOUBLE))))
+        |      * 10000.0 + 0.5) / 10000.0
+        |  ELSE 0.0 END AS t_contrib
+        |FROM s CROSS JOIN t ORDER BY pctile""".stripMargin,
     // B104 runs test: lower-median element via quantile_disc (SELECTION
     // mirror), equal-to-median rows drop, LAG transition count (first
     // row opens run 1), fixed IEEE E/V/z chain on exact ints; keys

@@ -656,6 +656,86 @@ object Stats {
         u2d.cast("double") / (lit(2L).cast(d38) * prod).cast("double")).as("cles"))
   }
 
+  /** One-way ANOVA effect sizes (B124) — the "how big" companion of
+    * [[anovaOneWay]]'s F (the B121-to-B90 relationship): η² = SSB/SST
+    * (variance share explained by the grouping) and the less-biased
+    * ω² = (SSB − (k−1)·MSW)/(SST + MSW). Rides the IDENTICAL
+    * construction — exact decimal per-group (n, Σv, Σv²) sums, the
+    * group-sorted SEQUENTIAL spine folds (order-free rule), one fixed
+    * IEEE chain — and the same conversion-drift class, so both hash at
+    * hashRound 4 under the StatsSpec margin-audit protocol. NULL when
+    * k < 2 or SST/MSW degenerate.
+    */
+  def etaSquared(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    def dsumProd(a: Column, b: Column): Column =
+      sum((a.cast(ExactMath.ValueDecimal) * b.cast(ExactMath.ValueDecimal))
+        .cast(ExactMath.ValueDecimal)).cast("double")
+    val perGroup = df
+      .where(col(groupCol).isNotNull && v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_g"),
+        ExactMath.dsum(v).as("s_g"),
+        dsumProd(v, v).as("q_g"))
+    val spine = perGroup.agg(array_sort(collect_list(struct(
+      col(groupCol).cast("string").as("g"),
+      col("n_g"), col("s_g"), col("q_g")))).as("gs"))
+    def fold(term: Column => Column): Column =
+      aggregate(col("gs"), lit(0.0), (acc, e) => acc + term(e))
+    val k = size(col("gs"))
+    val bigN = aggregate(col("gs"), lit(0L), (acc, e) => acc + e.getField("n_g"))
+    val sTot = fold(_.getField("s_g"))
+    val qTot = fold(_.getField("q_g"))
+    val bTot = fold(e => e.getField("s_g") * e.getField("s_g")
+      / e.getField("n_g").cast("double"))
+    val corr = sTot * sTot / bigN.cast("double")
+    val ssb = bTot - corr
+    val sst = qTot - corr
+    val msw = (qTot - bTot) / (bigN - k.cast("long")).cast("double")
+    spine.select(
+      k.cast("long").as("n_groups"),
+      bigN.as("n"),
+      when(k >= 2 && sst > 0.0,
+        ExactMath.hashRound(ssb / sst, 4)).as("eta_sq"),
+      when(k >= 2 && bigN > k.cast("long") && (sst + msw) > 0.0,
+        ExactMath.hashRound(
+          (ssb - (k - 1).cast("double") * msw) / (sst + msw), 4)).as("omega_sq"))
+  }
+
+  /** Between-bucket Theil-T inequality index contributions (B125) —
+    * the DECOMPOSABLE inequality measure next to B56's Gini, evaluated
+    * at the Lorenz bucket grain (B86's 100-percentile spine): with
+    * bucket sums s_b and counts n_b,
+    *   t_contrib_b = (s_b/S) · ln((s_b/S)/(n_b/N)),
+    * Σ = the between-bucket Theil component (the within-bucket
+    * remainder needs per-row lns — the LangModel dense-transcendental
+    * trap, NOT hashed; the bucket grain keeps the audited ln count at
+    * ≤ buckets).
+    * Shares pass the >2^53 decimal→double conversions (the Lorenz
+    * lesson) ⇒ rev_share and t_contrib hash at hashRound 4 under a
+    * MarginAuditSpec boundary audit (the 11th audited transcendental).
+    * Zero-sum buckets contribute exact 0 via the when guard.
+    */
+  def theilBetween(
+      buckets: DataFrame,
+      bucketCol: String,
+      nCol: String,
+      sumCol: String): DataFrame = {
+    val totals = buckets.agg(
+      sum(col(nCol)).as("__N"), sum(col(sumCol)).as("__S"))
+    val j = buckets.crossJoin(broadcast(totals))
+    val sShare = col(sumCol).cast("double") / col("__S").cast("double")
+    val nShare = col(nCol).cast("double") / col("__N").cast("double")
+    val contrib = sShare * log(sShare / nShare)
+    val ok = col(sumCol) > 0 && col(nCol) > 0 && col("__S") > 0 && col("__N") > 0
+    j.select(
+      col(bucketCol), col(nCol).as("n_rows"),
+      when(col("__S") > 0, ExactMath.hashRound(sShare, 4)).as("rev_share"),
+      when(ok, ExactMath.hashRound(contrib, 4)).otherwise(lit(0.0)).as("t_contrib"))
+      .orderBy(bucketCol)
+  }
+
   /** Conditional-entropy cells over a pre-aggregated transition table
     * (B123) — how predictable is the next event given the current one?
     * H(next|cur) = Σ −p(i,j)·ln(p(j|i)) — the sequence-predictability
@@ -702,14 +782,32 @@ object Stats {
     * (documented; fill upstream for calendar-exact lags). NULL acf at
     * n ≤ k or a zero deviation sum.
     */
-  def acfGlobal(df: DataFrame, unitCol: String, maxLag: Int): DataFrame = {
+  def acfGlobal(df: DataFrame, unitCol: String, maxLag: Int): DataFrame =
+    acfFromUnitCounts(unitCounts(df, unitCol), maxLag)
+
+  /** `(u, x)` per-unit counts — the associative MONITORING STATE of
+    * [[acfGlobal]] (D32): counts merge by plain addition
+    * ([[mergeUnitCounts]] — the miCells shape), so a streaming monitor
+    * folds microbatches into the standing volume series and re-derives
+    * the ACF on demand. NOT idempotent (the D20 partition contract).
+    */
+  def unitCounts(df: DataFrame, unitCol: String): DataFrame =
+    df.where(col(unitCol).isNotNull)
+      .groupBy(col(unitCol).as("u")).agg(count(lit(1)).as("x"))
+
+  /** Merge two [[unitCounts]] states by count addition. */
+  def mergeUnitCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("u").agg(sum(col("x")).as("x"))
+
+  /** The ACF report from a pre-aggregated unit-count state — see
+    * [[acfGlobal]] for the full contract.
+    */
+  def acfFromUnitCounts(units: DataFrame, maxLag: Int): DataFrame = {
     require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1,64], got $maxLag")
-    val units = df.where(col(unitCol).isNotNull)
-      .groupBy(col(unitCol)).agg(count(lit(1)).as("__x"))
     val agg = units.agg(
-      array_sort(collect_list(struct(col(unitCol).as("u"),
-        col("__x").as("x")))).as("sp"),
-      sum(col("__x")).as("__s1"),
+      array_sort(collect_list(struct(col("u"),
+        col("x")))).as("sp"),
+      sum(col("x")).as("__s1"),
       count(lit(1)).as("n_points"))
     val mean = col("__s1").cast("double") / col("n_points").cast("double")
     val withDevs = agg.withColumn("__devs",

@@ -37,6 +37,43 @@ class AcfEntropySpec extends SparkSpecBase {
     assert(rows.forall(_.isNullAt(2)))
   }
 
+  test("etaSquared: two-group hand case follows the exact fold chain") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Stats.etaSquared(df, "g", "v").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    // exact sums: s=21, q=91, b=87; ssb=13.5, sst=17.5, msw=1
+    val corr = 21.0 * 21.0 / 6.0
+    val ssb = 87.0 - corr; val sst = 91.0 - corr
+    val msw = (91.0 - 87.0) / 4.0
+    def hr(v: Double) = math.floor(v * 1e4 + 0.5) / 1e4
+    assert(r.getDouble(2) == hr(ssb / sst))
+    assert(r.getDouble(3) == hr((ssb - 1.0 * msw) / (sst + msw)))
+  }
+
+  test("etaSquared: a constant column degenerates to NULL effect sizes") {
+    val df = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    val r = Stats.etaSquared(df, "g", "v").collect().head
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("theilBetween: hand buckets follow the exact formula; equal shares give 0") {
+    val buckets = Seq((1L, 2L, 2.0), (2L, 2L, 6.0)).toDF("b", "n", "s")
+    val rows = Stats.theilBetween(buckets, "b", "n", "s").collect()
+    def hr(v: Double) = math.floor(v * 1e4 + 0.5) / 1e4
+    assert(rows(0).getDouble(2) == hr(2.0 / 8.0))
+    assert(rows(0).getDouble(3) == hr((2.0 / 8.0) * math.log((2.0 / 8.0) / (2.0 / 4.0))))
+    assert(rows(1).getDouble(3) == hr((6.0 / 8.0) * math.log((6.0 / 8.0) / (2.0 / 4.0))))
+    // perfectly proportional buckets -> every contribution exactly 0
+    val eq = Seq((1L, 1L, 3.0), (2L, 3L, 9.0)).toDF("b", "n", "s")
+    assert(Stats.theilBetween(eq, "b", "n", "s").collect()
+      .forall(_.getDouble(3) == 0.0))
+    // zero-sum buckets contribute exact 0 via the guard
+    val z = Seq((1L, 2L, 0.0), (2L, 2L, 8.0)).toDF("b", "n", "s")
+    assert(Stats.theilBetween(z, "b", "n", "s").collect()
+      .head.getDouble(3) == 0.0)
+  }
+
   test("conditionalEntropy: hand cells follow the exact formula") {
     val cells = Seq(("a", "x", 3L), ("a", "y", 1L), ("b", "x", 4L))
       .toDF("f", "t", "n")

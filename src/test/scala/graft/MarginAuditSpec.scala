@@ -59,7 +59,9 @@ class MarginAuditSpec extends SparkSpecBase {
       // the 9th: pointwise mutual-information cells (round 13)
       "q_mutual_information",
       // the 10th: conditional entropy of event transitions (round 13)
-      "q_entropy_rate")
+      "q_entropy_rate",
+      // the 11th: between-bucket Theil-T inequality (round 13)
+      "q_theil")
 
   test("oracle scan: no oracle hashes a transcendental without a margin audit") {
     val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
@@ -495,6 +497,29 @@ class MarginAuditSpec extends SparkSpecBase {
         "rounding boundary — libm drift could flip the hash")
   }
 
+  /** q_theil hashes round-4 bucket shares and (s/S)·ln((s/S)/(n/N))
+    * contributions; re-derive both UNROUNDED from the shared
+    * `SparkEntry.lorenzSpine`'s exact decimal bucket state with the
+    * operator's own op sequence and check the 4-digit boundary margins.
+    */
+  private def auditTheil(sfDir: String): Unit = {
+    val rows = SparkEntry.lorenzSpine(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 100,
+      s"$sfDir: expected <= 100 buckets, got ${rows.length}")
+    val bigN = rows.map(_.getLong(1)).sum.toDouble
+    // the operator sums decimals EXACTLY then converts once — mirror that
+    val bigS = rows.map(r => BigDecimal(r.getDecimal(2))).sum.toDouble
+    val margin = boundaryMargin(4)
+    val minB = rows.iterator.flatMap { r =>
+      val sShare = r.getDecimal(2).doubleValue / bigS
+      val nShare = r.getLong(1).toDouble / bigN
+      Iterator(margin(sShare), margin(sShare * math.log(sShare / nShare)))
+    }.min
+    assert(minB > 1e-9,
+      f"$sfDir: a hashed theil share/contrib sits $minB%.3e from its 4-digit " +
+        "rounding boundary — libm drift could flip the hash")
+  }
+
   private def auditRetrievalMetrics(sfDir: String): Unit = {
     // q_retrieval_metrics hashes only INTEGER ranks/counts and exact
     // divisions of them — no float from the ln survives to the hash —
@@ -628,6 +653,9 @@ class MarginAuditSpec extends SparkSpecBase {
     }
     test(s"entropy-rate margin audit at $dir: boundary margin > 1e-9") {
       auditEntropyRate(sf(dir))
+    }
+    test(s"theil margin audit at $dir: boundary margin > 1e-9") {
+      auditTheil(sf(dir))
     }
   }
 }

@@ -422,6 +422,43 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  // q_eta_squared rides the identical construction and drift class;
+  // margin-audit the PRE-rounding eta^2/omega^2 at 3 SFs
+  for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    test(s"eta-squared margin audit at $dir: unrounded effect sizes clear of boundaries") {
+      val li = sources.Snapshot(spark, sf(dir)).lineitem
+      val agg = li
+        .where(col("l_returnflag").isNotNull && col("l_quantity").isNotNull)
+        .groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          graft.functions.ExactMath.dsum(col("l_quantity")).as("sg"),
+          sum((col("l_quantity").cast("decimal(18,6)") * col("l_quantity").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")).cast("double").as("qg"))
+        .orderBy("l_returnflag")
+        .collect()
+      val k = agg.length
+      val n = agg.map(_.getAs[Long]("n")).sum
+      val sTot = agg.map(_.getAs[Double]("sg")).foldLeft(0.0)(_ + _)
+      val qTot = agg.map(_.getAs[Double]("qg")).foldLeft(0.0)(_ + _)
+      val bTot = agg.map(r => r.getAs[Double]("sg") * r.getAs[Double]("sg")
+        / r.getAs[Long]("n").toDouble).foldLeft(0.0)(_ + _)
+      val corr = sTot * sTot / n.toDouble
+      val ssb = bTot - corr
+      val sst = qTot - corr
+      val msw = (qTot - bTot) / (n - k).toDouble
+      val eta = ssb / sst
+      val omega = (ssb - (k - 1).toDouble * msw) / (sst + msw)
+      val scale = 10000.0
+      Seq("eta" -> eta, "omega" -> omega).foreach { case (name, v) =>
+        val frac = v * scale - math.floor(v * scale)
+        val margin = math.abs(frac - 0.5) / scale
+        val driftBound = (math.abs(v) + 1.0) * 1e-14
+        assert(margin > 1e3 * driftBound,
+          f"$dir: unrounded $name $v%.10g sits $margin%.3e from its 4-digit boundary")
+      }
+    }
+  }
+
   test("momentsByGroup: hand-derived moments via the operator's own IEEE sequence") {
     import spark.implicits._
     def hr(x: Double, d: Int): Double = {

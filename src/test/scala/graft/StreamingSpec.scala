@@ -1203,6 +1203,48 @@ class StreamingSpec extends SparkSpecBase {
       "expected at least one word hapax in batch 1 but repeated corpus-wide")
   }
 
+  test("streaming volume-series state: merged unit counts reproduce the batch ACF (D32)") {
+    // D32: B122's ACF maintained under streaming ingestion (the D29
+    // cell shape): state = the (u, x) per-unit count series, merge =
+    // count ADDITION; acfFromUnitCounts over the merged state == the
+    // one-shot batch report exactly (full-row, incl. the unrounded acf
+    // doubles).
+    import graft.operators.stats.Stats
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Stats.unitCounts(df.where(col("o_orderdate").isNotNull), "o_orderdate")
+    val dir = Files.createTempDirectory("graft_acf_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).orders.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val bCells = cells(batch).localCheckpoint(true)
+        val next = st match {
+          case None => bCells
+          case Some(prev) => Stats.mergeUnitCounts(prev, bCells)
+        }
+        st = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    assert(canon(st.get) == canon(cells(batchDf)))
+    val streamed = Stats.acfFromUnitCounts(st.get, 5).collect().toSeq
+    val oneShot = Stats.acfGlobal(
+      batchDf.where(col("o_orderdate").isNotNull), "o_orderdate", 5)
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed == oneShot)
+  }
+
   test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
     // the production ingestion shape: a document stream anti-joined
     // against the static content-hash index of the existing corpus —
