@@ -2327,6 +2327,13 @@ object SparkEntry {
       // transcendental (hashRound 4 + boundary audit).
       graft.operators.stats.Stats.theilBetween(
         lorenzSpine(s, dir), "pctile", "n_customers", "rev")),
+    "q_boxplot_stats" -> ((s, dir) =>
+      // five-number box-plot summary per priority (B126): exact
+      // min/max, round-4 quartiles (the q_percentiles contract), Tukey
+      // whiskers = exact SELECTIONS inside the rounded fences, fence
+      // counts — the ChartRender.boxPlotPng feed.
+      graft.operators.quantile.Outliers.boxplotStats(
+        snap(s, dir).orders, "o_orderpriority", "o_totalprice")),
     "q_freq_sketch" -> ((s, dir) => {
       // Count-Min point-frequency sketch (B120): bit-reproducible
       // cell-add merge (unlike MG's order-sensitive counter set); the
@@ -6613,6 +6620,37 @@ object SparkEntry {
         |      * 10000.0 + 0.5) / 10000.0
         |  ELSE 0.0 END AS t_contrib
         |FROM s CROSS JOIN t ORDER BY pctile""".stripMargin,
+    // B126 box-plot stats: quantile_cont quartiles (B13 parity) floor-
+    // rounded 4, fences from the UNROUNDED quartiles then rounded,
+    // whiskers = exact selections inside the rounded fences
+    "q_boxplot_stats" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority,
+        |    quantile_cont(o_totalprice, 0.25) AS q1r,
+        |    quantile_cont(o_totalprice, 0.5) AS medr,
+        |    quantile_cont(o_totalprice, 0.75) AS q3r
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |f AS (SELECT o_orderpriority,
+        |    floor(q1r * 10000.0 + 0.5) / 10000.0 AS q1,
+        |    floor(medr * 10000.0 + 0.5) / 10000.0 AS median,
+        |    floor(q3r * 10000.0 + 0.5) / 10000.0 AS q3,
+        |    floor((q1r - 1.5 * (q3r - q1r)) * 10000.0 + 0.5) / 10000.0 AS lo,
+        |    floor((q3r + 1.5 * (q3r - q1r)) * 10000.0 + 0.5) / 10000.0 AS hi
+        |  FROM q)
+        |SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  MIN(o_totalprice) AS v_min, MAX(f.q1) AS q1, MAX(f.median) AS median,
+        |  MAX(f.q3) AS q3, MAX(o_totalprice) AS v_max,
+        |  MIN(CASE WHEN o_totalprice >= f.lo THEN o_totalprice END) AS whisker_lo,
+        |  MAX(CASE WHEN o_totalprice <= f.hi THEN o_totalprice END) AS whisker_hi,
+        |  CAST(SUM(CASE WHEN o_totalprice < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_below,
+        |  CAST(SUM(CASE WHEN o_totalprice > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_above
+        |FROM orders o JOIN f USING (o_orderpriority)
+        |WHERE o.o_totalprice IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // B104 runs test: lower-median element via quantile_disc (SELECTION
     // mirror), equal-to-median rows drop, LAG transition count (first
     // row opens run 1), fixed IEEE E/V/z chain on exact ints; keys

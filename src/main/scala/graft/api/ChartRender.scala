@@ -244,6 +244,59 @@ object ChartRender {
     png(img)
   }
 
+  /** Box-and-whisker chart over a (label, lo, q1, median, q3, hi)
+    * frame — the presentation step of `q_boxplot_stats`' five-number
+    * summaries (whiskers at the Tukey-clamped extremes). Geometry
+    * follows [[barChartPng]]'s slot layout: each group gets one slot,
+    * the box spans the middle 50% of the slot from q1 to q3
+    * (palette fill, dark outline), the median is a BLACK line across
+    * the box, and the whisker is a dark-gray vertical line lo→hi with
+    * end caps. Values must be non-negative and ordered
+    * lo ≤ q1 ≤ median ≤ q3 ≤ hi (fail-loud, the bar/pie convention).
+    */
+  def boxPlotPng(df: DataFrame, labelCol: String, loCol: String, q1Col: String,
+      medCol: String, q3Col: String, hiCol: String,
+      width: Int = 800, height: Int = 500, title: String = ""): Array[Byte] = {
+    val data = frame(df, Seq(labelCol, loCol, q1Col, medCol, q3Col, hiCol))
+    require(data.forall(r => r._2(0) <= r._2(1) && r._2(1) <= r._2(2) &&
+      r._2(2) <= r._2(3) && r._2(3) <= r._2(4)),
+      "box stats must be ordered lo <= q1 <= median <= q3 <= hi")
+    require(data.forall(_._2.forall(_ >= 0)),
+      "box values must be non-negative — shift or transform signed series first")
+    val (img, g) = canvas(width, height)
+    drawTitle(g, title, width)
+    val (x0, y0, y1, x1) = (70, 30, height - 60, width - 20)
+    val toY = valueAxis(g, data.map(_._2(4)).max, x0, y0, y1, x1)
+    val n = data.length
+    val slot = (x1 - x0).toDouble / n
+    data.zipWithIndex.foreach { case ((label, vs), i) =>
+      val Seq(lo, q1, med, q3, hi) = vs
+      val cx = x0 + (i * slot + slot * 0.5).toInt
+      val bx = x0 + (i * slot + slot * 0.25).toInt
+      val bw = math.max(1, (slot * 0.5).toInt)
+      // whisker: vertical line + end caps
+      g.setColor(Color.DARK_GRAY)
+      g.drawLine(cx, toY(hi), cx, toY(lo))
+      g.drawLine(cx - bw / 4, toY(hi), cx + bw / 4, toY(hi))
+      g.drawLine(cx - bw / 4, toY(lo), cx + bw / 4, toY(lo))
+      // box q1..q3
+      g.setColor(Palette(0))
+      g.fillRect(bx, toY(q3), bw, math.max(1, toY(q1) - toY(q3)))
+      g.setColor(Color.DARK_GRAY)
+      g.drawRect(bx, toY(q3), bw, math.max(1, toY(q1) - toY(q3)))
+      // median line
+      g.setColor(Color.BLACK)
+      g.drawLine(bx, toY(med), bx + bw, toY(med))
+      g.setColor(Color.DARK_GRAY)
+      val fm = g.getFontMetrics
+      val lab = if (label.length > 12) label.take(11) + "…" else label
+      if (fm.stringWidth(lab) <= slot || n <= 12)
+        g.drawString(lab, cx - fm.stringWidth(lab) / 2, y1 + 14)
+    }
+    g.dispose()
+    png(img)
+  }
+
   /** Pie chart over a (label, value) frame — the reference's
     * `pie_chart_tool` (category shares). Slice boundaries come from the
     * ROUNDED CUMULATIVE angle, so sweeps sum to exactly 360° and later

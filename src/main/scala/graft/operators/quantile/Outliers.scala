@@ -30,6 +30,59 @@ object Outliers {
     * min_outlier, max_outlier` (the last two null when a group has no
     * outliers).
     */
+  /** Per-group five-number box-plot summary (B126) — the chart-feed
+    * companion of [[iqrAudit]] (fence counts there; the full summary a
+    * box renderer needs here): n, raw min/max (exact order
+    * statistics), quartiles (exact `percentile`, the B13 parity class,
+    * hashRound 4 — the q_percentiles contract), and the TUKEY WHISKERS
+    * = the extreme DATA VALUES inside the rounded k·IQR fences (exact
+    * SELECTIONS, hash unrounded — the convention matplotlib draws),
+    * plus below/above-fence counts. Fences derive from the UNROUNDED
+    * quartiles and round at 4 before the compare (the iqrAudit
+    * contract). Two slim passes, fact table never globally sorted; B28
+    * sketches are the 100 TB fence path.
+    */
+  def boxplotStats(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    val v = col(valueCol)
+    val clean = df.where(col(groupCol).isNotNull && v.isNotNull)
+    val q = clean
+      .groupBy(col(groupCol))
+      .agg(
+        expr(s"percentile($valueCol, 0.25)").as("__q1"),
+        expr(s"percentile($valueCol, 0.5)").as("__med"),
+        expr(s"percentile($valueCol, 0.75)").as("__q3"))
+      .select(
+        col(groupCol),
+        graft.functions.ExactMath.hashRound(col("__q1"), 4).as("q1"),
+        graft.functions.ExactMath.hashRound(col("__med"), 4).as("median"),
+        graft.functions.ExactMath.hashRound(col("__q3"), 4).as("q3"),
+        graft.functions.ExactMath.hashRound(
+          col("__q1") - lit(k) * (col("__q3") - col("__q1")), 4).as("__lo"),
+        graft.functions.ExactMath.hashRound(
+          col("__q3") + lit(k) * (col("__q3") - col("__q1")), 4).as("__hi"))
+    clean.join(broadcast(q), groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(v).as("v_min"),
+        max(v).as("v_max"),
+        max(col("q1")).as("q1"),
+        max(col("median")).as("median"),
+        max(col("q3")).as("q3"),
+        min(when(v >= col("__lo"), v)).as("whisker_lo"),
+        max(when(v <= col("__hi"), v)).as("whisker_hi"),
+        sum(when(v < col("__lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(v > col("__hi"), 1L).otherwise(0L)).as("n_above"))
+      .select(col(groupCol), col("n_rows"), col("v_min"), col("q1"),
+        col("median"), col("q3"), col("v_max"),
+        col("whisker_lo"), col("whisker_hi"), col("n_below"), col("n_above"))
+      .orderBy(groupCol)
+  }
+
   def iqrAudit(
       df: DataFrame,
       groupCol: String,

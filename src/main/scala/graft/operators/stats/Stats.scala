@@ -507,29 +507,45 @@ object Stats {
     * Single-row output; the group spine is k rows, the fact table is
     * touched once by one partial-aggregated groupBy.
     */
-  def anovaOneWay(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  def anovaOneWay(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    anovaFromState(anovaGroupState(df, groupCol, valueCol))
+
+  /** `(g, n_g, s_dec, q_dec)` per-group EXACT decimal sufficient sums —
+    * the associative MONITORING STATE behind [[anovaOneWay]] and
+    * [[etaSquared]] (D33, the D25 moments shape): every field is a
+    * BIGINT count or an exact decimal sum, so [[mergeAnovaGroupState]]
+    * of microbatch states == the one-shot state EXACTLY, and the
+    * streaming experiment monitor derives F/η²/ω² on demand from the
+    * merged state via [[anovaFromState]]/[[etaFromState]] (shared
+    * derivations make state==one-shot structural). NOT idempotent (the
+    * D20 partition contract).
+    */
+  def anovaGroupState(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val v = col(valueCol)
-    def dsumProd(a: Column, b: Column): Column =
-      sum((a.cast(ExactMath.ValueDecimal) * b.cast(ExactMath.ValueDecimal))
-        .cast(ExactMath.ValueDecimal)).cast("double")
-    val perGroup = df
-      .where(col(groupCol).isNotNull && v.isNotNull)
+    df.where(col(groupCol).isNotNull && v.isNotNull)
       .groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n_g"),
-        ExactMath.dsum(v).as("s_g"),
-        dsumProd(v, v).as("q_g"))
-    val spine = perGroup.agg(array_sort(collect_list(struct(
-      col(groupCol).cast("string").as("g"),
-      col("n_g"), col("s_g"), col("q_g")))).as("gs"))
-    def fold(term: Column => Column): Column =
-      aggregate(col("gs"), lit(0.0), (acc, e) => acc + term(e))
-    val k = size(col("gs"))
-    val bigN = aggregate(col("gs"), lit(0L), (acc, e) => acc + e.getField("n_g"))
-    val sTot = fold(_.getField("s_g"))
-    val qTot = fold(_.getField("q_g"))
-    val bTot = fold(e => e.getField("s_g") * e.getField("s_g")
-      / e.getField("n_g").cast("double"))
+        sum(v.cast(ExactMath.ValueDecimal)).as("s_dec"),
+        sum((v.cast(ExactMath.ValueDecimal) * v.cast(ExactMath.ValueDecimal))
+          .cast(ExactMath.ValueDecimal)).as("q_dec"))
+      .select(col(groupCol).cast("string").as("g"),
+        col("n_g"), col("s_dec"), col("q_dec"))
+  }
+
+  /** Merge two [[anovaGroupState]] relations (field-wise sums). */
+  def mergeAnovaGroupState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("g").agg(
+      sum(col("n_g")).as("n_g"),
+      sum(col("s_dec")).as("s_dec"),
+      sum(col("q_dec")).as("q_dec"))
+
+  /** The F derivation from a pre-aggregated group state — see
+    * [[anovaOneWay]] for the full contract.
+    */
+  def anovaFromState(state: DataFrame): DataFrame = {
+    val spine = anovaSpine(state)
+    val (k, bigN, sTot, qTot, bTot) = anovaFolds
     spine.select(
       k.cast("long").as("n_groups"),
       bigN.as("n"),
@@ -538,6 +554,25 @@ object Stats {
           ((bTot - sTot * sTot / bigN.cast("double")) / (k - 1).cast("double"))
             / ((qTot - bTot) / (bigN - k.cast("long")).cast("double"))),
         4).as("f_stat"))
+  }
+
+  private def anovaSpine(state: DataFrame): DataFrame =
+    state.select(col("g"), col("n_g"),
+      col("s_dec").cast("double").as("s_g"),
+      col("q_dec").cast("double").as("q_g"))
+      .agg(array_sort(collect_list(struct(
+        col("g"), col("n_g"), col("s_g"), col("q_g")))).as("gs"))
+
+  private def anovaFolds: (Column, Column, Column, Column, Column) = {
+    def fold(term: Column => Column): Column =
+      aggregate(col("gs"), lit(0.0), (acc, e) => acc + term(e))
+    val k = size(col("gs"))
+    val bigN = aggregate(col("gs"), lit(0L), (acc, e) => acc + e.getField("n_g"))
+    val sTot = fold(_.getField("s_g"))
+    val qTot = fold(_.getField("q_g"))
+    val bTot = fold(e => e.getField("s_g") * e.getField("s_g")
+      / e.getField("n_g").cast("double"))
+    (k, bigN, sTot, qTot, bTot)
   }
 
   /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) between two named
@@ -666,29 +701,15 @@ object Stats {
     * hashRound 4 under the StatsSpec margin-audit protocol. NULL when
     * k < 2 or SST/MSW degenerate.
     */
-  def etaSquared(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val v = col(valueCol)
-    def dsumProd(a: Column, b: Column): Column =
-      sum((a.cast(ExactMath.ValueDecimal) * b.cast(ExactMath.ValueDecimal))
-        .cast(ExactMath.ValueDecimal)).cast("double")
-    val perGroup = df
-      .where(col(groupCol).isNotNull && v.isNotNull)
-      .groupBy(col(groupCol))
-      .agg(
-        count(lit(1)).as("n_g"),
-        ExactMath.dsum(v).as("s_g"),
-        dsumProd(v, v).as("q_g"))
-    val spine = perGroup.agg(array_sort(collect_list(struct(
-      col(groupCol).cast("string").as("g"),
-      col("n_g"), col("s_g"), col("q_g")))).as("gs"))
-    def fold(term: Column => Column): Column =
-      aggregate(col("gs"), lit(0.0), (acc, e) => acc + term(e))
-    val k = size(col("gs"))
-    val bigN = aggregate(col("gs"), lit(0L), (acc, e) => acc + e.getField("n_g"))
-    val sTot = fold(_.getField("s_g"))
-    val qTot = fold(_.getField("q_g"))
-    val bTot = fold(e => e.getField("s_g") * e.getField("s_g")
-      / e.getField("n_g").cast("double"))
+  def etaSquared(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    etaFromState(anovaGroupState(df, groupCol, valueCol))
+
+  /** The η²/ω² derivation from a pre-aggregated [[anovaGroupState]] —
+    * see [[etaSquared]] for the full contract.
+    */
+  def etaFromState(state: DataFrame): DataFrame = {
+    val spine = anovaSpine(state)
+    val (k, bigN, sTot, qTot, bTot) = anovaFolds
     val corr = sTot * sTot / bigN.cast("double")
     val ssb = bTot - corr
     val sst = qTot - corr

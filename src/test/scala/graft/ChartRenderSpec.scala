@@ -148,6 +148,63 @@ class ChartRenderSpec extends SparkSpecBase {
     assert(countColor(img, Blue) > 1000) // 12 contiguous bars worth of pixels
   }
 
+  test("box plot: boxes span q1..q3, median and whisker render at exact rows") {
+    val df = Seq(
+      ("a", 10.0, 20.0, 30.0, 40.0, 50.0),
+      ("b", 5.0, 25.0, 35.0, 65.0, 100.0))
+      .toDF("g", "lo", "q1", "med", "q3", "hi")
+    val img = decode(ChartRender.boxPlotPng(df, "g", "lo", "q1", "med", "q3", "hi",
+      470, 300))
+    assert(img.getWidth == 470 && img.getHeight == 300)
+    // geometry: x0=70, x1=450, y0=30, y1=240, vMax=100
+    // toY(v) = 240 - (v/100*210).toInt; slot=190
+    def toY(v: Double): Int = 240 - (v / 100.0 * 210).toInt
+    // group a box: x in [117, 212), y in [toY(40), toY(20)) = [156, 198)
+    val aCols = 120 to 208
+    def blueRows(x: Int): Seq[Int] =
+      (31 until 240).filter(y => (img.getRGB(x, y) & 0xFFFFFF) == Blue)
+    val aRows = blueRows(160)
+    assert(aRows.nonEmpty && math.abs(aRows.min - toY(40)) <= 1 &&
+      math.abs(aRows.max - (toY(20) - 1)) <= 1,
+      s"group-a box rows ${aRows.min}..${aRows.max}, want ~${toY(40)}..${toY(20) - 1}")
+    // group b box is taller: q3-q1 = 40 vs 20
+    val bRows = blueRows(350)
+    assert(bRows.size > aRows.size * 3 / 2,
+      s"group-b box (${bRows.size}px) should be ~2x group-a (${aRows.size}px)")
+    // median: a BLACK row across the box at toY(30)
+    val medY = toY(30.0)
+    val blackInBox = aCols.count(x => (img.getRGB(x, medY) & 0xFFFFFF) == 0)
+    assert(blackInBox > 50, s"median line missing: $blackInBox black px at y=$medY")
+    // whisker: dark-gray pixels on the center column ABOVE the box top
+    val cx = 70 + 95
+    val whisker = (toY(50.0) to toY(40.0) - 2)
+      .count(y => (img.getRGB(cx, y) & 0xFFFFFF) == 0x404040)
+    assert(whisker > 10, s"upper whisker missing: $whisker px on x=$cx")
+  }
+
+  test("box plot refuses unordered or negative stats") {
+    val bad = Seq(("a", 10.0, 40.0, 30.0, 20.0, 50.0))
+      .toDF("g", "lo", "q1", "med", "q3", "hi")
+    assert(intercept[IllegalArgumentException] {
+      ChartRender.boxPlotPng(bad, "g", "lo", "q1", "med", "q3", "hi")
+    }.getMessage.contains("ordered"))
+    val neg = Seq(("a", -1.0, 2.0, 3.0, 4.0, 5.0))
+      .toDF("g", "lo", "q1", "med", "q3", "hi")
+    assert(intercept[IllegalArgumentException] {
+      ChartRender.boxPlotPng(neg, "g", "lo", "q1", "med", "q3", "hi")
+    }.getMessage.contains("non-negative"))
+  }
+
+  test("box plot renders the real q_boxplot_stats output end-to-end") {
+    val bytes = ChartRender.boxPlotPng(
+      SparkEntry.queries("q_boxplot_stats")(spark, sf()),
+      "o_orderpriority", "whisker_lo", "q1", "median", "q3", "whisker_hi",
+      title = "order value by priority")
+    val img = decode(bytes)
+    assert(img.getWidth == 800 && img.getHeight == 500)
+    assert(countColor(img, Blue) > 500)
+  }
+
   test("histogram refuses negative counts") {
     val df = Seq((1L, 5L), (2L, -1L)).toDF("bin", "n")
     assert(intercept[IllegalArgumentException] {

@@ -26,6 +26,26 @@ class OutlierSpec extends SparkSpecBase {
       b.getDouble(4) == round4(75.25 + 1.5 * 49.5))
   }
 
+  test("boxplotStats: five-number summary with Tukey-clamped whiskers (B126)") {
+    val s2 = spark; import s2.implicits._
+    // 1..100 + extremes ±1000: fences [-48.5, 149.5] -> whiskers clamp
+    // to the extreme DATA values inside them (1 and 100)
+    val rows = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      Seq(("a", 1000.0), ("a", -1000.0))).toDF("g", "v")
+    val r = Outliers.boxplotStats(rows, "g", "v").collect().head
+    // (g, n_rows, v_min, q1, median, q3, v_max, w_lo, w_hi, n_below, n_above)
+    assert(r.getLong(1) == 102L)
+    assert(r.getDouble(2) == -1000.0 && r.getDouble(6) == 1000.0)
+    assert(r.getDouble(7) == 1.0 && r.getDouble(8) == 100.0)
+    assert(r.getLong(9) == 1L && r.getLong(10) == 1L)
+    // quartiles are the round-4 percentile contract values over the
+    // FULL 102-value group (extremes included)
+    assert(r.getDouble(4) == round4(50.5))
+    assert(r.getDouble(3) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(5))
+    // ordering invariant the renderer requires
+    assert(r.getDouble(7) <= r.getDouble(3) && r.getDouble(5) <= r.getDouble(8))
+  }
+
   test("k widens the fences: a milder multiplier flags more") {
     val s2 = spark; import s2.implicits._
     val rows = ((1 to 50).map(i => ("g", i.toDouble)) :+ ("g", 90.0)).toDF("g", "v")

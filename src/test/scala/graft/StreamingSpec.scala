@@ -1245,6 +1245,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == oneShot)
   }
 
+  test("streaming experiment monitor: merged ANOVA group state reproduces F and effect sizes (D33)") {
+    // D33: B89/B124 maintained under streaming ingestion (the D25
+    // moments shape): state = per-group (n, exact decimal Σv, Σv²),
+    // merge = field-wise sums — associative, so the merged state is the
+    // one-shot state EXACTLY and the shared anovaFromState/etaFromState
+    // derivations make state==one-shot structural.
+    import graft.operators.stats.Stats
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Stats.anovaGroupState(df, "o_orderpriority", "o_totalprice")
+    val dir = Files.createTempDirectory("graft_anova_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).orders.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val bState = state(batch).localCheckpoint(true)
+        val next = st match {
+          case None => bState
+          case Some(prev) => Stats.mergeAnovaGroupState(prev, bState)
+        }
+        st = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    assert(canon(st.get) == canon(state(batchDf)))
+    val fStream = Stats.anovaFromState(st.get).collect().toSeq
+    val fBatch = Stats.anovaOneWay(batchDf, "o_orderpriority", "o_totalprice")
+      .collect().toSeq
+    assert(fStream == fBatch && !fStream.head.isNullAt(2))
+    val eStream = Stats.etaFromState(st.get).collect().toSeq
+    val eBatch = Stats.etaSquared(batchDf, "o_orderpriority", "o_totalprice")
+      .collect().toSeq
+    assert(eStream == eBatch && !eStream.head.isNullAt(2))
+  }
+
   test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
     // the production ingestion shape: a document stream anti-joined
     // against the static content-hash index of the existing corpus —
