@@ -2334,6 +2334,14 @@ object SparkEntry {
       // counts — the ChartRender.boxPlotPng feed.
       graft.operators.quantile.Outliers.boxplotStats(
         snap(s, dir).orders, "o_orderpriority", "o_totalprice")),
+    "q_garbled" -> ((s, dir) =>
+      // OCR-garbage screen (C76): symbol ratio (one exact-int division)
+      // + longest consonant run (common-subset regex) -> engine-
+      // identical flags; latin-centric by design (zh docs keep the flag
+      // non-vacuous). Scan-fused, no shuffle.
+      graft.operators.text.TextStats
+        .garbledAudit(snap(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")),
     "q_freq_sketch" -> ((s, dir) => {
       // Count-Min point-frequency sketch (B120): bit-reproducible
       // cell-add merge (unlike MG's order-sensitive counter set); the
@@ -6651,6 +6659,27 @@ object SparkEntry {
         |FROM orders o JOIN f USING (o_orderpriority)
         |WHERE o.o_totalprice IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // C76 garbled-text audit: length-difference symbol counting, global
+    // regexp_replace, longest consonant run via regexp_extract_all
+    // (Java<->RE2 common subset), one exact division -> identical flags
+    "q_garbled" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+        |    AS BIGINT) AS n_symbols,
+        |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+        |    AS DOUBLE) / CAST(length(text) AS DOUBLE) AS symbol_ratio,
+        |  CAST(COALESCE(list_max(list_transform(
+        |    regexp_extract_all(lower(text), '[bcdfghjklmnpqrstvwxyz]+'),
+        |    r -> length(r))), 0) AS BIGINT) AS max_consonant_run,
+        |  (CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+        |    AS DOUBLE) / CAST(length(text) AS DOUBLE) > 0.3
+        |   OR COALESCE(list_max(list_transform(
+        |     regexp_extract_all(lower(text), '[bcdfghjklmnpqrstvwxyz]+'),
+        |     r -> length(r))), 0) >= 8) AS is_garbled
+        |FROM documents
+        |WHERE text IS NOT NULL AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
     // B104 runs test: lower-median element via quantile_disc (SELECTION
     // mirror), equal-to-median rows drop, LAG transition count (first
     // row opens run 1), fixed IEEE E/V/z chain on exact ints; keys

@@ -63,6 +63,38 @@ object Layout {
       bits: Int = 8): Unit =
     zOrder(df, colNames, nFiles, bits).write.mode("overwrite").parquet(outDir)
 
+  /** Write `df` as a BUCKETED catalog table — the co-located-join
+    * layout SURVEY §4 prescribes for repeated big-to-big equi-joins:
+    * both sides pre-hashed into the SAME bucket count on the join key
+    * (and sorted within buckets), so the sort-merge join consumes the
+    * files' bucketing directly and the plan carries NO Exchange on
+    * either side — the shuffle is paid ONCE at write time and amortized
+    * over every subsequent join/aggregation on the key (the LayoutSpec
+    * plan-pins exactly that: zero exchanges under the bucketed join,
+    * two under the plain-parquet control).
+    *
+    * Spark only honors bucketing through the session catalog, so this
+    * writes an EXTERNAL table at `path` via `saveAsTable` (parquet
+    * format; `spark.table(name)` reads it back bucket-aware). Bucket
+    * counts must MATCH across join sides — the caller owns that
+    * contract (mismatched counts silently fall back to a shuffle).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      path: String,
+      nBuckets: Int,
+      keyCols: Seq[String]): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(keyCols.nonEmpty, "need at least one bucket key column")
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .saveAsTable(tableName)
+  }
+
   /** Per-file min/max audit of a parquet directory: one row per data
     * file with `file, n_rows, <col>_min, <col>_max` for each requested
     * column — the view a footer-stats pruning reader has of the layout.

@@ -203,6 +203,39 @@ object TextStats {
     * report how many candidates pass the Luhn / octet-range checks.
     * Scale shape: scan-fused column expressions, no shuffle.
     */
+  /** Garbled-text (OCR-noise) audit per document (C76) — the
+    * symbol-soup screen a curation pipeline runs on scanned/extracted
+    * corpora (broken OCR shows dense non-alphanumerics and impossible
+    * consonant runs; C9's composite quality score blends signals, this
+    * emits the per-rule diagnosis the pipeline filters on):
+    *   - symbol_ratio = chars outside [a-zA-Z0-9 ] / chars — ONE
+    *     exact-int division (length-difference counting, no per-char
+    *     UDF; engine-identical quotient ⇒ identical flags);
+    *   - max_consonant_run = longest [b..z consonants]+ match over the
+    *     lowercased text (regexp_extract_all in the Java↔RE2 common
+    *     subset — the pii contract);
+    *   - is_garbled = symbol_ratio > 0.3 OR max_consonant_run ≥ 8.
+    * LATIN-CENTRIC by construction (CJK text flags as symbols — on the
+    * catalog corpus the zh docs keep the flag non-vacuous); compose
+    * AFTER langid routing on mixed corpora. Scan-fused projection, no
+    * shuffle.
+    */
+  def garbledAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("long")
+    val nSymbols = (length(t) -
+      length(regexp_replace(t, "[^a-zA-Z0-9 ]", ""))).cast("long")
+    val runs = regexp_extract_all(lower(t),
+      lit("[bcdfghjklmnpqrstvwxyz]+"), lit(0))
+    val maxRun = coalesce(array_max(transform(runs, r => length(r))), lit(0))
+      .cast("long")
+    val ratio = nSymbols.cast("double") / nChars.cast("double")
+    df.where(t.isNotNull && length(t) > 0)
+      .select(col(idCol), nChars.as("n_chars"), nSymbols.as("n_symbols"),
+        ratio.as("symbol_ratio"), maxRun.as("max_consonant_run"),
+        (ratio > 0.3 || maxRun >= 8L).as("is_garbled"))
+  }
+
   def piiAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val c = col(textCol)
     val ccs = regexp_extract_all(c, lit(CcRe), lit(0))

@@ -9,6 +9,47 @@ import graft.operators.layout.Layout
 class LayoutSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("bucketed tables join with ZERO exchanges; the parquet control shuffles") {
+    // SURVEY §4's co-located-join prescription made measurable: both
+    // sides pre-bucketed on the key at the same count -> the sort-merge
+    // join consumes the file layout, no Exchange on either side. The
+    // plain-parquet control over the SAME data must shuffle both sides.
+    val sn = graft.sources.Snapshot(spark, sf())
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toFile
+    tmp.deleteOnExit()
+    val orders = sn.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = sn.customer.select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    // a tiny side would broadcast (its own Exchange) and mask the layout
+    // effect — force the sort-merge path both ways
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Layout.writeBucketed(orders, "b_orders", s"$tmp/orders", 8, Seq("o_custkey"))
+      Layout.writeBucketed(cust, "b_cust", s"$tmp/cust", 8, Seq("o_custkey"))
+      val joined = spark.table("b_orders").join(spark.table("b_cust"), "o_custkey")
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(2000)}")
+      // control: identical data via plain parquet shuffles both sides
+      orders.write.mode("overwrite").parquet(s"$tmp/po")
+      cust.write.mode("overwrite").parquet(s"$tmp/pc")
+      val control = spark.read.parquet(s"$tmp/po")
+        .join(spark.read.parquet(s"$tmp/pc"), "o_custkey")
+      val controlRows = control.collect()
+      assert(control.queryExecution.executedPlan.toString.contains("Exchange"),
+        "the un-bucketed control should shuffle — plan-assert is vacuous otherwise")
+      // same answer both ways (bucketing is layout, not semantics)
+      assert(rows.nonEmpty && rows.map(_.toString).sorted.toSeq ==
+        controlRows.map(_.toString).sorted.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_cust")
+    }
+  }
+
   test("ZValue interleaves range-bucket bits (known boundaries)") {
     // 2 bits/col: boundaries (10, 20, 30) -> buckets 0..3
     val b = Seq(Seq(10.0, 20.0, 30.0), Seq(10.0, 20.0, 30.0))

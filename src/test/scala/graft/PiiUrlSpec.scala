@@ -8,6 +8,32 @@ import graft.operators.text.{TextStats, UrlTools}
 class PiiUrlSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("garbledAudit: planted OCR noise flags, clean prose and CJK behave as documented") {
+    val df = Seq(
+      (1L, "a clean english sentence with ordinary words"),
+      (2L, "@@## %%^^ && ** !! ?? ~~ || ++ == @@## %%^^"), // symbol soup
+      (3L, "the strczywczsk protocol mentions xbcdfghjkl runs"), // consonant run
+      (4L, "mixed 12 numbers and words only"),
+      (5L, "短い中国語のテキスト")) // CJK: symbols under the latin-centric rule
+      .toDF("doc_id", "text")
+    val rows = TextStats.garbledAudit(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(!byId(1L).getBoolean(5) && !byId(4L).getBoolean(5))
+    assert(byId(2L).getBoolean(5), "symbol soup must flag")
+    assert(byId(3L).getBoolean(5), "a 9+ consonant run must flag")
+    assert(byId(3L).getLong(4) >= 9L)
+    assert(byId(5L).getBoolean(5), "CJK flags under the documented latin-centric rule")
+    // exact counting: doc 1 has zero symbols
+    assert(byId(1L).getLong(2) == 0L &&
+      byId(1L).getDouble(3) == 0.0)
+    // empty/null texts drop
+    val e = TextStats.garbledAudit(
+      Seq((9L, ""), (10L, null.asInstanceOf[String]), (11L, "ok")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(e.length == 1 && e.head.getLong(0) == 11L)
+  }
+
   /** Independent Luhn formulation (right-to-left loop) — the spec oracle
     * for the fixed-position column arithmetic.
     */
