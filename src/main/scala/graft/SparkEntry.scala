@@ -2342,6 +2342,21 @@ object SparkEntry {
       graft.operators.text.TextStats
         .garbledAudit(snap(s, dir).documents, "doc_id", "text")
         .orderBy("doc_id")),
+    "q_tukey_hsd" -> ((s, dir) =>
+      // Tukey-Kramer post-hoc pairs (B127): WHICH returnflag groups
+      // differ after q_anova's F — pairwise means/q-statistics from a
+      // self-join of the aggregated anovaGroupState (k^2/2 rows, never
+      // the fact table); hashRound 4 under the StatsSpec audit.
+      graft.operators.stats.Stats.tukeyHsd(
+        snap(s, dir).lineitem, "l_returnflag", "l_quantity")),
+    "q_peaks" -> ((s, dir) =>
+      // daily volume peaks (B128): strict local maxima above 1.25x the
+      // mean daily rate — LAG/LEAD over the AGGREGATED unit spine
+      // (shares the D32 state); every compare on engine-identical
+      // values, all emitted columns exact or one-division.
+      graft.operators.stats.Stats.volumePeaks(
+        snap(s, dir).orders.where(col("o_orderdate").isNotNull),
+        "o_orderdate", factor = 1.25)),
     "q_freq_sketch" -> ((s, dir) => {
       // Count-Min point-frequency sketch (B120): bit-reproducible
       // cell-add merge (unlike MG's order-sensitive counter set); the
@@ -6680,6 +6695,53 @@ object SparkEntry {
         |FROM documents
         |WHERE text IS NOT NULL AND length(text) > 0
         |ORDER BY doc_id""".stripMargin,
+    // B127 Tukey-Kramer pairs: the q_anova CTEs + a bounded self-join of
+    // the aggregated group stats; means reuse the decimal->double
+    // conversions, floor-round 4
+    "q_tukey_hsd" ->
+      """WITH a AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s_g,
+        |    CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS q_g
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n,
+        |    list_reduce(list(q_g ORDER BY g), (x, y) -> x + y) AS q,
+        |    list_reduce(list(s_g * s_g / CAST(n_g AS DOUBLE) ORDER BY g),
+        |                (x, y) -> x + y) AS b
+        |  FROM a),
+        |m AS (SELECT CASE WHEN k >= 2 AND n > k THEN
+        |        (q - b) / CAST(n - k AS DOUBLE) END AS msw FROM t),
+        |p AS (SELECT x.g AS group_a, y.g AS group_b, x.n_g AS n_a, y.n_g AS n_b,
+        |        x.s_g / CAST(x.n_g AS DOUBLE) - y.s_g / CAST(y.n_g AS DOUBLE) AS diff
+        |      FROM a x JOIN a y ON x.g < y.g)
+        |SELECT group_a, group_b, n_a, n_b,
+        |  floor(diff * 10000.0 + 0.5) / 10000.0 AS mean_diff,
+        |  CASE WHEN m.msw > 0 THEN
+        |    floor(abs(diff) / sqrt((m.msw / 2.0)
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |      * 10000.0 + 0.5) / 10000.0 END AS q_stat
+        |FROM p CROSS JOIN m ORDER BY group_a, group_b""".stripMargin,
+    // B128 volume peaks: LAG/LEAD over the aggregated daily spine,
+    // strict neighbor compares + factor x mean threshold — identical
+    // values both engines, mean_rate one exact division
+    "q_peaks" ->
+      """WITH u AS (SELECT o_orderdate AS u, CAST(COUNT(*) AS BIGINT) AS x
+        |           FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(SUM(x) AS BIGINT) AS s1, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM u),
+        |l AS (SELECT u, x, LAG(x) OVER (ORDER BY u) AS p,
+        |        LEAD(x) OVER (ORDER BY u) AS nx FROM u)
+        |SELECT l.u AS unit, l.x AS n_events, l.p AS n_prev, l.nx AS n_next,
+        |  CAST(t.s1 AS DOUBLE) / CAST(t.n AS DOUBLE) AS mean_rate
+        |FROM l CROSS JOIN t
+        |WHERE l.x > l.p AND l.x > l.nx
+        |  AND CAST(l.x AS DOUBLE) > 1.25 * (CAST(t.s1 AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |ORDER BY unit""".stripMargin,
     // B104 runs test: lower-median element via quantile_disc (SELECTION
     // mirror), equal-to-median rows drop, LAG transition count (first
     // row opens run 1), fixed IEEE E/V/z chain on exact ints; keys

@@ -757,6 +757,79 @@ object Stats {
       .orderBy(bucketCol)
   }
 
+  /** Tukey–Kramer HSD pairwise comparisons after ANOVA (B127) — WHICH
+    * groups differ once B89's F says "some do": for every group pair,
+    * mean_diff = m_a − m_b and the studentized-range statistic
+    * q = |m_a − m_b| / √((MSW/2)·(1/n_a + 1/n_b)) (the unequal-n
+    * Tukey–Kramer form; compare against a studentized-range critical
+    * value downstream — no distribution tables are embedded). Rides
+    * [[anovaGroupState]]: pairs come from a self-join of the AGGREGATED
+    * k-row state (≤ k²/2 — never the fact table), MSW from the shared
+    * anova folds broadcast as one row. Means reuse the state's exact
+    * decimal→double conversions (the anova drift class) ⇒ mean_diff and
+    * q_stat hash at hashRound 4 under the StatsSpec margin-audit
+    * protocol. NULL q on a degenerate MSW.
+    */
+  def tukeyHsd(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    tukeyFromState(anovaGroupState(df, groupCol, valueCol))
+
+  /** The pairwise derivation from a pre-aggregated [[anovaGroupState]]
+    * — see [[tukeyHsd]] for the full contract.
+    */
+  def tukeyFromState(state: DataFrame): DataFrame = {
+    val spine = anovaSpine(state)
+    val (k, bigN, _, qTot, bTot) = anovaFolds
+    val msw1 = spine.select(
+      when(k >= 2 && bigN > k.cast("long"),
+        (qTot - bTot) / (bigN - k.cast("long")).cast("double")).as("__msw"))
+    def side(suf: String) = state.select(
+      col("g").as(s"group_$suf"), col("n_g").as(s"n_$suf"),
+      (col("s_dec").cast("double") / col("n_g").cast("double")).as(s"mean_$suf"))
+    val pairs = side("a").join(side("b"), col("group_a") < col("group_b"))
+      .crossJoin(broadcast(msw1))
+    val diff = col("mean_a") - col("mean_b")
+    val se = sqrt((col("__msw") / lit(2.0)) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    pairs.select(
+      col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+      ExactMath.hashRound(diff, 4).as("mean_diff"),
+      when(col("__msw") > 0.0,
+        ExactMath.hashRound(abs(diff) / se, 4)).as("q_stat"))
+      .orderBy("group_a", "group_b")
+  }
+
+  /** Volume-peak detection over the per-unit count series (B128) —
+    * which days spiked? A unit is a peak when its count strictly
+    * exceeds BOTH neighbors in the unit order AND `factor × mean`
+    * (boundary units never peak — no neighbor to beat, the LAG/LEAD
+    * NULL convention). Shares [[unitCounts]] (the D32 state); the
+    * neighbor window runs over the AGGREGATED unit spine (bounded by
+    * the unit domain — days, never rows). mean = S1/n, one
+    * correctly-rounded division of exact ints; every compare is on
+    * engine-identical values ⇒ the peak SET is engine-identical and
+    * all emitted columns are exact.
+    */
+  def volumePeaks(df: DataFrame, unitCol: String, factor: Double = 1.25): DataFrame =
+    peaksFromUnitCounts(unitCounts(df, unitCol), factor)
+
+  /** Peak derivation from a pre-aggregated [[unitCounts]] state. */
+  def peaksFromUnitCounts(units: DataFrame, factor: Double = 1.25): DataFrame = {
+    val w = Window.orderBy("u")
+    val totals = units.agg(
+      sum(col("x")).as("__s1"), count(lit(1)).as("__n"))
+    val mean = col("__s1").cast("double") / col("__n").cast("double")
+    units
+      .withColumn("__prev", lag(col("x"), 1).over(w))
+      .withColumn("__next", lead(col("x"), 1).over(w))
+      .crossJoin(broadcast(totals))
+      .where(col("x") > col("__prev") && col("x") > col("__next") &&
+        col("x").cast("double") > lit(factor) * mean)
+      .select(col("u").as("unit"), col("x").as("n_events"),
+        col("__prev").as("n_prev"), col("__next").as("n_next"),
+        mean.as("mean_rate"))
+      .orderBy("unit")
+  }
+
   /** Conditional-entropy cells over a pre-aggregated transition table
     * (B123) — how predictable is the next event given the current one?
     * H(next|cur) = Σ −p(i,j)·ln(p(j|i)) — the sequence-predictability

@@ -74,6 +74,47 @@ class AcfEntropySpec extends SparkSpecBase {
       .head.getDouble(3) == 0.0)
   }
 
+  test("tukeyHsd: two-group hand case follows the exact chain") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Stats.tukeyHsd(df, "g", "v").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "a" && row.getString(1) == "b")
+    // MSW = (91 - 87)/4 = 1; diff = 2 - 5 = -3; q = 3/sqrt(0.5*(2/3))
+    val diff = 6.0 / 3.0 - 15.0 / 3.0
+    val q = math.abs(diff) / math.sqrt((1.0 / 2.0) * (1.0 / 3.0 + 1.0 / 3.0))
+    def hr(v: Double) = math.floor(v * 1e4 + 0.5) / 1e4
+    assert(row.getDouble(4) == hr(diff))
+    assert(row.getDouble(5) == hr(q))
+  }
+
+  test("tukeyHsd: three groups emit the three ordered pairs") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 4.0), ("b", 6.0),
+      ("c", 10.0), ("c", 11.0)).toDF("g", "v")
+    val pairs = Stats.tukeyHsd(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSeq == Seq(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
+  test("volumePeaks: strict local maxima above the factor threshold; boundaries never peak") {
+    // counts per unit: d1=9, d2=1, d3=3, d4=1, d5=2, d6=5, d7=1
+    // mean = 22/7; 1.25*mean ~ 3.93: d3 (3) fails the threshold,
+    // d6 (5) peaks; d1 (9) is a boundary -> never a peak
+    val counts = Seq("d1" -> 9, "d2" -> 1, "d3" -> 3, "d4" -> 1,
+      "d5" -> 2, "d6" -> 5, "d7" -> 1)
+    val df = counts.flatMap { case (u, c) => Seq.fill(c)(u) }.toDF("u")
+    val rows = Stats.volumePeaks(df, "u", factor = 1.25).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("d6"))
+    val r = rows.head
+    assert(r.getLong(1) == 5L && r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 22.0 / 7.0)
+    // a lower factor admits the smaller local max too
+    val loose = Stats.volumePeaks(df, "u", factor = 0.5).collect()
+      .map(_.getString(0)).toSeq
+    assert(loose == Seq("d3", "d6"))
+  }
+
   test("conditionalEntropy: hand cells follow the exact formula") {
     val cells = Seq(("a", "x", 3L), ("a", "y", 1L), ("b", "x", 4L))
       .toDF("f", "t", "n")

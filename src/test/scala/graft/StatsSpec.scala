@@ -483,6 +483,46 @@ class StatsSpec extends SparkSpecBase {
     assert(c.isNullAt(4) && c.isNullAt(5))
   }
 
+  // q_tukey_hsd rides the anova state's conversions; margin-audit every
+  // pair's PRE-rounding mean_diff and q statistic at 3 SFs
+  for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    test(s"tukey-hsd margin audit at $dir: pair stats clear of 4-digit boundaries") {
+      val li = sources.Snapshot(spark, sf(dir)).lineitem
+      val agg = li
+        .where(col("l_returnflag").isNotNull && col("l_quantity").isNotNull)
+        .groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          graft.functions.ExactMath.dsum(col("l_quantity")).as("sg"),
+          sum((col("l_quantity").cast("decimal(18,6)") * col("l_quantity").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")).cast("double").as("qg"))
+        .orderBy("l_returnflag")
+        .collect()
+      val k = agg.length
+      val n = agg.map(_.getAs[Long]("n")).sum
+      val qTot = agg.map(_.getAs[Double]("qg")).foldLeft(0.0)(_ + _)
+      val bTot = agg.map(r => r.getAs[Double]("sg") * r.getAs[Double]("sg")
+        / r.getAs[Long]("n").toDouble).foldLeft(0.0)(_ + _)
+      val msw = (qTot - bTot) / (n - k).toDouble
+      val scale = 10000.0
+      for {
+        i <- agg.indices; j <- agg.indices if i < j
+      } {
+        val (na, sa) = (agg(i).getAs[Long]("n"), agg(i).getAs[Double]("sg"))
+        val (nb, sb) = (agg(j).getAs[Long]("n"), agg(j).getAs[Double]("sg"))
+        val diff = sa / na.toDouble - sb / nb.toDouble
+        val q = math.abs(diff) /
+          math.sqrt((msw / 2.0) * (1.0 / na.toDouble + 1.0 / nb.toDouble))
+        Seq("mean_diff" -> diff, "q_stat" -> q).foreach { case (name, v) =>
+          val frac = v * scale - math.floor(v * scale)
+          val margin = math.abs(frac - 0.5) / scale
+          val driftBound = (math.abs(v) + 1.0) * 1e-14
+          assert(margin > 1e3 * driftBound,
+            f"$dir: unrounded $name $v%.10g sits $margin%.3e from its boundary")
+        }
+      }
+    }
+  }
+
   // q_skew_kurtosis margin audit at 3 SFs (the anova/regression class:
   // s4's decimal->double conversion leaves the 2^53 envelope)
   for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
