@@ -797,6 +797,50 @@ object ProfileScaleUp {
         .select(new graft.operators.sketch.CountMin(4, 2048).toColumn).first()
       sk.n
     }
+    time("acf (5 lags)")(
+      force(graft.operators.stats.Stats
+        .acfGlobal(orders.where(col("o_orderdate").isNotNull), "o_orderdate", 5)))
+    time("entropy rate (transitions)")(
+      force {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        val trans = orders
+          .withColumn("__next", lead(col("o_orderpriority"), 1).over(w))
+          .where(col("__next").isNotNull)
+          .groupBy(col("o_orderpriority").as("f"), col("__next").as("t"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.stats.Stats.conditionalEntropy(trans, "f", "t", "n")
+      })
+    time("eta/omega squared")(
+      force(graft.operators.stats.Stats
+        .etaSquared(orders, "o_orderpriority", "o_totalprice")))
+    time("theil between-bucket")(
+      force {
+        val cust = orders.where(col("o_custkey").isNotNull &&
+          col("o_totalprice").isNotNull)
+          .groupBy("o_custkey")
+          .agg(graft.functions.ExactMath.dsum(col("o_totalprice")).as("revenue"))
+        val spine = graft.operators.quantile.Quantiles
+          .withNtile(cust, "revenue", "o_custkey", 100, "pctile")
+          .groupBy("pctile")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("revenue").cast(graft.functions.ExactMath.ValueDecimal)).as("rev"))
+        graft.operators.stats.Stats.theilBetween(spine, "pctile", "n_customers", "rev")
+      })
+    time("boxplot stats")(
+      force(graft.operators.quantile.Outliers
+        .boxplotStats(orders, "o_orderpriority", "o_totalprice")))
+    time("garbled audit")(
+      force(graft.operators.text.TextStats
+        .garbledAudit(docs, "doc_id", "text")
+        .groupBy().agg(count(lit(1)).as("n"),
+          sum(when(col("is_garbled"), 1L).otherwise(0L)).as("g"))))
+    time("tukey hsd pairs")(
+      force(graft.operators.stats.Stats
+        .tukeyHsd(orders, "o_orderpriority", "o_totalprice")))
+    time("volume peaks")(
+      force(graft.operators.stats.Stats
+        .volumePeaks(orders.where(col("o_orderdate").isNotNull), "o_orderdate")))
 
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE

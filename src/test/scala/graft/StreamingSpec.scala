@@ -1166,19 +1166,33 @@ class StreamingSpec extends SparkSpecBase {
       Profiling.wordCounts(df, "source", "text")
     val dir = Files.createTempDirectory("graft_wc_stream").toFile
     dir.deleteOnExit()
-    Snapshot(spark, sf()).documents.repartition(4)
+    val base = Snapshot(spark, sf()).documents
+    base.repartition(4)
       .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    // PLANT the cross-batch hapax evidence: the same rare word once in
+    // each of two extra single-row FILES (their own microbatches under
+    // maxFilesPerTrigger=1) — the synthetic corpus vocabulary is dense
+    // enough that a natural batch-local hapax is NOT guaranteed (this
+    // guard failed on batch-order luck before the plant)
+    def plant(id: Long): Unit = base.limit(1)
+      .withColumn("doc_id", lit(id))
+      .withColumn("text", lit("zzzhapaxword planted evidence"))
+      .repartition(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    plant(9000001L)
+    plant(9000002L)
     val batchDf = spark.read.parquet(dir.getAbsolutePath)
     val stream = spark.readStream.schema(batchDf.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
     val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val hapaxBatches = new java.util.concurrent.atomic.AtomicInteger(0)
     var st: Option[org.apache.spark.sql.DataFrame] = None
-    var firstBatch: Option[org.apache.spark.sql.DataFrame] = None
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         nBatches.incrementAndGet()
         val bCells = cells(batch).localCheckpoint(true)
-        if (firstBatch.isEmpty) firstBatch = Some(bCells)
+        if (bCells.where($"word" === "zzzhapaxword" && $"c" === 1L).count() > 0L)
+          hapaxBatches.incrementAndGet()
         val next = st match {
           case None => bCells
           case Some(prev) => Profiling.mergeWordCounts(prev, bCells)
@@ -1196,11 +1210,14 @@ class StreamingSpec extends SparkSpecBase {
     val oneShot = Profiling
       .lexicalDiversityBySource(batchDf, "source", "text").collect().toSeq
     assert(streamed.nonEmpty && streamed == oneShot)
-    // non-vacuous hapax-merge: some batch-1 hapax is non-hapax merged
-    val crossBatch = firstBatch.get.where($"c" === 1L)
-      .join(st.get.where($"c" > 1L), Seq("source", "word"), "left_semi")
-    assert(crossBatch.count() > 0L,
-      "expected at least one word hapax in batch 1 but repeated corpus-wide")
+    // non-vacuous hapax-merge: the planted word was hapax in >= 2
+    // separate batches yet is non-hapax in the merged state — the error
+    // a naive per-batch hapax count would make
+    assert(hapaxBatches.get() >= 2,
+      s"plant landed in ${hapaxBatches.get()} batches, expected >= 2")
+    val merged = st.get.where($"word" === "zzzhapaxword")
+      .agg(sum($"c")).collect().head.getLong(0)
+    assert(merged >= 2L, s"merged plant count $merged, expected >= 2")
   }
 
   test("streaming volume-series state: merged unit counts reproduce the batch ACF (D32)") {
