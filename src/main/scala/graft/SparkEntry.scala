@@ -2357,6 +2357,26 @@ object SparkEntry {
       graft.operators.stats.Stats.volumePeaks(
         snap(s, dir).orders.where(col("o_orderdate").isNotNull),
         "o_orderdate", factor = 1.25)),
+    "q_grubbs" -> ((s, dir) =>
+      // Grubbs extreme-outlier statistic per priority (B129): one
+      // partial-agg pass (exact decimal sums + min/max selections),
+      // G hashRound 4 under the StatsSpec audit; extreme_value is the
+      // exact winning data value.
+      graft.operators.stats.Stats.grubbs(
+        snap(s, dir).orders, "o_orderpriority", "o_totalprice")),
+    "q_vif" -> ((s, dir) =>
+      // variance inflation factors (B130): collinearity of lineitem
+      // quantity/price/discount over the shared partialCorrStats state;
+      // all three VIFs hashRound 4 under the extended boundary audit.
+      // Single row.
+      graft.operators.stats.Stats.vif3(
+        snap(s, dir).lineitem, "l_quantity", "l_extendedprice", "l_discount")),
+    "q_template_prefix" -> ((s, dir) =>
+      // per-source template-prefix audit (C77): modal 40-char prefix
+      // share via a struct-max selection over the aggregated prefix
+      // spine — exact counts, one division, deterministic tiebreak.
+      graft.operators.text.TextStats.templatePrefix(
+        snap(s, dir).documents, "source", "text", k = 40)),
     "q_freq_sketch" -> ((s, dir) => {
       // Count-Min point-frequency sketch (B120): bit-reproducible
       // cell-add merge (unlike MG's order-sensitive counter set); the
@@ -6742,6 +6762,118 @@ object SparkEntry {
         |WHERE l.x > l.p AND l.x > l.nx
         |  AND CAST(l.x AS DOUBLE) > 1.25 * (CAST(t.s1 AS DOUBLE) / CAST(t.n AS DOUBLE))
         |ORDER BY unit""".stripMargin,
+    // B129 Grubbs: one pass of exact decimal sums + min/max selections,
+    // fixed IEEE mean/sd/G chain floor-rounded 4, exact extreme value
+    "q_grubbs" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
+        |      * CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS s2x,
+        |    MIN(o_totalprice) AS v_min, MAX(o_totalprice) AS v_max
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |d AS (SELECT *, s1 / CAST(n_rows AS DOUBLE) AS m,
+        |        sqrt((s2x - CAST(n_rows AS DOUBLE)
+        |          * (s1 / CAST(n_rows AS DOUBLE)) * (s1 / CAST(n_rows AS DOUBLE)))
+        |          / CAST(n_rows - 1 AS DOUBLE)) AS sd
+        |      FROM a)
+        |SELECT o_orderpriority, n_rows, v_min, v_max,
+        |  CASE WHEN n_rows >= 3 THEN floor(m * 100.0 + 0.5) / 100.0 END AS mean,
+        |  CASE WHEN n_rows >= 3 AND sd > 0 THEN
+        |    floor(sd * 100.0 + 0.5) / 100.0 END AS sd,
+        |  CASE WHEN n_rows >= 3 AND sd > 0 THEN
+        |    floor((CASE WHEN CAST(v_max AS DOUBLE) - m >= m - CAST(v_min AS DOUBLE)
+        |      THEN CAST(v_max AS DOUBLE) - m ELSE m - CAST(v_min AS DOUBLE) END / sd)
+        |      * 10000.0 + 0.5) / 10000.0 END AS g_stat,
+        |  CASE WHEN n_rows >= 3 AND sd > 0 THEN
+        |    CASE WHEN CAST(v_max AS DOUBLE) - m >= m - CAST(v_min AS DOUBLE)
+        |      THEN v_max ELSE v_min END END AS extreme_value
+        |FROM d ORDER BY o_orderpriority""".stripMargin,
+    // B130 VIFs: the q_partial_corr sufficient-stat CTEs + the
+    // three-variable R^2 identities, floor-round 4
+    "q_vif" ->
+      """WITH c AS (
+        |  SELECT CAST(l_quantity AS DECIMAL(18,6)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,6)) AS y,
+        |    CAST(l_discount AS DECIMAL(18,6)) AS z
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+        |        SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6))) AS sxx,
+        |        SUM(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS syy,
+        |        SUM(CAST(z AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6))) AS szz,
+        |        SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6))) AS sxy,
+        |        SUM(CAST(x AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6))) AS sxz,
+        |        SUM(CAST(y AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6))) AS syz
+        |      FROM c),
+        |v AS (SELECT n,
+        |        CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS vx,
+        |        CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vy,
+        |        CAST(szz AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) AS vz,
+        |        CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cxy,
+        |        CAST(sxz AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) AS cxz,
+        |        CAST(syz AS DOUBLE) / CAST(n AS DOUBLE)
+        |          - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) AS cyz
+        |      FROM t),
+        |r AS (SELECT n, vx, vy, vz,
+        |        cxy / sqrt(vx * vy) AS rxy,
+        |        cxz / sqrt(vx * vz) AS rxz,
+        |        cyz / sqrt(vy * vz) AS ryz
+        |      FROM v),
+        |r2 AS (SELECT n, vx, vy, vz, rxy, rxz, ryz,
+        |        (rxy * rxy + rxz * rxz - 2.0 * rxy * rxz * ryz)
+        |          / (1.0 - ryz * ryz) AS r2x,
+        |        (rxy * rxy + ryz * ryz - 2.0 * rxy * ryz * rxz)
+        |          / (1.0 - rxz * rxz) AS r2y,
+        |        (rxz * rxz + ryz * ryz - 2.0 * rxz * ryz * rxy)
+        |          / (1.0 - rxy * rxy) AS r2z
+        |      FROM r)
+        |SELECT n AS n_rows,
+        |  CASE WHEN n >= 3 AND vx > 0 AND vy > 0 AND vz > 0
+        |    AND (1.0 - ryz * ryz) > 0 AND r2x < 1.0 - 0.000000001 THEN
+        |    floor((1.0 / (1.0 - r2x)) * 10000.0 + 0.5) / 10000.0 END AS vif_x,
+        |  CASE WHEN n >= 3 AND vx > 0 AND vy > 0 AND vz > 0
+        |    AND (1.0 - rxz * rxz) > 0 AND r2y < 1.0 - 0.000000001 THEN
+        |    floor((1.0 / (1.0 - r2y)) * 10000.0 + 0.5) / 10000.0 END AS vif_y,
+        |  CASE WHEN n >= 3 AND vx > 0 AND vy > 0 AND vz > 0
+        |    AND (1.0 - rxy * rxy) > 0 AND r2z < 1.0 - 0.000000001 THEN
+        |    floor((1.0 / (1.0 - r2z)) * 10000.0 + 0.5) / 10000.0 END AS vif_z
+        |FROM r2""".stripMargin,
+    // C77 template prefix: aggregated (source, prefix40) spine, modal
+    // prefix via (count DESC, prefix DESC) pick, one exact division
+    "q_template_prefix" ->
+      """WITH p AS (
+        |  SELECT source, substr(text, 1, 40) AS pfx
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |c AS (SELECT source, pfx, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM p GROUP BY 1, 2),
+        |r AS (SELECT source, pfx, c,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY c DESC, pfx DESC) AS rn,
+        |        CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+        |        CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_prefixes
+        |      FROM c)
+        |SELECT source, n_docs, n_prefixes, pfx AS top_prefix,
+        |  CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_prefix_share,
+        |  (CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.5) AS is_templated
+        |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
     // B104 runs test: lower-median element via quantile_disc (SELECTION
     // mirror), equal-to-median rows drop, LAG transition count (first
     // row opens run 1), fixed IEEE E/V/z chain on exact ints; keys

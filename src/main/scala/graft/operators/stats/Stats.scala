@@ -830,6 +830,95 @@ object Stats {
       .orderBy("unit")
   }
 
+  /** Grubbs extreme-outlier statistic per group (B129) — is the single
+    * most extreme value too extreme for a normal sample? The ONE-GROSS-
+    * ERROR screen next to B35's fence counting:
+    *   G = max(v_max − m, m − v_min) / s,  s = √((Σv² − n·m²)/(n−1)).
+    * ONE partial-agg pass: exact decimal Σv/Σv² (the welch contract) +
+    * exact min/max order statistics; m = Σv/n, one fixed IEEE chain.
+    * extreme_value is the exact data value on the winning side (the
+    * IEEE compare is engine-identical). The conversions ride the anova
+    * drift class ⇒ mean/sd/G hash at hashRound 4 under the StatsSpec
+    * margin-audit protocol; v_min/v_max/extreme hash exact. NULL G on
+    * n < 3 or a degenerate s.
+    */
+  def grubbs(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val agg = df.where(col(groupCol).isNotNull && v.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(v.cast(ExactMath.ValueDecimal)).as("__s1"),
+        sum((v.cast(ExactMath.ValueDecimal) * v.cast(ExactMath.ValueDecimal))
+          .cast(ExactMath.ValueDecimal)).as("__s2"),
+        min(v).as("v_min"),
+        max(v).as("v_max"))
+    val n = col("n_rows").cast("double")
+    val m = col("__s1").cast("double") / n
+    val s = sqrt((col("__s2").cast("double") - n * m * m) /
+      (col("n_rows") - lit(1L)).cast("double"))
+    val devHi = col("v_max").cast("double") - m
+    val devLo = m - col("v_min").cast("double")
+    val g = when(devHi >= devLo, devHi).otherwise(devLo) / s
+    // mean/sd carry ~1e5 magnitudes on money columns — the B38 rule:
+    // digits scale to magnitude (round 2; a 4-digit grid sat 3e-7 from
+    // a boundary at the gate). G itself is O(1..10): round 4.
+    agg.select(
+      col(groupCol), col("n_rows"), col("v_min"), col("v_max"),
+      when(col("n_rows") >= 3L, ExactMath.hashRound(m, 2)).as("mean"),
+      when(col("n_rows") >= 3L && s > 0.0, ExactMath.hashRound(s, 2)).as("sd"),
+      when(col("n_rows") >= 3L && s > 0.0, ExactMath.hashRound(g, 4)).as("g_stat"),
+      when(col("n_rows") >= 3L && s > 0.0,
+        when(devHi >= devLo, col("v_max")).otherwise(col("v_min")))
+        .as("extreme_value"))
+      .orderBy(groupCol)
+  }
+
+  /** Three-variable variance inflation factors (B130) — the
+    * collinearity diagnostic over [[partialCorrStats]]' exact state
+    * (B117's second consumer): for each variable against the other two,
+    *   VIF = 1/(1 − R²),  R²_x|yz = (r_xy² + r_xz² − 2·r_xy·r_xz·r_yz)
+    *                                 / (1 − r_yz²).
+    * Pairwise correlations reuse the CorrMatrix IEEE op order; the
+    * same conversion drift class ⇒ all three VIFs hash at hashRound 4
+    * under the MarginAuditSpec boundary audit (the partial-corr audit
+    * extended). NULL on degenerate variances or a ±1 companion
+    * correlation. Single row.
+    */
+  def vif3(df: DataFrame, xCol: String, yCol: String, zCol: String): DataFrame = {
+    val stats = partialCorrStats(df, xCol, yCol, zCol)
+    val n = col("n").cast("double")
+    def mean(s: String): Column = col(s).cast("double") / n
+    def variance(ss: String, s: String): Column =
+      col(ss).cast("double") / n - mean(s) * mean(s)
+    def covOf(sab: String, sa: String, sb: String): Column =
+      col(sab).cast("double") / n - mean(sa) * mean(sb)
+    val vx = variance("sxx", "sx"); val vy = variance("syy", "sy")
+    val vz = variance("szz", "sz")
+    val rxy = covOf("sxy", "sx", "sy") / sqrt(vx * vy)
+    val rxz = covOf("sxz", "sx", "sz") / sqrt(vx * vz)
+    val ryz = covOf("syz", "sy", "sz") / sqrt(vy * vz)
+    def r2Of(rab: Column, rac: Column, rbc: Column): Column =
+      (rab * rab + rac * rac - lit(2.0) * rab * rac * rbc) /
+        (lit(1.0) - rbc * rbc)
+    val r2x = r2Of(rxy, rxz, ryz)
+    val r2y = r2Of(rxy, ryz, rxz)
+    val r2z = r2Of(rxz, ryz, rxy)
+    val ok = col("n") >= 3L && vx > 0.0 && vy > 0.0 && vz > 0.0
+    // r² within an ulp of 1 means a numerically singular predictor set:
+    // 1/(1−r²) would blow past hashRound's 2^53 envelope — NULL instead
+    // (the guard bounds VIF ≤ 1e9, comfortably inside)
+    val sing = lit(1.0) - lit(1e-9)
+    stats.select(
+      coalesce(col("n"), lit(0L)).as("n_rows"),
+      when(ok && (lit(1.0) - ryz * ryz) > 0.0 && r2x < sing,
+        ExactMath.hashRound(lit(1.0) / (lit(1.0) - r2x), 4)).as("vif_x"),
+      when(ok && (lit(1.0) - rxz * rxz) > 0.0 && r2y < sing,
+        ExactMath.hashRound(lit(1.0) / (lit(1.0) - r2y), 4)).as("vif_y"),
+      when(ok && (lit(1.0) - rxy * rxy) > 0.0 && r2z < sing,
+        ExactMath.hashRound(lit(1.0) / (lit(1.0) - r2z), 4)).as("vif_z"))
+  }
+
   /** Conditional-entropy cells over a pre-aggregated transition table
     * (B123) — how predictable is the next event given the current one?
     * H(next|cur) = Σ −p(i,j)·ln(p(j|i)) — the sequence-predictability

@@ -203,6 +203,43 @@ object TextStats {
     * report how many candidates pass the Luhn / octet-range checks.
     * Scale shape: scan-fused column expressions, no shuffle.
     */
+  /** Per-source template-prefix audit (C77) — the boilerplate screen at
+    * the document HEAD (C10's shared-shingle boilerplate looks anywhere
+    * in the body; templated crawls — headers, cookie banners, generated
+    * reports — concentrate at the start): bucket each doc by its first
+    * k chars, then per source report the prefix-vocabulary size and the
+    * share of the modal prefix. top_prefix picks by (count DESC, prefix
+    * DESC) — a struct-max SELECTION over the aggregated (source,
+    * prefix) spine, deterministic; top_prefix_share is ONE exact-int
+    * division (unrounded); is_templated = share > 0.5 compares
+    * identical quotients. Two partial aggs, the corpus text never
+    * shuffles beyond the k-char prefix.
+    */
+  def templatePrefix(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      k: Int = 40): DataFrame = {
+    require(k >= 1, s"prefix length must be >= 1, got $k")
+    val counts = df
+      .where(col(sourceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sourceCol).cast("string").as("source"),
+        substring(col(textCol), 1, k).as("__p"))
+      .groupBy("source", "__p").agg(count(lit(1)).as("__c"))
+    counts.groupBy("source")
+      .agg(
+        sum(col("__c")).as("n_docs"),
+        count(lit(1)).as("n_prefixes"),
+        max(struct(col("__c").as("c"), col("__p").as("p"))).as("__top"))
+      .select(col("source"), col("n_docs"), col("n_prefixes"),
+        col("__top").getField("p").as("top_prefix"),
+        (col("__top").getField("c").cast("double") / col("n_docs").cast("double"))
+          .as("top_prefix_share"),
+        (col("__top").getField("c").cast("double") / col("n_docs").cast("double")
+          > 0.5).as("is_templated"))
+      .orderBy("source")
+  }
+
   /** Garbled-text (OCR-noise) audit per document (C76) — the
     * symbol-soup screen a curation pipeline runs on scanned/extracted
     * corpora (broken OCR shows dense non-alphanumerics and impossible

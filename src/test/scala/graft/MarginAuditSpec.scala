@@ -434,11 +434,16 @@ class MarginAuditSpec extends SparkSpecBase {
     val ryz = (syz / n - (sy / n) * (sz / n)) / math.sqrt(vy * vz)
     val partial = (rxy - rxz * ryz) /
       math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    // q_vif rides the same stats — audit its three chains too
+    def vif(rab: Double, rac: Double, rbc: Double): Double =
+      1.0 / (1.0 - (rab * rab + rac * rac - 2.0 * rab * rac * rbc) /
+        (1.0 - rbc * rbc))
     val margin = boundaryMargin(4)
-    val minB = Seq(rxy, rxz, ryz, partial).map(margin).min
+    val minB = Seq(rxy, rxz, ryz, partial,
+      vif(rxy, rxz, ryz), vif(rxy, ryz, rxz), vif(rxz, ryz, rxy)).map(margin).min
     assert(minB > 1e-9,
-      f"$sfDir: a hashed correlation sits $minB%.3e from its 4-digit rounding " +
-        "boundary — a conversion ulp could flip the hash")
+      f"$sfDir: a hashed correlation/VIF sits $minB%.3e from its 4-digit " +
+        "rounding boundary — a conversion ulp could flip the hash")
   }
 
   /** q_name_match hashes floor-formula-round-4 Jaro–Winkler scores and

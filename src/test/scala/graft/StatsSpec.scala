@@ -523,6 +523,42 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  // q_grubbs rides the anova conversion class; margin-audit every
+  // group's PRE-rounding mean/sd/G at 3 SFs
+  for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    test(s"grubbs margin audit at $dir: group stats clear of 4-digit boundaries") {
+      val o = sources.Snapshot(spark, sf(dir)).orders
+      val agg = o
+        .where(col("o_orderpriority").isNotNull && col("o_totalprice").isNotNull)
+        .groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n"),
+          graft.functions.ExactMath.dsum(col("o_totalprice")).as("s1"),
+          sum((col("o_totalprice").cast("decimal(18,6)") * col("o_totalprice").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")).cast("double").as("s2x"),
+          min(col("o_totalprice")).as("vmin"),
+          max(col("o_totalprice")).as("vmax"))
+        .collect()
+      val scale = 10000.0
+      agg.foreach { r =>
+        val n = r.getAs[Long]("n").toDouble
+        val m = r.getAs[Double]("s1") / n
+        val sd = math.sqrt((r.getAs[Double]("s2x") - n * m * m) / (n - 1.0))
+        val devHi = r.getAs[Double]("vmax") - m
+        val devLo = m - r.getAs[Double]("vmin")
+        val g = (if (devHi >= devLo) devHi else devLo) / sd
+        // the B38 rule: mean/sd round at 2 (1e5 magnitudes), G at 4
+        Seq(("mean", m, 100.0), ("sd", sd, 100.0), ("g", g, scale))
+          .foreach { case (name, v, sc) =>
+            val frac = v * sc - math.floor(v * sc)
+            val margin = math.abs(frac - 0.5) / sc
+            val driftBound = (math.abs(v) + 1.0) * 1e-14
+            assert(margin > 1e3 * driftBound,
+              f"$dir: unrounded grubbs $name $v%.10g sits $margin%.3e from its boundary")
+          }
+      }
+    }
+  }
+
   // q_skew_kurtosis margin audit at 3 SFs (the anova/regression class:
   // s4's decimal->double conversion leaves the 2^53 envelope)
   for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
