@@ -2377,6 +2377,45 @@ object SparkEntry {
       // spine — exact counts, one division, deterministic tiebreak.
       graft.operators.text.TextStats.templatePrefix(
         snap(s, dir).documents, "source", "text", k = 40)),
+    "q_lift_curve" -> ((s, dir) => {
+      // decile lift/gains table (B131): does the SHARED quality score
+      // rank stopword-bearing docs to the top? Score deciles via the
+      // boundary-broadcast ntile (doc_id tiebreak), cumulative windows
+      // over the 10-row spine FROM THE TOP decile down; every rate a
+      // quotient of exact ints, cum_lift a ratio of two quotients —
+      // all unrounded.
+      val docs = snap(s, dir).documents.where(col("text").isNotNull)
+      val scored = TextStats.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score").as("score"))
+        .join(docs.select(col("doc_id"),
+          (TextStats.markerHits(col("text"), TextStats.Markers.head._2) >= 2)
+            .as("label")), "doc_id")
+      val deciled = graft.operators.quantile.Quantiles
+        .withNtile(scored, "score", "doc_id", 10, "decile")
+      val spine = deciled.groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("decile").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      spine
+        .withColumn("__cum_n", sum(col("n_docs")).over(wDesc))
+        .withColumn("__cum_pos", sum(col("n_pos")).over(wDesc))
+        .withColumn("__tot_n", sum(col("n_docs")).over(wAll))
+        .withColumn("__tot_pos", sum(col("n_pos")).over(wAll))
+        .select(
+          col("decile"), col("n_docs"), col("n_pos"),
+          (col("n_pos").cast("double") / col("n_docs").cast("double")).as("pos_rate"),
+          (col("__cum_pos").cast("double") / col("__tot_pos").cast("double"))
+            .as("cum_pos_share"),
+          ((col("__cum_n") - col("__cum_pos")).cast("double")
+            / (col("__tot_n") - col("__tot_pos")).cast("double")).as("cum_neg_share"),
+          ((col("__cum_pos").cast("double") / col("__cum_n").cast("double"))
+            / (col("__tot_pos").cast("double") / col("__tot_n").cast("double")))
+            .as("cum_lift"))
+        .orderBy("decile")
+    }),
     "q_freq_sketch" -> ((s, dir) => {
       // Count-Min point-frequency sketch (B120): bit-reproducible
       // cell-add merge (unlike MG's order-sensitive counter set); the
@@ -6874,6 +6913,35 @@ object SparkEntry {
         |  CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_prefix_share,
         |  (CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.5) AS is_templated
         |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
+    // B131 lift/gains: the shared score + label definitions, ntile-10
+    // (doc_id tiebreak — the q_lorenz parity pair), cumulative windows
+    // from the top decile down, exact-int quotients — all unrounded
+    "q_lift_curve" ->
+      s"""WITH s AS (
+        |  SELECT doc_id, $qualityScoreSql AS score, $markerHitsEn >= 2 AS label
+        |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT label,
+        |        CAST(ntile(10) OVER (ORDER BY score, doc_id) AS BIGINT) AS decile
+        |      FROM s),
+        |sp AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |       FROM d GROUP BY 1),
+        |w AS (SELECT *,
+        |        CAST(SUM(n_docs) OVER (ORDER BY decile DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |        CAST(SUM(n_pos) OVER (ORDER BY decile DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+        |        CAST(SUM(n_docs) OVER () AS BIGINT) AS tot_n,
+        |        CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+        |      FROM sp)
+        |SELECT decile, n_docs, n_pos,
+        |  CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pos_rate,
+        |  CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS cum_pos_share,
+        |  CAST(cum_n - cum_pos AS DOUBLE) / CAST(tot_n - tot_pos AS DOUBLE)
+        |    AS cum_neg_share,
+        |  (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+        |    / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)) AS cum_lift
+        |FROM w ORDER BY decile""".stripMargin,
     // B104 runs test: lower-median element via quantile_disc (SELECTION
     // mirror), equal-to-median rows drop, LAG transition count (first
     // row opens run 1), fixed IEEE E/V/z chain on exact ints; keys
