@@ -841,6 +841,31 @@ object ProfileScaleUp {
     time("volume peaks")(
       force(graft.operators.stats.Stats
         .volumePeaks(orders.where(col("o_orderdate").isNotNull), "o_orderdate")))
+    time("grubbs")(
+      force(graft.operators.stats.Stats
+        .grubbs(orders, "o_orderpriority", "o_totalprice")))
+    time("vif (lineitem xF)")(
+      force(graft.operators.stats.Stats
+        .vif3(liAmp, "l_quantity", "l_extendedprice", "l_discount")))
+    time("template prefix")(
+      force(graft.operators.text.TextStats
+        .templatePrefix(docs, "source", "text", 40)))
+    time("lift curve")(
+      force {
+        val base = docs.where(col("text").isNotNull)
+        val scored = graft.operators.text.TextStats.quality(base, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score").as("score"))
+          .join(base.select(col("doc_id"),
+            (graft.operators.text.TextStats.markerHits(col("text"),
+              graft.operators.text.TextStats.Markers.head._2) >= 2).as("label")),
+            "doc_id")
+        val spine = graft.operators.quantile.Quantiles
+          .withNtile(scored, "score", "doc_id", 10, "decile")
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+        spine
+      })
 
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
