@@ -1755,9 +1755,16 @@ object Stats {
     val vd = ExactMath.ValueDecimal
     val clean = df.where(col(subjectCol).isNotNull &&
       itemCols.map(col(_).isNotNull).reduce(_ && _))
+    // |x| beyond DECIMAL(18,6) would NULL the cast under ANSI-off and
+    // silently drop the subject from every sum (the hhi class) — raise
+    def guarded(c: String): Column =
+      when(abs(col(c)) <= lit(1e11), col(c).cast(vd))
+        .otherwise(raise_error(concat(
+          lit(s"cronbachStats: item $c value "), col(c).cast("string"),
+          lit(" exceeds DECIMAL(18,6) - rescale the item column first"))))
     val withTotal = clean.select(
-      itemCols.map(c => col(c).cast(vd).as(s"__$c")) :+
-        itemCols.map(c => col(c).cast(vd)).reduce(_ + _).cast(vd).as("__total"): _*)
+      itemCols.map(c => guarded(c).as(s"__$c")) :+
+        itemCols.map(guarded).reduce(_ + _).cast(vd).as("__total"): _*)
     val names = itemCols.map(c => s"__$c") :+ "__total"
     val aggs = names.flatMap { c =>
       Seq(sum(col(c)).as(s"s_$c"), sum(col(c) * col(c)).as(s"ss_$c"))

@@ -85,6 +85,16 @@ class AgreementSpec extends SparkSpecBase {
     assert(r2.getDouble(3) < 0.0)
   }
 
+  test("cronbachAlpha: an out-of-decimal-range item RAISES, never silently drops") {
+    // the hhi rule: ANSI-off DECIMAL(18,6) overflow would NULL the
+    // subject out of every sum silently — the guard raises instead
+    val df = Seq(("s1", 1.0, 2.0), ("s2", 1.0e12, 1.0)).toDF("s", "x1", "x2")
+    val e = intercept[Exception] {
+      Stats.cronbachAlpha(df, "s", Seq("x1", "x2")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("cronbachAlpha: NULL subject or item rows drop") {
     val df = Seq(
       (Option("s1"), Option(1.0), Option(2.0)),
