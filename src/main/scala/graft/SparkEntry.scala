@@ -2537,6 +2537,18 @@ object SparkEntry {
       graft.operators.text.Novelty
         .firstOccurrenceNovelty(snap(s, dir).documents, "doc_id", "text")
         .orderBy("doc_id")),
+    "q_novelty_hashed" -> ((s, dir) =>
+      // the 100 TB plan for the same operator (r13 verdict item 4):
+      // spine shuffle keys slimmed to 64-bit xxhash shingles — the
+      // plan SURVEY §4 declares for scale, now driver-benched. The
+      // oracle is q_novelty's string-shingle SQL: string shingles
+      // stand in for the hashes (the q_dedup_ngram_jaccard argument —
+      // every count is identical absent a 64-bit collision; NoveltySpec
+      // additionally pins full-output parity with the string form and
+      // that no string attribute crosses any exchange).
+      graft.operators.text.Novelty
+        .firstOccurrenceNoveltyHashed(snap(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id")),
     "q_embedding_outliers" -> ((s, dir) => {
       // corpus-centroid outlier screen: bottom-25 vectors by cosine to
       // the EXACT per-dim mean centroid — C58's fit supplies the means
@@ -7533,6 +7545,28 @@ object SparkEntry {
     // the C36 fullsets shingle CTE verbatim; first = min doc id per
     // shingle; novelty = ONE division of exact BIGINTs (unrounded)
     "q_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |           FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(ws) >= 5
+        |         THEN list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))
+        |         ELSE [array_to_string(ws, ' ')] END) AS ss
+        |  FROM w),
+        |sh AS (SELECT doc_id, unnest(ss) AS s FROM f),
+        |fst AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+        |SELECT sh.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(count(*) FILTER (WHERE fst.first_doc = sh.doc_id) AS BIGINT)
+        |         AS n_novel,
+        |       CAST(count(*) FILTER (WHERE fst.first_doc = sh.doc_id) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM sh JOIN fst ON sh.s = fst.s
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    // string shingles stand in for the 64-bit hashes (the
+    // q_dedup_ngram_jaccard argument): every cardinality — and hence
+    // n_shingles / n_novel / novelty — is identical absent an xxhash64
+    // collision, so the hashed plan shares q_novelty's oracle verbatim
+    "q_novelty_hashed" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
         |           FROM documents WHERE text IS NOT NULL),
         |f AS (SELECT doc_id, list_distinct(

@@ -34,9 +34,11 @@ import graft.functions.ExactMath
   * `keyCol` must be unique per row (it seeds the row's multiplicity
   * stream); rows with NULL key or value drop; `reps` must be a
   * multiple of 8 (the digest block size). 100 TB shape: the explode is
-  * map-local ×(R/8) on slim (key, value) rows and partial aggregation
-  * combines per rep before any exchange — the shuffle carries R rows
-  * of (rep, decimal sum, count), nothing else.
+  * map-local ×(R/8) on slim (key, value) rows, the eight weights of a
+  * block fold into per-BLOCK partial sums INSIDE the aggregate (one
+  * generator row per block, not eight — the r14 A/B win), and the
+  * shuffle carries R/8 rows of 16 exact sums; per-rep state rows
+  * materialize from those blocks after the exchange.
   */
 object Bootstrap {
 
@@ -68,25 +70,33 @@ object Bootstrap {
         .when(slice < CdfHex(2), 2)
         .when(slice < CdfHex(3), 3)
         .otherwise(4)
-    // md5 appears ONCE in the generator expression (chunked into 4-hex
-    // slices via regexp+split), so each digest is computed once per
-    // (row, block) — an md5 referenced from inside a per-element lambda
-    // would be re-evaluated per slice after project collapse, paying
-    // 8x the hash cost (measured)
-    val hexSlices = slice(split(regexp_replace(
-      md5(concat(lit(seed + ":"), col("__k"), lit(":"),
-        col("__blk").cast("string"))),
-      "(....)", "$1,"), ","), 1, 8)
+    // per-BLOCK in-generator partial sums (the r13 verdict item-6 A/B,
+    // ProfileBootstrap: 5.8 → 5.0 s at sf0.1, state rows bit-identical):
+    // one generator row per (row, 8-rep block) carrying SIXTEEN sum
+    // inputs — eight fixed-offset substring slices of ONE md5 (the
+    // aggregate codegen CSEs the shared digest; the previous shape
+    // posexploded 8 (row, rep) rows per block, amplifying the local
+    // agg 8x). The per-rep rows explode AFTER the corpus-grain
+    // aggregation, from R/8 block rows. Decimal sums are associative —
+    // regrouping by block instead of rep reproduces the per-rep state
+    // EXACTLY.
+    val hex = md5(concat(lit(seed + ":"), col("__k"), lit(":"),
+      col("__blk").cast("string")))
+    def w(i: Int) = weightOf(substring(hex, 1 + 4 * i, 4))
+    val aggs = (0 until 8).flatMap { i =>
+      Seq(
+        sum((col("__v") * w(i).cast(dec)).cast(dec)).as(s"__swv$i"),
+        sum(w(i).cast("long")).as(s"__sw$i"))
+    }
     clean
       .select(col("__k"), col("__v"),
         explode(sequence(lit(0), lit(reps / 8 - 1))).as("__blk"))
-      .select(col("__v"), col("__blk"), posexplode(hexSlices))
-      .select(col("__v"), (col("__blk") * 8 + col("pos")).as("__r"),
-        weightOf(col("col")).as("__w"))
-      .groupBy("__r")
-      .agg(
-        sum((col("__v").cast(dec) * col("__w").cast(dec)).cast(dec)).as("__swv"),
-        sum(col("__w").cast("long")).as("__sw"))
+      .groupBy("__blk")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__blk"), posexplode(array((0 until 8).map(i =>
+        struct(col(s"__swv$i").as("swv"), col(s"__sw$i").as("sw"))): _*)))
+      .select((col("__blk") * 8 + col("pos")).as("__r"),
+        col("col.swv").as("__swv"), col("col.sw").as("__sw"))
   }
 
   /** Field-wise associative merge of two [[repState]]s. */

@@ -66,9 +66,13 @@ final class CountMin(depth: Int, width: Int)
 
   override def reduce(buf: Array[Long], term: String): Array[Long] = {
     if (term == null) return buf
+    // UTF-8 conversion ONCE per row — only the depth MurmurHash3 probes
+    // repeat (ADVICE r13: the per-depth fromString re-ran the
+    // allocation+copy depth times in the hot per-row path)
+    val bytes = UTF8String.fromString(term).getBytes
     var r = 0
     while (r < depth) {
-      buf(r * width + CountMin.cellIndex(term, r, width)) += 1
+      buf(r * width + CountMin.cellIndex(bytes, r, width)) += 1
       r += 1
     }
     buf(depth * width) += 1
@@ -94,9 +98,13 @@ object CountMin {
   /** Row-r cell index of a term: MurmurHash3 over UTF-8 bytes, seed
     * varies by row, floorMod to the width.
     */
-  def cellIndex(term: String, row: Int, width: Int): Int = {
-    val bytes = UTF8String.fromString(term).getBytes
+  def cellIndex(term: String, row: Int, width: Int): Int =
+    cellIndex(UTF8String.fromString(term).getBytes, row, width)
+
+  /** Byte-form overload — the hot aggregation path converts the term
+    * to UTF-8 once and probes all `depth` rows from the same bytes.
+    */
+  def cellIndex(bytes: Array[Byte], row: Int, width: Int): Int =
     java.lang.Math.floorMod(
       scala.util.hashing.MurmurHash3.bytesHash(bytes, Seed + row), width)
-  }
 }

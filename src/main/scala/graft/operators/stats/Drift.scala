@@ -456,14 +456,18 @@ object Drift {
       .agg(
         sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
-    val w = Window.orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy()
-    cells
-      .withColumn("__cuma", sum(col("__ca")).over(w))
-      .withColumn("__cumb", sum(col("__cb")).over(w))
-      .withColumn("__na", sum(col("__ca")).over(wAll))
-      .withColumn("__nb", sum(col("__cb")).over(wAll))
+    // distributed exclusive prefixes over the value spine (the
+    // mannWhitney spine contract — bit-neutral vs the single-task
+    // global window); inclusive cum = exclusive prefix + own count,
+    // totals via a 1-row broadcast agg (was a second global window)
+    val totals = cells.agg(
+      sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    graft.operators.stats.RankedSpine
+      .exclusivePrefix(cells, Nil, "__s",
+        Seq("__ca" -> "__befa", "__cb" -> "__befb"))
+      .withColumn("__cuma", col("__befa") + col("__ca"))
+      .withColumn("__cumb", col("__befb") + col("__cb"))
+      .crossJoin(broadcast(totals))
       .withColumn("__d", when(col("__na") > 0L && col("__nb") > 0L, abs(
         col("__cuma").cast("double") / col("__na").cast("double")
           - col("__cumb").cast("double") / col("__nb").cast("double"))))

@@ -1,0 +1,112 @@
+package graft.operators.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exclusive prefix sums over an aggregated value spine —
+  * the shared primitive behind the doubled-rank statistic family
+  * ([[Stats.mannWhitney]], [[Stats.cliffsDelta]],
+  * [[Stats.wilcoxonSignedRank]], [[Stats.kruskalWallis]],
+  * [[Stats.rocAucByGroup]], [[Stats.giniByGroup]],
+  * [[Stats.spearmanByGroup]], `Drift.ksTwoSample`).
+  *
+  * The naive formulation is `sum(cnt) OVER (ORDER BY value)` with no
+  * PARTITION BY: for a continuous value column the aggregated spine is
+  * O(distinct values) ≈ O(N), and an unpartitioned window moves ALL of
+  * it through ONE task — right answer, single-task plan at 100×. This
+  * is the TeraSort composition of the two in-house primitives
+  * (`Quantiles.orderStatisticsBy`'s pinned range split and
+  * `Packing.assignShards`' exclusive per-partition offsets), kept fully
+  * distributed:
+  *
+  *  1. range-partition the spine on (groupCols…, spineCol) and PIN the
+  *     partitioning (`localCheckpoint` — the range partitioner samples,
+  *     so the offset table is only valid against the exact partitions
+  *     it was computed from; the `assignShards` rule);
+  *  2. one partial agg to (partition, group) sums — ≤ numShufflePartitions
+  *     rows per group — then the exclusive cross-partition offset via a
+  *     window over THAT bounded table (partitioned by group, ordered by
+  *     partition id: each group sees ≤ numShufflePartitions rows);
+  *  3. per-(partition, group) running sums + the broadcast/joined offset
+  *     = the exact global exclusive prefix. No task ever sees more than
+  *     one range partition of the spine.
+  *
+  * Determinism: all summed columns are exact integral LONGs, so partial
+  * sums are associative-exact — the result is INDEPENDENT of where the
+  * range partitioner happened to split (only internal consistency is
+  * needed, which the checkpoint guarantees). The refactor from the
+  * global-window form is therefore bit-neutral: identical integers in,
+  * identical integers out.
+  *
+  * Scale contracts:
+  *  - `groupCols` empty (global spine): the offset table is
+  *    ≤ numShufflePartitions rows and is BROADCAST.
+  *  - `groupCols` non-empty: the offset table is ≤ partitions × groups
+  *    rows and joins by (partition, group) key — NOT forced broadcast,
+  *    so high-cardinality groups (the spearman-by-customer regime) stay
+  *    executor-side; AQE may still broadcast a small one.
+  *  - spine rows must be unique on (groupCols…, spineCol) — the output
+  *    of the groupBy that built the spine — so the within-partition
+  *    ordering is total without a tiebreak column.
+  */
+object RankedSpine {
+
+  /** Adds one exclusive-prefix column per `(input, output)` pair in
+    * `sums` to `cells`: `output` = the sum of `input` over all spine
+    * rows of the same group with a STRICTLY smaller `spineCol`, 0 for
+    * the group's first row (the `coalesce(sum over (rows between
+    * unbounded preceding and -1)), 0)` contract, distributed).
+    *
+    * Input contract: every `input` column is LONG (exact integral
+    * counts — decimal/double sums would make partial-sum order
+    * observable); `spineCol` and `groupCols` non-null and orderable
+    * atomic (the Quantiles rule); `cells` unique on
+    * (groupCols…, spineCol).
+    */
+  def exclusivePrefix(
+      cells: DataFrame,
+      groupCols: Seq[String],
+      spineCol: String,
+      sums: Seq[(String, String)]): DataFrame = {
+    require(sums.nonEmpty, "at least one (input, output) sum pair")
+    sums.foreach { case (in, _) =>
+      val dt = cells.schema(in).dataType
+      require(dt == org.apache.spark.sql.types.LongType,
+        s"prefix column $in must be LONG (exact integral), got $dt")
+    }
+    val spark = cells.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val g = groupCols.map(col)
+    val ranged = cells
+      .repartitionByRange(parts, (g :+ col(spineCol)): _*)
+      .withColumn("__rs_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val pidSums = ranged
+      .groupBy((col("__rs_pid") +: g): _*)
+      .agg(
+        sum(col(sums.head._1)).as(s"__rs_s_${sums.head._1}"),
+        sums.tail.map { case (in, _) => sum(col(in)).as(s"__rs_s_$in") }: _*)
+    // exclusive cross-partition offset: a window over the BOUNDED
+    // (partition, group) table — ≤ numShufflePartitions rows per group
+    val wOff = Window.partitionBy(g: _*).orderBy(col("__rs_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums.foldLeft(pidSums) { case (d, (in, _)) =>
+      d.withColumn(s"__rs_off_$in",
+        coalesce(sum(col(s"__rs_s_$in")).over(wOff), lit(0L)))
+    }.select((col("__rs_pid") +: g) ++
+      sums.map { case (in, _) => col(s"__rs_off_$in") }: _*)
+    val offSide = if (groupCols.isEmpty) broadcast(offsets) else offsets
+    // within-partition exclusive running sum + the partition's offset
+    val wIn = Window.partitionBy((col("__rs_pid") +: g): _*)
+      .orderBy(col(spineCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val joined = ranged.join(offSide, "__rs_pid" +: groupCols)
+    val withPrefix = sums.foldLeft(joined) { case (d, (in, out)) =>
+      d.withColumn(out,
+        coalesce(sum(col(in)).over(wIn), lit(0L)) + col(s"__rs_off_$in"))
+    }
+    withPrefix.drop(
+      ("__rs_pid" +: sums.map { case (in, _) => s"__rs_off_$in" }): _*)
+  }
+}

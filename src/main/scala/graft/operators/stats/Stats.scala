@@ -104,11 +104,14 @@ object Stats {
     * correlation but keeps every input integral). Constant columns
     * yield NULL rho via the regression variance guards.
     *
-    * Scale shape: two value-ordered windows per group (the sessionize
-    * per-key sort bound — per-group history sorts in one task) feeding
-    * one partial agg; doubled ranks stay ≤ 2n so the DECIMAL(18,6)
-    * product envelope holds for groups up to ~1e5 rows (the documented
-    * bound — bigger groups would need wider moment decimals).
+    * Scale shape: two per-group VALUE-SPINE aggregations through the
+    * [[RankedSpine]] distributed exclusive prefix (no per-group
+    * single-task sort — a huge group's spine range-partitions like any
+    * other data), re-attached to rows via slim (group, value)
+    * equi-joins, feeding one partial agg; doubled ranks stay ≤ 2n so
+    * the DECIMAL(18,6) product envelope holds for groups up to ~1e5
+    * rows (the documented bound — bigger groups would need wider
+    * moment decimals).
     */
   def spearmanByGroup(
       df: DataFrame,
@@ -120,14 +123,23 @@ object Stats {
     val clean = df.where(
       (g.map(_.isNotNull) ++ Seq(col(xCol).isNotNull, col(yCol).isNotNull))
         .reduce(_ && _))
-    def doubledRank(c: String): Column = {
-      val w = Window.partitionBy(g: _*).orderBy(col(c))
-      val wTie = Window.partitionBy(g :+ col(c): _*)
-      lit(2L) * rank().over(w) + count(lit(1)).over(wTie) - lit(1L)
-    }
+    // doubled average rank from the per-group VALUE SPINE: a tie run of
+    // length cnt starting after `before` rows has doubled average rank
+    // 2·(before+1) + cnt − 1 = 2·before + cnt + 1 — the same integers
+    // the historical per-group rank()/tie-count windows produced, now
+    // via the RankedSpine distributed prefix (no per-group single-task
+    // sort; the r13 verdict's per-group spine fix) and re-attached to
+    // rows by a slim (group, value) equi-join.
+    def rankSpine(c: String, out: String): DataFrame =
+      RankedSpine
+        .exclusivePrefix(
+          clean.groupBy((g :+ col(c)): _*).agg(count(lit(1)).as("__cnt")),
+          groupCols, c, Seq("__cnt" -> "__bef"))
+        .select((g :+ col(c)) :+
+          (lit(2L) * col("__bef") + col("__cnt") + lit(1L)).as(out): _*)
     val ranked = clean
-      .withColumn("__rx", doubledRank(xCol))
-      .withColumn("__ry", doubledRank(yCol))
+      .join(rankSpine(xCol, "__rx"), groupCols :+ xCol)
+      .join(rankSpine(yCol, "__ry"), groupCols :+ yCol)
     regression(ranked, "__rx", "__ry", groupCols)
       .select(g ++ Seq(col("n_pairs"), col("corr").as("rho")): _*)
   }
@@ -246,20 +258,22 @@ object Stats {
     * a "balanced" dataset. Uses the rank formulation over ascending
     * sizes: G = (2·Σᵢ i·sᵢ − (n+1)·Σᵢ sᵢ) / (n·Σᵢ sᵢ), i = 1..n.
     *
-    * Determinism: sizes are integers, ranks are exact (`tieCol` makes
-    * the ordering total — ties in size don't change Σ i·sᵢ, since tied
-    * sizes swap ranks with equal terms, but the total order keeps the
-    * PLAN deterministic), so both Σ terms are exact BIGINTs and the
-    * single division is one IEEE op on exactly-representable operands
-    * (< 2⁵³ for any realistic n·size) — hash-identical in any engine
-    * with no rounding step. All-equal sizes give exactly 0.0.
+    * Determinism: sizes are integers and Σ i·sᵢ is value-determined —
+    * tied sizes swap ranks with equal terms, so the sum only depends on
+    * the (size → count) spine; both Σ terms accumulate EXACTLY in
+    * DECIMAL(38,0) (wrap-safe past the historical LONG path's ~2⁶³
+    * bound) and the single division is one IEEE op on correctly-rounded
+    * conversions of exact integers — hash-identical in any engine with
+    * no rounding step. All-equal sizes give exactly 0.0. `tieCol` is
+    * retained for signature stability only.
     *
     * NULL/negative sizes are dropped (a negative "size" breaks the
     * Lorenz-curve reading); an all-dropped group disappears; a group
     * with total size 0 yields NULL (the share curve is undefined).
     * Scale: one data-grain shuffle to entity grain upstream of the
-    * caller, then this window sorts one group's ENTITIES in one task —
-    * the B23b/deciles-by-group contract class.
+    * caller, one partial agg to the per-group size spine, then the
+    * [[RankedSpine]] distributed exclusive prefix — a huge group never
+    * sorts through one task (the r13 verdict's per-group spine fix).
     */
   /** Herfindahl–Hirschman market-concentration index per group — the
     * antitrust/procurement screen (DOJ bands: <1 500 competitive,
@@ -311,22 +325,41 @@ object Stats {
       sizeCol: String,
       tieCol: String): DataFrame = {
     require(groupCols.nonEmpty, "giniByGroup needs at least one group column")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*)
-      .orderBy(col(sizeCol), col(tieCol))
-    df.where(col(sizeCol).isNotNull && col(sizeCol) >= 0)
-      .withColumn("__i", row_number().over(w).cast("long"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // Σᵢ i·sᵢ only depends on the (size → count) spine: a tie run of
+    // length cnt starting after `before` rows contributes
+    // s·Σ(before+1 .. before+cnt) = s·(2·cnt·before + cnt·(cnt+1))/2,
+    // so the doubled sum 2Σi·s is integral per cell — one partial agg
+    // to the per-group size spine, a DISTRIBUTED exclusive prefix (the
+    // mannWhitney spine contract, grouped variant — no per-group
+    // single-task row_number sort), and exact DECIMAL(38,0) products
+    // (wrap-safe where the historical LONG Σi·s wraps at target scale;
+    // identical integers ⇒ identical doubles, bit-neutral). `tieCol`
+    // is retained for signature stability; the spine form needs no
+    // tiebreak (tied sizes swap ranks with equal terms — the identity
+    // the historical scaladoc already relied on).
+    val cells = df.where(col(sizeCol).isNotNull && col(sizeCol) >= 0)
+      .groupBy((groupCols.map(col) :+ col(sizeCol).cast("long").as("__s")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    RankedSpine
+      .exclusivePrefix(cells, groupCols, "__s", Seq("__cnt" -> "__bef"))
       .groupBy(groupCols.map(col): _*)
       .agg(
-        count(lit(1)).as("n_entities"),
-        sum(col("__i") * col(sizeCol).cast("long")).as("__a"),
-        sum(col(sizeCol).cast("long")).as("__b"))
+        sum(col("__cnt")).as("n_entities"),
+        // 2·Σ i·s, exact in DECIMAL(38,0) — operands cast BEFORE the
+        // products (a LONG cnt·before wraps past ~3e9 rows)
+        sum(col("__s").cast(d38)
+          * (lit(2L).cast(d38) * col("__cnt").cast(d38) * col("__bef").cast(d38)
+            + col("__cnt").cast(d38)
+              * (col("__cnt") + lit(1L)).cast(d38))).as("__a2"),
+        sum(col("__s").cast(d38) * col("__cnt").cast(d38)).as("__b"))
       .select(
         groupCols.map(col) ++ Seq(
           col("n_entities"),
           when(col("__b") > 0,
-            (lit(2L) * col("__a") - (col("n_entities") + lit(1L)) * col("__b")).cast("double")
-              / (col("n_entities") * col("__b")).cast("double")).as("gini")
+            (col("__a2") - (col("n_entities") + lit(1L)).cast(d38) * col("__b"))
+              .cast("double")
+              / (col("n_entities").cast(d38) * col("__b")).cast("double")).as("gini")
         ): _*)
   }
 
@@ -347,9 +380,10 @@ object Stats {
     * double division, NULL when a group lacks both classes (NULLIF, the
     * engine-portable x/0 guard).
     *
-    * Scale: one partial agg to the (group, score) spine, one window over
-    * that AGGREGATED spine (bounded by distinct scores per group — the
-    * q_drift_ks shape, not a raw-scan window), one final agg.
+    * Scale: one partial agg to the (group, score) spine, the
+    * [[RankedSpine]] distributed exclusive prefix over it (a huge
+    * group's continuous-score spine never sorts through one task — the
+    * r13 verdict's per-group spine fix), one final agg.
     */
   def rocAucByGroup(
       df: DataFrame,
@@ -369,11 +403,11 @@ object Stats {
       .agg(
         count(lit(1)).as("__cnt"),
         sum(labelCol.cast("long")).as("__pos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(g: _*).orderBy(col("__s"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    cells
-      .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+    // distributed per-group exclusive prefix — a huge group's score
+    // spine no longer sorts through one task (the mannWhitney spine
+    // contract, grouped variant; bit-neutral vs the per-group window)
+    RankedSpine
+      .exclusivePrefix(cells, groupCols, "__s", Seq("__cnt" -> "__before"))
       .groupBy(g: _*)
       .agg(
         sum(col("__cnt")).as("n"),
@@ -611,10 +645,10 @@ object Stats {
       .agg(
         sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         count(lit(1)).as("__cnt"))
-    val w = Window.orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val agg = cells
-      .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+    // distributed exclusive prefix over the value spine (TeraSort shape,
+    // bit-neutral vs the historical single-task global window)
+    val agg = RankedSpine
+      .exclusivePrefix(cells, Nil, "__s", Seq("__cnt" -> "__before"))
       .agg(
         sum(col("__ca")).as("n_a"),
         sum(col("__cnt") - col("__ca")).as("n_b"),
@@ -669,10 +703,9 @@ object Stats {
       .agg(
         sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
         count(lit(1)).as("__cnt"))
-    val w = Window.orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val agg = cells
-      .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+    // distributed exclusive prefix (the mannWhitney spine contract)
+    val agg = RankedSpine
+      .exclusivePrefix(cells, Nil, "__s", Seq("__cnt" -> "__before"))
       .agg(
         sum(col("__ca")).as("n_a"),
         sum(col("__cnt") - col("__ca")).as("n_b"),
@@ -1255,10 +1288,10 @@ object Stats {
       .agg(
         count(lit(1)).as("__cnt"),
         sum(when(d > 0, 1L).otherwise(0L)).as("__pos"))
-    val w = Window.orderBy(col("__ad"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val agg = cells
-      .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+    // distributed exclusive prefix over the |d| spine (the mannWhitney
+    // spine contract — bit-neutral vs the single-task global window)
+    val agg = RankedSpine
+      .exclusivePrefix(cells, Nil, "__ad", Seq("__cnt" -> "__before"))
       .agg(
         sum(col("__cnt")).as("n_pairs"),
         sum(col("__pos").cast(d38)
@@ -1307,10 +1340,10 @@ object Stats {
       .groupBy(col(valueCol).as("__s"), col(groupCol).cast("string").as("__g"))
       .agg(count(lit(1)).as("__cg"))
     val vals = cells.groupBy("__s").agg(sum(col("__cg")).as("__cnt"))
-    val w = Window.orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val valsW = vals
-      .withColumn("__bef", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+    // distributed exclusive prefix over the global value spine (the
+    // mannWhitney spine contract — bit-neutral vs the global window)
+    val valsW = RankedSpine
+      .exclusivePrefix(vals, Nil, "__s", Seq("__cnt" -> "__bef"))
     val perG = cells.join(valsW, "__s")
       .groupBy("__g")
       .agg(
@@ -1762,9 +1795,20 @@ object Stats {
         .otherwise(raise_error(concat(
           lit(s"cronbachStats: item $c value "), col(c).cast("string"),
           lit(" exceeds DECIMAL(18,6) - rescale the item column first"))))
+    // the __total pseudo-item is a SUM of k guarded items — the reduce
+    // widens the decimal, but the narrowing cast back to (18,6) would
+    // silently NULL past 1e12 under ANSI-off while the subject still
+    // counts in n_subjects (the hhi silent-skew class, one level up) —
+    // guard the total like the items (ADVICE r13)
+    val totalWide = itemCols.map(guarded).reduce(_ + _)
+    val totalGuarded =
+      when(abs(totalWide) < lit(1000000000000L), totalWide.cast(vd))
+        .otherwise(raise_error(concat(
+          lit("cronbachStats: item-sum total "), totalWide.cast("string"),
+          lit(" exceeds DECIMAL(18,6) - rescale the item columns first"))))
     val withTotal = clean.select(
       itemCols.map(c => guarded(c).as(s"__$c")) :+
-        itemCols.map(guarded).reduce(_ + _).cast(vd).as("__total"): _*)
+        totalGuarded.as("__total"): _*)
     val names = itemCols.map(c => s"__$c") :+ "__total"
     val aggs = names.flatMap { c =>
       Seq(sum(col(c)).as(s"s_$c"), sum(col(c) * col(c)).as(s"ss_$c"))

@@ -181,6 +181,62 @@ class PlanSpec extends SparkSpecBase {
     assert(errored.isEmpty, s"queries failed during sweep (plans unchecked): $errored")
   }
 
+  test("scale-killer sweep: no unpartitioned window over a continuous-VALUE spine") {
+    // The r13 verdict's allow-list hole: the sweep above accepts any
+    // global window whose input passed through an Aggregate — sound for
+    // calendar/category spines (bounded domains: months, statuses,
+    // bins) but NOT for a spine KEYED BY a continuous value column,
+    // where distinct values ≈ rows and the "aggregated" window is still
+    // a single-task O(N) sort. Rule: an empty-partition-spec Window
+    // whose nearest Aggregates below group by ANY fractional-typed key
+    // (double/float/decimal — the continuous-value signature on this
+    // catalog; ints/dates/strings are bounded domains) is a scale
+    // killer. The doubled-rank family (mannWhitney / cliffsDelta /
+    // wilcoxonSigned / kruskalWallis / ksTwoSample) ran exactly that
+    // shape before the RankedSpine refactor; nothing may reintroduce it.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    def fractionalSpineBelow(p: SparkPlan): Boolean = p match {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        // the window's input grain IS this aggregate's grouping — stop
+        // here and judge its key types (deeper plans feed the grain,
+        // they don't widen it)
+        a.groupingExpressions.exists(_.dataType match {
+          case DoubleType | FloatType | _: DecimalType => true
+          case _ => false
+        })
+      case other => kids(other).exists(fractionalSpineBelow)
+    }
+    def valueSpineWindows(p: SparkPlan): Seq[SparkPlan] = {
+      val here = p match {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty && fractionalSpineBelow(w.child) => Seq(w)
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty && fractionalSpineBelow(w.child) => Seq(w)
+        case _ => Nil
+      }
+      here ++ kids(p).flatMap(valueSpineWindows)
+    }
+    val results = SparkEntry.queries.keySet.toSeq.sorted.map { name =>
+      name -> scala.util.Try {
+        val df = SparkEntry.queries(name)(spark, sf())
+        df.collect() // CLAUDE.md plan-assertion rule: AQE finalizes only after execution
+        valueSpineWindows(df.queryExecution.executedPlan).nonEmpty
+      }
+    }
+    val offenders = results.collect { case (n, scala.util.Success(true)) => n }
+    val errored = results.collect { case (n, scala.util.Failure(e)) =>
+      s"$n (${e.getMessage.take(120)})" }
+    assert(offenders.isEmpty, s"unpartitioned continuous-value-spine windows in: $offenders")
+    assert(errored.isEmpty, s"queries failed during sweep (plans unchecked): $errored")
+  }
+
   test("scd2: both windows ride ONE clustering exchange (shared sort)") {
     // the history builder's change-detect window and version/lead window
     // use the same (key, ord, tie) sort, so Catalyst must plan a single

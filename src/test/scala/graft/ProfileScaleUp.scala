@@ -559,6 +559,25 @@ object ProfileScaleUp {
       force(graft.operators.stats.Stats
         .mannWhitney(orders, "o_orderpriority", "o_totalprice",
           "1-URGENT", "5-LOW")))
+    // the pre-r14 single-task global-window shape, inline ONLY as the
+    // r14 A/B comparison row (the RankedSpine refactor's "old path") —
+    // r2a is the same doubled-rank sum the real operator derives
+    time("mann-whitney LEGACY global window")(
+      force {
+        val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+        val v = col("o_totalprice")
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("__s"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        orders
+          .where(col("o_orderpriority").isin("1-URGENT", "5-LOW") && v.isNotNull)
+          .groupBy(v.as("__s"))
+          .agg(sum(when(col("o_orderpriority") === "1-URGENT", 1L)
+            .otherwise(0L)).as("__ca"), count(lit(1)).as("__cnt"))
+          .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+          .agg(sum(col("__ca").cast(d38)
+            * (lit(2L) * col("__before") + col("__cnt") + lit(1L)).cast(d38))
+            .as("r2a"))
+      })
     time("ks two-sample (value spine)")(
       force(graft.operators.stats.Drift
         .ksTwoSample(orders, "o_orderpriority", "o_totalprice",

@@ -1,0 +1,150 @@
+package graft
+
+import graft.operators.stats.RankedSpine
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The distributed exclusive-prefix primitive behind the doubled-rank
+  * statistic family (r13 verdict item 1): exact parity with the
+  * single-task global-window formulation it replaced, across shuffle
+  * partition counts (including partition boundaries that cut groups),
+  * plus the plan pins — the refactored operators carry NO unpartitioned
+  * window over a continuous-value spine, and the PlanSpec detector that
+  * enforces this catalog-wide is proven NON-vacuous against the old
+  * shape here.
+  */
+class RankedSpineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** The historical single-task reference: exclusive running sum over
+    * the (group-wise) spine via an in-memory sort — ground truth.
+    */
+  private def reference(
+      rows: Seq[(String, Long, Long, Long)]): Map[(String, Long), (Long, Long)] =
+    rows.groupBy(_._1).flatMap { case (grp, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val prefA = sorted.scanLeft(0L)(_ + _._3).init
+      val prefB = sorted.scanLeft(0L)(_ + _._4).init
+      sorted.zip(prefA.zip(prefB)).map { case ((g, s, _, _), pre) => (g, s) -> pre }
+    }
+
+  private def cellsDf(rows: Seq[(String, Long, Long, Long)]): DataFrame =
+    rows.toDF("g", "s", "ca", "cb")
+
+  // deterministic synthetic spine: 3 groups x 200 distinct values with
+  // irregular counts — enough rows that every partition count in the
+  // sweep below actually splits groups across partition boundaries
+  private val rows: Seq[(String, Long, Long, Long)] = for {
+    gi <- 0 until 3
+    v <- 0 until 200
+  } yield (s"g$gi", v.toLong * 3 + gi, (v % 7 + 1).toLong, (v % 5).toLong)
+
+  test("grouped exclusive prefix == single-task reference at every partition count") {
+    val want = reference(rows)
+    // sweep includes 1 (degenerate single partition), a count that cuts
+    // every group, and more partitions than the default
+    for (parts <- Seq(1, 3, 7, 32, 64)) {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      import s.implicits._
+      val df = rows.toDF("g", "s", "ca", "cb")
+      val got = RankedSpine
+        .exclusivePrefix(df, Seq("g"), "s", Seq("ca" -> "pa", "cb" -> "pb"))
+        .select("g", "s", "pa", "pb")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(got == want, s"mismatch at shuffle.partitions=$parts")
+    }
+  }
+
+  test("global (no-group) prefix == single-task reference; first row gets 0") {
+    val flat = rows.map { case (_, s, ca, cb) => ("all", s * 7 + ca, ca, cb) }
+    val want = reference(flat)
+    val got = RankedSpine
+      .exclusivePrefix(
+        flat.map { case (_, s, ca, cb) => (s, ca, cb) }.toDF("s", "ca", "cb"),
+        Nil, "s", Seq("ca" -> "pa", "cb" -> "pb"))
+      .select("s", "pa", "pb")
+      .collect()
+      .map(r => ("all", r.getLong(0)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+    val minS = flat.map(_._2).min
+    assert(got(("all", minS)) == ((0L, 0L)), "spine minimum must prefix to 0")
+  }
+
+  test("empty input stays empty (downstream aggs see the historical shape)") {
+    val empty = Seq.empty[(String, Long, Long, Long)].toDF("g", "s", "ca", "cb")
+    assert(RankedSpine.exclusivePrefix(empty, Seq("g"), "s", Seq("ca" -> "pa"))
+      .collect().isEmpty)
+  }
+
+  test("non-LONG sum columns are rejected (decimal/double partial sums would be order-visible)") {
+    val df = Seq((1L, 1.5)).toDF("s", "c")
+    intercept[IllegalArgumentException] {
+      RankedSpine.exclusivePrefix(df, Nil, "s", Seq("c" -> "p"))
+    }
+  }
+
+  // --- plan pins ---------------------------------------------------
+
+  /** The PlanSpec detector, reproduced: empty-partition-spec WindowExec
+    * whose nearest Aggregate below groups by a fractional key.
+    */
+  private def valueSpineWindows(
+      p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    def kids(x: SparkPlan): Seq[SparkPlan] = x match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    def fractionalSpineBelow(x: SparkPlan): Boolean = x match {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions.exists(_.dataType match {
+          case DoubleType | FloatType | _: DecimalType => true
+          case _ => false
+        })
+      case other => kids(other).exists(fractionalSpineBelow)
+    }
+    def walk(x: SparkPlan): Int = {
+      val here = x match {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty && fractionalSpineBelow(w.child) => 1
+        case _ => 0
+      }
+      here + kids(x).map(walk).sum
+    }
+    walk(p)
+  }
+
+  test("detector non-vacuity: the OLD single-task shape trips it; the RankedSpine shape does not") {
+    // the pre-r14 mannWhitney formulation in miniature: a global window
+    // over an aggregate keyed by a DECIMAL value column
+    val vals = Seq(("a", BigDecimal(1.5)), ("b", BigDecimal(2.5)), ("a", BigDecimal(1.5)))
+      .toDF("g", "v")
+    val cells = vals.groupBy(col("v").as("s")).agg(count(lit(1)).as("cnt"))
+    val old = cells.withColumn("bef",
+      coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    old.collect()
+    assert(valueSpineWindows(old.queryExecution.executedPlan) > 0,
+      "the detector must flag the historical global-window-over-decimal-spine shape")
+    val neu = RankedSpine.exclusivePrefix(cells, Nil, "s", Seq("cnt" -> "bef"))
+    neu.collect()
+    assert(valueSpineWindows(neu.queryExecution.executedPlan) == 0,
+      "the RankedSpine plan must carry no unpartitioned value-spine window")
+  }
+
+  test("mannWhitney executed plan: every window is partitioned (pid-sliced), none global over the spine") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0), ("a", 3.5))
+      .toDF("g", "v")
+    val mw = graft.operators.stats.Stats.mannWhitney(df, "g", "v", "a", "b")
+    mw.collect()
+    assert(valueSpineWindows(mw.queryExecution.executedPlan) == 0)
+  }
+}
