@@ -2042,6 +2042,23 @@ object SparkEntry {
       // (the q_ab_test convention). Single row.
       graft.operators.stats.Stats
         .welchT(snap(s, dir).lineitem, "l_returnflag", "l_quantity", "R", "A")),
+    "q_cohens_d" -> ((s, dir) =>
+      // Cohen's d / Hedges' g (B132): the effect-size companion of
+      // q_welch_t on the SAME cohorts and exact per-side decimal sums;
+      // pooled-SD chain in welch's written op order; means/d/g
+      // hashRound(4) under the StatsSpec boundary-audit protocol.
+      // Single row.
+      graft.operators.stats.Stats
+        .cohensD(snap(s, dir).lineitem, "l_returnflag", "l_quantity", "R", "A")),
+    "q_cochran_armitage" -> ((s, dir) =>
+      // Cochran–Armitage trend test (B134): does the fulfillment rate
+      // trend across the 1-URGENT → 5-LOW priority ladder? Ordinal
+      // score = the priority's leading digit; one row-grain partial
+      // agg, DECIMAL(38,0) cross products, z UNROUNDED. Single row.
+      graft.operators.stats.Stats.cochranArmitage(
+        snap(s, dir).orders,
+        substring(col("o_orderpriority"), 1, 1).cast("int"),
+        (col("o_orderstatus") === "F").cast("int"))),
     "q_winsorize" -> ((s, dir) =>
       // winsorized mean audit (B97): clamp to the exact [p05, p95]
       // fences (rounded-4 contract, B35) and average the clamped
@@ -2122,27 +2139,21 @@ object SparkEntry {
               "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")),
           Seq("o_custkey"), "__x", "o_totalprice", "o_orderkey")
         .orderBy("o_custkey")),
-    "q_wilcoxon_signed" -> ((s, dir) => {
+    "q_wilcoxon_signed" -> ((s, dir) =>
       // Wilcoxon signed-rank (B99): did customers' order value move
       // between their FIRST and LAST order? Paired diff per customer
       // (struct-min/max selection on (date, orderkey) — deterministic),
       // zero diffs dropped, doubled-rank machinery over the |d| spine
       // (DECIMAL(38,0) accumulators — the mannWhitney contract);
       // z hashes UNROUNDED. Single row.
-      val o = snap(s, dir).orders.where(
-        col("o_custkey").isNotNull && col("o_orderdate").isNotNull &&
-          col("o_orderkey").isNotNull && col("o_totalprice").isNotNull)
-      val diffs = o.groupBy("o_custkey")
-        .agg(
-          min(struct(col("o_orderdate").as("d"), col("o_orderkey").as("t"),
-            col("o_totalprice").as("p"))).as("__f"),
-          max(struct(col("o_orderdate").as("d"), col("o_orderkey").as("t"),
-            col("o_totalprice").as("p"))).as("__l"),
-          count(lit(1)).as("__n"))
-        .where(col("__n") >= 2L)
-        .select((col("__l").getField("p") - col("__f").getField("p")).as("__d"))
-      graft.operators.stats.Stats.wilcoxonSignedRank(diffs, "__d")
-    }),
+      graft.operators.stats.Stats
+        .wilcoxonSignedRank(firstLastDiffs(s, dir), "__d")),
+    "q_sign_test" -> ((s, dir) =>
+      // paired sign test (B133): the assumption-free floor under B99 —
+      // SAME first→last diff construction (shared helper), zero diffs
+      // drop, z = (pos − neg)/√n on exact BIGINTs, UNROUNDED.
+      // Single row.
+      graft.operators.stats.Stats.signTest(firstLastDiffs(s, dir), "__d")),
     "q_poisson_rate" -> ((s, dir) =>
       // two-sample Poisson rate test (B100): URGENT vs LOW orders per
       // ACTIVE day (exposure = distinct order dates within the cohort).
@@ -3099,6 +3110,15 @@ object SparkEntry {
         snap(s, dir).documents
           .select(TextStats.langId(col("text")).as("pred_lang"), col("lang")),
         "pred_lang", "lang")),
+    "q_gwet_ac1" -> ((s, dir) =>
+      // Gwet's AC1 (B135): the kappa-paradox-robust agreement on the
+      // SAME langid-vs-label cells as B105 — the chance term telescopes
+      // to 1 − Σ(row+col)²/(4N²) with S exact DECIMAL(38,0), so
+      // p_o/p_chance/ac1 all hash UNROUNDED. Single row.
+      graft.operators.stats.Stats.gwetAc1(
+        snap(s, dir).documents
+          .select(TextStats.langId(col("text")).as("pred_lang"), col("lang")),
+        "pred_lang", "lang")),
     "q_gopher_rules" -> ((s, dir) =>
       // Gopher-style per-rule quality audit (C73): word-count band,
       // mean-word-length band, alpha-word ratio, bullet/ellipsis line
@@ -3315,6 +3335,26 @@ object SparkEntry {
     * observed (from_type, to_type) pair (ONE definition, the
     * bm25RankedSql rule).
     */
+  /** Per-customer first→last order-value diff — the paired-difference
+    * construction shared by q_wilcoxon_signed (B99) and q_sign_test
+    * (B133): struct-min/max selection on (date, orderkey) is a
+    * deterministic total order; customers with one order drop.
+    */
+  private def firstLastDiffs(s: SparkSession, dir: String): DataFrame = {
+    val o = snap(s, dir).orders.where(
+      col("o_custkey").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_orderkey").isNotNull && col("o_totalprice").isNotNull)
+    o.groupBy("o_custkey")
+      .agg(
+        min(struct(col("o_orderdate").as("d"), col("o_orderkey").as("t"),
+          col("o_totalprice").as("p"))).as("__f"),
+        max(struct(col("o_orderdate").as("d"), col("o_orderkey").as("t"),
+          col("o_totalprice").as("p"))).as("__l"),
+        count(lit(1)).as("__n"))
+      .where(col("__n") >= 2L)
+      .select((col("__l").getField("p") - col("__f").getField("p")).as("__d"))
+  }
+
   private def transitionCounts(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -4297,6 +4337,38 @@ object SparkEntry {
           |        / CAST(CAST(tot.n AS HUGEINT) * tot.n AS DOUBLE))
           |  END AS kappa
           |FROM tot CROSS JOIN pe""".stripMargin),
+    // B135 Gwet AC1: B105's cells/margins; chance term telescopes to
+    // 1 − Σ(row+col)²/(4N²) with S exact HUGEINT — ac1 unrounded
+    "q_gwet_ac1" ->
+      (s"WITH h AS ($langIdHitsCte),\n" +
+        s"p AS (SELECT lang, $langIdCaseSql AS pred_lang FROM h),\n" +
+        """cells AS (SELECT pred_lang AS a, lang AS b, CAST(COUNT(*) AS BIGINT) AS n
+          |          FROM p WHERE pred_lang IS NOT NULL AND lang IS NOT NULL
+          |          GROUP BY 1, 2),
+          |rws AS (SELECT a AS cls, CAST(SUM(n) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+          |cls AS (SELECT b AS cls, CAST(SUM(n) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+          |sp AS (SELECT DISTINCT cls FROM (SELECT cls FROM rws UNION ALL SELECT cls FROM cls) __u),
+          |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+          |        CAST(SUM(CAST(COALESCE(rws.row_n, 0) + COALESCE(cls.col_n, 0) AS HUGEINT)
+          |          * CAST(COALESCE(rws.row_n, 0) + COALESCE(cls.col_n, 0) AS HUGEINT)) AS HUGEINT) AS s
+          |      FROM sp LEFT JOIN rws ON sp.cls = rws.cls
+          |        LEFT JOIN cls ON sp.cls = cls.cls),
+          |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+          |          CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS n_agree
+          |        FROM cells),
+          |e AS (SELECT COALESCE(tot.n, 0) AS n, COALESCE(tot.n_agree, 0) AS n_agree,
+          |        COALESCE(m.n_classes, 0) AS n_classes,
+          |        CAST(tot.n_agree AS DOUBLE) / CAST(tot.n AS DOUBLE) AS po,
+          |        (1.0 - CAST(m.s AS DOUBLE)
+          |            / CAST(CAST(4 AS HUGEINT) * tot.n * tot.n AS DOUBLE))
+          |          / CAST(m.n_classes - 1 AS DOUBLE) AS pe
+          |      FROM tot CROSS JOIN m)
+          |SELECT n, n_agree, n_classes,
+          |  CASE WHEN n > 0 THEN po END AS p_observed,
+          |  CASE WHEN n > 0 AND n_classes >= 2 THEN pe END AS p_chance,
+          |  CASE WHEN n > 0 AND n_classes >= 2 AND 1.0 - pe > 0 THEN
+          |    (po - pe) / (1.0 - pe) END AS ac1
+          |FROM e""".stripMargin),
     // B107 Poisson bootstrap: ONE digest per (row, 8-rep block), eight
     // 4-hex slices vs Poisson-CDF literals (the Projection sign
     // precedent), dsumProd-chain rep sums, sorted-array element
@@ -7067,6 +7139,75 @@ object SparkEntry {
         |  CASE WHEN t_stat IS NOT NULL THEN abs(t_stat) > 1.96 END AS significant
         |FROM t""".stripMargin,
 
+    // B132 Cohen's d: welch's exact per-side sums; ss = s2 − s1·(s1/n)
+    // in welch's written op order; pooled-SD chain mirrored literally
+    "q_cohens_d" ->
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1a,
+        |    CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS s2a
+        |  FROM lineitem WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL),
+        |b AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1b,
+        |    CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS s2b
+        |  FROM lineitem WHERE l_returnflag = 'A' AND l_quantity IS NOT NULL),
+        |j AS (
+        |  SELECT n_a, n_b,
+        |    s1a / CAST(n_a AS DOUBLE) AS ma, s1b / CAST(n_b AS DOUBLE) AS mb,
+        |    s2a - s1a * (s1a / CAST(n_a AS DOUBLE)) AS ssa,
+        |    s2b - s1b * (s1b / CAST(n_b AS DOUBLE)) AS ssb
+        |  FROM a, b),
+        |d AS (
+        |  SELECT n_a, n_b, ma, mb,
+        |    (ssa + ssb) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0) AS pv,
+        |    (ma - mb) / sqrt((ssa + ssb)
+        |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)) AS dd
+        |  FROM j)
+        |SELECT n_a, n_b,
+        |  floor(ma * 10000.0 + 0.5) / 10000.0 AS mean_a,
+        |  floor(mb * 10000.0 + 0.5) / 10000.0 AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND pv > 0 THEN
+        |    floor(dd * 10000.0 + 0.5) / 10000.0 END AS cohens_d,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND pv > 0 THEN
+        |    floor((dd * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) - 9.0)))
+        |      * 10000.0 + 0.5) / 10000.0 END AS hedges_g
+        |FROM d""".stripMargin,
+
+    // B134 Cochran-Armitage: one row-grain pass, HUGEINT cross products
+    "q_cochran_armitage" ->
+      """WITH x AS (
+        |  SELECT CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS w,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(s) AS BIGINT) AS n_success,
+        |    CAST(SUM(w) AS BIGINT) AS sw,
+        |    CAST(SUM(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sw2,
+        |    CAST(SUM(w * s) AS BIGINT) AS sws
+        |  FROM x),
+        |z AS (
+        |  SELECT n, n_success,
+        |    CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST(sws AS DOUBLE)
+        |      - CAST(CAST(n_success AS HUGEINT) * sw AS DOUBLE) / CAST(n AS DOUBLE) AS t,
+        |    CAST(sw2 AS DOUBLE)
+        |      - CAST(CAST(sw AS HUGEINT) * sw AS DOUBLE) / CAST(n AS DOUBLE) AS wv
+        |  FROM a),
+        |f AS (
+        |  SELECT n, n_success,
+        |    CASE WHEN n > 0 AND p > 0 AND p < 1
+        |        AND p * (1.0 - p) * wv > 0 THEN
+        |      t / sqrt(p * (1.0 - p) * wv) END AS z_score
+        |  FROM z)
+        |SELECT n, n_success, z_score,
+        |  CASE WHEN z_score IS NOT NULL THEN abs(z_score) > 1.96 END AS trending
+        |FROM f""".stripMargin,
+
     // B95 moments: nested exact-decimal power products (the regression
     // dsumProd chain), fixed IEEE central-moment sequence, floor-round
     "q_skew_kurtosis" ->
@@ -7403,6 +7544,38 @@ object SparkEntry {
         |      CAST(CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0
         |        - CAST(ties AS DOUBLE) / 48.0))
         |  END AS z_score
+        |FROM a""".stripMargin,
+    // B133 sign test: B99's diff CTE verbatim, exact sign counts,
+    // z = (pos − neg)/sqrt(n) unrounded
+    "q_sign_test" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS k, o_orderdate AS d, o_orderkey AS t,
+        |    o_totalprice AS p
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |r AS (
+        |  SELECT k, p,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY d, t) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY d DESC, t DESC) AS rn_d
+        |  FROM o),
+        |fl AS (
+        |  SELECT k, MAX(CASE WHEN rn_a = 1 THEN p END) AS fp,
+        |    MAX(CASE WHEN rn_d = 1 THEN p END) AS lp
+        |  FROM r GROUP BY 1 HAVING COUNT(*) >= 2),
+        |dd AS (SELECT lp - fp AS dv FROM fl WHERE lp <> fp),
+        |a AS (
+        |  SELECT
+        |    COALESCE(CAST(SUM(CASE WHEN dv > 0 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_pos,
+        |    COALESCE(CAST(SUM(CASE WHEN dv < 0 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_neg
+        |  FROM dd)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos + n_neg > 0 THEN
+        |    CAST(n_pos - n_neg AS DOUBLE) / sqrt(CAST(n_pos + n_neg AS DOUBLE))
+        |  END AS z_score,
+        |  CASE WHEN n_pos + n_neg > 0 THEN
+        |    abs(CAST(n_pos - n_neg AS DOUBLE) / sqrt(CAST(n_pos + n_neg AS DOUBLE))) > 1.96
+        |  END AS moved
         |FROM a""".stripMargin,
     // B100 Poisson rate: exact counts + distinct exposure days; rates
     // and z are fixed IEEE chains over exact-int conversions, unrounded

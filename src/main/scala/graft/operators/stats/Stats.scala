@@ -1452,6 +1452,178 @@ object Stats {
         (po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
 
+  /** Gwet's AC1 chance-corrected agreement (B135, Gwet 2008) — the
+    * PARADOX-ROBUST companion of [[cohensKappa]] (kappa collapses when
+    * the marginals are skewed even at high raw agreement — the "kappa
+    * paradox"; AC1's chance term uses the class-PREVALENCE midpoints
+    * instead of the marginal product): AC1 = (p_o − p_e)/(1 − p_e) with
+    * p_e = Σ_c π_c(1−π_c)/(K−1), π_c = (row_c + col_c)/(2N).
+    *
+    * Exactness: the Σ telescopes — since Σ(row+col) = 2N,
+    * Σ π(1−π) = 1 − Σ(row_c+col_c)²/(4N²), so p_e needs only
+    * S = Σ(row+col)² accumulated EXACTLY in DECIMAL(38,0) (the kappa
+    * pe_num protocol — never a per-class IEEE division summed in
+    * engine-visible order) and one fixed IEEE chain; p_o is one exact
+    * division ⇒ p_o/p_e/ac1 all hash UNROUNDED (the q_gini protocol).
+    * Cells/marginals ride the SAME one-pass construction as kappa
+    * (bounded by label vocabulary²). NULL ac1 when N = 0, K < 2 or the
+    * chance term degenerates (p_e = 1 is impossible at K ≥ 2 —
+    * Cauchy–Schwarz gives p_e ≤ 1/K — but the guard stays, belt and
+    * braces). Single row.
+    */
+  def gwetAc1(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val clean = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"), col(bCol).cast("string").as("__b"))
+    val cells = clean.groupBy("__a", "__b").agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy(col("__a").as("cls")).agg(sum(col("n")).as("row_n"))
+    val cols = cells.groupBy(col("__b").as("cls")).agg(sum(col("n")).as("col_n"))
+    val spine = rows.select(col("cls")).unionByName(cols.select(col("cls"))).distinct()
+    val margins = spine
+      .join(rows, Seq("cls"), "left").join(cols, Seq("cls"), "left")
+      .select((coalesce(col("row_n"), lit(0L)) + coalesce(col("col_n"), lit(0L)))
+        .cast(d38).as("__rc"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("__rc") * col("__rc")).as("__s"))
+    val tot = cells.agg(
+      sum(col("n")).as("n"),
+      sum(when(col("__a") === col("__b"), col("n")).otherwise(0L)).as("n_agree"))
+    val j = tot.crossJoin(margins)
+    val po = col("n_agree").cast("double") / col("n").cast("double")
+    // p_e = (1 − S/(4N²)) / (K−1), S and 4N² both exact decimals
+    val pe = (lit(1.0) - col("__s").cast("double") /
+      (lit(4L).cast(d38) * col("n").cast(d38) * col("n").cast(d38)).cast("double")) /
+      (col("n_classes") - lit(1L)).cast("double")
+    j.select(
+      coalesce(col("n"), lit(0L)).as("n"),
+      coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+      coalesce(col("n_classes"), lit(0L)).as("n_classes"),
+      when(col("n") > 0L, po).as("p_observed"),
+      when(col("n") > 0L && col("n_classes") >= 2L, pe).as("p_chance"),
+      when(col("n") > 0L && col("n_classes") >= 2L && (lit(1.0) - pe) > 0.0,
+        (po - pe) / (lit(1.0) - pe)).as("ac1"))
+  }
+
+  /** Cohen's d / Hedges' g standardized mean difference (B132) — the
+    * EFFECT-SIZE companion of [[welchT]] (t answers "is the gap real?",
+    * d answers "how many pooled SDs wide is it?"):
+    *   d = (m_a − m_b) / s_p,  s_p² = ((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2),
+    *   g = d · (1 − 3/(4(n_a+n_b) − 9))   (the small-sample bias factor).
+    * Rides welchT's exact per-side decimal (n, Σv, Σv²) sums VERBATIM;
+    * the written IEEE sequence computes each side's Σ(x−m)² as
+    * s2 − s1·(s1/n) (the welch op order) and everything downstream is
+    * one fixed chain. The decimal→double conversions share welch's
+    * drift class ⇒ means/d/g hash at hashRound 4 under the StatsSpec
+    * boundary-audit protocol. NULL d/g when either side has n < 2 or
+    * the pooled variance degenerates. Single row.
+    */
+  def cohensD(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val v = col(valueCol)
+    def side(g: String, suf: String) = df
+      .where(col(groupCol) === g && v.isNotNull)
+      .agg(
+        count(lit(1)).as(s"n_$suf"),
+        ExactMath.dsum(v).as(s"__s1$suf"),
+        sum((v.cast(ExactMath.ValueDecimal) * v.cast(ExactMath.ValueDecimal))
+          .cast(ExactMath.ValueDecimal)).cast("double").as(s"__s2$suf"))
+    val joined = side(groupA, "a").crossJoin(side(groupB, "b"))
+    def meanOf(suf: String) = col(s"__s1$suf") / col(s"n_$suf").cast("double")
+    def ssOf(suf: String) =
+      col(s"__s2$suf") - col(s"__s1$suf") * meanOf(suf)
+    val nA = col("n_a").cast("double"); val nB = col("n_b").cast("double")
+    val pooledVar = (ssOf("a") + ssOf("b")) / (nA + nB - lit(2.0))
+    val d = (meanOf("a") - meanOf("b")) / sqrt(pooledVar)
+    val g = d * (lit(1.0) - lit(3.0) / (lit(4.0) * (nA + nB) - lit(9.0)))
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L && pooledVar > 0.0
+    joined.select(
+      col("n_a"), col("n_b"),
+      ExactMath.hashRound(meanOf("a"), 4).as("mean_a"),
+      ExactMath.hashRound(meanOf("b"), 4).as("mean_b"),
+      ExactMath.hashRound(when(ok, d), 4).as("cohens_d"),
+      ExactMath.hashRound(when(ok, g), 4).as("hedges_g"))
+  }
+
+  /** Paired sign test over a column of paired differences (B133) — the
+    * assumption-free floor under [[wilcoxonSignedRank]] (Wilcoxon needs
+    * symmetric differences; the sign test only needs exchangeability):
+    * did MORE pairs move up than down? Zero differences drop (the
+    * Wilcoxon convention — same input contract, callers share the diff
+    * construction). z = (n_pos − n_neg)/√n on the normal approximation
+    * WITHOUT continuity correction (documented — the correction's ±0.5
+    * is a modeling choice, not a determinism hazard, but the plain form
+    * keeps the chain one sub/sqrt/div). Exact BIGINT counts, one fixed
+    * IEEE chain ⇒ z hashes UNROUNDED and `moved` compares identical
+    * doubles (the q_gini protocol). NULL z when no nonzero diffs.
+    * Single row.
+    */
+  def signTest(df: DataFrame, diffCol: String): DataFrame = {
+    val d = col(diffCol)
+    val agg = df.where(d.isNotNull && d =!= 0)
+      .agg(
+        sum(when(d > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(d < 0, 1L).otherwise(0L)).as("n_neg"))
+    val n = col("n_pos") + col("n_neg")
+    val z = (col("n_pos") - col("n_neg")).cast("double") /
+      sqrt(n.cast("double"))
+    val zOut = when(n > 0L, z)
+    agg.select(
+      coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+      coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+      zOut.as("z_score"),
+      when(zOut.isNotNull, abs(zOut) > lit(1.96)).as("moved"))
+  }
+
+  /** Cochran–Armitage trend test (B134, Cochran 1954 / Armitage 1955)
+    * — is a success RATE monotonically trending across k ORDERED
+    * groups? The ordinal companion of [[twoProportionZ]] (two unordered
+    * cohorts there; a dose-response ladder here — e.g. does the urgent→
+    * low priority ladder carry a fulfillment-rate trend?). With integer
+    * score w per row (the group's ordinal) and success s ∈ {0,1}:
+    *   T = Σws − X·Σw/N,   Var = p(1−p)·(Σw² − (Σw)²/N),   z = T/√Var,
+    * p = X/N. ONE row-grain partial-agg pass (Σw, Σw², Σws, X, N — the
+    * group table never materializes); the cross products X·Σw and
+    * (Σw)² accumulate in DECIMAL(38,0) (LONG wraps at target scale —
+    * the keySkew lesson) and every downstream op is one fixed IEEE
+    * chain on correctly-rounded conversions ⇒ z hashes UNROUNDED.
+    * NULL z when N = 0, p degenerate (0 or 1), or Var ≤ 0 (all rows on
+    * one score). `scoreCol` must be integral and NON-NULL where the
+    * group is (pre-derive the ordinal upstream); NULL score/success
+    * rows drop. Single row.
+    */
+  def cochranArmitage(
+      df: DataFrame,
+      scoreCol: Column,
+      successCol: Column): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = scoreCol.cast("long")
+    val s = successCol.cast("long")
+    val agg = df.where(scoreCol.isNotNull && successCol.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(s).as("n_success"),
+        sum(w).as("__sw"),
+        sum(w.cast(d38) * w.cast(d38)).as("__sw2"),
+        sum(w * s).as("__sws"))
+    val nD = col("n").cast("double")
+    val p = col("n_success").cast("double") / nD
+    val t = col("__sws").cast("double") -
+      (col("n_success").cast(d38) * col("__sw").cast(d38)).cast("double") / nD
+    val varT = p * (lit(1.0) - p) *
+      (col("__sw2").cast("double") -
+        (col("__sw").cast(d38) * col("__sw").cast(d38)).cast("double") / nD)
+    val ok = col("n") > 0L && p > 0.0 && p < 1.0 && varT > 0.0
+    val z = when(ok, t / sqrt(varT))
+    agg.select(
+      coalesce(col("n"), lit(0L)).as("n"),
+      coalesce(col("n_success"), lit(0L)).as("n_success"),
+      z.as("z_score"),
+      when(z.isNotNull, abs(z) > lit(1.96)).as("trending"))
+  }
+
   /** Wald–Wolfowitz runs test per key (B104) — is the sequence of
     * above/below-median outcomes random? The sign-memory screen next to
     * B75's lag-1 autocorrelation (linear memory). Bounded-series HOF

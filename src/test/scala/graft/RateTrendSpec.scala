@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.stats.Stats
+
+/** Hand-derived gates for the round-14 rate/agreement batch: Cohen's d
+  * / Hedges' g (B132), the paired sign test (B133), the
+  * Cochran–Armitage trend test (B134) and Gwet's AC1 (B135). Where the
+  * operator's arithmetic is a fixed IEEE chain the expectation replays
+  * the SAME op sequence (the AgreementSpec convention).
+  */
+class RateTrendSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def hr4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+
+  // ------------------------------------------------------------ Cohen's d
+
+  test("cohensD: hand case replays the welch-order pooled chain") {
+    // a: [2,4,6] -> n=3, s1=12, s2=56; b: [1,2,3] -> n=3, s1=6, s2=14
+    val df = Seq(("a", 2.0), ("a", 4.0), ("a", 6.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r = Stats.cohensD(df, "g", "v", "a", "b").collect().head
+    val ma = 12.0 / 3.0; val mb = 6.0 / 3.0
+    val ssa = 56.0 - 12.0 * ma; val ssb = 14.0 - 6.0 * mb
+    val pv = (ssa + ssb) / (3.0 + 3.0 - 2.0)
+    val d = (ma - mb) / math.sqrt(pv)
+    val g = d * (1.0 - 3.0 / (4.0 * (3.0 + 3.0) - 9.0))
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == hr4(ma) && r.getDouble(3) == hr4(mb))
+    assert(r.getDouble(4) == hr4(d), s"d: ${r.getDouble(4)} vs ${hr4(d)}")
+    assert(r.getDouble(5) == hr4(g), s"g: ${r.getDouble(5)} vs ${hr4(g)}")
+  }
+
+  test("cohensD: constant cohorts (zero pooled variance) and n<2 give NULL d/g") {
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    val r1 = Stats.cohensD(const, "g", "v", "a", "b").collect().head
+    assert(r1.isNullAt(4) && r1.isNullAt(5))
+    val tiny = Seq(("a", 1.0), ("b", 2.0), ("b", 4.0)).toDF("g", "v")
+    val r2 = Stats.cohensD(tiny, "g", "v", "a", "b").collect().head
+    assert(r2.isNullAt(4) && r2.isNullAt(5))
+  }
+
+  // ------------------------------------------------------------ sign test
+
+  test("signTest: zeros and NULLs drop; z = (pos-neg)/sqrt(n) exactly") {
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(-1.0), Some(0.0), None)
+      .toDF("d")
+    val r = Stats.signTest(df, "d").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 2.0 / math.sqrt(4.0))
+    assert(!r.getBoolean(3)) // 1.0 < 1.96
+  }
+
+  test("signTest: all-zero diffs give NULL z; lopsided input flags moved") {
+    val zeros = Seq(0.0, 0.0).toDF("d")
+    assert(Stats.signTest(zeros, "d").collect().head.isNullAt(2))
+    val lop = (1 to 9).map(_.toDouble).toDF("d") // 9 pos, 0 neg: z = 3 > 1.96
+    val r = Stats.signTest(lop, "d").collect().head
+    assert(r.getDouble(2) == 3.0 && r.getBoolean(3))
+  }
+
+  // ------------------------------------------------------- Cochran-Armitage
+
+  test("cochranArmitage: planted dose-response ladder follows the exact chain") {
+    // score 1: 2/10, score 2: 5/10, score 3: 8/10
+    // N=30 X=15 Sw=60 Sw2=140 Sws=36; t = 36-30 = 6; var = .25*20 = 5
+    val rows = Seq.tabulate(10)(i => (1, if (i < 2) 1 else 0)) ++
+      Seq.tabulate(10)(i => (2, if (i < 5) 1 else 0)) ++
+      Seq.tabulate(10)(i => (3, if (i < 8) 1 else 0))
+    val df = rows.toDF("w", "s")
+    val r = Stats.cochranArmitage(df, col("w"), col("s")).collect().head
+    assert(r.getLong(0) == 30L && r.getLong(1) == 15L)
+    val p = 15.0 / 30.0
+    val t = 36.0 - 900.0 / 30.0
+    val v = p * (1.0 - p) * (140.0 - 3600.0 / 30.0)
+    assert(r.getDouble(2) == t / math.sqrt(v))
+    assert(r.getBoolean(3)) // z ~ 2.68 > 1.96
+  }
+
+  test("cochranArmitage: degenerate rates and constant scores give NULL z") {
+    // all success -> p = 1
+    val allS = Seq((1, 1), (2, 1), (3, 1)).toDF("w", "s")
+    assert(Stats.cochranArmitage(allS, col("w"), col("s"))
+      .collect().head.isNullAt(2))
+    // one score level -> Var = 0
+    val oneW = Seq((2, 0), (2, 1), (2, 1)).toDF("w", "s")
+    assert(Stats.cochranArmitage(oneW, col("w"), col("s"))
+      .collect().head.isNullAt(2))
+  }
+
+  // ------------------------------------------------------------ Gwet AC1
+
+  test("gwetAc1: perfect agreement gives ac1 = 1 exactly") {
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val r = Stats.gwetAc1(df, "x", "y").collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 5L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 1.0)
+    // pe = (1 - (6^2+4^2)/(4*25)) / 1 = 0.48; ac1 = 0.52/0.52 = 1
+    assert(r.getDouble(4) == 0.48 && r.getDouble(5) == 1.0)
+  }
+
+  test("gwetAc1: hand 2x2 replays the telescoped chance chain") {
+    // cells (a,a)=4 (a,b)=1 (b,a)=1 (b,b)=2: N=8, agree=6
+    // rows a=5 b=3, cols a=5 b=3 -> rc 10,6 -> S=136
+    val rows = Seq.fill(4)(("a", "a")) ++ Seq(("a", "b"), ("b", "a")) ++
+      Seq.fill(2)(("b", "b"))
+    val r = Stats.gwetAc1(rows.toDF("x", "y"), "x", "y").collect().head
+    val po = 6.0 / 8.0
+    val pe = (1.0 - 136.0 / 256.0) / 1.0
+    assert(r.getDouble(3) == po && r.getDouble(4) == pe)
+    assert(r.getDouble(5) == (po - pe) / (1.0 - pe))
+  }
+
+  test("gwetAc1: survives the kappa paradox; single class gives NULL") {
+    // skewed marginals where kappa collapses: 45 (y,y), 1 (y,n), 4 (n,y)
+    val rows = Seq.fill(45)(("y", "y")) ++ Seq(("y", "n")) ++
+      Seq.fill(4)(("n", "y"))
+    val df = rows.toDF("x", "y")
+    val kappa = Stats.cohensKappa(df, "x", "y").collect().head.getDouble(4)
+    val ac1 = Stats.gwetAc1(df, "x", "y").collect().head.getDouble(5)
+    assert(ac1 > kappa && ac1 > 0.8,
+      s"AC1 should stay high where kappa collapses (ac1=$ac1 kappa=$kappa)")
+    val mono = Seq(("y", "y"), ("y", "y")).toDF("x", "y")
+    assert(Stats.gwetAc1(mono, "x", "y").collect().head.isNullAt(5))
+  }
+}

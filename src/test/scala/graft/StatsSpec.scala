@@ -459,6 +459,40 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  // q_cohens_d rides welch's sums and drift class; margin-audit the
+  // PRE-rounding means/d/g at 3 SFs (the eta-squared protocol)
+  for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    test(s"cohens-d margin audit at $dir: unrounded means/d/g clear of boundaries") {
+      val li = sources.Snapshot(spark, sf(dir)).lineitem
+      def sideStats(flag: String): (Long, Double, Double) = {
+        val r = li
+          .where(col("l_returnflag") === flag && col("l_quantity").isNotNull)
+          .agg(count(lit(1)),
+            graft.functions.ExactMath.dsum(col("l_quantity")),
+            sum((col("l_quantity").cast("decimal(18,6)") * col("l_quantity").cast("decimal(18,6)"))
+              .cast("decimal(18,6)")).cast("double"))
+          .collect().head
+        (r.getLong(0), r.getDouble(1), r.getDouble(2))
+      }
+      val (na, s1a, s2a) = sideStats("R")
+      val (nb, s1b, s2b) = sideStats("A")
+      val ma = s1a / na.toDouble; val mb = s1b / nb.toDouble
+      val ssa = s2a - s1a * ma; val ssb = s2b - s1b * mb
+      val pv = (ssa + ssb) / (na.toDouble + nb.toDouble - 2.0)
+      val d = (ma - mb) / math.sqrt(pv)
+      val g = d * (1.0 - 3.0 / (4.0 * (na.toDouble + nb.toDouble) - 9.0))
+      val scale = 10000.0
+      Seq("mean_a" -> ma, "mean_b" -> mb, "d" -> d, "g" -> g).foreach {
+        case (name, v) =>
+          val frac = v * scale - math.floor(v * scale)
+          val margin = math.abs(frac - 0.5) / scale
+          val driftBound = (math.abs(v) + 1.0) * 1e-14
+          assert(margin > 1e3 * driftBound,
+            f"$dir: unrounded $name $v%.10g sits $margin%.3e from its 4-digit boundary")
+      }
+    }
+  }
+
   test("momentsByGroup: hand-derived moments via the operator's own IEEE sequence") {
     import spark.implicits._
     def hr(x: Double, d: Int): Double = {
