@@ -2191,6 +2191,25 @@ object SparkEntry {
           .withColumn("__mi",
             year(col("o_orderdate")) * 12 + month(col("o_orderdate"))),
         "__mi", "o_orderpriority", "o_totalprice")),
+    "q_kendall_w" -> ((s, dir) =>
+      // Kendall's coefficient of concordance (B136): HOW MUCH do the
+      // months agree on the priority revenue ordering — rides B110's
+      // exact doubled-rank state verbatim; W = S2/(m·(A2−C2)), one
+      // division of exact DECIMALs, unrounded. Single row.
+      graft.operators.stats.Stats.kendallW(
+        snap(s, dir).orders
+          .where(col("o_orderdate").isNotNull)
+          .withColumn("__mi",
+            year(col("o_orderdate")) * 12 + month(col("o_orderdate"))),
+        "__mi", "o_orderpriority", "o_totalprice")),
+    "q_moods_median" -> ((s, dir) =>
+      // Mood's median test (B138): do the five priorities straddle the
+      // GLOBAL order-value median at the same rate — exact median
+      // selection via the RankedSpine prefix (division-free 2·cum ≥
+      // N+1 threshold), 2×k grid chi² folded over the group-sorted
+      // spine; med_value exact, chi2 unrounded. Single row.
+      graft.operators.stats.Stats.moodsMedian(
+        snap(s, dir).orders, "o_orderpriority", "o_totalprice")),
     "q_cochran_q" -> ((s, dir) => {
       // Cochran's Q (B111): do three binary per-customer screens (has
       // an URGENT order / has a >150k order / active since 1995) pass
@@ -2315,6 +2334,14 @@ object SparkEntry {
       // one bounded date-sorted array, sequential folds per lag
       // (init-less list_reduce mirror); every acf hashes UNROUNDED.
       graft.operators.stats.Stats.acfGlobal(
+        snap(s, dir).orders.where(col("o_orderdate").isNotNull),
+        "o_orderdate", maxLag = 5)),
+    "q_ljung_box" -> ((s, dir) =>
+      // Ljung-Box portmanteau over the B122 lags (B137): running
+      // Q_k = n(n+2)Σ r_j²/(n−j) folded sequentially over the lag
+      // spine (init-less list_reduce mirror, never a cumulative double
+      // window); Q unrounded, exceeds_95 on embedded chi² literals.
+      graft.operators.stats.Stats.ljungBoxGlobal(
         snap(s, dir).orders.where(col("o_orderdate").isNotNull),
         "o_orderdate", maxLag = 5)),
     "q_entropy_rate" -> ((s, dir) =>
@@ -6282,6 +6309,80 @@ object SparkEntry {
         |    / CAST(tot.a2 - CAST(tot.n AS HUGEINT) * k.k * (k.k + 1) * (k.k + 1) AS DOUBLE)
         |  END AS chi2_f
         |FROM tot CROSS JOIN k CROSS JOIN f""".stripMargin,
+    // B136 Kendall's W: the q_friedman CTEs verbatim; W = sumd2 / (m·(A2−C2))
+    "q_kendall_w" ->
+      """WITH c AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS b,
+        |    CAST(o_orderpriority AS VARCHAR) AS t,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS v
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |k AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM c),
+        |cb AS (SELECT b FROM c GROUP BY b
+        |       HAVING COUNT(*) = (SELECT k FROM k)),
+        |r AS (SELECT b, t,
+        |        CAST(2 * RANK() OVER (PARTITION BY b ORDER BY v)
+        |          + COUNT(*) OVER (PARTITION BY b, v) - 1 AS BIGINT) AS r2
+        |      FROM c JOIN cb USING (b)),
+        |pt AS (SELECT t, CAST(SUM(CAST(r2 AS HUGEINT)) AS HUGEINT) AS rr2
+        |       FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS a2,
+        |          CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM r),
+        |f AS (SELECT CAST(SUM((rr2 - CAST(tot.n AS HUGEINT) * (k.k + 1))
+        |          * (rr2 - CAST(tot.n AS HUGEINT) * (k.k + 1))) AS HUGEINT) AS sumd2
+        |      FROM pt CROSS JOIN tot CROSS JOIN k)
+        |SELECT COALESCE(tot.n, 0) AS n_blocks, COALESCE(k.k, 0) AS n_treatments,
+        |  CASE WHEN k.k >= 2 AND tot.n > 0
+        |    AND CAST(tot.n AS HUGEINT)
+        |      * (tot.a2 - CAST(tot.n AS HUGEINT) * k.k * (k.k + 1) * (k.k + 1)) > 0
+        |  THEN CAST(f.sumd2 AS DOUBLE)
+        |    / CAST(CAST(tot.n AS HUGEINT)
+        |      * (tot.a2 - CAST(tot.n AS HUGEINT) * k.k * (k.k + 1) * (k.k + 1)) AS DOUBLE)
+        |  END AS w_concordance
+        |FROM tot CROSS JOIN k CROSS JOIN f""".stripMargin,
+    // B138 Mood's median: division-free median threshold over the
+    // value spine, 2xk grid chi2 via the 0.0-init fold mirror
+    "q_moods_median" ->
+      """WITH x AS (
+        |  SELECT CAST(o_orderpriority AS VARCHAR) AS g, o_totalprice AS v
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |vals AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM x GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vals),
+        |w AS (SELECT v, cnt,
+        |        COALESCE(CAST(SUM(cnt) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bef
+        |      FROM vals),
+        |m AS (SELECT MIN(w.v) AS med FROM w CROSS JOIN t
+        |      WHERE (w.bef + w.cnt) * 2 >= t.n + 1),
+        |ga AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+        |         CAST(SUM(CASE WHEN x.v > m.med THEN 1 ELSE 0 END) AS BIGINT) AS a
+        |       FROM x CROSS JOIN m GROUP BY 1),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        |        CAST(SUM(a) AS BIGINT) AS ta,
+        |        list({'g': g, 'ng': ng, 'a': a} ORDER BY g) AS gs
+        |      FROM ga),
+        |chi AS (SELECT s.k, s.n, s.ta,
+        |    list_reduce(list_transform(s.gs, e ->
+        |      (CAST(e.a AS DOUBLE)
+        |        - CAST(e.ng AS DOUBLE) * CAST(s.ta AS DOUBLE) / CAST(s.n AS DOUBLE))
+        |      * (CAST(e.a AS DOUBLE)
+        |        - CAST(e.ng AS DOUBLE) * CAST(s.ta AS DOUBLE) / CAST(s.n AS DOUBLE))
+        |      / (CAST(e.ng AS DOUBLE) * CAST(s.ta AS DOUBLE) / CAST(s.n AS DOUBLE))
+        |      + (CAST(e.ng - e.a AS DOUBLE)
+        |        - CAST(e.ng AS DOUBLE) * CAST(s.n - s.ta AS DOUBLE) / CAST(s.n AS DOUBLE))
+        |      * (CAST(e.ng - e.a AS DOUBLE)
+        |        - CAST(e.ng AS DOUBLE) * CAST(s.n - s.ta AS DOUBLE) / CAST(s.n AS DOUBLE))
+        |      / (CAST(e.ng AS DOUBLE) * CAST(s.n - s.ta AS DOUBLE) / CAST(s.n AS DOUBLE))),
+        |      (acc, x) -> acc + x) AS chi2
+        |  FROM s)
+        |SELECT chi.n, chi.k AS n_groups,
+        |  CAST(m.med AS DOUBLE) AS med_value,
+        |  CASE WHEN chi.k >= 2 AND chi.ta > 0 AND chi.ta < chi.n
+        |    THEN chi.chi2 END AS chi2
+        |FROM chi CROSS JOIN m""".stripMargin,
     // B111 Cochran's Q: block-grain booleans, exact counts, squares in
     // HUGEINT, ONE division — q_stat hashes unrounded
     "q_cochran_q" ->
@@ -6702,6 +6803,65 @@ object SparkEntry {
         |FROM (SELECT unnest([1, 2, 3, 4, 5]) AS lag) lags
         |  CROSS JOIN t CROSS JOIN dn CROSS JOIN nums
         |ORDER BY lag""".stripMargin,
+    // B137 Ljung-Box: the q_acf CTEs verbatim, then the running
+    // portmanteau as left-assoc term sums (the 0.0-init fold mirror);
+    // NULL r_j propagates; criticals are short embedded literals
+    "q_ljung_box" ->
+      """WITH u AS (SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS x
+        |           FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s1
+        |      FROM u),
+        |dv AS (SELECT d,
+        |         CAST(x AS DOUBLE) - CAST(t.s1 AS DOUBLE) / CAST(t.n AS DOUBLE) AS dev
+        |       FROM u, t),
+        |l AS (SELECT d, dev,
+        |        LEAD(dev, 1) OVER (ORDER BY d) AS k1,
+        |        LEAD(dev, 2) OVER (ORDER BY d) AS k2,
+        |        LEAD(dev, 3) OVER (ORDER BY d) AS k3,
+        |        LEAD(dev, 4) OVER (ORDER BY d) AS k4,
+        |        LEAD(dev, 5) OVER (ORDER BY d) AS k5
+        |      FROM dv),
+        |dn AS (SELECT list_reduce(list(dev * dev ORDER BY d), (x, y) -> x + y) AS den
+        |       FROM l),
+        |nums AS (SELECT
+        |    (SELECT list_reduce(list(dev * k1 ORDER BY d), (x, y) -> x + y)
+        |     FROM l WHERE k1 IS NOT NULL) AS v1,
+        |    (SELECT list_reduce(list(dev * k2 ORDER BY d), (x, y) -> x + y)
+        |     FROM l WHERE k2 IS NOT NULL) AS v2,
+        |    (SELECT list_reduce(list(dev * k3 ORDER BY d), (x, y) -> x + y)
+        |     FROM l WHERE k3 IS NOT NULL) AS v3,
+        |    (SELECT list_reduce(list(dev * k4 ORDER BY d), (x, y) -> x + y)
+        |     FROM l WHERE k4 IS NOT NULL) AS v4,
+        |    (SELECT list_reduce(list(dev * k5 ORDER BY d), (x, y) -> x + y)
+        |     FROM l WHERE k5 IS NOT NULL) AS v5),
+        |r AS (SELECT t.n, CAST(t.n AS DOUBLE) AS nd,
+        |    CASE WHEN t.n > 1 AND dn.den > 0 THEN nums.v1 / dn.den END AS r1,
+        |    CASE WHEN t.n > 2 AND dn.den > 0 THEN nums.v2 / dn.den END AS r2,
+        |    CASE WHEN t.n > 3 AND dn.den > 0 THEN nums.v3 / dn.den END AS r3,
+        |    CASE WHEN t.n > 4 AND dn.den > 0 THEN nums.v4 / dn.den END AS r4,
+        |    CASE WHEN t.n > 5 AND dn.den > 0 THEN nums.v5 / dn.den END AS r5
+        |  FROM t CROSS JOIN dn CROSS JOIN nums),
+        |q AS (SELECT n,
+        |    nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0)) AS q1,
+        |    nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0)) AS q2,
+        |    nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0)
+        |      + r3 * r3 / (nd - 3.0)) AS q3,
+        |    nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0)
+        |      + r3 * r3 / (nd - 3.0) + r4 * r4 / (nd - 4.0)) AS q4,
+        |    nd * (nd + 2.0) * (r1 * r1 / (nd - 1.0) + r2 * r2 / (nd - 2.0)
+        |      + r3 * r3 / (nd - 3.0) + r4 * r4 / (nd - 4.0)
+        |      + r5 * r5 / (nd - 5.0)) AS q5
+        |  FROM r),
+        |e AS (SELECT lag, q.n,
+        |    CASE WHEN q.n > lag THEN
+        |      CASE lag WHEN 1 THEN q1 WHEN 2 THEN q2 WHEN 3 THEN q3
+        |               WHEN 4 THEN q4 ELSE q5 END END AS q_stat,
+        |    CASE lag WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+        |             WHEN 4 THEN 9.488 ELSE 11.07 END AS crit
+        |  FROM (SELECT unnest([1, 2, 3, 4, 5]) AS lag) lags CROSS JOIN q)
+        |SELECT lag, n AS n_points, q_stat,
+        |  CASE WHEN q_stat IS NOT NULL THEN q_stat > crit END AS exceeds_95
+        |FROM e ORDER BY lag""".stripMargin,
     // B123 conditional entropy: the q_event_transitions CTE, margins
     // from the aggregated cells, -p(i,j)*ln(p(j|i)) floor-rounded 4
     // (audited transcendental), p_next unrounded

@@ -1048,6 +1048,55 @@ object Stats {
       .orderBy("lag")
   }
 
+  /** Ljung–Box portmanteau statistic over the ACF lags (B137, Ljung &
+    * Box 1978) — "is there ANY autocorrelation through lag k?" — the
+    * whiteness test that summarizes [[acfGlobal]]'s per-lag table:
+    *   Q_k = n(n+2) · Σ_{j=1..k} r_j²/(n−j),
+    * one row per lag with the RUNNING portmanteau. Rides the acf
+    * output verbatim (r_j are the engine-identical unrounded doubles
+    * the B122 oracle already hashes); each Q_k folds its lag-prefix
+    * SEQUENTIALLY in lag order from 0.0 over the ≤ maxLag-row spine
+    * (init-less `list_reduce` mirror — never a cumulative double
+    * window, whose evaluation strategy is engine-visible) ⇒ Q hashes
+    * UNROUNDED. A NULL r_j (short series / zero variance) NULLs every
+    * Q from that lag on (null propagates through the fold — both
+    * engines). `exceeds_95` compares Q against the embedded χ²(k) 5%
+    * critical literals (k ≤ 12) on identical doubles.
+    */
+  def ljungBoxGlobal(df: DataFrame, unitCol: String, maxLag: Int): DataFrame =
+    ljungBoxFromUnitCounts(unitCounts(df, unitCol), maxLag)
+
+  /** The portmanteau table from a pre-aggregated [[unitCounts]] state —
+    * see [[ljungBoxGlobal]] for the full contract.
+    */
+  def ljungBoxFromUnitCounts(units: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 12,
+      s"maxLag must be in [1,12] (embedded chi-square criticals), got $maxLag")
+    // chi-square 95th percentiles for df = 1..12 (embedded literals —
+    // the q_benford convention)
+    val crit = Seq(3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
+      15.507, 16.919, 18.307, 19.675, 21.026)
+    val acf = acfFromUnitCounts(units, maxLag)
+    val spine = acf.agg(
+      max(col("n_points")).as("n_points"),
+      array_sort(collect_list(struct(col("lag"), col("acf")))).as("__ls"))
+    val n = col("n_points").cast("double")
+    def qK(k: Int): Column = n * (n + lit(2.0)) * aggregate(
+      slice(col("__ls"), 1, k), lit(0.0),
+      (acc, e) => acc + e.getField("acf") * e.getField("acf")
+        / (n - e.getField("lag").cast("double")))
+    val lagRows = (1 to maxLag).map { k =>
+      val q = when(col("n_points") > lit(k.toLong), qK(k))
+      struct(lit(k).as("lag"), q.as("q"),
+        when(q.isNotNull, q > lit(crit(k - 1))).as("ex"))
+    }
+    spine
+      .select(col("n_points"), explode(array(lagRows: _*)).as("r"))
+      .select(col("r.lag").as("lag"), col("n_points"),
+        col("r.q").as("q_stat"), col("r.ex").as("exceeds_95"))
+      .orderBy("lag")
+  }
+
   /** Per-group skewness/kurtosis from exact decimal power sums (B95) —
     * the distribution-shape profiling pass (heavy tails / asymmetry)
     * next to B39's presence stats. Spark's builtin `skewness`/
@@ -1624,6 +1673,71 @@ object Stats {
       when(z.isNotNull, abs(z) > lit(1.96)).as("trending"))
   }
 
+  /** Mood's median test across ALL groups of a categorical column
+    * (B138) — the robust-to-outliers cousin of [[kruskalWallis]] (ranks
+    * there, a single median split here: do the k groups straddle the
+    * GLOBAL median at the same rate?). The global lower median is an
+    * exact SELECTION from the value spine — the smallest value whose
+    * inclusive cumulative count clears (N+1)/2, division-free via
+    * `2·cum ≥ N+1` (the weightedQuantile threshold trick) over the
+    * [[RankedSpine]] distributed prefix (no single-task spine window).
+    * Per group: a_g = count strictly ABOVE the median (ties with the
+    * median land below — documented, the split the selection implies);
+    * χ² folds the 2×k grid SEQUENTIALLY over the group-sorted spine
+    * (per-element terms built by `transform`, summed by a 0.0-init
+    * `aggregate` — the logrank/cramers order-free rule, init-less
+    * `list_reduce` mirror) with e = n_g·A/N in ONE written IEEE order
+    * ⇒ med_value hashes EXACT and chi2 UNROUNDED. NULL chi2 when k < 2
+    * or either side of the split is empty (degenerate expecteds).
+    * Single row.
+    */
+  def moodsMedian(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val clean = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+    val cells = clean
+      .groupBy(col(valueCol).as("__s"), col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__cg"))
+    val vals = cells.groupBy("__s").agg(sum(col("__cg")).as("__cnt"))
+    val tot = vals.agg(sum(col("__cnt")).as("__n"))
+    val medRow = RankedSpine
+      .exclusivePrefix(vals, Nil, "__s", Seq("__cnt" -> "__bef"))
+      .crossJoin(broadcast(tot))
+      .where((col("__bef") + col("__cnt")) * 2 >= col("__n") + 1)
+      .agg(min(col("__s")).as("__med"))
+    val perG = cells.crossJoin(broadcast(medRow))
+      .groupBy("__g")
+      .agg(
+        sum(col("__cg")).as("__ng"),
+        sum(when(col("__s") > col("__med"), col("__cg")).otherwise(0L)).as("__a"),
+        max(col("__med")).as("__med"))
+    val spine = perG.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("__ng")).as("n"),
+      sum(col("__a")).as("__ta"),
+      max(col("__med")).as("med_value"),
+      array_sort(collect_list(struct(
+        col("__g"), col("__ng"), col("__a")))).as("__gs"))
+    val nD = col("n").cast("double")
+    val aD = col("__ta").cast("double")
+    val bD = (col("n") - col("__ta")).cast("double")
+    def term(e: Column): Column = {
+      val ng = e.getField("__ng").cast("double")
+      val ag = e.getField("__a").cast("double")
+      val bg = (e.getField("__ng") - e.getField("__a")).cast("double")
+      val ea = ng * aD / nD
+      val eb = ng * bD / nD
+      (ag - ea) * (ag - ea) / ea + (bg - eb) * (bg - eb) / eb
+    }
+    val chi2 = aggregate(transform(col("__gs"), term _), lit(0.0),
+      (acc, t) => acc + t)
+    spine.select(
+      coalesce(col("n"), lit(0L)).as("n"),
+      coalesce(col("n_groups"), lit(0L)).as("n_groups"),
+      // exact decimal→double conversion (values sit far inside 2^53)
+      col("med_value").cast("double").as("med_value"),
+      when(col("n_groups") >= 2L && col("__ta") > 0L &&
+        col("__ta") < col("n"), chi2).as("chi2"))
+  }
+
   /** Wald–Wolfowitz runs test per key (B104) — is the sequence of
     * above/below-median outcomes random? The sign-memory screen next to
     * B75's lag-1 autocorrelation (linear memory). Bounded-series HOF
@@ -1766,6 +1880,30 @@ object Stats {
       treatCol: String,
       valueCol: String): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val fin = friedmanCore(df, blockCol, treatCol, valueCol)
+    val c2 = (col("n_blocks").cast(d38) * col("n_treatments").cast(d38)
+      * (col("n_treatments") + lit(1L)).cast(d38)
+      * (col("n_treatments") + lit(1L)).cast(d38)).cast(d38)
+    val num = ((col("n_treatments") - lit(1L)).cast(d38) * col("__sumd2")).cast(d38)
+    val den = (col("__A2") - c2).cast(d38)
+    fin.select(
+      coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+      coalesce(col("n_treatments"), lit(0L)).as("n_treatments"),
+      when(col("n_treatments") >= 2L && col("n_blocks") > 0L && den > 0L,
+        num.cast("double") / den.cast("double")).as("chi2_f"))
+  }
+
+  /** The shared single-row state behind [[friedman]] and [[kendallW]]:
+    * (n_blocks, n_treatments, __sumd2 = Σ(R2_j − m(k+1))², __A2 = Σr2²)
+    * over complete blocks with doubled within-block average ranks —
+    * extracted verbatim from the r13 friedman (bit-neutral).
+    */
+  private def friedmanCore(
+      df: DataFrame,
+      blockCol: String,
+      treatCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val clean = df.where(col(blockCol).isNotNull && col(treatCol).isNotNull &&
       col(valueCol).isNotNull)
     val cells = clean
@@ -1787,22 +1925,42 @@ object Stats {
       sum(col("__r2").cast(d38) * col("__r2").cast(d38)).as("__A2"),
       countDistinct(col("__b")).as("__n"))
     val dj = col("__R2") - (col("__n").cast(d38) * (col("__k") + lit(1L)).cast(d38))
-    val fin = perT.crossJoin(broadcast(totals)).crossJoin(broadcast(kDf))
+    perT.crossJoin(broadcast(totals)).crossJoin(broadcast(kDf))
       .agg(
         sum(dj * dj).as("__sumd2"),
         max(col("__A2")).as("__A2"),
         max(col("__n")).as("n_blocks"),
         max(col("__k")).as("n_treatments"))
+  }
+
+  /** Kendall's coefficient of concordance W (B136, Kendall & Babington
+    * Smith 1939) — HOW MUCH do the blocks agree on the treatment
+    * ordering? The effect-size companion of [[friedman]]'s "is there
+    * any agreement" χ² (the B124-to-B89 relationship), riding the
+    * IDENTICAL doubled-rank state: with S2 = Σ(R2_j − m(k+1))² and the
+    * Conover tie-corrected denominator, W = S2 / (m·(A2 − C2)) —
+    * algebraically 12S/(m²(k³−k) − m·ΣT) (the friedman identity
+    * χ²_F = m(k−1)·W, spec-pinned); W ∈ [0, 1], 1 = every block ranks
+    * the treatments identically. Exact DECIMAL(38,0) end to end, ONE
+    * division ⇒ W hashes UNROUNDED. NULL W when k < 2 or every block
+    * fully ties (A2 = C2). Single row.
+    */
+  def kendallW(
+      df: DataFrame,
+      blockCol: String,
+      treatCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val fin = friedmanCore(df, blockCol, treatCol, valueCol)
     val c2 = (col("n_blocks").cast(d38) * col("n_treatments").cast(d38)
       * (col("n_treatments") + lit(1L)).cast(d38)
       * (col("n_treatments") + lit(1L)).cast(d38)).cast(d38)
-    val num = ((col("n_treatments") - lit(1L)).cast(d38) * col("__sumd2")).cast(d38)
-    val den = (col("__A2") - c2).cast(d38)
+    val den = (col("n_blocks").cast(d38) * (col("__A2") - c2)).cast(d38)
     fin.select(
       coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
       coalesce(col("n_treatments"), lit(0L)).as("n_treatments"),
       when(col("n_treatments") >= 2L && col("n_blocks") > 0L && den > 0L,
-        num.cast("double") / den.cast("double")).as("chi2_f"))
+        col("__sumd2").cast("double") / den.cast("double")).as("w_concordance"))
   }
 
   /** Cochran's Q over k binary treatments measured on the same blocks

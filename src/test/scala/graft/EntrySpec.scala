@@ -48,7 +48,8 @@ class EntrySpec extends SparkSpecBase {
       "q_permutation_test", "q_friedman", "q_cochran_q", "q_fleiss_kappa",
       "q_cronbach_alpha", "q_partial_corr", "q_odds_ratio", "q_overdispersion",
       "q_cliffs_delta", "q_eta_squared", "q_vif", "q_cohens_d",
-      "q_sign_test", "q_cochran_armitage", "q_gwet_ac1")
+      "q_sign_test", "q_cochran_armitage", "q_gwet_ac1", "q_kendall_w",
+      "q_moods_median")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !singleRow(name) && !sql.toUpperCase.contains("ORDER BY") => name
     }

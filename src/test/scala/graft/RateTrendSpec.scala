@@ -126,4 +126,83 @@ class RateTrendSpec extends SparkSpecBase {
     val mono = Seq(("y", "y"), ("y", "y")).toDF("x", "y")
     assert(Stats.gwetAc1(mono, "x", "y").collect().head.isNullAt(5))
   }
+
+  // ------------------------------------------------------------ Kendall's W
+
+  test("kendallW: perfect concordance gives W = 1 exactly; friedman identity holds") {
+    // 3 blocks, 3 treatments, identical ordering in every block
+    val rows = for (b <- 1 to 3; (t, v) <- Seq(("x", 1.0), ("y", 2.0), ("z", 3.0)))
+      yield (b, t, v * b) // scaled per block — order identical
+    val df = rows.toDF("b", "t", "v")
+    val w = Stats.kendallW(df, "b", "t", "v").collect().head
+    assert(w.getLong(0) == 3L && w.getLong(1) == 3L && w.getDouble(2) == 1.0)
+    // chi2_F = m(k-1)·W (different op order — compare within fp slack)
+    val chi2 = Stats.friedman(df, "b", "t", "v").collect().head.getDouble(2)
+    assert(math.abs(chi2 - 3.0 * 2.0 * w.getDouble(2)) < 1e-12)
+  }
+
+  test("kendallW: disagreeing blocks give W in (0,1); all-tied blocks NULL") {
+    val rows = Seq(
+      (1, "x", 1.0), (1, "y", 2.0), (1, "z", 3.0),
+      (2, "x", 3.0), (2, "y", 2.0), (2, "z", 1.0)) // reversed order
+    val w = Stats.kendallW(rows.toDF("b", "t", "v"), "b", "t", "v")
+      .collect().head
+    assert(w.getDouble(2) == 0.0) // exact opposition: rank sums all equal
+    val tied = Seq((1, "x", 5.0), (1, "y", 5.0), (1, "z", 5.0))
+    assert(Stats.kendallW(tied.toDF("b", "t", "v"), "b", "t", "v")
+      .collect().head.isNullAt(2))
+  }
+
+  // ------------------------------------------------------------ Ljung-Box
+
+  test("ljungBox: Q replays the acf fold exactly; short series and zero variance NULL") {
+    // unit counts 1..6 over units 1..6 (one row per unit repeated u times)
+    val rows = (1 to 6).flatMap(u => Seq.fill(u)(u))
+    val df = rows.toDF("u")
+    val got = Stats.ljungBoxGlobal(df, "u", 3).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    // reference replay with the operator's own IEEE sequence
+    val xs = (1 to 6).map(_.toDouble)
+    val n = xs.size
+    val mean = xs.sum / n // Σ of integers is exact; /n one division
+    val devs = xs.map(_ - mean)
+    val den = devs.foldLeft(0.0)((a, d) => a + d * d)
+    def r(k: Int): Double = {
+      val num = devs.dropRight(k).zip(devs.drop(k))
+        .foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+      num / den
+    }
+    def q(k: Int): Double =
+      n.toDouble * (n.toDouble + 2.0) * (1 to k).foldLeft(0.0)(
+        (a, j) => a + r(j) * r(j) / (n.toDouble - j.toDouble))
+    (1 to 3).foreach(k => assert(got(k).contains(q(k)), s"lag $k"))
+    // n = 3 series: lag-3 Q needs n > 3 — NULL
+    val tiny = Seq(1, 2, 2, 3, 3, 3).toDF("u")
+    val t = Stats.ljungBoxGlobal(tiny, "u", 3).collect()
+    assert(t.count(_.isNullAt(2)) >= 1)
+    // constant counts: zero variance — every acf and Q NULL
+    val const = Seq(1, 2, 3, 4, 5).toDF("u")
+    assert(Stats.ljungBoxGlobal(const, "u", 2).collect().forall(_.isNullAt(2)))
+  }
+
+  // ------------------------------------------------------------ Mood's median
+
+  test("moodsMedian: hand 2-group split gives chi2 = 3 exactly") {
+    // a: [1,2,3], b: [4,5,6] -> median element 4 (2·cum ≥ N+1), above = {5,6}
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r = Stats.moodsMedian(df, "g", "v").collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 4.0)
+    assert(r.getDouble(3) == 3.0)
+  }
+
+  test("moodsMedian: all-equal values and single groups give NULL chi2") {
+    val eq = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    val r1 = Stats.moodsMedian(eq, "g", "v").collect().head
+    assert(r1.getDouble(2) == 5.0 && r1.isNullAt(3))
+    val one = Seq(("a", 1.0), ("a", 2.0), ("a", 9.0)).toDF("g", "v")
+    assert(Stats.moodsMedian(one, "g", "v").collect().head.isNullAt(3))
+  }
 }
