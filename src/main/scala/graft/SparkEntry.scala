@@ -676,6 +676,27 @@ object SparkEntry {
         .dedupByCanonical(snap(s, dir).documents.select(raw.as("url")), "url")
         .orderBy("canonical_url")
     }),
+    "q_tracking_params" -> ((s, dir) => {
+      // host-level tracking-parameter prevalence (C79): which domains
+      // ship link-decorated URLs — the C43 synthesis audited per host
+      // (exactly canonicalize's drop rule, so the table reports what
+      // canonicalization would strip); exact counts + ONE division.
+      val k = col("doc_id")
+      val k7 = (k % 7).cast("string"); val p = (k % 11).cast("string")
+      val i = (k % 3).cast("string")
+      val raw = when(k % 5 === 0, concat(lit("HTTP://Example"), k7, lit(".COM:80/Path"), p,
+          lit("?utm_source=news&id="), i, lit("#sec1")))
+        .when(k % 5 === 1, concat(lit("https://example"), k7, lit(".com:443/Path"), p,
+          lit("?id="), i, lit("&utm_campaign=x")))
+        .when(k % 5 === 2, concat(lit("http://EXAMPLE"), k7, lit(".com/Path"), p,
+          lit("?b=2&a=1&fbclid=zz")))
+        .when(k % 5 === 3, concat(lit("https://example"), k7, lit(".com:8443/Path"), p,
+          lit("?a=1&b=2")))
+        .otherwise(concat(lit("http://example"), k7, lit(".com:80/Path"), p))
+      graft.operators.text.UrlTools
+        .trackingAudit(snap(s, dir).documents.select(raw.as("url")), "url")
+        .orderBy("host")
+    }),
     "q_dedup_url" -> ((s, dir) => {
       // canonical-URL dedup KEEP-BEST (C71): the C43 synthesis feeds
       // the curation decision — per canonical form keep the highest-
@@ -2210,6 +2231,18 @@ object SparkEntry {
       // spine; med_value exact, chi2 unrounded. Single row.
       graft.operators.stats.Stats.moodsMedian(
         snap(s, dir).orders, "o_orderpriority", "o_totalprice")),
+    "q_page_trend" -> ((s, dir) =>
+      // Page's ordered-alternative trend (B139): do the months rank
+      // revenue ALONG the priority ladder (ordinal = leading digit)?
+      // Doubled L2 exact under ties, tie-free variance documented;
+      // z unrounded, one-sided 1.645 flag. Single row.
+      graft.operators.stats.Stats.pageTrend(
+        snap(s, dir).orders
+          .where(col("o_orderdate").isNotNull)
+          .withColumn("__mi",
+            year(col("o_orderdate")) * 12 + month(col("o_orderdate"))),
+        "__mi", "o_orderpriority", "o_totalprice",
+        t => substring(t, 1, 1).cast("int"))),
     "q_cochran_q" -> ((s, dir) => {
       // Cochran's Q (B111): do three binary per-customer screens (has
       // an URGENT order / has a >150k order / active since 1995) pass
@@ -2380,6 +2413,22 @@ object SparkEntry {
       graft.operators.text.TextStats
         .garbledAudit(snap(s, dir).documents, "doc_id", "text")
         .orderBy("doc_id")),
+    "q_casing_audit" -> ((s, dir) => {
+      // casing/char-class profile (C78): ALL-CAPS word share, TitleCase
+      // share, upper/digit char shares — every share ONE exact-int
+      // division. Deterministic casing noise keeps the flag
+      // non-vacuous (the q_garbled convention): every 17th doc is
+      // fully uppercased, the next gets a TitleCase header.
+      val d = snap(s, dir).documents.where(col("text").isNotNull)
+      val noisy = d.select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, upper(col("text")))
+          .when(col("doc_id") % 17 === 1,
+            concat(lit("Press Release From Example Corp "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.text.TextStats
+        .casingAudit(noisy, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "q_tukey_hsd" -> ((s, dir) =>
       // Tukey-Kramer post-hoc pairs (B127): WHICH returnflag groups
       // differ after q_anova's F — pairwise means/q-statistics from a
@@ -4582,6 +4631,38 @@ object SparkEntry {
         |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants
         |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+    // C79 tracking-parameter audit: the C43 synthesis + the host CTE
+    // (string_split [2] = after the FIRST '://'), param rule =
+    // canonicalize's drop rule; exact counts + ONE division
+    "q_tracking_params" ->
+      """WITH raw AS (SELECT
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'HTTP://Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM:80/Path' || CAST(doc_id % 11 AS VARCHAR) || '?utm_source=news&id=' || CAST(doc_id % 3 AS VARCHAR) || '#sec1'
+        |    WHEN 1 THEN 'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com:443/Path' || CAST(doc_id % 11 AS VARCHAR) || '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x'
+        |    WHEN 2 THEN 'http://EXAMPLE' || CAST(doc_id % 7 AS VARCHAR) || '.com/Path' || CAST(doc_id % 11 AS VARCHAR) || '?b=2&a=1&fbclid=zz'
+        |    WHEN 3 THEN 'https://example' || CAST(doc_id % 7 AS VARCHAR) || '.com:8443/Path' || CAST(doc_id % 11 AS VARCHAR) || '?a=1&b=2'
+        |    ELSE 'http://example' || CAST(doc_id % 7 AS VARCHAR) || '.com:80/Path' || CAST(doc_id % 11 AS VARCHAR)
+        |  END AS url FROM documents),
+        |s1 AS (SELECT url, split_part(url, '#', 1) AS nofrag FROM raw),
+        |s2 AS (SELECT url, nofrag,
+        |        substring(nofrag, strpos(nofrag, '://') + 3) AS rest FROM s1),
+        |s3 AS (SELECT *,
+        |        CASE WHEN strpos(rest, '?') > 0 THEN substring(rest, length(split_part(rest, '?', 1)) + 2) ELSE '' END AS query FROM s2),
+        |tp AS (SELECT
+        |    lower(string_split(string_split(string_split(
+        |      string_split(url, '://')[2], '?')[1], '/')[1], ':')[1]) AS host,
+        |    CAST(len(list_filter(string_split(query, '&'),
+        |      p -> p <> '' AND (starts_with(p, 'utm_')
+        |        OR split_part(p, '=', 1) IN ('fbclid', 'gclid', 'ref')))) AS BIGINT)
+        |      AS n_tp
+        |  FROM s3 WHERE url IS NOT NULL),
+        |g AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |        CAST(SUM(CASE WHEN n_tp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tracked,
+        |        CAST(SUM(n_tp) AS BIGINT) AS n_tracking_params
+        |      FROM tp WHERE host IS NOT NULL GROUP BY 1)
+        |SELECT host, n_urls, n_tracked, n_tracking_params,
+        |  CAST(n_tracked AS DOUBLE) / CAST(n_urls AS DOUBLE) AS tracked_share
+        |FROM g ORDER BY host""".stripMargin,
     // C71 keep-best URL dedup: the C43 canonicalization chain with
     // doc_id carried through, quality via the SHARED qualityScoreSql,
     // ROW_NUMBER pick mirrors the struct-max (score DESC, doc_id)
@@ -6383,6 +6464,45 @@ object SparkEntry {
         |  CASE WHEN chi.k >= 2 AND chi.ta > 0 AND chi.ta < chi.n
         |    THEN chi.chi2 END AS chi2
         |FROM chi CROSS JOIN m""".stripMargin,
+    // B139 Page trend: the q_friedman CTEs; doubled L2 = Σ w·R2 exact
+    // HUGEINT, E(L2) via // 2 (even product), tie-free variance, one
+    // fixed chain — z unrounded, one-sided 1.645 flag
+    "q_page_trend" ->
+      """WITH c AS (
+        |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS b,
+        |    CAST(o_orderpriority AS VARCHAR) AS t,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS v
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |k AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM c),
+        |cb AS (SELECT b FROM c GROUP BY b
+        |       HAVING COUNT(*) = (SELECT k FROM k)),
+        |r AS (SELECT b, t,
+        |        CAST(2 * RANK() OVER (PARTITION BY b ORDER BY v)
+        |          + COUNT(*) OVER (PARTITION BY b, v) - 1 AS BIGINT) AS r2
+        |      FROM c JOIN cb USING (b)),
+        |pt AS (SELECT t, CAST(SUM(CAST(r2 AS HUGEINT)) AS HUGEINT) AS rr2
+        |       FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM r),
+        |f AS (SELECT CAST(SUM(CAST(CAST(substring(t, 1, 1) AS INTEGER) AS HUGEINT)
+        |        * rr2) AS HUGEINT) AS l2
+        |      FROM pt),
+        |zz AS (SELECT tot.n, k.k, f.l2,
+        |    CASE WHEN k.k >= 2 AND tot.n > 0
+        |      AND CAST(CAST(tot.n AS HUGEINT) * (k.k * k.k) * (k.k + 1)
+        |        * (k.k * k.k - 1) AS DOUBLE) / 36.0 > 0
+        |    THEN CAST(f.l2 - CAST(tot.n AS HUGEINT) * k.k * (k.k + 1) * (k.k + 1) // 2
+        |        AS DOUBLE)
+        |      / sqrt(CAST(CAST(tot.n AS HUGEINT) * (k.k * k.k) * (k.k + 1)
+        |        * (k.k * k.k - 1) AS DOUBLE) / 36.0)
+        |    END AS z
+        |  FROM tot CROSS JOIN k CROSS JOIN f)
+        |SELECT COALESCE(n, 0) AS n_blocks, COALESCE(k, 0) AS n_treatments,
+        |  CAST(l2 AS BIGINT) AS l2_stat, z AS z_score,
+        |  CASE WHEN z IS NOT NULL THEN z > 1.645 END AS increasing
+        |FROM zz""".stripMargin,
     // B111 Cochran's Q: block-grain booleans, exact counts, squares in
     // HUGEINT, ONE division — q_stat hashes unrounded
     "q_cochran_q" ->
@@ -6998,6 +7118,39 @@ object SparkEntry {
         |FROM documents
         |WHERE text IS NOT NULL AND length(text) > 0
         |ORDER BY doc_id""".stripMargin,
+    // C78 casing audit: deterministic casing noise (every 17th doc
+    // uppercased, next gets a TitleCase header); exact-int share
+    // divisions, anchored common-subset regexes
+    "q_casing_audit" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN upper(text)
+        |         WHEN doc_id % 17 = 1 THEN 'Press Release From Example Corp ' || text
+        |         ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc_id, text,
+        |        list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+        |      FROM d WHERE length(text) > 0),
+        |m AS (SELECT doc_id, text, ws,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '^[A-Z]{2,}$'))) AS BIGINT)
+        |      AS n_caps,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '^[A-Z][a-z]+$'))) AS BIGINT)
+        |      AS n_title,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT)
+        |      AS n_upper,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+        |      AS n_digit
+        |  FROM w WHERE len(ws) > 0)
+        |SELECT doc_id, n_words, n_caps AS n_caps_words, n_title AS n_title_words,
+        |  n_chars,
+        |  CAST(n_caps AS DOUBLE) / CAST(n_words AS DOUBLE) AS caps_share,
+        |  CAST(n_upper AS DOUBLE) / CAST(n_chars AS DOUBLE) AS upper_share,
+        |  CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) AS digit_share,
+        |  (n_words >= 5 AND CAST(n_caps AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.2)
+        |    AS is_shouty
+        |FROM m ORDER BY doc_id""".stripMargin,
     // B127 Tukey-Kramer pairs: the q_anova CTEs + a bounded self-join of
     // the aggregated group stats; means reuse the decimal->double
     // conversions, floor-round 4

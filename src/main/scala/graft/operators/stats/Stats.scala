@@ -1898,12 +1898,15 @@ object Stats {
     * over complete blocks with doubled within-block average ranks —
     * extracted verbatim from the r13 friedman (bit-neutral).
     */
-  private def friedmanCore(
+  /** Complete-block doubled within-block ranks — (ranked cells with
+    * (__b, __t, __r2), 1-row treatment-count frame) — shared by
+    * [[friedman]], [[kendallW]] and [[pageTrend]].
+    */
+  private def friedmanRanked(
       df: DataFrame,
       blockCol: String,
       treatCol: String,
-      valueCol: String): DataFrame = {
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      valueCol: String): (DataFrame, DataFrame) = {
     val clean = df.where(col(blockCol).isNotNull && col(treatCol).isNotNull &&
       col(valueCol).isNotNull)
     val cells = clean
@@ -1919,6 +1922,16 @@ object Stats {
     val ranked = cells.join(complete, "__b")
       .select(col("__b"), col("__t"),
         (lit(2L) * rank().over(wR) + count(lit(1)).over(wT) - lit(1L)).as("__r2"))
+    (ranked, kDf)
+  }
+
+  private def friedmanCore(
+      df: DataFrame,
+      blockCol: String,
+      treatCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val (ranked, kDf) = friedmanRanked(df, blockCol, treatCol, valueCol)
     val perT = ranked.groupBy("__t")
       .agg(sum(col("__r2").cast(d38)).as("__R2"))
     val totals = ranked.agg(
@@ -1931,6 +1944,57 @@ object Stats {
         max(col("__A2")).as("__A2"),
         max(col("__n")).as("n_blocks"),
         max(col("__k")).as("n_treatments"))
+  }
+
+  /** Page's trend test for an ORDERED alternative across treatments
+    * (B139, Page 1963) — [[friedman]] asks "do the blocks distinguish
+    * the treatments AT ALL?"; Page asks "do they rank them in THIS
+    * order?" (the dose-response ladder — the blocked companion of
+    * [[cochranArmitage]]'s row-grain trend). With w_j = the caller's
+    * integer ordinal for treatment j and the doubled within-block
+    * ranks, the DOUBLED Page statistic L2 = Σ_j w_j·R2_j stays an
+    * exact integer even under ties (half-integral average ranks double
+    * away — the mannWhitney convention); under H₀,
+    *   E(L2) = m·k(k+1)²/2 (integral — k(k+1)² is always even),
+    *   Var(L2) = m·k²(k+1)(k²−1)/36 (tie-free form, documented: the
+    * value cells are continuous decimal sums, block-internal ties are
+    * measure-zero; a fully-tied block only shrinks the true variance,
+    * making the reported z conservative in magnitude... direction of
+    * the approximation documented, not hidden).
+    * All sums exact DECIMAL(38,0) (HUGEINT mirror), E(L2) halved
+    * exactly in decimal (the u_a convention), z = one fixed IEEE chain
+    * ⇒ l2_stat exact, z UNROUNDED. `increasing` = z > 1.645 (one-sided
+    * 5%, the ordered-alternative read). NULL z at k < 2 or m = 0.
+    */
+  def pageTrend(
+      df: DataFrame,
+      blockCol: String,
+      treatCol: String,
+      valueCol: String,
+      scoreOf: Column => Column): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val half = lit(new java.math.BigDecimal("0.5"))
+    val (ranked, kDf) = friedmanRanked(df, blockCol, treatCol, valueCol)
+    val perT = ranked.groupBy("__t")
+      .agg(sum(col("__r2").cast(d38)).as("__R2"))
+    val totals = ranked.agg(countDistinct(col("__b")).as("__n"))
+    val fin = perT
+      .agg(sum((scoreOf(col("__t")).cast("long")).cast(d38) * col("__R2"))
+        .as("__l2"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(kDf))
+    val m = col("__n"); val k = col("__k")
+    val e2 = ((m.cast(d38) * k.cast(d38)
+      * ((k + lit(1L)) * (k + lit(1L))).cast(d38)).cast(d38) * half).cast(d38)
+    val var2 = (m.cast(d38) * (k * k).cast(d38) * (k + lit(1L)).cast(d38)
+      * (k * k - lit(1L)).cast(d38)).cast("double") / lit(36.0)
+    val z = (col("__l2") - e2).cast("double") / sqrt(var2)
+    val zOut = when(k >= 2L && m > 0L && var2 > 0.0, z)
+    fin.select(
+      coalesce(m, lit(0L)).as("n_blocks"),
+      coalesce(k, lit(0L)).as("n_treatments"),
+      col("__l2").cast("long").as("l2_stat"),
+      zOut.as("z_score"),
+      when(zOut.isNotNull, zOut > lit(1.645)).as("increasing"))
   }
 
   /** Kendall's coefficient of concordance W (B136, Kendall & Babington

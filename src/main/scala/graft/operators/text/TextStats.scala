@@ -273,6 +273,41 @@ object TextStats {
         (ratio > 0.3 || maxRun >= 8L).as("is_garbled"))
   }
 
+  /** Casing / character-class profile per document (C78) — the
+    * SHOUTY-TEXT and OCR-noise screen next to [[garbledAudit]] (symbol
+    * soup there; casing pathology here): ALL-CAPS word share (boiler
+    * headers, scraped navigation), TitleCase share, and upper/digit
+    * CHARACTER shares. Words = the whitespace-token convention
+    * (empty tokens from repeated spaces drop); every share is ONE
+    * exact-int division ⇒ all values and the `is_shouty` flag are
+    * engine-identical (the q_garbled rule — flags chosen to be
+    * non-vacuous on this corpus: caps-share > 0.2 with ≥ 5 words).
+    * Zero-length/NULL texts drop.
+    */
+  def casingAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, " "), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val caps = size(filter(words, w => w.rlike("^[A-Z]{2,}$"))).cast("long")
+    val title = size(filter(words, w => w.rlike("^[A-Z][a-z]+$"))).cast("long")
+    val nChars = length(t).cast("long")
+    def classChars(re: String): Column =
+      (length(t) - length(regexp_replace(t, re, ""))).cast("long")
+    val upper = classChars("[A-Z]")
+    val digit = classChars("[0-9]")
+    val capsShare = caps.cast("double") / nWords.cast("double")
+    // the word-count guard keeps the share divisions off 0/0 (an
+    // all-whitespace text has chars but no words)
+    df.where(t.isNotNull && length(t) > 0 && size(words) > 0)
+      .select(col(idCol),
+        nWords.as("n_words"), caps.as("n_caps_words"),
+        title.as("n_title_words"), nChars.as("n_chars"),
+        capsShare.as("caps_share"),
+        (upper.cast("double") / nChars.cast("double")).as("upper_share"),
+        (digit.cast("double") / nChars.cast("double")).as("digit_share"),
+        (nWords >= 5L && capsShare > 0.2).as("is_shouty"))
+  }
+
   def piiAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val c = col(textCol)
     val ccs = regexp_extract_all(c, lit(CcRe), lit(0))

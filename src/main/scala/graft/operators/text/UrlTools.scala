@@ -79,6 +79,48 @@ object UrlTools {
       lower(substring_index(substring_index(afterScheme, "/", 1), ":", 1)))
   }
 
+  /** Per-URL count of tracking parameters — a param is tracking when
+    * the PARAM STRING starts with `utm_` or its key is in
+    * [[TrackingParams]] (exactly [[canonicalize]]'s drop rule, so the
+    * audit counts what canonicalization would strip). Query extraction
+    * follows canonicalize: fragment off first, '?' split before any
+    * host/path split. Scheme-less or query-less URLs count 0.
+    */
+  def trackingParamCount(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val big = lit(1 << 20)
+    val rest = noFrag.substr(instr(noFrag, "://") + lit(3), big)
+    val restNoQ = substring_index(rest, "?", 1)
+    val query = when(instr(rest, "?") > 0,
+      rest.substr(length(restNoQ) + lit(2), big)).otherwise(lit(""))
+    size(filter(split(query, "&"), p =>
+      p =!= "" && (startswith(p, lit("utm_")) ||
+        substring_index(p, "=", 1).isInCollection(TrackingParams))))
+  }
+
+  /** Host-level tracking-parameter prevalence (C79) — which domains
+    * ship link-decorated URLs, the crawl-frontier hygiene table next to
+    * [[dedupByCanonical]] (how much would canonicalization collapse?).
+    * One slim (host, count) pass; n_urls/n_tracked/n_tracking_params
+    * are exact BIGINTs and tracked_share ONE exact division (the B56
+    * rule) ⇒ everything hashes unrounded. NULL-url and scheme-less
+    * (NULL-host) rows drop.
+    */
+  def trackingAudit(df: DataFrame, urlCol: String): DataFrame =
+    df.where(col(urlCol).isNotNull)
+      .select(host(col(urlCol)).as("host"),
+        trackingParamCount(col(urlCol)).cast("long").as("__tp"))
+      .where(col("host").isNotNull)
+      .groupBy("host")
+      .agg(
+        count(lit(1)).as("n_urls"),
+        sum(when(col("__tp") > 0L, 1L).otherwise(0L)).as("n_tracked"),
+        sum(col("__tp")).as("n_tracking_params"))
+      .select(col("host"), col("n_urls"), col("n_tracked"),
+        col("n_tracking_params"),
+        (col("n_tracked").cast("double") / col("n_urls").cast("double"))
+          .as("tracked_share"))
+
   /** Canonical-URL dedup report: one row per canonical URL with how many
     * raw variants and rows collapsed into it — the crawl-frontier /
     * refetch-suppression primitive. One hash shuffle on the canonical

@@ -129,4 +129,41 @@ class PiiUrlSpec extends SparkSpecBase {
       .map(r => Option(r.getString(0)))
     assert(got.toSeq == Seq(None, Some("example.com"), Some("a.b"), None))
   }
+
+  test("casingAudit: caps/title/char-class shares and the shouty flag") {
+    val df = Seq(
+      (1L, "HELLO World this is fine"), // 1 caps, 1 title of 5 — not shouty
+      (2L, "SELL NOW BUY GOLD FAST"), // 5/5 caps — shouty
+      (3L, "room 42 has 7 chairs"), // digits
+      (4L, "   "), // all-whitespace: no words — drops
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextStats.casingAudit(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val r1 = got(0)
+    assert(r1.getLong(1) == 5L && r1.getLong(2) == 1L && r1.getLong(3) == 1L)
+    assert(r1.getDouble(5) == 1.0 / 5.0 && !r1.getBoolean(8))
+    val r2 = got(1)
+    assert(r2.getDouble(5) == 1.0 && r2.getBoolean(8))
+    val r3 = got(2)
+    assert(r3.getLong(1) == 5L && r3.getDouble(7) == 3.0 / 20.0) // "42"+"7" of 20 chars
+  }
+
+  test("trackingAudit: canonicalize's drop rule counted per host") {
+    val df = Seq(
+      "http://a.com/x?utm_source=1&q=2", // 1 tracking of 2 params
+      "https://B.com:443/y?fbclid=z&gclid=w", // 2
+      "http://a.com/z", // 0
+      "HTTP://A.COM/u?ref=home#frag", // 1 (key rule, fragment off first)
+      "not-a-url") // scheme-less: NULL host, drops
+      .toDF("url")
+    val got = UrlTools.trackingAudit(df, "url").orderBy("host").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a.com", "b.com"))
+    val a = got(0)
+    assert(a.getLong(1) == 3L && a.getLong(2) == 2L && a.getLong(3) == 2L)
+    assert(a.getDouble(4) == 2.0 / 3.0)
+    val b = got(1)
+    assert(b.getLong(1) == 1L && b.getLong(2) == 1L && b.getLong(3) == 2L)
+  }
 }

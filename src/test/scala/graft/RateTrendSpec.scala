@@ -198,6 +198,26 @@ class RateTrendSpec extends SparkSpecBase {
     assert(r.getDouble(3) == 3.0)
   }
 
+  // ------------------------------------------------------------ Page trend
+
+  test("pageTrend: perfectly ordered blocks give the exact hand z; reversal negates it") {
+    // 2 blocks, 3 treatments valued ALONG the ordinal: ranks 1,2,3
+    // per block -> r2 = 2,4,6; R2 = (4,8,12); L2 = 56; E2 = 48; Var2 = 16
+    val inc = for (b <- 1 to 2; (t, v) <- Seq(("1-A", 1.0), ("2-B", 2.0), ("3-C", 3.0)))
+      yield (b, t, v * b)
+    val r = graft.operators.stats.Stats.pageTrend(
+      inc.toDF("b", "t", "v"), "b", "t", "v",
+      c => substring(c, 1, 1).cast("int")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L && r.getLong(2) == 56L)
+    assert(r.getDouble(3) == (56.0 - 48.0) / math.sqrt(16.0) && r.getBoolean(4))
+    val dec = for (b <- 1 to 2; (t, v) <- Seq(("1-A", 3.0), ("2-B", 2.0), ("3-C", 1.0)))
+      yield (b, t, v * b)
+    val r2 = graft.operators.stats.Stats.pageTrend(
+      dec.toDF("b", "t", "v"), "b", "t", "v",
+      c => substring(c, 1, 1).cast("int")).collect().head
+    assert(r2.getLong(2) == 40L && r2.getDouble(3) == -2.0 && !r2.getBoolean(4))
+  }
+
   test("moodsMedian: all-equal values and single groups give NULL chi2") {
     val eq = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
     val r1 = Stats.moodsMedian(eq, "g", "v").collect().head
