@@ -1471,11 +1471,30 @@ object Stats {
     * NULL κ when p_e = 1 (a single class on both sides — agreement is
     * undefined) or N = 0. Single-row output.
     */
-  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val clean = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    kappaFromCells(agreementCells(df, aCol, bCol))
+
+  /** (label_a, label_b, n) confusion cells — the shared MERGEABLE state
+    * of [[cohensKappa]] and [[gwetAc1]] (D35): counts add, so a
+    * streaming eval monitor folds microbatches with
+    * [[mergeAgreementCells]] and re-derives either agreement statistic
+    * on demand; merged cells == one-shot EXACTLY (the D29/miCells
+    * argument). NOT idempotent (the D20 partition contract).
+    */
+  def agreementCells(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    df.where(col(aCol).isNotNull && col(bCol).isNotNull)
       .select(col(aCol).cast("string").as("__a"), col(bCol).cast("string").as("__b"))
-    val cells = clean.groupBy("__a", "__b").agg(count(lit(1)).as("n"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("n"))
+
+  /** Merge two [[agreementCells]] states by count addition. */
+  def mergeAgreementCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("__a", "__b").agg(sum(col("n")).as("n"))
+
+  /** The κ derivation from carried [[agreementCells]] — ONE definition
+    * shared with the batch path (the D27 convention).
+    */
+  def kappaFromCells(cells: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val rows = cells.groupBy(col("__a").as("cls")).agg(sum(col("n")).as("row_n"))
     val cols = cells.groupBy(col("__b").as("cls")).agg(sum(col("n")).as("col_n"))
     val spine = rows.select(col("cls")).unionByName(cols.select(col("cls"))).distinct()
@@ -1520,11 +1539,14 @@ object Stats {
     * Cauchy–Schwarz gives p_e ≤ 1/K — but the guard stays, belt and
     * braces). Single row.
     */
-  def gwetAc1(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def gwetAc1(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    ac1FromCells(agreementCells(df, aCol, bCol))
+
+  /** The AC1 derivation from carried [[agreementCells]] — ONE
+    * definition shared with the batch path (the D27 convention).
+    */
+  def ac1FromCells(cells: DataFrame): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val clean = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
-      .select(col(aCol).cast("string").as("__a"), col(bCol).cast("string").as("__b"))
-    val cells = clean.groupBy("__a", "__b").agg(count(lit(1)).as("n"))
     val rows = cells.groupBy(col("__a").as("cls")).agg(sum(col("n")).as("row_n"))
     val cols = cells.groupBy(col("__b").as("cls")).agg(sum(col("n")).as("col_n"))
     val spine = rows.select(col("cls")).unionByName(cols.select(col("cls"))).distinct()
@@ -1646,17 +1668,47 @@ object Stats {
   def cochranArmitage(
       df: DataFrame,
       scoreCol: Column,
+      successCol: Column): DataFrame =
+    trendFromState(trendState(df, scoreCol, successCol))
+
+  /** Exact sufficient state of [[cochranArmitage]] (D34): ONE row of
+    * field-wise associative sums (n, n_success, Σw, Σw², Σws) — a
+    * streaming monitor folds microbatches with [[mergeTrendState]] and
+    * re-derives z on demand; merged state == one-shot EXACTLY (the
+    * D25/momentsState argument). NOT idempotent — replays double-count
+    * (the D20 partition contract).
+    */
+  def trendState(
+      df: DataFrame,
+      scoreCol: Column,
       successCol: Column): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val w = scoreCol.cast("long")
     val s = successCol.cast("long")
-    val agg = df.where(scoreCol.isNotNull && successCol.isNotNull)
+    df.where(scoreCol.isNotNull && successCol.isNotNull)
       .agg(
         count(lit(1)).as("n"),
         sum(s).as("n_success"),
         sum(w).as("__sw"),
         sum(w.cast(d38) * w.cast(d38)).as("__sw2"),
         sum(w * s).as("__sws"))
+  }
+
+  /** Field-wise merge of two [[trendState]]s. */
+  def mergeTrendState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).agg(
+      sum(col("n")).as("n"),
+      sum(col("n_success")).as("n_success"),
+      sum(col("__sw")).as("__sw"),
+      sum(col("__sw2")).as("__sw2"),
+      sum(col("__sws")).as("__sws"))
+
+  /** The z derivation from a carried [[trendState]] — ONE definition
+    * shared with the batch path (state-maintained == one-shot is
+    * structural, the D27 convention).
+    */
+  def trendFromState(agg: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val nD = col("n").cast("double")
     val p = col("n_success").cast("double") / nD
     val t = col("__sws").cast("double") -

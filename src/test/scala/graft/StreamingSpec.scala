@@ -1307,6 +1307,87 @@ class StreamingSpec extends SparkSpecBase {
     assert(eStream == eBatch && !eStream.head.isNullAt(2))
   }
 
+  test("streaming ordered-trend monitor: merged trend state reproduces the batch Cochran-Armitage (D34)") {
+    // D34: B134 maintained under streaming ingestion (the D25 moments
+    // shape): state = ONE row of field-wise associative sums, merge =
+    // field addition; trendFromState over the merged state == the
+    // one-shot batch test exactly (incl. the unrounded z).
+    import graft.operators.stats.Stats
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Stats.trendState(df,
+        substring(col("o_orderpriority"), 1, 1).cast("int"),
+        (col("o_orderstatus") === "F").cast("int"))
+    val dir = Files.createTempDirectory("graft_trend_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).orders.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val bs = state(batch).localCheckpoint(true)
+        st = Some((st match {
+          case None => bs
+          case Some(prev) => Stats.mergeTrendState(prev, bs)
+        }).localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    val streamed = Stats.trendFromState(st.get).collect().toSeq
+    val oneShot = Stats.cochranArmitage(batchDf,
+      substring(col("o_orderpriority"), 1, 1).cast("int"),
+      (col("o_orderstatus") === "F").cast("int")).collect().toSeq
+    assert(streamed.nonEmpty && streamed == oneShot)
+  }
+
+  test("streaming agreement monitor: merged confusion cells reproduce kappa AND AC1 (D35)") {
+    // D35: B105/B135 maintained under streaming ingestion (the D29
+    // cell shape): state = (label_a, label_b, n) cells, merge = count
+    // addition; BOTH agreement statistics re-derive from the merged
+    // state bit-exactly.
+    import graft.operators.stats.Stats
+    import graft.operators.text.TextStats
+    def labeled(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("text").isNotNull && col("lang").isNotNull)
+        .select(TextStats.langId(col("text")).as("pred"), col("lang"))
+    val dir = Files.createTempDirectory("graft_agree_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).documents.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val cells = Stats.agreementCells(labeled(batch), "pred", "lang")
+          .localCheckpoint(true)
+        st = Some((st match {
+          case None => cells
+          case Some(prev) => Stats.mergeAgreementCells(prev, cells)
+        }).localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    assert(canon(st.get) == canon(Stats.agreementCells(labeled(batchDf), "pred", "lang")))
+    assert(Stats.kappaFromCells(st.get).collect().toSeq ==
+      Stats.cohensKappa(labeled(batchDf), "pred", "lang").collect().toSeq)
+    assert(Stats.ac1FromCells(st.get).collect().toSeq ==
+      Stats.gwetAc1(labeled(batchDf), "pred", "lang").collect().toSeq)
+  }
+
   test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
     // the production ingestion shape: a document stream anti-joined
     // against the static content-hash index of the existing corpus —
