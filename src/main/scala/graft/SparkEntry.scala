@@ -2413,6 +2413,12 @@ object SparkEntry {
       graft.operators.text.TextStats
         .garbledAudit(snap(s, dir).documents, "doc_id", "text")
         .orderBy("doc_id")),
+    "q_zipf_fit" -> ((s, dir) =>
+      // Zipf rank-frequency fit (C80): ln(count) on ln(rank) over the
+      // top-50 terms — TakeOrdered cut (exact count/term membership),
+      // rank-ordered power-sum folds, slope/intercept/corr hashRound(4)
+      // as the 12th audited transcendental. Single row.
+      TextStats.zipfFit(snap(s, dir).documents, "text", 50)),
     "q_casing_audit" -> ((s, dir) => {
       // casing/char-class profile (C78): ALL-CAPS word share, TitleCase
       // share, upper/digit char shares — every share ONE exact-int
@@ -3416,20 +3422,11 @@ object SparkEntry {
     * (B133): struct-min/max selection on (date, orderkey) is a
     * deterministic total order; customers with one order drop.
     */
-  private def firstLastDiffs(s: SparkSession, dir: String): DataFrame = {
-    val o = snap(s, dir).orders.where(
-      col("o_custkey").isNotNull && col("o_orderdate").isNotNull &&
-        col("o_orderkey").isNotNull && col("o_totalprice").isNotNull)
-    o.groupBy("o_custkey")
-      .agg(
-        min(struct(col("o_orderdate").as("d"), col("o_orderkey").as("t"),
-          col("o_totalprice").as("p"))).as("__f"),
-        max(struct(col("o_orderdate").as("d"), col("o_orderkey").as("t"),
-          col("o_totalprice").as("p"))).as("__l"),
-        count(lit(1)).as("__n"))
-      .where(col("__n") >= 2L)
-      .select((col("__l").getField("p") - col("__f").getField("p")).as("__d"))
-  }
+  private def firstLastDiffs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.stats.Stats.pairedDiffsFromState(
+      graft.operators.stats.Stats.pairedMovementState(
+        snap(s, dir).orders,
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"))
 
   private def transitionCounts(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -7118,6 +7115,51 @@ object SparkEntry {
         |FROM documents
         |WHERE text IS NOT NULL AND length(text) > 0
         |ORDER BY doc_id""".stripMargin,
+    // C80 Zipf fit: top-50 by exact (count DESC, term), rank-ordered
+    // ln power-sum folds (0.0-init == init-less list_reduce), one fixed
+    // chain; slope/intercept/corr floor-rounded 4 (audited ln)
+    "q_zipf_fit" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> len(x) > 0)) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |t AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size FROM t),
+        |top AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank
+        |        FROM t ORDER BY c DESC, w LIMIT 50),
+        |sp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |         MAX(CASE WHEN rank = 1 THEN c END) AS c_top,
+        |         list({'rank': rank, 'c': c} ORDER BY rank) AS ts
+        |       FROM top),
+        |f AS (SELECT n_terms, c_top, CAST(n_terms AS DOUBLE) AS nd,
+        |    list_reduce(list_transform(ts, e ->
+        |      ln(CAST(e.rank AS DOUBLE))), (a, b) -> a + b) AS sx,
+        |    list_reduce(list_transform(ts, e ->
+        |      ln(CAST(e.c AS DOUBLE))), (a, b) -> a + b) AS sy,
+        |    list_reduce(list_transform(ts, e ->
+        |      ln(CAST(e.rank AS DOUBLE)) * ln(CAST(e.rank AS DOUBLE))), (a, b) -> a + b) AS sxx,
+        |    list_reduce(list_transform(ts, e ->
+        |      ln(CAST(e.rank AS DOUBLE)) * ln(CAST(e.c AS DOUBLE))), (a, b) -> a + b) AS sxy,
+        |    list_reduce(list_transform(ts, e ->
+        |      ln(CAST(e.c AS DOUBLE)) * ln(CAST(e.c AS DOUBLE))), (a, b) -> a + b) AS syy
+        |  FROM sp),
+        |z AS (SELECT n_terms, c_top, nd,
+        |    nd * sxx - sx * sx AS denx, nd * syy - sy * sy AS deny,
+        |    nd * sxy - sx * sy AS num, sx, sy
+        |  FROM f),
+        |o AS (SELECT n_terms, c_top,
+        |    CASE WHEN n_terms >= 3 AND denx > 0 AND deny > 0
+        |      THEN num / denx END AS slope,
+        |    CASE WHEN n_terms >= 3 AND denx > 0 AND deny > 0
+        |      THEN (sy - (num / denx) * sx) / nd END AS icept,
+        |    CASE WHEN n_terms >= 3 AND denx > 0 AND deny > 0
+        |      THEN num / (sqrt(denx) * sqrt(deny)) END AS corr
+        |  FROM z)
+        |SELECT o.n_terms, v.vocab_size, o.c_top,
+        |  floor(slope * 10000.0 + 0.5) / 10000.0 AS zipf_slope,
+        |  floor(icept * 10000.0 + 0.5) / 10000.0 AS zipf_intercept,
+        |  floor(corr * 10000.0 + 0.5) / 10000.0 AS fit_corr
+        |FROM o CROSS JOIN v""".stripMargin,
     // C78 casing audit: deterministic casing noise (every 17th doc
     // uppercased, next gets a TitleCase header); exact-int share
     // divisions, anchored common-subset regexes

@@ -1725,6 +1725,48 @@ object Stats {
       when(z.isNotNull, abs(z) > lit(1.96)).as("trending"))
   }
 
+  /** Per-key first/last-observation state (D36) — the mergeable state
+    * behind the paired-movement tests ([[wilcoxonSignedRank]] /
+    * [[signTest]] over first→last diffs): one row per key carrying the
+    * struct-MIN and struct-MAX of (order, tie, value) plus the
+    * observation count. min/max merge idempotently and counts add
+    * ([[mergePairedMovementState]]), so a streaming monitor folds
+    * microbatches and re-derives the diffs on demand; merged state ==
+    * one-shot EXACTLY. The COUNT is the non-idempotent field (the D20
+    * partition contract — replays double-count it; min/max survive
+    * replays, so only the n ≥ 2 filter is at stake).
+    */
+  def pairedMovementState(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      tieCol: String,
+      valueCol: String): DataFrame =
+    df.where(col(keyCol).isNotNull && col(orderCol).isNotNull &&
+        col(tieCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        min(struct(col(orderCol).as("d"), col(tieCol).as("t"),
+          col(valueCol).as("p"))).as("__f"),
+        max(struct(col(orderCol).as("d"), col(tieCol).as("t"),
+          col(valueCol).as("p"))).as("__l"),
+        count(lit(1)).as("__n"))
+
+  /** Merge two [[pairedMovementState]]s (struct min/max + count add). */
+  def mergePairedMovementState(a: DataFrame, b: DataFrame, keyCol: String): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(keyCol))
+      .agg(min(col("__f")).as("__f"), max(col("__l")).as("__l"),
+        sum(col("__n")).as("__n"))
+
+  /** First→last paired diffs from a carried state — keys with a single
+    * observation drop (no pair yet); zero diffs survive here and drop
+    * inside the tests (their shared convention).
+    */
+  def pairedDiffsFromState(state: DataFrame): DataFrame =
+    state.where(col("__n") >= 2L)
+      .select((col("__l").getField("p") - col("__f").getField("p")).as("__d"))
+
   /** Mood's median test across ALL groups of a categorical column
     * (B138) — the robust-to-outliers cousin of [[kruskalWallis]] (ranks
     * there, a single median split here: do the k groups straddle the

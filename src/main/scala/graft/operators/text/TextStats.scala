@@ -273,6 +273,61 @@ object TextStats {
         (ratio > 0.3 || maxRun >= 8L).as("is_garbled"))
   }
 
+  /** Zipf rank–frequency fit over the top-k corpus terms (C80) — the
+    * classic natural-language sanity check (a Zipfian corpus has
+    * ln(freq) ≈ a + s·ln(rank) with s near −1; machine-generated or
+    * template-heavy corpora bend away): least-squares of ln(count) on
+    * ln(rank) over the top-k terms by (count DESC, term ASC).
+    *
+    * Scale/determinism: the term table is one partial agg; the top-k
+    * cut is `TakeOrdered` (orderBy + limit — distributed heap, never a
+    * global rank window over the vocabulary spine); rank MEMBERSHIP and
+    * order are decided by exact (count, term) — no float enters the
+    * cut. The regression folds the five power sums SEQUENTIALLY in
+    * rank order over the COLLECTED ≤ k-row spine (transform + 0.0-init
+    * aggregate — init-less `list_reduce` mirror), and slope/intercept/
+    * corr are one fixed IEEE chain. ln is libm ⇒ the hashed values go
+    * through `hashRound(4)` under a MarginAuditSpec boundary audit
+    * (the 12th audited transcendental); the exact anchors
+    * (n_terms, vocab_size, c_top) hash exactly. NULL fit when fewer
+    * than 3 ranks or a degenerate variance.
+    */
+  def zipfFit(df: DataFrame, textCol: String, k: Int = 50): DataFrame = {
+    require(k >= 3 && k <= 1000, s"k must be in [3,1000], got $k")
+    val terms = df.where(col(textCol).isNotNull)
+      .select(explode(filter(split(lower(col(textCol)), " "),
+        w => length(w) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val vocab = terms.agg(count(lit(1)).as("vocab_size"))
+    val top = terms.orderBy(col("c").desc, col("w")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("w"))))
+    val spine = top.agg(
+      count(lit(1)).as("n_terms"),
+      max(when(col("rank") === 1, col("c"))).as("c_top"),
+      array_sort(collect_list(struct(col("rank"), col("c")))).as("__ts"))
+    def fold(term: Column => Column): Column =
+      aggregate(transform(col("__ts"), term), lit(0.0), (acc, t) => acc + t)
+    def x(e: Column): Column = log(e.getField("rank").cast("double"))
+    def y(e: Column): Column = log(e.getField("c").cast("double"))
+    val n = col("n_terms").cast("double")
+    val sx = fold(x); val sy = fold(y)
+    val sxx = fold(e => x(e) * x(e)); val sxy = fold(e => x(e) * y(e))
+    val syy = fold(e => y(e) * y(e))
+    val denx = n * sxx - sx * sx
+    val deny = n * syy - sy * sy
+    val num = n * sxy - sx * sy
+    val slope = num / denx
+    val intercept = (sy - slope * sx) / n
+    val corr = num / (sqrt(denx) * sqrt(deny))
+    val ok = col("n_terms") >= 3L && denx > 0.0 && deny > 0.0
+    spine.crossJoin(broadcast(vocab)).select(
+      col("n_terms"), col("vocab_size"), col("c_top"),
+      graft.functions.ExactMath.hashRound(when(ok, slope), 4).as("zipf_slope"),
+      graft.functions.ExactMath.hashRound(when(ok, intercept), 4).as("zipf_intercept"),
+      graft.functions.ExactMath.hashRound(when(ok, corr), 4).as("fit_corr"))
+  }
+
   /** Casing / character-class profile per document (C78) — the
     * SHOUTY-TEXT and OCR-noise screen next to [[garbledAudit]] (symbol
     * soup there; casing pathology here): ALL-CAPS word share (boiler

@@ -52,6 +52,8 @@ class MarginAuditSpec extends SparkSpecBase {
       "q_retrieval_ndcg",
       // the 6th audited ln: PMI collocations (round 10)
       "q_collocations",
+      // the 12th audited ln: Zipf rank-frequency fit (round 14)
+      "q_zipf_fit",
       // the 7th: c-TF-IDF class labeling (round 12)
       "q_class_tfidf",
       // the 8th: Jensen-Shannon categorical divergence (round 13)
@@ -578,6 +580,49 @@ class MarginAuditSpec extends SparkSpecBase {
         "rank assignment could flip under libm drift")
   }
 
+  /** q_zipf_fit hashes round-4 slope/intercept/corr whose inputs are
+    * libm ln values (the 12th audited transcendental). Top-50
+    * MEMBERSHIP and rank order are decided by exact (count, term) — no
+    * float enters the cut, so only the three hashed values need
+    * margins. The audit re-derives them from the exact (rank, count)
+    * pairs with the operator's own rank-ordered fold sequence.
+    */
+  private def auditZipf(sfDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Snapshot(spark, sfDir).documents
+      .where(col("text").isNotNull)
+      .select(explode(filter(split(lower(col("text")), " "),
+        w => length(w) > 0)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val top = terms.orderBy(col("c").desc, col("w")).limit(50)
+      .withColumn("rank", row_number().over(Window.orderBy(col("c").desc, col("w"))))
+      .orderBy("rank").collect()
+    assert(top.length >= 3, s"$sfDir: need >= 3 ranks")
+    val pairs = top.map(r =>
+      r.getInt(r.fieldIndex("rank")) -> r.getLong(r.fieldIndex("c")))
+    val n = pairs.length.toDouble
+    def fold(f: (Int, Long) => Double): Double =
+      pairs.foldLeft(0.0) { case (acc, (rk, c)) => acc + f(rk, c) }
+    val sx = fold((rk, _) => math.log(rk.toDouble))
+    val sy = fold((_, c) => math.log(c.toDouble))
+    val sxx = fold((rk, _) => math.log(rk.toDouble) * math.log(rk.toDouble))
+    val sxy = fold((rk, c) => math.log(rk.toDouble) * math.log(c.toDouble))
+    val syy = fold((_, c) => math.log(c.toDouble) * math.log(c.toDouble))
+    val denx = n * sxx - sx * sx
+    val deny = n * syy - sy * sy
+    val num = n * sxy - sx * sy
+    val slope = num / denx
+    val intercept = (sy - slope * sx) / n
+    val corr = num / (math.sqrt(denx) * math.sqrt(deny))
+    val margin = boundaryMargin(4)
+    Seq("slope" -> slope, "intercept" -> intercept, "corr" -> corr).foreach {
+      case (name, v) =>
+        assert(margin(v) > 1e-9,
+          f"$sfDir: zipf $name $v%.10g sits ${margin(v)}%.3e from its 4-digit " +
+            "rounding boundary — libm drift could flip the hash")
+    }
+  }
+
   /** q_class_tfidf hashes round-4 c-TF-IDF scores; rank and top-5
     * membership ride the UNROUNDED score order per class (ties break on
     * the word — exact-IEEE equal scores are engine-stable). Consumes
@@ -640,6 +685,9 @@ class MarginAuditSpec extends SparkSpecBase {
     }
     test(s"c-tfidf margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
       auditClassTfidf(sf(dir))
+    }
+    test(s"zipf-fit margin audit at $dir: slope/intercept/corr margins > 1e-9") {
+      auditZipf(sf(dir))
     }
     test(s"jsd margin audit at $dir: boundary margin > 1e-9") {
       auditJsd(sf(dir))

@@ -1388,6 +1388,48 @@ class StreamingSpec extends SparkSpecBase {
       Stats.gwetAc1(labeled(batchDf), "pred", "lang").collect().toSeq)
   }
 
+  test("streaming paired-movement monitor: merged first/last state reproduces Wilcoxon and the sign test (D36)") {
+    // D36: the B99/B133 diff construction maintained under streaming
+    // ingestion: state = per-key struct-MIN/MAX of (order, tie, value)
+    // + count; min/max merge idempotently, counts add; both paired
+    // tests re-derive from the merged state bit-exactly.
+    import graft.operators.stats.Stats
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Stats.pairedMovementState(df,
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val dir = Files.createTempDirectory("graft_paired_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).orders.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val bs = state(batch).localCheckpoint(true)
+        st = Some((st match {
+          case None => bs
+          case Some(prev) => Stats.mergePairedMovementState(prev, bs, "o_custkey")
+        }).localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    val diffs = Stats.pairedDiffsFromState(st.get)
+    val oneShotDiffs = Stats.pairedDiffsFromState(state(batchDf))
+    assert(Stats.wilcoxonSignedRank(diffs, "__d").collect().toSeq ==
+      Stats.wilcoxonSignedRank(oneShotDiffs, "__d").collect().toSeq)
+    assert(Stats.signTest(diffs, "__d").collect().toSeq ==
+      Stats.signTest(oneShotDiffs, "__d").collect().toSeq)
+    // a key whose batches split first/last across microbatches still
+    // pairs: state counts exceed any single batch's
+    assert(st.get.agg(max(col("__n"))).head().getLong(0) > 1L)
+  }
+
   test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
     // the production ingestion shape: a document stream anti-joined
     // against the static content-hash index of the existing corpus —
