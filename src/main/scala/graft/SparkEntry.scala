@@ -2063,6 +2063,22 @@ object SparkEntry {
       // (the q_ab_test convention). Single row.
       graft.operators.stats.Stats
         .welchT(snap(s, dir).lineitem, "l_returnflag", "l_quantity", "R", "A")),
+    "q_cv_by_group" -> ((s, dir) =>
+      // coefficient of variation per return flag (B141): relative
+      // spread from anovaGroupState's exact decimal sums, welch-order
+      // variance; mean/sd/cv/rse hashRound(4) under the StatsSpec
+      // boundary-audit protocol.
+      graft.operators.stats.Stats
+        .cvByGroup(snap(s, dir).lineitem, "l_returnflag", "l_quantity")),
+    "q_interarrival" -> ((s, dir) =>
+      // per-customer order cadence (B140): span/max/mean inter-order
+      // gaps in exact days; mean = span/(n−1) telescopes (one division,
+      // unrounded); max folds the sorted per-key array once (the MK
+      // bounded-series contract).
+      graft.operators.stats.Stats
+        .interarrival(snap(s, dir).orders, Seq("o_custkey"),
+          "o_orderdate", "o_orderkey")
+        .orderBy("o_custkey")),
     "q_cohens_d" -> ((s, dir) =>
       // Cohen's d / Hedges' g (B132): the effect-size companion of
       // q_welch_t on the SAME cohorts and exact per-side decimal sums;
@@ -7494,6 +7510,52 @@ object SparkEntry {
         |  CASE WHEN t_stat IS NOT NULL THEN abs(t_stat) > 1.96 END AS significant
         |FROM t""".stripMargin,
 
+    // B141 coefficient of variation: per-group exact decimal sums
+    // ((19,6) product operands — the hhi lesson), welch-order variance,
+    // floor-rounded 4
+    "q_cv_by_group" ->
+      """WITH a AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS s2
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT g, n, s1 / CAST(n AS DOUBLE) AS mean,
+        |    (s2 - s1 * (s1 / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0) AS va
+        |  FROM a)
+        |SELECT g, n AS n_rows,
+        |  floor(mean * 10000.0 + 0.5) / 10000.0 AS mean,
+        |  CASE WHEN n >= 2 AND va > 0 AND mean <> 0 THEN
+        |    floor(sqrt(va) * 10000.0 + 0.5) / 10000.0 END AS sd,
+        |  CASE WHEN n >= 2 AND va > 0 AND mean <> 0 THEN
+        |    floor((sqrt(va) / mean) * 10000.0 + 0.5) / 10000.0 END AS cv,
+        |  CASE WHEN n >= 2 AND va > 0 AND mean <> 0 THEN
+        |    floor(((sqrt(va) / mean) / sqrt(CAST(n AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
+        |  END AS rse
+        |FROM m ORDER BY g""".stripMargin,
+    // B140 inter-arrival cadence: LAG-derived gaps mirror the sorted-
+    // array fold; exact day ints, one division
+    "q_interarrival" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS k, o_orderdate AS d, o_orderkey AS t
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderkey IS NOT NULL),
+        |r AS (SELECT k, d,
+        |        LAG(d) OVER (PARTITION BY k ORDER BY d, t) AS pd
+        |      FROM o),
+        |g AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |        CAST(date_diff('day', MIN(d), MAX(d)) AS BIGINT) AS span_days,
+        |        CAST(MAX(CASE WHEN pd IS NOT NULL
+        |          THEN date_diff('day', pd, d) END) AS BIGINT) AS max_gap_days
+        |      FROM r GROUP BY 1 HAVING COUNT(*) >= 2)
+        |SELECT k AS o_custkey, n_events, span_days, max_gap_days,
+        |  CAST(span_days AS DOUBLE) / CAST(n_events - 1 AS DOUBLE) AS mean_gap_days
+        |FROM g ORDER BY o_custkey""".stripMargin,
     // B132 Cohen's d: welch's exact per-side sums; ss = s2 − s1·(s1/n)
     // in welch's written op order; pooled-SD chain mirrored literally
     "q_cohens_d" ->

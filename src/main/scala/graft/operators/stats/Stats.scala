@@ -1725,6 +1725,84 @@ object Stats {
       when(z.isNotNull, abs(z) > lit(1.96)).as("trending"))
   }
 
+  /** Per-group coefficient of variation (B141) — the relative-spread
+    * column of every profiling surface (a 10-unit sd means nothing
+    * without the mean; cv = sd/mean is the comparable number): rides
+    * [[anovaGroupState]]'s exact decimal (n, Σv, Σv²) sums with the
+    * welch-order sample variance ((q − s·m)/(n−1)) and one
+    * division each for cv and its relative standard error cv/√n.
+    * The decimal→double conversions share the anova drift class ⇒
+    * mean/sd/cv/rse hashRound(4) under the StatsSpec boundary-audit
+    * protocol. NULL spread stats on n < 2, a zero mean (cv undefined)
+    * or degenerate variance.
+    */
+  def cvByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    cvFromState(anovaGroupState(df, groupCol, valueCol))
+
+  /** The cv derivation from a pre-aggregated [[anovaGroupState]] — one
+    * definition shared with any streaming monitor over the mergeable
+    * state (the D33 precedent).
+    */
+  def cvFromState(state: DataFrame): DataFrame = {
+    val n = col("n_g").cast("double")
+    val m = col("s_dec").cast("double") / n
+    val va = (col("q_dec").cast("double") - col("s_dec").cast("double") * m) /
+      (n - lit(1.0))
+    val sd = sqrt(va)
+    val cv = sd / m
+    val ok = col("n_g") >= 2L && va > 0.0 && m =!= 0.0
+    state.select(
+      col("g"),
+      col("n_g").as("n_rows"),
+      ExactMath.hashRound(m, 4).as("mean"),
+      ExactMath.hashRound(when(ok, sd), 4).as("sd"),
+      ExactMath.hashRound(when(ok, cv), 4).as("cv"),
+      ExactMath.hashRound(when(ok, cv / sqrt(n)), 4).as("rse"))
+      .orderBy("g")
+  }
+
+  /** Per-key inter-arrival gap statistics (B140) — how regularly does
+    * each entity act? The cadence profile behind churn screens and
+    * replenishment models: per key with ≥ 2 events, the event count,
+    * the first→last span in days, the LONGEST gap, and the mean gap.
+    * mean_gap = span/(n−1) EXACTLY (consecutive gaps telescope — no
+    * gap array needed for it); max_gap folds the (order, tie)-sorted
+    * array once (the MK bounded-series contract — one in-memory array
+    * per key, plain hash groupBy, map-side evaluation). Day diffs are
+    * exact integers and the single division is one IEEE op ⇒
+    * everything hashes unrounded (the q_gini protocol).
+    */
+  def interarrival(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val g = keyCols.map(col)
+    val clean = df.where(g.map(_.isNotNull).reduce(_ && _) &&
+      col(orderCol).isNotNull && col(tieCol).isNotNull)
+    val agg = clean.groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(orderCol)).as("__first"),
+        max(col(orderCol)).as("__last"),
+        sort_array(collect_list(struct(
+          col(orderCol).as("d"), col(tieCol).as("t")))).as("__sp"))
+      .where(col("n_events") >= 2L)
+    val sz = size(col("__sp"))
+    val gaps = zip_with(
+      slice(col("__sp"), lit(1), sz - lit(1)),
+      slice(col("__sp"), lit(2), sz - lit(1)),
+      (a, b) => datediff(b.getField("d"), a.getField("d")).cast("long"))
+    agg.select(
+      (g ++ Seq(
+        col("n_events"),
+        datediff(col("__last"), col("__first")).cast("long").as("span_days"),
+        array_max(gaps).as("max_gap_days"),
+        (datediff(col("__last"), col("__first")).cast("long").cast("double")
+          / (col("n_events") - lit(1L)).cast("double")).as("mean_gap_days"))): _*)
+  }
+
   /** Per-key first/last-observation state (D36) — the mergeable state
     * behind the paired-movement tests ([[wilcoxonSignedRank]] /
     * [[signTest]] over first→last diffs): one row per key carrying the

@@ -886,6 +886,57 @@ object ProfileScaleUp {
         spine
       })
 
+    // ---- round-14 operators ----------------------------------------------
+    time("moods median (RankedSpine)")(
+      force(graft.operators.stats.Stats
+        .moodsMedian(orders, "o_orderpriority", "o_totalprice")))
+    time("cochran-armitage trend")(
+      force(graft.operators.stats.Stats.cochranArmitage(orders,
+        substring(col("o_orderpriority"), 1, 1).cast("int"),
+        (col("o_orderstatus") === "F").cast("int"))))
+    val ordersMi = orders.where(col("o_orderdate").isNotNull)
+      .withColumn("__mi", year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+    time("page trend (friedman ranks)")(
+      force(graft.operators.stats.Stats.pageTrend(
+        ordersMi, "__mi", "o_orderpriority", "o_totalprice",
+        t => substring(t, 1, 1).cast("int"))))
+    time("kendall w")(
+      force(graft.operators.stats.Stats.kendallW(
+        ordersMi, "__mi", "o_orderpriority", "o_totalprice")))
+    time("cohens d")(
+      force(graft.operators.stats.Stats
+        .cohensD(orders, "o_orderpriority", "o_totalprice", "1-URGENT", "5-LOW")))
+    time("sign test (paired state)")(
+      force(graft.operators.stats.Stats.signTest(
+        graft.operators.stats.Stats.pairedDiffsFromState(
+          graft.operators.stats.Stats.pairedMovementState(
+            orders, "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")),
+        "__d")))
+    time("ljung-box (acf lags)")(
+      force(graft.operators.stats.Stats
+        .ljungBoxGlobal(orders.where(col("o_orderdate").isNotNull),
+          "o_orderdate", 5)))
+    time("gwet ac1 (langid cells)")(
+      force(graft.operators.stats.Stats.gwetAc1(
+        docs.where(col("text").isNotNull && col("lang").isNotNull)
+          .select(graft.operators.text.TextStats.langId(col("text")).as("pred"),
+            col("lang")),
+        "pred", "lang")))
+    time("zipf fit (top-50 terms)")(
+      force(graft.operators.text.TextStats.zipfFit(docs, "text", 50)))
+    time("casing audit")(
+      force(graft.operators.text.TextStats.casingAudit(
+        docs.where(col("text").isNotNull), "doc_id", "text")))
+    time("tracking audit")(
+      force {
+        val k = col("doc_id")
+        val url = concat(lit("http://h"), (k % 7).cast("string"),
+          lit(".example.com/p/"), k.cast("string"),
+          when(k % 3 === 0, lit("?utm_source=x&q=1")).otherwise(lit("")))
+        graft.operators.text.UrlTools
+          .trackingAudit(docs.select(url.as("url")), "url")
+      })
+
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
     // partkey, written to parquet so every measurement starts from a real

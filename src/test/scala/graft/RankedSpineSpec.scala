@@ -147,4 +147,54 @@ class RankedSpineSpec extends SparkSpecBase {
     mw.collect()
     assert(valueSpineWindows(mw.queryExecution.executedPlan) == 0)
   }
+
+  /** Grouped plan pin (r13 verdict item 3): any window ORDERED BY the
+    * named spine column must be PARTITIONED BY the RankedSpine range
+    * partition id — a window partitioned only by the group columns
+    * would put one huge group's spine back into one task.
+    */
+  private def spineWindowsWithoutPid(
+      p: org.apache.spark.sql.execution.SparkPlan,
+      spineNames: Set[String]): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    def kids(x: SparkPlan): Seq[SparkPlan] = x match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    def refs(e: org.apache.spark.sql.catalyst.expressions.Expression): Set[String] =
+      e.references.map(_.name).toSet
+    def walk(x: SparkPlan): Int = {
+      val here = x match {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.orderSpec.exists(o => refs(o.child).intersect(spineNames).nonEmpty) &&
+              !w.partitionSpec.exists(p => refs(p).contains("__rs_pid")) => 1
+        case _ => 0
+      }
+      here + kids(x).map(walk).sum
+    }
+    walk(p)
+  }
+
+  test("grouped variants: roc-auc, gini and spearman spine windows are all pid-partitioned") {
+    import graft.operators.stats.Stats
+    val scored = Seq(("s1", 1L, true), ("s1", 2L, false), ("s1", 2L, true),
+      ("s2", 3L, true), ("s2", 1L, false)).toDF("g", "score", "lbl")
+    val auc = Stats.rocAucByGroup(scored, Seq("g"), "score", col("lbl"))
+    auc.collect()
+    assert(spineWindowsWithoutPid(auc.queryExecution.executedPlan, Set("__s")) == 0)
+
+    val sized = Seq(("s1", 3L, "e1"), ("s1", 5L, "e2"), ("s2", 2L, "e3"))
+      .toDF("g", "sz", "ent")
+    val gini = Stats.giniByGroup(sized, Seq("g"), "sz", "ent")
+    gini.collect()
+    assert(spineWindowsWithoutPid(gini.queryExecution.executedPlan, Set("__s")) == 0)
+
+    val xy = Seq(("k1", 1.0, 2.0), ("k1", 2.0, 3.0), ("k1", 3.0, 1.0),
+      ("k2", 1.0, 1.0), ("k2", 2.0, 2.0)).toDF("g", "x", "y")
+    val rho = Stats.spearmanByGroup(xy, Seq("g"), "x", "y")
+    rho.collect()
+    assert(spineWindowsWithoutPid(rho.queryExecution.executedPlan, Set("x", "y")) == 0)
+  }
 }

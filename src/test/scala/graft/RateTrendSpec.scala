@@ -198,6 +198,40 @@ class RateTrendSpec extends SparkSpecBase {
     assert(r.getDouble(3) == 3.0)
   }
 
+  // ------------------------------------------------------------ cv / cadence
+
+  test("cvByGroup: hand case replays the welch-order chain; degenerates NULL") {
+    // a: [2,4,6] -> m=4, va=4, sd=2, cv=0.5, rse=0.5/sqrt(3)
+    val df = Seq(("a", 2.0), ("a", 4.0), ("a", 6.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "v")
+    val rows = graft.operators.stats.Stats.cvByGroup(df, "g", "v")
+      .orderBy("g").collect()
+    val a = rows(0)
+    assert(a.getLong(1) == 3L && a.getDouble(2) == 4.0 && a.getDouble(3) == 2.0)
+    assert(a.getDouble(4) == 0.5)
+    assert(a.getDouble(5) == hr4(0.5 / math.sqrt(3.0)))
+    val b = rows(1) // constant group: va = 0 -> NULL spread stats
+    assert(b.getDouble(2) == 5.0 && b.isNullAt(3) && b.isNullAt(4))
+  }
+
+  test("interarrival: span telescopes the mean; max gap from the sorted fold; singletons drop") {
+    val d = java.sql.Date.valueOf(_: String)
+    val df = Seq(
+      ("c1", d("2020-01-01"), 1L), ("c1", d("2020-01-11"), 2L),
+      ("c1", d("2020-01-13"), 3L), // gaps 10, 2 -> span 12, mean 6, max 10
+      ("c2", d("2020-05-05"), 4L), // singleton drops
+      ("c3", d("2020-02-01"), 5L), ("c3", d("2020-02-01"), 6L)) // same-day: gap 0
+      .toDF("k", "dt", "t")
+    val got = graft.operators.stats.Stats
+      .interarrival(df, Seq("k"), "dt", "t").orderBy("k").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("c1", "c3"))
+    val c1 = got(0)
+    assert(c1.getLong(1) == 3L && c1.getLong(2) == 12L && c1.getLong(3) == 10L)
+    assert(c1.getDouble(4) == 6.0)
+    val c3 = got(1)
+    assert(c3.getLong(2) == 0L && c3.getLong(3) == 0L && c3.getDouble(4) == 0.0)
+  }
+
   // ------------------------------------------------------------ Page trend
 
   test("pageTrend: perfectly ordered blocks give the exact hand z; reversal negates it") {

@@ -459,6 +459,39 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  // q_cv_by_group rides the anova drift class; margin-audit the
+  // PRE-rounding mean/sd/cv/rse per group at 3 SFs
+  for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    test(s"cv margin audit at $dir: unrounded mean/sd/cv/rse clear of boundaries") {
+      val li = sources.Snapshot(spark, sf(dir)).lineitem
+      val groups = li
+        .where(col("l_returnflag").isNotNull && col("l_quantity").isNotNull)
+        .groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          graft.functions.ExactMath.dsum(col("l_quantity")).as("s1"),
+          sum((col("l_quantity").cast("decimal(18,6)") * col("l_quantity").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")).cast("double").as("s2"))
+        .collect()
+      assert(groups.nonEmpty)
+      val scale = 10000.0
+      groups.foreach { r =>
+        val n = r.getAs[Long]("n").toDouble
+        val s1 = r.getAs[Double]("s1"); val s2 = r.getAs[Double]("s2")
+        val m = s1 / n
+        val va = (s2 - s1 * m) / (n - 1.0)
+        val sd = math.sqrt(va); val cv = sd / m; val rse = cv / math.sqrt(n)
+        Seq("mean" -> m, "sd" -> sd, "cv" -> cv, "rse" -> rse).foreach {
+          case (name, v) =>
+            val frac = v * scale - math.floor(v * scale)
+            val margin = math.abs(frac - 0.5) / scale
+            val driftBound = (math.abs(v) + 1.0) * 1e-14
+            assert(margin > 1e3 * driftBound,
+              f"$dir: unrounded $name $v%.10g sits $margin%.3e from its 4-digit boundary")
+        }
+      }
+    }
+  }
+
   // q_cohens_d rides welch's sums and drift class; margin-audit the
   // PRE-rounding means/d/g at 3 SFs (the eta-squared protocol)
   for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
