@@ -93,9 +93,14 @@ object UrlTools {
     val restNoQ = substring_index(rest, "?", 1)
     val query = when(instr(rest, "?") > 0,
       rest.substr(length(restNoQ) + lit(2), big)).otherwise(lit(""))
-    size(filter(split(query, "&"), p =>
-      p =!= "" && (startswith(p, lit("utm_")) ||
-        substring_index(p, "=", 1).isInCollection(TrackingParams))))
+    // scheme-less input has no URL structure to parse — count 0 rather
+    // than params of a garbage substring (the host() NULL rule's
+    // counting sibling; r14 review finding)
+    when(instr(url, "://") > 0,
+      size(filter(split(query, "&"), p =>
+        p =!= "" && (startswith(p, lit("utm_")) ||
+          substring_index(p, "=", 1).isInCollection(TrackingParams)))))
+      .otherwise(lit(0))
   }
 
   /** Host-level tracking-parameter prevalence (C79) — which domains

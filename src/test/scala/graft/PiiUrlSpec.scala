@@ -165,5 +165,10 @@ class PiiUrlSpec extends SparkSpecBase {
     assert(a.getDouble(4) == 2.0 / 3.0)
     val b = got(1)
     assert(b.getLong(1) == 1L && b.getLong(2) == 1L && b.getLong(3) == 2L)
+    // scheme-less input with a '?' must count 0, not params of a
+    // garbage substring (r14 review finding)
+    val stray = Seq("foo?utm_x=1", "utm_a=1&ref=2").toDF("u")
+      .select(UrlTools.trackingParamCount(col("u")).as("n")).collect()
+    assert(stray.forall(_.getInt(0) == 0))
   }
 }
