@@ -292,12 +292,30 @@ object TextStats {
     * (n_terms, vocab_size, c_top) hash exactly. NULL fit when fewer
     * than 3 ranks or a degenerate variance.
     */
-  def zipfFit(df: DataFrame, textCol: String, k: Int = 50): DataFrame = {
-    require(k >= 3 && k <= 1000, s"k must be in [3,1000], got $k")
-    val terms = df.where(col(textCol).isNotNull)
+  def zipfFit(df: DataFrame, textCol: String, k: Int = 50): DataFrame =
+    zipfFitFromTermCounts(termCounts(df, textCol), k)
+
+  /** (w, c) corpus term counts — the mergeable state behind [[zipfFit]]
+    * (D37): counts add ([[mergeTermCounts]]), so a streaming corpus
+    * monitor folds microbatches and re-fits the Zipf line on demand;
+    * merged state == one-shot EXACTLY (the D29 cell argument). NOT
+    * idempotent (the D20 partition contract).
+    */
+  def termCounts(df: DataFrame, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
       .select(explode(filter(split(lower(col(textCol)), " "),
         w => length(w) > 0)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** Merge two [[termCounts]] states by count addition. */
+  def mergeTermCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("w").agg(sum(col("c")).as("c"))
+
+  /** The fit from a pre-aggregated [[termCounts]] state — see
+    * [[zipfFit]] for the full contract.
+    */
+  def zipfFitFromTermCounts(terms: DataFrame, k: Int = 50): DataFrame = {
+    require(k >= 3 && k <= 1000, s"k must be in [3,1000], got $k")
     val vocab = terms.agg(count(lit(1)).as("vocab_size"))
     val top = terms.orderBy(col("c").desc, col("w")).limit(k)
       .withColumn("rank", row_number().over(

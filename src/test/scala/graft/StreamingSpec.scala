@@ -1430,6 +1430,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(st.get.agg(max(col("__n"))).head().getLong(0) > 1L)
   }
 
+  test("streaming corpus-shape monitor: merged term counts reproduce the Zipf fit (D37)") {
+    // D37: C80 maintained under streaming ingestion (the D29 cell
+    // shape): state = (w, c) term counts, merge = count addition; the
+    // fit re-derives from the merged state bit-exactly (incl. the
+    // audited-transcendental rounded values — same doubles in, same
+    // rounded doubles out).
+    import graft.operators.text.TextStats
+    val dir = Files.createTempDirectory("graft_zipf_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).documents.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val tc = TextStats.termCounts(batch, "text").localCheckpoint(true)
+        st = Some((st match {
+          case None => tc
+          case Some(prev) => TextStats.mergeTermCounts(prev, tc)
+        }).localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    assert(canon(st.get) == canon(TextStats.termCounts(batchDf, "text")))
+    assert(TextStats.zipfFitFromTermCounts(st.get, 50).collect().toSeq ==
+      TextStats.zipfFit(batchDf, "text", 50).collect().toSeq)
+  }
+
   test("continuous-ingestion dedup: stream-static anti join passes only novel content") {
     // the production ingestion shape: a document stream anti-joined
     // against the static content-hash index of the existing corpus —
