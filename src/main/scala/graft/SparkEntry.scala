@@ -2063,6 +2063,13 @@ object SparkEntry {
       // (the q_ab_test convention). Single row.
       graft.operators.stats.Stats
         .welchT(snap(s, dir).lineitem, "l_returnflag", "l_quantity", "R", "A")),
+    "q_bartlett" -> ((s, dir) =>
+      // Bartlett variance-homogeneity test (B142): the parametric
+      // sibling of q_levene on anovaGroupState's exact sums; spine-
+      // bounded lns (13th audited transcendental), group-ordered
+      // sequential folds; pooled_var/chi2 hashRound(4). Single row.
+      graft.operators.stats.Stats
+        .bartlett(snap(s, dir).lineitem, "l_returnflag", "l_quantity")),
     "q_cv_by_group" -> ((s, dir) =>
       // coefficient of variation per return flag (B141): relative
       // spread from anovaGroupState's exact decimal sums, welch-order
@@ -7510,6 +7517,44 @@ object SparkEntry {
         |  CASE WHEN t_stat IS NOT NULL THEN abs(t_stat) > 1.96 END AS significant
         |FROM t""".stripMargin,
 
+    // B142 Bartlett: the q_anova per-group CTE; welch-order variances,
+    // group-ordered list folds, spine-bounded lns floor-rounded 4
+    "q_bartlett" ->
+      """WITH a AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s_g,
+        |    CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS q_g
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |a2 AS (
+        |  SELECT g, n_g, CAST(n_g AS DOUBLE) AS nd,
+        |    (q_g - s_g * (s_g / CAST(n_g AS DOUBLE)))
+        |      / (CAST(n_g AS DOUBLE) - 1.0) AS va
+        |  FROM a),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n,
+        |    list_reduce(list((nd - 1.0) * va ORDER BY g), (x, y) -> x + y) AS sw,
+        |    list_reduce(list((nd - 1.0) * ln(va) ORDER BY g), (x, y) -> x + y) AS sl,
+        |    list_reduce(list(1.0 / (nd - 1.0) ORDER BY g), (x, y) -> x + y) AS si,
+        |    list_reduce(list(CASE WHEN n_g >= 2 AND va > 0 THEN 0.0 ELSE 1.0 END
+        |      ORDER BY g), (x, y) -> x + y) AS viol
+        |  FROM a2),
+        |z AS (
+        |  SELECT k, n,
+        |    sw / CAST(n - k AS DOUBLE) AS sp2,
+        |    CAST(n - k AS DOUBLE) * ln(sw / CAST(n - k AS DOUBLE)) - sl AS num,
+        |    1.0 + (si - 1.0 / CAST(n - k AS DOUBLE)) / (3.0 * CAST(k - 1 AS DOUBLE)) AS corr,
+        |    viol
+        |  FROM t)
+        |SELECT k AS n_groups, n,
+        |  CASE WHEN k >= 2 AND viol = 0 THEN
+        |    floor(sp2 * 10000.0 + 0.5) / 10000.0 END AS pooled_var,
+        |  CASE WHEN k >= 2 AND viol = 0 THEN
+        |    floor((num / corr) * 10000.0 + 0.5) / 10000.0 END AS chi2
+        |FROM z""".stripMargin,
     // B141 coefficient of variation: per-group exact decimal sums
     // ((19,6) product operands — the hhi lesson), welch-order variance,
     // floor-rounded 4

@@ -1725,6 +1725,50 @@ object Stats {
       when(z.isNotNull, abs(z) > lit(1.96)).as("trending"))
   }
 
+  /** Bartlett's test of variance homogeneity (B142, Bartlett 1937) —
+    * the PARAMETRIC sibling of [[leveneBrownForsythe]] (Levene is
+    * robust to non-normality; Bartlett is the textbook likelihood-ratio
+    * form, more powerful under normality):
+    *   χ² = [(N−k)·ln(s_p²) − Σ(n_i−1)·ln(s_i²)] /
+    *        [1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1))]
+    * with welch-order sample variances s_i² = (q − s·m)/(n−1) and the
+    * pooled s_p² = Σ(n_i−1)s_i²/(N−k). Rides [[anovaGroupState]]'s
+    * exact decimal sums; every Σ folds SEQUENTIALLY over the
+    * group-sorted spine (the anovaOneWay order-free rule, init-less
+    * `list_reduce` mirror). The per-group lns are SPINE-BOUNDED (k
+    * groups, the Theil rule) ⇒ chi2 and the pooled variance
+    * hashRound(4) as the 13TH AUDITED TRANSCENDENTAL under a
+    * MarginAuditSpec boundary audit. NULL when k < 2 or any group has
+    * n < 2 / a degenerate variance (the statistic is undefined).
+    */
+  def bartlett(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val spine = anovaSpine(anovaGroupState(df, groupCol, valueCol))
+    def fold(term: Column => Column): Column =
+      aggregate(col("gs"), lit(0.0), (acc, e) => acc + term(e))
+    val k = size(col("gs"))
+    val bigN = aggregate(col("gs"), lit(0L), (acc, e) => acc + e.getField("n_g"))
+    def nD(e: Column): Column = e.getField("n_g").cast("double")
+    def va(e: Column): Column =
+      (e.getField("q_g") - e.getField("s_g") * (e.getField("s_g") / nD(e))) /
+        (nD(e) - lit(1.0))
+    val sw = fold(e => (nD(e) - lit(1.0)) * va(e))
+    val sl = fold(e => (nD(e) - lit(1.0)) * log(va(e)))
+    val si = fold(e => lit(1.0) / (nD(e) - lit(1.0)))
+    val viol = fold(e =>
+      when(e.getField("n_g") >= 2L && va(e) > 0.0, 0.0).otherwise(1.0))
+    val nmk = (bigN - k.cast("long")).cast("double")
+    val sp2 = sw / nmk
+    val num = nmk * log(sp2) - sl
+    val corr = lit(1.0) +
+      (si - lit(1.0) / nmk) / (lit(3.0) * (k - 1).cast("double"))
+    val ok = k >= 2 && viol === 0.0
+    spine.select(
+      k.cast("long").as("n_groups"),
+      bigN.as("n"),
+      ExactMath.hashRound(when(ok, sp2), 4).as("pooled_var"),
+      ExactMath.hashRound(when(ok, num / corr), 4).as("chi2"))
+  }
+
   /** Per-group coefficient of variation (B141) — the relative-spread
     * column of every profiling surface (a 10-unit sd means nothing
     * without the mean; cv = sd/mean is the comparable number): rides

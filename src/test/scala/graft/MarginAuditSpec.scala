@@ -54,6 +54,8 @@ class MarginAuditSpec extends SparkSpecBase {
       "q_collocations",
       // the 12th audited ln: Zipf rank-frequency fit (round 14)
       "q_zipf_fit",
+      // the 13th audited ln: Bartlett variance homogeneity (round 14)
+      "q_bartlett",
       // the 7th: c-TF-IDF class labeling (round 12)
       "q_class_tfidf",
       // the 8th: Jensen-Shannon categorical divergence (round 13)
@@ -623,6 +625,45 @@ class MarginAuditSpec extends SparkSpecBase {
     }
   }
 
+  /** q_bartlett hashes round-4 pooled_var/chi2 whose chain routes
+    * through k+1 spine-bounded lns (the 13th audited transcendental).
+    * The audit re-derives both from the exact per-group decimal sums
+    * with the operator's own group-ordered fold sequence.
+    */
+  private def auditBartlett(sfDir: String): Unit = {
+    val groups = Snapshot(spark, sfDir).lineitem
+      .where(col("l_returnflag").isNotNull && col("l_quantity").isNotNull)
+      .groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        graft.functions.ExactMath.dsum(col("l_quantity")).as("s1"),
+        sum((col("l_quantity").cast("decimal(18,6)") * col("l_quantity").cast("decimal(18,6)"))
+          .cast("decimal(18,6)")).cast("double").as("s2"))
+      .orderBy("l_returnflag")
+      .collect()
+    val k = groups.length.toDouble
+    val bigN = groups.map(_.getAs[Long]("n")).sum.toDouble
+    def va(r: org.apache.spark.sql.Row): Double = {
+      val n = r.getAs[Long]("n").toDouble
+      val s1 = r.getAs[Double]("s1"); val s2 = r.getAs[Double]("s2")
+      (s2 - s1 * (s1 / n)) / (n - 1.0)
+    }
+    def fold(f: org.apache.spark.sql.Row => Double): Double =
+      groups.foldLeft(0.0)((acc, r) => acc + f(r))
+    val sw = fold(r => (r.getAs[Long]("n").toDouble - 1.0) * va(r))
+    val sl = fold(r => (r.getAs[Long]("n").toDouble - 1.0) * math.log(va(r)))
+    val si = fold(r => 1.0 / (r.getAs[Long]("n").toDouble - 1.0))
+    val nmk = bigN - k
+    val sp2 = sw / nmk
+    val chi2 = (nmk * math.log(sp2) - sl) /
+      (1.0 + (si - 1.0 / nmk) / (3.0 * (k - 1.0)))
+    val margin = boundaryMargin(4)
+    Seq("pooled_var" -> sp2, "chi2" -> chi2).foreach { case (name, v) =>
+      assert(margin(v) > 1e-9,
+        f"$sfDir: bartlett $name $v%.10g sits ${margin(v)}%.3e from its 4-digit " +
+          "rounding boundary — libm drift could flip the hash")
+    }
+  }
+
   /** q_class_tfidf hashes round-4 c-TF-IDF scores; rank and top-5
     * membership ride the UNROUNDED score order per class (ties break on
     * the word — exact-IEEE equal scores are engine-stable). Consumes
@@ -688,6 +729,9 @@ class MarginAuditSpec extends SparkSpecBase {
     }
     test(s"zipf-fit margin audit at $dir: slope/intercept/corr margins > 1e-9") {
       auditZipf(sf(dir))
+    }
+    test(s"bartlett margin audit at $dir: pooled_var/chi2 margins > 1e-9") {
+      auditBartlett(sf(dir))
     }
     test(s"jsd margin audit at $dir: boundary margin > 1e-9") {
       auditJsd(sf(dir))

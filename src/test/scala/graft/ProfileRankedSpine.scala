@@ -52,6 +52,25 @@ object ProfileRankedSpine {
       ts(1)
     }
 
+    /** The pre-r14 PER-GROUP shape: roc-auc's doubled-rank sum via a
+      * window partitioned only by the group — one huge group = one task.
+      */
+    def legacyGroupedR2(df: DataFrame): DataFrame = {
+      val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+      val cells = df
+        .groupBy(col("g"), col("__v").as("__s"))
+        .agg(count(lit(1)).as("__cnt"),
+          sum(when(col("__lbl"), 1L).otherwise(0L)).as("__pos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("__s"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      cells
+        .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+        .groupBy("g")
+        .agg(sum(col("__pos").cast(d18)
+          * (lit(2L) * col("__before") + col("__cnt") + lit(1L)).cast(d18)).as("r2"))
+    }
+
     val tmp = java.nio.file.Files.createTempDirectory("graft_rankspine").toFile
     tmp.deleteOnExit()
     for (f <- factors) {
@@ -71,6 +90,15 @@ object ProfileRankedSpine {
         .mannWhitney(amplified, "o_orderpriority", "__v", "1-URGENT", "5-LOW")))
       val tOld = median3(force(legacyR2a(amplified)))
       println(f"[rankspine x$f] spine=$spine%9d  ranked=$tNew%6.2f s  legacy-window=$tOld%6.2f s")
+
+      // grouped variant: ONE huge group (the r13 item-3 regime) — the
+      // legacy per-group window funnels its whole spine into one task
+      val hot = amplified.select(lit("hot").as("g"), col("__v"),
+        (col("o_orderkey") % 3 === 0).as("__lbl"))
+      val tNewG = median3(force(graft.operators.stats.Stats
+        .rocAucByGroup(hot, Seq("g"), "__v", col("__lbl"))))
+      val tOldG = median3(force(legacyGroupedR2(hot)))
+      println(f"[rankspine x$f] one-hot-group roc-auc: ranked=$tNewG%6.2f s  legacy-group-window=$tOldG%6.2f s")
     }
     spark.stop()
   }

@@ -198,6 +198,33 @@ class RateTrendSpec extends SparkSpecBase {
     assert(r.getDouble(3) == 3.0)
   }
 
+  // ------------------------------------------------------------ Bartlett
+
+  test("bartlett: equal variances give chi2 exactly 0; unequal replay the chain") {
+    // two groups of 3 with identical variance 4.0: sp2 = 4 exactly and
+    // the ln terms cancel bit-for-bit (2·ln4 + 2·ln4 == 4·ln4 in IEEE)
+    val eq = Seq(("a", 2.0), ("a", 4.0), ("a", 6.0),
+      ("b", 12.0), ("b", 14.0), ("b", 16.0)).toDF("g", "v")
+    val r = graft.operators.stats.Stats.bartlett(eq, "g", "v").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 4.0 && r.getDouble(3) == 0.0)
+    // unequal: a var 4, b: [10, 16, 22] -> var 36; replay the op chain
+    val un = Seq(("a", 2.0), ("a", 4.0), ("a", 6.0),
+      ("b", 10.0), ("b", 16.0), ("b", 22.0)).toDF("g", "v")
+    val r2 = graft.operators.stats.Stats.bartlett(un, "g", "v").collect().head
+    val (sw, sl, si) = ((3.0 - 1.0) * 4.0 + (3.0 - 1.0) * 36.0,
+      2.0 * math.log(4.0) + 2.0 * math.log(36.0), 1.0 / 2.0 + 1.0 / 2.0)
+    val nmk = 6.0 - 2.0
+    val sp2 = sw / nmk
+    val chi2 = (nmk * math.log(sp2) - sl) /
+      (1.0 + (si - 1.0 / nmk) / (3.0 * 1.0))
+    assert(r2.getDouble(2) == hr4(sp2) && r2.getDouble(3) == hr4(chi2))
+    // a 1-row group makes the statistic undefined
+    val tiny = Seq(("a", 1.0), ("a", 3.0), ("b", 9.0)).toDF("g", "v")
+    assert(graft.operators.stats.Stats.bartlett(tiny, "g", "v")
+      .collect().head.isNullAt(3))
+  }
+
   // ------------------------------------------------------------ cv / cadence
 
   test("cvByGroup: hand case replays the welch-order chain; degenerates NULL") {
