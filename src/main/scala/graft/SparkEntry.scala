@@ -2063,6 +2063,14 @@ object SparkEntry {
       // (the q_ab_test convention). Single row.
       graft.operators.stats.Stats
         .welchT(snap(s, dir).lineitem, "l_returnflag", "l_quantity", "R", "A")),
+    "q_variance_ratio" -> ((s, dir) =>
+      // two-sample variance-ratio F (B143): R vs A quantity spread on
+      // the welch/cohens-d exact side sums; var_a/var_b/f_stat
+      // hashRound(4) under the StatsSpec boundary-audit protocol.
+      // Single row.
+      graft.operators.stats.Stats
+        .varianceRatio(snap(s, dir).lineitem, "l_returnflag", "l_quantity",
+          "R", "A")),
     "q_bartlett" -> ((s, dir) =>
       // Bartlett variance-homogeneity test (B142): the parametric
       // sibling of q_levene on anovaGroupState's exact sums; spine-
@@ -7517,6 +7525,34 @@ object SparkEntry {
         |  CASE WHEN t_stat IS NOT NULL THEN abs(t_stat) > 1.96 END AS significant
         |FROM t""".stripMargin,
 
+    // B143 variance ratio: welch's exact side sums, welch-order
+    // variances, one division, floor-rounded 4
+    "q_variance_ratio" ->
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1a,
+        |    CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS s2a
+        |  FROM lineitem WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL),
+        |b AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1b,
+        |    CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS s2b
+        |  FROM lineitem WHERE l_returnflag = 'A' AND l_quantity IS NOT NULL),
+        |j AS (
+        |  SELECT n_a, n_b,
+        |    (s2a - s1a * (s1a / CAST(n_a AS DOUBLE))) / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+        |    (s2b - s1b * (s1b / CAST(n_b AS DOUBLE))) / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+        |  FROM a, b)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND va > 0 AND vb > 0 THEN
+        |    floor(va * 10000.0 + 0.5) / 10000.0 END AS var_a,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND va > 0 AND vb > 0 THEN
+        |    floor(vb * 10000.0 + 0.5) / 10000.0 END AS var_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND va > 0 AND vb > 0 THEN
+        |    floor((va / vb) * 10000.0 + 0.5) / 10000.0 END AS f_stat
+        |FROM j""".stripMargin,
     // B142 Bartlett: the q_anova per-group CTE; welch-order variances,
     // group-ordered list folds, spine-bounded lns floor-rounded 4
     "q_bartlett" ->

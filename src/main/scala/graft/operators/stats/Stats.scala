@@ -1618,6 +1618,46 @@ object Stats {
       ExactMath.hashRound(when(ok, g), 4).as("hedges_g"))
   }
 
+  /** Two-sample variance-ratio F test (B143) — "is one cohort more
+    * VARIABLE than the other?", the two-group special case next to
+    * [[bartlett]]'s k-group χ² (and the precondition check classical
+    * pooled-t users run before trusting equal variances):
+    * F = s_a²/s_b² with welch-order sample variances from the SAME
+    * exact per-side decimal (n, Σv, Σv²) sums as [[welchT]] /
+    * [[cohensD]]. One fixed IEEE chain, one division; the conversions
+    * share welch's drift class ⇒ var_a/var_b/f_stat hashRound(4) under
+    * the StatsSpec boundary-audit protocol. NULL F when either side
+    * has n < 2 or a degenerate variance. Single row.
+    */
+  def varianceRatio(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    val v = col(valueCol)
+    def side(g: String, suf: String) = df
+      .where(col(groupCol) === g && v.isNotNull)
+      .agg(
+        count(lit(1)).as(s"n_$suf"),
+        ExactMath.dsum(v).as(s"__s1$suf"),
+        sum((v.cast(ExactMath.ValueDecimal) * v.cast(ExactMath.ValueDecimal))
+          .cast(ExactMath.ValueDecimal)).cast("double").as(s"__s2$suf"))
+    val joined = side(groupA, "a").crossJoin(side(groupB, "b"))
+    def vaOf(suf: String): Column = {
+      val n = col(s"n_$suf").cast("double")
+      (col(s"__s2$suf") - col(s"__s1$suf") * (col(s"__s1$suf") / n)) /
+        (n - lit(1.0))
+    }
+    val va = vaOf("a"); val vb = vaOf("b")
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L && va > 0.0 && vb > 0.0
+    joined.select(
+      col("n_a"), col("n_b"),
+      ExactMath.hashRound(when(ok, va), 4).as("var_a"),
+      ExactMath.hashRound(when(ok, vb), 4).as("var_b"),
+      ExactMath.hashRound(when(ok, va / vb), 4).as("f_stat"))
+  }
+
   /** Paired sign test over a column of paired differences (B133) — the
     * assumption-free floor under [[wilcoxonSignedRank]] (Wilcoxon needs
     * symmetric differences; the sign test only needs exchangeability):

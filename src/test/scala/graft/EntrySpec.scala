@@ -49,7 +49,8 @@ class EntrySpec extends SparkSpecBase {
       "q_cronbach_alpha", "q_partial_corr", "q_odds_ratio", "q_overdispersion",
       "q_cliffs_delta", "q_eta_squared", "q_vif", "q_cohens_d",
       "q_sign_test", "q_cochran_armitage", "q_gwet_ac1", "q_kendall_w",
-      "q_moods_median", "q_page_trend", "q_zipf_fit", "q_bartlett")
+      "q_moods_median", "q_page_trend", "q_zipf_fit", "q_bartlett",
+      "q_variance_ratio")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !singleRow(name) && !sql.toUpperCase.contains("ORDER BY") => name
     }

@@ -198,6 +198,21 @@ class RateTrendSpec extends SparkSpecBase {
     assert(r.getDouble(3) == 3.0)
   }
 
+  // ------------------------------------------------------------ variance ratio
+
+  test("varianceRatio: hand case replays the welch-order chain; degenerates NULL") {
+    // a: [2,4,6] -> va=4; b: [10,16,22] -> vb=36; F = 1/9
+    val df = Seq(("a", 2.0), ("a", 4.0), ("a", 6.0),
+      ("b", 10.0), ("b", 16.0), ("b", 22.0)).toDF("g", "v")
+    val r = graft.operators.stats.Stats
+      .varianceRatio(df, "g", "v", "a", "b").collect().head
+    assert(r.getDouble(2) == 4.0 && r.getDouble(3) == 36.0)
+    assert(r.getDouble(4) == hr4(4.0 / 36.0))
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 1.0), ("b", 2.0)).toDF("g", "v")
+    assert(graft.operators.stats.Stats
+      .varianceRatio(const, "g", "v", "a", "b").collect().head.isNullAt(4))
+  }
+
   // ------------------------------------------------------------ Bartlett
 
   test("bartlett: equal variances give chi2 exactly 0; unequal replay the chain") {

@@ -514,8 +514,13 @@ class StatsSpec extends SparkSpecBase {
       val pv = (ssa + ssb) / (na.toDouble + nb.toDouble - 2.0)
       val d = (ma - mb) / math.sqrt(pv)
       val g = d * (1.0 - 3.0 / (4.0 * (na.toDouble + nb.toDouble) - 9.0))
+      // q_variance_ratio rides the same side sums — audit its hashed
+      // surface here too (welch-order variances + one division)
+      val va = (s2a - s1a * (s1a / na.toDouble)) / (na.toDouble - 1.0)
+      val vb = (s2b - s1b * (s1b / nb.toDouble)) / (nb.toDouble - 1.0)
       val scale = 10000.0
-      Seq("mean_a" -> ma, "mean_b" -> mb, "d" -> d, "g" -> g).foreach {
+      Seq("mean_a" -> ma, "mean_b" -> mb, "d" -> d, "g" -> g,
+        "var_a" -> va, "var_b" -> vb, "f" -> (va / vb)).foreach {
         case (name, v) =>
           val frac = v * scale - math.floor(v * scale)
           val margin = math.abs(frac - 0.5) / scale
