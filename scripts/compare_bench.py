@@ -53,6 +53,15 @@ def main(old_path, new_path, ratio=1.5):
             noisy += 1
             print(f"noise     {name}: {om:.3f} -> {nm:.3f} ({nm/om:.2f}x raw, {r:.2f}x norm) — rep intervals overlap "
                   f"[{osp[0]:.2f},{osp[2]:.2f}] vs [{nsp[0]:.2f},{nsp[2]:.2f}]")
+        elif osp and nsp and r > 1 and (nsp[0] / om) / global_shift <= ratio:
+            # the r13 run-L rule automated (VERDICT r14 #6): the new
+            # run's FASTEST rep still sits inside the normalized band of
+            # the committed median — the query still runs at committed
+            # speed on this box; the median shift is per-rep contention,
+            # not a plan change (a real regression slows the min too).
+            noisy += 1
+            print(f"noise_spread_overlap {name}: {om:.3f} -> {nm:.3f} ({nm/om:.2f}x raw, {r:.2f}x norm) — "
+                  f"best rep {nsp[0]:.3f} within {ratio}x band of committed median")
         elif osp and nsp:
             if r > 1:
                 regressed += 1

@@ -168,8 +168,20 @@ object Bench {
                   val (nMin, nMax) = spreadMap(name)
                   math.min(os.get(2).asDouble, nMax) >= math.max(os.get(0).asDouble, nMin)
                 }
+                // self-adjudication of would-be regressions (VERDICT r14
+                // #6, the r13 run-L rule automated): if the new run's
+                // FASTEST rep still sits inside the 1.5x normalized band
+                // of the committed median, the query demonstrably still
+                // runs at committed speed on this box — the median shift
+                // is per-rep contention, not a plan change (a real plan
+                // regression slows every rep, the min included). The r14
+                // driver flags (q_cdc_apply 5.4x in-run spread etc.) all
+                // carry this signature.
+                val bestRepInBand = norm > 1 && spreadMap.contains(name) &&
+                  (spreadMap(name)._1 / om0) / globalShift <= 1.5
                 val verdict =
                   if (overlap) { noise += 1; "noise" }
+                  else if (bestRepInBand) { noise += 1; "noise_spread_overlap" }
                   else if (norm > 1) { real += 1; "regressed" }
                   else { improved += 1; "improved" }
                 rows += ((name, verdict,

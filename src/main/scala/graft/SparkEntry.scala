@@ -2455,10 +2455,16 @@ object SparkEntry {
       // share, upper/digit char shares — every share ONE exact-int
       // division. Deterministic casing noise keeps the flag
       // non-vacuous (the q_garbled convention): every 17th doc is
-      // fully uppercased, the next gets a TitleCase header.
+      // ASCII-uppercased, the next gets a TitleCase header. translate
+      // (a pure a-z→A-Z codepoint map, both engines) instead of
+      // upper(): Spark's non-ASCII upper is JVM-locale-sensitive and
+      // length-changing (ß→SS) where DuckDB's is utf8proc — the mirror
+      // must not depend on the corpus staying ASCII/CJK (ADVICE r14).
       val d = snap(s, dir).documents.where(col("text").isNotNull)
       val noisy = d.select(col("doc_id"),
-        when(col("doc_id") % 17 === 0, upper(col("text")))
+        when(col("doc_id") % 17 === 0,
+          translate(col("text"),
+            "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
           .when(col("doc_id") % 17 === 1,
             concat(lit("Press Release From Example Corp "), col("text")))
           .otherwise(col("text")).as("text"))
@@ -7197,7 +7203,8 @@ object SparkEntry {
     "q_casing_audit" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    CASE WHEN doc_id % 17 = 0 THEN upper(text)
+        |    CASE WHEN doc_id % 17 = 0 THEN translate(text,
+        |           'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')
         |         WHEN doc_id % 17 = 1 THEN 'Press Release From Example Corp ' || text
         |         ELSE text END AS text
         |  FROM documents WHERE text IS NOT NULL),

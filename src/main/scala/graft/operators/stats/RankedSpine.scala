@@ -75,6 +75,12 @@ object RankedSpine {
       require(dt == org.apache.spark.sql.types.LongType,
         s"prefix column $in must be LONG (exact integral), got $dt")
     }
+    // the implementation injects reserved __rs_* working columns; a
+    // caller whose cells already carry one would get silently wrong
+    // prefixes (withColumn replacement / ambiguous join), not an error
+    val reserved = cells.columns.filter(_.startsWith("__rs_"))
+    require(reserved.isEmpty,
+      s"input columns may not start with __rs_ (reserved): ${reserved.mkString(", ")}")
     val spark = cells.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val g = groupCols.map(col)

@@ -120,9 +120,16 @@ object Stats {
       yCol: String): DataFrame = {
     require(groupCols.nonEmpty, "spearman needs at least one group column")
     val g = groupCols.map(col)
-    val clean = df.where(
-      (g.map(_.isNotNull) ++ Seq(col(xCol).isNotNull, col(yCol).isNotNull))
+    // localCheckpoint the SLIM (group, x, y) projection once: the two
+    // rankSpine calls each aggregate it and the two re-attach joins each
+    // scan it again — without the pin the cleaned input re-derives ~4x
+    // from the source (the q_rfm lesson, CLAUDE.md r8; VERDICT r14 #2).
+    // Values are unchanged, so the oracle rows stay byte-identical.
+    val clean = df
+      .where((g.map(_.isNotNull) ++ Seq(col(xCol).isNotNull, col(yCol).isNotNull))
         .reduce(_ && _))
+      .select((groupCols ++ Seq(xCol, yCol)).distinct.map(col): _*)
+      .localCheckpoint(true)
     // doubled average rank from the per-group VALUE SPINE: a tie run of
     // length cnt starting after `before` rows has doubled average rank
     // 2·(before+1) + cnt − 1 = 2·before + cnt + 1 — the same integers
@@ -1077,8 +1084,12 @@ object Stats {
     val crit = Seq(3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
       15.507, 16.919, 18.307, 19.675, 21.026)
     val acf = acfFromUnitCounts(units, maxLag)
+    // coalesce: an EMPTY unit series aggregates max(n_points) to NULL
+    // where the oracle's COUNT emits 0 — keep the state-derived path
+    // total on the degenerate input (every q stays NULL via the n > k
+    // guard; ADVICE r14)
     val spine = acf.agg(
-      max(col("n_points")).as("n_points"),
+      coalesce(max(col("n_points")), lit(0L)).as("n_points"),
       array_sort(collect_list(struct(col("lag"), col("acf")))).as("__ls"))
     val n = col("n_points").cast("double")
     def qK(k: Int): Column = n * (n + lit(2.0)) * aggregate(

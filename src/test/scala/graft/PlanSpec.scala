@@ -106,23 +106,37 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("*("), plan.take(1500))
   }
 
+  // ONE shared execute-and-walk pass for the three scale-killer sweeps:
+  // every sweep needs each catalog query EXECUTED (the CLAUDE.md plan-
+  // assertion rule — AQE finalizes plans only after execution), and
+  // executing the 260+-query catalog once per sweep tripled the suite's
+  // most expensive wall time for no added coverage (ADVICE r14). The
+  // sweeps below assert their predicates on these cached executed plans;
+  // per-sweep allow-lists are applied at assertion time, never by
+  // skipping execution.
+  // One broken query must not dark the sweeps (round-5 lesson: both
+  // sweeps aborted at the first analysis exception and NO plan was
+  // checked) — errors are collected and failed separately, once.
+  private lazy val sweepPlans
+      : Seq[(String, scala.util.Try[org.apache.spark.sql.execution.SparkPlan])] =
+    SparkEntry.queries.keySet.toSeq.sorted.map { name =>
+      name -> scala.util.Try {
+        val df = SparkEntry.queries(name)(spark, sf())
+        df.collect()
+        df.queryExecution.executedPlan
+      }
+    }
+
   test("scale-killer sweep: no cartesian product in any query plan") {
     // q_dedup_embedding is the documented quadratic all-pairs BASELINE
     // (its approx twin is the scale path) — everything else must plan
     // without a cartesian/unconditioned nested-loop join
-    // One broken query must not dark the whole sweep (round-5 lesson:
-    // both sweeps aborted at the first analysis exception and NO plan
-    // was checked) — errors are collected and failed separately.
     val allowed = Set("q_dedup_embedding")
-    val results = SparkEntry.queries.keySet.diff(allowed).toSeq.sorted.map { name =>
-      name -> scala.util.Try {
-        val df = SparkEntry.queries(name)(spark, sf())
-        df.collect() // CLAUDE.md plan-assertion rule: AQE finalizes only after execution
-        df.queryExecution.executedPlan.toString.contains("CartesianProduct")
-      }
+    val offenders = sweepPlans.collect {
+      case (n, scala.util.Success(p))
+          if !allowed(n) && p.toString.contains("CartesianProduct") => n
     }
-    val offenders = results.collect { case (n, scala.util.Success(true)) => n }
-    val errored = results.collect { case (n, scala.util.Failure(e)) =>
+    val errored = sweepPlans.collect { case (n, scala.util.Failure(e)) =>
       s"$n (${e.getMessage.take(120)})" }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
     assert(errored.isEmpty, s"queries failed during sweep (plans unchecked): $errored")
@@ -165,20 +179,11 @@ class PlanSpec extends SparkSpecBase {
     // see. Allow-listed with the bound stated, exactly like the cartesian
     // sweep's documented q_dedup_embedding baseline.
     val allowed = Set("q_rrf_fusion")
-    // Failure-tolerant like the cartesian sweep: cover every query, then
-    // report any that errored rather than aborting coverage at the first.
-    val results = SparkEntry.queries.keySet.diff(allowed).toSeq.sorted.map { name =>
-      name -> scala.util.Try {
-        val df = SparkEntry.queries(name)(spark, sf())
-        df.collect() // CLAUDE.md plan-assertion rule: AQE finalizes only after execution
-        globalWindows(df.queryExecution.executedPlan).nonEmpty
-      }
+    val offenders = sweepPlans.collect {
+      case (n, scala.util.Success(p))
+          if !allowed(n) && globalWindows(p).nonEmpty => n
     }
-    val offenders = results.collect { case (n, scala.util.Success(true)) => n }
-    val errored = results.collect { case (n, scala.util.Failure(e)) =>
-      s"$n (${e.getMessage.take(120)})" }
     assert(offenders.isEmpty, s"single-task global windows over base data in: $offenders")
-    assert(errored.isEmpty, s"queries failed during sweep (plans unchecked): $errored")
   }
 
   test("scale-killer sweep: no unpartitioned window over a continuous-VALUE spine") {
@@ -223,18 +228,10 @@ class PlanSpec extends SparkSpecBase {
       }
       here ++ kids(p).flatMap(valueSpineWindows)
     }
-    val results = SparkEntry.queries.keySet.toSeq.sorted.map { name =>
-      name -> scala.util.Try {
-        val df = SparkEntry.queries(name)(spark, sf())
-        df.collect() // CLAUDE.md plan-assertion rule: AQE finalizes only after execution
-        valueSpineWindows(df.queryExecution.executedPlan).nonEmpty
-      }
+    val offenders = sweepPlans.collect {
+      case (n, scala.util.Success(p)) if valueSpineWindows(p).nonEmpty => n
     }
-    val offenders = results.collect { case (n, scala.util.Success(true)) => n }
-    val errored = results.collect { case (n, scala.util.Failure(e)) =>
-      s"$n (${e.getMessage.take(120)})" }
     assert(offenders.isEmpty, s"unpartitioned continuous-value-spine windows in: $offenders")
-    assert(errored.isEmpty, s"queries failed during sweep (plans unchecked): $errored")
   }
 
   test("scd2: both windows ride ONE clustering exchange (shared sort)") {

@@ -184,6 +184,11 @@ class RateTrendSpec extends SparkSpecBase {
     // constant counts: zero variance — every acf and Q NULL
     val const = Seq(1, 2, 3, 4, 5).toDF("u")
     assert(Stats.ljungBoxGlobal(const, "u", 2).collect().forall(_.isNullAt(2)))
+    // EMPTY series: the state-derived path must stay total — n_points 0
+    // (the oracle's COUNT-over-empty), every q/exceeds NULL (ADVICE r14)
+    val empty = Stats.ljungBoxGlobal(Seq.empty[Int].toDF("u"), "u", 3).collect()
+    assert(empty.length == 3)
+    assert(empty.forall(r => r.getLong(1) == 0L && r.isNullAt(2) && r.isNullAt(3)))
   }
 
   // ------------------------------------------------------------ Mood's median
