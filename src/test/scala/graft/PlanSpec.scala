@@ -199,6 +199,12 @@ class PlanSpec extends SparkSpecBase {
     // killer. The doubled-rank family (mannWhitney / cliffsDelta /
     // wilcoxonSigned / kruskalWallis / ksTwoSample) ran exactly that
     // shape before the RankedSpine refactor; nothing may reintroduce it.
+    // NOTE: RankedSpine's r15 small-spine auto-degrade IS such a window,
+    // but over a localCheckpoint scan whose row count the preflight
+    // BOUNDED (≤ smallSpineRows) — the checkpoint truncates the lineage,
+    // so no Aggregate appears below it and the detector correctly does
+    // not fire; RankedSpineSpec pins both the bound and the forced
+    // distributed shape.
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
     def kids(p: SparkPlan): Seq[SparkPlan] = p match {

@@ -86,19 +86,32 @@ object ProfileRankedSpine {
       val spine = amplified
         .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
         .select("__v").distinct().count()
+      // conf 0 forces the distributed path (the growth evidence must
+      // not silently measure the r15 auto-degrade below the crossover);
+      // the third row times the committed DEFAULT (preflight + degrade-
+      // or-distribute) — it should track min(ranked, legacy) + the
+      // preflight count
+      spark.conf.set(graft.operators.stats.RankedSpine.SmallSpineConf, "0")
       val tNew = median3(force(graft.operators.stats.Stats
         .mannWhitney(amplified, "o_orderpriority", "__v", "1-URGENT", "5-LOW")))
+      spark.conf.unset(graft.operators.stats.RankedSpine.SmallSpineConf)
+      val tAuto = median3(force(graft.operators.stats.Stats
+        .mannWhitney(amplified, "o_orderpriority", "__v", "1-URGENT", "5-LOW")))
       val tOld = median3(force(legacyR2a(amplified)))
-      println(f"[rankspine x$f] spine=$spine%9d  ranked=$tNew%6.2f s  legacy-window=$tOld%6.2f s")
+      println(f"[rankspine x$f] spine=$spine%9d  ranked=$tNew%6.2f s  auto=$tAuto%6.2f s  legacy-window=$tOld%6.2f s")
 
       // grouped variant: ONE huge group (the r13 item-3 regime) — the
       // legacy per-group window funnels its whole spine into one task
       val hot = amplified.select(lit("hot").as("g"), col("__v"),
         (col("o_orderkey") % 3 === 0).as("__lbl"))
+      spark.conf.set(graft.operators.stats.RankedSpine.SmallSpineConf, "0")
       val tNewG = median3(force(graft.operators.stats.Stats
         .rocAucByGroup(hot, Seq("g"), "__v", col("__lbl"))))
+      spark.conf.unset(graft.operators.stats.RankedSpine.SmallSpineConf)
+      val tAutoG = median3(force(graft.operators.stats.Stats
+        .rocAucByGroup(hot, Seq("g"), "__v", col("__lbl"))))
       val tOldG = median3(force(legacyGroupedR2(hot)))
-      println(f"[rankspine x$f] one-hot-group roc-auc: ranked=$tNewG%6.2f s  legacy-group-window=$tOldG%6.2f s")
+      println(f"[rankspine x$f] one-hot-group roc-auc: ranked=$tNewG%6.2f s  auto=$tAutoG%6.2f s  legacy-group-window=$tOldG%6.2f s")
     }
     spark.stop()
   }

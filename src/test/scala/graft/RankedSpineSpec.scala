@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
 /** The distributed exclusive-prefix primitive behind the doubled-rank
   * statistic family (r13 verdict item 1): exact parity with the
   * single-task global-window formulation it replaced, across shuffle
-  * partition counts (including partition boundaries that cut groups),
-  * plus the plan pins — the refactored operators carry NO unpartitioned
-  * window over a continuous-value spine, and the PlanSpec detector that
-  * enforces this catalog-wide is proven NON-vacuous against the old
-  * shape here.
+  * partition counts (including partition boundaries that cut groups)
+  * AND across the r15 small-spine auto-degrade (both the degraded
+  * window path and the forced distributed path must produce the same
+  * integers), plus the plan pins — the distributed path carries NO
+  * unpartitioned window over a continuous-value spine, the degraded
+  * path carries NO range/pid machinery, and the PlanSpec detector that
+  * enforces the former catalog-wide is proven NON-vacuous against the
+  * old shape here.
   */
 class RankedSpineSpec extends SparkSpecBase {
   import spark.implicits._
@@ -40,13 +43,15 @@ class RankedSpineSpec extends SparkSpecBase {
     v <- 0 until 200
   } yield (s"g$gi", v.toLong * 3 + gi, (v % 7 + 1).toLong, (v % 5).toLong)
 
-  test("grouped exclusive prefix == single-task reference at every partition count") {
+  test("grouped exclusive prefix == single-task reference at every partition count, BOTH paths") {
     val want = reference(rows)
     // sweep includes 1 (degenerate single partition), a count that cuts
-    // every group, and more partitions than the default
-    for (parts <- Seq(1, 3, 7, 32, 64)) {
+    // every group, and more partitions than the default; threshold 0
+    // forces the distributed path, the default degrades (600 rows < 2M)
+    for (parts <- Seq(1, 3, 7, 32, 64); thr <- Seq("0", RankedSpine.SmallSpineDefault.toString)) {
       val s = spark.newSession()
       s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      s.conf.set(RankedSpine.SmallSpineConf, thr)
       import s.implicits._
       val df = rows.toDF("g", "s", "ca", "cb")
       val got = RankedSpine
@@ -55,24 +60,29 @@ class RankedSpineSpec extends SparkSpecBase {
         .collect()
         .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
         .toMap
-      assert(got == want, s"mismatch at shuffle.partitions=$parts")
+      assert(got == want, s"mismatch at shuffle.partitions=$parts threshold=$thr")
     }
   }
 
-  test("global (no-group) prefix == single-task reference; first row gets 0") {
+  test("global (no-group) prefix == single-task reference on BOTH paths; first row gets 0") {
     val flat = rows.map { case (_, s, ca, cb) => ("all", s * 7 + ca, ca, cb) }
     val want = reference(flat)
-    val got = RankedSpine
-      .exclusivePrefix(
-        flat.map { case (_, s, ca, cb) => (s, ca, cb) }.toDF("s", "ca", "cb"),
-        Nil, "s", Seq("ca" -> "pa", "cb" -> "pb"))
-      .select("s", "pa", "pb")
-      .collect()
-      .map(r => ("all", r.getLong(0)) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    assert(got == want)
-    val minS = flat.map(_._2).min
-    assert(got(("all", minS)) == ((0L, 0L)), "spine minimum must prefix to 0")
+    for (thr <- Seq("0", RankedSpine.SmallSpineDefault.toString)) {
+      val s = spark.newSession()
+      s.conf.set(RankedSpine.SmallSpineConf, thr)
+      import s.implicits._
+      val got = RankedSpine
+        .exclusivePrefix(
+          flat.map { case (_, sp, ca, cb) => (sp, ca, cb) }.toDF("s", "ca", "cb"),
+          Nil, "s", Seq("ca" -> "pa", "cb" -> "pb"))
+        .select("s", "pa", "pb")
+        .collect()
+        .map(r => ("all", r.getLong(0)) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(got == want, s"mismatch at threshold=$thr")
+      val minS = flat.map(_._2).min
+      assert(got(("all", minS)) == ((0L, 0L)), "spine minimum must prefix to 0")
+    }
   }
 
   test("empty input stays empty (downstream aggs see the historical shape)") {
@@ -88,7 +98,24 @@ class RankedSpineSpec extends SparkSpecBase {
     }
   }
 
+  test("reserved __rs_ input columns are rejected (would silently corrupt prefixes)") {
+    val df = Seq((1L, 1L, 2L)).toDF("s", "c", "__rs_pid")
+    intercept[IllegalArgumentException] {
+      RankedSpine.exclusivePrefix(df, Nil, "s", Seq("c" -> "p"))
+    }
+  }
+
   // --- plan pins ---------------------------------------------------
+
+  /** An isolated session with the auto-degrade disabled — the
+    * distributed path is the shape under pin (tiny spec inputs would
+    * otherwise always degrade).
+    */
+  private def distributedSession(): org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    s.conf.set(RankedSpine.SmallSpineConf, "0")
+    s
+  }
 
   /** The PlanSpec detector, reproduced: empty-partition-spec WindowExec
     * whose nearest Aggregate below groups by a fractional key.
@@ -122,9 +149,11 @@ class RankedSpineSpec extends SparkSpecBase {
     walk(p)
   }
 
-  test("detector non-vacuity: the OLD single-task shape trips it; the RankedSpine shape does not") {
+  test("detector non-vacuity: the OLD single-task shape trips it; the distributed RankedSpine shape does not") {
     // the pre-r14 mannWhitney formulation in miniature: a global window
     // over an aggregate keyed by a DECIMAL value column
+    val s = distributedSession()
+    import s.implicits._
     val vals = Seq(("a", BigDecimal(1.5)), ("b", BigDecimal(2.5)), ("a", BigDecimal(1.5)))
       .toDF("g", "v")
     val cells = vals.groupBy(col("v").as("s")).agg(count(lit(1)).as("cnt"))
@@ -137,10 +166,36 @@ class RankedSpineSpec extends SparkSpecBase {
     val neu = RankedSpine.exclusivePrefix(cells, Nil, "s", Seq("cnt" -> "bef"))
     neu.collect()
     assert(valueSpineWindows(neu.queryExecution.executedPlan) == 0,
-      "the RankedSpine plan must carry no unpartitioned value-spine window")
+      "the distributed RankedSpine plan must carry no unpartitioned value-spine window")
   }
 
-  test("mannWhitney executed plan: every window is partitioned (pid-sliced), none global over the spine") {
+  test("auto-degrade: small spine takes the window path (no range/pid machinery), counted bound") {
+    // default threshold — the 3-row spine degrades; the plan must carry
+    // NO __rs_pid machinery (the whole point: skip the distributed
+    // constant below the crossover), and the window's input is the
+    // pinned checkpoint, whose row count the preflight bounded
+    val cells = Seq((1.5, 2L), (2.5, 1L), (3.5, 4L)).toDF("s", "cnt")
+    val deg = RankedSpine.exclusivePrefix(cells, Nil, "s", Seq("cnt" -> "bef"))
+    deg.collect()
+    val p = deg.queryExecution.executedPlan.toString
+    assert(!p.contains("__rs_pid"), s"degraded plan must carry no pid machinery:\n${p.take(2000)}")
+    assert(p.contains("Window"), p.take(2000))
+    // and the values are the distributed path's values exactly
+    val s2 = distributedSession()
+    val cells2 = {
+      import s2.implicits._
+      Seq((1.5, 2L), (2.5, 1L), (3.5, 4L)).toDF("s", "cnt")
+    }
+    val dist = RankedSpine.exclusivePrefix(cells2, Nil, "s", Seq("cnt" -> "bef"))
+      .select("s", "bef").collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val degM = deg.select("s", "bef").collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(degM == dist)
+    assert(degM == Map(1.5 -> 0L, 2.5 -> 2L, 3.5 -> 3L))
+  }
+
+  test("mannWhitney distributed plan: every window is partitioned (pid-sliced), none global over the spine") {
+    val s = distributedSession()
+    import s.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0), ("a", 3.5))
       .toDF("g", "v")
     val mw = graft.operators.stats.Stats.mannWhitney(df, "g", "v", "a", "b")
@@ -151,7 +206,9 @@ class RankedSpineSpec extends SparkSpecBase {
   /** Grouped plan pin (r13 verdict item 3): any window ORDERED BY the
     * named spine column must be PARTITIONED BY the RankedSpine range
     * partition id — a window partitioned only by the group columns
-    * would put one huge group's spine back into one task.
+    * would put one huge group's spine back into one task. Pinned on the
+    * DISTRIBUTED path (the degraded path's group windows are bounded by
+    * the counted preflight and carry no pid by design).
     */
   private def spineWindowsWithoutPid(
       p: org.apache.spark.sql.execution.SparkPlan,
@@ -177,8 +234,10 @@ class RankedSpineSpec extends SparkSpecBase {
     walk(p)
   }
 
-  test("grouped variants: roc-auc, gini and spearman spine windows are all pid-partitioned") {
+  test("grouped variants: roc-auc, gini and spearman DISTRIBUTED spine windows are all pid-partitioned") {
     import graft.operators.stats.Stats
+    val s = distributedSession()
+    import s.implicits._
     val scored = Seq(("s1", 1L, true), ("s1", 2L, false), ("s1", 2L, true),
       ("s2", 3L, true), ("s2", 1L, false)).toDF("g", "score", "lbl")
     val auc = Stats.rocAucByGroup(scored, Seq("g"), "score", col("lbl"))
