@@ -396,6 +396,65 @@ object SelfCheck {
             s"construction); every emitted pair at sim == hashRound(truth, 4): " +
             s"${wrongSim == 0}; mid-band [0.4,0.9) recall $midFound/$midTotal " +
             s"(informational); below-0.4 pairs emitted: $leaked (must be 0)")
+      }),
+
+      "q_dedup_semantic" -> (() => {
+        // SELF-CONTAINED planted corpus (unlike the pair gates, which
+        // plant into the real corpus): dedupe-collapse assertions need
+        // the TRUE component structure, and real corpus vectors carry
+        // uncontrolled cross-similarities that could merge components.
+        // Two-coordinate supports keep every CROSS-family cosine at or
+        // below 0 (disjoint supports fold to exactly 0.0; shared-support
+        // cross terms are 0.48 − 0.48 = 0.0 exactly or 0.36 − 0.64 < 0),
+        // so components == planted pairs by construction. Three plant
+        // families over 64 dims:
+        //  - j in [0,16): EXACT copies (identical vector => identical
+        //    centroid, structural) — must ALL collapse;
+        //  - j in [16,32): near twins at cos = 0.96 (support (0.8,0.6)
+        //    vs (0.6,0.8)) — recall floor 15/16 (Voronoi straddle);
+        //  - j in [32,48): far twins at cos = 0.0 (orthogonal supports)
+        //    — must NEVER collapse (the exact verify stage excludes
+        //    sub-threshold pairs, hard).
+        // Every twin (id + 1000) carries the HIGHER score, so keep-best
+        // must retain the twin and drop the original — proving the
+        // quality policy is live, not the min-id default.
+        val dim = 64
+        def vec(support: Int, a: Double, b: Double): Seq[Double] =
+          Seq.tabulate(dim)(i =>
+            if (i == 2 * support) a else if (i == 2 * support + 1) b else 0.0)
+        val plants: Seq[(Long, Seq[Double], Double)] =
+          (0 until 16).flatMap { j =>
+            Seq((j.toLong, vec(j, 0.8, 0.6), 1.0),
+              (j + 1000L, vec(j, 0.8, 0.6), 2.0))
+          } ++ (16 until 32).flatMap { j =>
+            Seq((j.toLong, vec(j, 0.8, 0.6), 1.0),
+              (j + 1000L, vec(j, 0.6, 0.8), 2.0))
+          } ++ (32 until 48).flatMap { j =>
+            // orthogonal supports WITHIN the far pair: (j-32) vs (j-16)
+            Seq((j.toLong, vec(j - 32, 0.6, -0.8), 3.0),
+              (j + 1000L, vec(j - 16, 0.6, -0.8), 4.0))
+          }
+        val pdf = plants.toDF("vec_id", "embedding", "score")
+        val survivors = graft.operators.dedup.EmbeddingDedup
+          .dedupeSemantic(pdf, "vec_id", "embedding", col("score"), 0.4,
+            nLists = 4, iters = 2, nAssign = 2)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val copyOk = (0 until 16).forall(j =>
+          survivors(j + 1000L) && !survivors(j.toLong))
+        val nearCollapsed = (16 until 32).count(j =>
+          !(survivors(j.toLong) && survivors(j + 1000L)))
+        val nearKeepBest = (16 until 32).forall(j =>
+          (survivors(j.toLong) && survivors(j + 1000L)) || // not collapsed
+            (survivors(j + 1000L) && !survivors(j.toLong))) // collapsed -> twin kept
+        val farOk = (32 until 48).forall(j =>
+          survivors(j.toLong) && survivors(j + 1000L))
+        Result("q_dedup_semantic",
+          copyOk && farOk && nearKeepBest && nearCollapsed >= 15,
+          32L, 16L + nearCollapsed,
+          s"semantic dedupe on disjoint-support plants: exact copies all collapse " +
+            s"to the higher-score twin: $copyOk; near twins (cos 0.96) collapsed " +
+            s"$nearCollapsed/16 (floor 15 — Voronoi straddle), every collapse " +
+            s"keeps the best: $nearKeepBest; far twins (cos 0.0) all survive: $farOk")
       })
     )
 

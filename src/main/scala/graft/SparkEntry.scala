@@ -368,6 +368,19 @@ object SparkEntry {
       EmbeddingDedup.duplicatePairsApprox(snap(s, dir).embeddings, "vec_id", "embedding", 0.4,
         nLists = 8, iters = 2, prebuilt = Some(ivfIndex(s, dir, 8, 2)), nAssign = 2)
         .orderBy("id_a", "id_b")),
+    "q_dedup_semantic" -> ((s, dir) =>
+      // SemDeDup-shape semantic dedup (C82, VERDICT r14 #4): IVF
+      // co-bucketed cosine pairs -> transitive components -> keep the
+      // best-scored member (label as the stand-in quality, vec_id
+      // tiebreak). no_oracle (hash-seeded quantizer); gated by the
+      // SelfCheck planted-truth families (exact copies structural,
+      // cos-0.96 twins at floor 15/16, cos-0 twins never merge,
+      // keep-best proven live).
+      EmbeddingDedup.dedupeSemantic(snap(s, dir).embeddings, "vec_id", "embedding",
+        coalesce(col("label").cast("double"), lit(-1.0)), 0.4,
+        nLists = 8, iters = 2, nAssign = 2, prebuilt = Some(ivfIndex(s, dir, 8, 2)))
+        .select("vec_id", "label")
+        .orderBy("vec_id")),
     "q_ann_bruteforce" -> ((s, dir) => {
       val e = snap(s, dir).embeddings
       BruteForceKNN
@@ -453,6 +466,19 @@ object SparkEntry {
     }),
     "q_text_quality" -> ((s, dir) =>
       TextStats.quality(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
+    "q_quality_classifier" -> ((s, dir) =>
+      // learned quality classifier (C81, VERDICT r14 #3): hashed-token
+      // logistic scorer with the EMBEDDED trained model (weights from
+      // Test/runMain graft.TrainQualityModel — trained by the repo's own
+      // deterministic trainer against the rule-screen label). md5-bucket
+      // features re-derived verbatim by the oracle; the logit is a
+      // sequential IEEE fold (hashes UNROUNDED), the sigmoid score is
+      // the 14th audited transcendental (hashRound 4 + margin audit),
+      // is_quality compares the engine-identical logit against 0.
+      graft.operators.text.QualityClassifier
+        .scoreWithModel(snap(s, dir).documents, "doc_id", "text",
+          qualityModelWeights, qualityModelBias)
+        .orderBy("doc_id")),
     "q_text_tokens" -> ((s, dir) =>
       TextStats.tokenCounts(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_temperature_mix" -> ((s, dir) =>
@@ -3412,6 +3438,37 @@ object SparkEntry {
   val bm25Concepts: Seq[Seq[String]] =
     Seq(Seq("join", "merge"), Seq("stream", "batch"), Seq("fast", "quick"))
 
+  /** The embedded q_quality_classifier model (C81): 64 hashed-token
+    * weights + bias, trained by the repo's own deterministic trainer
+    * (`Test/runMain graft.TrainQualityModel` — sf0.01 corpus, label =
+    * the stopword-density screen en-marker-ratio >= 0.05 (the
+    * CCNet/Gopher LM-quality proxy; see the harness scaladoc for why
+    * `lang` is unlearnable on this corpus), dim 64, epochs 1000,
+    * lr 8.0). The oracle formats THESE doubles into its SQL via
+    * `CAST('<shortest repr>' AS DOUBLE)` — both engines' parsers
+    * correctly round the same string, so the two sides cannot drift
+    * (the q_benford literal rule). Regenerate with the harness after
+    * any testdata or trainer change.
+    */
+  val qualityModelBias: Double = 1.5632708640000013
+  val qualityModelWeights: Seq[Double] = Seq(
+    0.09678681600000091, 32.477768048, 0.0, 0.0,
+    31.25885703999998, 0.0, -1.9499464639999995, 0.0,
+    0.0, -2.575761023999999, -2.931570912000002, 0.0,
+    0.0, 0.0, 0.0, 0.44548009600000044,
+    0.0, 0.0, 0.0, 0.0,
+    -5.177837311999999, 0.0, -0.5044565599999996, 0.0,
+    0.0, 0.0, 0.0, -1.3085250079999997,
+    -4.563905728000003, 0.0, 0.0, -0.5828158080000008,
+    0.0, -4.619682271999999, 0.0, -1.0231858719999993,
+    0.0, -6.321669039999999, 0.0, 0.0,
+    -5.509733056, -2.880111551999993, 0.0, 0.0,
+    -3.544868495999995, 0.0, -1.8933155360000007, 0.0,
+    0.0, -0.3635097120000001, 0.0, 0.0,
+    -1.9755958240000016, 0.0, 0.0, -5.314702128000001,
+    -5.22085603200001, -2.5017037120000003, 0.0, 0.0,
+    0.0, -1.951872992, 0.0, 0.0)
+
   /** The labeled query set q_retrieval_metrics evaluates (shared with
     * MarginAuditSpec so the rank-stability audit sweeps exactly the
     * hashed query arms).
@@ -4588,6 +4645,32 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // C81 learned quality classifier: the oracle re-derives the WHOLE
+    // operator — md5-bucket features (4 hex chars parse exactly in both
+    // engines), the weight array formatted from the SAME embedded
+    // doubles the Spark side scores with (shortest-repr CAST, the
+    // q_benford rule), logit = init-less list_reduce fold in token
+    // order (== Spark's 0.0-init aggregate, hashes UNROUNDED), score =
+    // floor-rounded sigmoid (14th audited transcendental), is_quality
+    // on the engine-identical logit.
+    "q_quality_classifier" -> {
+      val wList = qualityModelWeights
+        .map(d => s"CAST('$d' AS DOUBLE)").mkString("[", ", ", "]")
+      val bias = s"CAST('$qualityModelBias' AS DOUBLE)"
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (
+         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    $bias + list_reduce(list_transform(ws, t ->
+         |      ($wList)[(CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER) % 64) + 1]),
+         |      (a, b) -> a + b) / CAST(len(ws) AS DOUBLE) AS logit
+         |  FROM d WHERE len(ws) > 0)
+         |SELECT doc_id, n_tokens, logit,
+         |  floor((1.0 / (1.0 + exp(-logit))) * 10000.0 + 0.5) / 10000.0 AS score,
+         |  logit > 0 AS is_quality
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "q_text_redact" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),

@@ -521,6 +521,41 @@ object EmbeddingDedup {
       CacheScope.withPersisted(bounded0)(b => pairsOf(b).dropDuplicates("id_a", "id_b"))
     else pairsOf(bounded0)
   }
+
+  /** SemDeDup-shape semantic deduplication (Abbas et al. 2023; VERDICT
+    * r14 #4) — first-class composition of the existing primitives:
+    * IVF-cluster the embedding space and emit within-cluster cosine
+    * pairs above `threshold` ([[duplicatePairsApprox]] — co-bucketed
+    * candidates with exact-cosine verify, never all-pairs), close them
+    * transitively (large-star/small-star, O(log n) rounds) and keep the
+    * BEST-scored member of each duplicate component
+    * ([[TransitiveDedup.dedupeKeepBest]]: score desc, id asc tiebreak).
+    * Returns the surviving rows of `df` unchanged.
+    *
+    * The pair table is localCheckpointed before the component loop —
+    * it is slim (id, id) and the star contraction re-reads its input
+    * several times; without the pin every round would re-run the IVF
+    * self-join. Recall contract = the co-bucketing contract of
+    * [[duplicatePairsApprox]] (exact duplicates structural, near-dups
+    * ≥ 0.95 at cos ≥ 0.9 under nAssign = 2 — the SelfCheck gate);
+    * below-threshold pairs never merge (the exact verify stage).
+    */
+  def dedupeSemantic(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scoreCol: Column,
+      threshold: Double,
+      nLists: Int = 16,
+      iters: Int = 3,
+      nAssign: Int = 2,
+      prebuilt: Option[graft.operators.ann.IvfKNN.Index] = None): DataFrame = {
+    val pairs = duplicatePairsApprox(df, idCol, vecCol, threshold,
+      nLists = nLists, iters = iters, prebuilt = prebuilt, nAssign = nAssign)
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    TransitiveDedup.dedupeKeepBest(df, idCol, pairs, scoreCol)
+  }
 }
 
 /** Corpus-level LINE/SPAN deduplication — the C4-style preprocessing

@@ -65,7 +65,12 @@ class MarginAuditSpec extends SparkSpecBase {
       // the 10th: conditional entropy of event transitions (round 13)
       "q_entropy_rate",
       // the 11th: between-bucket Theil-T inequality (round 13)
-      "q_theil")
+      "q_theil",
+      // the 14th: the learned quality classifier's sigmoid score
+      // (round 15) — the logit itself is a sequential IEEE fold of
+      // identical doubles (hashes unrounded, no audit needed); only
+      // the exp() inside the sigmoid is libm-dependent
+      "q_quality_classifier")
 
   test("oracle scan: no oracle hashes a transcendental without a margin audit") {
     val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
@@ -696,6 +701,33 @@ class MarginAuditSpec extends SparkSpecBase {
     }
   }
 
+  /** q_quality_classifier hashes the UNROUNDED logit (a sequential IEEE
+    * fold of identical embedded weights — engine-identical by the cosSql
+    * argument) and the round-4 sigmoid score (the 14th audited
+    * transcendental: the exp() is the only libm-dependent step). The
+    * audit collects every logit from the operator itself, re-derives the
+    * unrounded sigmoid with the operator's own op sequence, and checks
+    * the 4-digit boundary margin; the is_quality flag compares the
+    * engine-identical logit against 0, so it needs no margin — but a
+    * logit EXACTLY 0.0 would be suspicious (all-bucket cancellation), so
+    * it is reported if seen.
+    */
+  private def auditQualityClassifier(sfDir: String): Unit = {
+    val rows = graft.operators.text.QualityClassifier
+      .scoreWithModel(Snapshot(spark, sfDir).documents, "doc_id", "text",
+        SparkEntry.qualityModelWeights, SparkEntry.qualityModelBias)
+      .select("logit").collect()
+    assert(rows.nonEmpty, s"$sfDir: classifier scored no documents")
+    val margin = boundaryMargin(4)
+    val minB = rows.iterator.map { r =>
+      val logit = r.getDouble(0)
+      margin(1.0 / (1.0 + math.exp(-logit)))
+    }.min
+    assert(minB > 1e-9,
+      f"$sfDir: a hashed classifier score sits $minB%.3e from its 4-digit " +
+        "rounding boundary — libm drift could flip the hash")
+  }
+
   for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
     test(s"tfidf margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
       auditTfidf(sf(dir))
@@ -753,6 +785,9 @@ class MarginAuditSpec extends SparkSpecBase {
     }
     test(s"theil margin audit at $dir: boundary margin > 1e-9") {
       auditTheil(sf(dir))
+    }
+    test(s"quality-classifier margin audit at $dir: sigmoid boundary margin > 1e-9") {
+      auditQualityClassifier(sf(dir))
     }
   }
 }

@@ -936,6 +936,31 @@ object ProfileScaleUp {
         graft.operators.text.UrlTools
           .trackingAudit(docs.select(url.as("url")), "url")
       })
+    // round 15: the learned classifier is a pure map (tokenize -> hash ->
+    // fold), expected flat-linear; one training epoch is one slim
+    // (bucket, decimal) shuffle over the corpus
+    time("quality classifier (score)")(
+      force(graft.operators.text.QualityClassifier.scoreWithModel(
+        docs, "doc_id", "text",
+        SparkEntry.qualityModelWeights, SparkEntry.qualityModelBias)))
+    time("quality classifier (3 train epochs)") {
+      graft.operators.text.QualityClassifier.train(
+        docs.where(col("text").isNotNull)
+          .select(col("text"), (col("doc_id") % 3 === 0).as("lbl")),
+        "text", "lbl", dim = 64, epochs = 3, lr = 1.0)._1.length.toLong
+    }
+    // round 15: semantic dedup under copy amplification — every vector
+    // has factor-1 EXACT copies, so component count stays ~|emb0| while
+    // within-cell candidate pairs grow ~factor^2 per cell (the
+    // prefix-filter planted-copies regime: cost is OUTPUT-pair-driven);
+    // nLists scales with the corpus (64 here vs 8 at sf0.1) as a real
+    // deployment would tune it
+    time("semantic dedup (keep-best)")(
+      force(graft.operators.dedup.EmbeddingDedup.dedupeSemantic(
+        emb, "vec_id", "embedding",
+        coalesce(col("label").cast("double"), lit(-1.0)), 0.4,
+        nLists = 64, iters = 2, nAssign = 2)
+        .groupBy().agg(count(lit(1)).as("n_survivors"))))
 
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
