@@ -120,38 +120,85 @@ object QualityClassifier {
       lr: Double = 0.5): (Seq[Double], Double) = {
     require(dim >= 2 && dim <= 4096, s"dim must be in [2,4096], got $dim")
     require(epochs >= 1 && epochs <= 1000, s"epochs must be in [1,1000], got $epochs")
-    val base = df
-      .where(col(textCol).isNotNull && col(labelCol).isNotNull)
-      .select(tokens(col(textCol)).as("__ws"),
-        col(labelCol).cast("boolean").as("__y"))
-      .where(size(col("__ws")) > 0)
-      .localCheckpoint(true) // epochs re-scan the slim token table, not the source
-    val n = base.count()
-    require(n > 0, "training corpus is empty after token/label cleaning")
-    var w = Vector.fill(dim)(0.0)
+    val base = prepare(df, textCol, labelCol, dim)
+      .localCheckpoint(true) // epochs re-scan the slim bucket table, not the source
+    require(!base.isEmpty, "training corpus is empty after token/label cleaning")
+    var w: Seq[Double] = Vector.fill(dim)(0.0)
     var b = 0.0
     for (_ <- 1 to epochs) {
-      val logit = logitExpr(col("__ws"), w, b)
-      val resid = (when(col("__y"), lit(1.0)).otherwise(lit(0.0))
-        - lit(1.0) / (lit(1.0) + exp(-logit)))
-      // bucket -1 carries the bias gradient (∂logit/∂b = 1 → the raw
-      // residual); token buckets carry ∂logit/∂w_j = count_j/n_tokens →
-      // one quantized residual/n per TOKEN occurrence. One explode, one
-      // slim shuffle, <= dim+1 groups.
-      val grads = base
-        .select(resid.cast(ExactMath.ValueDecimal).as("__rb"),
-          (resid / size(col("__ws")).cast("double"))
-            .cast(ExactMath.ValueDecimal).as("__rt"),
-          explode(concat(array(lit(-1)),
-            transform(col("__ws"), t => bucketOf(t, dim)))).as("__j"))
-        .groupBy("__j")
-        .agg(sum(when(col("__j") === -1, col("__rb")).otherwise(col("__rt"))).as("__g"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue)
-        .toMap
-      b += lr * grads.getOrElse(-1, 0.0) / n
-      w = Vector.tabulate(dim)(j => w(j) + lr * grads.getOrElse(j, 0.0) / n)
+      val next = stepFromCells(gradientCells(base, w, b), w, b, lr)
+      w = next._1; b = next._2
     }
     (w, b)
+  }
+
+  /** The slim cleaned training projection: (__bs = hashed bucket array,
+    * __y = boolean label), empty-token and NULL rows dropped. The md5
+    * feature hashing is MODEL-INDEPENDENT, so it runs exactly once here
+    * — training epochs fold plain INTs against the current weights
+    * (the hashing dominated epoch cost when recomputed per epoch:
+    * higher-order-function lambdas evaluate interpreted, and the fold
+    * plus the explode each re-hashed every token).
+    */
+  def prepare(df: DataFrame, textCol: String, labelCol: String, dim: Int = 64): DataFrame =
+    df.where(col(textCol).isNotNull && col(labelCol).isNotNull)
+      .select(transform(tokens(col(textCol)), t => bucketOf(t, dim)).as("__bs"),
+        col(labelCol).cast("boolean").as("__y"))
+      .where(size(col("__bs")) > 0)
+
+  /** One epoch's gradient under the CURRENT model as a MERGEABLE cell
+    * table (the D38 streaming-training state): rows (__j, __g) where
+    * __j = −2 carries the example count, −1 the bias gradient
+    * (∂logit/∂b = 1 → the raw quantized residual) and 0..dim−1 the
+    * per-bucket gradients (∂logit/∂w_j = count_j/n_tokens → one
+    * quantized residual/n per TOKEN occurrence). Every __g is an exact
+    * DECIMAL sum of per-row quantized contributions, so
+    * [[mergeGradientCells]] of two batches' cells equals the one-shot
+    * cells EXACTLY (associativity) — gradient accumulation over
+    * streaming microbatches is arrival-order free. One explode, one
+    * slim shuffle, ≤ dim+2 groups. Arithmetic is IDENTICAL to scoring:
+    * the bucket-array fold produces the same doubles the token fold
+    * would (same buckets, same order).
+    */
+  def gradientCells(prepared: DataFrame, weights: Seq[Double], bias: Double): DataFrame = {
+    val wArr = array(weights.map(lit): _*)
+    val logit = lit(bias) + aggregate(col("__bs"), lit(0.0),
+      (acc, j) => acc + element_at(wArr, j + lit(1))) /
+      size(col("__bs")).cast("double")
+    val withR = prepared.select(col("__bs"),
+      (when(col("__y"), lit(1.0)).otherwise(lit(0.0))
+        - lit(1.0) / (lit(1.0) + exp(-logit))).as("__r"))
+    withR
+      .select(col("__r").cast(ExactMath.ValueDecimal).as("__rb"),
+        (col("__r") / size(col("__bs")).cast("double"))
+          .cast(ExactMath.ValueDecimal).as("__rt"),
+        explode(concat(array(lit(-2), lit(-1)), col("__bs"))).as("__j"))
+      .groupBy("__j")
+      .agg(sum(when(col("__j") === -2, lit(1.0).cast(ExactMath.ValueDecimal))
+        .when(col("__j") === -1, col("__rb"))
+        .otherwise(col("__rt"))).as("__g"))
+  }
+
+  /** Field-wise associative merge of two [[gradientCells]] tables. */
+  def mergeGradientCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("__j").agg(sum(col("__g")).as("__g"))
+
+  /** One fixed-IEEE gradient step from a (possibly merged) cell table:
+    * w_j += lr·g_j/n, b += lr·g_b/n with n read from the −2 cell.
+    */
+  def stepFromCells(
+      cells: DataFrame,
+      weights: Seq[Double],
+      bias: Double,
+      lr: Double): (Seq[Double], Double) = {
+    val m = cells.collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue)
+      .toMap
+    val n = m.getOrElse(-2, 0.0)
+    require(n > 0, "gradient cells carry no examples (empty training corpus)")
+    val b2 = bias + lr * m.getOrElse(-1, 0.0) / n
+    val w2 = Vector.tabulate(weights.length)(j =>
+      weights(j) + lr * m.getOrElse(j, 0.0) / n)
+    (w2, b2)
   }
 }

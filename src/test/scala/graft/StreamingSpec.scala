@@ -913,6 +913,59 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamedCi == batchCi)
   }
 
+  test("streaming gradient state: accumulated cells reproduce the batch training step (D38)") {
+    // D38: the quality classifier's epoch gradient maintained under
+    // streaming ingestion — state = (bucket, exact decimal gradient sum)
+    // cells (−2 = example count, −1 = bias); per-row contributions
+    // quantize to DECIMAL(18,6) BEFORE summing, so merging microbatch
+    // cells by addition equals the one-shot epoch EXACTLY, and the
+    // driver-side step from the merged state is bit-identical to one
+    // epoch of QualityClassifier.train on the full corpus. This is the
+    // distributed-training composition: executors stream gradient
+    // shards, the driver applies the fixed-IEEE update.
+    import graft.operators.text.QualityClassifier
+    val dim = 32
+    val w0 = Vector.tabulate(dim)(j => (j % 5 - 2) * 0.125) // a non-zero model
+    val b0 = 0.25
+    val dir = Files.createTempDirectory("graft_grad_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).documents
+      .where(col("text").isNotNull)
+      .select(col("text"), (col("doc_id") % 3 === 0).as("lbl"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val cells = QualityClassifier.gradientCells(
+          QualityClassifier.prepare(batch, "text", "lbl", dim), w0, b0)
+        val next = st match {
+          case None => cells
+          case Some(prev) => QualityClassifier.mergeGradientCells(prev, cells)
+        }
+        st = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    // merged state == one-shot epoch cells EXACTLY (decimal associativity)
+    val oneShot = QualityClassifier.gradientCells(
+      QualityClassifier.prepare(batchDf, "text", "lbl", dim), w0, b0)
+    assert(canon(st.get) == canon(oneShot))
+    // and the step from the merged state == the step from the one-shot
+    val (wS, bS) = QualityClassifier.stepFromCells(st.get, w0, b0, lr = 1.0)
+    val (wB, bB) = QualityClassifier.stepFromCells(oneShot, w0, b0, lr = 1.0)
+    assert(wS == wB && bS == bB)
+  }
+
   test("streaming interval-union state: folded coverage equals the batch merge (D26)") {
     // D26: B36b's interval merge maintained under streaming ingestion —
     // state = per-key disjoint merged spans with absorbed counts; each
