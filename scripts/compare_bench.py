@@ -53,15 +53,17 @@ def main(old_path, new_path, ratio=1.5):
             noisy += 1
             print(f"noise     {name}: {om:.3f} -> {nm:.3f} ({nm/om:.2f}x raw, {r:.2f}x norm) — rep intervals overlap "
                   f"[{osp[0]:.2f},{osp[2]:.2f}] vs [{nsp[0]:.2f},{nsp[2]:.2f}]")
-        elif osp and nsp and r > 1 and (nsp[0] / om) / global_shift <= ratio:
+        elif osp and nsp and r > 1 and nsp[0] <= osp[2] * 1.25:
             # the r13 run-L rule automated (VERDICT r14 #6): the new
-            # run's FASTEST rep still sits inside the normalized band of
-            # the committed median — the query still runs at committed
-            # speed on this box; the median shift is per-rep contention,
-            # not a plan change (a real regression slows the min too).
+            # run's FASTEST rep lands within 25% of the committed
+            # interval's top (the intervals nearly touch) — the query
+            # still runs at near-committed speed on this box; the median
+            # shift is per-rep contention, not a plan change (a real
+            # regression moves the whole interval away and keeps its
+            # "REGRESSED" verdict).
             noisy += 1
             print(f"noise_spread_overlap {name}: {om:.3f} -> {nm:.3f} ({nm/om:.2f}x raw, {r:.2f}x norm) — "
-                  f"best rep {nsp[0]:.3f} within {ratio}x band of committed median")
+                  f"best rep {nsp[0]:.3f} within 1.25x of committed max {osp[2]:.3f}")
         elif osp and nsp:
             if r > 1:
                 regressed += 1

@@ -4658,7 +4658,9 @@ object SparkEntry {
         .map(d => s"CAST('$d' AS DOUBLE)").mkString("[", ", ", "]")
       val bias = s"CAST('$qualityModelBias' AS DOUBLE)"
       s"""WITH d AS (
-         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS ws
+         |  SELECT doc_id, list_filter(string_split(translate(text,
+         |    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
+         |    x -> len(x) > 0) AS ws
          |  FROM documents WHERE text IS NOT NULL),
          |s AS (
          |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,

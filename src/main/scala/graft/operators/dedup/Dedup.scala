@@ -536,9 +536,13 @@ object EmbeddingDedup {
     * it is slim (id, id) and the star contraction re-reads its input
     * several times; without the pin every round would re-run the IVF
     * self-join. Recall contract = the co-bucketing contract of
-    * [[duplicatePairsApprox]] (exact duplicates structural, near-dups
-    * ≥ 0.95 at cos ≥ 0.9 under nAssign = 2 — the SelfCheck gate);
-    * below-threshold pairs never merge (the exact verify stage).
+    * [[duplicatePairsApprox]]: exact duplicates collapse structurally
+    * (identical vector ⇒ identical centroid); near-dups are
+    * approximate by construction (Voronoi straddle) — the SelfCheck
+    * gate enforces 15/16 on planted cos-0.96 twins under nAssign = 2
+    * (one straddle allowed), and the pair-level gate separately holds
+    * the 0.95 floor at cos ≥ 0.9 on its larger plant population.
+    * Below-threshold pairs never merge (the exact verify stage).
     */
   def dedupeSemantic(
       df: DataFrame,

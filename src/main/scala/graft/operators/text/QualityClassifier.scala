@@ -37,12 +37,18 @@ import graft.functions.ExactMath
   */
 object QualityClassifier {
 
-  /** Whitespace tokens of `lower(text)`, empties dropped — the casing/
-    * rake convention (`list_filter(string_split(lower(text),' '), ...)`
-    * in the mirror).
+  /** Whitespace tokens of the ASCII-lowercased text, empties dropped.
+    * translate a-z (a pure codepoint map, identical in both engines)
+    * instead of lower(): Spark's non-ASCII lower is JVM-locale-
+    * sensitive and can change codepoint counts (İ → i + combining dot)
+    * where DuckDB's is utf8proc — a hash-checked mirror must not
+    * depend on the corpus staying ASCII/CJK (the q_casing_audit
+    * lesson, ADVICE r14, applied here at design time).
     */
   def tokens(textCol: Column): Column =
-    filter(split(lower(textCol), " "), w => length(w) > 0)
+    filter(split(translate(textCol,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), " "),
+      w => length(w) > 0)
 
   /** Hashed feature bucket of one token: first 16 bits of md5, mod dim.
     * DuckDB mirror: `CAST(concat('0x', substr(md5(t),1,4)) AS INTEGER) % dim`.
@@ -140,11 +146,18 @@ object QualityClassifier {
     * higher-order-function lambdas evaluate interpreted, and the fold
     * plus the explode each re-hashed every token).
     */
-  def prepare(df: DataFrame, textCol: String, labelCol: String, dim: Int = 64): DataFrame =
+  def prepare(df: DataFrame, textCol: String, labelCol: String, dim: Int = 64): DataFrame = {
+    // stamp the hash dim on the bucket column: a gradientCells call with
+    // a different-length weight vector would otherwise fold NULLs out of
+    // the sums (ANSI-off element_at) while the −2 cell still counts the
+    // example — silently wrong gradients instead of an error
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.hashDim", dim.toLong).build()
     df.where(col(textCol).isNotNull && col(labelCol).isNotNull)
-      .select(transform(tokens(col(textCol)), t => bucketOf(t, dim)).as("__bs"),
+      .select(transform(tokens(col(textCol)), t => bucketOf(t, dim)).as("__bs", meta),
         col(labelCol).cast("boolean").as("__y"))
       .where(size(col("__bs")) > 0)
+  }
 
   /** One epoch's gradient under the CURRENT model as a MERGEABLE cell
     * table (the D38 streaming-training state): rows (__j, __g) where
@@ -161,6 +174,11 @@ object QualityClassifier {
     * would (same buckets, same order).
     */
   def gradientCells(prepared: DataFrame, weights: Seq[Double], bias: Double): DataFrame = {
+    val bsMeta = prepared.schema("__bs").metadata
+    if (bsMeta.contains("graft.hashDim"))
+      require(bsMeta.getLong("graft.hashDim") == weights.length.toLong,
+        s"buckets were hashed at dim ${bsMeta.getLong("graft.hashDim")} but " +
+          s"${weights.length} weights were supplied — the fold would NULL out")
     val wArr = array(weights.map(lit): _*)
     val logit = lit(bias) + aggregate(col("__bs"), lit(0.0),
       (acc, j) => acc + element_at(wArr, j + lit(1))) /

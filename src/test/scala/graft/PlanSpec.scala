@@ -184,6 +184,12 @@ class PlanSpec extends SparkSpecBase {
           if !allowed(n) && globalWindows(p).nonEmpty => n
     }
     assert(offenders.isEmpty, s"single-task global windows over base data in: $offenders")
+    // each sweep must fail on unexecuted plans itself — running this
+    // test alone (testOnly -z) must not go dark on an erroring query
+    // (the round-5 lesson)
+    val errored = sweepPlans.collect { case (n, scala.util.Failure(e)) =>
+      s"$n (${e.getMessage.take(120)})" }
+    assert(errored.isEmpty, s"queries failed during sweep (plans unchecked): $errored")
   }
 
   test("scale-killer sweep: no unpartitioned window over a continuous-VALUE spine") {
@@ -238,6 +244,9 @@ class PlanSpec extends SparkSpecBase {
       case (n, scala.util.Success(p)) if valueSpineWindows(p).nonEmpty => n
     }
     assert(offenders.isEmpty, s"unpartitioned continuous-value-spine windows in: $offenders")
+    val errored = sweepPlans.collect { case (n, scala.util.Failure(e)) =>
+      s"$n (${e.getMessage.take(120)})" }
+    assert(errored.isEmpty, s"queries failed during sweep (plans unchecked): $errored")
   }
 
   test("scd2: both windows ride ONE clustering exchange (shared sort)") {

@@ -24,7 +24,7 @@ object TrainQualityModel {
     val spark = GraftSession.local(32)
     val docs = graft.sources.Snapshot(spark, sfDir).documents
     def srLabel(d: org.apache.spark.sql.DataFrame) = {
-      val ws = filter(split(lower(col("text")), " "), w => length(w) > 0)
+      val ws = graft.operators.text.QualityClassifier.tokens(col("text"))
       val stops = size(filter(ws, w =>
         w.isInCollection(graft.operators.text.TextStats.Markers.head._2)))
       d.where(col("text").isNotNull)
