@@ -479,6 +479,26 @@ object SparkEntry {
         .scoreWithModel(snap(s, dir).documents, "doc_id", "text",
           qualityModelWeights, qualityModelBias)
         .orderBy("doc_id")),
+    "q_classifier_eval" -> ((s, dir) => {
+      // classifier evaluation (C83): confusion + accuracy/prec/recall/f1
+      // of the learned flag against the stopword-density screen it
+      // distills — the eval table a pipeline publishes next to any
+      // shipped model. Exact counts, one-division rates unrounded, f1 a
+      // fixed IEEE chain; single row (EntrySpec exemption).
+      import graft.operators.text.{QualityClassifier, TextStats}
+      val d = snap(s, dir).documents
+      val scored = QualityClassifier
+        .scoreWithModel(d, "doc_id", "text", qualityModelWeights, qualityModelBias)
+        .select("doc_id", "is_quality")
+      val ws = QualityClassifier.tokens(col("text"))
+      val lab = d.where(col("text").isNotNull)
+        .select(col("doc_id"), ws.as("__ws"))
+        .where(size(col("__ws")) > 0)
+        .select(col("doc_id"),
+          (size(filter(col("__ws"), w => w.isInCollection(TextStats.Markers.head._2)))
+            .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
+      QualityClassifier.evaluate(scored.join(lab, "doc_id"), "is_quality", "lbl")
+    }),
     "q_text_tokens" -> ((s, dir) =>
       TextStats.tokenCounts(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_temperature_mix" -> ((s, dir) =>
@@ -3450,6 +3470,28 @@ object SparkEntry {
     * (the q_benford literal rule). Regenerate with the harness after
     * any testdata or trainer change.
     */
+  /** The q_quality_classifier tokenize→hash→fold CTEs — ONE definition
+    * (the qualityScoreSql rule) serving the classifier oracle and the
+    * q_classifier_eval confusion oracle. `d` = (doc_id, ASCII-lowered
+    * non-empty tokens), `s` = (doc_id, n_tokens, UNROUNDED logit).
+    */
+  private lazy val classifierLogitCtes: String = {
+    val wList = qualityModelWeights
+      .map(d => s"CAST('$d' AS DOUBLE)").mkString("[", ", ", "]")
+    val bias = s"CAST('$qualityModelBias' AS DOUBLE)"
+    s"""d AS (
+       |  SELECT doc_id, list_filter(string_split(translate(text,
+       |    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
+       |    x -> len(x) > 0) AS ws
+       |  FROM documents WHERE text IS NOT NULL),
+       |s AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |    $bias + list_reduce(list_transform(ws, t ->
+       |      ($wList)[(CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER) % 64) + 1]),
+       |      (a, b) -> a + b) / CAST(len(ws) AS DOUBLE) AS logit
+       |  FROM d WHERE len(ws) > 0)""".stripMargin
+  }
+
   val qualityModelBias: Double = 1.5632708640000013
   val qualityModelWeights: Seq[Double] = Seq(
     0.09678681600000091, 32.477768048, 0.0, 0.0,
@@ -4652,27 +4694,44 @@ object SparkEntry {
     // q_benford rule), logit = init-less list_reduce fold in token
     // order (== Spark's 0.0-init aggregate, hashes UNROUNDED), score =
     // floor-rounded sigmoid (14th audited transcendental), is_quality
-    // on the engine-identical logit.
-    "q_quality_classifier" -> {
-      val wList = qualityModelWeights
-        .map(d => s"CAST('$d' AS DOUBLE)").mkString("[", ", ", "]")
-      val bias = s"CAST('$qualityModelBias' AS DOUBLE)"
-      s"""WITH d AS (
-         |  SELECT doc_id, list_filter(string_split(translate(text,
-         |    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
-         |    x -> len(x) > 0) AS ws
-         |  FROM documents WHERE text IS NOT NULL),
-         |s AS (
-         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
-         |    $bias + list_reduce(list_transform(ws, t ->
-         |      ($wList)[(CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER) % 64) + 1]),
-         |      (a, b) -> a + b) / CAST(len(ws) AS DOUBLE) AS logit
-         |  FROM d WHERE len(ws) > 0)
+    // on the engine-identical logit. The d/s CTEs are ONE definition
+    // (classifierLogitCtes) shared with q_classifier_eval.
+    "q_quality_classifier" ->
+      s"""WITH $classifierLogitCtes
          |SELECT doc_id, n_tokens, logit,
          |  floor((1.0 / (1.0 + exp(-logit))) * 10000.0 + 0.5) / 10000.0 AS score,
          |  logit > 0 AS is_quality
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+         |FROM s ORDER BY doc_id""".stripMargin,
+    // C83 classifier evaluation: confusion of the learned flag against
+    // the stopword-density screen it was trained on — exact counts,
+    // one-division rates (unrounded, the B56 rule), f1 = a fixed IEEE
+    // chain over them; zero denominators NULL via CASE both engines.
+    // `prec` not `precision` (reserved word, the check_name lesson).
+    "q_classifier_eval" ->
+      s"""WITH $classifierLogitCtes,
+         |l AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'is', 'of', 'and'))) AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE) >= 0.05 AS lbl
+         |  FROM d WHERE len(ws) > 0),
+         |j AS (SELECT s.logit > 0 AS p, l.lbl AS y FROM s JOIN l USING (doc_id)),
+         |c AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM j),
+         |r AS (
+         |  SELECT n, tp, fp, fn, tn,
+         |    CASE WHEN n > 0 THEN CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) END AS accuracy,
+         |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+         |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+         |  FROM c)
+         |SELECT n, tp, fp, fn, tn, accuracy, prec, recall,
+         |  CASE WHEN prec IS NOT NULL AND recall IS NOT NULL AND prec + recall > 0.0
+         |    THEN 2.0 * prec * recall / (prec + recall) END AS f1
+         |FROM r""".stripMargin,
     "q_text_redact" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),

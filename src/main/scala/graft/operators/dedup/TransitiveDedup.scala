@@ -38,6 +38,22 @@ import org.apache.spark.sql.functions._
   */
 object TransitiveDedup {
 
+  /** Edge-count threshold below which [[components]] degrades to a
+    * driver-side union-find over the COUNTED canonical edge set (the
+    * RankedSpine/TopKPerKey auto-degrade pattern): the star loop costs
+    * several fixed jobs per round (two shuffles + checkpoints + the
+    * convergence count), which dominates whenever the deduplicated edge
+    * table is small — the common case for near-dup pair sets. The edge
+    * table is already distinct+checkpointed when counted, so the
+    * collect is bounded by construction (≤ threshold slim pairs), and
+    * min-root union-find produces EXACTLY the star fixpoint's labels
+    * (component = the component's minimum id, compared with Spark's own
+    * ordering — strings by UTF-8 binary, not Java UTF-16). Set 0 to
+    * force the distributed loop (the O(log n)-round plan pins do).
+    */
+  val SmallEdgesConf = "spark.graft.components.smallEdges"
+  val SmallEdgesDefault = 200000L
+
   /** (id, component) for every id appearing in `pairs` (id_a/id_b). */
   def components(pairs: DataFrame, maxIter: Int = 30): DataFrame =
     componentsWithRounds(pairs, maxIter)._1
@@ -59,6 +75,13 @@ object TransitiveDedup {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+
+    // small-graph auto-degrade (see SmallEdgesConf): the canonical edge
+    // set is pinned, so the count is cheap and the collect is bounded
+    val threshold = pairs.sparkSession.conf
+      .get(SmallEdgesConf, SmallEdgesDefault.toString).toLong
+    if (threshold > 0 && edges.count() <= threshold)
+      return (smallComponents(nodes, edges), 0)
 
     def neighborhoods(es: DataFrame): DataFrame = {
       val nbrs = es.unionAll(es.select(col("v").as("u"), col("u").as("v")))
@@ -113,6 +136,55 @@ object TransitiveDedup {
       .join(edges.select(col("v").as("id"), col("u").as("__c")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
     (labels, iter)
+  }
+
+  /** The degraded small-graph path: min-root union-find over the
+    * collected canonical edges — labels are BIT-IDENTICAL to the star
+    * fixpoint's (component = minimum id under Spark's ordering; strings
+    * compare as UTF-8 bytes via UTF8String, which differs from Java's
+    * UTF-16 order for BMP-above-surrogate vs supplementary code points
+    * — spec-pinned). Ids must be orderable atomics (the Quantiles
+    * rule); decimal ids additionally assume one scale per column
+    * (HashMap equality).
+    */
+  private def smallComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val idType = edges.schema("u").dataType
+    def key(v: Any): Comparable[Any] = (v match {
+      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case c: Comparable[_] => c
+      case other => throw new IllegalArgumentException(
+        s"component ids must be orderable atomics, got ${other.getClass}")
+    }).asInstanceOf[Comparable[Any]]
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != null && parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = if (n == null) r else n }
+      r
+    }
+    val rows = edges.collect()
+    rows.foreach { e =>
+      val (u, v) = (e.get(0), e.get(1))
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) {
+        val (root, other) = if (key(ru).compareTo(key(rv)) <= 0) (ru, rv) else (rv, ru)
+        parent.put(other, root)
+        parent.put(root, root)
+      }
+    }
+    val connectedIds = rows.iterator.flatMap(e => Iterator(e.get(0), e.get(1)))
+      .toSet
+    val schema = StructType(Seq(
+      StructField("id", idType), StructField("__c", idType)))
+    val connected = nodes.sparkSession.createDataFrame(
+      java.util.Arrays.asList(connectedIds.toSeq.map(id => Row(id, find(id))): _*),
+      schema)
+    nodes
+      .join(connected, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
   }
 
   /** Survivors after transitive dedup: the minimum id of each component

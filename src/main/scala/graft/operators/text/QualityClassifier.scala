@@ -197,6 +197,37 @@ object QualityClassifier {
         .otherwise(col("__rt"))).as("__g"))
   }
 
+  /** Binary-classifier evaluation against a boolean label (C83): one
+    * row of confusion counts + accuracy/precision/recall/f1. Every
+    * count is an exact partial-agg LONG; accuracy/prec/recall are ONE
+    * exact-int division each (engine-identical doubles, hash-safe
+    * unrounded — the B56 gini rule) and f1 is a fixed IEEE chain over
+    * them, with zero-denominator cases NULL via `when` guards (CASE in
+    * the mirror). `prec` not `precision`: PRECISION is a SQL keyword
+    * and the oracle harness projects result columns unquoted (the
+    * check_name lesson).
+    */
+  def evaluate(df: DataFrame, predCol: String, labelCol: String): DataFrame = {
+    val p = col(predCol); val y = col(labelCol)
+    val counts = df.where(p.isNotNull && y.isNotNull).agg(
+      count(lit(1)).as("n"),
+      sum(when(p && y, 1L).otherwise(0L)).as("tp"),
+      sum(when(p && !y, 1L).otherwise(0L)).as("fp"),
+      sum(when(!p && y, 1L).otherwise(0L)).as("fn"),
+      sum(when(!p && !y, 1L).otherwise(0L)).as("tn"))
+    val withPr = counts.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("n") > 0,
+        (col("tp") + col("tn")).cast("double") / col("n").cast("double")).as("accuracy"),
+      when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double")).as("prec"),
+      when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn")).cast("double")).as("recall"))
+    withPr.withColumn("f1",
+      when(col("prec").isNotNull && col("recall").isNotNull &&
+        col("prec") + col("recall") > 0.0,
+        lit(2.0) * col("prec") * col("recall") / (col("prec") + col("recall"))))
+  }
+
   /** Field-wise associative merge of two [[gradientCells]] tables. */
   def mergeGradientCells(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("__j").agg(sum(col("__g")).as("__g"))

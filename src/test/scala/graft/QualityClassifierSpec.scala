@@ -99,6 +99,25 @@ class QualityClassifierSpec extends SparkSpecBase {
     assert(b2 == b && w2 == w, "training must be bit-deterministic")
   }
 
+  test("evaluate: hand confusion counts, exact rates, zero-denominator NULLs") {
+    val df = Seq(
+      (true, true), (true, true), (true, false), // tp tp fp
+      (false, true), (false, false), (false, false)) // fn tn tn
+      .toDF("p", "y")
+    val r = QualityClassifier.evaluate(df, "p", "y").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((6L, 2L, 1L, 1L, 2L)))
+    assert(r.getDouble(5) == 4.0 / 6.0) // accuracy
+    assert(r.getDouble(6) == 2.0 / 3.0) // prec
+    assert(r.getDouble(7) == 2.0 / 3.0) // recall
+    val pr = 2.0 / 3.0
+    assert(r.getDouble(8) == 2.0 * pr * pr / (pr + pr)) // f1, the operator's own chain
+    // never-positive predictor: prec NULL, f1 NULL, recall 0
+    val never = Seq((false, true), (false, false)).toDF("p", "y")
+    val n = QualityClassifier.evaluate(never, "p", "y").collect().head
+    assert(n.isNullAt(6) && n.isNullAt(8) && n.getDouble(7) == 0.0)
+  }
+
   test("embedded catalog model: both classes present on the synthetic corpus at sf0.001") {
     // the q_boilerplate vacuity lesson: a flag nobody trips is not
     // evidence — the shipped model must split THIS corpus

@@ -38,15 +38,73 @@ class TransitiveDedupSpec extends SparkSpecBase {
     assert(survivors == Seq(2L, 4L, 5L, 10L))
   }
 
-  test("100-node chain closes in O(log n) rounds, not O(n)") {
+  test("100-node chain closes in O(log n) rounds, not O(n) — DISTRIBUTED path") {
     // the pathological shape for min-label propagation (one hop per
     // round => 99 rounds); large/small-star contraction must close it in
-    // ~log2(100) — the round count is the pinned contract
+    // ~log2(100) — the round count is the pinned contract. conf 0
+    // forces the distributed loop (99 edges would otherwise degrade to
+    // the driver union-find and make this pin vacuous).
+    val s = spark.newSession()
+    s.conf.set(TransitiveDedup.SmallEdgesConf, "0")
+    import s.implicits._
     val chain = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val (labels, rounds) = TransitiveDedup.componentsWithRounds(chain)
     val comp = labels.as[(Long, Long)].collect().toMap
     assert(comp.size == 100 && comp.values.toSet == Set(1L))
+    assert(rounds > 0, "conf 0 must force the distributed loop")
     assert(rounds <= 10, s"a 100-chain took $rounds rounds — the O(log n) contract is broken")
+  }
+
+  test("small-graph degrade: union-find labels == the star fixpoint's, rounds = 0") {
+    // default threshold — the degraded path must produce EXACTLY the
+    // distributed labels on the adversarial shapes (min-root identity)
+    val pairs = (
+      (100L to 109L).sliding(2).map(s => (s(1), s(0))).toSeq
+        ++ Seq((50L, 20L), (50L, 21L), (50L, 22L), (50L, 23L))
+        ++ Seq((7L, 7L))
+        ++ Seq((20L, 50L), (20L, 50L))
+        ++ (1L until 100L).map(i => (i, i + 1))
+      ).toDF("id_a", "id_b")
+    val (degraded, r0) = TransitiveDedup.componentsWithRounds(pairs)
+    assert(r0 == 0, "the small edge set must take the driver path")
+    val s = spark.newSession()
+    s.conf.set(TransitiveDedup.SmallEdgesConf, "0")
+    val pairsD = {
+      import s.implicits._
+      (
+        (100L to 109L).sliding(2).map(s => (s(1), s(0))).toSeq
+          ++ Seq((50L, 20L), (50L, 21L), (50L, 22L), (50L, 23L))
+          ++ Seq((7L, 7L))
+          ++ Seq((20L, 50L), (20L, 50L))
+          ++ (1L until 100L).map(i => (i, i + 1))
+        ).toDF("id_a", "id_b")
+    }
+    val (dist, rD) = TransitiveDedup.componentsWithRounds(pairsD)
+    assert(rD > 0)
+    val a = degraded.as[(Long, Long)].collect().toMap
+    val b = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "degraded labels must equal the distributed fixpoint's")
+  }
+
+  test("small-graph degrade orders STRINGS like Spark (UTF-8 bytes, not Java UTF-16)") {
+    // U+FFFF sorts BELOW U+10000 in UTF-8 byte order (Spark's least()/
+    // greatest()), but a Java String compareTo would sort the
+    // supplementary pair's D800 surrogate FIRST — the driver union-find
+    // must pick the same component minimum the distributed path picks
+    val hi = "a￿" // U+FFFF: EF BF BF
+    val supp = "a𐀀" // U+10000: F0 90 80 80 — larger in UTF-8
+    assert(hi.compareTo(supp) > 0, "Java UTF-16 order must differ here or this pin is vacuous")
+    val pairs = Seq((hi, supp), (supp, "zz")).toDF("id_a", "id_b")
+    val comp = TransitiveDedup.components(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp.values.toSet == Set(hi), s"component minimum must be U+FFFF under UTF-8 order: $comp")
+    // and the distributed path agrees
+    val s = spark.newSession()
+    s.conf.set(TransitiveDedup.SmallEdgesConf, "0")
+    val pairsD = { import s.implicits._; Seq((hi, supp), (supp, "zz")).toDF("id_a", "id_b") }
+    val compD = TransitiveDedup.components(pairsD).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(compD == comp)
   }
 
   test("adversarial shapes: descending chain, star onto max id, self-pairs, duplicate edges") {
