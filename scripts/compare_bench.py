@@ -53,14 +53,17 @@ def main(old_path, new_path, ratio=1.5):
             noisy += 1
             print(f"noise     {name}: {om:.3f} -> {nm:.3f} ({nm/om:.2f}x raw, {r:.2f}x norm) — rep intervals overlap "
                   f"[{osp[0]:.2f},{osp[2]:.2f}] vs [{nsp[0]:.2f},{nsp[2]:.2f}]")
-        elif osp and nsp and r > 1 and nsp[0] <= osp[2] * 1.25:
+        elif osp and nsp and r > 1 and nsp[0] / global_shift <= osp[2] * 1.25:
             # the r13 run-L rule automated (VERDICT r14 #6): the new
             # run's FASTEST rep lands within 25% of the committed
             # interval's top (the intervals nearly touch) — the query
             # still runs at near-committed speed on this box; the median
             # shift is per-rep contention, not a plan change (a real
             # regression moves the whole interval away and keeps its
-            # "REGRESSED" verdict).
+            # "REGRESSED" verdict). The fastest rep is shift-normalized
+            # like the median (ADVICE r15): on a fast box a genuine
+            # 1.5x-norm regression has a raw ratio near 1.0 and its raw
+            # min would always sit inside the raw band.
             noisy += 1
             print(f"noise_spread_overlap {name}: {om:.3f} -> {nm:.3f} ({nm/om:.2f}x raw, {r:.2f}x norm) — "
                   f"best rep {nsp[0]:.3f} within 1.25x of committed max {osp[2]:.3f}")

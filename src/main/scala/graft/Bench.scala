@@ -178,10 +178,15 @@ object Bench {
                 // interval away: a consistent 1.5x-norm shift leaves a
                 // >25% gap and stays "regressed"). The r14 driver flags
                 // all carry this signature (gaps 1%/2%/12%). Requires
-                // committed spread data, like the overlap rule.
+                // committed spread data, like the overlap rule. The
+                // fastest rep is shift-NORMALIZED like the median
+                // (ADVICE r15): on a fast box (shift << 1) a genuine
+                // 1.5x-norm regression has a raw ratio near 1.0 and its
+                // raw min would sit inside the raw band — the near-touch
+                // test must measure the same quantity the 1.5x gate does.
                 val bestRepInBand = norm > 1 && os.isArray &&
                   spreadMap.contains(name) &&
-                  spreadMap(name)._1 <= os.get(2).asDouble * 1.25
+                  spreadMap(name)._1 / globalShift <= os.get(2).asDouble * 1.25
                 val verdict =
                   if (overlap) { noise += 1; "noise" }
                   else if (bestRepInBand) { noise += 1; "noise_spread_overlap" }

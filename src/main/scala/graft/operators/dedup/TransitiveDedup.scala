@@ -50,9 +50,14 @@ object TransitiveDedup {
     * (component = the component's minimum id, compared with Spark's own
     * ordering — strings by UTF-8 binary, not Java UTF-16). Set 0 to
     * force the distributed loop (the O(log n)-round plan pins do).
+    * The effective threshold is clamped at [[SmallEdgesHardCap]]
+    * (ADVICE r15): a caller raising the conf to tens of millions would
+    * otherwise get a driver collect + a LocalRelation of up to 2× that
+    * many rows (driver OOM) instead of the distributed loop.
     */
   val SmallEdgesConf = "spark.graft.components.smallEdges"
   val SmallEdgesDefault = 200000L
+  val SmallEdgesHardCap = 5000000L
 
   /** (id, component) for every id appearing in `pairs` (id_a/id_b). */
   def components(pairs: DataFrame, maxIter: Int = 30): DataFrame =
@@ -77,9 +82,13 @@ object TransitiveDedup {
       .localCheckpoint(true)
 
     // small-graph auto-degrade (see SmallEdgesConf): the canonical edge
-    // set is pinned, so the count is cheap and the collect is bounded
-    val threshold = pairs.sparkSession.conf
-      .get(SmallEdgesConf, SmallEdgesDefault.toString).toLong
+    // set is pinned, so the count is cheap and the collect is bounded.
+    // The user-settable conf is clamped at the hard cap — the degrade
+    // exists to dodge fixed per-round job costs on SMALL graphs, and an
+    // uncapped conf would turn it into an unbounded driver collect.
+    val threshold = math.min(
+      pairs.sparkSession.conf.get(SmallEdgesConf, SmallEdgesDefault.toString).toLong,
+      SmallEdgesHardCap)
     if (threshold > 0 && edges.count() <= threshold)
       return (smallComponents(nodes, edges), 0)
 
@@ -144,13 +153,21 @@ object TransitiveDedup {
     * compare as UTF-8 bytes via UTF8String, which differs from Java's
     * UTF-16 order for BMP-above-surrogate vs supplementary code points
     * — spec-pinned). Ids must be orderable atomics (the Quantiles
-    * rule); decimal ids additionally assume one scale per column
-    * (HashMap equality).
+    * rule); decimal ids are normalized via stripTrailingZeros before
+    * HashMap use (ADVICE r15 — BigDecimal.equals is scale-sensitive:
+    * 1.0 != 1.00 as map keys even though compareTo says equal; one
+    * Spark column carries one scale, but the normalization makes the
+    * key identity independent of that assumption; emitted labels are
+    * re-scaled back to the column type by createDataFrame's converter).
     */
   private def smallComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}
     val idType = edges.schema("u").dataType
+    def norm(v: Any): Any = v match {
+      case d: java.math.BigDecimal => d.stripTrailingZeros()
+      case x => x
+    }
     def key(v: Any): Comparable[Any] = (v match {
       case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
       case c: Comparable[_] => c
@@ -167,7 +184,7 @@ object TransitiveDedup {
     }
     val rows = edges.collect()
     rows.foreach { e =>
-      val (u, v) = (e.get(0), e.get(1))
+      val (u, v) = (norm(e.get(0)), norm(e.get(1)))
       val (ru, rv) = (find(u), find(v))
       if (ru != rv) {
         val (root, other) = if (key(ru).compareTo(key(rv)) <= 0) (ru, rv) else (rv, ru)
@@ -175,7 +192,9 @@ object TransitiveDedup {
         parent.put(root, root)
       }
     }
-    val connectedIds = rows.iterator.flatMap(e => Iterator(e.get(0), e.get(1)))
+    // normalized like the union-find keys — a raw-scaled decimal would
+    // miss the map and self-label; createDataFrame re-scales on emit
+    val connectedIds = rows.iterator.flatMap(e => Iterator(norm(e.get(0)), norm(e.get(1))))
       .toSet
     val schema = StructType(Seq(
       StructField("id", idType), StructField("__c", idType)))

@@ -203,6 +203,32 @@ class RankedSpineSpec extends SparkSpecBase {
     assert(valueSpineWindows(mw.queryExecution.executedPlan) == 0)
   }
 
+  test("remaining spine consumers' DISTRIBUTED shapes: kruskal/cliffs/wilcoxon/ks/moods carry no global value-spine window") {
+    // ADVICE r15: the folded PlanSpec sweep executes the catalog with
+    // the auto-degrade ACTIVE (spec-scale spines always sit under the
+    // threshold), so the catalog-wide detector only ever sees degraded
+    // checkpoint-window plans for this family — the forced-distributed
+    // shapes must be asserted here, per consumer, like mannWhitney.
+    import graft.operators.stats.{Drift, Stats}
+    val s = distributedSession()
+    import s.implicits._
+    val two = Seq(("a", 1.5), ("a", 2.5), ("b", 2.5), ("b", 3.5), ("a", 4.5))
+      .toDF("g", "v")
+    val multi = two.unionAll(Seq(("c", 0.5), ("c", 2.5)).toDF("g", "v"))
+    val diffs = Seq(1.5, -2.5, 2.5, 3.0, -1.5).toDF("d")
+    val plans = Seq(
+      "kruskalWallis" -> Stats.kruskalWallis(multi, "g", "v"),
+      "cliffsDelta" -> Stats.cliffsDelta(two, "g", "v", "a", "b"),
+      "wilcoxonSignedRank" -> Stats.wilcoxonSignedRank(diffs, "d"),
+      "ksTwoSample" -> Drift.ksTwoSample(two, "g", "v", "a", "b"),
+      "moodsMedian" -> Stats.moodsMedian(multi, "g", "v"))
+    plans.foreach { case (name, q) =>
+      q.collect()
+      assert(valueSpineWindows(q.queryExecution.executedPlan) == 0,
+        s"$name distributed plan carries an unpartitioned value-spine window")
+    }
+  }
+
   /** Grouped plan pin (r13 verdict item 3): any window ORDERED BY the
     * named spine column must be PARTITIONED BY the RankedSpine range
     * partition id — a window partitioned only by the group columns

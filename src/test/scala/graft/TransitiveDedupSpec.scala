@@ -107,6 +107,26 @@ class TransitiveDedupSpec extends SparkSpecBase {
     assert(compD == comp)
   }
 
+  test("small-graph degrade handles DECIMAL ids: labels == distributed path, column scale preserved") {
+    // the union-find normalizes BigDecimal keys via stripTrailingZeros
+    // (ADVICE r15 — BigDecimal.equals is scale-sensitive as a map key);
+    // labels must match the distributed star fixpoint and come back at
+    // the column's scale
+    val pairs = Seq((BigDecimal("10.50"), BigDecimal("2.25")), (BigDecimal("2.25"), BigDecimal("30.00")))
+      .toDF("id_a", "id_b")
+    val comp = TransitiveDedup.components(pairs).collect()
+      .map(r => r.getDecimal(0).toPlainString -> r.getDecimal(1).toPlainString).toMap
+    val s = spark.newSession()
+    s.conf.set(TransitiveDedup.SmallEdgesConf, "0")
+    val pairsD = { import s.implicits._
+      Seq((BigDecimal("10.50"), BigDecimal("2.25")), (BigDecimal("2.25"), BigDecimal("30.00")))
+        .toDF("id_a", "id_b") }
+    val compD = TransitiveDedup.components(pairsD).collect()
+      .map(r => r.getDecimal(0).toPlainString -> r.getDecimal(1).toPlainString).toMap
+    assert(comp == compD, s"degrade $comp vs distributed $compD")
+    assert(comp.values.toSet.size == 1 && comp.values.head.contains("2.25"))
+  }
+
   test("adversarial shapes: descending chain, star onto max id, self-pairs, duplicate edges") {
     // descending ids (the min sits at the chain's far end), a star whose
     // hub is the LARGEST id (every spoke must relabel the hub), a
