@@ -455,6 +455,52 @@ object SelfCheck {
             s"to the higher-score twin: $copyOk; near twins (cos 0.96) collapsed " +
             s"$nearCollapsed/16 (floor 15 — Voronoi straddle), every collapse " +
             s"keeps the best: $nearKeepBest; far twins (cos 0.0) all survive: $farOk")
+      }),
+
+      "q_dedup_semantic_hotcell" -> (() => {
+        // the over-cap IVF cell seam, closed (VERDICT r15 #1): plant a
+        // DELIBERATELY hot cell — 64 exact copies of one vector family,
+        // more than 2x the 30-row cap, so its first-choice cell is
+        // over-cap no matter how the 2-cell quantizer places the rest —
+        // and require every planted pair still recovered. Pre-r16 the
+        // hot cell was EXCLUDED from pairing: the flood would survive
+        // undeduplicated and this gate fails. Same disjoint-support
+        // geometry as the q_dedup_semantic gate (cross-family cosines
+        // <= 0); near/far twins ride usable cells or the hot cell's
+        // direct rep pairing (the <= 25 distinct reps fit the cap), so
+        // recovery is complete up to the one-straddle twin floor.
+        val dim = 64
+        def vec(support: Int, a: Double, b: Double): Seq[Double] =
+          Seq.tabulate(dim)(i =>
+            if (i == 2 * support) a else if (i == 2 * support + 1) b else 0.0)
+        val plants: Seq[(Long, Seq[Double], Double)] =
+          (0 until 64).map(j => (j.toLong, vec(0, 0.8, 0.6), j + 1.0)) ++ // flood: 64 copies, best = id 63
+            (1 to 8).flatMap { j =>
+              Seq((100L + j, vec(j, 0.8, 0.6), 1.0),
+                (1100L + j, vec(j, 0.6, 0.8), 2.0)) // near twins at cos 0.96
+            } ++ (9 to 12).flatMap { j =>
+              Seq((200L + j, vec(j, 0.6, -0.8), 3.0),
+                (1200L + j, vec(j + 4, 0.6, -0.8), 4.0)) // far twins at cos 0.0
+            }
+        val pdf = plants.toDF("vec_id", "embedding", "score")
+        val survivors = graft.operators.dedup.EmbeddingDedup
+          .dedupeSemantic(pdf, "vec_id", "embedding", col("score"), 0.4,
+            nLists = 2, iters = 2, nAssign = 2, maxCellSize = 30)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val floodOk = survivors(63L) && (0 until 63).forall(j => !survivors(j.toLong))
+        val nearCollapsed = (1 to 8).count(j =>
+          !(survivors(100L + j) && survivors(1100L + j)))
+        val nearKeepBest = (1 to 8).forall(j =>
+          (survivors(100L + j) && survivors(1100L + j)) ||
+            (survivors(1100L + j) && !survivors(100L + j)))
+        val farOk = (9 to 12).forall(j =>
+          survivors(200L + j) && survivors(1200L + j))
+        Result("q_dedup_semantic_hotcell",
+          floodOk && farOk && nearKeepBest && nearCollapsed >= 7,
+          64L + 8L, 64L + nearCollapsed,
+          s"planted over-cap cell (64 copies vs cap 30): flood collapses to the " +
+            s"best-scored copy: $floodOk; near twins collapsed $nearCollapsed/8 " +
+            s"(floor 7), keep-best live: $nearKeepBest; far twins survive: $farOk")
       })
     )
 

@@ -474,7 +474,8 @@ object EmbeddingDedup {
       iters: Int = 3,
       maxCellSize: Int = 10000,
       prebuilt: Option[graft.operators.ann.IvfKNN.Index] = None,
-      nAssign: Int = 1): DataFrame = {
+      nAssign: Int = 1,
+      splitDepth: Int = 3): DataFrame = {
     // build-once/search-many: callers holding a built index (bench loops,
     // repeated dedup passes over one corpus) skip quantizer training
     val index = prebuilt.getOrElse(
@@ -490,16 +491,17 @@ object EmbeddingDedup {
         .select(col("neighbor_id"), col("__cv"),
           explode(GraftFunctions.nearestCells(col("__cv"), index.centroids, nAssign)).as("cell_id"))
     // cell-size cap: one degenerate cell would make the self-join quadratic
-    // (the same skew guard as the banded dedups). At scale, capped cells
-    // get re-quantized with a finer quantizer rather than dropped silently;
-    // here they are excluded and the cap is the operator's contract.
+    // (the same skew guard as the banded dedups). Over-cap cells are NOT
+    // excluded (pre-r16 they were — silent under-dedup exactly where
+    // near-dup floods concentrate): they take the hot-cell path below.
     // The cap is computed from the FIRST-CHOICE populations (index.assigned
     // — true cell sizes): probe overlays must not change which cells are
     // usable, or a near-cap cell would drop under nAssign>1 and multi-probe
     // recall could dip below single-probe. Join rows per usable cell grow
     // at most nAssign-fold over the capped population.
-    val usable = index.assigned.groupBy("cell_id")
+    val cellSizes = index.assigned.groupBy("cell_id")
       .agg(count(lit(1)).as("csz"))
+    val usable = cellSizes
       .where(col("csz") >= 2 && col("csz") <= maxCellSize)
       .select("cell_id")
     // both self-join sides consume `bounded`; the multi-probe input is a
@@ -508,18 +510,122 @@ object EmbeddingDedup {
     // duplicate pairs (one cell per vector) — only multi-probe pays the
     // deduplicating shuffle.
     val bounded0 = assigned.join(usable, Seq("cell_id"))
-    def pairsOf(bounded: DataFrame): DataFrame = {
-      val a = bounded.select(col("cell_id"), col("neighbor_id").as("id_a"), col("__cv").as("v_a"))
-      val b = bounded.select(col("cell_id"), col("neighbor_id").as("id_b"), col("__cv").as("v_b"))
-      a.join(b, Seq("cell_id"))
+    def pairsOf(bounded: DataFrame, keyCols: Seq[String]): DataFrame = {
+      val a = bounded.select(
+        keyCols.map(col) :+ col("neighbor_id").as("id_a") :+ col("__cv").as("v_a"): _*)
+      val b = bounded.select(
+        keyCols.map(col) :+ col("neighbor_id").as("id_b") :+ col("__cv").as("v_b"): _*)
+      a.join(b, keyCols)
         .where(col("id_a") < col("id_b"))
         .withColumn("sim", GraftFunctions.cosine(col("v_a"), col("v_b")))
         .where(col("sim") >= threshold)
         .select(col("id_a"), col("id_b"), graft.functions.ExactMath.hashRound(col("sim"), 4).as("sim"))
     }
-    if (nAssign > 1)
-      CacheScope.withPersisted(bounded0)(b => pairsOf(b).dropDuplicates("id_a", "id_b"))
-    else pairsOf(bounded0)
+    val basePairs =
+      if (nAssign > 1)
+        CacheScope.withPersisted(bounded0)(b =>
+          pairsOf(b, Seq("cell_id")).dropDuplicates("id_a", "id_b"))
+      else pairsOf(bounded0, Seq("cell_id"))
+
+    // --- hot-cell path (VERDICT r15 #1): over-cap cells stay pair-eligible.
+    // The cell list is ≤ nLists rows, so the gate check is a tiny agg over
+    // the persisted assignment; the common case (no hot cell) costs one
+    // small job and returns the pre-r16 plan unchanged.
+    val hotCells = cellSizes.where(col("csz") > maxCellSize).select("cell_id")
+    if (hotCells.isEmpty) basePairs
+    else {
+      val hotPairs = hotCellPairs(
+        index.assigned.join(broadcast(hotCells), Seq("cell_id")),
+        threshold, maxCellSize, math.max(2, nLists), iters, splitDepth, pairsOf)
+      // hot first-choice members can also reach usable cells through probe
+      // overlays (nAssign > 1), so the union deduplicates; sims are
+      // value-identical across paths (same cosine expression), so the
+      // row dropped is value-arbitrary but output-deterministic.
+      basePairs.unionAll(hotPairs).dropDuplicates("id_a", "id_b")
+    }
+  }
+
+  /** Pairs within over-cap IVF cells — the seam-closing path (a hot cell
+    * is exactly where a near-duplicate flood lands, and excluding it
+    * silently under-dedups the corpus at scale). Three stages, cheapest
+    * first:
+    *
+    *  1. EXACT-duplicate groups collapse via STAR edges (min-id rep ↔
+    *     each copy): identical vectors can never be separated by any
+    *     quantizer, all-pairs output would be quadratic in the flood,
+    *     and the star yields the identical transitive closure in output
+    *     LINEAR in the flood — complete by construction.
+    *  2. The per-cell DISTINCT representatives, when they fit
+    *     `maxCellSize`, pair directly (complete within the cell). This
+    *     is the common real-world hot cell: a flood of copies plus a
+    *     modest distinct population.
+    *  3. Cells whose distinct reps still exceed the cap re-quantize with
+    *     a finer sub-quantizer (one jointly-trained quantizer per depth,
+    *     composite cell keys — never a per-cell driver loop) and recurse
+    *     up to `splitDepth` levels; sub-cell pairing inherits the same
+    *     Voronoi-straddle recall contract as the top-level IVF (k-means
+    *     separates DIVERSE hot regions; it cannot meaningfully split
+    *     near-identical distinct clumps, which is why stage 1 runs
+    *     first). At the depth bound, whatever remains pairs UNCAPPED:
+    *     every vector is pair-eligible, and the residual cost is
+    *     output-pair-driven (a leaf that survives log-splitting is a
+    *     flood of distinct mutually-near vectors whose above-threshold
+    *     pairs are genuinely quadratic). `splitDepth = 0` skips k-means
+    *     entirely — over-cap rep cells go straight to exact pairing.
+    *
+    * Training is the deterministic hash-seeded Lloyd's of
+    * [[graft.operators.ann.IvfKNN.trainCentroids]], so the whole path is
+    * bit-reproducible across JVMs and partitionings.
+    */
+  private def hotCellPairs(
+      hotRows: DataFrame,
+      threshold: Double,
+      maxCellSize: Int,
+      subLists: Int,
+      iters: Int,
+      splitDepth: Int,
+      pairsOf: (DataFrame, Seq[String]) => DataFrame): DataFrame = {
+    import graft.operators.ann.IvfKNN
+    val keyed = hotRows.select(
+      col("cell_id").cast("string").as("__hk"), col("neighbor_id"), col("__cv"))
+    // stage 1: exact-dup star collapse. reps is read twice (stars + the
+    // recursion seed) and the recursion multi-passes it — pin it once.
+    val reps = keyed.groupBy(col("__hk"), col("__cv"))
+      .agg(min(col("neighbor_id")).as("neighbor_id"))
+      .localCheckpoint(true)
+    val dupStars = keyed
+      .join(reps.select(col("__hk"), col("__cv"), col("neighbor_id").as("__rep")),
+        Seq("__hk", "__cv"))
+      .where(col("neighbor_id") =!= col("__rep"))
+      .withColumn("sim", GraftFunctions.cosine(col("__cv"), col("__cv")))
+      .where(col("sim") >= threshold)
+      .select(col("__rep").as("id_a"), col("neighbor_id").as("id_b"),
+        graft.functions.ExactMath.hashRound(col("sim"), 4).as("sim"))
+    // stages 2+3: distinct reps pair under the cap, over-cap cells split
+    var level = reps
+    var depth = 0
+    var done = false
+    val pools = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    while (!done) {
+      val sizes = level.groupBy("__hk").agg(count(lit(1)).as("csz"))
+      pools += level.join(
+        broadcast(sizes.where(col("csz") >= 2 && col("csz") <= maxCellSize).select("__hk")),
+        Seq("__hk"))
+      val overKeys = sizes.where(col("csz") > maxCellSize).select("__hk")
+      val over = level.join(broadcast(overKeys), Seq("__hk"))
+      if (overKeys.isEmpty) done = true
+      else if (depth >= splitDepth) { pools += over; done = true }
+      else {
+        val cents = IvfKNN.trainCentroids(over, "__cv", subLists, iters)
+        level = IvfKNN.assign(over, "__cv", cents)
+          .where(col("cell_id").isNotNull)
+          .withColumn("__hk", concat_ws("#", col("__hk"), col("cell_id").cast("string")))
+          .drop("cell_id")
+          .localCheckpoint(true)
+        depth += 1
+      }
+    }
+    dupStars.unionAll(pools.map(p => pairsOf(p, Seq("__hk"))).reduce(_ unionAll _))
   }
 
   /** SemDeDup-shape semantic deduplication (Abbas et al. 2023; VERDICT
@@ -543,6 +649,10 @@ object EmbeddingDedup {
     * (one straddle allowed), and the pair-level gate separately holds
     * the 0.95 floor at cos ≥ 0.9 on its larger plant population.
     * Below-threshold pairs never merge (the exact verify stage).
+    * Over-cap cells stay pair-eligible since r16 (the hot-cell path of
+    * [[duplicatePairsApprox]]: star-collapsed exact copies + re-quantized
+    * distinct reps) — a near-dup flood landing one cell hot no longer
+    * silently under-dedups; the hotcell SelfCheck gate plants one.
     */
   def dedupeSemantic(
       df: DataFrame,
@@ -553,9 +663,12 @@ object EmbeddingDedup {
       nLists: Int = 16,
       iters: Int = 3,
       nAssign: Int = 2,
-      prebuilt: Option[graft.operators.ann.IvfKNN.Index] = None): DataFrame = {
+      prebuilt: Option[graft.operators.ann.IvfKNN.Index] = None,
+      maxCellSize: Int = 10000,
+      splitDepth: Int = 3): DataFrame = {
     val pairs = duplicatePairsApprox(df, idCol, vecCol, threshold,
-      nLists = nLists, iters = iters, prebuilt = prebuilt, nAssign = nAssign)
+      nLists = nLists, iters = iters, maxCellSize = maxCellSize,
+      prebuilt = prebuilt, nAssign = nAssign, splitDepth = splitDepth)
       .select("id_a", "id_b")
       .localCheckpoint(true)
     TransitiveDedup.dedupeKeepBest(df, idCol, pairs, scoreCol)

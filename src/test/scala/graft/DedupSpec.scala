@@ -178,6 +178,85 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  // --- hot-cell path (VERDICT r15 #1: over-cap cells stay pair-eligible) ---
+
+  /** Two-coordinate support vectors (the SelfCheck semantic-gate
+    * convention): cross-support cosines are exactly 0, within-support
+    * (0.8,0.6)·(0.6,0.8) = 0.96.
+    */
+  private def sv(dim: Int, support: Int, a: Float, b: Float): Array[Float] =
+    Array.tabulate(dim)(i =>
+      if (i == 2 * support) a else if (i == 2 * support + 1) b else 0.0f)
+
+  test("hot cell: copy floods collapse via star edges, distinct reps pair directly (pre-r16: excluded)") {
+    val dim = 8
+    val rows =
+      (0L until 60L).map(j => (j, sv(dim, 0, 0.8f, 0.6f))) ++ // 60 exact copies, over any small cap
+        (100L until 105L).map(j => (j, sv(dim, 1, 0.8f, 0.6f))) ++ // 5 copies of V2
+        (200L until 205L).map(j => (j, sv(dim, 1, 0.6f, 0.8f))) // 5 copies of V2' (cos 0.96 to V2)
+    val df = rows.toDF("vec_id", "embedding")
+    // nLists = 1 puts all 70 rows in ONE cell; cap 24 makes it hot
+    val pairs = EmbeddingDedup.duplicatePairsApprox(
+      df, "vec_id", "embedding", 0.4, nLists = 1, iters = 1, maxCellSize = 24)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val wantStars =
+      (1L until 60L).map(j => (0L, j)).toSet ++
+        (101L until 105L).map(j => (100L, j)).toSet ++
+        (201L until 205L).map(j => (200L, j)).toSet
+    // the three distinct reps (0, 100, 200) fit the cap and pair directly:
+    // (100, 200) at cos 0.96 survives, the cross-support rep pairs are 0.0
+    assert(pairs == wantStars + ((100L, 200L)),
+      s"missing=${(wantStars + ((100L, 200L))) -- pairs} extra=${pairs -- (wantStars + ((100L, 200L)))}")
+    // end to end: keep-best retains the max-score member of each component
+    val survivors = EmbeddingDedup.dedupeSemantic(
+      df, "vec_id", "embedding", col("vec_id").cast("double"), 0.4,
+      nLists = 1, iters = 1, nAssign = 1, maxCellSize = 24)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == Set(59L, 204L), s"got $survivors")
+  }
+
+  test("hot cell: splitDepth = 0 pairs over-cap distinct reps UNCAPPED — complete on a mutually-near clump") {
+    val dim = 8
+    // 30 DISTINCT mutually-near vectors (k-means cannot meaningfully
+    // separate them — the depth-bound fallback is the honest path)
+    val rows = (0L until 30L).map(j =>
+      (j, Array.tabulate(dim)(i =>
+        if (i == 0) 0.8f else if (i == 1) 0.6f + j * 1e-4f else 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val approx = EmbeddingDedup.duplicatePairsApprox(
+      df, "vec_id", "embedding", 0.4, nLists = 1, iters = 1,
+      maxCellSize = 10, splitDepth = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = EmbeddingDedup.duplicatePairs(df, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size == 435, s"plant broken: ${exact.size}") // C(30,2) — all above threshold
+    assert(approx == exact, s"uncapped fallback must be complete: missing ${exact -- approx}")
+  }
+
+  test("hot cell: recursive sub-split keeps diverse over-cap cells pair-eligible (subset of exact, floor recall)") {
+    val dim = 64
+    // 24 orthogonal singleton decoys (below threshold to everything) force
+    // the rep population over the cap; 8 planted near pairs (cos 0.96) on
+    // their own supports must survive the k-means sub-split with at most
+    // one straddle (the SelfCheck gate's floor convention)
+    val rows =
+      (0 until 24).map(j => (j.toLong, sv(dim, j, 0.6f, -0.8f))) ++
+        (24 until 32).flatMap(j => Seq(
+          (100L + j, sv(dim, j, 0.8f, 0.6f)),
+          (1100L + j, sv(dim, j, 0.6f, 0.8f))))
+    val df = rows.toDF("vec_id", "embedding")
+    val approx = EmbeddingDedup.duplicatePairsApprox(
+      df, "vec_id", "embedding", 0.4, nLists = 1, iters = 2,
+      maxCellSize = 12, splitDepth = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = EmbeddingDedup.duplicatePairs(df, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size == 8, s"plant broken: ${exact.size}")
+    assert((approx -- exact).isEmpty, "sub-split must never invent pairs")
+    assert(approx.size >= 7,
+      s"sub-split recall ${approx.size}/8 below the one-straddle floor: missing ${exact -- approx}")
+  }
+
   test("line dedup: repeated long lines keep only their first (doc, position) occurrence") {
     import spark.implicits._
     val boiler = "this exact boilerplate footer line is well over thirty characters long"

@@ -961,6 +961,19 @@ object ProfileScaleUp {
         coalesce(col("label").cast("double"), lit(-1.0)), 0.4,
         nLists = 64, iters = 2, nAssign = 2)
         .groupBy().agg(count(lit(1)).as("n_survivors"))))
+    // round 16: the hot-cell path under the same regime — the cap is
+    // forced far below the ~factor*|emb0|/64 first-choice populations so
+    // EVERY cell goes hot and the star-collapse + rep-pairing path
+    // carries the whole corpus; with factor-1 exact copies per vector
+    // the dup stars are the output and the distinct reps per cell fit
+    // the cap, so the cost must stay in the usable-cell path's band
+    // (output-pair-driven either way, no quadratic blowup)
+    time("semantic dedup (all cells HOT)")(
+      force(graft.operators.dedup.EmbeddingDedup.dedupeSemantic(
+        emb, "vec_id", "embedding",
+        coalesce(col("label").cast("double"), lit(-1.0)), 0.4,
+        nLists = 64, iters = 2, nAssign = 2, maxCellSize = 600)
+        .groupBy().agg(count(lit(1)).as("n_survivors"))))
 
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
