@@ -499,6 +499,30 @@ object SparkEntry {
             .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
       QualityClassifier.evaluate(scored.join(lab, "doc_id"), "is_quality", "lbl")
     }),
+    "q_classifier_eval_holdout" -> ((s, dir) => {
+      // held-out classifier evaluation (C84, VERDICT r15 #3): the
+      // GENERALIZATION twin of C83 — the model here was trained only on
+      // the 80% source slice of the leakage-guarded groupSplit, and
+      // this row scores the 20% complement the trainer never saw. Same
+      // confusion/rate construction; the split predicate is the
+      // md5-deterministic assignSplit, reproduced verbatim by the
+      // oracle (the q_split_by_group boundary).
+      import graft.operators.text.{QualityClassifier, TextStats}
+      val d = snap(s, dir).documents
+        .where(graft.operators.sample.Sampling.assignSplit(
+          col("source"), Seq("train" -> 0.8, "heldout" -> 0.2)) === "heldout")
+      val scored = QualityClassifier
+        .scoreWithModel(d, "doc_id", "text", qualityHoldoutWeights, qualityHoldoutBias)
+        .select("doc_id", "is_quality")
+      val ws = QualityClassifier.tokens(col("text"))
+      val lab = d.where(col("text").isNotNull)
+        .select(col("doc_id"), ws.as("__ws"))
+        .where(size(col("__ws")) > 0)
+        .select(col("doc_id"),
+          (size(filter(col("__ws"), w => w.isInCollection(TextStats.Markers.head._2)))
+            .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
+      QualityClassifier.evaluate(scored.join(lab, "doc_id"), "is_quality", "lbl")
+    }),
     "q_text_tokens" -> ((s, dir) =>
       TextStats.tokenCounts(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_temperature_mix" -> ((s, dir) =>
@@ -3472,25 +3496,94 @@ object SparkEntry {
     */
   /** The q_quality_classifier tokenize→hash→fold CTEs — ONE definition
     * (the qualityScoreSql rule) serving the classifier oracle and the
-    * q_classifier_eval confusion oracle. `d` = (doc_id, ASCII-lowered
+    * q_classifier_eval confusion oracles. `d` = (doc_id, ASCII-lowered
     * non-empty tokens), `s` = (doc_id, n_tokens, UNROUNDED logit).
+    * `docPredicate` appends to the documents WHERE clause (the holdout
+    * eval restricts `d` to the held-out source slice).
     */
-  private lazy val classifierLogitCtes: String = {
-    val wList = qualityModelWeights
-      .map(d => s"CAST('$d' AS DOUBLE)").mkString("[", ", ", "]")
-    val bias = s"CAST('$qualityModelBias' AS DOUBLE)"
+  private def classifierCtes(
+      weights: Seq[Double], bias: Double, docPredicate: String): String = {
+    val wList = weights.map(d => s"CAST('$d' AS DOUBLE)").mkString("[", ", ", "]")
+    val b = s"CAST('$bias' AS DOUBLE)"
     s"""d AS (
        |  SELECT doc_id, list_filter(string_split(translate(text,
        |    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
        |    x -> len(x) > 0) AS ws
-       |  FROM documents WHERE text IS NOT NULL),
+       |  FROM documents WHERE text IS NOT NULL$docPredicate),
        |s AS (
        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
-       |    $bias + list_reduce(list_transform(ws, t ->
+       |    $b + list_reduce(list_transform(ws, t ->
        |      ($wList)[(CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER) % 64) + 1]),
        |      (a, b) -> a + b) / CAST(len(ws) AS DOUBLE) AS logit
        |  FROM d WHERE len(ws) > 0)""".stripMargin
   }
+  private lazy val classifierLogitCtes: String =
+    classifierCtes(qualityModelWeights, qualityModelBias, "")
+  /** The held-out slice of the leakage-guarded 80/20 SOURCE split —
+    * Sampling.assignSplit's md5 predicate verbatim (13421772 =
+    * (0.8 * 16777216).toLong, the q_split_by_group oracle boundary).
+    */
+  private lazy val classifierHoldoutCtes: String =
+    classifierCtes(qualityHoldoutWeights, qualityHoldoutBias,
+      "\n    AND CAST(concat('0x', substr(md5(source), 1, 6)) AS BIGINT) >= 13421772")
+
+  /** The confusion/rate tail shared by the C83 and C84 eval oracles:
+    * screen label from `d`'s tokens, exact counts, one-division rates
+    * (unrounded, the B56 rule), f1 a fixed IEEE chain; zero
+    * denominators NULL via CASE both engines. `prec` not `precision`
+    * (reserved word, the check_name lesson).
+    */
+  private val classifierEvalTailSql: String =
+    """l AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'is', 'of', 'and'))) AS DOUBLE)
+      |      / CAST(len(ws) AS DOUBLE) >= 0.05 AS lbl
+      |  FROM d WHERE len(ws) > 0),
+      |j AS (SELECT s.logit > 0 AS p, l.lbl AS y FROM s JOIN l USING (doc_id)),
+      |c AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(SUM(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM j),
+      |r AS (
+      |  SELECT n, tp, fp, fn, tn,
+      |    CASE WHEN n > 0 THEN CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) END AS accuracy,
+      |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+      |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+      |  FROM c)
+      |SELECT n, tp, fp, fn, tn, accuracy, prec, recall,
+      |  CASE WHEN prec IS NOT NULL AND recall IS NOT NULL AND prec + recall > 0.0
+      |    THEN 2.0 * prec * recall / (prec + recall) END AS f1
+      |FROM r""".stripMargin
+
+  /** The q_classifier_eval_holdout model (C84, VERDICT r15 #3): same
+    * trainer, but fit ONLY on the 80% source slice of the leakage-
+    * guarded groupSplit (`Test/runMain graft.TrainQualityModel
+    * /root/testdata/sf0.01 1000 8.0 holdout`); its eval row scores the
+    * 20% complement — GENERALIZATION, where C83 publishes in-sample
+    * distillation agreement. Held-out agreement at generation time:
+    * 0.92 / 0.96 / 0.906 at sf0.001/0.01/0.1.
+    */
+  val qualityHoldoutBias: Double = 1.479680675555552
+  val qualityHoldoutWeights: Seq[Double] = Seq(
+    -0.3060980622222223, 32.12993176888886, 0.0, 0.0,
+    31.799860213333318, 0.0, -2.336510986666667, 0.0,
+    0.0, -1.3919817244444437, -3.4005653511111067, 0.0,
+    0.0, 0.0, 0.0, 1.1961555377777797,
+    0.0, 0.0, 0.0, 0.0,
+    -4.816383626666667, 0.0, 0.41365900444444587, 0.0,
+    0.0, 0.0, 0.0, -2.346129706666671,
+    -4.3796988088888895, 0.0, 0.0, -1.0144522844444444,
+    0.0, -4.595146026666669, 0.0, -0.6832752888888892,
+    0.0, -6.870914897777783, 0.0, 0.0,
+    -4.910709297777786, -1.9311492977777804, 0.0, 0.0,
+    -4.6129158755555615, 0.0, -2.0201770844444455, 0.0,
+    0.0, -0.12162282666666693, 0.0, 0.0,
+    -2.3237984711111097, 0.0, 0.0, -6.134346115555562,
+    -5.150912231111111, -2.4053452088888894, 0.0, 0.0,
+    0.0, -2.307898133333332, 0.0, 0.0)
 
   val qualityModelBias: Double = 1.5632708640000013
   val qualityModelWeights: Seq[Double] = Seq(
@@ -4708,30 +4801,11 @@ object SparkEntry {
     // chain over them; zero denominators NULL via CASE both engines.
     // `prec` not `precision` (reserved word, the check_name lesson).
     "q_classifier_eval" ->
-      s"""WITH $classifierLogitCtes,
-         |l AS (
-         |  SELECT doc_id,
-         |    CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'is', 'of', 'and'))) AS DOUBLE)
-         |      / CAST(len(ws) AS DOUBLE) >= 0.05 AS lbl
-         |  FROM d WHERE len(ws) > 0),
-         |j AS (SELECT s.logit > 0 AS p, l.lbl AS y FROM s JOIN l USING (doc_id)),
-         |c AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         |    CAST(SUM(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         |    CAST(SUM(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         |    CAST(SUM(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-         |    CAST(SUM(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
-         |  FROM j),
-         |r AS (
-         |  SELECT n, tp, fp, fn, tn,
-         |    CASE WHEN n > 0 THEN CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) END AS accuracy,
-         |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
-         |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
-         |  FROM c)
-         |SELECT n, tp, fp, fn, tn, accuracy, prec, recall,
-         |  CASE WHEN prec IS NOT NULL AND recall IS NOT NULL AND prec + recall > 0.0
-         |    THEN 2.0 * prec * recall / (prec + recall) END AS f1
-         |FROM r""".stripMargin,
+      s"WITH $classifierLogitCtes,\n$classifierEvalTailSql",
+    // C84 held-out twin: same construction over the 20% held-out source
+    // slice with the holdout-trained model (classifierHoldoutCtes).
+    "q_classifier_eval_holdout" ->
+      s"WITH $classifierHoldoutCtes,\n$classifierEvalTailSql",
     "q_text_redact" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),

@@ -15,14 +15,25 @@ import org.apache.spark.sql.functions._
 // embed and reports the is_quality split + label agreement at each SF
 // (the q_boilerplate vacuity lesson, checked at generation time).
 //
-//   sbt "Test/runMain graft.TrainQualityModel [sfDir] [epochs] [lr]"
+// With a 4th arg `holdout`, trains on the 80% SOURCE slice of the
+// leakage-guarded Sampling.groupSplit (md5-deterministic, so the DuckDB
+// oracle reproduces the predicate) and reports held-out agreement on
+// the 20% complement — the q_classifier_eval_holdout model (VERDICT
+// r15 #3).
+//
+//   sbt "Test/runMain graft.TrainQualityModel [sfDir] [epochs] [lr] [holdout]"
 object TrainQualityModel {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val epochs = if (args.length > 1) args(1).toInt else 1000
     val lr = if (args.length > 2) args(2).toDouble else 8.0
+    val holdout = args.length > 3 && args(3) == "holdout"
     val spark = GraftSession.local(32)
-    val docs = graft.sources.Snapshot(spark, sfDir).documents
+    val allDocs = graft.sources.Snapshot(spark, sfDir).documents
+    val docs =
+      if (!holdout) allDocs
+      else allDocs.where(graft.operators.sample.Sampling.assignSplit(
+        col("source"), Seq("train" -> 0.8, "heldout" -> 0.2)) === "train")
     def srLabel(d: org.apache.spark.sql.DataFrame) = {
       val ws = graft.operators.text.QualityClassifier.tokens(col("text"))
       val stops = size(filter(ws, w =>
@@ -41,8 +52,14 @@ object TrainQualityModel {
     println(s"[train] bias = $b")
     println(w.grouped(4).map(_.mkString(", ")).mkString("Seq(\n    ", ",\n    ", ")"))
     // agreement + flag split with the trained model at all three SFs
+    // (holdout mode restricts to the held-out source slice: the number
+    // a pipeline actually publishes — generalization, not memorization)
     for (d <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-      val dd = graft.sources.Snapshot(spark, s"/root/testdata/$d").documents
+      val dd0 = graft.sources.Snapshot(spark, s"/root/testdata/$d").documents
+      val dd =
+        if (!holdout) dd0
+        else dd0.where(graft.operators.sample.Sampling.assignSplit(
+          col("source"), Seq("train" -> 0.8, "heldout" -> 0.2)) === "heldout")
       val scored = graft.operators.text.QualityClassifier
         .scoreWithModel(dd, "doc_id", "text", w, b)
       val lab = srLabel(dd).select("doc_id", "lbl")
@@ -50,7 +67,8 @@ object TrainQualityModel {
       val n = j.count()
       val agree = j.where(col("is_quality") === col("lbl")).count()
       val flagged = j.where(col("is_quality")).count()
-      println(f"[train] $d: n=$n flagged=$flagged agree=${agree.toDouble / n}%.3f")
+      val tag = if (holdout) "held-out" else "in-sample"
+      println(f"[train] $d ($tag): n=$n flagged=$flagged agree=${agree.toDouble / n}%.3f")
     }
     spark.stop()
   }
