@@ -673,6 +673,115 @@ object EmbeddingDedup {
       .localCheckpoint(true)
     TransitiveDedup.dedupeKeepBest(df, idCol, pairs, scoreCol)
   }
+
+  /** Incremental semantic near-dup for continuous ingestion (D39,
+    * VERDICT r15 #5) — batch-vs-corpus semantic dedup WITHOUT
+    * re-clustering the corpus, composing the saved IVF index (D16's
+    * continuously-maintained artifact at `path`) with [[dedupeSemantic]]'s
+    * verify/close/keep-best semantics, the q_dedup_incremental shape:
+    *
+    *  - the batch is assigned with the FROZEN saved quantizer (map-only,
+    *    centroid literals — the batch is the only thing scanned in full);
+    *  - batch-vs-corpus candidate pairs read ONLY the batch's cells from
+    *    the cell-partitioned corpus parquet (the probed-cell list is
+    *    ≤ nLists values, collected driver-side — bounded by construction;
+    *    PartitionFilter pruning at the scan, the IvfKNN.search contract);
+    *  - a batch row whose exact cosine reaches `threshold` against ANY
+    *    corpus row is a duplicate of an already-kept survivor and drops —
+    *    the index is APPEND-ONLY, so a later, better-scored copy does not
+    *    retract the corpus member (the IncrementalAgg append-only
+    *    precedent; one-shot keep-best CAN differ there by design);
+    *  - WITHIN-batch components close exactly like [[dedupeSemantic]]
+    *    (same-cell exact-verified pairs → transitive components →
+    *    keep-best), and a component ANY member of which matched the
+    *    corpus drops WHOLE — so within-batch chains through a
+    *    corpus-duplicate member behave exactly as the one-shot closure
+    *    would. The one declared divergence from one-shot dedup on the
+    *    union is a CROSS-BATCH chain through a dropped row (b ~ a ~
+    *    corpus with b arriving in a LATER batch than a, b itself below
+    *    threshold to every survivor) — invisible to any index that only
+    *    stores survivors.
+    *
+    * Returns the surviving batch rows; when `appendSurvivors`, appends
+    * them to the saved index ([[graft.operators.ann.IvfKNN.appendToSaved]],
+    * same frozen quantizer ⇒ assignments consistent with the probe's).
+    * Single-assignment probe (the saved artifact stores first-choice
+    * cells); near-dups straddling a Voronoi boundary carry the standard
+    * IVF recall contract.
+    */
+  def dedupeSemanticIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scoreCol: Column,
+      threshold: Double,
+      appendSurvivors: Boolean = true): DataFrame = {
+    import graft.operators.ann.IvfKNN
+    val index = IvfKNN.load(spark, path)
+    // pinned: read three times (cell list, corpus probe, within-batch join)
+    val assignedBatch = IvfKNN.assign(
+      batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "__cv", index.centroids)
+      .where(col("cell_id").isNotNull)
+      .localCheckpoint(true)
+    val cells = assignedBatch.select("cell_id").distinct()
+      .collect().map(_.getLong(0))
+    val corpusSlice = index.assigned
+      .where(col("cell_id").isin(cells.map(Long.box).toIndexedSeq: _*))
+    // batch rows duplicating an already-kept survivor (cost linear in the
+    // probed cells' population per batch — an equi-join probe, never a
+    // corpus self-join; the corpus is not reshuffled)
+    val crossDup = assignedBatch
+      .select(col("cell_id"), col("neighbor_id").as("__bid"), col("__cv").as("__bv"))
+      .join(corpusSlice.select(col("cell_id"), col("__cv").as("__corpv")), Seq("cell_id"))
+      .where(GraftFunctions.cosine(col("__bv"), col("__corpv")) >= threshold)
+      .select(col("__bid")).distinct()
+      .localCheckpoint(true)
+    // within-batch pairs on the same frozen assignments (batch-scale
+    // self-join per cell — microbatches are bounded by contract)
+    val a = assignedBatch.select(col("cell_id"), col("neighbor_id").as("id_a"), col("__cv").as("v_a"))
+    val b = assignedBatch.select(col("cell_id"), col("neighbor_id").as("id_b"), col("__cv").as("v_b"))
+    val batchPairs = a.join(b, Seq("cell_id"))
+      .where(col("id_a") < col("id_b"))
+      .where(GraftFunctions.cosine(col("v_a"), col("v_b")) >= threshold)
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    // components touching the corpus drop WHOLE; isolated corpus-dups too
+    val comps = TransitiveDedup.components(batchPairs)
+    val touchedComponents = comps
+      .join(crossDup, comps("id") === crossDup("__bid"))
+      .select(col("component")).distinct()
+    val dropIds = comps.join(touchedComponents, Seq("component"))
+      .select(col("id").as(idCol))
+      .unionAll(crossDup.select(col("__bid").as(idCol)))
+      .distinct()
+    val kept = TransitiveDedup.dedupeKeepBest(batch, idCol, batchPairs, scoreCol)
+      .join(dropIds, Seq(idCol), "left_anti")
+      .localCheckpoint(true) // appendToSaved and the caller both consume it
+    if (appendSurvivors && !kept.isEmpty)
+      IvfKNN.appendToSaved(spark, path, kept, idCol, vecCol)
+    kept
+  }
+
+  /** foreachBatch adapter for [[dedupeSemanticIncremental]] — the D16
+    * appendSink shape: each microbatch dedups against the saved index
+    * and appends only its survivors, so the index at rest is always the
+    * deduplicated corpus.
+    */
+  def semanticDedupSink(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      scoreCol: Column,
+      threshold: Double): (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+    (batch, _) => {
+      dedupeSemanticIncremental(
+        spark, path, batch.toDF(), idCol, vecCol, scoreCol, threshold)
+      ()
+    }
 }
 
 /** Corpus-level LINE/SPAN deduplication — the C4-style preprocessing

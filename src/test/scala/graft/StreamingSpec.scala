@@ -552,6 +552,91 @@ class StreamingSpec extends SparkSpecBase {
     assert(found >= 2L, s"expected >= 2 exact matches, got $found")
   }
 
+  test("streaming semantic-dedup maintenance: per-batch dedup+append == one-shot dedupeSemantic (D39)") {
+    // C82 lifted onto the stream (VERDICT r15 #5): newly ingested
+    // embeddings dedup against the SAVED IVF index of the already-kept
+    // corpus (frozen quantizer, probed cells only) and only survivors
+    // append — batch-vs-corpus semantic near-dup without re-clustering.
+    // The one-shot comparator assigns the union with the SAME frozen
+    // centroids, so cell membership is identical in both paths and the
+    // survivor sets must be EQUAL on this chain-free plant (the one
+    // declared divergence — a cross-batch chain through a dropped row —
+    // is deliberately absent; disjoint supports keep cross-family
+    // cosines at 0). Batch files carry forced modTimes so arrival order
+    // is pinned (FileStreamSource is oldest-first).
+    import graft.operators.ann.IvfKNN
+    import graft.operators.dedup.EmbeddingDedup
+    val dim = 32
+    def vec(support: Int, a: Double, b: Double): Seq[Double] =
+      Seq.tabulate(dim)(i =>
+        if (i == 2 * support) a else if (i == 2 * support + 1) b else 0.0)
+    // initial corpus: duplicate-free by construction (8 distinct supports)
+    val initial = (0 until 8).map(j => (j.toLong, vec(j, 0.8, 0.6), 2.0))
+    // batch 1: an exact copy of id 0 (drops), a NEW vector (survives +
+    // appends), a cos-0.96 near twin of id 1 (both paths see the same
+    // cell, so they agree whether it merges or straddles), and a
+    // within-batch exact twin pair (keep-best keeps the 3.0 score)
+    val batch1 = Seq(
+      (100L, vec(0, 0.8, 0.6), 1.0),
+      (101L, vec(8, 0.8, 0.6), 2.0),
+      (102L, vec(1, 0.6, 0.8), 1.0),
+      (103L, vec(9, 0.8, 0.6), 1.0),
+      (104L, vec(9, 0.8, 0.6), 3.0))
+    // batch 2: cross-batch twins of batch-1 SURVIVORS (200 vs 101, 201 vs
+    // the appended 104) must drop against the maintained index; a new
+    // unique survives
+    val batch2 = Seq(
+      (200L, vec(8, 0.8, 0.6), 1.0),
+      (201L, vec(9, 0.8, 0.6), 1.0),
+      (202L, vec(10, 0.8, 0.6), 2.0))
+    val initialDf = initial.toDF("vec_id", "embedding", "score")
+    val unionDf = (initial ++ batch1 ++ batch2).toDF("vec_id", "embedding", "score")
+    val seedIndex = IvfKNN.buildIndex(initialDf, "vec_id", "embedding", nLists = 4, iters = 2)
+    val dir = Files.createTempDirectory("graft_semdedup_idx").toFile
+    dir.deleteOnExit()
+    IvfKNN.save(seedIndex, dir.getAbsolutePath)
+    val feed = Files.createTempDirectory("graft_semdedup_feed").toFile
+    feed.deleteOnExit()
+    Seq(batch1, batch2).zipWithIndex.foreach { case (bdata, i) =>
+      val stage = new java.io.File(feed, s"stage$i")
+      bdata.toDF("vec_id", "embedding", "score")
+        .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(feed, f"batch_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      assert(target.setLastModified(1700000000000L + i * 60000L))
+      stage.listFiles().foreach(_.delete()); stage.delete(); ()
+    }
+    val batchDf = spark.read.parquet(feed.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sink = EmbeddingDedup.semanticDedupSink(
+      spark, dir.getAbsolutePath, "vec_id", "embedding", col("score"), 0.4)
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        nBatches.incrementAndGet(); sink(b, id)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() >= 2, s"need multiple microbatches, got ${nBatches.get()}")
+    // the index at rest IS the deduped corpus
+    val streamed = IvfKNN.load(spark, dir.getAbsolutePath).assigned
+      .select($"neighbor_id").as[Long].collect().toSet
+    val oneShot = EmbeddingDedup.dedupeSemantic(
+      unionDf, "vec_id", "embedding", col("score"), 0.4, nAssign = 1,
+      prebuilt = Some(IvfKNN.Index(seedIndex.centroids,
+        IvfKNN.assign(
+          unionDf.select($"vec_id".as("neighbor_id"), $"embedding".as("__cv")),
+          "__cv", seedIndex.centroids))))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(streamed == oneShot,
+      s"streamed ${streamed.toSeq.sorted} vs one-shot ${oneShot.toSeq.sorted}")
+    // planted cross-batch twins found; new uniques and keep-best winners kept
+    assert(!streamed(100L) && !streamed(103L) && !streamed(200L) && !streamed(201L))
+    assert(streamed(101L) && streamed(104L) && streamed(202L))
+  }
+
   test("streaming drift monitor: merged bin-count state yields the exact batch PSI report") {
     // B54 lifted onto the stream (D15): a drift monitor never keeps raw
     // rows — it keeps (bin, n) counts against the FROZEN baseline bins
