@@ -523,6 +523,69 @@ object SparkEntry {
             .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
       QualityClassifier.evaluate(scored.join(lab, "doc_id"), "is_quality", "lbl")
     }),
+    "q_isotonic" -> ((s, dir) =>
+      // isotonic calibration of the learned score vs the screen label
+      // (B144): the unique monotone fit of P(label | score) via the
+      // minimax identity over a digit-grid-bounded spine — PAV without
+      // a merge-order the oracle would have to reproduce. Every hashed
+      // value is a selection of one-division doubles (UNROUNDED); the
+      // only transcendental exposure is the ALREADY-AUDITED rounded-4
+      // sigmoid the bins derive from.
+      graft.operators.stats.Isotonic.fitBinned(
+        classifierScoredLabeled(s, dir), col("score"), col("lbl"), 3)
+        .orderBy("bin")),
+    "q_ece" -> ((s, dir) => {
+      // expected calibration error (B145): 10 equal-width score bins,
+      // per-bin confidence (decimal-exact score sum, one division) vs
+      // accuracy (one exact-int division), |gap|, and the N-weighted
+      // ECE folded in bin order (sequential fold == init-less
+      // list_reduce; 0.0+x exact) — all IEEE chains over engine-
+      // identical doubles, hashed UNROUNDED.
+      val cells = classifierScoredLabeled(s, dir)
+        .select(least(floor(col("score") * lit(10.0)), lit(9L)).cast("int").as("bin"),
+          col("score"), col("lbl"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lbl"), 1L).otherwise(0L)).as("n_pos"),
+          graft.functions.ExactMath.dsum(col("score")).as("__cs"))
+        .select(col("bin"), col("n_docs"), col("n_pos"),
+          (col("__cs") / col("n_docs").cast("double")).as("conf"),
+          (col("n_pos").cast("double") / col("n_docs").cast("double")).as("acc"))
+        .withColumn("gap", abs(col("acc") - col("conf")))
+      val tot = cells
+        .agg(
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("bin"),
+                (col("n_docs").cast("double") * col("gap")).as("w")))),
+              e => e.getField("w")),
+            lit(0.0), (acc2, x) => acc2 + x).as("__ws"),
+          sum(col("n_docs")).as("__n"))
+        .select((col("__ws") / col("__n").cast("double")).as("ece"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_docs"), col("n_pos"),
+          col("conf"), col("acc"), col("gap"), col("ece"))
+        .orderBy("bin")
+    }),
+    "q_brier" -> ((s, dir) => {
+      // Brier score + skill vs the base-rate reference (B146): mean
+      // squared error of the rounded-4 score against the screen label.
+      // Per-row squared diffs quantize DECIMAL(18,6) BEFORE summing
+      // (the dsumProd/grubbs contract, mirrored by the oracle's CAST),
+      // then ONE division; the skill chain is fixed IEEE. Single row.
+      val diff = col("score") - when(col("lbl"), lit(1.0)).otherwise(lit(0.0))
+      classifierScoredLabeled(s, dir)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lbl"), 1L).otherwise(0L)).as("n_pos"),
+          graft.functions.ExactMath.dsum(diff * diff).as("__se"))
+        .select(col("n_docs"), col("n_pos"),
+          (col("__se") / col("n_docs").cast("double")).as("brier"),
+          (col("n_pos").cast("double") / col("n_docs").cast("double")).as("__base"))
+        .select(col("n_docs"), col("n_pos"), col("brier"),
+          when(col("n_pos") > 0L && col("n_pos") < col("n_docs"),
+            lit(1.0) - col("brier") / (col("__base") * (lit(1.0) - col("__base"))))
+            .as("brier_skill"))
+    }),
     "q_text_tokens" -> ((s, dir) =>
       TextStats.tokenCounts(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_temperature_mix" -> ((s, dir) =>
@@ -1525,6 +1588,35 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
         .orderBy("lang")),
+    "q_mix_report" -> ((s, dir) => {
+      // dataset-card mix report (C85, VERDICT r15 #8): one audited
+      // artifact row per language composing the corpus census with the
+      // C29 balanced and C30 target mixes — raw share, kept counts and
+      // post-mix shares under each policy. Exact counts; every share is
+      // ONE division of exact BIGINTs (unrounded, the B56 rule); totals
+      // arrive as 1-row broadcast aggs, never a collect.
+      val d = snap(s, dir).documents
+      val corpus = d.where(col("lang").isNotNull)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val bal = graft.operators.sample.Mixing.balancedSample(d, "doc_id", "lang")
+        .groupBy("lang").agg(count(lit(1)).as("bal_kept"))
+      val tgt = graft.operators.sample.Mixing.targetMix(d, "doc_id", "lang", MixWeights)
+        .groupBy("lang").agg(count(lit(1)).as("tgt_kept"))
+      val tot = corpus.agg(sum(col("n_docs")).as("__nt"))
+      val btot = bal.agg(sum(col("bal_kept")).as("__bt"))
+      val ttot = tgt.agg(sum(col("tgt_kept")).as("__tt"))
+      corpus
+        .join(bal, Seq("lang"), "left")
+        .join(tgt, Seq("lang"), "left")
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(btot)).crossJoin(broadcast(ttot))
+        .select(col("lang"), col("n_docs"),
+          (col("n_docs").cast("double") / col("__nt").cast("double")).as("share_raw"),
+          coalesce(col("bal_kept"), lit(0L)).as("bal_kept"),
+          (coalesce(col("bal_kept"), lit(0L)).cast("double") / col("__bt").cast("double")).as("bal_share"),
+          coalesce(col("tgt_kept"), lit(0L)).as("tgt_kept"),
+          (coalesce(col("tgt_kept"), lit(0L)).cast("double") / col("__tt").cast("double")).as("tgt_share"))
+        .orderBy("lang")
+    }),
     "q_curation_pipeline" -> ((s, dir) => {
       // the full curation funnel as ONE oracle-gated plan: quality gate
       // (semi-join against the scored ids) → exact dedup survivors
@@ -3533,12 +3625,32 @@ object SparkEntry {
     * denominators NULL via CASE both engines. `prec` not `precision`
     * (reserved word, the check_name lesson).
     */
-  private val classifierEvalTailSql: String =
+  /** The stopword-density screen label over `d`'s tokens — ONE
+    * definition serving the eval tails and the score-label grain.
+    */
+  private val classifierLabelCte: String =
     """l AS (
       |  SELECT doc_id,
       |    CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'is', 'of', 'and'))) AS DOUBLE)
       |      / CAST(len(ws) AS DOUBLE) >= 0.05 AS lbl
-      |  FROM d WHERE len(ws) > 0),
+      |  FROM d WHERE len(ws) > 0)""".stripMargin
+
+  /** (doc_id, score, lbl) — the oracle twin of [[classifierScoredLabeled]]:
+    * the rounded-4 sigmoid score (the audited 14th transcendental — the
+    * ONLY libm step; everything downstream is IEEE over identical
+    * doubles) joined with the screen label, as CTE `jj`.
+    */
+  private lazy val classifierScoreLabelCtes: String =
+    s"""$classifierLogitCtes,
+       |$classifierLabelCte,
+       |sc AS (
+       |  SELECT doc_id,
+       |    floor((1.0 / (1.0 + exp(-logit))) * 10000.0 + 0.5) / 10000.0 AS score
+       |  FROM s),
+       |jj AS (SELECT sc.doc_id, sc.score, l.lbl FROM sc JOIN l USING (doc_id))""".stripMargin
+
+  private val classifierEvalTailSql: String =
+    s"""$classifierLabelCte,
       |j AS (SELECT s.logit > 0 AS p, l.lbl AS y FROM s JOIN l USING (doc_id)),
       |c AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -3584,6 +3696,28 @@ object SparkEntry {
     -2.3237984711111097, 0.0, 0.0, -6.134346115555562,
     -5.150912231111111, -2.4053452088888894, 0.0, 0.0,
     0.0, -2.307898133333332, 0.0, 0.0)
+
+  /** (doc_id, score, lbl) — C81's rounded-4 score joined with the
+    * stopword-density screen label: the shared grain of the eval family
+    * (q_isotonic / q_ece / q_brier; ONE definition, the qualityScoreSql
+    * rule — the oracle twin is `classifierScoreLabelCtes`).
+    */
+  private def classifierScoredLabeled(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.operators.text.{QualityClassifier, TextStats}
+    val d = snap(s, dir).documents
+    val scored = QualityClassifier
+      .scoreWithModel(d, "doc_id", "text", qualityModelWeights, qualityModelBias)
+      .select("doc_id", "score")
+    val ws = QualityClassifier.tokens(col("text"))
+    val lab = d.where(col("text").isNotNull)
+      .select(col("doc_id"), ws.as("__ws"))
+      .where(size(col("__ws")) > 0)
+      .select(col("doc_id"),
+        (size(filter(col("__ws"), w => w.isInCollection(TextStats.Markers.head._2)))
+          .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
+    scored.join(lab, "doc_id")
+  }
 
   val qualityModelBias: Double = 1.5632708640000013
   val qualityModelWeights: Seq[Double] = Seq(
@@ -4806,6 +4940,76 @@ object SparkEntry {
     // slice with the holdout-trained model (classifierHoldoutCtes).
     "q_classifier_eval_holdout" ->
       s"WITH $classifierHoldoutCtes,\n$classifierEvalTailSql",
+    // B144 isotonic calibration: the minimax identity
+    // iso(i) = max_{a<=i} min_{b>=i} mean(a..b) re-derived over the
+    // binned spine — prefix sums, one-division means of exact BIGINTs,
+    // running-min/max selections; rate_iso hashes UNROUNDED.
+    "q_isotonic" ->
+      s"""WITH $classifierScoreLabelCtes,
+         |sp AS (
+         |  SELECT floor(score * 1000.0 + 0.5) / 1000.0 AS bin,
+         |    CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM jj GROUP BY 1),
+         |pre AS (
+         |  SELECT bin, pos, cnt,
+         |    coalesce(SUM(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bp,
+         |    coalesce(SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bc
+         |  FROM sp),
+         |pairs AS (
+         |  SELECT a.bin AS sa, b.bin AS sb,
+         |    CAST(b.bp + b.pos - a.bp AS DOUBLE) / CAST(b.bc + b.cnt - a.bc AS DOUBLE) AS avgab
+         |  FROM pre a JOIN pre b ON a.bin <= b.bin),
+         |mm AS (
+         |  SELECT sb, min(avgab) OVER (PARTITION BY sa ORDER BY sb DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mab
+         |  FROM pairs),
+         |iso AS (SELECT sb AS bin, max(mab) AS rate_iso FROM mm GROUP BY sb)
+         |SELECT sp.bin, sp.cnt AS n_docs, sp.pos AS n_pos,
+         |  CAST(sp.pos AS DOUBLE) / CAST(sp.cnt AS DOUBLE) AS rate_raw, iso.rate_iso
+         |FROM sp JOIN iso USING (bin) ORDER BY bin""".stripMargin,
+    // B145 expected calibration error: bin-ordered sequential fold of
+    // n_b·gap_b (init-less list_reduce == Spark's 0.0-init aggregate),
+    // one division by N; conf from the decimal-exact score sum.
+    "q_ece" ->
+      s"""WITH $classifierScoreLabelCtes,
+         |cells AS (
+         |  SELECT CAST(least(floor(score * 10.0), 9.0) AS INTEGER) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS cs
+         |  FROM jj GROUP BY 1),
+         |cg AS (
+         |  SELECT bin, n_docs, n_pos,
+         |    cs / CAST(n_docs AS DOUBLE) AS conf,
+         |    CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS acc,
+         |    abs(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |      - cs / CAST(n_docs AS DOUBLE)) AS gap
+         |  FROM cells),
+         |e AS (
+         |  SELECT list_reduce(list(CAST(n_docs AS DOUBLE) * gap ORDER BY bin),
+         |      (a, b) -> a + b) / CAST(SUM(n_docs) AS DOUBLE) AS ece
+         |  FROM cg)
+         |SELECT bin, n_docs, n_pos, conf, acc, gap, ece FROM cg, e ORDER BY bin""".stripMargin,
+    // B146 Brier score: per-row squared diffs CAST DECIMAL(18,6) before
+    // the sum (the dsumProd/grubbs mirror), one division; skill = a
+    // fixed IEEE chain, NULL at degenerate base rates.
+    "q_brier" ->
+      s"""WITH $classifierScoreLabelCtes,
+         |c AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(SUM(CAST((score - CASE WHEN lbl THEN 1.0 ELSE 0.0 END)
+         |      * (score - CASE WHEN lbl THEN 1.0 ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) AS se
+         |  FROM jj),
+         |r AS (
+         |  SELECT n_docs, n_pos, se / CAST(n_docs AS DOUBLE) AS brier,
+         |    CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS base
+         |  FROM c)
+         |SELECT n_docs, n_pos, brier,
+         |  CASE WHEN n_pos > 0 AND n_pos < n_docs
+         |    THEN 1.0 - brier / (base * (1.0 - base)) END AS brier_skill
+         |FROM r""".stripMargin,
     "q_text_redact" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
@@ -5578,6 +5782,39 @@ object SparkEntry {
         |FROM documents d JOIN b USING (lang)
         |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < bound
         |GROUP BY d.lang ORDER BY lang""".stripMargin,
+    // C85 mix report: the census + both mix policies' floor-bound CTEs
+    // composed; every share is one exact-BIGINT division, unrounded
+    "q_mix_report" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY lang),
+        |m AS (SELECT MIN(n) AS nmin FROM c),
+        |bb AS (SELECT lang, FLOOR(16777216.0 * nmin / n) AS bound FROM c, m),
+        |bal AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS bal_kept
+        |        FROM documents d JOIN bb USING (lang)
+        |        WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < bound
+        |        GROUP BY d.lang),
+        |w AS (SELECT * FROM (VALUES
+        |    ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+        |    ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+        |    ('zh', CAST(0.05 AS DOUBLE))) AS t(lang, wt)),
+        |cw AS (SELECT c.lang, n, wt FROM c JOIN w USING (lang)),
+        |tm AS (SELECT MIN(n / wt) AS t FROM cw),
+        |tb AS (SELECT lang, FLOOR(16777216.0 * wt * t / n) AS bound FROM cw, tm),
+        |tgt AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS tgt_kept
+        |        FROM documents d JOIN tb USING (lang)
+        |        WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) < bound
+        |        GROUP BY d.lang),
+        |tot AS (SELECT SUM(n) AS nt FROM c),
+        |btot AS (SELECT SUM(bal_kept) AS bt FROM bal),
+        |ttot AS (SELECT SUM(tgt_kept) AS tt FROM tgt)
+        |SELECT c.lang, CAST(c.n AS BIGINT) AS n_docs,
+        |  CAST(c.n AS DOUBLE) / CAST(nt AS DOUBLE) AS share_raw,
+        |  CAST(coalesce(bal_kept, 0) AS BIGINT) AS bal_kept,
+        |  CAST(coalesce(bal_kept, 0) AS DOUBLE) / CAST(bt AS DOUBLE) AS bal_share,
+        |  CAST(coalesce(tgt_kept, 0) AS BIGINT) AS tgt_kept,
+        |  CAST(coalesce(tgt_kept, 0) AS DOUBLE) / CAST(tt AS DOUBLE) AS tgt_share
+        |FROM c LEFT JOIN bal USING (lang) LEFT JOIN tgt USING (lang), tot, btot, ttot
+        |ORDER BY lang""".stripMargin,
     // the funnel chains three existing mirrors: the q_quality_filter
     // formula, keep-first dedup (MIN id per content hash), and the
     // q_balanced_mix floor-bound — each stage over the previous one

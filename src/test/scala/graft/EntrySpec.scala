@@ -50,7 +50,8 @@ class EntrySpec extends SparkSpecBase {
       "q_cliffs_delta", "q_eta_squared", "q_vif", "q_cohens_d",
       "q_sign_test", "q_cochran_armitage", "q_gwet_ac1", "q_kendall_w",
       "q_moods_median", "q_page_trend", "q_zipf_fit", "q_bartlett",
-      "q_variance_ratio", "q_classifier_eval", "q_classifier_eval_holdout")
+      "q_variance_ratio", "q_classifier_eval", "q_classifier_eval_holdout",
+      "q_brier")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !singleRow(name) && !sql.toUpperCase.contains("ORDER BY") => name
     }

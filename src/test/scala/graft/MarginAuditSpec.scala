@@ -70,7 +70,17 @@ class MarginAuditSpec extends SparkSpecBase {
       // (round 15) — the logit itself is a sequential IEEE fold of
       // identical doubles (hashes unrounded, no audit needed); only
       // the exp() inside the sigmoid is libm-dependent
-      "q_quality_classifier")
+      "q_quality_classifier",
+      // the score-consumer family (round 16): isotonic / ECE / Brier all
+      // derive EVERY hashed value from the SAME hashRound-4 sigmoid the
+      // q_quality_classifier audit already boundary-checks at 3 SFs over
+      // the identical (corpus, model) logit set — once the rounded-4
+      // scores are engine-identical (the audited property), every
+      // downstream step here is IEEE over identical doubles (bins =
+      // floor products, means = one-division exact ints, folds =
+      // pinned-order sums). No NEW transcendental evaluation exists in
+      // these oracles beyond the audited sigmoid itself.
+      "q_isotonic", "q_ece", "q_brier")
 
   test("oracle scan: no oracle hashes a transcendental without a margin audit") {
     val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
