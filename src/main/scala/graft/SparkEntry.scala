@@ -534,39 +534,35 @@ object SparkEntry {
       graft.operators.stats.Isotonic.fitBinned(
         classifierScoredLabeled(s, dir), col("score"), col("lbl"), 3)
         .orderBy("bin")),
-    "q_ece" -> ((s, dir) => {
+    "q_ece" -> ((s, dir) =>
       // expected calibration error (B145): 10 equal-width score bins,
       // per-bin confidence (decimal-exact score sum, one division) vs
       // accuracy (one exact-int division), |gap|, and the N-weighted
       // ECE folded in bin order (sequential fold == init-less
       // list_reduce; 0.0+x exact) — all IEEE chains over engine-
-      // identical doubles, hashed UNROUNDED.
-      val cells = classifierScoredLabeled(s, dir)
-        .select(least(floor(col("score") * lit(10.0)), lit(9L)).cast("int").as("bin"),
-          col("score"), col("lbl"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("lbl"), 1L).otherwise(0L)).as("n_pos"),
-          graft.functions.ExactMath.dsum(col("score")).as("__cs"))
-        .select(col("bin"), col("n_docs"), col("n_pos"),
-          (col("__cs") / col("n_docs").cast("double")).as("conf"),
-          (col("n_pos").cast("double") / col("n_docs").cast("double")).as("acc"))
-        .withColumn("gap", abs(col("acc") - col("conf")))
-      val tot = cells
-        .agg(
-          aggregate(
-            transform(
-              array_sort(collect_list(struct(col("bin"),
-                (col("n_docs").cast("double") * col("gap")).as("w")))),
-              e => e.getField("w")),
-            lit(0.0), (acc2, x) => acc2 + x).as("__ws"),
-          sum(col("n_docs")).as("__n"))
-        .select((col("__ws") / col("__n").cast("double")).as("ece"))
-      cells.crossJoin(broadcast(tot))
-        .select(col("bin"), col("n_docs"), col("n_pos"),
-          col("conf"), col("acc"), col("gap"), col("ece"))
-        .orderBy("bin")
-    }),
+      // identical doubles, hashed UNROUNDED. Derivation over MERGEABLE
+      // calibration cells (D40's streaming state, shared definition).
+      graft.operators.stats.Calibration
+        .ece(classifierScoredLabeled(s, dir), col("score"), col("lbl"))
+        .orderBy("bin")),
+    "q_log_loss" -> ((s, dir) =>
+      // binned-spine logistic loss (B149, the 15th audited
+      // transcendental): ≤ 10001 grid scores ⇒ the lns evaluate at the
+      // SPINE grain (the theil rule); per-cell terms fold in score
+      // order, one division, hashRound(4) + margin audit. Single row.
+      graft.operators.stats.Calibration
+        .logLoss(classifierScoredLabeled(s, dir), col("score"), col("lbl"))),
+    "q_jarque_bera" -> ((s, dir) =>
+      // Jarque–Bera normality screen (B147): rides the B95 power sums,
+      // one fixed IEEE chain to jb, hashRound(2) (magnitude grows with
+      // n — the B38 rule), rejected flag on the ROUNDED jb.
+      graft.operators.stats.Stats
+        .jarqueBera(snap(s, dir).lineitem, "l_returnflag", "l_quantity")
+        .orderBy("l_returnflag")),
+    "q_paired_t" -> ((s, dir) =>
+      // paired t on the shared first→last diff grain (B148): exact
+      // decimal Σd/Σd², welch-order chain, rounded t decides `moved`.
+      graft.operators.stats.Stats.pairedT(firstLastDiffs(s, dir), "__d")),
     "q_brier" -> ((s, dir) => {
       // Brier score + skill vs the base-rate reference (B146): mean
       // squared error of the rounded-4 score against the screen label.
@@ -5010,6 +5006,111 @@ object SparkEntry {
          |  CASE WHEN n_pos > 0 AND n_pos < n_docs
          |    THEN 1.0 - brier / (base * (1.0 - base)) END AS brier_skill
          |FROM r""".stripMargin,
+    // B149 log loss: ln at the ≤10001-cell score-spine grain, terms
+    // folded in score order (init-less list_reduce == the 0.0-init
+    // fold), one division, the floor-formula round; clip bounds are
+    // shortest-repr literals (the NdcgGains precedent).
+    "q_log_loss" ->
+      s"""WITH $classifierScoreLabelCtes,
+         |cells AS (
+         |  SELECT score AS s, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS p
+         |  FROM jj GROUP BY 1),
+         |t AS (
+         |  SELECT s, n, p,
+         |    -(CAST(p AS DOUBLE)
+         |        * ln(greatest(least(s, CAST('${1.0 - 1e-6}' AS DOUBLE)), CAST('${1e-6}' AS DOUBLE)))
+         |      + CAST(n - p AS DOUBLE)
+         |        * ln(1.0 - greatest(least(s, CAST('${1.0 - 1e-6}' AS DOUBLE)), CAST('${1e-6}' AS DOUBLE)))) AS term
+         |  FROM cells),
+         |a AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS n_docs, CAST(SUM(p) AS BIGINT) AS n_pos,
+         |    list_reduce(list(term ORDER BY s), (x, y) -> x + y) AS tt
+         |  FROM t)
+         |SELECT n_docs, n_pos,
+         |  CASE WHEN n_docs > 0
+         |    THEN floor((tt / CAST(n_docs AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 END AS log_loss
+         |FROM a""".stripMargin,
+    // B147 Jarque–Bera: the B95 power-sum CTE + a LAYERED central-moment
+    // chain (a named CTE column holds the same double as the inline
+    // expansion), jb rounded via the floor formula at 2 digits.
+    "q_jarque_bera" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(CAST(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6)) AS DECIMAL(19,6))
+        |      * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(CAST(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6)) AS DECIMAL(19,6))
+        |      * CAST(CAST(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) * CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6)) AS DECIMAL(19,6))
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS s4
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n, s1 / CAST(n AS DOUBLE) AS m,
+        |    s2 / CAST(n AS DOUBLE) AS r2, s3 / CAST(n AS DOUBLE) AS r3,
+        |    s4 / CAST(n AS DOUBLE) AS r4
+        |  FROM a),
+        |e AS (
+        |  SELECT l_returnflag, n, m,
+        |    r2 - m * m AS m2,
+        |    r3 - 3.0 * m * r2 + 2.0 * m * m * m AS m3,
+        |    r4 - 4.0 * m * r3 + 6.0 * m * m * r2 - 3.0 * m * m * m * m AS m4
+        |  FROM d),
+        |f AS (
+        |  SELECT l_returnflag, n,
+        |    CASE WHEN n >= 3 AND m2 > 0 THEN
+        |      CAST(n AS DOUBLE) / 6.0 *
+        |        ((m3 / (sqrt(m2) * m2)) * (m3 / (sqrt(m2) * m2))
+        |         + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0)
+        |    END AS jbu
+        |  FROM e)
+        |SELECT l_returnflag, n,
+        |  floor(jbu * 100.0 + 0.5) / 100.0 AS jb,
+        |  CASE WHEN jbu IS NOT NULL
+        |    THEN floor(jbu * 100.0 + 0.5) / 100.0 > 5.99 END AS normal_rejected
+        |FROM f ORDER BY l_returnflag""".stripMargin,
+    // B148 paired t: the q_sign_test first→last CTEs with ZERO diffs
+    // kept (they inform the mean), exact decimal sums with (19,6)
+    // operand casts, welch-order chain, floor-formula rounds.
+    "q_paired_t" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS k, o_orderdate AS d, o_orderkey AS t,
+        |    o_totalprice AS p
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |r AS (
+        |  SELECT k, p,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY d, t) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY d DESC, t DESC) AS rn_d
+        |  FROM o),
+        |fl AS (
+        |  SELECT k, MAX(CASE WHEN rn_a = 1 THEN p END) AS fp,
+        |    MAX(CASE WHEN rn_d = 1 THEN p END) AS lp
+        |  FROM r GROUP BY 1 HAVING COUNT(*) >= 2),
+        |dd AS (SELECT lp - fp AS dv FROM fl),
+        |c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CAST(dv AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(CAST(CAST(dv AS DECIMAL(18,6)) AS DECIMAL(19,6))
+        |      * CAST(CAST(dv AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        |  FROM dd),
+        |q AS (
+        |  SELECT n_pairs, s1 / CAST(n_pairs AS DOUBLE) AS m,
+        |    (s2 - s1 * (s1 / CAST(n_pairs AS DOUBLE))) / (CAST(n_pairs AS DOUBLE) - 1.0) AS vr
+        |  FROM c)
+        |SELECT n_pairs,
+        |  CASE WHEN n_pairs > 0
+        |    THEN floor(m * 10000.0 + 0.5) / 10000.0 END AS mean_diff,
+        |  CASE WHEN n_pairs >= 2 AND vr > 0
+        |    THEN floor((m / sqrt(vr / CAST(n_pairs AS DOUBLE))) * 10000.0 + 0.5) / 10000.0 END AS t_stat,
+        |  CASE WHEN n_pairs >= 2 AND vr > 0
+        |    THEN abs(floor((m / sqrt(vr / CAST(n_pairs AS DOUBLE))) * 10000.0 + 0.5) / 10000.0) > 1.96 END AS moved
+        |FROM q""".stripMargin,
     "q_text_redact" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),

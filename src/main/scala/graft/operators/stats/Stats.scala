@@ -1176,6 +1176,71 @@ object Stats {
       valueCol: String): DataFrame =
     deriveMoments(momentsState(df, groupCol, valueCol))
 
+  /** Jarque–Bera normality screen per group (B147) — rides the SAME
+    * exact decimal power sums as [[momentsByGroup]] (one partial-agg
+    * pass, the D25 mergeable state): JB = n/6·(g1² + g2²/4) over the
+    * UNROUNDED skewness g1 and excess kurtosis g2 (the B95
+    * central-moment IEEE chain verbatim, layered-CTE mirror — a named
+    * subexpression holds the same double as the inline expansion).
+    * jb hashRound(2): magnitude grows with n (the B38
+    * digits-scale-to-magnitude rule; StatsSpec margin-audits the
+    * unrounded jb at 3 SFs next to the moment chain it extends).
+    * normal_rejected compares the ROUNDED jb against the χ²(2) 95%
+    * bound 5.99 (the q_ab_test convention). NULL at n < 3 or m2 ≤ 0.
+    */
+  def jarqueBera(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val st = momentsState(df, groupCol, valueCol)
+    val n = col("n").cast("double")
+    val s1 = col("__s1").cast("double")
+    val s2 = col("__s2").cast("double")
+    val s3 = col("__s3").cast("double")
+    val s4 = col("__s4").cast("double")
+    val m = s1 / n
+    val m2 = s2 / n - m * m
+    val m3 = s3 / n - lit(3.0) * m * (s2 / n) + lit(2.0) * m * m * m
+    val m4 = s4 / n - lit(4.0) * m * (s3 / n) +
+      lit(6.0) * m * m * (s2 / n) - lit(3.0) * m * m * m * m
+    val g1 = m3 / (sqrt(m2) * m2)
+    val g2 = m4 / (m2 * m2) - lit(3.0)
+    val jb = n / lit(6.0) * (g1 * g1 + g2 * g2 / lit(4.0))
+    val ok = col("n") >= 3L && m2 > 0.0
+    st.select(col(groupCol), col("n"),
+      when(ok, ExactMath.hashRound(jb, 2)).as("jb"),
+      when(ok, ExactMath.hashRound(jb, 2) > lit(5.99)).as("normal_rejected"))
+  }
+
+  /** Paired t-test over a precomputed difference column (B148) — the
+    * parametric sibling of [[signTest]]/[[wilcoxonSignedRank]] on the
+    * SAME first→last diff grain ([[pairedDiffsFromState]]): did the
+    * paired movement shift the MEAN? Exact decimal Σd / Σd² (per-row
+    * products quantized DECIMAL(18,6) — the cohens_d contract, DuckDB
+    * mirror via (19,6) operand casts), then the welch-order chain
+    *   m = s1/n, var = (s2 − s1·m)/(n−1), t = m / sqrt(var/n)
+    * — one fixed IEEE sequence; mean_diff and t hashRound(4) (StatsSpec
+    * boundary audit), `moved` compares the ROUNDED t (the q_ab_test
+    * convention). Zero diffs COUNT here (they inform the mean), unlike
+    * the rank/sign tests' drop convention. NULL t at n < 2 or var ≤ 0.
+    * Single row.
+    */
+  def pairedT(df: DataFrame, diffCol: String): DataFrame = {
+    val dec = ExactMath.ValueDecimal
+    val d = col(diffCol)
+    val agg = df.where(d.isNotNull)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(d.cast(dec)).cast("double").as("__s1"),
+        sum((d.cast(dec) * d.cast(dec)).cast(dec)).cast("double").as("__s2"))
+    val n = col("n_pairs").cast("double")
+    val m = col("__s1") / n
+    val vr = (col("__s2") - col("__s1") * m) / (n - lit(1.0))
+    val t = m / sqrt(vr / n)
+    agg.select(col("n_pairs"),
+      when(col("n_pairs") > 0L, ExactMath.hashRound(m, 4)).as("mean_diff"),
+      when(col("n_pairs") >= 2L && vr > 0.0, ExactMath.hashRound(t, 4)).as("t_stat"))
+      .withColumn("moved",
+        when(col("t_stat").isNotNull, abs(col("t_stat")) > lit(1.96)))
+  }
+
   private def deriveMoments(stateDf: DataFrame): DataFrame = {
     val key = stateDf.columns.head
     val agg = stateDf.select(col(key), col("n"),

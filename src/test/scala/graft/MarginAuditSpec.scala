@@ -80,7 +80,10 @@ class MarginAuditSpec extends SparkSpecBase {
       // floor products, means = one-division exact ints, folds =
       // pinned-order sums). No NEW transcendental evaluation exists in
       // these oracles beyond the audited sigmoid itself.
-      "q_isotonic", "q_ece", "q_brier")
+      "q_isotonic", "q_ece", "q_brier",
+      // the 15th audited ln: binned-spine logistic loss (round 16) —
+      // lns at the score-spine grain, audited below
+      "q_log_loss")
 
   test("oracle scan: no oracle hashes a transcendental without a margin audit") {
     val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
@@ -738,6 +741,50 @@ class MarginAuditSpec extends SparkSpecBase {
         "rounding boundary — libm drift could flip the hash")
   }
 
+  /** q_log_loss hashes ONE rounded-4 value — the score-spine-grain fold
+    * of −(p·ln(clip(s)) + (n−p)·ln(1−clip(s))) / N. Re-derive it from
+    * the exact spine counts with the operator's own IEEE op sequence
+    * and check the 4-digit boundary margin against the ACCUMULATED libm
+    * drift bound: each of the ≤ 2·spine lns carries ~1-ulp engine
+    * spread, weighted by its cell count, so the bound scales with
+    * Σ|term|/N rather than the flat classifier bound.
+    */
+  private def auditLogLoss(sfDir: String): Unit = {
+    val scored = graft.operators.text.QualityClassifier
+      .scoreWithModel(Snapshot(spark, sfDir).documents, "doc_id", "text",
+        SparkEntry.qualityModelWeights, SparkEntry.qualityModelBias)
+      .select(col("doc_id"), col("score"))
+    val ws = graft.operators.text.QualityClassifier.tokens(col("text"))
+    val lab = Snapshot(spark, sfDir).documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), ws.as("__ws"))
+      .where(size(col("__ws")) > 0)
+      .select(col("doc_id"),
+        (size(filter(col("__ws"), w =>
+          w.isInCollection(graft.operators.text.TextStats.Markers.head._2)))
+          .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
+    val cells = scored.join(lab, "doc_id")
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lbl"), 1L).otherwise(0L)).as("p"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(cells.nonEmpty, s"$sfDir: empty score spine")
+    val eps = 1e-6; val hi = 1.0 - eps
+    def clip(s: Double) = math.max(math.min(s, hi), eps)
+    val terms = cells.map { case (s, n, p) =>
+      -(p.toDouble * math.log(clip(s)) + (n - p).toDouble * math.log(1.0 - clip(s)))
+    }
+    val nTot = cells.map(_._2).sum.toDouble
+    val ll = terms.foldLeft(0.0)(_ + _) / nTot
+    val mg = boundaryMargin(4)(ll)
+    val driftBound = (terms.iterator.map(math.abs).sum / nTot + 1.0) * 1e-13
+    assert(mg > 1e3 * driftBound,
+      f"$sfDir: log_loss $ll%.10g sits $mg%.3e from its 4-digit boundary " +
+        f"(accumulated-drift bound $driftBound%.3e)")
+  }
+
   for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
     test(s"tfidf margin audit at $dir: boundary margin > 1e-9, rank gaps > 1e-6") {
       auditTfidf(sf(dir))
@@ -798,6 +845,9 @@ class MarginAuditSpec extends SparkSpecBase {
     }
     test(s"quality-classifier margin audit at $dir: sigmoid boundary margin > 1e-9") {
       auditQualityClassifier(sf(dir))
+    }
+    test(s"log-loss margin audit at $dir: rounded total clear of its boundary") {
+      auditLogLoss(sf(dir))
     }
   }
 }

@@ -661,8 +661,13 @@ class StatsSpec extends SparkSpecBase {
         val m2 = s2 / n - m * m
         val m3 = s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m
         val m4 = s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m
+        val g1 = m3 / (math.sqrt(m2) * m2)
+        val g2 = m4 / (m2 * m2) - 3.0
         Seq(m -> 4, m2 -> 4) ++
-          (if (m2 > 0) Seq(m3 / (math.sqrt(m2) * m2) -> 6, m4 / (m2 * m2) - 3.0 -> 6)
+          (if (m2 > 0)
+             // q_jarque_bera rides the same chain — audit its rounded-2 jb here
+             Seq(g1 -> 6, g2 -> 6,
+               n / 6.0 * (g1 * g1 + g2 * g2 / 4.0) -> 2)
            else Nil)
       }
       assert(checks.nonEmpty)
@@ -673,6 +678,79 @@ class StatsSpec extends SparkSpecBase {
           f"$dir: unrounded moment $v%.10g sits $mg%.3e from its $digits-digit boundary")
       }
     }
+  }
+
+  // q_paired_t margin audit at 3 SFs (the cohens-d protocol on the
+  // first→last diff grain)
+  for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    test(s"paired-t margin audit at $dir: unrounded mean/t clear of boundaries") {
+      val diffs = Stats.pairedDiffsFromState(Stats.pairedMovementState(
+        sources.Snapshot(spark, sf(dir)).orders,
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"))
+      val r = diffs.agg(count(lit(1)),
+        graft.functions.ExactMath.dsum(col("__d")),
+        sum((col("__d").cast("decimal(18,6)") * col("__d").cast("decimal(18,6)"))
+          .cast("decimal(18,6)")).cast("double"))
+        .collect().head
+      val n = r.getLong(0).toDouble
+      val (s1, s2) = (r.getDouble(1), r.getDouble(2))
+      val m = s1 / n
+      val vr = (s2 - s1 * m) / (n - 1.0)
+      val t = m / math.sqrt(vr / n)
+      Seq("mean_diff" -> m, "t" -> t).foreach { case (name, v) =>
+        val scale = 10000.0
+        val frac = v * scale - math.floor(v * scale)
+        val margin = math.abs(frac - 0.5) / scale
+        val driftBound = (math.abs(v) + 1.0) * 1e-14
+        assert(margin > 1e3 * driftBound,
+          f"$dir: unrounded $name $v%.10g sits $margin%.3e from its 4-digit boundary")
+      }
+    }
+  }
+
+  test("pairedT: hand-derived mean/t via the operator's own IEEE sequence; degenerate NULL") {
+    import spark.implicits._
+    def hr(x: Double, d: Int): Double = {
+      val sc = (1 to d).foldLeft(1L)((a, _) => a * 10L).toDouble
+      math.floor(x * sc + 0.5) / sc
+    }
+    // diffs [2, -1, 3, 0]: zero diffs COUNT (unlike the sign/rank tests)
+    val df0 = Seq(2.0, -1.0, 3.0, 0.0).toDF("__d")
+    val r = Stats.pairedT(df0, "__d").collect().head
+    val n = 4.0; val s1 = 4.0; val s2 = 14.0
+    val m = s1 / n
+    val vr = (s2 - s1 * m) / (n - 1.0)
+    val t = m / math.sqrt(vr / n)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == hr(m, 4) && r.getDouble(2) == hr(t, 4))
+    assert(!r.getBoolean(3), "small-sample mean shift must not flag")
+    // single pair or constant diffs degenerate to NULL t
+    val r2 = Stats.pairedT(Seq(5.0).toDF("__d"), "__d").collect().head
+    assert(r2.isNullAt(2) && r2.isNullAt(3))
+    val r3 = Stats.pairedT(Seq(5.0, 5.0).toDF("__d"), "__d").collect().head
+    assert(r3.isNullAt(2), "zero variance must NULL the statistic")
+  }
+
+  test("jarqueBera: hand-derived jb via the operator's own IEEE sequence; degenerate NULL") {
+    import spark.implicits._
+    def hr2(x: Double): Double = math.floor(x * 100.0 + 0.5) / 100.0
+    // skewed group: [1,1,1,10]; constant group degenerates
+    val df0 = Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 10.0),
+      ("c", 7.0), ("c", 7.0), ("c", 7.0)).toDF("g", "v")
+    val rows = Stats.jarqueBera(df0, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = 4.0
+    val (s1, s2, s3, s4) = (13.0, 103.0, 1003.0, 10003.0)
+    val m = s1 / n
+    val m2 = s2 / n - m * m
+    val m3 = s3 / n - 3.0 * m * (s2 / n) + 2.0 * m * m * m
+    val m4 = s4 / n - 4.0 * m * (s3 / n) + 6.0 * m * m * (s2 / n) - 3.0 * m * m * m * m
+    val g1 = m3 / (math.sqrt(m2) * m2)
+    val g2 = m4 / (m2 * m2) - 3.0
+    val jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    assert(rows("a").getDouble(2) == hr2(jb))
+    assert(rows("c").isNullAt(2) && rows("c").isNullAt(3),
+      "zero-variance group must NULL jb")
   }
 
   test("welchT: hand-derived t/df via the operator's own IEEE sequence; degenerate NULL") {

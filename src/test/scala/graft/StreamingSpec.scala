@@ -953,6 +953,59 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == oneShot)
   }
 
+  test("streaming calibration monitor: merged cells reproduce the batch ECE table (D40)") {
+    // D40: B145's calibration maintained under streaming ingestion —
+    // state = per-bin (n, pos, decimal-exact score sum), field-wise
+    // associative merge, ONE shared derivation (eceFromCells) so
+    // state-maintained == one-shot EXACTLY, decimal confidence sums
+    // included. Score/label derive per microbatch with the embedded
+    // model (pure map — the D25 shape on the classifier grain).
+    import graft.operators.stats.Calibration
+    import graft.operators.text.{QualityClassifier, TextStats}
+    def scoredLabeled(df: org.apache.spark.sql.DataFrame) = {
+      val scored = QualityClassifier.scoreWithModel(df, "doc_id", "text",
+        SparkEntry.qualityModelWeights, SparkEntry.qualityModelBias)
+        .select("doc_id", "score")
+      val ws = QualityClassifier.tokens(col("text"))
+      val lab = df.where(col("text").isNotNull)
+        .select(col("doc_id"), ws.as("__ws"))
+        .where(size(col("__ws")) > 0)
+        .select(col("doc_id"),
+          (size(filter(col("__ws"), w => w.isInCollection(TextStats.Markers.head._2)))
+            .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
+      scored.join(lab, "doc_id")
+    }
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Calibration.calibrationCells(scoredLabeled(df), col("score"), col("lbl"))
+    val dir = Files.createTempDirectory("graft_calib_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).documents.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val next = st match {
+          case None => cells(batch)
+          case Some(prev) => Calibration.mergeCalibrationCells(prev, cells(batch))
+        }
+        st = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val streamed = canon(Calibration.eceFromCells(st.get))
+    val oneShot = canon(Calibration.ece(scoredLabeled(batchDf), col("score"), col("lbl")))
+    assert(streamed.nonEmpty && streamed == oneShot)
+  }
+
   test("streaming bootstrap state: merged rep sums reproduce the batch CI (D27)") {
     // D27: B107's Poisson-bootstrap CI maintained under streaming
     // ingestion — state = <= R rows of (rep, decimal weighted sum,
