@@ -582,6 +582,64 @@ object SparkEntry {
             lit(1.0) - col("brier") / (col("__base") * (lit(1.0) - col("__base"))))
             .as("brier_skill"))
     }),
+    "q_pr_curve" -> ((s, dir) =>
+      // precision/recall threshold sweep (B150): per-threshold confusion
+      // over the ≤10001-cell score-grid spine (D41's mergeable state —
+      // ONE shared derivation, prCurveFromCells) crossed with a 9-row
+      // threshold generator; conditional EXACT sums, one-division rates
+      // unrounded (B56 rule), f1 a fixed IEEE chain; `prec` not
+      // `precision` (reserved word).
+      graft.operators.stats.Calibration
+        .prCurve(classifierScoredLabeled(s, dir), col("score"), col("lbl"))
+        .orderBy("threshold")),
+    "q_mcc" -> ((s, dir) => {
+      // Matthews correlation + balanced accuracy + Youden's J (B151):
+      // the chance-robust single-number summaries next to C83's rates,
+      // on the SAME learned-flag-vs-screen confusion. Counts exact;
+      // the mcc numerator and the two denominator products cross
+      // DECIMAL(19,0)·DECIMAL(19,0) (HUGEINT mirror — wrap-safe past
+      // LONG at corpus scale), each correctly rounded to double once;
+      // den = sqrt·sqrt (correctly-rounded IEEE, not libm), ONE
+      // division ⇒ mcc engine-identical, hashed UNROUNDED; bal_acc /
+      // youden_j are one-division IEEE chains over the exact counts.
+      // Single row (EntrySpec exemption).
+      import graft.operators.text.{QualityClassifier, TextStats}
+      val d = snap(s, dir).documents
+      val scored = QualityClassifier
+        .scoreWithModel(d, "doc_id", "text", qualityModelWeights, qualityModelBias)
+        .select("doc_id", "is_quality")
+      val ws = QualityClassifier.tokens(col("text"))
+      val lab = d.where(col("text").isNotNull)
+        .select(col("doc_id"), ws.as("__ws"))
+        .where(size(col("__ws")) > 0)
+        .select(col("doc_id"),
+          (size(filter(col("__ws"), w => w.isInCollection(TextStats.Markers.head._2)))
+            .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
+      val p = col("is_quality"); val y = col("lbl")
+      def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
+      val tpr = col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+      val tnr = col("tn").cast("double") / (col("tn") + col("fp")).cast("double")
+      scored.join(lab, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(p && y, 1L).otherwise(0L)).as("tp"),
+          sum(when(p && !y, 1L).otherwise(0L)).as("fp"),
+          sum(when(!p && y, 1L).otherwise(0L)).as("fn"),
+          sum(when(!p && !y, 1L).otherwise(0L)).as("tn"))
+        .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+          (dec(col("tp")) * dec(col("tn")) - dec(col("fp")) * dec(col("fn")))
+            .cast("double").as("__num"),
+          (sqrt((dec(col("tp") + col("fp")) * dec(col("tp") + col("fn"))).cast("double"))
+            * sqrt((dec(col("tn") + col("fp")) * dec(col("tn") + col("fn"))).cast("double")))
+            .as("__den"))
+        .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("tp") + col("fp") > 0L && col("tp") + col("fn") > 0L &&
+            col("tn") + col("fp") > 0L && col("tn") + col("fn") > 0L,
+            col("__num") / col("__den")).as("mcc"),
+          when(col("tp") + col("fn") > 0L && col("tn") + col("fp") > 0L,
+            (tpr + tnr) / lit(2.0)).as("bal_acc"),
+          when(col("tp") + col("fn") > 0L && col("tn") + col("fp") > 0L,
+            tpr + tnr - lit(1.0)).as("youden_j"))
+    }),
     "q_text_tokens" -> ((s, dir) =>
       TextStats.tokenCounts(snap(s, dir).documents, "doc_id", "text").orderBy("doc_id")),
     "q_temperature_mix" -> ((s, dir) =>
@@ -2534,6 +2592,39 @@ object SparkEntry {
       // one division per ratio, unrounded.
       graft.operators.stats.Profiling.lexicalDiversityBySource(
         snap(s, dir).documents, "source", "text")),
+    "q_vocab_overlap" -> ((s, dir) =>
+      // cross-source vocabulary overlap (C88): per source pair, shared
+      // vocab / Jaccard / containment over the C74 word spine — the
+      // slice-similarity screen; word-keyed self-join with fan-out
+      // bounded by the source count, exact counts, one-division
+      // ratios unrounded.
+      graft.operators.stats.Profiling.vocabOverlapBySource(
+        snap(s, dir).documents, "source", "text")
+        .orderBy("src_a", "src_b")),
+    "q_heaps_fit" -> ((s, dir) =>
+      // Heaps'-law vocabulary growth (C86): cumulative vocab vs tokens
+      // over 20 doc-order range buckets, ln-ln regression folded in
+      // bucket order over the bounded spine (the zipf protocol);
+      // beta/lnk/corr hashRound(4) — the 16TH audited transcendental;
+      // cum counts exact BIGINT.
+      graft.operators.text.TextStats
+        .heapsFit(snap(s, dir).documents, "doc_id", "text")
+        .orderBy("bucket")),
+    "q_code_detect" -> ((s, dir) => {
+      // code-vs-prose screen (C87): symbol share + keyword hits +
+      // indented lines, engine-identical booleans (the gopher rule).
+      // Deterministic code noise keeps is_code non-vacuous on this
+      // prose corpus (the q_casing_audit convention): every 23rd doc
+      // gets a code snippet appended, the next gets symbol soup with
+      // NO keywords (the half-trigger negative).
+      val d = snap(s, dir).documents.where(col("text").isNotNull)
+      val noisy = d.select(col("doc_id"),
+        when(col("doc_id") % 23 === 0, concat(col("text"), lit(codeNoiseSnippet)))
+          .when(col("doc_id") % 23 === 1, concat(col("text"), lit(symbolNoiseSnippet)))
+          .otherwise(col("text")).as("text"))
+      graft.operators.text.TextStats.codeAudit(noisy, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "q_name_match" -> ((s, dir) =>
       // Jaro-Winkler fuzzy name pairs (C75): top-50 most-similar part
       // names within a two-word blocking key — DuckDB-pinned byte
@@ -3940,6 +4031,29 @@ object SparkEntry {
        |FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** Deterministic code-noise texts for q_code_detect (C87, the
+    * q_casing_audit noise convention): the first carries keywords +
+    * symbols + 2-space-indented lines (every 23rd doc → is_code), the
+    * second symbol soup with NO keywords (the half-trigger negative —
+    * symbol share alone must not flag). Keywords sit space-separated on
+    * both sides so the space-split token convention isolates them;
+    * newlines attach to their own tokens.
+    */
+  private val codeNoiseSnippet: String =
+    " \n def compute(x): \n   return x * 2 \n import sys \n class Foo: \n" +
+      "   var y = {1: (2)} ; \n   if (y == 2) { y = (x); } else { y = [3]; } \n"
+  private val symbolNoiseSnippet: String =
+    " \n ((())) {{}} == <<>> ;; [] = () \n"
+
+  /** A DuckDB string expression rebuilding `sq` byte-for-byte: newline
+    * segments join via chr(10) (SQL literals cannot embed the newline
+    * portably). Segments must not contain single quotes.
+    */
+  private def sqlStringLit(sq: String): String = {
+    require(!sq.contains("'"), "sqlStringLit segments must not contain quotes")
+    sq.split("\n", -1).map(seg => s"'$seg'").mkString("(", " || chr(10) || ", ")")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_keyword_search" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
@@ -5031,6 +5145,65 @@ object SparkEntry {
          |  CASE WHEN n_docs > 0
          |    THEN floor((tt / CAST(n_docs AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 END AS log_loss
          |FROM a""".stripMargin,
+    // B150 precision/recall sweep: the score-grid cells cross a 9-row
+    // threshold spine, per-threshold confusion = conditional exact
+    // sums, one-division rates unrounded, f1 a fixed IEEE chain.
+    "q_pr_curve" ->
+      s"""WITH $classifierScoreLabelCtes,
+         |cells AS (
+         |  SELECT score AS s, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS p
+         |  FROM jj GROUP BY 1),
+         |th AS (SELECT unnest([${(1 to 9).map(i => s"CAST('${i / 10.0}' AS DOUBLE)").mkString(", ")}]) AS threshold),
+         |g AS (
+         |  SELECT threshold,
+         |    CAST(SUM(CASE WHEN s >= threshold THEN p ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN s >= threshold THEN n - p ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN s < threshold THEN p ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN s < threshold THEN n - p ELSE 0 END) AS BIGINT) AS tn
+         |  FROM cells, th GROUP BY 1),
+         |r AS (
+         |  SELECT threshold, tp, fp, fn, tn,
+         |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+         |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+         |  FROM g)
+         |SELECT threshold, tp, fp, fn, tn, prec, recall,
+         |  CASE WHEN prec IS NOT NULL AND recall IS NOT NULL AND prec + recall > 0.0
+         |    THEN 2.0 * prec * recall / (prec + recall) END AS f1
+         |FROM r ORDER BY threshold""".stripMargin,
+    // B151 MCC + balanced accuracy + Youden's J: HUGEINT products for
+    // the numerator and the two denominator halves (the mann-whitney
+    // wrap-safety convention), each correctly rounded to double once;
+    // den = sqrt·sqrt, one division; bal_acc/youden_j one-division
+    // chains over exact counts.
+    "q_mcc" ->
+      s"""WITH $classifierLogitCtes,
+         |$classifierLabelCte,
+         |j AS (SELECT s.logit > 0 AS p, l.lbl AS y FROM s JOIN l USING (doc_id)),
+         |c AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM j),
+         |m AS (
+         |  SELECT n, tp, fp, fn, tn,
+         |    CAST(CAST(tp AS HUGEINT) * CAST(tn AS HUGEINT)
+         |      - CAST(fp AS HUGEINT) * CAST(fn AS HUGEINT) AS DOUBLE) AS num,
+         |    sqrt(CAST(CAST(tp + fp AS HUGEINT) * CAST(tp + fn AS HUGEINT) AS DOUBLE))
+         |      * sqrt(CAST(CAST(tn + fp AS HUGEINT) * CAST(tn + fn AS HUGEINT) AS DOUBLE)) AS den
+         |  FROM c)
+         |SELECT n, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+         |    THEN num / den END AS mcc,
+         |  CASE WHEN tp + fn > 0 AND tn + fp > 0
+         |    THEN (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+         |          + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)) / 2.0 END AS bal_acc,
+         |  CASE WHEN tp + fn > 0 AND tn + fp > 0
+         |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+         |         + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) - 1.0 END AS youden_j
+         |FROM m""".stripMargin,
     // B147 Jarque–Bera: the B95 power-sum CTE + a LAYERED central-moment
     // chain (a named CTE column holds the same double as the inline
     // expansion), jb rounded via the floor formula at 2 digits.
@@ -7415,6 +7588,24 @@ object SparkEntry {
         |  CAST(n_types AS DOUBLE) / CAST(n_words AS DOUBLE) AS type_token_ratio,
         |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_share
         |FROM a ORDER BY source""".stripMargin,
+    // C88 cross-source vocabulary overlap: the C74 word spine, distinct
+    // per source, word-keyed self-join with src_a < src_b; exact
+    // counts, one-division jaccard/containment unrounded.
+    "q_vocab_overlap" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |           FROM documents
+        |           WHERE text IS NOT NULL AND source IS NOT NULL),
+        |v AS (SELECT DISTINCT source, w FROM w),
+        |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_common
+        |      FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard,
+        |  CAST(n_common AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+        |FROM p JOIN s sa ON p.src_a = sa.source JOIN s sb ON p.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     // C75 Jaro-Winkler name pairs: the whole operator re-derived with
     // DuckDB's builtin (semantics probed and pinned in NameMatch);
     // floor-round-4 scores order the cut, (id_a, id_b) tiebreak
@@ -7753,6 +7944,99 @@ object SparkEntry {
         |  floor(icept * 10000.0 + 0.5) / 10000.0 AS zipf_intercept,
         |  floor(corr * 10000.0 + 0.5) / 10000.0 AS fit_corr
         |FROM o CROSS JOIN v""".stripMargin,
+    // C86 Heaps'-law fit at the shingle grain: 20 doc-id-range buckets
+    // (exact integer //), first-occurrence C36 shingles at bucket
+    // grain (string shingles stand in for the operator's xxhash keys —
+    // the q_novelty_hashed argument), cumulative windows over the
+    // aggregated spine, and the zipf fold protocol on ln-ln pairs (the
+    // 16th audited transcendental).
+    "q_heaps_fit" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, string_split(lower(text), ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+        |f AS (SELECT id,
+        |    CAST(len(list_filter(ws, x -> len(x) > 0)) AS BIGINT) AS ntok,
+        |    list_distinct(CASE WHEN len(ws) >= 5
+        |      THEN list_transform(range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' '))
+        |      ELSE [array_to_string(ws, ' ')] END) AS ss
+        |  FROM d),
+        |rng AS (SELECT MIN(id) AS mn, MAX(id) AS mx FROM f),
+        |b AS (SELECT CAST(((id - mn) * 20) // (mx - mn + 1) AS INTEGER) AS bucket, ntok, ss
+        |      FROM f, rng),
+        |pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(ntok) AS BIGINT) AS tok
+        |       FROM b GROUP BY 1),
+        |fw AS (SELECT s, MIN(bucket) AS fb
+        |       FROM (SELECT bucket, unnest(ss) AS s FROM b) GROUP BY 1),
+        |nv AS (SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS newv FROM fw GROUP BY 1),
+        |sp AS (SELECT pb.bucket, pb.n_docs,
+        |         CAST(coalesce(nv.newv, 0) AS BIGINT) AS new_types, pb.tok
+        |       FROM pb LEFT JOIN nv USING (bucket)),
+        |cum AS (SELECT bucket, n_docs, new_types,
+        |         CAST(SUM(tok) OVER (ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |         CAST(SUM(new_types) OVER (ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+        |        FROM sp),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+        |        list({'bucket': bucket, 'ct': cum_tokens, 'cv': cum_types}
+        |          ORDER BY bucket) AS ps
+        |      FROM cum WHERE cum_tokens > 0 AND cum_types > 0),
+        |fl AS (SELECT np, CAST(np AS DOUBLE) AS nd,
+        |    list_reduce(list_transform(ps, e ->
+        |      ln(CAST(e.ct AS DOUBLE))), (a, b) -> a + b) AS sx,
+        |    list_reduce(list_transform(ps, e ->
+        |      ln(CAST(e.cv AS DOUBLE))), (a, b) -> a + b) AS sy,
+        |    list_reduce(list_transform(ps, e ->
+        |      ln(CAST(e.ct AS DOUBLE)) * ln(CAST(e.ct AS DOUBLE))), (a, b) -> a + b) AS sxx,
+        |    list_reduce(list_transform(ps, e ->
+        |      ln(CAST(e.ct AS DOUBLE)) * ln(CAST(e.cv AS DOUBLE))), (a, b) -> a + b) AS sxy,
+        |    list_reduce(list_transform(ps, e ->
+        |      ln(CAST(e.cv AS DOUBLE)) * ln(CAST(e.cv AS DOUBLE))), (a, b) -> a + b) AS syy
+        |  FROM p),
+        |z AS (SELECT np, nd, sx, sy,
+        |    nd * sxx - sx * sx AS denx, nd * syy - sy * sy AS deny,
+        |    nd * sxy - sx * sy AS num
+        |  FROM fl),
+        |o AS (SELECT
+        |    CASE WHEN np >= 3 AND denx > 0 AND deny > 0
+        |      THEN floor((num / denx) * 10000.0 + 0.5) / 10000.0 END AS heaps_beta,
+        |    CASE WHEN np >= 3 AND denx > 0 AND deny > 0
+        |      THEN floor(((sy - (num / denx) * sx) / nd) * 10000.0 + 0.5) / 10000.0 END AS heaps_lnk,
+        |    CASE WHEN np >= 3 AND denx > 0 AND deny > 0
+        |      THEN floor((num / (sqrt(denx) * sqrt(deny))) * 10000.0 + 0.5) / 10000.0 END AS fit_corr
+        |  FROM z)
+        |SELECT cum.bucket, cum.n_docs, cum.new_types, cum.cum_tokens, cum.cum_types,
+        |  o.heaps_beta, o.heaps_lnk, o.fit_corr
+        |FROM cum CROSS JOIN o ORDER BY bucket""".stripMargin,
+    // C87 code-detect screen: deterministic code noise (every 23rd doc
+    // gets a keyword+symbol snippet, the next symbol soup with no
+    // keywords); translate-delete symbol counting, exact-token keyword
+    // membership, chr(10) line split; one-division share, engine-
+    // identical is_code.
+    "q_code_detect" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 23 = 0 THEN text || ${sqlStringLit(codeNoiseSnippet)}
+         |         WHEN doc_id % 23 = 1 THEN text || ${sqlStringLit(symbolNoiseSnippet)}
+         |         ELSE text END AS text
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id, text,
+         |        list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
+         |        string_split(text, chr(10)) AS ls
+         |      FROM d WHERE len(text) > 0),
+         |m AS (SELECT doc_id,
+         |        CAST(len(text) AS BIGINT) AS n_chars,
+         |        CAST(len(text) - len(translate(text, '{}()[];=<>', '')) AS BIGINT) AS n_symbol,
+         |        CAST(len(ws) AS BIGINT) AS n_words,
+         |        CAST(len(list_filter(ws, x -> x IN (${graft.operators.text.TextStats.CodeKeywords.map(k => s"'$k'").mkString(", ")}))) AS BIGINT) AS kw_hits,
+         |        CAST(len(list_filter(ls, x -> x LIKE '  %')) AS BIGINT) AS indent_lines
+         |      FROM w)
+         |SELECT doc_id, n_chars, n_symbol, n_words, kw_hits, indent_lines,
+         |  CAST(n_symbol AS DOUBLE) / CAST(n_chars AS DOUBLE) AS symbol_share,
+         |  CAST(n_symbol AS DOUBLE) / CAST(n_chars AS DOUBLE) >= 0.02
+         |    AND kw_hits >= 2 AS is_code
+         |FROM m ORDER BY doc_id""".stripMargin,
     // C78 casing audit: deterministic casing noise (every 17th doc
     // uppercased, next gets a TitleCase header); exact-int share
     // divisions, anchored common-subset regexes

@@ -57,7 +57,11 @@ object Isotonic {
     val a = pre.select(col("bin").as("sa"), col("bp").as("bpa"), col("bc").as("bca"))
     val b = pre.select(col("bin").as("sb"),
       (col("bp") + col("pos")).as("cpb"), (col("bc") + col("cnt")).as("ccb"))
-    val pairs = a.join(b, col("sa") <= col("sb"))
+    // the explicit broadcast pins the BroadcastNestedLoopJoin shape the
+    // scale contract states — without it Spark plans an inner non-equi
+    // join as CartesianProduct + filter (PlanSpec's no-cartesian sweep
+    // caught exactly that); b is the digit-grid-bounded spine
+    val pairs = a.join(broadcast(b), col("sa") <= col("sb"))
       .select(col("sa"), col("sb"),
         ((col("cpb") - col("bpa")).cast("double") /
           (col("ccb") - col("bca")).cast("double")).as("avgab"))

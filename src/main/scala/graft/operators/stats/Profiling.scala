@@ -161,6 +161,38 @@ object Profiling {
   def mergeWordCounts(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("source", "word").agg(sum(col("c")).as("c"))
 
+  /** Cross-source vocabulary overlap (C88) — the slice-similarity /
+    * contamination screen between corpus sources: per ordered source
+    * pair, shared-vocabulary count, Jaccard, and containment
+    * (common / min vocab). Rides the [[wordCounts]] vocabulary table
+    * (C74/D31's shared tokenization — ONE definition): the distinct
+    * (source, word) spine self-joins on `word` with `src_a < src_b`,
+    * so the join fan-out per word is bounded by the SOURCE count
+    * (≤ nSources² output pairs per word, never a row-grain product) and
+    * the output is ≤ nSources² rows at any corpus size. Exact counts;
+    * jaccard/containment ONE exact-int division each ⇒ hash-safe
+    * UNROUNDED (the B56 rule). Pair membership orders by the sources'
+    * raw string comparison (ASCII sources — both engines agree; a
+    * non-ASCII source column would need a collation pin).
+    */
+  def vocabOverlapBySource(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val vocab = wordCounts(df, sourceCol, textCol).select("source", "word")
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.word") === col("b.word") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"),
+        (col("n_common").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+  }
+
   /** The diversity report from a pre-aggregated word-count state — see
     * [[lexicalDiversityBySource]] for the full contract.
     */

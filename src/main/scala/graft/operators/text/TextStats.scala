@@ -346,6 +346,129 @@ object TextStats {
       graft.functions.ExactMath.hashRound(when(ok, corr), 4).as("fit_corr"))
   }
 
+  /** Heaps'-law vocabulary-growth fit at the SHINGLE grain (C86) —
+    * Zipf's companion corpus sanity check: V(N) ≈ k·N^β, so ln V on
+    * ln N should be near-linear (template/machine corpora bend off it;
+    * a duplicated corpus flattens it). The "type" unit is the C36
+    * 5-word shingle, NOT the word: this synthetic corpus draws from a
+    * small FIXED word vocabulary that saturates in the first bucket
+    * (word-grain V is constant ⇒ degenerate fit — the q_boilerplate
+    * vacuity lesson, measured), while shingle types genuinely grow with
+    * the corpus; shingle-grain Heaps is also what the dedup/novelty
+    * family actually consumes. N/V checkpoints are `nBuckets`
+    * doc-id-range slices in document order: bucket =
+    * ((id − mn)·nBuckets) div (mx − mn + 1) — EXACT integer arithmetic
+    * on a broadcast 1-row (mn, mx) aggregate, engine-identical, never a
+    * row-grain ntile window. Per-bucket token sums are exact LONGs; a
+    * shingle's first bucket = min bucket (monotone in doc_id ⇒ the C66
+    * first-occurrence convention at bucket grain); cumulative
+    * tokens/types are windows over the ≤ nBuckets AGGREGATED spine
+    * (the q_peaks-allowed shape). The spine shuffle keys are the 64-bit
+    * xxhash shingles (the C66b slim-spine plan — every count is
+    * identical to the string form absent an xxhash64 collision, the
+    * argument q_novelty_hashed's green oracle already proves on this
+    * corpus; the DuckDB oracle computes the string form). The ln-ln
+    * regression folds its five power sums SEQUENTIALLY in bucket order
+    * over the collected spine (transform + 0.0-init aggregate —
+    * init-less `list_reduce` mirror, the zipfFit protocol);
+    * beta/lnk/corr go through `hashRound(4)` under a MarginAuditSpec
+    * boundary audit (the 16TH audited transcendental). Buckets with
+    * zero cumulative tokens/types are excluded from the fit by the
+    * exact-int predicate; NULL fit under 3 points or degenerate
+    * variance. Token counts use the `termCounts` convention (lower,
+    * space-split, empties drop); shingles use the C66 convention
+    * verbatim (unfiltered split, whole-text fallback under 5 words).
+    */
+  def heapsFit(
+      df: DataFrame, idCol: String, textCol: String, nBuckets: Int = 20): DataFrame = {
+    require(nBuckets >= 3 && nBuckets <= 1000,
+      s"nBuckets must be in [3,1000], got $nBuckets")
+    val ws0 = split(lower(col(textCol)), " ")
+    val shingles = array_distinct(GraftFunctions.shingleHashes(ws0, 5))
+    val base = df.where(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        size(filter(ws0, w => length(w) > 0)).cast("long").as("__ntok"),
+        shingles.as("__ss"))
+    val rng = base.agg(min(col("__id")).as("__mn"), max(col("__id")).as("__mx"))
+    val bucketed = base.crossJoin(broadcast(rng))
+      .withColumn("__bucket",
+        expr(s"CAST(((__id - __mn) * ${nBuckets}L) div (__mx - __mn + 1L) AS INT)"))
+    val perBucket = bucketed.groupBy("__bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("__tok"))
+    val newTypes = bucketed
+      .select(col("__bucket"), explode(col("__ss")).as("__s"))
+      .groupBy("__s").agg(min(col("__bucket")).as("__fb"))
+      .groupBy(col("__fb").as("__bucket")).agg(count(lit(1)).as("__newv"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = perBucket.join(newTypes, Seq("__bucket"), "left")
+      .select(col("__bucket").as("bucket"), col("n_docs"),
+        coalesce(col("__newv"), lit(0L)).as("new_types"), col("__tok"))
+      .select(col("bucket"), col("n_docs"), col("new_types"),
+        sum(col("__tok")).over(w).as("cum_tokens"),
+        sum(col("new_types")).over(w).as("cum_types"))
+    val pts = cum.where(col("cum_tokens") > 0L && col("cum_types") > 0L)
+      .agg(count(lit(1)).as("__np"),
+        array_sort(collect_list(struct(col("bucket"),
+          col("cum_tokens"), col("cum_types")))).as("__ps"))
+    def fold(term: Column => Column): Column =
+      aggregate(transform(col("__ps"), term), lit(0.0), (acc, t) => acc + t)
+    def x(e: Column): Column = log(e.getField("cum_tokens").cast("double"))
+    def y(e: Column): Column = log(e.getField("cum_types").cast("double"))
+    val n = col("__np").cast("double")
+    val sx = fold(x); val sy = fold(y)
+    val sxx = fold(e => x(e) * x(e)); val sxy = fold(e => x(e) * y(e))
+    val syy = fold(e => y(e) * y(e))
+    val denx = n * sxx - sx * sx
+    val deny = n * syy - sy * sy
+    val num = n * sxy - sx * sy
+    val slope = num / denx
+    val intercept = (sy - slope * sx) / n
+    val corr = num / (sqrt(denx) * sqrt(deny))
+    val ok = col("__np") >= 3L && denx > 0.0 && deny > 0.0
+    val fit = pts.select(
+      graft.functions.ExactMath.hashRound(when(ok, slope), 4).as("heaps_beta"),
+      graft.functions.ExactMath.hashRound(when(ok, intercept), 4).as("heaps_lnk"),
+      graft.functions.ExactMath.hashRound(when(ok, corr), 4).as("fit_corr"))
+    cum.crossJoin(broadcast(fit))
+  }
+
+  /** Code-vs-prose screen per document (C87) — the filter a text
+    * pipeline runs to ROUTE code out of (or into) a training mix:
+    * symbol-character share (`{}()[];=<>` via a translate-delete
+    * length diff — pure codepoint counting, both engines), code-keyword
+    * token hits (exact whitespace-token membership), and 2-space
+    * indented-line count (the dominant code formatting signal; lines =
+    * `\n` split). `symbol_share` is ONE exact-int division and
+    * `is_code` = share ≥ 0.02 AND ≥ 2 keyword hits — engine-identical
+    * booleans (the q_gopher_rules rule). NULL/empty texts drop.
+    */
+  def codeAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, " "), w => length(w) > 0)
+    val kw = size(filter(words, w => w.isInCollection(CodeKeywords))).cast("long")
+    val symbols = (length(t) - length(translate(t, CodeSymbols, ""))).cast("long")
+    val indents = size(filter(split(t, "\n"), l => l.startsWith("  "))).cast("long")
+    val nChars = length(t).cast("long")
+    df.where(t.isNotNull && length(t) > 0)
+      .select(col(idCol),
+        nChars.as("n_chars"), symbols.as("n_symbol"),
+        size(words).cast("long").as("n_words"), kw.as("kw_hits"),
+        indents.as("indent_lines"),
+        (symbols.cast("double") / nChars.cast("double")).as("symbol_share"))
+      .withColumn("is_code", col("symbol_share") >= 0.02 && col("kw_hits") >= 2L)
+  }
+
+  /** The code-keyword vocabulary of [[codeAudit]] — shared with the
+    * oracle literal list.
+    */
+  val CodeKeywords: Seq[String] =
+    Seq("def", "return", "import", "class", "function", "var", "const",
+      "if", "else", "for")
+
+  /** The symbol-character class of [[codeAudit]]. */
+  val CodeSymbols: String = "{}()[];=<>"
+
   /** Casing / character-class profile per document (C78) — the
     * SHOUTY-TEXT and OCR-noise screen next to [[garbledAudit]] (symbol
     * soup there; casing pathology here): ALL-CAPS word share (boiler

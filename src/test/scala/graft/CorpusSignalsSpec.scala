@@ -9,6 +9,107 @@ import graft.operators.text.Compress
 class CorpusSignalsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("heapsFit: hand-derived buckets, cumulative spine, and fold-exact fit") {
+    import graft.operators.text.TextStats
+    // ids 0..9, nBuckets=5 -> bucket = (id*5) div 10: {0,1}->0 ... {8,9}->4
+    // types are C36 shingles: <5-word texts collapse to ONE whole-text
+    // shingle; doc 8 (6 words) contributes TWO 5-word window shingles.
+    // doc 5 duplicates doc 0's text -> its shingle is NOT new (the
+    // first-occurrence convention at bucket grain).
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"),          // b0: 4 tok, new {"a b","a c"}=2
+      (2L, "a b c"), (3L, "d"),          // b1: 4 tok, new {"a b c","d"}=2
+      (4L, "d e e"), (5L, "a b"),        // b2: 5 tok, new {"d e e"}=1
+      (6L, "f g"), (7L, null: String),   // b3: 2 tok, new {"f g"}=1
+      (8L, "p q r s t u"), (9L, "h")     // b4: 7 tok, new {2 windows,"h"}=3
+    ).toDF("doc_id", "text")
+    val out = TextStats.heapsFit(docs, "doc_id", "text", nBuckets = 5)
+      .orderBy("bucket").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3, 4))
+    assert(out.map(_.getLong(out.head.fieldIndex("new_types"))).toSeq ==
+      Seq(2L, 2L, 1L, 1L, 3L))
+    assert(out.map(_.getLong(out.head.fieldIndex("cum_tokens"))).toSeq ==
+      Seq(4L, 8L, 13L, 15L, 22L))
+    assert(out.map(_.getLong(out.head.fieldIndex("cum_types"))).toSeq ==
+      Seq(2L, 4L, 5L, 6L, 9L))
+    // fit: re-derive with the operator's own fold sequence over the
+    // hand-checked exact spine (the transcendental chain is what the
+    // margin audit guards; here we pin the plumbing end to end)
+    val pts = Seq((4L, 2L), (8L, 4L), (13L, 5L), (15L, 6L), (22L, 9L))
+    val n = pts.length.toDouble
+    def fold(f: (Long, Long) => Double): Double =
+      pts.foldLeft(0.0) { case (acc, (ct, cv)) => acc + f(ct, cv) }
+    val sx = fold((ct, _) => math.log(ct.toDouble))
+    val sy = fold((_, cv) => math.log(cv.toDouble))
+    val sxx = fold((ct, _) => math.log(ct.toDouble) * math.log(ct.toDouble))
+    val sxy = fold((ct, cv) => math.log(ct.toDouble) * math.log(cv.toDouble))
+    val syy = fold((_, cv) => math.log(cv.toDouble) * math.log(cv.toDouble))
+    val denx = n * sxx - sx * sx; val deny = n * syy - sy * sy
+    val num = n * sxy - sx * sy
+    def hr4(v: Double): Double = math.floor(v * 10000.0 + 0.5) / 10000.0
+    val r = out.head
+    assert(r.getDouble(r.fieldIndex("heaps_beta")) == hr4(num / denx))
+    assert(r.getDouble(r.fieldIndex("heaps_lnk")) ==
+      hr4((sy - (num / denx) * sx) / n))
+    assert(r.getDouble(r.fieldIndex("fit_corr")) ==
+      hr4(num / (math.sqrt(denx) * math.sqrt(deny))))
+    assert(r.getDouble(r.fieldIndex("heaps_beta")) > 0.0)
+  }
+
+  test("heapsFit: exact-copy corpus grows types only in the first bucket") {
+    import graft.operators.text.TextStats
+    val dup = (0L until 12L).map(i => (i, "x y z")).toDF("doc_id", "text")
+    val out = TextStats.heapsFit(dup, "doc_id", "text", nBuckets = 4)
+      .orderBy("bucket").collect()
+    val nw = out.map(r => r.getLong(r.fieldIndex("new_types"))).toSeq
+    assert(nw.head == 1L && nw.tail.forall(_ == 0L),
+      s"duplicated corpus must stop growing its type inventory, got $nw")
+    val cv = out.map(r => r.getLong(r.fieldIndex("cum_types"))).toSeq
+    assert(cv.forall(_ == 1L))
+  }
+
+  test("codeAudit: hand-counted symbols/keywords/indents; soup stays unflagged") {
+    import graft.operators.text.TextStats
+    val code = "a b \n def f(x): \n   return x ; \n"
+    val soup = "w ((())) {{}} == <<>> ;;"
+    val prose = "plain words only here"
+    val df = Seq((1L, code), (2L, soup), (3L, prose)).toDF("doc_id", "text")
+    val out = TextStats.codeAudit(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    val c = byId(1L)
+    assert(c.getLong(c.fieldIndex("n_chars")) == code.length.toLong)
+    // symbols in "{}()[];=<>": ( ) :-excluded ; -> f(x): has ( ), "; " has ;
+    assert(c.getLong(c.fieldIndex("n_symbol")) == 3L)
+    assert(c.getLong(c.fieldIndex("kw_hits")) == 2L)  // def, return
+    assert(c.getLong(c.fieldIndex("indent_lines")) == 1L)
+    assert(c.getBoolean(c.fieldIndex("is_code")))
+    val s = byId(2L)
+    assert(s.getLong(s.fieldIndex("kw_hits")) == 0L)
+    assert(s.getDouble(s.fieldIndex("symbol_share")) > 0.02)
+    assert(!s.getBoolean(s.fieldIndex("is_code")),
+      "symbol soup without keywords must not flag")
+    val p = byId(3L)
+    assert(p.getLong(p.fieldIndex("n_symbol")) == 0L &&
+      !p.getBoolean(p.fieldIndex("is_code")))
+  }
+
+  test("vocabOverlapBySource: hand-derived pair, zero-overlap pairs absent") {
+    val df = Seq(
+      (1L, "a b c", "s1"), (2L, "b c d e", "s2"), (3L, "x", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = Profiling.vocabOverlapBySource(df, "source", "text").collect()
+    assert(out.length == 1, s"only (s1,s2) shares vocab, got ${out.toSeq}")
+    val r = out.head
+    assert(r.getString(r.fieldIndex("src_a")) == "s1" &&
+      r.getString(r.fieldIndex("src_b")) == "s2")
+    assert(r.getLong(r.fieldIndex("n_a")) == 3L &&
+      r.getLong(r.fieldIndex("n_b")) == 4L &&
+      r.getLong(r.fieldIndex("n_common")) == 2L)
+    assert(r.getDouble(r.fieldIndex("jaccard")) == 2.0 / 5.0)
+    assert(r.getDouble(r.fieldIndex("containment")) == 2.0 / 3.0)
+  }
+
   test("corpusReport computes exact metrics on a crafted corpus") {
     val df = Seq(
       (1L, "a b c", "s1"), (2L, "a b c", "s1"), // planted exact dups (mass 2)

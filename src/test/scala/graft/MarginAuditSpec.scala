@@ -80,10 +80,14 @@ class MarginAuditSpec extends SparkSpecBase {
       // floor products, means = one-division exact ints, folds =
       // pinned-order sums). No NEW transcendental evaluation exists in
       // these oracles beyond the audited sigmoid itself.
-      "q_isotonic", "q_ece", "q_brier",
+      "q_isotonic", "q_ece", "q_brier", "q_pr_curve",
       // the 15th audited ln: binned-spine logistic loss (round 16) —
       // lns at the score-spine grain, audited below
-      "q_log_loss")
+      "q_log_loss",
+      // the 16th audited ln: Heaps'-law vocabulary-growth fit
+      // (round 16) — lns over the ≤20-bucket cumulative spine,
+      // audited below (auditHeaps)
+      "q_heaps_fit")
 
   test("oracle scan: no oracle hashes a transcendental without a margin audit") {
     val offenders = SparkEntry.oracleSql.filter { case (_, sql) =>
@@ -643,6 +647,46 @@ class MarginAuditSpec extends SparkSpecBase {
     }
   }
 
+  /** q_heaps_fit hashes round-4 beta/lnk/corr whose inputs are libm ln
+    * values over the cumulative (tokens, vocab) spine (the 16th audited
+    * transcendental). The spine itself is EXACT integer counts (bucket
+    * membership is integer arithmetic — no float enters it), so only
+    * the three hashed fit values need margins; the audit re-derives
+    * them from the operator's own exact cum columns with its
+    * bucket-ordered fold sequence.
+    */
+  private def auditHeaps(sfDir: String): Unit = {
+    val pts = graft.operators.text.TextStats
+      .heapsFit(Snapshot(spark, sfDir).documents, "doc_id", "text")
+      .where(col("cum_tokens") > 0L && col("cum_types") > 0L)
+      .select("bucket", "cum_tokens", "cum_types")
+      .orderBy("bucket").collect()
+      .map(r => r.getLong(r.fieldIndex("cum_tokens")) ->
+        r.getLong(r.fieldIndex("cum_types")))
+    assert(pts.length >= 3, s"$sfDir: need >= 3 heaps points")
+    val n = pts.length.toDouble
+    def fold(f: (Long, Long) => Double): Double =
+      pts.foldLeft(0.0) { case (acc, (ct, cv)) => acc + f(ct, cv) }
+    val sx = fold((ct, _) => math.log(ct.toDouble))
+    val sy = fold((_, cv) => math.log(cv.toDouble))
+    val sxx = fold((ct, _) => math.log(ct.toDouble) * math.log(ct.toDouble))
+    val sxy = fold((ct, cv) => math.log(ct.toDouble) * math.log(cv.toDouble))
+    val syy = fold((_, cv) => math.log(cv.toDouble) * math.log(cv.toDouble))
+    val denx = n * sxx - sx * sx
+    val deny = n * syy - sy * sy
+    val num = n * sxy - sx * sy
+    val slope = num / denx
+    val intercept = (sy - slope * sx) / n
+    val corr = num / (math.sqrt(denx) * math.sqrt(deny))
+    val margin = boundaryMargin(4)
+    Seq("beta" -> slope, "lnk" -> intercept, "corr" -> corr).foreach {
+      case (name, v) =>
+        assert(margin(v) > 1e-9,
+          f"$sfDir: heaps $name $v%.10g sits ${margin(v)}%.3e from its 4-digit " +
+            "rounding boundary — libm drift could flip the hash")
+    }
+  }
+
   /** q_bartlett hashes round-4 pooled_var/chi2 whose chain routes
     * through k+1 spine-bounded lns (the 13th audited transcendental).
     * The audit re-derives both from the exact per-group decimal sums
@@ -818,6 +862,9 @@ class MarginAuditSpec extends SparkSpecBase {
     }
     test(s"zipf-fit margin audit at $dir: slope/intercept/corr margins > 1e-9") {
       auditZipf(sf(dir))
+    }
+    test(s"heaps-fit margin audit at $dir: beta/lnk/corr margins > 1e-9") {
+      auditHeaps(sf(dir))
     }
     test(s"bartlett margin audit at $dir: pooled_var/chi2 margins > 1e-9") {
       auditBartlett(sf(dir))

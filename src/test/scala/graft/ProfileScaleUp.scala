@@ -975,6 +975,31 @@ object ProfileScaleUp {
         nLists = 64, iters = 2, nAssign = 2, maxCellSize = 600)
         .groupBy().agg(count(lit(1)).as("n_survivors"))))
 
+    // round 16 continuation: the classifier-eval completions (score-grid
+    // PR sweep + MCC ride the same scored/labeled grain — cost should
+    // track the classifier score pass) and the corpus-shape additions
+    // (heaps = one vocab-grain min-bucket agg over the token explode;
+    // vocab overlap = word-keyed self-join with source-bounded fan-out;
+    // code detect = a pure per-doc map)
+    {
+      import graft.operators.stats.Calibration
+      import graft.operators.text.{QualityClassifier, TextStats}
+      val scored = QualityClassifier.scoreWithModel(
+        docs, "doc_id", "text",
+        SparkEntry.qualityModelWeights, SparkEntry.qualityModelBias)
+        .select(col("doc_id"), col("score"), (col("doc_id") % 3 === 0).as("lbl"))
+      time("pr curve (score cells)")(
+        force(Calibration.prCurve(scored, col("score"), col("lbl"))))
+      time("heaps fit (20 buckets)")(
+        force(TextStats.heapsFit(docs, "doc_id", "text")))
+      time("vocab overlap (source pairs)")(
+        force(graft.operators.stats.Profiling
+          .vocabOverlapBySource(docs, "source", "text")))
+      time("code detect (per-doc map)")(
+        force(TextStats.codeAudit(docs, "doc_id", "text")
+          .groupBy().agg(sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"))))
+    }
+
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE
     // partkey, written to parquet so every measurement starts from a real

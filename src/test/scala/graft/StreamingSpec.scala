@@ -1006,6 +1006,64 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed == oneShot)
   }
 
+  test("streaming score-grid state: merged cells reproduce batch log loss and PR curve (D41)") {
+    // D41: the finer score/label state — (score, n, pos) cells at the
+    // rounded-4 grid, merge = addition, and BOTH derivations
+    // (logLossFromCells, prCurveFromCells) are the very definitions the
+    // batch B149/B150 rows use, so state-maintained == one-shot is
+    // structural; the spec pins it bit-for-bit including the audited
+    // rounded log_loss and the unrounded PR rates.
+    import graft.operators.stats.Calibration
+    import graft.operators.text.{QualityClassifier, TextStats}
+    def scoredLabeled(df: org.apache.spark.sql.DataFrame) = {
+      val scored = QualityClassifier.scoreWithModel(df, "doc_id", "text",
+        SparkEntry.qualityModelWeights, SparkEntry.qualityModelBias)
+        .select("doc_id", "score")
+      val ws = QualityClassifier.tokens(col("text"))
+      val lab = df.where(col("text").isNotNull)
+        .select(col("doc_id"), ws.as("__ws"))
+        .where(size(col("__ws")) > 0)
+        .select(col("doc_id"),
+          (size(filter(col("__ws"), w => w.isInCollection(TextStats.Markers.head._2)))
+            .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
+      scored.join(lab, "doc_id")
+    }
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Calibration.scoreCells(scoredLabeled(df), col("score"), col("lbl"))
+    val dir = Files.createTempDirectory("graft_scorecell_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).documents.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val next = st match {
+          case None => cells(batch)
+          case Some(prev) => Calibration.mergeScoreCells(prev, cells(batch))
+        }
+        st = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    // merged cells == one-shot cells (the state itself is exact)
+    assert(canon(st.get) == canon(cells(batchDf)) && canon(st.get).nonEmpty)
+    val sl = scoredLabeled(batchDf)
+    assert(canon(Calibration.logLossFromCells(st.get)) ==
+      canon(Calibration.logLoss(sl, col("score"), col("lbl"))))
+    val streamedPr = canon(Calibration.prCurveFromCells(st.get))
+    assert(streamedPr.nonEmpty &&
+      streamedPr == canon(Calibration.prCurve(sl, col("score"), col("lbl"))))
+  }
+
   test("streaming bootstrap state: merged rep sums reproduce the batch CI (D27)") {
     // D27: B107's Poisson-bootstrap CI maintained under streaming
     // ingestion — state = <= R rows of (rep, decimal weighted sum,
