@@ -2219,6 +2219,31 @@ object SparkEntry {
               "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")),
           Seq("o_custkey"), "__x", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey")),
+    "q_hodges_lehmann" -> ((s, dir) =>
+      // Hodges–Lehmann pseudo-median per customer (B153): lower median
+      // of the Walsh averages over the bounded order-value series —
+      // the robust location twin of q_theil_sen's slope; every average
+      // ONE IEEE add + exact halving, element SELECTION ⇒ hl_location
+      // hashes unrounded.
+      graft.operators.temporal.Trend
+        .hodgesLehmann(snap(s, dir).orders, Seq("o_custkey"), "o_totalprice")
+        .orderBy("o_custkey")),
+    "q_ewma_chart" -> ((s, dir) => {
+      // EWMA control chart over monthly revenue per priority (B152):
+      // z_t = 0.2x_t + 0.8z_{t-1} re-folded per t over the bounded
+      // month spine, time-varying 3-sigma limits; mu/sigma from
+      // month-ordered sequential folds — everything unrounded.
+      val cells = snap(s, dir).orders
+        .where(col("o_orderpriority").isNotNull && col("o_orderdate").isNotNull &&
+          col("o_totalprice").isNotNull)
+        .groupBy(col("o_orderpriority"),
+          (year(col("o_orderdate")) * 12 + (month(col("o_orderdate")) - 1))
+            .as("month_idx"))
+        .agg(graft.functions.ExactMath.dsum(col("o_totalprice")).as("mt"))
+      graft.operators.temporal.Cusum
+        .ewmaChart(cells, Seq("o_orderpriority"), "month_idx", "mt")
+        .orderBy("o_orderpriority", "month_idx")
+    }),
     "q_source_cap" -> ((s, dir) => {
       // per-source document cap (C68): the Gopher/CCNet domain-cap
       // curation pass — keep the top-3 docs per source by the SHARED
@@ -8692,6 +8717,62 @@ object SparkEntry {
         |FROM r JOIN g USING (k) JOIN n USING (k)
         |WHERE r.rn = (g.ns + 1) // 2
         |ORDER BY o_custkey""".stripMargin,
+    // B153 Hodges-Lehmann: Walsh averages via the rn-ordered self-join
+    // (the multiset is permutation-invariant, so rn's tie order is
+    // irrelevant); lower-median SELECTION, unrounded. e0 literals —
+    // DuckDB bare decimals are DECIMAL inside lambda/scalar arithmetic.
+    "q_hodges_lehmann" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS k, CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |r AS (SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn FROM c),
+        |p AS (SELECT a.k AS k, (a.v + b.v) / 2e0 + 0e0 AS w
+        |      FROM r a JOIN r b ON a.k = b.k AND b.rn >= a.rn),
+        |g AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS nw FROM p GROUP BY 1),
+        |n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS np FROM c GROUP BY 1),
+        |s AS (SELECT k, w, ROW_NUMBER() OVER (PARTITION BY k ORDER BY w) AS rn FROM p)
+        |SELECT n.k AS o_custkey, n.np AS n_points, g.nw AS n_walsh,
+        |  s.w AS hl_location
+        |FROM s JOIN g USING (k) JOIN n USING (k)
+        |WHERE s.rn = (g.nw + 1) // 2
+        |ORDER BY o_custkey""".stripMargin,
+    // B152 EWMA control chart: month-ordered folds for mu/sigma, the
+    // z recursion re-folded per t (init-less list_reduce == Spark's
+    // init=x1 aggregate), the power term folded with TWO multiplies
+    // per step (a literal 0.64 would be a different double), greatest
+    // clamp before the sqrt; all limits the same IEEE chain.
+    "q_ewma_chart" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS k,
+        |    CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS INTEGER) AS m,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS x
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sp AS (SELECT k, list({'m': m, 'x': x} ORDER BY m) AS xs FROM c
+        |       GROUP BY 1 HAVING COUNT(*) >= 2),
+        |st AS (SELECT k, xs, CAST(len(xs) AS DOUBLE) AS n,
+        |        list_reduce(list_transform(xs, e -> e.x), (a, b) -> a + b) AS s1,
+        |        list_reduce(list_transform(xs, e -> e.x * e.x), (a, b) -> a + b) AS s2
+        |      FROM sp),
+        |m0 AS (SELECT k, xs, n, s1 / n AS mu,
+        |        sqrt(greatest((s2 - s1 * s1 / n) / (n - 1e0), 0e0)) AS sigma
+        |      FROM st),
+        |r AS (SELECT k, mu, sigma, unnest(list_transform(range(1, len(xs) + 1), t -> {
+        |        'm': xs[t].m, 'x': xs[t].x,
+        |        'z': list_reduce(list_transform(xs[1:t], e -> e.x),
+        |               (a, b) -> 0.2e0 * b + (1e0 - 0.2e0) * a),
+        |        'pw': list_reduce(list_transform(range(0, t + 1), i -> 1e0),
+        |                (a, b) -> a * (1e0 - 0.2e0) * (1e0 - 0.2e0))
+        |      })) AS u FROM m0),
+        |f AS (SELECT k, u.m AS month_idx, u.x AS cell_value, u.z AS ewma, mu, sigma,
+        |        mu + 3e0 * sigma * sqrt(0.2e0 / (2e0 - 0.2e0) * (1e0 - u.pw)) AS ucl,
+        |        mu - 3e0 * sigma * sqrt(0.2e0 / (2e0 - 0.2e0) * (1e0 - u.pw)) AS lcl
+        |      FROM r)
+        |SELECT k AS o_orderpriority, month_idx, cell_value, ewma, mu, sigma, ucl, lcl,
+        |  ewma > ucl OR ewma < lcl AS alarm
+        |FROM f ORDER BY o_orderpriority, month_idx""".stripMargin,
 
     // exact counts + ONE division of exact BIGINTs (unrounded — the
     // q_gini rule); score = the SAME markerHitsEn definition as

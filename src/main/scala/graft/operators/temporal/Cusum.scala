@@ -136,4 +136,72 @@ object Cusum {
           greatest(element_at(col("st"), 2), element_at(col("st"), 1)).as("cusum_max"): _*)
       .withColumn("alarm", col("cusum_max") > lit(h))
   }
+
+  /** EWMA control chart per key (B152) — Page CUSUM's smoother sibling
+    * (Roberts 1959): z_t = λ·x_t + (1−λ)·z_{t−1} with z_1 = x_1,
+    * time-varying limits μ ± L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})). The input
+    * is an already-AGGREGATED (key, order, value) cell grain (monthly
+    * totals etc. — the caller owns that one corpus-scale aggregation);
+    * everything here runs on the ≤ bounded per-key spine.
+    *
+    * Determinism (every output hashes UNROUNDED): μ and σ come from
+    * order-SORTED sequential folds of the cell values (0.0-init
+    * aggregate == init-less list_reduce — bounded spine, the ljung-box
+    * running-statistic rule: never a cumulative window over doubles);
+    * z_t re-folds the recursion over the first t cells per t (O(T²)
+    * lambda steps on a ≤ T-cell spine — cheap, and each fold is the
+    * SAME op sequence in both engines: init = x_1, step
+    * λ·x + (1−λ)·acc); the power term folds t steps of
+    * acc·(1−λ)·(1−λ) (two multiplies per step — mirrored literally;
+    * (1−λ)² as a literal would be a DIFFERENT double). σ's variance is
+    * clamped at 0 via greatest (a tiny negative from IEEE cancellation
+    * would NaN the sqrt); sqrt is correctly-rounded IEEE, not libm.
+    * The alarm compares engine-identical doubles. λ and L embed as
+    * plain literals — the oracle writes them with e0 suffixes (DuckDB
+    * bare decimal literals are DECIMAL and silently truncate inside
+    * lambda arithmetic — measured).
+    */
+  def ewmaChart(
+      cells: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      lambda: Double = 0.2,
+      limitL: Double = 3.0): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda in (0,1), got $lambda")
+    val g: Seq[Column] = keyCols.map(col)
+    val om = lit(1.0) - lit(lambda)
+    val spine = cells
+      .where(g.map(_.isNotNull).reduce(_ && _) &&
+        col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(g: _*)
+      .agg(array_sort(collect_list(struct(
+        col(orderCol).as("m"), col(valueCol).cast("double").as("x")))).as("xs"))
+      .where(size(col("xs")) >= 2)
+    val xv = transform(col("xs"), e => e.getField("x"))
+    val n = size(col("xs")).cast("double")
+    val s1 = aggregate(xv, lit(0.0), (a, x) => a + x)
+    val s2 = aggregate(transform(col("xs"),
+      e => e.getField("x") * e.getField("x")), lit(0.0), (a, x) => a + x)
+    val mu = s1 / n
+    val sigma = sqrt(greatest((s2 - s1 * s1 / n) / (n - lit(1.0)), lit(0.0)))
+    val rows = transform(sequence(lit(1), size(col("xs"))), t => {
+      val z = aggregate(slice(xv, lit(2), t - 1), element_at(xv, 1),
+        (a, x) => lit(lambda) * x + om * a)
+      val pw = aggregate(sequence(lit(1), t), lit(1.0), (a, _) => a * om * om)
+      struct(element_at(col("xs"), t).getField("m").as("m"),
+        element_at(xv, t).as("x"), z.as("z"), pw.as("pw"))
+    })
+    val band = lit(limitL) * col("sigma") *
+      sqrt(lit(lambda) / (lit(2.0) - lit(lambda)) * (lit(1.0) - col("__u.pw")))
+    spine
+      .select(g ++ Seq(mu.as("mu"), sigma.as("sigma"),
+        explode(rows).as("__u")): _*)
+      .select(g ++ Seq(
+        col("__u.m").as(orderCol), col("__u.x").as("cell_value"),
+        col("__u.z").as("ewma"),
+        col("mu"), col("sigma"),
+        (col("mu") + band).as("ucl"), (col("mu") - band).as("lcl")): _*)
+      .withColumn("alarm", col("ewma") > col("ucl") || col("ewma") < col("lcl"))
+  }
 }

@@ -213,4 +213,48 @@ object Trend {
         element_at(col("__sl"),
           ((size(col("__sl")) + 1) / 2).cast("int")).as("ts_slope")): _*)
   }
+
+  /** Hodges–Lehmann pseudo-median per key (B153) — the location twin of
+    * [[theilSen]]'s slope (Hodges & Lehmann 1963): the lower median of
+    * the n(n+1)/2 Walsh averages (v_i + v_j)/2 over all i ≤ j
+    * (including i = j), the estimator behind the Wilcoxon signed-rank
+    * confidence interval — ~29% breakdown where the mean has 0%, more
+    * efficient than the raw median under near-normal noise.
+    *
+    * Same bounded-series shape as theilSen: the Walsh enumeration is a
+    * nested HOF over the per-key collected array — plain hash groupBy,
+    * nothing globally sorted. The Walsh MULTISET is invariant under
+    * permutation of equal values, so no tiebreak column is needed
+    * (collect order does not matter; the final array_sort makes the
+    * selection deterministic). Each average is ONE IEEE add and one
+    * halving of engine-identical doubles (+ 0.0 collapses −0.0 before
+    * the sort); the lower-median is an actual element SELECTION —
+    * `hl_location` hashes UNROUNDED.
+    */
+  def hodgesLehmann(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val g: Seq[Column] = keyCols.map(col)
+    val clean = df.where(
+      g.map(_.isNotNull).reduce(_ && _) && col(valueCol).isNotNull)
+    clean
+      .groupBy(g: _*)
+      .agg(collect_list(col(valueCol).cast("double")).as("vs"))
+      .where(size(col("vs")) >= 1)
+      .select(g ++ Seq(
+        size(col("vs")).cast("long").as("n_points"),
+        array_sort(flatten(transform(
+          sequence(lit(1), size(col("vs"))),
+          i => transform(
+            sequence(i, size(col("vs"))),
+            j => (element_at(col("vs"), i) + element_at(col("vs"), j))
+              / lit(2.0) + lit(0.0))))).as("__w")): _*)
+      .select(g ++ Seq(
+        col("n_points"),
+        size(col("__w")).cast("long").as("n_walsh"),
+        element_at(col("__w"),
+          ((size(col("__w")) + 1) / 2).cast("int")).as("hl_location")): _*)
+  }
 }

@@ -65,6 +65,42 @@ class CusumSpec extends SparkSpecBase {
     assert(got("b") == ((1, 37.0, 37.0)))
   }
 
+  test("ewmaChart: recursion parity with the in-memory fold; sustained shift alarms") {
+    // 20 stable cells then a 5-cell sustained shift: z stays exactly at
+    // the stable level through t=20 (0.2*10 + 0.8*10 == 10.0 exactly),
+    // then climbs toward 20; the retrospective 3-sigma band is wide
+    // (sigma sees the shift) but the LAST point must still breach it.
+    val vals = Seq.fill(20)(10.0) ++ Seq.fill(5)(20.0)
+    val cells = vals.zipWithIndex.map { case (v, i) => ("k", i, v) }
+      .toDF("key", "m", "x")
+    val out = Cusum.ewmaChart(cells, Seq("key"), "m", "x")
+      .orderBy("m").collect()
+    assert(out.length == 25)
+    // re-derive with the operator's own op sequence
+    val n = vals.length.toDouble
+    val s1 = vals.foldLeft(0.0)(_ + _)
+    val s2 = vals.foldLeft(0.0)((a, x) => a + x * x)
+    val mu = s1 / n
+    val sigma = math.sqrt(math.max((s2 - s1 * s1 / n) / (n - 1.0), 0.0))
+    val om = 1.0 - 0.2
+    var z = vals.head; var pw = 1.0
+    vals.indices.foreach { i =>
+      if (i > 0) z = 0.2 * vals(i) + om * z
+      pw = pw * om * om
+      val r = out(i)
+      assert(r.getDouble(r.fieldIndex("ewma")) == z, s"z at $i")
+      val band = 3.0 * sigma * math.sqrt(0.2 / (2.0 - 0.2) * (1.0 - pw))
+      assert(r.getDouble(r.fieldIndex("ucl")) == mu + band, s"ucl at $i")
+      assert(r.getBoolean(r.fieldIndex("alarm")) == (z > mu + band || z < mu - band))
+    }
+    // the early plateau is exactly 10.0 (no float creep), and only the
+    // tail of the shift breaches the retrospective band
+    assert(out.take(20).forall(r => r.getDouble(r.fieldIndex("ewma")) == 10.0))
+    assert(!out(19).getBoolean(out(19).fieldIndex("alarm")))
+    assert(out.last.getBoolean(out.last.fieldIndex("alarm")),
+      "the sustained shift's last point must alarm")
+  }
+
   test("changepoint: hand-derived AMOC argmax, earliest-split tie, catalog row bounds") {
     import graft.operators.temporal.Changepoint
     // [1,1,1,9,9,9]: Q_t = |6*S_t - 30t| peaks at t=3 with 72

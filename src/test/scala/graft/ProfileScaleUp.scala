@@ -999,6 +999,22 @@ object ProfileScaleUp {
         force(TextStats.codeAudit(docs, "doc_id", "text")
           .groupBy().agg(sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"))))
     }
+    // hodges-lehmann walsh enumeration is quadratic in per-key series
+    // depth (the theil-sen copy-amplification regime — bounded-series
+    // contract); ewma's corpus cost is the one monthly aggregation
+    time("hodges-lehmann (walsh pairs)")(
+      force(graft.operators.temporal.Trend
+        .hodgesLehmann(orders, Seq("o_custkey"), "o_totalprice")))
+    time("ewma chart (monthly cells)") {
+      val cells = orders
+        .where(col("o_orderpriority").isNotNull && col("o_orderdate").isNotNull &&
+          col("o_totalprice").isNotNull)
+        .groupBy(col("o_orderpriority"),
+          (year(col("o_orderdate")) * 12 + (month(col("o_orderdate")) - 1)).as("m"))
+        .agg(graft.functions.ExactMath.dsum(col("o_totalprice")).as("mt"))
+      force(graft.operators.temporal.Cusum
+        .ewmaChart(cells, Seq("o_orderpriority"), "m", "mt"))
+    }
 
     // ---- planted-hot-key join stress (SURVEY §4) --------------------------
     // ~half of the (2×factor-amplified) lineitem rows remapped onto ONE

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.temporal.Trend
 
 class TrendSpec extends SparkSpecBase {
@@ -117,5 +119,30 @@ class TrendSpec extends SparkSpecBase {
       val (np, ns) = (r.getLong(1), r.getLong(2))
       assert(ns >= 1 && ns <= np * (np - 1) / 2, r.toString)
     }
+  }
+
+  test("hodgesLehmann: hand-derived Walsh medians; outlier robustness; singleton") {
+    // {1,2,10}: walsh {1, 1.5, 5.5, 2, 6, 10} sorted -> element 3 = 2.0
+    // (the outlier 10 cannot drag it; the mean would be 4.33)
+    // {1,2,3,4}: 10 walsh averages, lower median (element 5) = 2.5
+    // {7}: single value -> hl = 7
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 10.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 7.0))
+      .toDF("k", "v")
+    val got = Trend.hodgesLehmann(df, Seq("k"), "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got("a") == ((3L, 6L, 2.0)))
+    assert(got("b") == ((4L, 10L, 2.5)))
+    assert(got("c") == ((1L, 1L, 7.0)))
+    // permutation invariance: scrambled input gives identical output
+    val scrambled = Trend.hodgesLehmann(
+      df.orderBy(col("v").desc), Seq("k"), "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(scrambled == got)
   }
 }
