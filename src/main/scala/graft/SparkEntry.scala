@@ -2219,6 +2219,20 @@ object SparkEntry {
               "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")),
           Seq("o_custkey"), "__x", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey")),
+    "q_qq_plot" -> ((s, dir) => {
+      // decile QQ table of URGENT vs LOW order values (B154): type-1
+      // (selection) quantiles at q=10..90 via the RankedSpine exclusive
+      // prefix over the grouped value spine — rank threshold
+      // r = (q*n+99) div 100 in exact ints, min-over-filter SELECTION,
+      // so v_urgent/v_low are actual decimal elements (cast double
+      // exact) and qq_ratio is ONE division, unrounded.
+      graft.operators.quantile.Quantiles
+        .qqTable(snap(s, dir).orders, "o_orderpriority", "o_totalprice",
+          "1-URGENT", "5-LOW")
+        .withColumnRenamed("v_a", "v_urgent")
+        .withColumnRenamed("v_b", "v_low")
+        .orderBy("q")
+    }),
     "q_hodges_lehmann" -> ((s, dir) =>
       // Hodges–Lehmann pseudo-median per customer (B153): lower median
       // of the Walsh averages over the bounded order-value series —
@@ -2232,16 +2246,17 @@ object SparkEntry {
       // EWMA control chart over monthly revenue per priority (B152):
       // z_t = 0.2x_t + 0.8z_{t-1} re-folded per t over the bounded
       // month spine, time-varying 3-sigma limits; mu/sigma from
-      // month-ordered sequential folds — everything unrounded.
-      val cells = snap(s, dir).orders
-        .where(col("o_orderpriority").isNotNull && col("o_orderdate").isNotNull &&
-          col("o_totalprice").isNotNull)
-        .groupBy(col("o_orderpriority"),
-          (year(col("o_orderdate")) * 12 + (month(col("o_orderdate")) - 1))
-            .as("month_idx"))
-        .agg(graft.functions.ExactMath.dsum(col("o_totalprice")).as("mt"))
+      // month-ordered sequential folds — everything unrounded. Rides
+      // the D42 mergeable cell state (exact decimal sums; the
+      // decimal->double cast happens inside ewmaChart AFTER any merge,
+      // so streaming state == this one-shot structurally).
+      val cells = graft.operators.temporal.Cusum.cellState(
+        snap(s, dir).orders, Seq("o_orderpriority"),
+        year(col("o_orderdate")) * 12 + (month(col("o_orderdate")) - 1),
+        col("o_totalprice"))
       graft.operators.temporal.Cusum
-        .ewmaChart(cells, Seq("o_orderpriority"), "month_idx", "mt")
+        .ewmaChart(cells, Seq("o_orderpriority"), "__ord", "__cell")
+        .withColumnRenamed("__ord", "month_idx")
         .orderBy("o_orderpriority", "month_idx")
     }),
     "q_source_cap" -> ((s, dir) => {
@@ -8717,6 +8732,29 @@ object SparkEntry {
         |FROM r JOIN g USING (k) JOIN n USING (k)
         |WHERE r.rn = (g.ns + 1) // 2
         |ORDER BY o_custkey""".stripMargin,
+    // B154 decile QQ: grouped value-spine cumulative counts, exact-int
+    // rank thresholds, min-over-filter selection; ratio one division.
+    "q_qq_plot" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW') AND o_totalprice IS NOT NULL),
+        |sp AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2),
+        |pre AS (SELECT g, v, cnt,
+        |        SUM(cnt) OVER (PARTITION BY g ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM sp),
+        |nn AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM sp GROUP BY 1),
+        |qs AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS q),
+        |sel AS (SELECT pre.g, qs.q, MIN(pre.v) AS v
+        |        FROM pre JOIN nn USING (g) CROSS JOIN qs
+        |        WHERE pre.cum >= (qs.q * nn.n + 99) // 100
+        |        GROUP BY 1, 2)
+        |SELECT q,
+        |  CAST(MAX(CASE WHEN g = '1-URGENT' THEN v END) AS DOUBLE) AS v_urgent,
+        |  CAST(MAX(CASE WHEN g = '5-LOW' THEN v END) AS DOUBLE) AS v_low,
+        |  CAST(MAX(CASE WHEN g = '1-URGENT' THEN v END) AS DOUBLE)
+        |    / CAST(MAX(CASE WHEN g = '5-LOW' THEN v END) AS DOUBLE) AS qq_ratio
+        |FROM sel GROUP BY 1 ORDER BY q""".stripMargin,
     // B153 Hodges-Lehmann: Walsh averages via the rn-ordered self-join
     // (the multiset is permutation-invariant, so rn's tie order is
     // irrelevant); lower-median SELECTION, unrounded. e0 literals —

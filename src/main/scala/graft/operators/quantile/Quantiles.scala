@@ -498,4 +498,50 @@ object Quantiles {
         (col("__prev").isNull || col("__wprev") * 100 < col("__totw") * qPct)
           .as("prev_short")): _*)
   }
+
+  /** Two-cohort QQ table (B154) — type-1 (SELECTION) quantiles of two
+    * groups side by side at the given percentage points: per cohort,
+    * the r-th smallest value with r = (q·n + 99) div 100 (exact-int
+    * ceiling of q·n/100), found as min value whose cumulative spine
+    * count reaches r. The cumulative counts ride
+    * [[graft.operators.stats.RankedSpine.exclusivePrefix]] over the
+    * grouped value spine (never an unpartitioned row-grain window —
+    * the B23 scale rule); the q fan-out is a 9-row generator against
+    * the AGGREGATED spine. Selections are actual elements (no
+    * interpolation), so `v_a`/`v_b` cast to double exactly and
+    * `qq_ratio` is ONE division — everything hashes UNROUNDED.
+    * `valueCol` must be orderable-exact (decimal/int/date — the
+    * Quantiles atomic-type contract).
+    */
+  def qqTable(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String,
+      qs: Seq[Int] = (1 to 9).map(_ * 10)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 99),
+      s"qs must be in [1,99], got $qs")
+    val c = df
+      .where(col(groupCol).isInCollection(Seq(groupA, groupB)) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val sp = c.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val pre = graft.operators.stats.RankedSpine
+      .exclusivePrefix(sp, Seq("g"), "v", Seq("cnt" -> "bc"))
+      .withColumn("cum", col("bc") + col("cnt"))
+    val n = sp.groupBy("g").agg(sum(col("cnt")).as("n"))
+    val sel = pre.join(n, "g")
+      .select(col("g"), col("v"), col("cum"), col("n"),
+        explode(array(qs.map(q => lit(q)): _*)).as("q"))
+      .where(col("cum") >= expr("(q * n + 99) div 100"))
+      .groupBy("g", "q").agg(min(col("v")).as("sel_v"))
+    sel.groupBy("q").agg(
+        max(when(col("g") === groupA, col("sel_v"))).as("__va"),
+        max(when(col("g") === groupB, col("sel_v"))).as("__vb"))
+      .select(col("q"),
+        col("__va").cast("double").as("v_a"),
+        col("__vb").cast("double").as("v_b"),
+        (col("__va").cast("double") / col("__vb").cast("double")).as("qq_ratio"))
+  }
 }

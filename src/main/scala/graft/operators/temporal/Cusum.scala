@@ -161,6 +161,32 @@ object Cusum {
     * bare decimal literals are DECIMAL and silently truncate inside
     * lambda arithmetic — measured).
     */
+  /** (key…, order, exact DECIMAL sum) period cells — the mergeable
+    * MONITORING STATE behind [[ewmaChart]] (D42, the D25/D33 shape):
+    * decimal sums add ([[mergeCellState]]), associative and exact, so a
+    * streaming monitor folds microbatches into the standing cell table
+    * and re-derives the chart on demand; ewmaChart's decimal→double
+    * cast happens AFTER the merge, making state == one-shot structural.
+    * NOT idempotent (the D20 partition contract).
+    */
+  def cellState(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: Column,
+      valueCol: Column): DataFrame = {
+    val g: Seq[Column] = keyCols.map(col)
+    df.where(g.map(_.isNotNull).reduce(_ && _) &&
+        orderCol.isNotNull && valueCol.isNotNull)
+      .groupBy(g :+ orderCol.as("__ord"): _*)
+      .agg(sum(valueCol.cast(graft.functions.ExactMath.ValueDecimal)).as("__cell"))
+  }
+
+  /** Merge two [[cellState]] tables by exact decimal addition. */
+  def mergeCellState(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((keyCols.map(col) :+ col("__ord")): _*)
+      .agg(sum(col("__cell")).as("__cell"))
+
   def ewmaChart(
       cells: DataFrame,
       keyCols: Seq[String],

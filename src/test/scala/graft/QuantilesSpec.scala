@@ -6,6 +6,28 @@ import graft.operators.quantile.Quantiles
 import graft.sources.Snapshot
 
 class QuantilesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("qqTable: hand-derived type-1 selections, duplicates, and missing-side NULL") {
+    // a = 1..10 (r at q=50 -> (500+99)//100 = 5 -> 5th smallest = 5;
+    // q=90 -> 9), b = 2,4,..,20 (q=50 -> 10; q=90 -> 18); duplicates in
+    // c checked via a second call.
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      (1 to 10).map(v => ("b", v.toLong * 2))).toDF("g", "v")
+    val got = Quantiles.qqTable(df, "g", "v", "a", "b", Seq(50, 90))
+      .orderBy("q").collect()
+    assert(got.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq((50, 5.0, 10.0), (90, 9.0, 18.0)))
+    assert(got.head.getDouble(3) == 5.0 / 10.0)
+    // duplicated values collapse onto the spine but ranks still count
+    // the multiset: {1,1,1,9} at q=50 -> r=2 -> 1; q=90 -> r=4 -> 9
+    val dup = (Seq(1L, 1L, 1L, 9L).map(v => ("a", v)) ++
+      Seq(5L).map(v => ("b", v))).toDF("g", "v")
+    val got2 = Quantiles.qqTable(dup, "g", "v", "a", "b", Seq(50, 90))
+      .orderBy("q").collect()
+    assert(got2.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq((50, 1.0, 5.0), (90, 9.0, 5.0)))
+  }
 
   test("withNtile matches the global-window ntile exactly") {
     val orders = Snapshot(spark, sf()).orders

@@ -1064,6 +1064,48 @@ class StreamingSpec extends SparkSpecBase {
       streamedPr == canon(Calibration.prCurve(sl, col("score"), col("lbl"))))
   }
 
+  test("streaming control-chart state: merged period cells reproduce the batch EWMA chart (D42)") {
+    // D42: B152's monthly revenue cells maintained under streaming
+    // ingestion — state = (key, month, exact DECIMAL sum), merge =
+    // decimal addition (associative, exact); ewmaChart's
+    // decimal->double cast happens AFTER the merge, so the chart from
+    // carried state == the one-shot batch chart bit-for-bit (every
+    // unrounded z/limit double included).
+    import graft.operators.temporal.Cusum
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Cusum.cellState(df, Seq("o_orderpriority"),
+        year(col("o_orderdate")) * 12 + (month(col("o_orderdate")) - 1),
+        col("o_totalprice"))
+    val dir = Files.createTempDirectory("graft_ewma_stream").toFile
+    dir.deleteOnExit()
+    Snapshot(spark, sf()).orders.repartition(4)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var st: Option[org.apache.spark.sql.DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        val next = st match {
+          case None => cells(batch)
+          case Some(prev) =>
+            Cusum.mergeCellState(prev, cells(batch), Seq("o_orderpriority"))
+        }
+        st = Some(next.localCheckpoint(true))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() > 1, s"need multiple microbatches, got ${nBatches.get()}")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val streamed = canon(Cusum.ewmaChart(st.get, Seq("o_orderpriority"), "__ord", "__cell"))
+    val oneShot = canon(Cusum.ewmaChart(cells(batchDf), Seq("o_orderpriority"), "__ord", "__cell"))
+    assert(streamed.nonEmpty && streamed == oneShot)
+  }
+
   test("streaming bootstrap state: merged rep sums reproduce the batch CI (D27)") {
     // D27: B107's Poisson-bootstrap CI maintained under streaming
     // ingestion — state = <= R rows of (rep, decimal weighted sum,
