@@ -2632,6 +2632,26 @@ object SparkEntry {
       // one division per ratio, unrounded.
       graft.operators.stats.Profiling.lexicalDiversityBySource(
         snap(s, dir).documents, "source", "text")),
+    "q_dup_profile" -> ((s, dir) => {
+      // duplication observability per source (C89): how much of each
+      // slice is exact-duplicate mass — the dashboard next to C1's
+      // group listing. (source, text) counts aggregate FIRST so the
+      // text-grain join runs on the distinct spine, never re-shuffling
+      // the doc grain; dup = corpus-wide text count > 1; share ONE
+      // exact-int division, unrounded.
+      val st = snap(s, dir).documents
+        .where(col("text").isNotNull && col("source").isNotNull)
+        .groupBy("source", "text").agg(count(lit(1)).as("__c"))
+      val tx = st.groupBy("text").agg(sum(col("__c")).as("__tc"))
+      st.join(tx, "text")
+        .groupBy("source").agg(
+          sum(col("__c")).as("n_docs"),
+          sum(when(col("__tc") > 1L, col("__c")).otherwise(0L)).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_dup_docs"),
+          (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+            .as("dup_share"))
+        .orderBy("source")
+    }),
     "q_vocab_overlap" -> ((s, dir) =>
       // cross-source vocabulary overlap (C88): per source pair, shared
       // vocab / Jaccard / containment over the C74 word spine — the
@@ -2681,6 +2701,24 @@ object SparkEntry {
       graft.operators.stats.Stats.cliffsDelta(
         snap(s, dir).orders, "o_orderpriority", "o_totalprice",
         "1-URGENT", "5-LOW")),
+    "q_burstiness" -> ((s, dir) =>
+      // arrival-burstiness summary of the daily order series (B156):
+      // Fano factor + Goh-Barabasi B over the SAME mergeable
+      // unit-count state as q_acf (D32) — exact integer sums, fixed
+      // IEEE moment chain, everything unrounded. Single row.
+      graft.operators.stats.Stats.burstinessFromUnitCounts(
+        graft.operators.stats.Stats.unitCounts(
+          snap(s, dir).orders.where(col("o_orderdate").isNotNull),
+          "o_orderdate"))),
+    "q_page_hinkley" -> ((s, dir) =>
+      // Page-Hinkley drift detector per customer (B155): running-mean
+      // deviation walk, delayed-min slot closed with a final least;
+      // alarm on ph_stat > 250000. All outputs unrounded.
+      graft.operators.temporal.Cusum.pageHinkley(
+        snap(s, dir).orders, Seq("o_custkey"),
+        "o_orderdate", "o_orderkey", "o_totalprice",
+        delta = 0.0, lambda = 250000.0)
+        .orderBy("o_custkey")),
     "q_acf" -> ((s, dir) =>
       // multi-lag ACF of daily order volumes (B122): the seasonality
       // detector generalizing q_autocorr's lag-1 — exact daily counts,
@@ -7628,6 +7666,67 @@ object SparkEntry {
         |  CAST(n_types AS DOUBLE) / CAST(n_words AS DOUBLE) AS type_token_ratio,
         |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_share
         |FROM a ORDER BY source""".stripMargin,
+    // C89 duplication profile: (source, text) counts first, text-grain
+    // totals on the distinct spine, dup mass where corpus count > 1.
+    "q_dup_profile" ->
+      """WITH st AS (SELECT source, text, CAST(COUNT(*) AS BIGINT) AS c
+        |            FROM documents
+        |            WHERE text IS NOT NULL AND source IS NOT NULL
+        |            GROUP BY 1, 2),
+        |tx AS (SELECT text, CAST(SUM(c) AS BIGINT) AS tc FROM st GROUP BY 1),
+        |a AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+        |        CAST(SUM(CASE WHEN tc > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs
+        |      FROM st JOIN tx USING (text) GROUP BY 1)
+        |SELECT source, n_docs, n_dup_docs,
+        |  CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_share
+        |FROM a ORDER BY source""".stripMargin,
+    // B155 Page-Hinkley: the cusum transform trick — the FIRST element
+    // maps to the exact state-after-step-1 array [0, 0, x1, 1] (the
+    // Spark zero-init fold reproduces it exactly); 4-slot array state,
+    // delayed min closed with a final least.
+    "q_page_hinkley" ->
+      """WITH f AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS INT) AS n_points,
+        |    list_reduce(
+        |      list_transform(
+        |        list(CAST(o_totalprice AS DOUBLE) ORDER BY o_orderdate, o_orderkey),
+        |        (x, i) -> CASE WHEN i = 1 THEN [0e0, 0e0, x, 1e0]
+        |                  ELSE [x, 0e0, 0e0, 0e0] END),
+        |      (acc, x) -> [acc[1] + (x[1] - (acc[3] + x[1]) / (acc[4] + 1e0) - 0e0),
+        |                   least(acc[2], acc[1]),
+        |                   acc[3] + x[1],
+        |                   acc[4] + 1e0]) AS st
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY o_custkey)
+        |SELECT o_custkey, n_points, st[1] AS ph_final,
+        |  least(st[2], st[1]) AS ph_min,
+        |  st[1] - least(st[2], st[1]) AS ph_stat,
+        |  st[1] - least(st[2], st[1]) > 250000e0 AS alarm
+        |FROM f ORDER BY o_custkey""".stripMargin,
+    // B156 burstiness: exact integer Σx/Σx² over the D32 unit-count
+    // state, fixed IEEE moment chain, unrounded.
+    "q_burstiness" ->
+      """WITH u AS (SELECT o_orderdate AS u, CAST(COUNT(*) AS BIGINT) AS x
+        |           FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |        CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x * x) AS BIGINT) AS s2
+        |      FROM u),
+        |m AS (SELECT n_units, s1, s2,
+        |        CAST(n_units AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1d,
+        |        CAST(s2 AS DOUBLE) AS s2d
+        |      FROM a),
+        |r AS (SELECT n_units, s1, s1d / n AS mu,
+        |        sqrt(greatest((s2d - s1d * s1d / n) / (n - 1e0), 0e0)) AS sd,
+        |        greatest((s2d - s1d * s1d / n) / (n - 1e0), 0e0) AS vr
+        |      FROM m)
+        |SELECT n_units, s1 AS n_events,
+        |  CASE WHEN n_units >= 2 THEN mu END AS mean_rate,
+        |  CASE WHEN n_units >= 2 THEN sd END AS sd_rate,
+        |  CASE WHEN n_units >= 2 AND mu > 0e0 THEN vr / mu END AS fano,
+        |  CASE WHEN n_units >= 2 AND sd + mu > 0e0 THEN (sd - mu) / (sd + mu) END AS burstiness
+        |FROM r""".stripMargin,
     // C88 cross-source vocabulary overlap: the C74 word spine, distinct
     // per source, word-keyed self-join with src_a < src_b; exact
     // counts, one-division jaccard/containment unrounded.

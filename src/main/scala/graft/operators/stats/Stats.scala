@@ -1022,6 +1022,36 @@ object Stats {
   def mergeUnitCounts(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("u").agg(sum(col("x")).as("x"))
 
+  /** Burstiness report from a pre-aggregated [[unitCounts]] state
+    * (B156) — the dispersion summary of an event-arrival series next to
+    * B122's ACF (same mergeable state, the D32 monitor shape):
+    * Fano factor σ²/μ (1 = Poisson, >1 overdispersed/bursty) and the
+    * Goh–Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1). Σx and Σx² are
+    * EXACT integer sums (counts; squares stay far under 2^53 at any
+    * realistic unit grain), the moment chain is fixed IEEE (sample
+    * variance, n−1), sqrt is correctly-rounded — every output hashes
+    * UNROUNDED. NULL at n < 2 or a degenerate σ+μ = 0. Single row.
+    */
+  def burstinessFromUnitCounts(units: DataFrame): DataFrame = {
+    val agg = units.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("x")).as("__s1"),
+      sum(col("x") * col("x")).as("__s2"))
+    val n = col("n_units").cast("double")
+    val s1 = col("__s1").cast("double")
+    val s2 = col("__s2").cast("double")
+    val mu = s1 / n
+    val vr = greatest((s2 - s1 * s1 / n) / (n - lit(1.0)), lit(0.0))
+    val sd = sqrt(vr)
+    agg.select(
+      col("n_units"), col("__s1").as("n_events"),
+      when(col("n_units") >= 2L, mu).as("mean_rate"),
+      when(col("n_units") >= 2L, sd).as("sd_rate"),
+      when(col("n_units") >= 2L && mu > 0.0, vr / mu).as("fano"),
+      when(col("n_units") >= 2L && sd + mu > 0.0, (sd - mu) / (sd + mu))
+        .as("burstiness"))
+  }
+
   /** The ACF report from a pre-aggregated unit-count state — see
     * [[acfGlobal]] for the full contract.
     */

@@ -161,6 +161,64 @@ object Cusum {
     * bare decimal literals are DECIMAL and silently truncate inside
     * lambda arithmetic — measured).
     */
+  /** Page–Hinkley drift detector per key (B155) — the RUNNING-MEAN
+    * sibling of [[perKeyCusum]] (Page 1954; the standard concept-drift
+    * monitor in streaming-ML libraries): m_t = m_{t−1} + (x_t − x̄_t −
+    * δ) with x̄_t the running mean, alarming when m_T − min_t m_t > λ
+    * (a sustained upward shift drives m away from its historical
+    * minimum). Same bounded-series contract and fold shape as CUSUM.
+    *
+    * Determinism: the 4-slot array state [m, min_m, Σx, n] updates
+    * every slot from the OLD accumulator only (the array-vs-struct
+    * probe in this file's scaladoc) — the running mean uses (Σx_old +
+    * x)/(n_old + 1), and min_m is carried one step DELAYED and closed
+    * with a final least (the perKeyCusum slot trick). The oracle's
+    * init-less list_reduce maps the FIRST element to the
+    * state-after-step-1 array [0, 0, x₁, 1], which the Spark fold
+    * reproduces EXACTLY from the zero init (x − (0+x)/(0+1) − 0 is an
+    * exact +0.0). Every output hashes UNROUNDED.
+    */
+  def pageHinkley(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      valueCol: String,
+      delta: Double,
+      lambda: Double): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(lambda > 0, s"alarm threshold lambda must be > 0, got $lambda")
+    val keyRefs: Seq[Column] = keyCols.map(col)
+    val clean = df.where(
+      keyRefs.map(_.isNotNull).reduce(_ && _) &&
+        col(orderCol).isNotNull && col(tieCol).isNotNull && col(valueCol).isNotNull)
+    clean
+      .groupBy(keyRefs: _*)
+      .agg(array_sort(collect_list(struct(
+        col(orderCol).as("o"), col(tieCol).as("t"),
+        col(valueCol).cast("double").as("v")))).as("series"))
+      .select(
+        keyRefs :+
+          size(col("series")).as("n_points") :+
+          aggregate(
+            transform(col("series"), e => e.getField("v")),
+            array(lit(0.0), lit(0.0), lit(0.0), lit(0.0)),
+            (acc, x) => array(
+              element_at(acc, 1) +
+                (x - (element_at(acc, 3) + x) / (element_at(acc, 4) + lit(1.0))
+                  - lit(delta)),
+              least(element_at(acc, 2), element_at(acc, 1)),
+              element_at(acc, 3) + x,
+              element_at(acc, 4) + lit(1.0))).as("st"): _*)
+      .select(
+        keyRefs :+
+          col("n_points") :+
+          element_at(col("st"), 1).as("ph_final") :+
+          least(element_at(col("st"), 2), element_at(col("st"), 1)).as("ph_min"): _*)
+      .withColumn("ph_stat", col("ph_final") - col("ph_min"))
+      .withColumn("alarm", col("ph_stat") > lit(lambda))
+  }
+
   /** (key…, order, exact DECIMAL sum) period cells — the mergeable
     * MONITORING STATE behind [[ewmaChart]] (D42, the D25/D33 shape):
     * decimal sums add ([[mergeCellState]]), associative and exact, so a

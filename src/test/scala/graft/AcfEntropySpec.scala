@@ -8,6 +8,25 @@ import graft.operators.stats.Stats
 class AcfEntropySpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("burstinessFromUnitCounts: hand moments; constant series hits B = -1") {
+    // counts [1,1,4]: mu=2, var=(18-12)/2=3, fano=1.5, B=(sqrt3-2)/(sqrt3+2)
+    val u = Seq(("d1", 1L), ("d2", 1L), ("d3", 4L)).toDF("u", "x")
+    val r = Stats.burstinessFromUnitCounts(u).collect().head
+    assert(r.getLong(r.fieldIndex("n_units")) == 3L &&
+      r.getLong(r.fieldIndex("n_events")) == 6L)
+    assert(r.getDouble(r.fieldIndex("mean_rate")) == 2.0)
+    val vr = (18.0 - 6.0 * 6.0 / 3.0) / 2.0
+    assert(r.getDouble(r.fieldIndex("fano")) == vr / 2.0)
+    assert(r.getDouble(r.fieldIndex("burstiness")) ==
+      (math.sqrt(vr) - 2.0) / (math.sqrt(vr) + 2.0))
+    // perfectly regular arrivals: sd = 0 -> fano 0, B = -1 (the
+    // periodic extreme of the Goh-Barabasi scale)
+    val reg = Seq(("d1", 2L), ("d2", 2L), ("d3", 2L)).toDF("u", "x")
+    val r2 = Stats.burstinessFromUnitCounts(reg).collect().head
+    assert(r2.getDouble(r2.fieldIndex("fano")) == 0.0)
+    assert(r2.getDouble(r2.fieldIndex("burstiness")) == -1.0)
+  }
+
   test("acfGlobal: hand series [1,2,3,2] gives exact lag values") {
     // units with 1/2/3/2 rows -> devs [-1,0,1,0], den = 2
     // lag1: 0; lag2: -1 -> -0.5; lag3: 0; lag4: n <= k -> NULL

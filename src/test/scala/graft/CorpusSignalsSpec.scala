@@ -110,6 +110,23 @@ class CorpusSignalsSpec extends SparkSpecBase {
     assert(r.getDouble(r.fieldIndex("containment")) == 2.0 / 3.0)
   }
 
+  test("dup profile construction: corpus-wide dup mass lands on every owning source") {
+    // "x" duplicated within s1 AND across s1/s2: all three copies count
+    // as dup mass in their own sources; uniques don't.
+    val df = Seq(
+      (1L, "x", "s1"), (2L, "x", "s1"), (3L, "u1", "s1"),
+      (4L, "x", "s2"), (5L, "u2", "s2"), (6L, "u3", "s2"))
+      .toDF("doc_id", "text", "source")
+    val st = df.groupBy("source", "text").agg(count(lit(1)).as("__c"))
+    val tx = st.groupBy("text").agg(sum(col("__c")).as("__tc"))
+    val got = st.join(tx, "text")
+      .groupBy("source").agg(
+        sum(col("__c")).as("n_docs"),
+        sum(when(col("__tc") > 1L, col("__c")).otherwise(0L)).as("n_dup_docs"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("s1") == ((3L, 2L)) && got("s2") == ((3L, 1L)))
+  }
+
   test("corpusReport computes exact metrics on a crafted corpus") {
     val df = Seq(
       (1L, "a b c", "s1"), (2L, "a b c", "s1"), // planted exact dups (mass 2)

@@ -65,6 +65,39 @@ class CusumSpec extends SparkSpecBase {
     assert(got("b") == ((1, 37.0, 37.0)))
   }
 
+  test("pageHinkley: running-mean walk parity; upward shift alarms, downward does not") {
+    // shift-up key: [10,10,10,10,20,20] -> m stays 0 through the stable
+    // head, climbs once the shift outruns the running mean; min stays 0.
+    // shift-down key: m only falls, min tracks it -> ph_stat ~ 0.
+    val df = (Seq(10.0, 10.0, 10.0, 10.0, 20.0, 20.0).zipWithIndex.map {
+      case (v, i) => ("up", i, i, v)
+    } ++ Seq(20.0, 20.0, 10.0, 10.0).zipWithIndex.map {
+      case (v, i) => ("down", i, i, v)
+    }).toDF("k", "o", "t", "v")
+    val got = Cusum.pageHinkley(df, Seq("k"), "o", "t", "v",
+      delta = 0.0, lambda = 10.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // re-derive with the operator's own op sequence
+    def trace(vals: Seq[Double]): (Double, Double) = {
+      var m = 0.0; var mmin = 0.0; var s = 0.0; var n = 0.0
+      vals.foreach { x =>
+        val m2 = m + (x - (s + x) / (n + 1.0) - 0.0)
+        mmin = math.min(mmin, m); m = m2; s = s + x; n = n + 1.0
+      }
+      (m, math.min(mmin, m))
+    }
+    val (mu, mnu) = trace(Seq(10.0, 10.0, 10.0, 10.0, 20.0, 20.0))
+    val up = got("up")
+    assert(up.getDouble(up.fieldIndex("ph_final")) == mu)
+    assert(up.getDouble(up.fieldIndex("ph_min")) == mnu)
+    assert(up.getDouble(up.fieldIndex("ph_stat")) == mu - mnu)
+    assert(up.getBoolean(up.fieldIndex("alarm")), "upward shift must alarm")
+    val down = got("down")
+    assert(!down.getBoolean(down.fieldIndex("alarm")),
+      "a downward shift must not trip the one-sided increase detector")
+    assert(down.getDouble(down.fieldIndex("ph_stat")) <= 1e-9)
+  }
+
   test("ewmaChart: recursion parity with the in-memory fold; sustained shift alarms") {
     // 20 stable cells then a 5-cell sustained shift: z stays exactly at
     // the stable level through t=20 (0.2*10 + 0.8*10 == 10.0 exactly),

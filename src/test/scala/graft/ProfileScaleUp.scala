@@ -1005,6 +1005,19 @@ object ProfileScaleUp {
     time("hodges-lehmann (walsh pairs)")(
       force(graft.operators.temporal.Trend
         .hodgesLehmann(orders, Seq("o_custkey"), "o_totalprice")))
+    time("page-hinkley (bounded series)")(
+      force(graft.operators.temporal.Cusum.pageHinkley(
+        orders, Seq("o_custkey"), "o_orderdate", "o_orderkey", "o_totalprice",
+        delta = 0.0, lambda = 250000.0)))
+    time("dup profile (distinct-text join)")(
+      force {
+        val st = docs.where(col("text").isNotNull && col("source").isNotNull)
+          .groupBy("source", "text").agg(count(lit(1)).as("__c"))
+        val tx = st.groupBy("text").agg(sum(col("__c")).as("__tc"))
+        st.join(tx, "text").groupBy("source").agg(
+          sum(col("__c")).as("n_docs"),
+          sum(when(col("__tc") > 1L, col("__c")).otherwise(0L)).as("n_dup"))
+      })
     time("ewma chart (monthly cells)") {
       val cells = orders
         .where(col("o_orderpriority").isNotNull && col("o_orderdate").isNotNull &&
