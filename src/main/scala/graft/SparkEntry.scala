@@ -2701,6 +2701,22 @@ object SparkEntry {
       graft.operators.stats.Stats.cliffsDelta(
         snap(s, dir).orders, "o_orderpriority", "o_totalprice",
         "1-URGENT", "5-LOW")),
+    "q_kappa_weighted" -> ((s, dir) => {
+      // linearly-weighted Cohen's kappa (B157): ordinal length-band vs
+      // token-band raters (0..3, exact integer div bands — correlated
+      // by construction, so kappa_w is non-degenerate); rides the D35
+      // agreementCells state, HUGEINT-mirrored products, ONE division
+      // => kappa_w unrounded. Single row (EntrySpec exemption).
+      val d = snap(s, dir).documents.where(col("text").isNotNull)
+      val ws = filter(split(col("text"), " "), w => length(w) > 0)
+      val banded = d
+        .select(length(col("text")).cast("long").as("__nc"),
+          size(ws).cast("long").as("__nt"))
+        .select(expr("least(__nc div 150L, 3L)").cast("int").as("band_len"),
+          expr("least(__nt div 25L, 3L)").cast("int").as("band_tok"))
+      graft.operators.stats.Stats.weightedKappaFromCells(
+        graft.operators.stats.Stats.agreementCells(banded, "band_len", "band_tok"))
+    }),
     "q_burstiness" -> ((s, dir) =>
       // arrival-burstiness summary of the daily order series (B156):
       // Fano factor + Goh-Barabasi B over the SAME mergeable
@@ -7705,6 +7721,29 @@ object SparkEntry {
         |  st[1] - least(st[2], st[1]) AS ph_stat,
         |  st[1] - least(st[2], st[1]) > 250000e0 AS alarm
         |FROM f ORDER BY o_custkey""".stripMargin,
+    // B157 weighted kappa: ordinal bands via exact integer //, HUGEINT
+    // products, one division; zero-margin categories contribute exact
+    // 0 so observed margins suffice.
+    "q_kappa_weighted" ->
+      """WITH d AS (
+        |  SELECT least(CAST(length(text) AS BIGINT) // 150, 3) AS a,
+        |    least(CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |      AS BIGINT) // 25, 3) AS b
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+        |        CAST(SUM(n * abs(a - b)) AS BIGINT) AS sum_wn
+        |      FROM c),
+        |r AS (SELECT a, CAST(SUM(n) AS BIGINT) AS rn FROM c GROUP BY 1),
+        |cc AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cn FROM c GROUP BY 1),
+        |dd AS (SELECT SUM(CAST(rn AS HUGEINT) * CAST(cn AS HUGEINT)
+        |         * CAST(abs(r.a - cc.b) AS HUGEINT)) AS wd
+        |       FROM r, cc)
+        |SELECT n_docs, sum_wn,
+        |  CASE WHEN wd > 0 THEN
+        |    1e0 - CAST(CAST(sum_wn AS HUGEINT) * CAST(n_docs AS HUGEINT) AS DOUBLE)
+        |      / CAST(wd AS DOUBLE) END AS kappa_w
+        |FROM t, dd""".stripMargin,
     // B156 burstiness: exact integer Σx/Σx² over the D32 unit-count
     // state, fixed IEEE moment chain, unrounded.
     "q_burstiness" ->

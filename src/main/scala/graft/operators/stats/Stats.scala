@@ -1596,6 +1596,41 @@ object Stats {
   def mergeAgreementCells(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("__a", "__b").agg(sum(col("n")).as("n"))
 
+  /** Linearly-WEIGHTED Cohen's κ from carried [[agreementCells]]
+    * (B157) — the ordinal-label extension of [[kappaFromCells]] (Cohen
+    * 1968): disagreement is graded by distance, w_ij = |i−j|, and
+    * κ_w = 1 − N·Σ n_ij·w_ij / Σ r_i·c_j·w_ij. The cells' string
+    * labels must parse as integers (ordinal bands). Exact counts; the
+    * numerator product and every r_i·c_j·w term cross DECIMAL(38,0)
+    * (HUGEINT mirror — wrap-safe past LONG at corpus scale), each side
+    * correctly rounded to double ONCE, one division + one subtraction
+    * ⇒ κ_w engine-identical, hashed UNROUNDED. Zero-margin categories
+    * contribute exact 0 to the denominator, so the observed-cell
+    * margins suffice (no spine completion needed — unlike pe's
+    * product in kappaFromCells, absent categories cannot shift a SUM
+    * they enter with weight·0). Degenerate (zero expected
+    * disagreement) → NULL. A derivation over the D35 mergeable state:
+    * merged cells == one-shot exactly.
+    */
+  def weightedKappaFromCells(cells: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ci = cells.select(col("__a").cast("int").as("__ai"),
+      col("__b").cast("int").as("__bi"), col("n"))
+    val num = ci.agg(
+      sum(col("n") * abs(col("__ai") - col("__bi")).cast("long")).as("__wn"),
+      sum(col("n")).as("n_docs"))
+    val rowsM = ci.groupBy(col("__ai")).agg(sum(col("n")).as("rn"))
+    val colsM = ci.groupBy(col("__bi")).agg(sum(col("n")).as("cn"))
+    val den = rowsM.crossJoin(colsM)
+      .agg(sum(col("rn").cast(d38) * col("cn").cast(d38) *
+        abs(col("__ai") - col("__bi")).cast(d38)).as("__wd"))
+    num.crossJoin(broadcast(den)).select(
+      col("n_docs"), col("__wn").as("sum_wn"),
+      when(col("__wd") > 0,
+        lit(1.0) - (col("__wn").cast(d38) * col("n_docs").cast(d38)).cast("double")
+          / col("__wd").cast("double")).as("kappa_w"))
+  }
+
   /** The κ derivation from carried [[agreementCells]] — ONE definition
     * shared with the batch path (the D27 convention).
     */

@@ -14,6 +14,36 @@ class AgreementSpec extends SparkSpecBase {
 
   // ------------------------------------------------------------ Fleiss kappa
 
+  test("weightedKappa: hand 2x2 case, perfect agreement = 1, degenerate NULL, merge parity") {
+    // cells (0,0):2, (0,1):1, (1,1):3 -> N=6, sum_wn=1;
+    // den = r0*c1 + r1*c0 = 3*4 + 3*2 = 18; kappa_w = 1 - 6/18
+    val df = (Seq.fill(2)((0, 0)) ++ Seq((0, 1)) ++ Seq.fill(3)((1, 1)))
+      .toDF("a", "b")
+    val r = Stats.weightedKappaFromCells(Stats.agreementCells(df, "a", "b"))
+      .collect().head
+    assert(r.getLong(r.fieldIndex("n_docs")) == 6L &&
+      r.getLong(r.fieldIndex("sum_wn")) == 1L)
+    assert(r.getDouble(r.fieldIndex("kappa_w")) == 1.0 - 6.0 / 18.0)
+    // perfect agreement on >= 2 categories: sum_wn = 0 -> kappa_w = 1
+    val perf = Seq((0, 0), (1, 1), (2, 2)).toDF("a", "b")
+    val rp = Stats.weightedKappaFromCells(Stats.agreementCells(perf, "a", "b"))
+      .collect().head
+    assert(rp.getDouble(rp.fieldIndex("kappa_w")) == 1.0)
+    // one shared category: zero expected disagreement -> NULL
+    val degen = Seq((2, 2), (2, 2)).toDF("a", "b")
+    val rd = Stats.weightedKappaFromCells(Stats.agreementCells(degen, "a", "b"))
+      .collect().head
+    assert(rd.isNullAt(rd.fieldIndex("kappa_w")))
+    // D35 composition: merged half-cells reproduce the one-shot exactly
+    val left = (Seq.fill(2)((0, 0)) ++ Seq((0, 1))).toDF("a", "b")
+    val right = Seq.fill(3)((1, 1)).toDF("a", "b")
+    val merged = Stats.mergeAgreementCells(
+      Stats.agreementCells(left, "a", "b"), Stats.agreementCells(right, "a", "b"))
+    val rm = Stats.weightedKappaFromCells(merged).collect().head
+    assert(rm.getDouble(rm.fieldIndex("kappa_w")) ==
+      r.getDouble(r.fieldIndex("kappa_w")))
+  }
+
   test("fleissKappa: 4-item 3-rater hand case gives kappa = 22/82 exactly") {
     // cells: (a,a,a) s2=9; (a,a,b) 5; (b,b,b) 9; (a,b,c) 3 -> sum 26
     // p_o = (26-12)/24; C = [6,5,1] -> sumC2 = 62, p_e = 62/144

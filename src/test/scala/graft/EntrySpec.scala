@@ -51,7 +51,8 @@ class EntrySpec extends SparkSpecBase {
       "q_sign_test", "q_cochran_armitage", "q_gwet_ac1", "q_kendall_w",
       "q_moods_median", "q_page_trend", "q_zipf_fit", "q_bartlett",
       "q_variance_ratio", "q_classifier_eval", "q_classifier_eval_holdout",
-      "q_brier", "q_log_loss", "q_paired_t", "q_mcc", "q_burstiness")
+      "q_brier", "q_log_loss", "q_paired_t", "q_mcc", "q_burstiness",
+      "q_kappa_weighted")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !singleRow(name) && !sql.toUpperCase.contains("ORDER BY") => name
     }
