@@ -1621,7 +1621,10 @@ object Stats {
       sum(col("n")).as("n_docs"))
     val rowsM = ci.groupBy(col("__ai")).agg(sum(col("n")).as("rn"))
     val colsM = ci.groupBy(col("__bi")).agg(sum(col("n")).as("cn"))
-    val den = rowsM.crossJoin(colsM)
+    // explicit broadcast: the margins are ≤ k-row aggregates, and an
+    // unhinted crossJoin can plan CartesianProduct (the q_isotonic
+    // PlanSpec lesson)
+    val den = rowsM.crossJoin(broadcast(colsM))
       .agg(sum(col("rn").cast(d38) * col("cn").cast(d38) *
         abs(col("__ai") - col("__bi")).cast(d38)).as("__wd"))
     num.crossJoin(broadcast(den)).select(
