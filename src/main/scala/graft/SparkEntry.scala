@@ -2701,6 +2701,44 @@ object SparkEntry {
       graft.operators.stats.Stats.cliffsDelta(
         snap(s, dir).orders, "o_orderpriority", "o_totalprice",
         "1-URGENT", "5-LOW")),
+    "q_conformal" -> ((s, dir) => {
+      // split-conformal nonconformity threshold (B158) on the held-out
+      // slice with the holdout model: qhat = the ceil(0.9(n+1))-th
+      // smallest |y - score| (exact-int rank, RankedSpine prefix,
+      // min-over-filter SELECTION — an actual element), realized
+      // coverage ONE division (>= 0.9 by construction, spec-free
+      // guarantee stated). Single row (EntrySpec exemption).
+      import graft.operators.text.{QualityClassifier, TextStats}
+      val d = snap(s, dir).documents
+        .where(graft.operators.sample.Sampling.assignSplit(
+          col("source"), Seq("train" -> 0.8, "heldout" -> 0.2)) === "heldout")
+      val scored = QualityClassifier
+        .scoreWithModel(d, "doc_id", "text", qualityHoldoutWeights, qualityHoldoutBias)
+        .select("doc_id", "score")
+      val ws = QualityClassifier.tokens(col("text"))
+      val lab = d.where(col("text").isNotNull)
+        .select(col("doc_id"), ws.as("__ws"))
+        .where(size(col("__ws")) > 0)
+        .select(col("doc_id"),
+          (size(filter(col("__ws"), w => w.isInCollection(TextStats.Markers.head._2)))
+            .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
+      val nc = scored.join(lab, "doc_id")
+        .select(abs(when(col("lbl"), lit(1.0)).otherwise(lit(0.0)) - col("score"))
+          .as("s"))
+      val sp = nc.groupBy("s").agg(count(lit(1)).as("cnt"))
+      val pre = graft.operators.stats.RankedSpine
+        .exclusivePrefix(sp, Nil, "s", Seq("cnt" -> "bc"))
+        .withColumn("cum", col("bc") + col("cnt"))
+      val n = sp.agg(sum(col("cnt")).as("n"))
+      val qh = pre.crossJoin(broadcast(n))
+        .where(col("cum") >= expr("(9 * (n + 1) + 9) div 10"))
+        .agg(min(col("s")).as("q_hat"))
+      val cov = nc.crossJoin(broadcast(qh))
+        .agg(sum(when(col("s") <= col("q_hat"), 1L).otherwise(0L)).as("__ncov"))
+      n.crossJoin(broadcast(qh)).crossJoin(broadcast(cov))
+        .select(col("n").as("n_cal"), col("q_hat"),
+          (col("__ncov").cast("double") / col("n").cast("double")).as("coverage"))
+    }),
     "q_kappa_weighted" -> ((s, dir) => {
       // linearly-weighted Cohen's kappa (B157): ordinal length-band vs
       // token-band raters (0..3, exact integer div bands — correlated
@@ -7721,6 +7759,32 @@ object SparkEntry {
         |  st[1] - least(st[2], st[1]) AS ph_stat,
         |  st[1] - least(st[2], st[1]) > 250000e0 AS alarm
         |FROM f ORDER BY o_custkey""".stripMargin,
+    // B158 split-conformal: the holdout score/label grain, exact-int
+    // rank ceil(0.9(n+1)), value-spine cumulative selection, coverage
+    // one division.
+    "q_conformal" ->
+      s"""WITH $classifierHoldoutCtes,
+         |$classifierLabelCte,
+         |sc AS (
+         |  SELECT doc_id,
+         |    floor((1.0 / (1.0 + exp(-logit))) * 10000.0 + 0.5) / 10000.0 AS score
+         |  FROM s),
+         |jj AS (SELECT sc.doc_id, sc.score, l.lbl FROM sc JOIN l USING (doc_id)),
+         |nc AS (SELECT abs((CASE WHEN lbl THEN 1e0 ELSE 0e0 END) - score) AS s FROM jj),
+         |sp AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt FROM nc GROUP BY 1),
+         |pre AS (SELECT s, cnt,
+         |        SUM(cnt) OVER (ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |        FROM sp),
+         |nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM sp),
+         |q AS (SELECT MIN(pre.s) AS q_hat FROM pre, nn
+         |      WHERE pre.cum >= (9 * (nn.n + 1) + 9) // 10),
+         |c AS (SELECT CAST(SUM(CASE WHEN nc.s <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT)
+         |        AS n_cov
+         |      FROM nc, q)
+         |SELECT nn.n AS n_cal, q.q_hat,
+         |  CAST(c.n_cov AS DOUBLE) / CAST(nn.n AS DOUBLE) AS coverage
+         |FROM nn, q, c""".stripMargin,
     // B157 weighted kappa: ordinal bands via exact integer //, HUGEINT
     // products, one division; zero-margin categories contribute exact
     // 0 so observed margins suffice.

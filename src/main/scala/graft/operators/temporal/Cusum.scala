@@ -185,9 +185,27 @@ object Cusum {
       tieCol: String,
       valueCol: String,
       delta: Double,
-      lambda: Double): DataFrame = {
+      lambda: Double): DataFrame =
+    pageHinkleyReport(
+      pageHinkleyState(df, keyCols, orderCol, tieCol, valueCol, delta), lambda)
+
+  /** The carried PH state per key — (keys, n_points, __m, __mmin, __s):
+    * the raw fold slots BEFORE the final min close ([[pageHinkleyReport]]
+    * closes them). [[pageHinkleyResume]] folds a LATER time-partitioned
+    * batch from this state and equals the one-shot over the
+    * concatenation EXACTLY (sequential fold, same op sequence — the
+    * D20 resume contract: a (order, tie) value never arrives after a
+    * later one). The batch row (B155) is DEFINED as report(state(df)),
+    * making streamed == one-shot structural (D43).
+    */
+  def pageHinkleyState(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      valueCol: String,
+      delta: Double): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column required")
-    require(lambda > 0, s"alarm threshold lambda must be > 0, got $lambda")
     val keyRefs: Seq[Column] = keyCols.map(col)
     val clean = df.where(
       keyRefs.map(_.isNotNull).reduce(_ && _) &&
@@ -203,20 +221,90 @@ object Cusum {
           aggregate(
             transform(col("series"), e => e.getField("v")),
             array(lit(0.0), lit(0.0), lit(0.0), lit(0.0)),
-            (acc, x) => array(
-              element_at(acc, 1) +
-                (x - (element_at(acc, 3) + x) / (element_at(acc, 4) + lit(1.0))
-                  - lit(delta)),
-              least(element_at(acc, 2), element_at(acc, 1)),
-              element_at(acc, 3) + x,
-              element_at(acc, 4) + lit(1.0))).as("st"): _*)
+            (acc, x) => phStep(acc, x, delta)).as("__st"): _*)
       .select(
         keyRefs :+
           col("n_points") :+
-          element_at(col("st"), 1).as("ph_final") :+
-          least(element_at(col("st"), 2), element_at(col("st"), 1)).as("ph_min"): _*)
+          element_at(col("__st"), 1).as("__m") :+
+          element_at(col("__st"), 2).as("__mmin") :+
+          element_at(col("__st"), 3).as("__s"): _*)
+  }
+
+  /** One PH fold step — every slot reads the OLD accumulator only; the
+    * running count is re-derivable but carried in slot 4 during a fold
+    * (resume seeds it from the state's n_points).
+    */
+  private def phStep(acc: Column, x: Column, delta: Double): Column = array(
+    element_at(acc, 1) +
+      (x - (element_at(acc, 3) + x) / (element_at(acc, 4) + lit(1.0))
+        - lit(delta)),
+    least(element_at(acc, 2), element_at(acc, 1)),
+    element_at(acc, 3) + x,
+    element_at(acc, 4) + lit(1.0))
+
+  /** Fold a new TIME-ORDERED batch into carried [[pageHinkleyState]] —
+    * the D43 streaming monitor step (same contract as [[resume]]):
+    * keys new in the batch start from zero state, state-only keys carry
+    * through unchanged.
+    */
+  def pageHinkleyResume(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      tieCol: String,
+      valueCol: String,
+      delta: Double,
+      state: DataFrame): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val keyRefs: Seq[Column] = keyCols.map(col)
+    val clean = df.where(
+      keyRefs.map(_.isNotNull).reduce(_ && _) &&
+        col(orderCol).isNotNull && col(tieCol).isNotNull && col(valueCol).isNotNull)
+    val grouped = clean
+      .groupBy(keyRefs: _*)
+      .agg(array_sort(collect_list(struct(
+        col(orderCol).as("o"), col(tieCol).as("t"),
+        col(valueCol).cast("double").as("v")))).as("series"))
+    val st = state.select(
+      keyRefs :+ col("n_points").as("__n0") :+
+        col("__m").as("__m0") :+ col("__mmin").as("__mm0") :+
+        col("__s").as("__s0"): _*)
+    grouped.join(st, keyCols, "full")
+      .select(
+        keyRefs :+
+          // when-guarded (legacy size(NULL) is -1 — the D20 lesson)
+          (coalesce(col("__n0"), lit(0))
+            + when(col("series").isNull, lit(0))
+            .otherwise(size(col("series")))).cast("int").as("n_points") :+
+          when(col("series").isNull,
+            array(coalesce(col("__m0"), lit(0.0)), coalesce(col("__mm0"), lit(0.0)),
+              coalesce(col("__s0"), lit(0.0)), coalesce(col("__n0"), lit(0)).cast("double")))
+            .otherwise(aggregate(
+              transform(col("series"), e => e.getField("v")),
+              array(coalesce(col("__m0"), lit(0.0)), coalesce(col("__mm0"), lit(0.0)),
+                coalesce(col("__s0"), lit(0.0)), coalesce(col("__n0"), lit(0)).cast("double")),
+              (acc, x) => phStep(acc, x, delta))).as("__st"): _*)
+      .select(
+        keyRefs :+
+          col("n_points") :+
+          element_at(col("__st"), 1).as("__m") :+
+          element_at(col("__st"), 2).as("__mmin") :+
+          element_at(col("__st"), 3).as("__s"): _*)
+  }
+
+  /** Close carried [[pageHinkleyState]] into the published report —
+    * ONE definition shared by the batch row and the streaming monitor:
+    * the delayed min slot closes with a final least, ph_stat = m − min,
+    * alarm on ph_stat > λ.
+    */
+  def pageHinkleyReport(state: DataFrame, lambda: Double): DataFrame = {
+    require(lambda > 0, s"alarm threshold lambda must be > 0, got $lambda")
+    state
+      .withColumn("ph_final", col("__m"))
+      .withColumn("ph_min", least(col("__mmin"), col("__m")))
       .withColumn("ph_stat", col("ph_final") - col("ph_min"))
       .withColumn("alarm", col("ph_stat") > lit(lambda))
+      .drop("__m", "__mmin", "__s")
   }
 
   /** (key…, order, exact DECIMAL sum) period cells — the mergeable

@@ -52,7 +52,7 @@ class EntrySpec extends SparkSpecBase {
       "q_moods_median", "q_page_trend", "q_zipf_fit", "q_bartlett",
       "q_variance_ratio", "q_classifier_eval", "q_classifier_eval_holdout",
       "q_brier", "q_log_loss", "q_paired_t", "q_mcc", "q_burstiness",
-      "q_kappa_weighted")
+      "q_kappa_weighted", "q_conformal")
     val missing = SparkEntry.oracleSql.collect {
       case (name, sql) if !singleRow(name) && !sql.toUpperCase.contains("ORDER BY") => name
     }

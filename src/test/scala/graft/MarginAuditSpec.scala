@@ -81,6 +81,10 @@ class MarginAuditSpec extends SparkSpecBase {
       // pinned-order sums). No NEW transcendental evaluation exists in
       // these oracles beyond the audited sigmoid itself.
       "q_isotonic", "q_ece", "q_brier", "q_pr_curve",
+      // conformal rides the HOLDOUT sigmoid — the same audited rounded-4
+      // score family (C84's oracle shares the audited construction);
+      // every hashed value is an exact selection / one-division over it
+      "q_conformal",
       // the 15th audited ln: binned-spine logistic loss (round 16) —
       // lns at the score-spine grain, audited below
       "q_log_loss",
@@ -770,19 +774,30 @@ class MarginAuditSpec extends SparkSpecBase {
     * it is reported if seen.
     */
   private def auditQualityClassifier(sfDir: String): Unit = {
-    val rows = graft.operators.text.QualityClassifier
-      .scoreWithModel(Snapshot(spark, sfDir).documents, "doc_id", "text",
-        SparkEntry.qualityModelWeights, SparkEntry.qualityModelBias)
-      .select("logit").collect()
-    assert(rows.nonEmpty, s"$sfDir: classifier scored no documents")
     val margin = boundaryMargin(4)
-    val minB = rows.iterator.map { r =>
-      val logit = r.getDouble(0)
-      margin(1.0 / (1.0 + math.exp(-logit)))
-    }.min
-    assert(minB > 1e-9,
-      f"$sfDir: a hashed classifier score sits $minB%.3e from its 4-digit " +
-        "rounding boundary — libm drift could flip the hash")
+    def sweep(weights: Seq[Double], bias: Double,
+        docs: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val rows = graft.operators.text.QualityClassifier
+        .scoreWithModel(docs, "doc_id", "text", weights, bias)
+        .select("logit").collect()
+      assert(rows.nonEmpty, s"$sfDir: $tag classifier scored no documents")
+      val minB = rows.iterator.map { r =>
+        val logit = r.getDouble(0)
+        margin(1.0 / (1.0 + math.exp(-logit)))
+      }.min
+      assert(minB > 1e-9,
+        f"$sfDir: a hashed $tag classifier score sits $minB%.3e from its " +
+          "4-digit rounding boundary — libm drift could flip the hash")
+    }
+    val all = Snapshot(spark, sfDir).documents
+    sweep(SparkEntry.qualityModelWeights, SparkEntry.qualityModelBias, all, "main")
+    // the HOLDOUT model's rounded-4 scores are hashed too (q_conformal
+    // selects a |y - score| element) — sweep them over the held-out
+    // slice, the population that row scores
+    val held = all.where(graft.operators.sample.Sampling.assignSplit(
+      col("source"), Seq("train" -> 0.8, "heldout" -> 0.2)) === "heldout")
+    sweep(SparkEntry.qualityHoldoutWeights, SparkEntry.qualityHoldoutBias,
+      held, "holdout")
   }
 
   /** q_log_loss hashes ONE rounded-4 value — the score-spine-grain fold

@@ -789,6 +789,63 @@ class StreamingSpec extends SparkSpecBase {
     assert(state.select("alarm").distinct().count() == 2)
   }
 
+  test("streaming Page-Hinkley monitor: resumed sequential state equals the one-shot fold (D43)") {
+    // D43: B155 lifted onto the stream — the D20 shape exactly (the PH
+    // walk is a sequential fold, NOT associative, so batches must be
+    // TIME-PARTITIONED per key; staged as date-range files with forced
+    // modTimes, cut on distinct dates). The state carries the raw
+    // [m, delayed-min, sum] slots; pageHinkleyReport (ONE definition —
+    // the batch row IS report(state(df))) closes them, and after the
+    // last microbatch the resumed report must equal the one-shot
+    // FULL-ROW, bit for bit.
+    import graft.operators.temporal.Cusum
+    val keyArgs = Seq("o_custkey")
+    val orders = Snapshot(spark, sf()).orders
+      .where($"o_custkey".isNotNull && $"o_orderdate".isNotNull &&
+        $"o_orderkey".isNotNull && $"o_totalprice".isNotNull)
+    val dates = orders.select($"o_orderdate").distinct().orderBy($"o_orderdate")
+      .collect().map(_.getAs[Any](0))
+    val (c1, c2) = (dates(dates.length / 3), dates(2 * dates.length / 3))
+    val dir = Files.createTempDirectory("graft_ph_stream").toFile
+    dir.deleteOnExit()
+    val slices = Seq(
+      orders.where($"o_orderdate" < lit(c1)),
+      orders.where($"o_orderdate" >= lit(c1) && $"o_orderdate" < lit(c2)),
+      orders.where($"o_orderdate" >= lit(c2)))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val stage = new java.io.File(dir, s"stage$i")
+      s.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(dir, f"batch_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      assert(target.setLastModified(1700000000000L + i * 60000L))
+      stage.listFiles().foreach(_.delete()); stage.delete(); ()
+    }
+    val batchDf = spark.read.parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    var state = Cusum.pageHinkleyState(orders.limit(0), keyArgs,
+      "o_orderdate", "o_orderkey", "o_totalprice", 0.0)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        nBatches.incrementAndGet()
+        state = Cusum.pageHinkleyResume(batch, keyArgs, "o_orderdate",
+          "o_orderkey", "o_totalprice", 0.0, state).localCheckpoint(true)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(nBatches.get() == 3, s"expected 3 time-ordered microbatches, got ${nBatches.get()}")
+    val oneShot = Cusum.pageHinkley(batchDf, keyArgs,
+      "o_orderdate", "o_orderkey", "o_totalprice", 0.0, 250000.0)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    assert(canon(Cusum.pageHinkleyReport(state, 250000.0)) == canon(oneShot))
+    // non-vacuous: both alarm states present
+    assert(oneShot.select("alarm").distinct().count() == 2)
+  }
+
   test("streaming time-to-event subject state: merged min/max state equals the batch subjects (D21)") {
     // D21: B77's subject state lifted onto the stream — the D14 shape.
     // Every field of Survival.subjects is an ASSOCIATIVE min/max
