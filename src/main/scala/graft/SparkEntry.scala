@@ -2701,6 +2701,28 @@ object SparkEntry {
       graft.operators.stats.Stats.cliffsDelta(
         snap(s, dir).orders, "o_orderpriority", "o_totalprice",
         "1-URGENT", "5-LOW")),
+    "q_eval_by_slice" -> ((s, dir) => {
+      // per-LANGUAGE classifier evaluation (C90): C83's confusion/rates
+      // sliced by lang — the fairness table where an average-fine flag
+      // can fail one slice. Same exact-count construction per group.
+      import graft.operators.text.{QualityClassifier, TextStats}
+      val d = snap(s, dir).documents
+      val scored = QualityClassifier
+        .scoreWithModel(d, "doc_id", "text", qualityModelWeights, qualityModelBias)
+        .select("doc_id", "is_quality")
+      val ws = QualityClassifier.tokens(col("text"))
+      val lab = d.where(col("text").isNotNull)
+        .select(col("doc_id"), ws.as("__ws"))
+        .where(size(col("__ws")) > 0)
+        .select(col("doc_id"),
+          (size(filter(col("__ws"), w => w.isInCollection(TextStats.Markers.head._2)))
+            .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
+      val lang = d.where(col("lang").isNotNull).select("doc_id", "lang")
+      QualityClassifier.evaluateByGroup(
+        scored.join(lab, "doc_id").join(lang, "doc_id"),
+        "lang", "is_quality", "lbl")
+        .orderBy("lang")
+    }),
     "q_conformal" -> ((s, dir) => {
       // split-conformal nonconformity threshold (B158) on the held-out
       // slice with the holdout model: qhat = the ceil(0.9(n+1))-th
@@ -7759,6 +7781,31 @@ object SparkEntry {
         |  st[1] - least(st[2], st[1]) AS ph_stat,
         |  st[1] - least(st[2], st[1]) > 250000e0 AS alarm
         |FROM f ORDER BY o_custkey""".stripMargin,
+    // C90 per-language eval: the C83 confusion tail GROUPED by lang.
+    "q_eval_by_slice" ->
+      s"""WITH $classifierLogitCtes,
+         |$classifierLabelCte,
+         |g AS (SELECT doc_id, lang FROM documents
+         |      WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |j AS (SELECT g.lang, s.logit > 0 AS p, l.lbl AS y
+         |      FROM s JOIN l USING (doc_id) JOIN g USING (doc_id)),
+         |c AS (
+         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN p AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM j GROUP BY 1),
+         |r AS (
+         |  SELECT lang, n, tp, fp, fn, tn,
+         |    CASE WHEN n > 0 THEN CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) END AS accuracy,
+         |    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+         |    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+         |  FROM c)
+         |SELECT lang, n, tp, fp, fn, tn, accuracy, prec, recall,
+         |  CASE WHEN prec IS NOT NULL AND recall IS NOT NULL AND prec + recall > 0.0
+         |    THEN 2.0 * prec * recall / (prec + recall) END AS f1
+         |FROM r ORDER BY lang""".stripMargin,
     // B158 split-conformal: the holdout score/label grain, exact-int
     // rank ceil(0.9(n+1)), value-spine cumulative selection, coverage
     // one division.

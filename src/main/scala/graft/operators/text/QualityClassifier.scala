@@ -228,6 +228,37 @@ object QualityClassifier {
         lit(2.0) * col("prec") * col("recall") / (col("prec") + col("recall"))))
   }
 
+  /** Per-GROUP classifier evaluation (C90) — [[evaluate]] sliced by a
+    * group column (language, source, …): the fairness/slice-eval table
+    * a pipeline publishes next to the aggregate row, where a flag that
+    * looks fine on average can fail one slice. Same exact-count /
+    * one-division / fixed-IEEE-f1 construction per group; zero
+    * denominators NULL. One partial-agg pass at the group grain.
+    */
+  def evaluateByGroup(
+      df: DataFrame, groupCol: String, predCol: String, labelCol: String): DataFrame = {
+    val p = col(predCol); val y = col(labelCol)
+    val counts = df.where(col(groupCol).isNotNull && p.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        sum(when(p && y, 1L).otherwise(0L)).as("tp"),
+        sum(when(p && !y, 1L).otherwise(0L)).as("fp"),
+        sum(when(!p && y, 1L).otherwise(0L)).as("fn"),
+        sum(when(!p && !y, 1L).otherwise(0L)).as("tn"))
+    val withPr = counts.select(col(groupCol), col("n"), col("tp"), col("fp"),
+      col("fn"), col("tn"),
+      when(col("n") > 0,
+        (col("tp") + col("tn")).cast("double") / col("n").cast("double")).as("accuracy"),
+      when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double")).as("prec"),
+      when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn")).cast("double")).as("recall"))
+    withPr.withColumn("f1",
+      when(col("prec").isNotNull && col("recall").isNotNull &&
+        col("prec") + col("recall") > 0.0,
+        lit(2.0) * col("prec") * col("recall") / (col("prec") + col("recall"))))
+  }
+
   /** Field-wise associative merge of two [[gradientCells]] tables. */
   def mergeGradientCells(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("__j").agg(sum(col("__g")).as("__g"))
