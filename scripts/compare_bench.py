@@ -65,8 +65,10 @@ def main(old_path, new_path, ratio=1.5):
             # 1.5x-norm regression has a raw ratio near 1.0 and its raw
             # min would always sit inside the raw band.
             noisy += 1
+            # print the NORMALIZED best rep — the quantity the rule
+            # tests; the raw value can read as contradicting the verdict
             print(f"noise_spread_overlap {name}: {om:.3f} -> {nm:.3f} ({nm/om:.2f}x raw, {r:.2f}x norm) — "
-                  f"best rep {nsp[0]:.3f} within 1.25x of committed max {osp[2]:.3f}")
+                  f"best rep {nsp[0] / global_shift:.3f} (norm) within 1.25x of committed max {osp[2]:.3f}")
         elif osp and nsp:
             if r > 1:
                 regressed += 1

@@ -490,13 +490,7 @@ object SparkEntry {
       val scored = QualityClassifier
         .scoreWithModel(d, "doc_id", "text", qualityModelWeights, qualityModelBias)
         .select("doc_id", "is_quality")
-      val ws = QualityClassifier.tokens(col("text"))
-      val lab = d.where(col("text").isNotNull)
-        .select(col("doc_id"), ws.as("__ws"))
-        .where(size(col("__ws")) > 0)
-        .select(col("doc_id"),
-          (size(filter(col("__ws"), w => w.isInCollection(TextStats.Markers.head._2)))
-            .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
+      val lab = classifierScreenLabel(d)
       QualityClassifier.evaluate(scored.join(lab, "doc_id"), "is_quality", "lbl")
     }),
     "q_classifier_eval_holdout" -> ((s, dir) => {
@@ -514,13 +508,7 @@ object SparkEntry {
       val scored = QualityClassifier
         .scoreWithModel(d, "doc_id", "text", qualityHoldoutWeights, qualityHoldoutBias)
         .select("doc_id", "is_quality")
-      val ws = QualityClassifier.tokens(col("text"))
-      val lab = d.where(col("text").isNotNull)
-        .select(col("doc_id"), ws.as("__ws"))
-        .where(size(col("__ws")) > 0)
-        .select(col("doc_id"),
-          (size(filter(col("__ws"), w => w.isInCollection(TextStats.Markers.head._2)))
-            .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
+      val lab = classifierScreenLabel(d)
       QualityClassifier.evaluate(scored.join(lab, "doc_id"), "is_quality", "lbl")
     }),
     "q_isotonic" -> ((s, dir) =>
@@ -608,13 +596,7 @@ object SparkEntry {
       val scored = QualityClassifier
         .scoreWithModel(d, "doc_id", "text", qualityModelWeights, qualityModelBias)
         .select("doc_id", "is_quality")
-      val ws = QualityClassifier.tokens(col("text"))
-      val lab = d.where(col("text").isNotNull)
-        .select(col("doc_id"), ws.as("__ws"))
-        .where(size(col("__ws")) > 0)
-        .select(col("doc_id"),
-          (size(filter(col("__ws"), w => w.isInCollection(TextStats.Markers.head._2)))
-            .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
+      val lab = classifierScreenLabel(d)
       val p = col("is_quality"); val y = col("lbl")
       def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
       val tpr = col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
@@ -2710,13 +2692,7 @@ object SparkEntry {
       val scored = QualityClassifier
         .scoreWithModel(d, "doc_id", "text", qualityModelWeights, qualityModelBias)
         .select("doc_id", "is_quality")
-      val ws = QualityClassifier.tokens(col("text"))
-      val lab = d.where(col("text").isNotNull)
-        .select(col("doc_id"), ws.as("__ws"))
-        .where(size(col("__ws")) > 0)
-        .select(col("doc_id"),
-          (size(filter(col("__ws"), w => w.isInCollection(TextStats.Markers.head._2)))
-            .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
+      val lab = classifierScreenLabel(d)
       val lang = d.where(col("lang").isNotNull).select("doc_id", "lang")
       QualityClassifier.evaluateByGroup(
         scored.join(lab, "doc_id").join(lang, "doc_id"),
@@ -2737,13 +2713,7 @@ object SparkEntry {
       val scored = QualityClassifier
         .scoreWithModel(d, "doc_id", "text", qualityHoldoutWeights, qualityHoldoutBias)
         .select("doc_id", "score")
-      val ws = QualityClassifier.tokens(col("text"))
-      val lab = d.where(col("text").isNotNull)
-        .select(col("doc_id"), ws.as("__ws"))
-        .where(size(col("__ws")) > 0)
-        .select(col("doc_id"),
-          (size(filter(col("__ws"), w => w.isInCollection(TextStats.Markers.head._2)))
-            .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
+      val lab = classifierScreenLabel(d)
       val nc = scored.join(lab, "doc_id")
         .select(abs(when(col("lbl"), lit(1.0)).otherwise(lit(0.0)) - col("score"))
           .as("s"))
@@ -3860,12 +3830,6 @@ object SparkEntry {
     classifierCtes(qualityHoldoutWeights, qualityHoldoutBias,
       "\n    AND CAST(concat('0x', substr(md5(source), 1, 6)) AS BIGINT) >= 13421772")
 
-  /** The confusion/rate tail shared by the C83 and C84 eval oracles:
-    * screen label from `d`'s tokens, exact counts, one-division rates
-    * (unrounded, the B56 rule), f1 a fixed IEEE chain; zero
-    * denominators NULL via CASE both engines. `prec` not `precision`
-    * (reserved word, the check_name lesson).
-    */
   /** The stopword-density screen label over `d`'s tokens — ONE
     * definition serving the eval tails and the score-label grain.
     */
@@ -3890,6 +3854,12 @@ object SparkEntry {
        |  FROM s),
        |jj AS (SELECT sc.doc_id, sc.score, l.lbl FROM sc JOIN l USING (doc_id))""".stripMargin
 
+  /** The confusion/rate tail shared by the C83 and C84 eval oracles:
+    * screen label from `d`'s tokens, exact counts, one-division rates
+    * (unrounded, the B56 rule), f1 a fixed IEEE chain; zero
+    * denominators NULL via CASE both engines. `prec` not `precision`
+    * (reserved word, the check_name lesson).
+    */
   private val classifierEvalTailSql: String =
     s"""$classifierLabelCte,
       |j AS (SELECT s.logit > 0 AS p, l.lbl AS y FROM s JOIN l USING (doc_id)),
@@ -3943,6 +3913,23 @@ object SparkEntry {
     * (q_isotonic / q_ece / q_brier; ONE definition, the qualityScoreSql
     * rule — the oracle twin is `classifierScoreLabelCtes`).
     */
+  /** The stopword-density screen label (doc_id, lbl) over a documents
+    * frame — ONE Spark-side definition of the label every classifier
+    * eval/calibration row distills against (the oracle twin is
+    * `classifierLabelCte`; the qualityScoreSql one-definition rule —
+    * this block was copy-pasted six times before the r16 review pass).
+    */
+  private[graft] def classifierScreenLabel(d: DataFrame): DataFrame = {
+    import graft.operators.text.{QualityClassifier, TextStats}
+    val ws = QualityClassifier.tokens(col("text"))
+    d.where(col("text").isNotNull)
+      .select(col("doc_id"), ws.as("__ws"))
+      .where(size(col("__ws")) > 0)
+      .select(col("doc_id"),
+        (size(filter(col("__ws"), w => w.isInCollection(TextStats.Markers.head._2)))
+          .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
+  }
+
   private def classifierScoredLabeled(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import graft.operators.text.{QualityClassifier, TextStats}
@@ -3950,13 +3937,7 @@ object SparkEntry {
     val scored = QualityClassifier
       .scoreWithModel(d, "doc_id", "text", qualityModelWeights, qualityModelBias)
       .select("doc_id", "score")
-    val ws = QualityClassifier.tokens(col("text"))
-    val lab = d.where(col("text").isNotNull)
-      .select(col("doc_id"), ws.as("__ws"))
-      .where(size(col("__ws")) > 0)
-      .select(col("doc_id"),
-        (size(filter(col("__ws"), w => w.isInCollection(TextStats.Markers.head._2)))
-          .cast("double") / size(col("__ws")).cast("double") >= 0.05).as("lbl"))
+    val lab = classifierScreenLabel(d)
     scored.join(lab, "doc_id")
   }
 

@@ -137,30 +137,6 @@ object Cusum {
       .withColumn("alarm", col("cusum_max") > lit(h))
   }
 
-  /** EWMA control chart per key (B152) — Page CUSUM's smoother sibling
-    * (Roberts 1959): z_t = λ·x_t + (1−λ)·z_{t−1} with z_1 = x_1,
-    * time-varying limits μ ± L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})). The input
-    * is an already-AGGREGATED (key, order, value) cell grain (monthly
-    * totals etc. — the caller owns that one corpus-scale aggregation);
-    * everything here runs on the ≤ bounded per-key spine.
-    *
-    * Determinism (every output hashes UNROUNDED): μ and σ come from
-    * order-SORTED sequential folds of the cell values (0.0-init
-    * aggregate == init-less list_reduce — bounded spine, the ljung-box
-    * running-statistic rule: never a cumulative window over doubles);
-    * z_t re-folds the recursion over the first t cells per t (O(T²)
-    * lambda steps on a ≤ T-cell spine — cheap, and each fold is the
-    * SAME op sequence in both engines: init = x_1, step
-    * λ·x + (1−λ)·acc); the power term folds t steps of
-    * acc·(1−λ)·(1−λ) (two multiplies per step — mirrored literally;
-    * (1−λ)² as a literal would be a DIFFERENT double). σ's variance is
-    * clamped at 0 via greatest (a tiny negative from IEEE cancellation
-    * would NaN the sqrt); sqrt is correctly-rounded IEEE, not libm.
-    * The alarm compares engine-identical doubles. λ and L embed as
-    * plain literals — the oracle writes them with e0 suffixes (DuckDB
-    * bare decimal literals are DECIMAL and silently truncate inside
-    * lambda arithmetic — measured).
-    */
   /** Page–Hinkley drift detector per key (B155) — the RUNNING-MEAN
     * sibling of [[perKeyCusum]] (Page 1954; the standard concept-drift
     * monitor in streaming-ML libraries): m_t = m_{t−1} + (x_t − x̄_t −
@@ -333,6 +309,30 @@ object Cusum {
       .groupBy((keyCols.map(col) :+ col("__ord")): _*)
       .agg(sum(col("__cell")).as("__cell"))
 
+  /** EWMA control chart per key (B152) — Page CUSUM's smoother sibling
+    * (Roberts 1959): z_t = λ·x_t + (1−λ)·z_{t−1} with z_1 = x_1,
+    * time-varying limits μ ± L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})). The input
+    * is an already-AGGREGATED (key, order, value) cell grain (monthly
+    * totals etc. — the caller owns that one corpus-scale aggregation);
+    * everything here runs on the ≤ bounded per-key spine.
+    *
+    * Determinism (every output hashes UNROUNDED): μ and σ come from
+    * order-SORTED sequential folds of the cell values (0.0-init
+    * aggregate == init-less list_reduce — bounded spine, the ljung-box
+    * running-statistic rule: never a cumulative window over doubles);
+    * z_t re-folds the recursion over the first t cells per t (O(T²)
+    * lambda steps on a ≤ T-cell spine — cheap, and each fold is the
+    * SAME op sequence in both engines: init = x_1, step
+    * λ·x + (1−λ)·acc); the power term folds t steps of
+    * acc·(1−λ)·(1−λ) (two multiplies per step — mirrored literally;
+    * (1−λ)² as a literal would be a DIFFERENT double). σ's variance is
+    * clamped at 0 via greatest (a tiny negative from IEEE cancellation
+    * would NaN the sqrt); sqrt is correctly-rounded IEEE, not libm.
+    * The alarm compares engine-identical doubles. λ and L embed as
+    * plain literals — the oracle writes them with e0 suffixes (DuckDB
+    * bare decimal literals are DECIMAL and silently truncate inside
+    * lambda arithmetic — measured).
+    */
   def ewmaChart(
       cells: DataFrame,
       keyCols: Seq[String],
