@@ -220,6 +220,11 @@ object MinHashDedup {
     // two consumers (bucket-size agg + join-back): persisted for the call
     // so the shingle→minhash→band projection runs once over the corpus,
     // released once the slim (id_a, id_b) pair set is materialized
+    // Deliberately NOT fanned out (r16-opt A/B: 1.74 → 2.42 s): the
+    // fused native banding is cheap per row, and the consumers re-key by
+    // (band, bucket) anyway, so an id-keyed fan-out exchange buys no
+    // downstream partitioning — pure overhead here, unlike PrefixFilter
+    // whose per-doc window reuses the id partitioning.
     val banded0 = df
       .select(col(idCol).as("id"), bucketsCol.as("bs"))
       .select(col("id"), posexplode(col("bs")))
@@ -271,7 +276,10 @@ object SimHashDedup {
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
       maxBucketSize: Int = 1000): DataFrame =
     // the banding/skew-guard/popcount core is the signature-generic
-    // [[HammingDedup]] — simhash only contributes the text signature
+    // [[HammingDedup]] — simhash only contributes the text signature.
+    // Deliberately NOT fanned out: the native simhash projection is
+    // cheap enough that the extra exchange measured as a net loss
+    // (1.41 → 1.73 s A/B at sf0.1; r16-opt).
     HammingDedup.candidatePairs(
       df.select(col(idCol).as("id"), signature(col(textCol)).as("sig")),
       "id", "sig", maxBucketSize)
@@ -377,6 +385,11 @@ object NGramJaccardDedup {
     // exploded set feeds both the frequency agg and the join-back —
     // persisted for the call so shingling+explode runs once, released
     // when the slim pair set is materialized
+    // Deliberately NOT fanned out (r16-opt A/B: 1.63 → 1.97 s): native
+    // hash shingling is cheap and both consumers re-key by the shingle
+    // hash — an id-keyed fan-out exchange buys nothing downstream (the
+    // PrefixFilter variant keeps its fan-out because its per-doc prefix
+    // window DOES reuse the id partitioning).
     val exploded0 = df.select(
       col(idCol).as("id"),
       explode(array_distinct(Shingling.shingleHashes(col(textCol), shingle))).as("s"))
@@ -873,8 +886,14 @@ object LineDedup {
     require(minChars >= 1, s"minChars must be >= 1, got $minChars")
     requireIntegralId(df, idCol)
     val parts = split(col(textCol), "\n")
-    val units = df
-      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+    // fan the slim (id, text) rows out before the split+explode: both
+    // dedupeUnits consumers re-derive the unit explode, and on a
+    // single-split input each ran it in a 1-task stage (ProfileStages,
+    // r16-opt); the shared exchange subtree is also reused, so the
+    // corpus scan happens once. Gated no-op on multi-split inputs.
+    val units = graft.operators.FanOut.byKey(
+      df.where(col(idCol).isNotNull && col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol).as("__id"), size(parts).cast("long").as("__n"), posexplode(parts))
       .select(col("__id"), col("__n"), (col("pos") + 1).cast("long").as("__idx"),
         col("col").as("__unit"))
@@ -898,8 +917,11 @@ object LineDedup {
     val spans = transform(
       sequence(lit(0L), greatest(nSpans - 1L, lit(0L))),
       i => array_join(slice(ws, (i * spanWords + 1).cast("int"), lit(spanWords)), " "))
-    val units = df
-      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+    // same single-split fan-out as [[clean]] — the interpreted span
+    // transform dominated q_dedup_spans in a 1-task scan (2.2 s measured)
+    val units = graft.operators.FanOut.byKey(
+      df.where(col(idCol).isNotNull && col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol).as("__id"), size(spans).cast("long").as("__n"), posexplode(spans))
       .select(col("__id"), col("__n"), (col("pos") + 1).cast("long").as("__idx"),
         col("col").as("__unit"))

@@ -71,9 +71,15 @@ object MinHashIndex {
       shingle: Int)
 
   private def shingleSetsOf(df: DataFrame, idCol: String, textCol: String, shingle: Int): DataFrame =
-    df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"),
-        array_distinct(Shingling.shingleHashes(col(textCol), shingle)).as("sh"))
+    // fan out before shingling — [[build]] persists these sets, and on a
+    // single-split corpus the persist inherited ONE partition,
+    // serializing every probe stage that reads it (2.7 s of
+    // q_dedup_incremental_near's 3.9 s, measured — r16-opt)
+    graft.operators.FanOut.byKey(
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
+      .select(col("id"),
+        array_distinct(Shingling.shingleHashes(col("__t"), shingle)).as("sh"))
 
   private def postingsOf(sets: DataFrame, nBuckets: Int): DataFrame =
     sets.select(explode(col("sh")).as("s"), col("id"))
@@ -85,8 +91,12 @@ object MinHashIndex {
       if (shingle == MinHashDedup.DefaultShingle)
         GraftFunctions.minhashBands(split(lower(col(textCol)), " "))
       else GraftFunctions.bandBuckets(MinHashDedup.signature(col(textCol), shingle))
-    df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"), posexplode(bucketsCol).as(Seq("band", "bucket")))
+    // same pre-banding fan-out as shingleSetsOf (r16-opt). bucketsCol
+    // references textCol by name, so the projection keeps its name here.
+    graft.operators.FanOut.byKey(
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol).as("id"), col(textCol)), col("id"))
+      .select(col("id"), posexplode(bucketsCol).as(Seq("band", "bucket")))
       .withColumn("pbucket", pmod(xxhash64(col("band"), col("bucket")), lit(nBuckets.toLong)))
   }
 

@@ -61,9 +61,17 @@ object Bootstrap {
       seed: String = "boot"): DataFrame = {
     require(reps >= 8 && reps % 8 == 0, s"reps must be a multiple of 8, got $reps")
     val dec = ExactMath.ValueDecimal
-    val clean = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(keyCol).cast("string").as("__k"),
-        col(valueCol).cast(dec).as("__v"))
+    // the ×(R/8) md5 generator below is the dominant cost and fuses into
+    // the scan — fan the slim (key, value) projection out first so it
+    // parallelizes when the input is an unsplittable single file (gated
+    // no-op at scale; weights are md5-per-(key, block), so the result is
+    // partitioning-independent). Measured: 6.5 s of q_bootstrap_ci's
+    // 7.3 s sat in ONE task before this (ProfileStages, r16-opt).
+    val clean = graft.operators.FanOut.byKey(
+      df.where(col(keyCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(keyCol).cast("string").as("__k"),
+          col(valueCol).cast(dec).as("__v")),
+      col("__k"))
     def weightOf(slice: org.apache.spark.sql.Column) =
       when(slice < CdfHex(0), 0)
         .when(slice < CdfHex(1), 1)
@@ -182,11 +190,15 @@ object Bootstrap {
     require(reps >= 32 && reps % 32 == 0,
       s"reps must be a multiple of 32, got $reps")
     val dec = ExactMath.ValueDecimal
-    val clean = df.where(col(keyCol).isNotNull && col(valueCol).isNotNull &&
-      col(groupCol).isin(groupA, groupB))
-      .select(col(keyCol).cast("string").as("__k"),
-        col(valueCol).cast(dec).as("__v"),
-        (col(groupCol) === groupA).as("__a"))
+    // same single-task-generator fix as repState: the ×(R/32) md5-nibble
+    // relabeling dominates and must not run inside a 1-split scan
+    val clean = graft.operators.FanOut.byKey(
+      df.where(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        col(groupCol).isin(groupA, groupB))
+        .select(col(keyCol).cast("string").as("__k"),
+          col(valueCol).cast(dec).as("__v"),
+          (col(groupCol) === groupA).as("__a")),
+      col("__k"))
     val obs = clean.agg(
       sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
       sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),

@@ -49,7 +49,18 @@ object Novelty {
         transform(sequence(lit(1), size(ws) - 4),
           i => array_join(slice(ws, i, lit(5)), " ")))
         .otherwise(array(array_join(ws, " "))))
-    val base = df.where(col(textCol).isNotNull)
+    // fan the slim (id, text) projection out before the interpreted
+    // shingle transform: with a single-split input BOTH consumers below
+    // ran the shingling inside 1-task scan stages (measured 2.3 s +
+    // 1.65 s of q_novelty's 4.4 s — the spine exchange itself was only
+    // 0.33 s; ProfileStages, r16-opt). The two consumers share the
+    // identical exchange subtree, so ReuseExchange also makes the corpus
+    // scan happen once. Gated no-op on multi-split inputs — the 100 TB
+    // plan is unchanged (and the hashed twin, whose exchanges must stay
+    // string-free, is deliberately NOT fanned).
+    val base = graft.operators.FanOut.byKey(
+      df.where(col(textCol).isNotNull).select(col(idCol), col(textCol)),
+      col(idCol))
     val perDoc = base.select(col(idCol),
       size(shingles).cast("long").as("n_shingles"))
     val novel = base.select(col(idCol), explode(shingles).as("__s"))
