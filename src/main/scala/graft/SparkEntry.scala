@@ -3922,7 +3922,12 @@ object SparkEntry {
   private[graft] def classifierScreenLabel(d: DataFrame): DataFrame = {
     import graft.operators.text.{QualityClassifier, TextStats}
     val ws = QualityClassifier.tokens(col("text"))
-    d.where(col("text").isNotNull)
+    // fan out before the tokenize+marker filter — the label scan was the
+    // calibration family's remaining single-task stage (0.66 s measured)
+    // once scoreWithModel parallelized (r16-opt, ProfileStages)
+    graft.operators.FanOut.byKey(
+      d.where(col("text").isNotNull).select(col("doc_id"), col("text")),
+      col("doc_id"))
       .select(col("doc_id"), ws.as("__ws"))
       .where(size(col("__ws")) > 0)
       .select(col("doc_id"),

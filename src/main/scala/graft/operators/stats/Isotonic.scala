@@ -71,7 +71,11 @@ object Isotonic {
       .withColumn("mab", min(col("avgab")).over(wMin))
       .groupBy(col("sb").as("bin"))
       .agg(max(col("mab")).as("rate_iso"))
-    spine.join(iso, Seq("bin"))
+    // join the prefix table (the spine PINNED by exclusivePrefix), not
+    // the raw `spine` — referencing the unpinned aggregate here re-ran
+    // the whole corpus scoring scan a second time (one of q_isotonic's
+    // two ~0.65 s single-task stages; r16-opt, ProfileStages)
+    pre.select(col("bin"), col("pos"), col("cnt")).join(iso, Seq("bin"))
       .select(col("bin"), col("cnt").as("n_docs"), col("pos").as("n_pos"),
         (col("pos").cast("double") / col("cnt").cast("double")).as("rate_raw"),
         col("rate_iso"))

@@ -93,7 +93,15 @@ object QualityClassifier {
       bias: Double): DataFrame = {
     val toks = tokens(col(textCol))
     val logit = logitExpr(col("__ws"), weights, bias)
-    df.where(col(textCol).isNotNull)
+    // fan the slim (id, text) projection out first: the per-token md5
+    // bucketing runs inside an interpreted HOF lambda and dominated the
+    // scoring map — on a single-split input the whole calibration family
+    // (isotonic/ece/brier/pr-curve/log-loss/mcc/eval) paid it in ONE
+    // task (r16-opt, ProfileStages). Gated no-op on multi-split inputs,
+    // so the scale plan stays a pure map after the scan.
+    graft.operators.FanOut.byKey(
+      df.where(col(textCol).isNotNull).select(col(idCol), col(textCol)),
+      col(idCol))
       .select(col(idCol), toks.as("__ws"))
       .where(size(col("__ws")) > 0)
       .select(col(idCol), size(col("__ws")).cast("long").as("n_tokens"),
