@@ -969,12 +969,16 @@ object SparkEntry {
         .orderBy("month")
     }),
     "q_percentiles" -> ((s, dir) => {
-      snap(s, dir).orders
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          graft.functions.ExactMath.hashRound(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          graft.functions.ExactMath.hashRound(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-          count(lit(1)).as("n"))
+      // r16-opt: distributed exact percentiles (bit-identical to the
+      // percentile() aggregate, no per-group value buffer) — n comes
+      // free from the machinery's counts job
+      graft.operators.quantile.Quantiles
+        .groupPercentilesExact(snap(s, dir).orders, "o_orderpriority",
+          "o_totalprice", Seq(0.5, 0.9), Seq("__p50", "__p90"), nCol = Some("n"))
+        .select(col("o_orderpriority"),
+          graft.functions.ExactMath.hashRound(col("__p50"), 4).as("p50"),
+          graft.functions.ExactMath.hashRound(col("__p90"), 4).as("p90"),
+          col("n"))
         .orderBy("o_orderpriority")
     }),
     "q_percentiles_approx" -> ((s, dir) => {
@@ -2960,8 +2964,10 @@ object SparkEntry {
       // margin audit). Single row.
       val o = snap(s, dir).orders
         .where(col("o_orderpriority").isNotNull && col("o_totalprice").isNotNull)
-      val med = o.groupBy("o_orderpriority")
-        .agg(expr("percentile(o_totalprice, 0.5)").as("__med"))
+      // r16-opt: distributed exact median (bit-identical, bufferless)
+      val med = graft.operators.quantile.Quantiles
+        .groupPercentilesExact(o, "o_orderpriority", "o_totalprice",
+          Seq(0.5), Seq("__med"))
       val dev = o.join(broadcast(med), "o_orderpriority")
         .select(col("o_orderpriority"),
           abs(col("o_totalprice") - col("__med")).as("__z"))
@@ -2975,9 +2981,13 @@ object SparkEntry {
       // fence; the mean rounds 4 (kept-price decimal sums cross the
       // 2^53 millionths conversion line — the TWA lesson).
       val o = snap(s, dir).orders.where(col("o_totalprice").isNotNull)
-      val fences = o.groupBy("o_orderpriority")
-        .agg(graft.functions.ExactMath.hashRound(expr("percentile(o_totalprice, 0.05)"), 4).as("lo"),
-          graft.functions.ExactMath.hashRound(expr("percentile(o_totalprice, 0.95)"), 4).as("hi"))
+      // r16-opt: distributed exact fences (bit-identical, bufferless)
+      val fences = graft.operators.quantile.Quantiles
+        .groupPercentilesExact(o, "o_orderpriority", "o_totalprice",
+          Seq(0.05, 0.95), Seq("__plo", "__phi"))
+        .select(col("o_orderpriority"),
+          graft.functions.ExactMath.hashRound(col("__plo"), 4).as("lo"),
+          graft.functions.ExactMath.hashRound(col("__phi"), 4).as("hi"))
       o.join(broadcast(fences), "o_orderpriority")
         .where(col("o_totalprice") >= col("lo") && col("o_totalprice") <= col("hi"))
         .groupBy("o_orderpriority")

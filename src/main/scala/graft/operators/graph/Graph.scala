@@ -206,6 +206,8 @@ object Graph {
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "bdeg"), "b")
     val aFirst = col("adeg") < col("bdeg") ||
       (col("adeg") === col("bdeg") && col("a") < col("b"))
+    // NOT byJoinKey-pinned (r16-opt A/B: 2.16 s pinned vs 1.52 s
+    // unpinned at sf0.1 — see coOccurrenceEdges)
     val oriented = withDegs.select(
       when(aFirst, col("a")).otherwise(col("b")).as("s"),
       when(aFirst, col("b")).otherwise(col("a")).as("d"),
@@ -261,7 +263,13 @@ object Graph {
     val adj = half.select(col("a").as("c"), col("b").as("n"))
       .unionAll(half.select(col("b").as("c"), col("a").as("n")))
     val deg = adj.groupBy(col("n").as("node")).agg(count(lit(1)).as("deg"))
-    val pairs = adj.join(adj.withColumnRenamed("n", "m"), "c")
+    // pin the apex join's parallelism — Σdeg² fan-out defeats AQE's
+    // bytes-based coalescing (2-task 1.5 s stage measured; r16-opt).
+    // The ONE byJoinKey call site that A/B-measured as a win (2.32 vs
+    // 2.56 s): the pair table is consumed once, so the pinned layout's
+    // per-task overhead is paid once and the fat-stage saving dominates
+    val adjK = graft.operators.FanOut.byJoinKey(adj, col("c"))
+    val pairs = adjK.join(adjK.withColumnRenamed("n", "m"), "c")
       .where(col("n") < col("m"))
       .groupBy(col("n").as("node_a"), col("m").as("node_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -286,6 +294,14 @@ object Graph {
     * Emits each undirected edge once (`node_a < node_b`), deduped.
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, nodeCol: String): DataFrame = {
+    // NOT FanOut.byJoinKey-pinned (r16-opt A/B): AQE's bytes-based
+    // coalescing does shrink the pair stage to ~3 tasks at sf0.1, but
+    // pinning it at 32 was a measured WASH for bfs (4.25 vs 4.29 s) and
+    // a net LOSS for pagerank (4.22 vs 3.88) and triangles (2.16 vs
+    // 1.52) — every downstream iteration re-reads the wider layout and
+    // pays per-task overhead that exceeds the fat-stage saving. The
+    // undersizing is a small-bytes × big-fan-out regime that vanishes
+    // at scale (a 100 TB slim shuffle is already wide by bytes).
     val slim = df.select(col(groupCol).as("__g"), col(nodeCol).as("__n"))
       .where(col("__g").isNotNull && col("__n").isNotNull)
     slim.join(slim.withColumnRenamed("__n", "__m"), "__g")

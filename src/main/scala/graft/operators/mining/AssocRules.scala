@@ -54,6 +54,9 @@ object AssocRules {
       .distinct()
     val n = b.select(col("bk")).distinct().agg(count(lit(1)).as("n_baskets"))
     val itemCounts = b.groupBy("item").agg(count(lit(1)).as("ic"))
+    // NOT FanOut.byJoinKey-pinned (r16-opt A/B: 2.22 s pinned vs 1.89 s
+    // unpinned at sf0.1 — the Graph.coOccurrenceEdges verdict; per-task
+    // overhead on the pinned layout exceeds the fat-stage saving)
     val pairs = b.join(b.select(col("bk"), col("item").as("item_b")), "bk")
       .where(col("item") < col("item_b"))
       .groupBy(col("item").as("ia"), col("item_b").as("ib"))

@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   * a row's flag unless a data value sits within 1e-4 of a fence, which
   * the margin convention treats like every other rounded float).
   * `min/max_outlier` are raw data values (order statistics — exact).
-  * Exact per-group `percentile` is the B13 oracle-parity path; at
-  * 100 TB swap in `Quantiles.approxPercentiles` (B28) for the fence
-  * estimation — the audit semantics are unchanged.
+  * Since r16-opt every exact fence rides
+  * [[Quantiles.groupPercentilesExact]] — bit-identical to the
+  * `percentile()` aggregate (the B13 oracle-parity values) but with no
+  * per-group value buffer anywhere, so the fence pass itself survives
+  * 100 TB; `Quantiles.approxPercentiles` (B28) remains the documented
+  * sketch alternative when group cardinality is NOT driver-modest.
   */
 object Outliers {
 
@@ -49,12 +52,11 @@ object Outliers {
       k: Double = 1.5): DataFrame = {
     val v = col(valueCol)
     val clean = df.where(col(groupCol).isNotNull && v.isNotNull)
-    val q = clean
-      .groupBy(col(groupCol))
-      .agg(
-        expr(s"percentile($valueCol, 0.25)").as("__q1"),
-        expr(s"percentile($valueCol, 0.5)").as("__med"),
-        expr(s"percentile($valueCol, 0.75)").as("__q3"))
+    // distributed exact percentiles (r16-opt): bit-identical to the
+    // percentile() aggregate without its per-group value buffer
+    val q = Quantiles
+      .groupPercentilesExact(clean, groupCol, valueCol,
+        Seq(0.25, 0.5, 0.75), Seq("__q1", "__med", "__q3"))
       .select(
         col(groupCol),
         graft.functions.ExactMath.hashRound(col("__q1"), 4).as("q1"),
@@ -89,11 +91,10 @@ object Outliers {
       valueCol: String,
       k: Double = 1.5): DataFrame = {
     val v = col(valueCol)
-    val fences = df
-      .groupBy(col(groupCol))
-      .agg(
-        expr(s"percentile($valueCol, 0.25)").as("__p25"),
-        expr(s"percentile($valueCol, 0.75)").as("__p75"))
+    // distributed exact percentiles (r16-opt, see boxplotStats)
+    val fences = Quantiles
+      .groupPercentilesExact(df, groupCol, valueCol,
+        Seq(0.25, 0.75), Seq("__p25", "__p75"))
       .select(
         col(groupCol),
         graft.functions.ExactMath.hashRound(col("__p25") - lit(k) * (col("__p75") - col("__p25")), 4).as("lo"),
@@ -111,13 +112,14 @@ object Outliers {
     * convention). The mean/stddev z-score is itself dragged by the
     * outliers it hunts; median and MAD have a 50% breakdown point.
     *
-    * Three aggregation passes, all slim: per-group median (broadcast
-    * back), per-group median of absolute deviations (broadcast back as
-    * rounded fences), one conditional agg against the fences. The fact
-    * table never sorts globally. Exact `percentile` buffers each
-    * group's values (the documented B13 parity cost — both median
-    * passes); at 100 TB swap in `Quantiles.approxPercentiles` for both
-    * medians, audit semantics unchanged.
+    * Three passes, all slim: per-group median (broadcast back),
+    * per-group median of absolute deviations (broadcast back as rounded
+    * fences), one conditional agg against the fences. The fact table
+    * never sorts globally, and since r16-opt BOTH median passes ride
+    * [[Quantiles.groupPercentilesExact]] (range-split selection — no
+    * per-group value buffer; bit-identical to the old `percentile()`
+    * values); `Quantiles.approxPercentiles` remains the sketch
+    * alternative for non-driver-modest group cardinality.
     *
     * Determinism: fences are ROUNDED to 4 digits before the flag
     * compare in every engine (the `iqrAudit` contract — SURVEY §5);
@@ -133,14 +135,17 @@ object Outliers {
       valueCol: String,
       z: Double = 3.5): DataFrame = {
     val v = col(valueCol)
-    val med = df
-      .groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
-    val fences = df
+    // distributed exact medians for BOTH passes (r16-opt, see
+    // boxplotStats); the deviation pass re-reads the fact table with the
+    // 1-row-per-group median attached by broadcast
+    val med = Quantiles
+      .groupPercentilesExact(df, groupCol, valueCol, Seq(0.5), Seq("__med"))
+    val dev = df
       .join(broadcast(med), groupCol)
       .withColumn("__dev", abs(v - col("__med")))
-      .groupBy(col(groupCol), col("__med"))
-      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+    val fences = Quantiles
+      .groupPercentilesExact(dev, groupCol, "__dev", Seq(0.5), Seq("__mad"))
+      .join(med, groupCol)
       .select(
         col(groupCol),
         graft.functions.ExactMath.hashRound(col("__med") - lit(z) * lit(1.4826) * col("__mad"), 4).as("lo"),
@@ -233,12 +238,10 @@ object Outliers {
       pHi: Double = 0.95): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentile pair ($pLo, $pHi)")
     val v = col(valueCol)
-    val fences = df
-      .where(v.isNotNull)
-      .groupBy(col(groupCol))
-      .agg(
-        expr(s"percentile($valueCol, $pLo)").as("__plo"),
-        expr(s"percentile($valueCol, $pHi)").as("__phi"))
+    // distributed exact percentiles (r16-opt, see boxplotStats)
+    val fences = Quantiles
+      .groupPercentilesExact(df.where(v.isNotNull), groupCol, valueCol,
+        Seq(pLo, pHi), Seq("__plo", "__phi"))
       .select(col(groupCol),
         graft.functions.ExactMath.hashRound(col("__plo"), 4).as("lo"),
         graft.functions.ExactMath.hashRound(col("__phi"), 4).as("hi"))

@@ -171,6 +171,170 @@ object Quantiles {
     df.withColumn(outputCol, bucket)
   }
 
+  /** Exact per-group percentiles — the values the exact `percentile()`
+    * aggregate returns, BIT-FOR-BIT, without its per-group value buffer
+    * (optimization guide §2.3/§2.5: the aggregate ships every value of a
+    * group through one exchange into ONE reducer that sorts it — a
+    * 600k-row group at sf0.1 is already a 1.3 s single task and 30+ MiB
+    * of ObjectHashAggregate state for a 3-row result; at 100 TB it is
+    * the canonical single-key funnel).
+    *
+    * Plan: the [[orderStatisticsBy]]/[[withNtileByGroup]] machinery —
+    * ONE range shuffle of the slim (group, value) projection (TeraSort
+    * shape, fully distributed), per-(partition, group) counts collected
+    * (group slices are contiguous under the range split, so ≤
+    * partitions + groups − 1 rows), selection ranks located on the
+    * driver, and only the boundary rows fetched via an in-partition
+    * sort + linear rank scan. `Percentile.getPercentile`'s selection and
+    * interpolation arithmetic is replicated on the driver with the SAME
+    * JVM double ops (position = (N−1)·p; keys at floor/ceil of the
+    * position; `(higher − pos)·lowerKey + (pos − lower)·higherKey`), so
+    * outputs are bit-identical — GroupPercentilesSpec pins equality
+    * against the `percentile()` aggregate itself.
+    *
+    * Contract: `valueCol` numeric, `groupCol` orderable atomic; rows
+    * with a NULL group or NULL value are excluded (the aggregate skips
+    * null values too; a null GROUP's percentile row — which a plain
+    * `groupBy` would emit — is not produced: callers here never feed
+    * null groups, and the range partitioner cannot represent null
+    * ordering). Group cardinality must be driver-modest (the result is
+    * a driver-built local table — same contract as
+    * [[withNtileByGroup]]'s boundary table). `nCol` optionally emits the
+    * group's non-null row count (free — job 1 already knows it).
+    */
+  def groupPercentilesExact(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double],
+      outNames: Seq[String],
+      nCol: Option[String] = None): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentages must be in [0,1], got $ps")
+    require(outNames.size == ps.size, "one output name per percentage")
+    import org.apache.spark.sql.types._
+    df.schema(valueCol).dataType match {
+      case _: NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"$valueCol must be numeric for percentile interpolation (got $other)")
+    }
+    checkTypes(df, groupCol, groupCol)
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val outSchema = StructType(
+      StructField(groupCol, df.schema(groupCol).dataType) +:
+        (outNames.map(StructField(_, DoubleType)) ++
+          nCol.map(StructField(_, LongType))))
+    val slim = df
+      .select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .where(col("__g").isNotNull && col("__v").isNotNull)
+    // persisted: counts and the boundary fetch must see the SAME range
+    // split (the partitioner samples — see orderStatisticsBy)
+    val ranged = slim
+      .repartitionByRange(parts, col("__g"), col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      import org.apache.spark.sql.{Encoders, Row}
+      import scala.jdk.CollectionConverters._
+      // job 1: (pid, group) counts, collected (contiguous slices — the
+      // withNtileByGroup driver-size argument)
+      val counts = ranged.groupBy("__pid", "__g")
+        .agg(count(lit(1)).as("__c"))
+        .collect()
+      if (counts.isEmpty)
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), outSchema)
+      // per-group slices in pid (= range) order with exclusive prefix
+      // offsets; a 1-based global rank locates to (pid, local rank)
+      val slicesByGroup: Seq[(Any, Seq[(Int, Long, Long)])] = counts
+        .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+        .groupBy(_._2).toSeq
+        .map { case (g, arr) =>
+          val sorted = arr.sortBy(_._1).toSeq
+          val offs = sorted.scanLeft(0L)(_ + _._3)
+          g -> sorted.zip(offs).map { case ((p, _, c), o) => (p, c, o) }
+        }
+      def locate(slices: Seq[(Int, Long, Long)], r: Long): (Int, Long) = {
+        val (p, _, o) = slices.find(s => r > s._3 && r <= s._3 + s._2).get
+        (p, r - o)
+      }
+      // Percentile's selection ranks: position = (N−1)·p (double);
+      // the keys at 0-based ranks floor(position) and ceil(position)
+      val ranksByGroup: Seq[(Any, Seq[(Int, Long)])] = slicesByGroup.map {
+        case (g, slices) =>
+          val maxPos = (slices.map(_._2).sum - 1).toDouble
+          val oneBased = ps.flatMap { p =>
+            val pos = maxPos * p
+            Seq(math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L)
+          }.distinct
+          g -> oneBased.map(locate(slices, _))
+      }
+      val wanted: Map[Int, Map[Any, Set[Long]]] = ranksByGroup
+        .flatMap { case (g, ls) => ls.map { case (p, lr) => (p, g, lr) } }
+        .groupBy(_._1)
+        .map { case (p, xs) =>
+          p -> xs.groupBy(_._2).map { case (g, ys) => g -> ys.map(_._3).toSet }
+        }
+      val bWanted = spark.sparkContext.broadcast(wanted)
+      // job 2: fetch only the selection rows — in-partition sort + one
+      // linear rank scan over only the partitions holding a target (the
+      // pid filter is partition-grain, so retained slices stay intact)
+      val fetchSchema = StructType(ranged.schema.fields :+ StructField("__lr", LongType))
+      val fetched: Map[(Int, Any, Long), Any] = ranged
+        .where(col("__pid").isin(wanted.keys.toSeq: _*))
+        .sortWithinPartitions("__g", "__v")
+        .mapPartitions { it =>
+          val w = bWanted.value
+          var curG: Any = null
+          var started = false
+          var rank = 0L
+          it.flatMap { row =>
+            w.get(row.getInt(2)) match {
+              case None => Iterator.empty
+              case Some(byG) =>
+                val g = row.get(0)
+                if (!started || g != curG) { curG = g; started = true; rank = 1L }
+                else rank += 1L
+                if (byG.get(g).exists(_.contains(rank)))
+                  Iterator.single(Row.fromSeq(row.toSeq :+ rank))
+                else Iterator.empty
+            }
+          }
+        }(Encoders.row(fetchSchema))
+        .collect()
+        .map(r => ((r.getInt(2), r.get(0), r.getLong(3)), r.get(1)))
+        .toMap
+      // Percentile.toDoubleValue: Decimal.toDouble == BigDecimal.doubleValue
+      def toDoubleValue(a: Any): Double = a match {
+        case d: java.math.BigDecimal => d.doubleValue
+        case n: java.lang.Number => n.doubleValue
+        case other => throw new IllegalStateException(
+          s"non-numeric percentile key: $other")
+      }
+      val rows: Seq[Row] = slicesByGroup.map { case (g, slices) =>
+        val n = slices.map(_._2).sum
+        val maxPos = (n - 1).toDouble
+        val vals = ps.map { p =>
+          val pos = maxPos * p
+          val lower = math.floor(pos).toLong
+          val higher = math.ceil(pos).toLong
+          val (lp, llr) = locate(slices, lower + 1L)
+          val lowerKey = toDoubleValue(fetched((lp, g, llr)))
+          if (higher == lower) lowerKey
+          else {
+            val (hp, hlr) = locate(slices, higher + 1L)
+            val higherKey = toDoubleValue(fetched((hp, g, hlr)))
+            if (higherKey == lowerKey) lowerKey
+            else (higher - pos) * lowerKey + (pos - lower) * higherKey
+          }
+        }
+        Row.fromSeq(g +: (vals ++ nCol.map(_ => n)))
+      }
+      spark.createDataFrame(rows.asJava, outSchema)
+    } finally { ranged.unpersist(false); () }
+  }
+
   /** Exact `ntile(n) OVER (PARTITION BY groupCol ORDER BY valueCol,
     * tieCol)` for FEW, HUGE groups — the shape a curation pipeline asks
     * for (deciles within each org unit / language) where a plain

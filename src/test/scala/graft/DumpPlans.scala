@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
 /** Plan-shape census for the optimization rounds (guide §1.1/§7.2): for
   * every (or each named) catalog query, executes it once (so AQE
@@ -26,8 +26,16 @@ object DumpPlans {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case other => other
     }
-    def walk(p: SparkPlan): Seq[SparkPlan] =
-      p +: (p.children ++ p.subqueries).flatMap(walk)
+    // QueryStageExec wraps its subtree in `plan` (children is Nil), so a
+    // children-only walk sees nothing below the first stage boundary
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: (kids ++ p.subqueries).flatMap(walk)
+    }
 
     val summary = new StringBuilder
     names.foreach { n =>
