@@ -55,7 +55,14 @@ object CorrMatrix {
           element_at(e, j).cast("double").as("y")))))
     val x = col("__p.x")
     val y = col("__p.y")
-    df.where(e.isNotNull && size(e) === dim)
+    // fan out before the m²/2 pair explode (r16-opt): on a single-split
+    // input the explode + 6 decimal-product partials all fused into ONE
+    // scan task (1.67 s of a 1.86 s query, ProfileStages); the decimal
+    // sums are order-free, so the repartition is bit-neutral. Hash key =
+    // the vector itself (near-unique); gate no-ops on multi-split inputs
+    graft.operators.FanOut.byKey(
+      df.where(e.isNotNull && size(e) === dim).select(e.as(embCol)),
+      e)
       .select(explode(pairs).as("__p"))
       .groupBy(col("__p.i").as("dim_i"), col("__p.j").as("dim_j"))
       .agg(

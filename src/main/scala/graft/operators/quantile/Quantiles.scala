@@ -502,21 +502,23 @@ object Quantiles {
     * sizes differ.
     *
     * Scale shape (the B48 first-occurrence trick): the data-grain shuffle
-    * aggregates to (group, value) FIRST — the per-group window then runs
-    * over the value-grain table, bounded by distinct values, never raw
-    * rows. Weights accumulate as DECIMAL(18,6): the running sum is
-    * associative-exact, and the threshold test `cum * 100 >= qPct * tot`
-    * is pure decimal integer arithmetic — no division, no float, so the
-    * same comparison is exact in any engine (hash-safe without rounding;
-    * the returned value is an actual data element).
+    * aggregates to (group, value) FIRST — the running weight then rides
+    * [[graft.operators.stats.RankedSpine.exclusivePrefix]] over the
+    * value-grain spine (distributed; auto-degrades to the legacy pinned
+    * per-group window below the small-spine threshold), bounded by
+    * distinct values, never raw rows. Weights accumulate as
+    * DECIMAL(18,6) = exact integer MICROS, and the threshold test
+    * `cum * 100 >= qPct * tot` is pure integer arithmetic in
+    * DECIMAL(38,0) — no division, no float, so the same comparison is
+    * exact in any engine (hash-safe without rounding; the returned value
+    * is an actual data element).
     *
     * Contract: weights must be positive (non-positive or NULL weights
     * and NULL values are dropped — a zero-weight value cannot be "the
     * median element" and a negative weight makes the running share
-    * non-monotone); `qPct` in (0, 100]. The per-group window sorts one
-    * group's DISTINCT values in one task — for very-high-cardinality
-    * single groups use [[approxPercentiles]], the documented B13/B28
-    * split.
+    * non-monotone); `qPct` in (0, 100]; any single (group, value)
+    * cell's weight mass beyond ~9.2e12 units raises (micros must fit a
+    * LONG — beyond that use [[weightedQuantileApprox]]).
     */
   def weightedQuantile(
       df: DataFrame,
@@ -527,19 +529,44 @@ object Quantiles {
       outCol: String = "weighted_quantile"): DataFrame = {
     require(qPct > 0 && qPct <= 100, s"qPct must be in (0, 100], got $qPct")
     require(groupCols.nonEmpty, "groupCols must be non-empty")
+    // r16-opt: the running weight rides RankedSpine.exclusivePrefix
+    // instead of a per-group window over the value spine (which sorts a
+    // whole group's distinct values in ONE task — ~590k spine rows in 3
+    // tasks at sf0.1, unbounded at scale). Weights are DECIMAL(18,6), so
+    // integer MICROS are exact (×1e6 on a scale-6 decimal): the prefix
+    // sums satisfy exclusivePrefix's integral contract, and the
+    // division-free threshold `cum·100 ≥ qPct·tot` scaled by 1e6 on both
+    // sides is the SAME comparison — decided in DECIMAL(38,0) so no
+    // group total can wrap the ×100. Below the small-spine threshold the
+    // prefix auto-degrades to the legacy pinned window (bit-identical
+    // both paths — the RankedSpine contract).
     val grain = df
       .where(col(valueCol).isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
       .groupBy((groupCols :+ valueCol).map(col): _*)
-      .agg(sum(col(weightCol).cast("decimal(18,6)")).as("__w"))
-    val wCum = Window
-      .partitionBy(groupCols.map(col): _*)
-      .orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wTot = Window.partitionBy(groupCols.map(col): _*)
-    grain
-      .withColumn("__cum", sum(col("__w")).over(wCum))
-      .withColumn("__tot", sum(col("__w")).over(wTot))
-      .where(col("__cum") * 100 >= col("__tot") * qPct)
+      .agg(sum(col(weightCol).cast("decimal(18,6)")).as("__wdec"))
+      // ANSI is off, so a wrapping micros cast would NULL the cell out
+      // of the prefix SILENTLY (the hhi lesson) — raise instead; a
+      // per-value weight mass beyond ~9.2e12 units needs the sketch path
+      .select((groupCols :+ valueCol).map(col) :+
+        when(col("__wdec") <= lit(new java.math.BigDecimal("9223372036854")),
+          (col("__wdec") * lit(1000000)).cast("long"))
+          .otherwise(expr(
+            "raise_error('weightedQuantile: per-value weight mass exceeds LONG micros')")
+            .cast("long"))
+          .as("__wl"): _*)
+    // pin the spine once: BOTH consumers below (the prefix machinery and
+    // the per-group total) would otherwise re-run the corpus-grain
+    // aggregation lineage (the q_rfm re-derivation lesson)
+    val pinned = grain.localCheckpoint(true)
+    val pre = graft.operators.stats.RankedSpine
+      .exclusivePrefix(pinned, groupCols, valueCol, Seq("__wl" -> "__before"))
+    val tot = pinned.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__wl")).as("__totl"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    pre
+      .join(tot, groupCols)
+      .where((col("__before") + col("__wl")).cast(d38) * 100 >=
+        col("__totl").cast(d38) * qPct)
       .groupBy(groupCols.map(col): _*)
       .agg(min(col(valueCol)).as(outCol))
   }
@@ -608,8 +635,18 @@ object Quantiles {
     val g = groupCols.map(col)
     val v = col(valueCol)
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
-    val clean = df
-      .where(v.isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
+    // fan out the slim projection once for all three passes (r16-opt):
+    // on a single-split input the GK sketch build, the O(nSplits)
+    // per-row bucket scan and the final conditional agg each ran in ONE
+    // scan task. Fan-out changes the sketch's split PLACEMENT (partial
+    // merge boundaries move — the documented merge-order sensitivity of
+    // sketch values, which are never hashed) but not the audited row:
+    // n/tot_w are exact and the bracket booleans are theorems against
+    // whichever splits were chosen.
+    val clean = graft.operators.FanOut.byKey(
+      df.where(v.isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
+        .select((groupCols :+ valueCol :+ weightCol).distinct.map(col): _*),
+      v)
     val ps = (1 to nSplits).map(j => j.toDouble / nSplits)
     // localCheckpoint pins the k-row split table: it feeds BOTH the
     // bucket pass and the answer projection, and without the pin each

@@ -131,9 +131,17 @@ object NameMatch {
       blockCol: String): DataFrame = {
     val base = df.where(col(idCol).isNotNull && col(nameCol).isNotNull &&
         col(blockCol).isNotNull)
-    val left = base.select(col(blockCol).as("__blk"),
+    // pin the block join's parallelism (r16-opt, FanOut.byJoinKey
+    // rationale): the per-pair Jaro–Winkler scoring runs in the join
+    // stage, and AQE's bytes-based coalescing of the tiny blocked-name
+    // shuffle serialized it to ONE 1.5 s task at sf0.1. One exchange,
+    // reused by both sides; pair rows and the k-cut are unchanged
+    val keyed = graft.operators.FanOut.byJoinKey(
+      base.select(col(blockCol).as("__blk"), col(idCol), col(nameCol)),
+      col("__blk"))
+    val left = keyed.select(col("__blk"),
       col(idCol).as("id_a"), col(nameCol).as("name_a"))
-    val right = base.select(col(blockCol).as("__blk"),
+    val right = keyed.select(col("__blk"),
       col(idCol).as("id_b"), col(nameCol).as("name_b"))
     left.join(right, "__blk").where(col("id_a") < col("id_b"))
   }
