@@ -1378,7 +1378,13 @@ object Stats {
     val clean = df.where(
       g.map(_.isNotNull).reduce(_ && _) &&
         col(xCol).isNotNull && col(yCol).isNotNull && col(tieCol).isNotNull)
-    val sp = clean
+    // pin the group exchange at full parallelism (r16-opt): the
+    // INTERPRETED per-pair HOF walk below runs in the post-shuffle agg
+    // stage, which AQE's bytes-based coalescing shrank to 2 tasks on a
+    // single-split input; repartition-by-group replaces (never adds to)
+    // the groupBy's own exchange, and collect_list partials don't
+    // shrink data, so nothing is lost map-side
+    val sp = graft.operators.FanOut.byKey(clean, g: _*)
       .groupBy(g: _*)
       .agg(array_sort(collect_list(struct(
         col(tieCol).as("t"),
