@@ -470,12 +470,10 @@ object NGramJaccardDedup {
   */
 object EmbeddingDedup {
   def duplicatePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    // fan out the STREAM side of the broadcast nested-loop (r16-opt): on
-    // a single-split input all n²/2 cosine evaluations ran in ONE task
-    // (0.83 s of q_dedup_embedding's 0.95 s, ProfileStages); pair set
-    // unchanged, gate no-ops on multi-split inputs
-    val a = graft.operators.FanOut.byKey(
-      df.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), col("id_a"))
+    // deliberately NOT FanOut-gated (r16-opt A/B, warm medians at sf0.1:
+    // 0.372 s fanned vs 0.283 s plain): the BNL stream side is cheap to
+    // rescan and the gate's extra planning outweighs the parallelism win
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("sim", GraftFunctions.cosine(col("v_a"), col("v_b")))

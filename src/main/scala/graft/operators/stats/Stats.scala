@@ -1378,13 +1378,11 @@ object Stats {
     val clean = df.where(
       g.map(_.isNotNull).reduce(_ && _) &&
         col(xCol).isNotNull && col(yCol).isNotNull && col(tieCol).isNotNull)
-    // pin the group exchange at full parallelism (r16-opt): the
-    // INTERPRETED per-pair HOF walk below runs in the post-shuffle agg
-    // stage, which AQE's bytes-based coalescing shrank to 2 tasks on a
-    // single-split input; repartition-by-group replaces (never adds to)
-    // the groupBy's own exchange, and collect_list partials don't
-    // shrink data, so nothing is lost map-side
-    val sp = graft.operators.FanOut.byKey(clean, g: _*)
+    // deliberately NOT FanOut-gated (r16-opt A/B, warm medians at sf0.1:
+    // 0.692 s fanned vs 0.563 s plain): the per-key pair walk is bounded
+    // by the series contract, so AQE's coalesced agg stage is already
+    // cheap and the gate's overhead dominates
+    val sp = clean
       .groupBy(g: _*)
       .agg(array_sort(collect_list(struct(
         col(tieCol).as("t"),

@@ -107,10 +107,11 @@ object Trend {
     // gated by ANSI-off; correctness must not depend on the optimizer
     // pushing a later filter below this projection (TrendSpec pins the
     // 1-point case with predicate pushdown disabled).
-    // FanOut.byKey pins the group exchange: the interpreted pair-walk
-    // HOF below runs post-shuffle, which AQE shrinks to 1-2 tasks on a
-    // single-split input (r16-opt; the kendallTauByKey rationale)
-    val sPart = graft.operators.FanOut.byKey(clean, g: _*)
+    // mannKendall/theilSen/hodgesLehmann are deliberately NOT
+    // FanOut-gated (r16-opt A/B, warm medians at sf0.1: 1.072/0.810/0.448
+    // fanned vs 0.868/0.638/0.351 plain): the bounded-series pair walks
+    // are cheap per key and the gate's overhead dominates
+    val sPart = clean
       .groupBy(g: _*)
       .agg(array_sort(collect_list(struct(
         col(orderCol).as("o"), col(tieCol).as("t"),
@@ -188,9 +189,7 @@ object Trend {
     val clean = df.where(
       g.map(_.isNotNull).reduce(_ && _) &&
         col(xCol).isNotNull && col(tieCol).isNotNull && col(valueCol).isNotNull)
-    // group exchange pinned for the interpreted pair walk (r16-opt; the
-    // kendallTauByKey rationale)
-    graft.operators.FanOut.byKey(clean, g: _*)
+    clean
       .groupBy(g: _*)
       .agg(array_sort(collect_list(struct(
         col(xCol).cast("double").as("x"), col(tieCol).as("t"),
@@ -244,9 +243,7 @@ object Trend {
     val g: Seq[Column] = keyCols.map(col)
     val clean = df.where(
       g.map(_.isNotNull).reduce(_ && _) && col(valueCol).isNotNull)
-    // group exchange pinned for the interpreted Walsh enumeration
-    // (r16-opt; the kendallTauByKey rationale)
-    graft.operators.FanOut.byKey(clean, g: _*)
+    clean
       .groupBy(g: _*)
       .agg(collect_list(col(valueCol).cast("double")).as("vs"))
       .where(size(col("vs")) >= 1)
