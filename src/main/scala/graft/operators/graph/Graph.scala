@@ -57,6 +57,12 @@ object Graph {
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .where(col("s").isNotNull && col("d").isNotNull)
     val symRaw = e.unionAll(e.select(col("d").as("s"), col("s").as("d")))
+    // deliberately NOT pre-partitioned by "s" (r16-opt A/B): unlike
+    // pageRank's rank table, the per-hop frontier is tiny, so AQE
+    // broadcast-joins it and sym is probed straight from the cache —
+    // never re-shuffled; a pageRank-style repartition(col("s")) here
+    // measured as a wash-to-loss (warm medians 5.5-6.2 s both ways,
+    // paying an extra 4.8M-row exchange up front for nothing)
     val sym = (if (dedupEdges) symRaw.distinct() else symRaw)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -137,7 +143,17 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .where(col("s").isNotNull && col("d").isNotNull)
+    // hash-partition by the join key ONCE before the persist (r16-opt,
+    // guide §2.4): each power iteration joins sym("s") === ranks("node")
+    // where ranks is a localCheckpointed LogicalRDD with unknown stats,
+    // so without this the planner co-partitioned both sides and the FULL
+    // edge table re-shuffled every iteration (ProfileStages: five
+    // 64-task stages of 16-22 s summed task time). With the cached
+    // partitioning only the slim rank table moves per iteration — the
+    // Pregel shape, and the same one a 100 TB deployment wants. The deg
+    // aggregation below shares the same exchange for free.
     val sym = e.unionAll(e.select(col("d").as("s"), col("s").as("d")))
+      .repartition(col("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val deg = sym.groupBy(col("s").as("node"))
