@@ -135,7 +135,13 @@ object NameMatch {
     // rationale): the per-pair Jaro–Winkler scoring runs in the join
     // stage, and AQE's bytes-based coalescing of the tiny blocked-name
     // shuffle serialized it to ONE 1.5 s task at sf0.1. One exchange,
-    // reused by both sides; pair rows and the k-cut are unchanged
+    // reused by both sides; pair rows and the k-cut are unchanged.
+    // MEASURED TRADE (r16-opt ScaleUp ×8 A/B, two runs each): under
+    // copy-amplified HOT blocks the pin loses ~2× (12.7-13.2 s pinned
+    // vs 6.2 s unpinned) because the pinned exchange opts out of AQE
+    // skew-splitting exactly where blocks go hot; at sf0.1 it wins 3×
+    // (0.69 vs 2.01 s). A deployment expecting skewed blocks disables
+    // it via spark.graft.fanout.partitions=0.
     val keyed = graft.operators.FanOut.byJoinKey(
       base.select(col(blockCol).as("__blk"), col(idCol), col(nameCol)),
       col("__blk"))
