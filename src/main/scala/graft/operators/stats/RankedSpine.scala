@@ -56,10 +56,13 @@ import org.apache.spark.sql.functions._
   * shuffles + offset join) exceeds the single-task window it avoids.
   * So by default the spine cells are `localCheckpoint`-PINNED once
   * (the spine-aggregate lineage runs a single time) and the pin is
-  * counted (~free); at or below
+  * counted: the TOTAL for global spines, the LARGEST PER-GROUP spine
+  * for grouped ones (r16-opt — the wall the degrade guards is one
+  * window task's input, which is one group's rows; the grouped
+  * preflight is one slim group-grain agg over the pin). At or below
   * `spark.graft.rankedSpine.smallSpineRows` (default 500,000) the
   * prefix runs as the legacy window over the pin — bounded by the
-  * counted preflight, so the single task sorts a known-small
+  * counted preflight, so each window task sorts a known-small
   * materialized input; above it the distributed path runs, reading
   * the pin (which spares `repartitionByRange`'s sampling pass from
   * re-evaluating the lineage, at the cost of one extra spine
@@ -140,7 +143,23 @@ object RankedSpine {
     // Identical integral sums in identical per-group spine order ⇒ the
     // two paths are bit-identical. conf 0 skips the preflight entirely.
     val pinned = if (threshold > 0) cells.localCheckpoint(true) else cells
-    if (threshold > 0 && pinned.count() <= threshold) {
+    // the wall the degrade guards against is ONE WINDOW TASK's input —
+    // the largest per-group spine, not the total (r16-opt): the legacy
+    // window below is partitioned by group, so 3 even groups of 196k
+    // rows sort as 3 parallel ≤196k tasks, firmly inside the measured
+    // crossover, while the old total-rows count (590k > 500k) pushed
+    // exactly that shape onto the distributed path (q_weighted_median,
+    // same-window A/B: 4.46 → 3.36 s warm medians, controls level).
+    // Global spines (no groups) keep the plain
+    // count. The grouped preflight is one slim group-grain agg over the
+    // pin; the r14/r15 crossover evidence is unchanged (one-hot regime:
+    // max == total; global regime: same count as before).
+    val spineRows: Long =
+      if (threshold <= 0) Long.MaxValue
+      else if (groupCols.isEmpty) pinned.count()
+      else pinned.groupBy(g: _*).agg(count(lit(1)).as("__rs_n"))
+        .agg(coalesce(max(col("__rs_n")), lit(0L))).head().getLong(0)
+    if (threshold > 0 && spineRows <= threshold) {
       val w = Window.partitionBy(g: _*).orderBy(col(spineCol))
         .rowsBetween(Window.unboundedPreceding, -1)
       return sums.foldLeft(pinned) { case (d, (in, out)) =>
